@@ -1,0 +1,29 @@
+"""feature_factory_spark — a PySpark-native feature-engineering engine.
+
+From-scratch rebuild of the capabilities of habedi/feature-factory
+(reference: a Rust library on Apache DataFusion) re-expressed Spark-first:
+every operator is a lazy DataFrame plan rewrite optimized by Catalyst;
+stateful fits are small distributed aggregate jobs; zero Python UDFs on any
+hot path.
+"""
+
+from .exceptions import (
+    FeatureFactoryError,
+    FitNotCalledError,
+    InvalidParameterError,
+    MissingColumnError,
+    NotImplementedFeatureError,
+    UnsupportedFormatError,
+)
+from .operators import *  # noqa: F401,F403
+from .operators import __all__ as _op_all
+from .pipeline import Pipeline, Transformer, make_pipeline
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FeatureFactoryError", "MissingColumnError", "InvalidParameterError",
+    "FitNotCalledError", "NotImplementedFeatureError", "UnsupportedFormatError",
+    "Transformer", "Pipeline", "make_pipeline",
+    *_op_all,
+]

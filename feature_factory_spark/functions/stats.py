@@ -1,0 +1,97 @@
+"""Fit-time statistics helpers.
+
+Design rule (SURVEY.md §4.3): every multi-column / multi-statistic fit runs
+as ONE Spark aggregate job, never a per-column or per-statistic loop (the
+reference issues bins+1 jobs for quantiles, discretization.rs:228-253, and
+two jobs for min/max, discretization.rs:100-157 — we deliberately don't).
+
+Exactness rule (SURVEY.md §2.4-A): exact statistics by default so results
+match the DuckDB oracle; ``approx=True`` switches quantiles to Spark's
+t-digest ``approx_percentile`` for the 100 TB scale path (single pass,
+bounded memory, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def agg_single_pass(df: DataFrame, exprs: list) -> dict[str, object]:
+    """Run all aggregate expressions in one job; return alias -> value."""
+    row = df.agg(*exprs).collect()[0]
+    return row.asDict()
+
+
+def column_means(df: DataFrame, columns: list[str]) -> dict[str, float]:
+    out = agg_single_pass(df, [F.avg(c).alias(c) for c in columns])
+    return {c: out[c] for c in columns}
+
+
+def column_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float],
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> dict[str, list[float]]:
+    """Per-column quantiles at the given probabilities, one aggregate job
+    for ALL columns and ALL probabilities.
+
+    exact: Spark `percentile` (interpolated order statistic — identical
+    semantics to DuckDB `quantile_cont`, which is the oracle twin).
+    approx: `approx_percentile` (t-digest; mergeable, single-pass — the
+    scale path)."""
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    if approx:
+        exprs = [
+            F.percentile_approx(F.col(c).cast("double"), probs_arr, accuracy).alias(c)
+            for c in columns
+        ]
+    else:
+        exprs = [
+            F.percentile(F.col(c).cast("double"), probs_arr).alias(c) for c in columns
+        ]
+    out = agg_single_pass(df, exprs)
+    return {c: list(out[c]) if out[c] is not None else None for c in columns}
+
+
+def column_min_max(
+    df: DataFrame, columns: list[str]
+) -> dict[str, tuple[float, float]]:
+    """One job for min+max of every column (vs two jobs per column in the
+    reference, discretization.rs:100-157)."""
+    exprs = []
+    for c in columns:
+        exprs.append(F.min(c).alias(f"__min_{c}"))
+        exprs.append(F.max(c).alias(f"__max_{c}"))
+    out = agg_single_pass(df, exprs)
+    return {c: (out[f"__min_{c}"], out[f"__max_{c}"]) for c in columns}
+
+
+def column_modes(
+    df: DataFrame, columns: list[str]
+) -> dict[str, object]:
+    """Per-column mode. Tie-break: highest count, then smallest value —
+    deterministic (the reference's `ORDER BY cnt DESC LIMIT 1`,
+    imputation.rs:297-305, is tie-unstable; we document the determinism).
+
+    One job total: melt columns into (col, value) pairs via a stack/explode
+    and aggregate once, instead of one job per column."""
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("value"))
+            for c in columns
+        ])
+    ).alias("kv")
+    melted = df.select(pairs).select("kv.col", "kv.value").where(F.col("value").isNotNull())
+    counts = melted.groupBy("col", "value").count()
+    best = (
+        counts.groupBy("col")
+        .agg(F.max("count").alias("maxc"))
+        .join(counts, on="col", how="inner")
+        .where(F.col("count") == F.col("maxc"))
+        .groupBy("col")
+        .agg(F.min("value").alias("mode"))
+    )
+    return {r["col"]: r["mode"] for r in best.collect()}

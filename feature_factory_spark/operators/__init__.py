@@ -1,0 +1,68 @@
+"""Operator inventory (SURVEY.md §2.2) plus training-data-pipeline extensions."""
+
+from .categorical import (
+    CountFrequencyEncoder,
+    MeanEncoder,
+    OneHotEncoder,
+    OrdinalEncoder,
+    RareLabelEncoder,
+    WoEEncoder,
+)
+from .datetime_features import DatetimeFeatures, DatetimeSubtraction
+from .discretization import (
+    ArbitraryDiscretizer,
+    EqualFrequencyDiscretizer,
+    EqualWidthDiscretizer,
+    GeometricWidthDiscretizer,
+)
+from .feature_creation import CyclicalFeatures, MathFeatures, RelativeFeatures
+from .feature_selection import (
+    MRMR,
+    DropConstantFeatures,
+    DropCorrelatedFeatures,
+    DropDuplicateFeatures,
+    DropFeatures,
+    DropHighPSIFeatures,
+    SelectByInformationValue,
+    SelectBySingleFeaturePerformance,
+    SelectByTargetMeanPerformance,
+    SmartCorrelatedSelection,
+)
+from .imputation import (
+    AddMissingIndicator,
+    ArbitraryNumberImputer,
+    CategoricalImputer,
+    DropMissingData,
+    EndTailImputer,
+    MeanMedianImputer,
+)
+from .numerical import (
+    ArcsinTransformer,
+    BoxCoxTransformer,
+    LogCpTransformer,
+    LogTransformer,
+    PowerTransformer,
+    ReciprocalTransformer,
+    YeoJohnsonTransformer,
+)
+from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
+
+__all__ = [
+    "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
+    "CategoricalImputer", "AddMissingIndicator", "DropMissingData",
+    "OneHotEncoder", "CountFrequencyEncoder", "OrdinalEncoder",
+    "MeanEncoder", "WoEEncoder", "RareLabelEncoder",
+    "ArbitraryDiscretizer", "EqualFrequencyDiscretizer",
+    "EqualWidthDiscretizer", "GeometricWidthDiscretizer",
+    "ArbitraryOutlierCapper", "Winsorizer", "OutlierTrimmer",
+    "LogTransformer", "LogCpTransformer", "ReciprocalTransformer",
+    "PowerTransformer", "BoxCoxTransformer", "YeoJohnsonTransformer",
+    "ArcsinTransformer",
+    "MathFeatures", "RelativeFeatures", "CyclicalFeatures",
+    "DatetimeFeatures", "DatetimeSubtraction",
+    "DropFeatures", "DropConstantFeatures", "DropDuplicateFeatures",
+    "DropCorrelatedFeatures", "SmartCorrelatedSelection",
+    "DropHighPSIFeatures", "SelectByInformationValue",
+    "SelectBySingleFeaturePerformance", "SelectByTargetMeanPerformance",
+    "MRMR",
+]

@@ -1,0 +1,176 @@
+"""Transformer base class and Pipeline.
+
+Re-expresses the reference's `Transformer` trait (fit / transform /
+is_stateful — reference: src/pipeline.rs:24-50) and `Pipeline` struct
+(sequential fit-then-transform fold with per-step naming, verbose timing,
+error wrapping, >=1-step validation — reference: src/pipeline.rs:118-192)
+as an sklearn/feature-engine-style Python API over Spark DataFrames.
+
+Spark-first notes:
+- `transform` is a pure lazy logical-plan rewrite (select/filter/withColumn);
+  Catalyst optimizes the accumulated plan at action time — same laziness
+  contract as the reference (pipeline.rs:114-117).
+- `fit` on stateful transformers runs small aggregate Spark jobs and stores
+  the learned parameters as plain Python dicts on the driver; never a full
+  materialization of the data (the reference's feature-selection collect()
+  pattern is deliberately NOT copied — see operators/feature_selection.py).
+- Because each stateful fit re-executes the accumulated upstream plan, long
+  pipelines get O(n^2) recomputation in the reference (pipeline.rs:135-164).
+  `Pipeline(cache_intermediate=True)` persists the intermediate DataFrame
+  before each stateful fit — an improvement the reference has no equivalent
+  of.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from abc import ABC, abstractmethod
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .exceptions import FeatureFactoryError, FitNotCalledError, InvalidParameterError
+
+
+class Transformer(ABC):
+    """Base class for all operators.
+
+    Contract (reference: src/pipeline.rs:24-50):
+    - ``fit(df) -> self``: learn parameters (no-op for stateless operators;
+      runs Spark aggregate jobs for stateful ones).
+    - ``transform(df) -> DataFrame``: lazy plan rewrite; raises
+      FitNotCalledError if stateful and unfitted.
+    - ``fit_transform(df)``: fit then transform.
+    - ``is_stateful()``: whether fit learns parameters.
+    """
+
+    _fitted: bool = False
+
+    def fit(self, df: DataFrame) -> "Transformer":
+        self._check_input(df)
+        self._fit(df)
+        self._fitted = True
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.is_stateful() and not self._fitted:
+            raise FitNotCalledError(type(self).__name__)
+        self._check_input(df)
+        return self._transform(df)
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)
+
+    def is_stateful(self) -> bool:
+        return False
+
+    # -- subclass hooks -------------------------------------------------
+    def _check_input(self, df: DataFrame) -> None:
+        """Driver-side schema validation; must not trigger Spark jobs."""
+
+    def _fit(self, df: DataFrame) -> None:
+        """Learn parameters. Default: stateless no-op."""
+
+    @abstractmethod
+    def _transform(self, df: DataFrame) -> DataFrame: ...
+
+    # -- fitted-state persistence (improvement over the reference, which
+    # -- has no save/load; SURVEY.md §7.0 item 5) ------------------------
+    def get_fitted_state(self) -> dict[str, Any]:
+        """JSON-serializable fitted parameters."""
+        return {
+            k: v
+            for k, v in vars(self).items()
+            if not k.startswith("__") and _json_safe(v)
+        }
+
+    def save_state(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.get_fitted_state(), f, indent=2, default=str)
+
+
+def _json_safe(v: Any) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+class Pipeline:
+    """Ordered chain of (name, transformer) steps.
+
+    Semantics mirror the reference (src/pipeline.rs:118-192): sequential
+    fit-then-transform fold; errors wrapped with the failing step's name;
+    per-step timing when verbose; empty pipeline rejected.
+
+    ``cache_intermediate=True`` persists the running DataFrame before each
+    stateful fit to avoid O(n^2) upstream recomputation (SURVEY.md §3.3).
+    """
+
+    def __init__(
+        self,
+        steps: list[tuple[str, Transformer]],
+        verbose: bool = False,
+        cache_intermediate: bool = False,
+    ):
+        if not steps:
+            raise InvalidParameterError("Pipeline requires at least one step")
+        for name, t in steps:
+            if not isinstance(t, Transformer):
+                raise InvalidParameterError(
+                    f"step '{name}' is not a Transformer: {type(t).__name__}"
+                )
+        self.steps = list(steps)
+        self.verbose = verbose
+        self.cache_intermediate = cache_intermediate
+        self._fitted = False
+
+    def fit(self, df: DataFrame) -> DataFrame:
+        """Fit each step on the accumulated frame, then transform through it.
+
+        Returns the fully transformed DataFrame (reference fit returns the
+        final frame too, pipeline.rs:135-164).
+        """
+        current = df
+        cached: list[DataFrame] = []
+        try:
+            for name, transformer in self.steps:
+                t0 = time.perf_counter()
+                if self.cache_intermediate and transformer.is_stateful():
+                    current = current.persist()
+                    cached.append(current)
+                try:
+                    transformer.fit(current)
+                    current = transformer.transform(current)
+                except FeatureFactoryError as e:
+                    raise type(e)(f"[step '{name}'] {e}") from e
+                if self.verbose:
+                    print(f"[pipeline] step '{name}' fitted in {time.perf_counter() - t0:.3f}s")
+            self._fitted = True
+            return current
+        finally:
+            for c in cached[:-1]:  # keep the last persisted frame hot for the caller
+                c.unpersist()
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Transform-only fold; steps must already be fitted
+        (pipeline.rs:167-186; README.md:122-123)."""
+        current = df
+        for name, transformer in self.steps:
+            try:
+                current = transformer.transform(current)
+            except FeatureFactoryError as e:
+                raise type(e)(f"[step '{name}'] {e}") from e
+        return current
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        """Alias for fit (pipeline.rs:189-191)."""
+        return self.fit(df)
+
+
+def make_pipeline(*steps: tuple[str, Transformer], **kwargs) -> Pipeline:
+    """Sugar mirroring the reference's make_pipeline! macro
+    (pipeline.rs:207-219)."""
+    return Pipeline(list(steps), **kwargs)

@@ -1,0 +1,60 @@
+"""Source readers and sink writers.
+
+The reference reads CSV/Parquet with extension dispatch and errors on
+anything else (examples/shared.rs:16-30) and ships no writers. Spark gives
+us both directions; we add JSON/ORC and scale-aware write options
+(partitioning, bucketing) since the engine targets multi-TB tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exceptions import UnsupportedFormatError
+
+_READERS = {
+    ".parquet": lambda s, p, o: s.read.options(**o).parquet(p),
+    ".csv": lambda s, p, o: s.read.options(header=True, inferSchema=True, **o).csv(p),
+    ".json": lambda s, p, o: s.read.options(**o).json(p),
+    ".orc": lambda s, p, o: s.read.options(**o).orc(p),
+}
+
+
+def read(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Extension-dispatched reader (reference: examples/shared.rs:16-30).
+
+    Unknown extensions raise UnsupportedFormatError, mirroring the
+    reference's error path (examples/shared.rs:26-30)."""
+    for ext, fn in _READERS.items():
+        if path.endswith(ext):
+            return fn(spark, path, options)
+    raise UnsupportedFormatError(
+        f"unsupported input format for '{path}' (supported: {', '.join(_READERS)})"
+    )
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options,
+) -> None:
+    """Scale-aware sink. partition_by enables partition pruning for
+    downstream readers; max_records_per_file bounds output file sizes so a
+    1000-executor read parallelizes evenly."""
+    if fmt not in ("parquet", "csv", "json", "orc"):
+        raise UnsupportedFormatError(f"unsupported output format '{fmt}'")
+    w = df.write.mode(mode).options(**options)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
+    """Load the driver's synthetic parquet tables (TESTDATA.md)."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
