@@ -69,6 +69,43 @@ def column_min_max(
     return {c: (out[f"__min_{c}"], out[f"__max_{c}"]) for c in columns}
 
 
+def category_group_stats(
+    df: DataFrame,
+    columns: list[str],
+    agg_exprs: list,
+    extra_cols: list[str] | None = None,
+) -> dict[str, dict[str, tuple]]:
+    """Per-(column, category) aggregates for ALL columns in ONE Spark job.
+
+    Melts the target string columns into (col, value) pairs with explode,
+    carries ``extra_cols`` (e.g. a target column) alongside, and runs a
+    single groupBy — replacing the one-job-per-column loop the reference
+    uses for every categorical fit (categorical.rs:127-164). Map-side
+    partial aggregation shrinks the exploded rows back to the category
+    count before the shuffle, so the explode does not inflate the exchange.
+
+    Returns {column: {category: (agg1, agg2, ...)}} with NULL categories
+    skipped (the reference skips them too, categorical.rs:101-124).
+    """
+    extra_cols = extra_cols or []
+    kv = F.explode(
+        F.array(*[
+            F.struct(F.lit(c).alias("col"), F.col(c).alias("value"))
+            for c in columns
+        ])
+    ).alias("kv")
+    melted = (
+        df.select(kv, *[F.col(c) for c in extra_cols])
+        .select("kv.col", "kv.value", *extra_cols)
+        .where(F.col("value").isNotNull())
+    )
+    rows = melted.groupBy("col", "value").agg(*agg_exprs).collect()
+    out: dict[str, dict[str, tuple]] = {c: {} for c in columns}
+    for r in rows:
+        out[r["col"]][r["value"]] = tuple(r[2:])
+    return out
+
+
 def column_modes(
     df: DataFrame, columns: list[str]
 ) -> dict[str, object]:

@@ -4,11 +4,18 @@ Parity traps honored (SURVEY.md §2.4-B/E):
 - unseen-category defaults: count/ordinal -> 0, mean/WoE -> 0.0,
   rare-label -> pass-through unchanged.
 - WoE uses RAW counts (not rates) with +1e-6 smoothing
-  (categorical.rs:578).
+  (categorical.rs:578); rows with NULL target count as bad, matching the
+  reference's GROUP BY (col, target) accounting (categorical.rs:565-573).
 
-Scale strategy: mappings are literal when()-chains below 64 categories and
-broadcast-join mapping tables above (identical results; no fact-side
-shuffle either way) — functions/expressions.apply_value_mapping.
+Scale strategy:
+- every multi-column fit is ONE melted groupBy job
+  (functions/stats.category_group_stats), not a per-column loop;
+- mappings are literal when()-chains below 64 categories and
+  broadcast-join mapping tables above (identical results; no fact-side
+  shuffle either way) — functions/expressions.apply_value_mapping;
+- OneHotEncoder refuses unbounded vocabularies (``max_categories``): an
+  uncapped distinct-collect on a high-cardinality column at 100x scale
+  means driver OOM plus a 100k-column projection.
 """
 
 from __future__ import annotations
@@ -18,7 +25,9 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import InvalidParameterError
 from ..functions.expressions import apply_value_mapping, sanitize_category
+from ..functions.stats import category_group_stats
 from ..pipeline import Transformer
 from ..validation import (
     ensure,
@@ -28,18 +37,12 @@ from ..validation import (
 )
 
 
-def _distinct_values(df: DataFrame, column: str) -> list[str]:
-    """SELECT DISTINCT col, nulls skipped, sorted for determinism
-    (categorical.rs:95-124; reference order is engine-dependent, we pin
-    alphabetical)."""
-    rows = (
-        df.select(column)
-        .where(F.col(column).isNotNull())
-        .distinct()
-        .orderBy(column)
-        .collect()
-    )
-    return [r[0] for r in rows]
+def _category_counts(
+    df: DataFrame, columns: list[str]
+) -> dict[str, dict[str, int]]:
+    """Per-column category -> count, one Spark job for all columns."""
+    stats = category_group_stats(df, columns, [F.count("*").alias("n")])
+    return {c: {k: v[0] for k, v in m.items()} for c, m in stats.items()}
 
 
 class OneHotEncoder(Transformer):
@@ -47,10 +50,16 @@ class OneHotEncoder(Transformer):
     column and appends one int 0/1 column per category named
     ``{col}_{sanitized_cat}`` (categorical.rs:197-259). Deliberately NOT
     pyspark.ml's sparse-vector OneHotEncoder — the reference emits flat
-    int columns."""
+    int columns.
 
-    def __init__(self, columns: list[str]):
+    ``max_categories`` (default 1000) guards against unbounded fit-time
+    vocabulary collection: beyond it the fit errors instead of building a
+    driver-OOM-sized mapping and a 100k-column projection."""
+
+    def __init__(self, columns: list[str], max_categories: int = 1000):
+        ensure(max_categories >= 1, "max_categories must be >= 1")
         self.columns = require_nonempty_columns(columns)
+        self.max_categories = max_categories
         self.categories_: dict[str, list[str]] = {}
 
     def is_stateful(self) -> bool:
@@ -60,7 +69,14 @@ class OneHotEncoder(Transformer):
         validate_string_columns(df, self.columns)
 
     def _fit(self, df: DataFrame) -> None:
-        self.categories_ = {c: _distinct_values(df, c) for c in self.columns}
+        counts = _category_counts(df, self.columns)
+        for c, m in counts.items():
+            if len(m) > self.max_categories:
+                raise InvalidParameterError(
+                    f"OneHotEncoder: column '{c}' has {len(m)} categories, "
+                    f"exceeding max_categories={self.max_categories}"
+                )
+        self.categories_ = {c: sorted(counts[c]) for c in self.columns}
 
     def _transform(self, df: DataFrame) -> DataFrame:
         new_cols = [
@@ -75,8 +91,9 @@ class OneHotEncoder(Transformer):
 
 
 class CountFrequencyEncoder(Transformer):
-    """fit: category -> count map; transform: category replaced by its
-    bigint count, unseen -> 0 (categorical.rs:262-313)."""
+    """fit: category -> count map (one melted job for all columns);
+    transform: category replaced by its bigint count, unseen -> 0
+    (categorical.rs:262-313)."""
 
     def __init__(self, columns: list[str]):
         self.columns = require_nonempty_columns(columns)
@@ -89,12 +106,7 @@ class CountFrequencyEncoder(Transformer):
         validate_string_columns(df, self.columns)
 
     def _fit(self, df: DataFrame) -> None:
-        self.mappings_ = {}
-        for c in self.columns:
-            rows = (
-                df.where(F.col(c).isNotNull()).groupBy(c).count().collect()
-            )
-            self.mappings_[c] = {r[0]: r[1] for r in rows}
+        self.mappings_ = _category_counts(df, self.columns)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out = df
@@ -108,7 +120,7 @@ class CountFrequencyEncoder(Transformer):
 class OrdinalEncoder(Transformer):
     """fit: distinct categories sorted alphabetically, enumerated from 0
     (categorical.rs:335-349); transform: category -> bigint ordinal,
-    unseen -> 0 (categorical.rs:366)."""
+    unseen -> 0 (categorical.rs:366). One fit job for all columns."""
 
     def __init__(self, columns: list[str]):
         self.columns = require_nonempty_columns(columns)
@@ -121,8 +133,9 @@ class OrdinalEncoder(Transformer):
         validate_string_columns(df, self.columns)
 
     def _fit(self, df: DataFrame) -> None:
+        counts = _category_counts(df, self.columns)
         self.mappings_ = {
-            c: {cat: i for i, cat in enumerate(_distinct_values(df, c))}
+            c: {cat: i for i, cat in enumerate(sorted(counts[c]))}
             for c in self.columns
         }
 
@@ -137,7 +150,8 @@ class OrdinalEncoder(Transformer):
 
 class MeanEncoder(Transformer):
     """fit: GROUP BY col AVG(target) (categorical.rs:401-407); transform:
-    category -> mean (double), unseen -> 0.0 (categorical.rs:461)."""
+    category -> mean (double), unseen -> 0.0 (categorical.rs:461).
+    One melted fit job for all columns."""
 
     def __init__(self, columns: list[str], target: str):
         self.columns = require_nonempty_columns(columns)
@@ -154,15 +168,10 @@ class MeanEncoder(Transformer):
 
     def _fit(self, df: DataFrame) -> None:
         validate_numeric_columns(df, [self.target])
-        self.mappings_ = {}
-        for c in self.columns:
-            rows = (
-                df.where(F.col(c).isNotNull())
-                .groupBy(c)
-                .agg(F.avg(self.target).alias("m"))
-                .collect()
-            )
-            self.mappings_[c] = {r[0]: r["m"] for r in rows}
+        stats = category_group_stats(
+            df, self.columns, [F.avg(self.target).alias("m")], [self.target]
+        )
+        self.mappings_ = {c: {k: v[0] for k, v in m.items()} for c, m in stats.items()}
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out = df
@@ -177,10 +186,11 @@ class WoEEncoder(Transformer):
     """Weight-of-evidence against a binary 0/1 target
     (categorical.rs:473-610): per category,
     woe = ln((good + 1e-6) / (bad + 1e-6)) where good = count(target==1),
-    bad = count(target!=1) — RAW counts, not rates (categorical.rs:578).
-    Unseen -> 0.0 (categorical.rs:602). One groupBy per column with
-    conditional aggregation (vs the reference's (col, target) group +
-    driver-side regroup)."""
+    bad = all other rows of that category INCLUDING NULL targets — the
+    reference's GROUP BY (col, target) counts a NULL-target group as bad
+    (categorical.rs:565-573). RAW counts, not rates (categorical.rs:578).
+    Unseen -> 0.0 (categorical.rs:602). One melted fit job for all
+    columns."""
 
     EPS = 1e-6
 
@@ -198,21 +208,22 @@ class WoEEncoder(Transformer):
     def _fit(self, df: DataFrame) -> None:
         validate_numeric_columns(df, [self.target])
         tgt = F.col(self.target)
-        self.mappings_ = {}
-        for c in self.columns:
-            rows = (
-                df.where(F.col(c).isNotNull() & tgt.isNotNull())
-                .groupBy(c)
-                .agg(
-                    F.sum(F.when(tgt == 1, 1).otherwise(0)).alias("good"),
-                    F.sum(F.when(tgt == 1, 0).otherwise(1)).alias("bad"),
-                )
-                .collect()
-            )
-            self.mappings_[c] = {
-                r[0]: math.log((r["good"] + self.EPS) / (r["bad"] + self.EPS))
-                for r in rows
+        stats = category_group_stats(
+            df,
+            self.columns,
+            [
+                F.sum(F.when(tgt == 1, 1).otherwise(0)).alias("good"),
+                F.count("*").alias("n"),
+            ],
+            [self.target],
+        )
+        self.mappings_ = {
+            c: {
+                k: math.log((good + self.EPS) / ((n - good) + self.EPS))
+                for k, (good, n) in m.items()
             }
+            for c, m in stats.items()
+        }
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out = df
@@ -227,7 +238,8 @@ class RareLabelEncoder(Transformer):
     """fit: category kept if its relative frequency >= threshold, else
     mapped to ``rare_label`` (default "rare"); threshold in [0,1]
     (categorical.rs:613-738). transform: unseen categories PASS THROUGH
-    unchanged (ELSE = original column, categorical.rs:730)."""
+    unchanged (ELSE = original column, categorical.rs:730). One melted
+    fit job for all columns."""
 
     def __init__(self, columns: list[str], threshold: float, rare_label: str = "rare"):
         ensure(0.0 <= threshold <= 1.0, f"threshold must be in [0,1], got {threshold}")
@@ -243,12 +255,12 @@ class RareLabelEncoder(Transformer):
         validate_string_columns(df, self.columns)
 
     def _fit(self, df: DataFrame) -> None:
+        counts = _category_counts(df, self.columns)
         self.rare_categories_ = {}
         for c in self.columns:
-            counts = df.where(F.col(c).isNotNull()).groupBy(c).count().collect()
-            total = sum(r["count"] for r in counts)
+            total = sum(counts[c].values())
             self.rare_categories_[c] = sorted(
-                r[0] for r in counts if total > 0 and r["count"] / total < self.threshold
+                k for k, n in counts[c].items() if total > 0 and n / total < self.threshold
             )
 
     def _transform(self, df: DataFrame) -> DataFrame:

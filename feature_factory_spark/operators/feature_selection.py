@@ -61,12 +61,19 @@ def _string_columns(df: DataFrame, exclude: set[str] = frozenset()) -> list[str]
 
 
 def _corr_expr(a: str, b: str):
-    """Pearson correlation, ANSI-safe: NULL (not an error) for zero-variance
-    inputs — Spark 4 runs ANSI mode by default, where F.corr raises
-    DIVIDE_BY_ZERO on constant columns."""
+    """Pearson correlation over pairwise-complete rows, ANSI-safe: NULL
+    (not an error) for zero-variance inputs — Spark 4 runs ANSI mode by
+    default, where F.corr raises DIVIDE_BY_ZERO on constant columns.
+
+    All three aggregates (covariance and both stddevs) are restricted to
+    rows where BOTH columns are non-null; mixing covar over complete rows
+    with stddev over each column's own rows is not Pearson correlation
+    when NULLs are asymmetric."""
     ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+    both = ca.isNotNull() & cb.isNotNull()
+    ca2, cb2 = F.when(both, ca), F.when(both, cb)
     return F.try_divide(
-        F.covar_samp(ca, cb), F.stddev_samp(ca) * F.stddev_samp(cb)
+        F.covar_samp(ca2, cb2), F.stddev_samp(ca2) * F.stddev_samp(cb2)
     )
 
 
@@ -260,7 +267,13 @@ class SmartCorrelatedSelection(_KeepColumnsTransformer):
 def _bin_index_expr(column: str, edges: list[float], bins: int):
     """1-based bin index from decile edges: count of edges <= x, clamped to
     [1, bins]. Values below the first edge fall into bin 1, above the last
-    into bin `bins`. Arithmetic-only — reproducible in the SQL oracle."""
+    into bin `bins`. Arithmetic-only — reproducible in the SQL oracle.
+
+    Documented divergence: the reference bins with v >= lower && v < upper
+    for EVERY bin (feature_selection.rs:650-665), so rows equal to the
+    column max fall outside all bins and are silently excluded from IV/PSI.
+    We clamp max-valued rows into the top bin instead — the intended
+    statistic (same family of single-batch quirks as §2.4-F)."""
     x = F.col(column).cast("double")
     cnt = None
     for e in edges:
@@ -429,7 +442,13 @@ class SelectByInformationValue(_KeepColumnsTransformer):
 class SelectBySingleFeaturePerformance(_KeepColumnsTransformer):
     """Keep numeric features with |Pearson corr(feature, target)| >= threshold
     (feature_selection.rs:740-826). One agg job for all features; target and
-    non-numeric columns always kept."""
+    non-numeric columns always kept.
+
+    Documented divergence (applies to SelectByInformationValue and
+    SelectByTargetMeanPerformance too): the reference's transform keeps ONLY
+    target + selected features, silently dropping non-numeric columns
+    (feature_selection.rs:713-724, 809-815); we pass non-scored columns
+    through — selection operators should not destroy unrelated data."""
 
     def __init__(self, target: str, threshold: float):
         ensure(0.0 <= threshold <= 1.0, "threshold must be in [0,1]")

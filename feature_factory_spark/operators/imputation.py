@@ -24,6 +24,23 @@ from ..validation import (
 )
 
 
+def _impute_projection(df: DataFrame, values: dict[str, float]) -> DataFrame:
+    """COALESCE(col::double, fill) projection for numeric imputers.
+
+    The imputed columns are promoted to double, matching the reference's
+    coalesce-with-Float64-literal output (imputation.rs:42-48). A plain
+    ``fillna`` would instead cast the fill value DOWN to the column type,
+    silently truncating e.g. mean 7/3 -> 2 on a bigint column.
+    """
+    cols = [
+        F.coalesce(F.col(c).cast("double"), F.lit(float(values[c]))).alias(c)
+        if c in values and values[c] is not None
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(cols)
+
+
 class MeanMedianImputer(Transformer):
     """Replace NULLs with the column mean or median (imputation.rs:82-160).
 
@@ -54,7 +71,7 @@ class MeanMedianImputer(Transformer):
             self.impute_values = {c: qs[c][0] if qs[c] else None for c in self.columns}
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        return df.fillna({c: v for c, v in self.impute_values.items() if v is not None})
+        return _impute_projection(df, self.impute_values)
 
 
 class ArbitraryNumberImputer(Transformer):
@@ -70,7 +87,7 @@ class ArbitraryNumberImputer(Transformer):
         validate_numeric_columns(df, self.columns)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        return df.fillna({c: self.number for c in self.columns})
+        return _impute_projection(df, {c: self.number for c in self.columns})
 
 
 class EndTailImputer(Transformer):
@@ -95,7 +112,7 @@ class EndTailImputer(Transformer):
         self.impute_values = {c: qs[c][0] if qs[c] else None for c in self.columns}
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        return df.fillna({c: v for c, v in self.impute_values.items() if v is not None})
+        return _impute_projection(df, self.impute_values)
 
 
 class CategoricalImputer(Transformer):

@@ -89,6 +89,22 @@ class Transformer(ABC):
         with open(path, "w") as f:
             json.dump(self.get_fitted_state(), f, indent=2, default=str)
 
+    def set_fitted_state(self, state: dict[str, Any]) -> "Transformer":
+        """Restore fitted parameters (inverse of get_fitted_state).
+
+        JSON round-trips tuples to lists; every consumer of fitted state in
+        this package accepts either. Marks the transformer fitted."""
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._fitted = True
+        return self
+
+    def load_state(self, path: str) -> "Transformer":
+        """fit -> save_state -> load_state -> transform round-trip
+        (SURVEY.md §7.0 item 5; the reference has no persistence at all)."""
+        with open(path) as f:
+            return self.set_fitted_state(json.load(f))
+
 
 def _json_safe(v: Any) -> bool:
     try:
@@ -126,6 +142,16 @@ class Pipeline:
         self.verbose = verbose
         self.cache_intermediate = cache_intermediate
         self._fitted = False
+        self._persisted: list[DataFrame] = []
+
+    @staticmethod
+    def _reraise_with_step(e: FeatureFactoryError, name: str) -> None:
+        """Prefix the step name onto the exception message IN PLACE and
+        re-raise the original exception — reconstructing via type(e)(msg)
+        would misroute the message into subclass-specific constructor args
+        (e.g. MissingColumnError's ``column``)."""
+        e.args = (f"[step '{name}'] {e}",)
+        raise e
 
     def fit(self, df: DataFrame) -> DataFrame:
         """Fit each step on the accumulated frame, then transform through it.
@@ -145,7 +171,7 @@ class Pipeline:
                     transformer.fit(current)
                     current = transformer.transform(current)
                 except FeatureFactoryError as e:
-                    raise type(e)(f"[step '{name}'] {e}") from e
+                    self._reraise_with_step(e, name)
                 if self.verbose:
                     print(f"[pipeline] step '{name}' fitted in {time.perf_counter() - t0:.3f}s")
             self._fitted = True
@@ -153,6 +179,16 @@ class Pipeline:
         finally:
             for c in cached[:-1]:  # keep the last persisted frame hot for the caller
                 c.unpersist()
+            # the caller releases the last one via Pipeline.unpersist()
+            self._persisted = cached[-1:]
+
+    def unpersist(self) -> None:
+        """Release any DataFrame still persisted by cache_intermediate
+        (the last fit-time persist is kept hot for the caller's first
+        action; call this when done with the result)."""
+        for c in self._persisted:
+            c.unpersist()
+        self._persisted = []
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Transform-only fold; steps must already be fitted
@@ -162,7 +198,7 @@ class Pipeline:
             try:
                 current = transformer.transform(current)
             except FeatureFactoryError as e:
-                raise type(e)(f"[step '{name}'] {e}") from e
+                self._reraise_with_step(e, name)
         return current
 
     def fit_transform(self, df: DataFrame) -> DataFrame:

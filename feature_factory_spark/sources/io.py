@@ -20,14 +20,27 @@ _READERS = {
 }
 
 
-def read(spark: SparkSession, path: str, **options) -> DataFrame:
+def read(
+    spark: SparkSession, path: str, fmt: str | None = None, **options
+) -> DataFrame:
     """Extension-dispatched reader (reference: examples/shared.rs:16-30).
 
-    Unknown extensions raise UnsupportedFormatError, mirroring the
-    reference's error path (examples/shared.rs:26-30)."""
+    ``fmt`` overrides extension dispatch (e.g. a parquet dataset DIRECTORY
+    without a .parquet suffix — the most common Spark layout). Without
+    ``fmt``, extension-less paths fall back to parquet; an unknown
+    extension raises UnsupportedFormatError, mirroring the reference's
+    error path (examples/shared.rs:26-30)."""
+    if fmt is not None:
+        key = f".{fmt.lstrip('.')}"
+        if key not in _READERS:
+            raise UnsupportedFormatError(f"unsupported input format '{fmt}'")
+        return _READERS[key](spark, path, options)
     for ext, fn in _READERS.items():
         if path.endswith(ext):
             return fn(spark, path, options)
+    last = path.rstrip("/").rsplit("/", 1)[-1]
+    if "." not in last:  # extension-less directory -> parquet dataset
+        return _READERS[".parquet"](spark, path, options)
     raise UnsupportedFormatError(
         f"unsupported input format for '{path}' (supported: {', '.join(_READERS)})"
     )
