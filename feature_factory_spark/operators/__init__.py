@@ -46,6 +46,16 @@ from .numerical import (
     YeoJohnsonTransformer,
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
+from .text import DocumentFingerprint, LanguageIdentifier, TextFeatures, TokenCount
+from .dedup import (
+    EmbeddingDeduplicator,
+    ExactDeduplicator,
+    MinHashDeduplicator,
+    NGramJaccardDeduplicator,
+    SimHashDeduplicator,
+)
+from .similarity import BucketedCosineTopK, CosineTopK
+from .multimodal import BinaryFeatureExtractor, FrameSampler
 
 __all__ = [
     "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
@@ -65,4 +75,10 @@ __all__ = [
     "DropHighPSIFeatures", "SelectByInformationValue",
     "SelectBySingleFeaturePerformance", "SelectByTargetMeanPerformance",
     "MRMR",
+    # LLM-data-pipeline extensions (beyond the reference inventory)
+    "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
+    "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
+    "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
+    "CosineTopK", "BucketedCosineTopK",
+    "BinaryFeatureExtractor", "FrameSampler",
 ]

@@ -1,0 +1,441 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+The reference has no dedup operators (SURVEY.md §2.3); this module is the
+beyond-reference scale surface. Every strategy is candidate-generation +
+exact verification, never an all-pairs cartesian (all-pairs is instant
+death at 100 TB — the LSH band join produces candidate pairs only):
+
+- ExactDeduplicator:    one shuffle on a content-hash key (hash keys are
+                        uniformly distributed — no skew), window row_number.
+- MinHashDeduplicator:  shingle -> minhash signature -> banded bucket
+                        self-join -> exact Jaccard verification.
+- SimHashDeduplicator:  64-bit simhash -> 16-bit chunk blocking ->
+                        hamming-distance verification (bit_count(xor)).
+- NGramJaccardDeduplicator: exact shingle Jaccard; all-pairs mode is
+                        gated behind ``all_pairs=True`` for small data /
+                        oracle checks, default goes through MinHash
+                        candidates.
+- EmbeddingDeduplicator: cosine near-dup via random-hyperplane LSH
+                        buckets (scale path) or brute force (small data).
+
+All operators share the drop policy: a row is removed when it duplicates
+a row with a SMALLER id (deterministic, order-insensitive). This is the
+standard greedy policy; exact transitive clustering would need iterative
+connected components (out of scope, documented).
+
+Zero Python UDFs: murmur3/xxhash64, higher-order array functions, and
+bit_count are all JVM-side.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.expressions import cosine_expr
+from ..functions.text import (
+    MERSENNE_P31,
+    base_hash_expr,
+    jaccard_expr,
+    normalized_text_expr,
+    shingles_expr,
+    universal_rehash_expr,
+    words_expr,
+)
+from ..pipeline import Transformer
+from ..validation import ensure, validate_columns, validate_string_columns
+
+
+class ExactDeduplicator(Transformer):
+    """Remove exact-duplicate rows by content hash, keeping the row with
+    the smallest ``id_col`` per key.
+
+    ``columns`` defines the content key (md5 over the concatenated,
+    optionally normalized values). One shuffle, partitioned by the hash
+    key — uniformly distributed, skew-free, AQE-coalescible."""
+
+    def __init__(self, columns: list[str], id_col: str, normalize: bool = False):
+        ensure(bool(columns), "at least one content column is required")
+        self.columns = list(columns)
+        self.id_col = id_col
+        self.normalize = normalize
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.columns + [self.id_col])
+
+    def _key_expr(self) -> Column:
+        parts = [
+            normalized_text_expr(F.col(c).cast("string"))
+            if self.normalize
+            else F.col(c).cast("string")
+            for c in self.columns
+        ]
+        return F.md5(F.concat_ws("", *parts))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self._key_expr()).orderBy(F.col(self.id_col))
+        return (
+            df.withColumn("__ff_rn", F.row_number().over(w))
+            .where(F.col("__ff_rn") == 1)
+            .drop("__ff_rn")
+        )
+
+
+def _minhash_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P31), rng.randrange(0, MERSENNE_P31))
+        for _ in range(num_perm)
+    ]
+
+
+class MinHashDeduplicator(Transformer):
+    """Near-duplicate removal via banded MinHash-LSH + exact Jaccard
+    verification.
+
+    Pipeline (all lazy DataFrame ops, no driver collection):
+    1. shingle: distinct n-word shingles per document;
+    2. signature: ``num_perm`` universal-hash minima over 31-bit murmur3
+       shingle hashes (constants from a seeded RNG — deterministic);
+    3. band: signature split into ``bands`` bands of num_perm/bands rows;
+       band hash = murmur3 of the band's values;
+    4. block: self-join on (band index, band hash) — candidate pairs only;
+    5. verify: exact shingle-set Jaccard on candidates; keep pairs with
+       jaccard >= threshold.
+
+    With num_perm=64, bands=16 (r=4), P(candidate | j=0.7) per band is
+    0.24, overall 1-(1-0.7^4)^16 ≈ 0.99 — recall at the threshold is
+    near-total, and false candidates are removed by the exact check.
+
+    transform() drops every row whose id appears as the LARGER member of a
+    verified pair. candidate_pairs() exposes the verified pair frame."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        threshold: float = 0.7,
+        seed: int = 42,
+    ):
+        ensure(num_perm % bands == 0, "num_perm must be divisible by bands")
+        ensure(0.0 < threshold <= 1.0, "threshold must be in (0,1]")
+        ensure(shingle_n >= 1, "shingle_n must be >= 1")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.seed = seed
+        self._constants = _minhash_constants(num_perm, seed)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+        validate_columns(df, [self.id_col])
+
+    def _shingled(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("id"),
+            shingles_expr(words_expr(F.col(self.text_col)), self.shingle_n).alias("sh"),
+        )
+
+    def _signature_expr(self) -> Column:
+        hashes = F.transform(F.col("sh"), base_hash_expr)
+        return F.array(*[
+            F.array_min(F.transform(hashes, lambda h: universal_rehash_expr(h, a, b)))
+            for a, b in self._constants
+        ])
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """Verified near-dup pairs: (a_id, b_id, jaccard), a_id < b_id."""
+        self._check_input(df)
+        sh = self._shingled(df)
+        sig = sh.select("id", "sh", self._signature_expr().alias("sig"))
+        bands = sig.select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * self.rows_per_band + r + 1)
+                                    for r in range(self.rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(self.bands)
+                ])
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.bkey")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bkey") == F.col("b.bkey"), F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        sa = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+        sb = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+        return (
+            cand.join(sa, "a_id")
+            .join(sb, "b_id")
+            .select("a_id", "b_id", jaccard_expr(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
+            .where(F.col("jaccard") >= F.lit(self.threshold))
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
+        return df.join(
+            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
+        )
+
+
+class SimHashDeduplicator(Transformer):
+    """Near-duplicate removal via 64-bit SimHash + chunk blocking.
+
+    simhash bit k = sign of sum over word hashes h of (2*bit_k(h) - 1);
+    word hashes are xxhash64. Candidates block on any equal 16-bit chunk
+    (4 chunks): two signatures within hamming distance 3 must agree on at
+    least one chunk (pigeonhole), so recall at the default threshold is
+    exact. Verification: bit_count(a XOR b) <= hamming_threshold."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        hamming_threshold: int = 3,
+    ):
+        ensure(0 <= hamming_threshold <= 63, "hamming_threshold in [0,63]")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.hamming_threshold = hamming_threshold
+        self.n_chunks = 4
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+        validate_columns(df, [self.id_col])
+
+    def simhash_expr(self) -> Column:
+        hashes = F.transform(words_expr(F.col(self.text_col)), lambda w: F.xxhash64(w))
+
+        def bit_sum(k: int) -> Column:
+            return F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * F.lit(2)
+                - F.lit(1),
+            )
+
+        sig = F.lit(0).cast("bigint")
+        for k in range(64):
+            # bit 63 carries weight -2^63 in the signed representation
+            weight = (1 << k) if k < 63 else -(1 << 63)
+            sig = sig + F.when(bit_sum(k) > 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ) * F.lit(weight).cast("bigint")
+        return sig
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """Verified pairs (a_id, b_id, hamming), a_id < b_id."""
+        self._check_input(df)
+        sig = df.select(
+            F.col(self.id_col).alias("id"), self.simhash_expr().alias("sig")
+        )
+        chunks = sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned("sig", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(self.n_chunks)
+                ])
+            ).alias("ch"),
+        ).select("id", "sig", "ch.ci", "ch.cv")
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = (
+            a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+            )
+            .distinct()
+        )
+        return cand.where(F.col("hamming") <= F.lit(self.hamming_threshold))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
+        return df.join(
+            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
+        )
+
+
+class NGramJaccardDeduplicator(Transformer):
+    """Exact n-gram-shingle Jaccard dedup.
+
+    Default path routes candidate generation through MinHash banding and
+    verifies exactly (identical results to all-pairs whenever banding
+    recall holds — near-total at sensible thresholds). ``all_pairs=True``
+    switches to the O(n^2) cross join: only for small frames and oracle
+    parity checks; it is deliberately NOT the default."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        shingle_n: int = 3,
+        threshold: float = 0.5,
+        all_pairs: bool = False,
+    ):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.all_pairs = all_pairs
+        self._minhash = MinHashDeduplicator(
+            text_col, id_col, shingle_n=shingle_n, threshold=threshold
+        )
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+        validate_columns(df, [self.id_col])
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        if not self.all_pairs:
+            return self._minhash.candidate_pairs(df)
+        sh = df.select(
+            F.col(self.id_col).alias("id"),
+            shingles_expr(words_expr(F.col(self.text_col)), self.shingle_n).alias("sh"),
+        )
+        a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+        b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+        return (
+            a.join(b, on=F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", jaccard_expr(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
+            .where(F.col("jaccard") >= F.lit(self.threshold))
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
+        return df.join(
+            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
+        )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+class EmbeddingDeduplicator(Transformer):
+    """Embedding-cosine near-dup removal.
+
+    method='lsh' (default, the scale path): 16-bit random-hyperplane
+    signatures; candidates block on any equal 8-bit half (signatures of
+    vectors with cosine >= ~0.9 collide on a half with high probability);
+    exact cosine verification on candidates only.
+    method='brute': all-pairs cosine — small frames / oracle checks only.
+
+    ``dim`` must be given for LSH (hyperplanes are fixed literals from a
+    seeded RNG, so results are deterministic and reproducible)."""
+
+    def __init__(
+        self,
+        vec_col: str,
+        id_col: str,
+        threshold: float = 0.95,
+        method: str = "lsh",
+        dim: int | None = None,
+        n_planes: int = 16,
+        seed: int = 42,
+    ):
+        ensure(method in ("lsh", "brute"), "method must be 'lsh' or 'brute'")
+        ensure(-1.0 <= threshold <= 1.0, "threshold must be in [-1,1]")
+        if method == "lsh":
+            ensure(dim is not None, "dim is required for method='lsh'")
+            ensure(n_planes % 2 == 0, "n_planes must be even")
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.method = method
+        self.dim = dim
+        self.n_planes = n_planes
+        self.seed = seed
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col, self.id_col])
+
+    def _signature_expr(self) -> Column:
+        planes = _hyperplanes(self.n_planes, self.dim, self.seed)
+        v = F.col("vec")
+        sig = F.lit(0)
+        for i, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(float(x)) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(v, plane_col, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return sig
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """Verified pairs (a_id, b_id, cosine), a_id < b_id."""
+        self._check_input(df)
+        base = df.select(
+            F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+        )
+        if self.method == "brute":
+            a = base.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
+            b = base.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
+            cand = a.join(b, on=F.col("a_id") < F.col("b_id"))
+        else:
+            half = self.n_planes // 2
+            sig = base.select("id", "vec", self._signature_expr().alias("sig"))
+            chunks = sig.select(
+                "id",
+                "vec",
+                F.explode(
+                    F.array(
+                        F.struct(F.lit(0).alias("ci"), F.col("sig").bitwiseAND(F.lit((1 << half) - 1)).alias("cv")),
+                        F.struct(F.lit(1).alias("ci"), F.shiftrightunsigned(F.col("sig").cast("bigint"), half).alias("cv")),
+                    )
+                ).alias("ch"),
+            ).select("id", "vec", "ch.ci", "ch.cv")
+            a, b = chunks.alias("a"), chunks.alias("b")
+            cand = (
+                a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])
+                .select(
+                    F.col("a.id").alias("a_id"),
+                    F.col("a.vec").alias("a_vec"),
+                    F.col("b.id").alias("b_id"),
+                    F.col("b.vec").alias("b_vec"),
+                )
+                .distinct()
+            )
+        return cand.select(
+            "a_id",
+            "b_id",
+            cosine_expr(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+        ).where(F.col("cosine") >= F.lit(self.threshold))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
+        return df.join(
+            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
+        )

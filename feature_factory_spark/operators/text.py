@@ -1,0 +1,180 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+The reference implements no text operators (SURVEY.md §2.3); these are
+part of the beyond-reference surface. Design rules: pure JVM Column
+expressions (split/filter/transform higher-order functions — no Python
+UDFs), stateless lazy projections, every semantic reproducible in the
+ANSI-SQL correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_TOKEN_PATTERN,
+    STOPWORDS,
+    normalized_text_expr,
+    stopword_hits_expr,
+    word_count_expr,
+    words_expr,
+)
+from ..pipeline import Transformer
+from ..validation import ensure, validate_string_columns
+
+
+class TextFeatures(Transformer):
+    """Append quality/statistics columns per text column:
+
+    - ``{c}_n_chars``      character count (int)
+    - ``{c}_n_words``      whitespace token count (int)
+    - ``{c}_avg_word_len`` mean token length (double; NULL for empty text)
+    - ``{c}_punct_ratio``  non-alphanumeric-non-space chars / chars
+    - ``{c}_digit_ratio``  digit chars / chars
+    - ``{c}_stopword_ratio`` English-stopword tokens / tokens
+    - ``{c}_quality_score`` deterministic [0,1] heuristic:
+        0.4 * min(n_words/100, 1)        (enough content)
+      + 0.3 * (1 - min(punct_ratio*4, 1)) (not symbol soup)
+      + 0.3 * min(stopword_ratio*5, 1)   (natural-language prior)
+
+    All ratios guard division by zero with NULL-safe try_divide + coalesce
+    to 0.0, so empty documents score deterministically.
+    """
+
+    def __init__(self, columns: list[str]):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    @staticmethod
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.coalesce(F.try_divide(num.cast("double"), den.cast("double")), F.lit(0.0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = []
+        for c in self.columns:
+            text = F.col(c)
+            n_chars = F.length(text)
+            words = words_expr(text)
+            n_words = F.size(words)
+            punct = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+            digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+            non_space = F.length(F.regexp_replace(text, r"\s", ""))
+            avg_word_len = F.try_divide(non_space.cast("double"), n_words.cast("double"))
+            stop_ratio = self._ratio(stopword_hits_expr(words, STOPWORDS["en"]), n_words)
+            punct_ratio = self._ratio(punct, n_chars)
+            quality = (
+                F.lit(0.4) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+                + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0)))
+                + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+            )
+            new_cols += [
+                n_chars.cast("int").alias(f"{c}_n_chars"),
+                n_words.cast("int").alias(f"{c}_n_words"),
+                avg_word_len.alias(f"{c}_avg_word_len"),
+                punct_ratio.alias(f"{c}_punct_ratio"),
+                self._ratio(digits, n_chars).alias(f"{c}_digit_ratio"),
+                stop_ratio.alias(f"{c}_stopword_ratio"),
+                quality.alias(f"{c}_quality_score"),
+            ]
+        return df.select("*", *new_cols)
+
+
+class TokenCount(Transformer):
+    """Append token counts per text column:
+
+    - ``{c}_ws_tokens``  whitespace tokens (int)
+    - ``{c}_bpe_tokens`` BPE-ish pre-tokenizer matches (int): letter runs,
+      single digits, single punctuation marks — a deterministic proxy for
+      LLM token budgeting (regexp chosen to behave identically under Java
+      regex and RE2)."""
+
+    def __init__(self, columns: list[str]):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = []
+        for c in self.columns:
+            new_cols += [
+                word_count_expr(F.col(c)).cast("int").alias(f"{c}_ws_tokens"),
+                F.size(
+                    F.regexp_extract_all(F.col(c), F.lit(BPE_TOKEN_PATTERN), 0)
+                ).cast("int").alias(f"{c}_bpe_tokens"),
+            ]
+        return df.select("*", *new_cols)
+
+
+class LanguageIdentifier(Transformer):
+    """Append ``{c}_lang``: stopword-hit language ID over {en, de, fr, es}
+    plus a CJK-character check for zh; 'und' when nothing matches.
+
+    Heuristic, deterministic, SQL-reproducible: score(lang) = number of
+    tokens in that language's 10-word stopword list; zh wins when >5% of
+    characters are CJK; ties broken by language code ascending. This is a
+    scale-path stand-in for a model-based identifier (fasttext et al.),
+    which would slot in as a Pandas UDF behind the same column contract."""
+
+    def __init__(self, columns: list[str], min_hits: int = 1):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+        self.min_hits = min_hits
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = []
+        for c in self.columns:
+            text = F.col(c)
+            words = words_expr(text)
+            cjk = F.length(text) - F.length(
+                F.regexp_replace(text, r"[一-鿿]", "")
+            )
+            scores = {
+                lang: stopword_hits_expr(words, stops)
+                for lang, stops in sorted(STOPWORDS.items())
+            }
+            best = F.greatest(*scores.values())
+            # ties broken by language code ascending: the first when() wins
+            lang_expr = F.when(
+                cjk.cast("double") > F.lit(0.05) * F.length(text).cast("double"),
+                F.lit("zh"),
+            )
+            for lang in sorted(scores):
+                lang_expr = lang_expr.when(
+                    (scores[lang] >= self.min_hits) & (scores[lang] == best),
+                    F.lit(lang),
+                )
+            new_cols.append(lang_expr.otherwise(F.lit("und")).alias(f"{c}_lang"))
+        return df.select("*", *new_cols)
+
+
+class DocumentFingerprint(Transformer):
+    """Append ``{c}_fingerprint``: md5 of the normalized text (lowercased,
+    whitespace collapsed) — the canonical exact-dup key. md5 is available
+    and bit-identical in Spark, DuckDB, and every warehouse engine, which
+    makes fingerprints portable across the pipeline boundary."""
+
+    def __init__(self, columns: list[str], normalize: bool = True):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+        self.normalize = normalize
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = [
+            F.md5(
+                normalized_text_expr(F.col(c)) if self.normalize else F.col(c)
+            ).alias(f"{c}_fingerprint")
+            for c in self.columns
+        ]
+        return df.select("*", *new_cols)

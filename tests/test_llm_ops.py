@@ -1,0 +1,199 @@
+"""Tests for the LLM-data-pipeline operators (text / dedup / similarity /
+multimodal) — run on tiny in-memory frames plus the sf0.001 testdata."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- text ----
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog."), (2, ""), (3, "x")], "id bigint, t string"
+    )
+    out = ff.TextFeatures(["t"]).transform(df).orderBy("id").collect()
+    r = out[0]
+    assert r["t_n_chars"] == 20
+    assert r["t_n_words"] == 5
+    # 'The','the','and' are stopwords -> 3/5
+    assert r["t_stopword_ratio"] == pytest.approx(0.6)
+    assert r["t_punct_ratio"] == pytest.approx(1 / 20)
+    empty = out[1]
+    assert empty["t_n_words"] == 0 and empty["t_quality_score"] == pytest.approx(0.3)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world 42!")], "id bigint, t string")
+    r = ff.TokenCount(["t"]).transform(df).collect()[0]
+    assert r["t_ws_tokens"] == 3
+    # hello , world 4 2 !  -> 6
+    assert r["t_bpe_tokens"] == 6
+
+
+def test_language_identifier(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht in der schule und das ist gut"),
+            (3, "qwfp zxcv"),
+            (4, "你好世界 这是中文文本 你好你好"),
+        ],
+        "id bigint, t string",
+    )
+    out = {r["id"]: r["t_lang"] for r in ff.LanguageIdentifier(["t"]).transform(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+    assert out[4] == "zh"
+
+
+def test_document_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "id bigint, t string",
+    )
+    out = {r["id"]: r["t_fingerprint"] for r in ff.DocumentFingerprint(["t"]).transform(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+# --------------------------------------------------------------- dedup ----
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], "id bigint, t string"
+    )
+    out = ff.ExactDeduplicator(["t"], "id").transform(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_minhash_dedup_finds_planted_pairs(docs):
+    dd = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
+    pairs = dd.candidate_pairs(docs).collect()
+    assert len(pairs) >= 1
+    assert all(p["jaccard"] >= 0.5 for p in pairs)
+    n = docs.count()
+    kept = dd.transform(docs).count()
+    assert kept == n - len({p["b_id"] for p in pairs})
+
+
+def test_ngram_jaccard_all_pairs_matches_minhash(docs):
+    brute = ff.NGramJaccardDeduplicator("text", "doc_id", threshold=0.5, all_pairs=True)
+    mh = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
+    bp = {(r["a_id"], r["b_id"]) for r in brute.candidate_pairs(docs).collect()}
+    mp = {(r["a_id"], r["b_id"]) for r in mh.candidate_pairs(docs).collect()}
+    # banding at these params has ~certain recall at j>=0.5 on planted dups
+    assert bp == mp
+
+
+def test_simhash_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            # same token sequence, different whitespace -> identical simhash
+            (2, "the quick  brown fox jumps over   the lazy dog again and again"),
+            (3, "completely unrelated words about spark query planning engines"),
+        ],
+        "id bigint, t string",
+    )
+    dd = ff.SimHashDeduplicator("t", "id", hamming_threshold=3)
+    pairs = dd.candidate_pairs(df).collect()
+    assert {(p["a_id"], p["b_id"]) for p in pairs} == {(1, 2)}
+    assert sorted(r["id"] for r in dd.transform(df).collect()) == [1, 3]
+
+
+def test_embedding_dedup_brute_vs_lsh(emb):
+    brute = ff.EmbeddingDeduplicator("embedding", "vec_id", threshold=0.9, method="brute")
+    lsh = ff.EmbeddingDeduplicator("embedding", "vec_id", threshold=0.9, method="lsh", dim=64)
+    bp = {(r["a_id"], r["b_id"]) for r in brute.candidate_pairs(emb).collect()}
+    lp = {(r["a_id"], r["b_id"]) for r in lsh.candidate_pairs(emb).collect()}
+    assert lp <= bp  # LSH candidates are a subset, verified exactly
+    if bp:
+        assert len(lp) / len(bp) >= 0.8  # high recall on near-identical vectors
+
+
+# ---------------------------------------------------------- similarity ----
+
+
+def test_cosine_topk(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = ff.CosineTopK("embedding", "vec_id", k=5).search(emb, queries).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_bucketed_topk_recall(spark, emb):
+    # plant exact copies of the queries in the corpus (ids shifted by 10000):
+    # identical vectors share every signature chunk, so the bucketed search
+    # MUST retrieve them as top-1 (cosine 1.0)
+    queries = emb.where(F.col("vec_id") < 3)
+    copies = queries.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    approx = (
+        ff.BucketedCosineTopK("embedding", "vec_id", k=1, dim=64)
+        .search(corpus, queries)
+        .collect()
+    )
+    top = {r["query_id"]: (r["neighbor_id"], r["cosine"]) for r in approx}
+    for q in (0, 1, 2):
+        nid, cos = top[q]
+        assert cos == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------- multimodal ----
+
+
+def test_binary_feature_extractor(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest-of-payload")), (2, bytearray(b""))],
+        "id bigint, payload binary",
+    )
+    out = {r["id"]: r for r in ff.BinaryFeatureExtractor("payload").transform(df).collect()}
+    assert out[1]["payload_payload_len"] == 23
+    assert out[1]["payload_header_hex"] == b"\x89PNG\r\n\x1a\n".hex()
+    assert out[1]["payload_payload_md5"] == hashlib.md5(b"\x89PNG\r\n\x1a\nrest-of-payload").hexdigest()
+    assert out[2]["payload_payload_len"] == 0
+
+
+def test_binary_extractor_requires_binary(spark):
+    df = spark.createDataFrame([(1, "not-binary")], "id bigint, payload string")
+    with pytest.raises(ff.InvalidParameterError):
+        ff.BinaryFeatureExtractor("payload").transform(df)
+
+
+def test_frame_sampler(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(64))))], "id bigint, payload binary"
+    )
+    out = ff.FrameSampler("payload", n_frames=4, frame_size=8).transform(df).collect()
+    assert len(out) == 4
+    assert [r["frame_index"] for r in out] == [0, 1, 2, 3]
+    assert bytes(out[1]["frame_bytes"]) == bytes(range(16, 24))
