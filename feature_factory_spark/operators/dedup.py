@@ -200,32 +200,51 @@ class MinHashDeduplicator(Transformer):
 
 
 class SimHashDeduplicator(Transformer):
-    """Near-duplicate removal via 64-bit SimHash + chunk blocking.
+    """Near-duplicate removal via SimHash + chunk blocking.
 
-    simhash bit k = sign of sum over word hashes h of (2*bit_k(h) - 1);
-    word hashes are xxhash64. Candidates block on any equal 16-bit chunk
-    (4 chunks): two signatures within hamming distance 3 must agree on at
-    least one chunk (pigeonhole), so recall at the default threshold is
-    exact. Verification: bit_count(a XOR b) <= hamming_threshold."""
+    simhash bit k = sign of sum over word hashes h of (2*bit_k(h) - 1).
+    Candidates block on any equal chunk of the signature (4 chunks): two
+    signatures within hamming distance 3 must agree on at least one chunk
+    (pigeonhole), so recall at the default threshold is exact.
+    Verification: bit_count(a XOR b) <= hamming_threshold.
+
+    ``hash_fn``:
+    - 'xxhash64' (default): 64-bit xxhash64 word hashes, 16-bit chunks —
+      the fast scale path.
+    - 'md5': 60-bit hashes from the first 15 hex chars of md5, 15-bit
+      chunks — bit-identical in every engine that has md5 (DuckDB,
+      warehouses), so signatures are portable across the pipeline
+      boundary and ANSI-SQL-verifiable."""
 
     def __init__(
         self,
         text_col: str,
         id_col: str,
         hamming_threshold: int = 3,
+        hash_fn: str = "xxhash64",
     ):
         ensure(0 <= hamming_threshold <= 63, "hamming_threshold in [0,63]")
+        ensure(hash_fn in ("xxhash64", "md5"), "hash_fn must be 'xxhash64' or 'md5'")
         self.text_col = text_col
         self.id_col = id_col
         self.hamming_threshold = hamming_threshold
+        self.hash_fn = hash_fn
         self.n_chunks = 4
+        self.n_bits = 64 if hash_fn == "xxhash64" else 60
 
     def _check_input(self, df: DataFrame) -> None:
         validate_string_columns(df, [self.text_col])
         validate_columns(df, [self.id_col])
 
+    def _word_hash(self, w: Column) -> Column:
+        if self.hash_fn == "xxhash64":
+            return F.xxhash64(w)
+        # 60-bit portable hash: first 15 hex chars of md5 (< 2^60, so the
+        # bigint cast can never overflow under ANSI mode)
+        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+
     def simhash_expr(self) -> Column:
-        hashes = F.transform(words_expr(F.col(self.text_col)), lambda w: F.xxhash64(w))
+        hashes = F.transform(words_expr(F.col(self.text_col)), self._word_hash)
 
         def bit_sum(k: int) -> Column:
             return F.aggregate(
@@ -237,7 +256,7 @@ class SimHashDeduplicator(Transformer):
             )
 
         sig = F.lit(0).cast("bigint")
-        for k in range(64):
+        for k in range(self.n_bits):
             # bit 63 carries weight -2^63 in the signed representation
             weight = (1 << k) if k < 63 else -(1 << 63)
             sig = sig + F.when(bit_sum(k) > 0, F.lit(1).cast("bigint")).otherwise(
@@ -251,6 +270,7 @@ class SimHashDeduplicator(Transformer):
         sig = df.select(
             F.col(self.id_col).alias("id"), self.simhash_expr().alias("sig")
         )
+        width = self.n_bits // self.n_chunks
         chunks = sig.select(
             "id",
             "sig",
@@ -258,8 +278,8 @@ class SimHashDeduplicator(Transformer):
                 F.array(*[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("sig", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", width * i)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("cv"),
                     )
                     for i in range(self.n_chunks)
