@@ -146,9 +146,13 @@ class MinHashDeduplicator(Transformer):
         )
 
     def _signature_expr(self) -> Column:
-        hashes = F.transform(F.col("sh"), base_hash_expr)
+        # operates on the pre-materialized 'hs' hash array: hashing the
+        # shingles once instead of once per permutation (CollapseProject
+        # keeps the multi-referenced transform in its own projection)
         return F.array(*[
-            F.array_min(F.transform(hashes, lambda h: universal_rehash_expr(h, a, b)))
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: universal_rehash_expr(h, a, b))
+            )
             for a, b in self._constants
         ])
 
@@ -156,7 +160,10 @@ class MinHashDeduplicator(Transformer):
         """Verified near-dup pairs: (a_id, b_id, jaccard), a_id < b_id."""
         self._check_input(df)
         sh = self._shingled(df)
-        sig = sh.select("id", "sh", self._signature_expr().alias("sig"))
+        hashed = sh.select(
+            "id", "sh", F.transform(F.col("sh"), base_hash_expr).alias("hs")
+        )
+        sig = hashed.select("id", "sh", self._signature_expr().alias("sig"))
         bands = sig.select(
             "id",
             F.explode(
@@ -244,11 +251,14 @@ class SimHashDeduplicator(Transformer):
         return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
 
     def simhash_expr(self) -> Column:
-        hashes = F.transform(words_expr(F.col(self.text_col)), self._word_hash)
+        """Signature from a pre-materialized 'hs' word-hash array column.
+
+        One fold per bit over the (cheap, integer) hash array; the word
+        hashing itself happens once, in a separate projection."""
 
         def bit_sum(k: int) -> Column:
             return F.aggregate(
-                hashes,
+                F.col("hs"),
                 F.lit(0).cast("bigint"),
                 lambda acc, h: acc
                 + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * F.lit(2)
@@ -267,9 +277,13 @@ class SimHashDeduplicator(Transformer):
     def candidate_pairs(self, df: DataFrame) -> DataFrame:
         """Verified pairs (a_id, b_id, hamming), a_id < b_id."""
         self._check_input(df)
-        sig = df.select(
-            F.col(self.id_col).alias("id"), self.simhash_expr().alias("sig")
+        hashed = df.select(
+            F.col(self.id_col).alias("id"),
+            F.transform(
+                words_expr(F.col(self.text_col)), self._word_hash
+            ).alias("hs"),
         )
+        sig = hashed.select("id", self.simhash_expr().alias("sig"))
         width = self.n_bits // self.n_chunks
         chunks = sig.select(
             "id",
