@@ -1203,6 +1203,71 @@ def q_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 11. windowed aggregation over the events stream table (streaming module;
+#     batch plan == stream plan modulo watermark, so the batch oracle
+#     verifies the shared expression tree)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "events_window",
+    f"""SELECT date_trunc('hour', ts) AS window_start,
+date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+event_type, count(*) AS n, {R6('sum(value)')} AS total
+FROM events GROUP BY 1, 2, 3""",
+)
+def q_events_window(spark, sf_dir):
+    from feature_factory_spark.streaming import WindowedAggregator
+
+    from feature_factory_spark.sources.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    agg = WindowedAggregator(
+        "ts", "1 hour", {"n": F.count("*"), "total": F.sum("value")},
+        keys=["event_type"],
+    )
+    out = agg.transform(ev)
+    return out.select(
+        "window_start", "window_end", "event_type", "n",
+        r6(F.col("total")).alias("total"),
+    )
+
+
+@_reg(
+    "session_window",
+    # session windows (gap 10 min) per user, rebuilt relationally in SQL:
+    # a session starts where the gap from the previous event exceeds 10
+    # minutes; window_end = last event + gap (Spark session_window
+    # semantics)
+    """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) ts FROM events),
+o AS (SELECT user_id, ts,
+  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            > INTERVAL 10 MINUTE OR
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       THEN 1 ELSE 0 END new_session
+FROM e),
+s AS (SELECT user_id, ts,
+  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) session_id
+FROM o)
+SELECT min(ts) AS window_start,
+max(ts) + INTERVAL 10 MINUTE AS window_end,
+user_id, count(*) AS n
+FROM s GROUP BY user_id, session_id""",
+)
+def q_session_window(spark, sf_dir):
+    from feature_factory_spark.streaming import SessionWindowAggregator
+
+    from feature_factory_spark.sources.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    agg = SessionWindowAggregator(
+        "ts", "10 minutes", {"n": F.count("*")}, keys=["user_id"]
+    )
+    out = agg.transform(ev)
+    return out.select("window_start", "window_end", "user_id", "n")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

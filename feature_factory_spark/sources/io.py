@@ -71,3 +71,18 @@ def write(
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
     """Load the driver's synthetic parquet tables (TESTDATA.md)."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column usable in Spark.
+
+    Spark has no nanosecond timestamp type; the parquet reader rejects
+    NANOS columns outright. We read them as raw nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
+    via exact integer division — `timestamp_micros(ts div 1000)` — which
+    preserves every window/bucket boundary an aggregation cares about."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

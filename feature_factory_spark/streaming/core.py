@@ -1,0 +1,140 @@
+"""Streaming core: watermarked windowed aggregation + pipeline bridging.
+
+Batch/stream duality: `WindowedAggregator` and `SessionWindowAggregator`
+produce identical results on a batch frame and on a stream of the same
+rows (modulo late-data dropping governed by the watermark) — the batch
+path is what the DuckDB oracle checks, the stream path reuses the same
+expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exceptions import FeatureFactoryError
+from ..pipeline import Pipeline, Transformer
+from ..validation import ensure, validate_columns, validate_datetime_columns
+
+
+class StreamingNotSupportedError(FeatureFactoryError):
+    """Raised when an unfitted stateful transformer meets a stream."""
+
+
+def read_stream(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet", **options
+) -> DataFrame:
+    """File-source stream over a path/glob. Schema must be supplied —
+    streaming sources cannot infer it."""
+    reader = spark.readStream.schema(schema).options(**options)
+    return getattr(reader, fmt)(path)
+
+
+def apply_pipeline_to_stream(pipeline: Pipeline, stream_df: DataFrame) -> DataFrame:
+    """Apply a pipeline's transform fold to a streaming DataFrame.
+
+    Stateless operators stream as-is (pure projections/filters).
+    Stateful operators must be PRE-FITTED on batch data — fitting requires
+    aggregate actions, which a stream cannot run mid-plan. This mirrors
+    the train-batch / serve-stream split of production feature pipelines.
+    """
+    for name, t in pipeline.steps:
+        if t.is_stateful() and not t._fitted:  # noqa: SLF001
+            raise StreamingNotSupportedError(
+                f"step '{name}' is stateful and unfitted; fit it on a batch "
+                "frame first (streams cannot run fit-time aggregates)"
+            )
+    return pipeline.transform(stream_df)
+
+
+class WindowedAggregator(Transformer):
+    """Tumbling/sliding event-time window aggregation with optional
+    watermark (used only when the input is a stream).
+
+    Output columns: window_start, window_end, the group keys, and the
+    aliased aggregates. ``aggs`` maps output name -> aggregate Column.
+    On a 100 TB stream the state store is bounded by the watermark delay;
+    on batch the same plan is one hash aggregate."""
+
+    def __init__(
+        self,
+        ts_col: str,
+        window: str,
+        aggs: dict[str, Column],
+        keys: list[str] | None = None,
+        slide: str | None = None,
+        watermark: str | None = None,
+    ):
+        ensure(bool(aggs), "at least one aggregate is required")
+        self.ts_col = ts_col
+        self.window = window
+        self.slide = slide
+        self.keys = list(keys or [])
+        self.aggs = dict(aggs)
+        self.watermark = watermark
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_datetime_columns(df, [self.ts_col])
+        if self.keys:
+            validate_columns(df, self.keys)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming and self.watermark:
+            df = df.withWatermark(self.ts_col, self.watermark)
+        win = (
+            F.window(self.ts_col, self.window, self.slide)
+            if self.slide
+            else F.window(self.ts_col, self.window)
+        )
+        grouped = df.groupBy(win.alias("w"), *self.keys)
+        out = grouped.agg(*[c.alias(n) for n, c in self.aggs.items()])
+        return out.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *self.keys,
+            *self.aggs.keys(),
+        )
+
+
+class SessionWindowAggregator(Transformer):
+    """Session-window aggregation (gap-based): rows closer than ``gap``
+    in event time merge into one session per key set. Streaming requires
+    a watermark (Spark's session-window state needs one)."""
+
+    def __init__(
+        self,
+        ts_col: str,
+        gap: str,
+        aggs: dict[str, Column],
+        keys: list[str] | None = None,
+        watermark: str | None = None,
+    ):
+        ensure(bool(aggs), "at least one aggregate is required")
+        self.ts_col = ts_col
+        self.gap = gap
+        self.keys = list(keys or [])
+        self.aggs = dict(aggs)
+        self.watermark = watermark
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_datetime_columns(df, [self.ts_col])
+        if self.keys:
+            validate_columns(df, self.keys)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            ensure(
+                self.watermark is not None,
+                "streaming session windows require a watermark",
+            )
+            df = df.withWatermark(self.ts_col, self.watermark)
+        grouped = df.groupBy(
+            F.session_window(self.ts_col, self.gap).alias("w"), *self.keys
+        )
+        out = grouped.agg(*[c.alias(n) for n, c in self.aggs.items()])
+        return out.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *self.keys,
+            *self.aggs.keys(),
+        )

@@ -1,0 +1,125 @@
+"""Tests for the streaming module and the pyspark.ml interop adapters."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.streaming import (
+    SessionWindowAggregator,
+    StreamingNotSupportedError,
+    WindowedAggregator,
+    apply_pipeline_to_stream,
+    read_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from feature_factory_spark.sources.io import load_events
+
+    return load_events(spark, SF)
+
+
+def test_windowed_aggregator_batch(events):
+    agg = WindowedAggregator(
+        "ts", "1 day", {"n": F.count("*"), "total": F.sum("value")},
+        keys=["event_type"],
+    )
+    out = agg.transform(events)
+    assert set(out.columns) == {"window_start", "window_end", "event_type", "n", "total"}
+    # window totals must re-aggregate to the raw totals
+    assert out.agg(F.sum("n")).collect()[0][0] == events.count()
+
+
+def test_session_window_batch(events):
+    agg = SessionWindowAggregator(
+        "ts", "30 minutes", {"n": F.count("*")}, keys=["user_id"]
+    )
+    out = agg.transform(events)
+    assert out.agg(F.sum("n")).collect()[0][0] == events.count()
+    assert out.count() <= events.count()
+
+
+def test_streaming_windowed_agg(spark, events, tmp_path):
+    # write a small parquet dir, stream it back with availableNow, and
+    # check the stream result equals the batch result
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    stream = read_stream(spark, src, events.schema)
+    assert stream.isStreaming
+    agg = WindowedAggregator(
+        "ts", "1 day", {"n": F.count("*")}, keys=["event_type"], watermark="1 hour"
+    )
+    out = agg.transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) FROM win_counts").collect()[0][0]
+    assert got == events.count()
+
+
+def test_stream_pipeline_stateless_ok(spark, events, tmp_path):
+    src = str(tmp_path / "events_src2")
+    events.write.parquet(src)
+    stream = read_stream(spark, src, events.schema)
+    pipe = ff.make_pipeline(
+        ("indicator", ff.AddMissingIndicator(["value"])),
+        ("math", ff.MathFeatures([("v2", F.col("value") * 2)])),
+    )
+    out = apply_pipeline_to_stream(pipe, stream)
+    assert out.isStreaming
+    assert "v2" in out.columns and "value_missing" in out.columns
+
+
+def test_stream_pipeline_unfitted_stateful_rejected(spark, events, tmp_path):
+    src = str(tmp_path / "events_src3")
+    events.write.parquet(src)
+    stream = read_stream(spark, src, events.schema)
+    pipe = ff.make_pipeline(("imp", ff.MeanMedianImputer(["value"])))
+    with pytest.raises(StreamingNotSupportedError):
+        apply_pipeline_to_stream(pipe, stream)
+
+
+def test_stream_pipeline_prefitted_stateful_ok(spark, events, tmp_path):
+    src = str(tmp_path / "events_src4")
+    events.write.parquet(src)
+    pipe = ff.make_pipeline(("imp", ff.MeanMedianImputer(["value"])))
+    pipe.fit(events)  # fit on batch, serve on stream
+    stream = read_stream(spark, src, events.schema)
+    out = apply_pipeline_to_stream(pipe, stream)
+    assert out.isStreaming
+
+
+def test_ml_interop_estimator(spark):
+    from pyspark.ml import Pipeline as MLPipeline
+
+    from feature_factory_spark.interop import as_ml_stage
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (3.0, "a")], "x double, k string"
+    )
+    stages = [
+        as_ml_stage(ff.MeanMedianImputer(["x"])),
+        as_ml_stage(ff.OneHotEncoder(["k"])),
+    ]
+    model = MLPipeline(stages=stages).fit(df)
+    out = model.transform(df)
+    assert "k_a" in out.columns
+    assert out.where(F.col("x").isNull()).count() == 0
+
+
+def test_ml_interop_stateless_is_transformer(spark):
+    from pyspark.ml import Transformer as MLTransformer
+
+    from feature_factory_spark.interop import as_ml_stage
+
+    stage = as_ml_stage(ff.AddMissingIndicator(["x"]))
+    assert isinstance(stage, MLTransformer)
