@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for algebraic invariants the
+reference only spot-checks (SURVEY.md §5.2): capping bounds, discretizer
+label coverage, imputer non-interference, winsorizer idempotence.
+
+Examples are kept small (Spark round-trip per example is the cost)."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import feature_factory_spark as ff
+
+FINITE = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "x double")
+
+
+@given(vals=st.lists(FINITE, min_size=1, max_size=30), lo=FINITE, hi=FINITE)
+@settings(**SETTINGS)
+def test_capper_output_within_bounds(spark, vals, lo, hi):
+    lo, hi = min(lo, hi), max(lo, hi)
+    out = ff.ArbitraryOutlierCapper({"x": lo}, {"x": hi}).transform(_df(spark, vals))
+    got = [r["x"] for r in out.collect()]
+    assert all(lo <= v <= hi for v in got)
+    # capping is idempotent
+    again = ff.ArbitraryOutlierCapper({"x": lo}, {"x": hi}).transform(
+        _df(spark, got)
+    )
+    assert [r["x"] for r in again.collect()] == got
+
+
+@given(vals=st.lists(FINITE, min_size=4, max_size=30, unique=True))
+@settings(**SETTINGS)
+def test_equal_width_labels_cover_all_values(spark, vals):
+    df = _df(spark, vals)
+    t = ff.EqualWidthDiscretizer(["x"], bins=3)
+    out = t.fit_transform(df)
+    labels = [r["x"] for r in out.collect()]
+    # every in-range value gets a label; the fit range IS the data range
+    assert all(lab is not None for lab in labels)
+    assert all(lab.startswith("[") and lab.endswith(")") for lab in labels)
+
+
+@given(
+    vals=st.lists(st.one_of(FINITE, st.none()), min_size=2, max_size=30),
+    fill=FINITE,
+)
+@settings(**SETTINGS)
+def test_imputer_leaves_non_nulls_untouched(spark, vals, fill):
+    df = _df(spark, vals)
+    out = ff.ArbitraryNumberImputer(["x"], fill).transform(df)
+    got = [r["x"] for r in out.collect()]
+    non_null = [v for v in vals if v is not None]
+    assert sorted(v for v in got if v not in (fill,)) == sorted(
+        v for v in non_null if v != fill
+    )
+    assert all(v is not None for v in got)
+
+
+@given(vals=st.lists(FINITE, min_size=5, max_size=40))
+@settings(**SETTINGS)
+def test_fitted_winsorizer_is_idempotent(spark, vals):
+    # applying the SAME fitted winsorizer twice changes nothing (re-FITTING
+    # on capped data is a different distribution and may legitimately move)
+    df = _df(spark, vals)
+    w = ff.Winsorizer(["x"], 0.1, 0.9).fit(df)
+    once = [r["x"] for r in w.transform(df).collect()]
+    twice = [r["x"] for r in w.transform(_df(spark, once)).collect()]
+    assert sorted(once) == sorted(twice)
+    lo, hi = w.bounds["x"]
+    assert all(lo <= v <= hi for v in once)
+
+
+@given(vals=st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_ordinal_encoding_is_order_isomorphic(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    enc = ff.OrdinalEncoder(["x"]).fit(df)
+    m = enc.mappings_["x"]
+    cats = sorted(m)
+    # alphabetical order maps to consecutive ordinals from 0
+    assert [m[c] for c in cats] == list(range(len(cats)))
+
+
+@given(vals=st.lists(FINITE, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_missing_indicator_marks_exactly_nulls(spark, vals):
+    rows = [(v if i % 3 else None,) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "x double")
+    out = ff.AddMissingIndicator(["x"]).transform(df).collect()
+    for r in out:
+        assert r["x_missing"] == (r["x"] is None)
+
+
+@pytest.mark.parametrize("x", [0.0, 0.004999, 0.005, 1.5, -1.5, 123.456789])
+def test_format_2dp_matches_sql_formula(x):
+    from feature_factory_spark.functions.expressions import format_2dp
+
+    scaled = math.floor(x * 100 + 0.5)
+    sign = "-" if scaled < 0 else ""
+    expect = f"{sign}{abs(scaled) // 100}.{abs(scaled) % 100:02d}"
+    assert format_2dp(x) == expect
