@@ -1050,6 +1050,18 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+@_reg("ivf_topk", None)  # k-means index: deterministic but not SQL-expressible
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = ff.IVFCosineTopK("embedding", "vec_id", k=10, n_centroids=8, n_probe=3)
+    out = ivf.search(emb, queries)
+    return out.select(
+        "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @_reg("bucketed_topk", None)  # LSH recall is probabilistic: rows-only check
 def q_bucketed_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

@@ -54,7 +54,7 @@ from .dedup import (
     NGramJaccardDeduplicator,
     SimHashDeduplicator,
 )
-from .similarity import BucketedCosineTopK, CosineTopK
+from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK
 from .multimodal import BinaryFeatureExtractor, FrameSampler
 
 __all__ = [
@@ -79,6 +79,6 @@ __all__ = [
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
-    "CosineTopK", "BucketedCosineTopK",
+    "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",
     "BinaryFeatureExtractor", "FrameSampler",
 ]

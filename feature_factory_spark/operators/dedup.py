@@ -121,6 +121,7 @@ class MinHashDeduplicator(Transformer):
         shingle_n: int = 3,
         threshold: float = 0.7,
         seed: int = 42,
+        persist_shingles: bool = True,
     ):
         ensure(num_perm % bands == 0, "num_perm must be divisible by bands")
         ensure(0.0 < threshold <= 1.0, "threshold must be in (0,1]")
@@ -133,6 +134,11 @@ class MinHashDeduplicator(Transformer):
         self.shingle_n = shingle_n
         self.threshold = threshold
         self.seed = seed
+        # the shingle frame feeds three DAG branches (signature, verify-a,
+        # verify-b); persisting it avoids re-shingling the corpus 3x.
+        # Storage is MEMORY_AND_DISK and blocks are released by Spark's
+        # ContextCleaner once the result DataFrame is garbage-collected.
+        self.persist_shingles = persist_shingles
         self._constants = _minhash_constants(num_perm, seed)
 
     def _check_input(self, df: DataFrame) -> None:
@@ -160,6 +166,10 @@ class MinHashDeduplicator(Transformer):
         """Verified near-dup pairs: (a_id, b_id, jaccard), a_id < b_id."""
         self._check_input(df)
         sh = self._shingled(df)
+        if self.persist_shingles and not df.isStreaming:
+            from pyspark import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         hashed = sh.select(
             "id", "sh", F.transform(F.col("sh"), base_hash_expr).alias("hs")
         )

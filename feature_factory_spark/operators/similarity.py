@@ -86,6 +86,128 @@ class CosineTopK(Transformer):
         return self.search(df, self.query_df)
 
 
+class IVFCosineTopK(CosineTopK):
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    fit(corpus): pick ``n_centroids`` deterministic seed vectors (smallest
+    murmur3(id) — pseudo-random but reproducible), then refine them with
+    ``iterations`` distributed Lloyd steps (assign via argmax cosine, new
+    centroid = per-cluster mean; one shuffle per iteration, centroids
+    collected to the driver — k x dim floats, tiny).
+
+    search(): corpus rows are assigned to their nearest centroid; each
+    query probes only the ``n_probe`` clusters whose centroids are
+    nearest to it, and exact cosine re-ranks the candidates. At cluster
+    scale the assigned corpus is written partitioned by cluster id, so a
+    probe is a pruned scan of n_probe/k of the data instead of a full
+    pass."""
+
+    def __init__(
+        self,
+        vec_col: str,
+        id_col: str,
+        k: int = 10,
+        n_centroids: int = 16,
+        n_probe: int = 4,
+        iterations: int = 2,
+    ):
+        super().__init__(vec_col, id_col, k)
+        ensure(n_centroids >= 2, "n_centroids must be >= 2")
+        ensure(1 <= n_probe <= n_centroids, "n_probe in [1, n_centroids]")
+        self.n_centroids = n_centroids
+        self.n_probe = n_probe
+        self.iterations = iterations
+        self.centroids_: list[list[float]] = []
+
+    def _cos_to_centroid(self, vec: Column, centroid: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in centroid])
+        return cosine_expr(vec, c)
+
+    def _nearest_expr(self, vec: Column, n: int = 1) -> Column:
+        """Indices (0-based) of the n centroids nearest to vec, best first."""
+        sims = F.array(*[
+            F.named_struct(
+                F.lit("s"), self._cos_to_centroid(vec, c), F.lit("i"), F.lit(i)
+            )
+            for i, c in enumerate(self.centroids_)
+        ])
+        ordered = F.reverse(F.array_sort(sims))
+        return F.slice(F.transform(ordered, lambda x: x["i"]), 1, n)
+
+    def _fit(self, df: DataFrame) -> None:
+        super()._fit(df)
+
+    def fit_index(self, corpus_df: DataFrame) -> "IVFCosineTopK":
+        """Learn centroids from the corpus (separate from fit(), which
+        pins the query set)."""
+        validate_columns(corpus_df, [self.vec_col, self.id_col])
+        seeds = (
+            corpus_df.select(
+                F.col(self.vec_col).alias("vec"),
+                F.hash(F.col(self.id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(self.n_centroids)
+            .collect()
+        )
+        self.centroids_ = [[float(x) for x in r["vec"]] for r in seeds]
+        for _ in range(self.iterations):
+            assigned = corpus_df.select(
+                F.element_at(
+                    self._nearest_expr(F.col(self.vec_col), 1), 1
+                ).alias("cluster"),
+                F.posexplode(F.col(self.vec_col)).alias("pos", "val"),
+            )
+            means = (
+                assigned.groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new = {}
+            for r in means:
+                new.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            self.centroids_ = [
+                [new[ci][p] for p in sorted(new[ci])]
+                if ci in new
+                else self.centroids_[ci]
+                for ci in range(self.n_centroids)
+            ]
+        return self
+
+    def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
+        if not self.centroids_:
+            self.fit_index(corpus_df)
+        c = corpus_df.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("c_vec"),
+            F.element_at(self._nearest_expr(F.col(self.vec_col), 1), 1).alias(
+                "cluster"
+            ),
+        )
+        q = query_df.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("q_vec"),
+            F.explode(
+                self._nearest_expr(F.col(self.vec_col), self.n_probe)
+            ).alias("cluster"),
+        )
+        cand = c.join(F.broadcast(q), on="cluster").where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= self.k)
+        )
+
+
 class BucketedCosineTopK(CosineTopK):
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 

@@ -146,6 +146,28 @@ def test_cosine_topk(emb):
         assert all(r["neighbor_id"] != q for r in rows)
 
 
+def test_ivf_topk_finds_planted_copies(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    copies = queries.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    ivf = ff.IVFCosineTopK("embedding", "vec_id", k=1, n_centroids=4, n_probe=1)
+    out = ivf.search(corpus, queries).collect()
+    top = {r["query_id"]: r["cosine"] for r in out}
+    # an exact copy shares the query's cluster, so n_probe=1 must find it
+    for q in (0, 1, 2):
+        assert top[q] == pytest.approx(1.0)
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    a = ff.IVFCosineTopK("embedding", "vec_id", n_centroids=4).fit_index(emb)
+    b = ff.IVFCosineTopK("embedding", "vec_id", n_centroids=4).fit_index(emb)
+    assert a.centroids_ == b.centroids_
+    assert len(a.centroids_) == 4
+    assert all(len(c) == 64 for c in a.centroids_)
+
+
 def test_bucketed_topk_recall(spark, emb):
     # plant exact copies of the queries in the corpus (ids shifted by 10000):
     # identical vectors share every signature chunk, so the bucketed search
