@@ -18,10 +18,14 @@ death at 100 TB — the LSH band join produces candidate pairs only):
 - EmbeddingDeduplicator: cosine near-dup via random-hyperplane LSH
                         buckets (scale path) or brute force (small data).
 
-All operators share the drop policy: a row is removed when it duplicates
-a row with a SMALLER id (deterministic, order-insensitive). This is the
-standard greedy policy; exact transitive clustering would need iterative
-connected components (out of scope, documented).
+All near-dup operators share two drop policies (``policy=``):
+- 'greedy' (default): drop a row when it pairs with a SMALLER id.
+  Deterministic and fully lazy, but on chain-shaped clusters (pairs
+  (1,5),(3,5) without (1,3)) it keeps more than one member.
+- 'components': exact transitive clustering via distributed min-label
+  propagation (functions/graph.connected_components) — each cluster
+  keeps exactly its minimum-id representative. Runs a few driver-checked
+  iterations, so transform() triggers jobs under this policy.
 
 Zero Python UDFs: murmur3/xxhash64, higher-order array functions, and
 bit_count are all JVM-side.
@@ -35,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import cosine_expr
+from ..functions.graph import duplicate_ids
 from ..functions.text import (
     MERSENNE_P31,
     base_hash_expr,
@@ -91,6 +96,19 @@ def _minhash_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _drop_by_policy(
+    df: DataFrame, id_col: str, pairs: DataFrame, policy: str
+) -> DataFrame:
+    """Shared transform tail for the near-dup operators: anti-join out the
+    ids the chosen policy marks as duplicates (see module docstring)."""
+    ensure(policy in ("greedy", "components"), "policy: 'greedy' or 'components'")
+    if policy == "components":
+        dups = duplicate_ids(pairs)
+    else:
+        dups = pairs.select(F.col("b_id").alias("dup_id")).distinct()
+    return df.join(dups, on=df[id_col] == dups["dup_id"], how="left_anti")
+
+
 class MinHashDeduplicator(Transformer):
     """Near-duplicate removal via banded MinHash-LSH + exact Jaccard
     verification.
@@ -122,6 +140,7 @@ class MinHashDeduplicator(Transformer):
         threshold: float = 0.7,
         seed: int = 42,
         persist_shingles: bool = True,
+        policy: str = "greedy",
     ):
         ensure(num_perm % bands == 0, "num_perm must be divisible by bands")
         ensure(0.0 < threshold <= 1.0, "threshold must be in (0,1]")
@@ -139,6 +158,7 @@ class MinHashDeduplicator(Transformer):
         # Storage is MEMORY_AND_DISK and blocks are released by Spark's
         # ContextCleaner once the result DataFrame is garbage-collected.
         self.persist_shingles = persist_shingles
+        self.policy = policy
         self._constants = _minhash_constants(num_perm, seed)
 
     def _check_input(self, df: DataFrame) -> None:
@@ -210,10 +230,7 @@ class MinHashDeduplicator(Transformer):
         )
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
-        return df.join(
-            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
-        )
+        return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
 
 
 class SimHashDeduplicator(Transformer):
@@ -239,6 +256,7 @@ class SimHashDeduplicator(Transformer):
         id_col: str,
         hamming_threshold: int = 3,
         hash_fn: str = "xxhash64",
+        policy: str = "greedy",
     ):
         ensure(0 <= hamming_threshold <= 63, "hamming_threshold in [0,63]")
         ensure(hash_fn in ("xxhash64", "md5"), "hash_fn must be 'xxhash64' or 'md5'")
@@ -246,6 +264,7 @@ class SimHashDeduplicator(Transformer):
         self.id_col = id_col
         self.hamming_threshold = hamming_threshold
         self.hash_fn = hash_fn
+        self.policy = policy
         self.n_chunks = 4
         self.n_bits = 64 if hash_fn == "xxhash64" else 60
 
@@ -323,10 +342,7 @@ class SimHashDeduplicator(Transformer):
         return cand.where(F.col("hamming") <= F.lit(self.hamming_threshold))
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
-        return df.join(
-            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
-        )
+        return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
 
 
 class NGramJaccardDeduplicator(Transformer):
@@ -345,12 +361,14 @@ class NGramJaccardDeduplicator(Transformer):
         shingle_n: int = 3,
         threshold: float = 0.5,
         all_pairs: bool = False,
+        policy: str = "greedy",
     ):
         self.text_col = text_col
         self.id_col = id_col
         self.shingle_n = shingle_n
         self.threshold = threshold
         self.all_pairs = all_pairs
+        self.policy = policy
         self._minhash = MinHashDeduplicator(
             text_col, id_col, shingle_n=shingle_n, threshold=threshold
         )
@@ -375,10 +393,7 @@ class NGramJaccardDeduplicator(Transformer):
         )
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
-        return df.join(
-            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
-        )
+        return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -407,6 +422,7 @@ class EmbeddingDeduplicator(Transformer):
         dim: int | None = None,
         n_planes: int = 16,
         seed: int = 42,
+        policy: str = "greedy",
     ):
         ensure(method in ("lsh", "brute"), "method must be 'lsh' or 'brute'")
         ensure(-1.0 <= threshold <= 1.0, "threshold must be in [-1,1]")
@@ -420,6 +436,7 @@ class EmbeddingDeduplicator(Transformer):
         self.dim = dim
         self.n_planes = n_planes
         self.seed = seed
+        self.policy = policy
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, [self.vec_col, self.id_col])
@@ -479,7 +496,4 @@ class EmbeddingDeduplicator(Transformer):
         ).where(F.col("cosine") >= F.lit(self.threshold))
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        dups = self.candidate_pairs(df).select(F.col("b_id").alias("__ff_dup_id")).distinct()
-        return df.join(
-            dups, on=df[self.id_col] == dups["__ff_dup_id"], how="left_anti"
-        )
+        return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
