@@ -1,0 +1,59 @@
+"""LLM training-data pipeline — dedup, quality filtering, similarity.
+
+Shows the beyond-reference surface end to end on the synthetic documents
+and embeddings tables:
+
+  quality-score -> language ID -> exact dedup -> MinHash near-dedup
+  (transitive clustering) -> embedding similarity search
+
+Run: python examples/llm_data_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    print(f"documents: {docs.count()}")
+
+    # 1. quality + language features (pure JVM expressions)
+    scored = ff.TextFeatures(["text"]).transform(docs)
+    scored = ff.LanguageIdentifier(["text"]).transform(scored)
+    kept = scored.where(F.col("text_quality_score") > 0.3)
+    print(f"pass quality gate: {kept.count()}")
+
+    # 2. exact dedup, then MinHash near-dedup with transitive clustering
+    exact = ff.ExactDeduplicator(["text"], "doc_id", normalize=True)
+    deduped = exact.transform(kept)
+    near = ff.MinHashDeduplicator(
+        "text", "doc_id", threshold=0.5, policy="components"
+    )
+    final = near.transform(deduped)
+    print(f"after dedup: {final.count()}")
+
+    # 3. similarity search over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    topk = ff.CosineTopK("embedding", "vec_id", k=3).search(emb, queries)
+    topk.show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

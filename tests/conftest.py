@@ -8,6 +8,7 @@ def spark():
         SparkSession.builder.master("local[*]")
         .appName("feature_factory_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.warehouse.dir", "/tmp/ff_spark_warehouse")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")

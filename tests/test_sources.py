@@ -1,0 +1,57 @@
+"""Tests for sources.io: format dispatch, writers, bucketed co-located joins."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.plans.inspect import plan_report
+from feature_factory_spark.sources import io as ffio
+
+
+def test_read_dispatch_and_write_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, k string")
+    for fmt in ("parquet", "json", "orc", "csv"):
+        p = str(tmp_path / f"t_{fmt}.{fmt}")
+        ffio.write(df, p, fmt=fmt)
+        back = ffio.read(spark, p)
+        assert back.count() == 2
+        assert set(back.columns) == {"id", "k"}
+
+
+def test_read_unknown_extension_raises(spark):
+    with pytest.raises(ff.UnsupportedFormatError):
+        ffio.read(spark, "/tmp/file.xlsx")
+
+
+def test_write_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id bigint, k string")
+    p = str(tmp_path / "part")
+    ffio.write(df, p, partition_by=["k"])
+    import os
+
+    assert sorted(d for d in os.listdir(p) if d.startswith("k=")) == ["k=a", "k=b"]
+    # partition filter prunes to one directory
+    back = spark.read.parquet(p).where(F.col("k") == "a")
+    assert back.count() == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("x")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("y")
+    )
+    ffio.write_bucketed(left, "t_left", 4, ["key"], sort_cols=["key"])
+    ffio.write_bucketed(right, "t_right", 4, ["key"], sort_cols=["key"])
+    joined = spark.table("t_left").join(spark.table("t_right"), "key")
+    # force sort-merge join path (no broadcast) to exercise co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r = plan_report(joined)
+        assert r["exchanges"] == 0, r["plan"]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
