@@ -119,19 +119,22 @@ class IVFCosineTopK(CosineTopK):
         self.iterations = iterations
         self.centroids_: list[list[float]] = []
 
-    def _cos_to_centroid(self, vec: Column, centroid: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return cosine_expr(vec, c)
-
     def _nearest_expr(self, vec: Column, n: int = 1) -> Column:
-        """Indices (0-based) of the n centroids nearest to vec, best first."""
-        sims = F.array(*[
-            F.named_struct(
-                F.lit("s"), self._cos_to_centroid(vec, c), F.lit("i"), F.lit(i)
-            )
-            for i, c in enumerate(self.centroids_)
+        """Indices (0-based) of the n centroids nearest to vec, best first.
+
+        The centroid matrix is ONE nested-array literal scanned with a
+        single transform — not k independent 64-term folds — which keeps
+        the generated code small enough to JIT quickly even at k=256."""
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in self.centroids_
         ])
-        ordered = F.reverse(F.array_sort(sims))
+        sims = F.transform(cents, lambda c: cosine_expr(vec, c))
+        pairs = F.zip_with(
+            sims,
+            F.sequence(F.lit(0), F.lit(len(self.centroids_) - 1)),
+            lambda s, i: F.named_struct(F.lit("s"), s, F.lit("i"), i),
+        )
+        ordered = F.reverse(F.array_sort(pairs))
         return F.slice(F.transform(ordered, lambda x: x["i"]), 1, n)
 
     def _fit(self, df: DataFrame) -> None:
@@ -151,26 +154,34 @@ class IVFCosineTopK(CosineTopK):
             .collect()
         )
         self.centroids_ = [[float(x) for x in r["vec"]] for r in seeds]
+        dim = len(self.centroids_[0])
         for _ in range(self.iterations):
+            # per-cluster mean as ONE aggregate of dim element sums — never
+            # posexplode: a generator re-evaluates the (expensive) cluster
+            # assignment once per exploded element instead of once per row
             assigned = corpus_df.select(
                 F.element_at(
                     self._nearest_expr(F.col(self.vec_col), 1), 1
                 ).alias("cluster"),
-                F.posexplode(F.col(self.vec_col)).alias("pos", "val"),
+                F.col(self.vec_col).alias("vec"),
             )
-            means = (
-                assigned.groupBy("cluster", "pos")
-                .agg(F.avg("val").alias("m"))
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at(F.col("vec"), i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
                 .collect()
             )
-            new = {}
-            for r in means:
-                new.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            new = {
+                r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)]
+                for r in rows
+            }
             self.centroids_ = [
-                [new[ci][p] for p in sorted(new[ci])]
-                if ci in new
-                else self.centroids_[ci]
-                for ci in range(self.n_centroids)
+                new.get(ci, self.centroids_[ci]) for ci in range(self.n_centroids)
             ]
         return self
 
