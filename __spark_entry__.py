@@ -1159,6 +1159,21 @@ def q_lang_id(spark, sf_dir):
 
 
 @_reg(
+    "text_clean",
+    f"""WITH c AS (SELECT doc_id,
+regexp_replace(trim(array_to_string(list_filter(
+  string_split(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g'), ' '),
+  w -> NOT list_contains({_SQL_STOP_EN}, w)), ' ')), '\\s+', ' ', 'g') cleaned
+FROM documents)
+SELECT doc_id, cleaned FROM c""",
+)
+def q_text_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = ff.TextCleaner(["text"], remove_stopwords=True)
+    return t.transform(docs).select("doc_id", F.col("text").alias("cleaned"))
+
+
+@_reg(
     "doc_fingerprint",
     """SELECT doc_id,
 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_fingerprint

@@ -46,7 +46,13 @@ from .numerical import (
     YeoJohnsonTransformer,
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
-from .text import DocumentFingerprint, LanguageIdentifier, TextFeatures, TokenCount
+from .text import (
+    DocumentFingerprint,
+    LanguageIdentifier,
+    TextCleaner,
+    TextFeatures,
+    TokenCount,
+)
 from .dedup import (
     EmbeddingDeduplicator,
     ExactDeduplicator,
@@ -77,6 +83,7 @@ __all__ = [
     "MRMR",
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
+    "TextCleaner",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",

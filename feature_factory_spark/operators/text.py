@@ -156,6 +156,55 @@ class LanguageIdentifier(Transformer):
         return df.select("*", *new_cols)
 
 
+class TextCleaner(Transformer):
+    """Normalize a text column in place: optionally lowercase, strip
+    punctuation (non-alphanumeric-non-space), collapse whitespace runs,
+    and drop English stopwords. The canonical LLM-corpus cleanup pass —
+    pure JVM regexp/array expressions, applied in a fixed order
+    (lowercase -> strip -> stopwords -> collapse/trim) so results are
+    reproducible in the SQL oracle."""
+
+    def __init__(
+        self,
+        columns: list[str],
+        lowercase: bool = True,
+        strip_punctuation: bool = True,
+        collapse_whitespace: bool = True,
+        remove_stopwords: bool = False,
+    ):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+        self.lowercase = lowercase
+        self.strip_punctuation = strip_punctuation
+        self.collapse_whitespace = collapse_whitespace
+        self.remove_stopwords = remove_stopwords
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _clean_expr(self, c: Column) -> Column:
+        out = c
+        if self.lowercase:
+            out = F.lower(out)
+        if self.strip_punctuation:
+            out = F.regexp_replace(out, r"[^A-Za-z0-9\s]", "")
+        if self.remove_stopwords:
+            stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+            out = F.array_join(
+                F.filter(words_expr(out), lambda w: ~F.array_contains(stop, w)),
+                " ",
+            )
+        if self.collapse_whitespace:
+            out = F.regexp_replace(F.trim(out), r"\s+", " ")
+        return out
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c in self.columns:
+            out = out.withColumn(c, self._clean_expr(F.col(c)))
+        return out
+
+
 class DocumentFingerprint(Transformer):
     """Append ``{c}_fingerprint``: md5 of the normalized text (lowercased,
     whitespace collapsed) — the canonical exact-dup key. md5 is available

@@ -63,6 +63,18 @@ def test_language_identifier(spark):
     assert out[4] == "zh"
 
 
+def test_text_cleaner(spark):
+    df = spark.createDataFrame(
+        [(1, "  The CAT, and the dog!!  ")], "id bigint, t string"
+    )
+    out = ff.TextCleaner(["t"]).transform(df).collect()[0]["t"]
+    assert out == "the cat and the dog"
+    out2 = (
+        ff.TextCleaner(["t"], remove_stopwords=True).transform(df).collect()[0]["t"]
+    )
+    assert out2 == "cat dog"
+
+
 def test_document_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],
