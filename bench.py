@@ -45,6 +45,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session (JVM/codegen startup is not query cost)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     total = 0.0

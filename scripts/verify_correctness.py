@@ -86,8 +86,8 @@ def main():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(__import__("os").environ.get("VC_MASTER","local[8]"))
+        .config("spark.sql.shuffle.partitions", __import__("os").environ.get("VC_SHUFFLE","8"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
