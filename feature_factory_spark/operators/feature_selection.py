@@ -283,27 +283,45 @@ def _bin_index_expr(column: str, edges: list[float], bins: int):
 
 
 def _bin_proportions(
-    df: DataFrame, columns: list[str], edges: dict[str, list[float]], bins: int
-) -> dict[str, list[float]]:
+    df: DataFrame,
+    columns: list[str],
+    edges: dict[str, list[float]],
+    bins: int,
+    frame_col: str | None = None,
+) -> dict:
     """Per-column per-bin proportions (non-null rows), ONE aggregate job for
-    all columns x bins via conditional sums."""
+    all columns x bins via conditional sums.
+
+    Without ``frame_col``: returns {col: [p_1..p_bins]}.
+    With ``frame_col`` (an int 0/1 tag): both tagged sub-frames are
+    aggregated in the same single job; returns {col: {tag: [p...]}}."""
+    frames = (0, 1) if frame_col else (None,)
     exprs = []
     for c in columns:
         b = _bin_index_expr(c, edges[c], bins)
         nn = F.col(c).isNotNull()
-        exprs.append(F.sum(nn.cast("bigint")).alias(f"t_{c}"))
-        for i in range(1, bins + 1):
-            exprs.append(
-                F.sum((nn & (b == i)).cast("bigint")).alias(f"b_{c}_{i}")
-            )
+        for f in frames:
+            in_frame = nn if f is None else (nn & (F.col(frame_col) == f))
+            tag = "" if f is None else f"_{f}"
+            exprs.append(F.sum(in_frame.cast("bigint")).alias(f"t{tag}_{c}"))
+            for i in range(1, bins + 1):
+                exprs.append(
+                    F.sum((in_frame & (b == i)).cast("bigint")).alias(
+                        f"b{tag}_{c}_{i}"
+                    )
+                )
     row = df.agg(*exprs).collect()[0]
-    out = {}
-    for c in columns:
-        total = row[f"t_{c}"] or 0
-        out[c] = [
-            (row[f"b_{c}_{i}"] / total) if total else 0.0 for i in range(1, bins + 1)
+
+    def props(c, tag):
+        total = row[f"t{tag}_{c}"] or 0
+        return [
+            (row[f"b{tag}_{c}_{i}"] / total) if total else 0.0
+            for i in range(1, bins + 1)
         ]
-    return out
+
+    if frame_col is None:
+        return {c: props(c, "") for c in columns}
+    return {c: {f: props(c, f"_{f}") for f in frames} for c in columns}
 
 
 class DropHighPSIFeatures(_KeepColumnsTransformer):
@@ -339,8 +357,17 @@ class DropHighPSIFeatures(_KeepColumnsTransformer):
             edges = column_quantiles(self.reference_df, num, probs, approx=self.approx)
             edges = {c: e for c, e in edges.items() if e is not None}
             cols = list(edges)
-            p_ref = _bin_proportions(self.reference_df, cols, edges, self.BINS)
-            p_cur = _bin_proportions(df, cols, edges, self.BINS)
+            # ONE aggregate over the tagged union of both frames (two full
+            # passes folded into a single job — at 100 TB every extra fit
+            # job is another full scan)
+            tagged = self.reference_df.select(
+                *cols, F.lit(0).alias("__ff_frame")
+            ).unionByName(df.select(*cols, F.lit(1).alias("__ff_frame")))
+            both = _bin_proportions(
+                tagged, cols, edges, self.BINS, frame_col="__ff_frame"
+            )
+            p_ref = {c: both[c][0] for c in cols}
+            p_cur = {c: both[c][1] for c in cols}
             for c in cols:
                 psi = 0.0
                 for pr, pc in zip(p_ref[c], p_cur[c]):
@@ -385,52 +412,59 @@ class SelectByInformationValue(_KeepColumnsTransformer):
         tgt = F.col(self.target).cast("double")
         num = _numeric_columns(df, exclude={self.target})
         cat = _string_columns(df, exclude={self.target})
-        totals = df.agg(
-            F.sum((tgt == 1).cast("bigint")).alias("g"),
-            F.sum((tgt != 1).cast("bigint")).alias("b"),
-        ).collect()[0]
-        tg, tb = totals["g"] or 0, totals["b"] or 0
         self.iv_values_ = {}
 
+        # job 1 (numeric only): all decile edges in one quantile aggregate
+        edges = {}
         if num:
             probs = [i / self.BINS for i in range(self.BINS + 1)]
             edges = column_quantiles(df, num, probs, approx=self.approx)
-            exprs = []
-            for c in num:
-                if edges[c] is None:
-                    continue
-                b = _bin_index_expr(c, edges[c], self.BINS)
-                nn = F.col(c).isNotNull()
-                for i in range(1, self.BINS + 1):
-                    exprs.append(
-                        F.sum((nn & (b == i) & (tgt == 1)).cast("bigint")).alias(f"g_{c}_{i}")
-                    )
-                    exprs.append(
-                        F.sum((nn & (b == i) & (tgt != 1)).cast("bigint")).alias(f"b_{c}_{i}")
-                    )
-            if exprs:
-                row = df.agg(*exprs).collect()[0]
-                for c in num:
-                    if edges[c] is None:
-                        continue
-                    counts = [
-                        (row[f"g_{c}_{i}"] or 0, row[f"b_{c}_{i}"] or 0)
-                        for i in range(1, self.BINS + 1)
-                    ]
-                    self.iv_values_[c] = self._iv_from_counts(counts, tg, tb)
 
-        for c in cat:
-            rows = (
-                df.where(F.col(c).isNotNull())
-                .groupBy(c)
-                .agg(
+        # job 2: grand totals + every numeric column's per-bin conditional
+        # counts, ONE aggregate pass
+        exprs = [
+            F.sum((tgt == 1).cast("bigint")).alias("__tg"),
+            F.sum((tgt != 1).cast("bigint")).alias("__tb"),
+        ]
+        for c in num:
+            if edges.get(c) is None:
+                continue
+            b = _bin_index_expr(c, edges[c], self.BINS)
+            nn = F.col(c).isNotNull()
+            for i in range(1, self.BINS + 1):
+                exprs.append(
+                    F.sum((nn & (b == i) & (tgt == 1)).cast("bigint")).alias(f"g_{c}_{i}")
+                )
+                exprs.append(
+                    F.sum((nn & (b == i) & (tgt != 1)).cast("bigint")).alias(f"b_{c}_{i}")
+                )
+        row = df.agg(*exprs).collect()[0]
+        tg, tb = row["__tg"] or 0, row["__tb"] or 0
+        for c in num:
+            if edges.get(c) is None:
+                continue
+            counts = [
+                (row[f"g_{c}_{i}"] or 0, row[f"b_{c}_{i}"] or 0)
+                for i in range(1, self.BINS + 1)
+            ]
+            self.iv_values_[c] = self._iv_from_counts(counts, tg, tb)
+
+        # job 3 (categorical only): one melted groupBy for ALL columns
+        if cat:
+            from ..functions.stats import category_group_stats
+
+            stats = category_group_stats(
+                df,
+                cat,
+                [
                     F.sum((tgt == 1).cast("bigint")).alias("g"),
                     F.sum((tgt != 1).cast("bigint")).alias("b"),
-                )
-                .collect()
+                ],
+                [self.target],
             )
-            counts = [(r["g"] or 0, r["b"] or 0) for r in rows]
-            self.iv_values_[c] = self._iv_from_counts(counts, tg, tb)
+            for c in cat:
+                counts = [(g or 0, b or 0) for g, b in stats[c].values()]
+                self.iv_values_[c] = self._iv_from_counts(counts, tg, tb)
 
         kept = {
             c for c, iv in self.iv_values_.items() if iv >= self.threshold
