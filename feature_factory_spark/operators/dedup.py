@@ -141,10 +141,15 @@ class MinHashDeduplicator(Transformer):
         seed: int = 42,
         persist_shingles: bool = True,
         policy: str = "greedy",
+        bucket_pairing: str = "all",
     ):
         ensure(num_perm % bands == 0, "num_perm must be divisible by bands")
         ensure(0.0 < threshold <= 1.0, "threshold must be in (0,1]")
         ensure(shingle_n >= 1, "shingle_n must be >= 1")
+        ensure(
+            bucket_pairing in ("all", "star"),
+            "bucket_pairing must be 'all' or 'star'",
+        )
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
@@ -159,6 +164,14 @@ class MinHashDeduplicator(Transformer):
         # ContextCleaner once the result DataFrame is garbage-collected.
         self.persist_shingles = persist_shingles
         self.policy = policy
+        # 'all': every pair within a bucket (exact candidate set; a bucket
+        # holding B near-identical docs yields B^2/2 pairs — the skew
+        # hazard at 100 TB when mass duplication exists).
+        # 'star': only (bucket-min, member) pairs — linear in bucket size.
+        # Exact for true-duplicate clusters (all members pair with the
+        # min); an approximation for chains where only non-min members
+        # exceed the threshold. Combine with policy='components'.
+        self.bucket_pairing = bucket_pairing
         self._constants = _minhash_constants(num_perm, seed)
 
     def _check_input(self, df: DataFrame) -> None:
@@ -214,12 +227,21 @@ class MinHashDeduplicator(Transformer):
                 ])
             ).alias("bk"),
         ).select("id", "bk.band", "bk.bkey")
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bkey") == F.col("b.bkey"), F.col("a.id") < F.col("b.id")])
-            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-            .distinct()
-        )
+        if self.bucket_pairing == "star":
+            mins = bands.groupBy("band", "bkey").agg(F.min("id").alias("min_id"))
+            cand = (
+                bands.join(mins, ["band", "bkey"])
+                .where(F.col("id") > F.col("min_id"))
+                .select(F.col("min_id").alias("a_id"), F.col("id").alias("b_id"))
+                .distinct()
+            )
+        else:
+            a, b = bands.alias("a"), bands.alias("b")
+            cand = (
+                a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bkey") == F.col("b.bkey"), F.col("a.id") < F.col("b.id")])
+                .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+                .distinct()
+            )
         sa = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
         sb = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
         return (

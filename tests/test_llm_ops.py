@@ -105,6 +105,26 @@ def test_minhash_dedup_finds_planted_pairs(docs):
     assert kept == n - len({p["b_id"] for p in pairs})
 
 
+def test_minhash_star_pairing_subset_and_same_dedup(docs):
+    all_p = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
+    star = ff.MinHashDeduplicator(
+        "text", "doc_id", threshold=0.5, bucket_pairing="star", policy="components"
+    )
+    ap = {(r["a_id"], r["b_id"]) for r in all_p.candidate_pairs(docs).collect()}
+    sp = {(r["a_id"], r["b_id"]) for r in star.candidate_pairs(docs).collect()}
+    assert sp <= ap
+    # planted dups are pairwise clusters -> star finds the same dedup set
+    assert star.transform(docs).count() == all_p.transform(docs).count()
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    exact = ff.Winsorizer(["x"], 0.05, 0.95).fit(df).bounds["x"]
+    approx = ff.Winsorizer(["x"], 0.05, 0.95, approx=True).fit(df).bounds["x"]
+    assert approx[0] == pytest.approx(exact[0], abs=5.0)
+    assert approx[1] == pytest.approx(exact[1], abs=5.0)
+
+
 def test_ngram_jaccard_all_pairs_matches_minhash(docs):
     brute = ff.NGramJaccardDeduplicator("text", "doc_id", threshold=0.5, all_pairs=True)
     mh = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
