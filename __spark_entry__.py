@@ -249,6 +249,23 @@ def q_count_encode(spark, sf_dir):
 
 
 @_reg(
+    "count_encode_unseen",
+    # fit excludes '5-LOW', so those rows hit the unseen->0 default
+    # (parity trap SURVEY §2.4-B, categorical.rs:305)
+    """WITH c AS (SELECT o_orderpriority k, count(*) n FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> '5-LOW' GROUP BY 1)
+SELECT o_orderkey, CAST(COALESCE(c.n, 0) AS BIGINT) AS o_orderpriority
+FROM orders LEFT JOIN c ON orders.o_orderpriority = c.k""",
+)
+def q_count_encode_unseen(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    enc = ff.CountFrequencyEncoder(["o_orderpriority"])
+    enc.fit(df.where(F.col("o_orderpriority") != "5-LOW"))
+    out = enc.transform(df)
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+@_reg(
     "ordinal_encode",
     """WITH m AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 v FROM
 (SELECT DISTINCT o_orderpriority k FROM orders WHERE o_orderpriority IS NOT NULL))
