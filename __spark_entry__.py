@@ -1191,6 +1191,86 @@ def q_text_clean(spark, sf_dir):
 
 
 @_reg(
+    "repetition_features",
+    f"""WITH d AS (SELECT doc_id, text, {SQL_WORDS} w FROM documents),
+g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-1, 1)),
+        i -> array_to_string(w[i:i+1], ' ')) bg FROM d),
+m AS (SELECT doc_id, max(c)::DOUBLE mx, sum(c)::DOUBLE tot
+      FROM (SELECT doc_id, b, count(*) c
+            FROM (SELECT doc_id, unnest(bg) b FROM g) GROUP BY 1, 2)
+      GROUP BY 1),
+lines AS (SELECT doc_id, string_split(text, chr(10)) ln FROM d)
+SELECT d.doc_id,
+{R6("1.0 - len(list_distinct(d.w))::DOUBLE / len(d.w)")} AS text_dup_word_ratio,
+{R6("m.mx / m.tot")} AS text_top_bigram_ratio,
+{R6("1.0 - len(list_distinct(lines.ln))::DOUBLE / len(lines.ln)")} AS text_dup_line_ratio
+FROM d JOIN m USING (doc_id) JOIN lines USING (doc_id)""",
+)
+def q_repetition_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ff.RepetitionFeatures(["text"]).transform(docs)
+    return out.select(
+        "doc_id",
+        r6(F.col("text_dup_word_ratio")).alias("text_dup_word_ratio"),
+        r6(F.col("text_top_bigram_ratio")).alias("text_top_bigram_ratio"),
+        r6(F.col("text_dup_line_ratio")).alias("text_dup_line_ratio"),
+    )
+
+
+@_reg(
+    "gopher_quality_filter",
+    f"""WITH d AS (SELECT doc_id, text, {SQL_WORDS} w FROM documents)
+SELECT doc_id FROM d
+WHERE len(w) >= 30 AND len(w) <= 90
+  AND (length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(w))
+        BETWEEN 2.0 AND 10.0
+  AND ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+        / length(text)) <= 0.1
+  AND len(list_filter(w, x -> list_contains({_SQL_STOP_EN}, lower(x)))) >= 2""",
+)
+def q_gopher_quality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    f_ = ff.GopherQualityFilter(
+        "text", min_words=30, max_words=90,
+        min_avg_word_len=2.0, max_avg_word_len=10.0,
+        max_punct_ratio=0.1, min_stopword_hits=2,
+    )
+    return f_.transform(docs).select("doc_id")
+
+
+@_reg(
+    "pii_redact",
+    # synthesize deterministic PII per row so the redaction regexes are
+    # actually exercised, then verify the same patterns redact in RE2
+    """WITH t AS (SELECT doc_id,
+  substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+  || '.7 or call +1 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS msg
+FROM documents)
+SELECT doc_id,
+regexp_replace(
+  regexp_replace(
+    regexp_replace(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+  '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS msg
+FROM t""",
+)
+def q_pii_redact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call +1 555 010 "),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("msg"),
+    )
+    return ff.PIIRedactor(["msg"]).transform(docs).select("doc_id", "msg")
+
+
+@_reg(
     "doc_fingerprint",
     """SELECT doc_id,
 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_fingerprint

@@ -43,14 +43,41 @@ def word_count_expr(text: Column) -> Column:
     return F.size(words_expr(text))
 
 
+def ngrams_expr(words: Column, n: int) -> Column:
+    """All n-word grams (multiset, order preserved) joined with spaces.
+    Documents with fewer than n words contribute the whole text as one
+    gram (index sequence clamps at 1)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
 def shingles_expr(words: Column, n: int) -> Column:
     """Distinct n-word shingles joined with spaces. Documents with fewer
     than n words contribute the whole text as one shingle (index sequence
     clamps at 1), matching ``words[i : i+n-1]`` slicing in the oracle."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.array_distinct(ngrams_expr(words, n))
+
+
+def max_run_expr(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the count of the most frequent element — via one
+    aggregate fold (struct accumulator: previous value, current run,
+    best run)."""
+    init = F.named_struct(
+        F.lit("prev"), F.lit(None).cast("string"),
+        F.lit("run"), F.lit(0),
+        F.lit("best"), F.lit(0),
     )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.named_struct(
+            F.lit("prev"), x,
+            F.lit("run"), run,
+            F.lit("best"), F.greatest(acc["best"], run),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:

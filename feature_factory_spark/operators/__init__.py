@@ -48,7 +48,10 @@ from .numerical import (
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .text import (
     DocumentFingerprint,
+    GopherQualityFilter,
     LanguageIdentifier,
+    PIIRedactor,
+    RepetitionFeatures,
     TextCleaner,
     TextFeatures,
     TokenCount,
@@ -83,7 +86,7 @@ __all__ = [
     "MRMR",
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
-    "TextCleaner",
+    "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",

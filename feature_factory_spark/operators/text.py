@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BPE_TOKEN_PATTERN,
     STOPWORDS,
+    max_run_expr,
+    ngrams_expr,
     normalized_text_expr,
     stopword_hits_expr,
     word_count_expr,
@@ -154,6 +156,146 @@ class LanguageIdentifier(Transformer):
                 )
             new_cols.append(lang_expr.otherwise(F.lit("und")).alias(f"{c}_lang"))
         return df.select("*", *new_cols)
+
+
+class RepetitionFeatures(Transformer):
+    """Gopher-style repetition signals per text column (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 repetition filters — public paper):
+
+    - ``{c}_dup_word_ratio``   1 - distinct_words/words (0 for empty)
+    - ``{c}_top_bigram_ratio`` occurrences of the most frequent word
+      bigram / total bigrams
+    - ``{c}_dup_line_ratio``   1 - distinct_lines/lines (newline split)
+
+    All computed with array expressions + one aggregate fold per row (the
+    most-frequent-bigram count is the longest equal run of the SORTED
+    bigram array) — no shuffle, no UDFs."""
+
+    def __init__(self, columns: list[str]):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    @staticmethod
+    def _dup_ratio(arr: Column) -> Column:
+        n = F.size(arr).cast("double")
+        d = F.size(F.array_distinct(arr)).cast("double")
+        return F.coalesce(F.try_divide(n - d, n), F.lit(0.0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = []
+        for c in self.columns:
+            words = words_expr(F.col(c))
+            bigrams = ngrams_expr(words, 2)
+            top = max_run_expr(F.array_sort(bigrams)).cast("double")
+            lines = F.split(F.col(c), r"\n")
+            new_cols += [
+                self._dup_ratio(words).alias(f"{c}_dup_word_ratio"),
+                F.coalesce(
+                    F.try_divide(top, F.size(bigrams).cast("double")), F.lit(0.0)
+                ).alias(f"{c}_top_bigram_ratio"),
+                self._dup_ratio(lines).alias(f"{c}_dup_line_ratio"),
+            ]
+        return df.select("*", *new_cols)
+
+
+class GopherQualityFilter(Transformer):
+    """Filter rows by the classic corpus-quality rules (Gopher §A1.1,
+    C4 — public papers), evaluated on JVM expressions:
+
+    keep a document iff
+    - word count in [min_words, max_words]
+    - mean word length in [min_avg_word_len, max_avg_word_len]
+    - punctuation-char ratio <= max_punct_ratio
+    - at least ``min_stopword_hits`` English stopword tokens
+
+    A pure conjunctive filter — Catalyst pushes it toward the scan like
+    any other predicate."""
+
+    def __init__(
+        self,
+        text_col: str,
+        min_words: int = 50,
+        max_words: int = 100_000,
+        min_avg_word_len: float = 3.0,
+        max_avg_word_len: float = 10.0,
+        max_punct_ratio: float = 0.1,
+        min_stopword_hits: int = 2,
+    ):
+        self.text_col = text_col
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_avg_word_len = min_avg_word_len
+        self.max_avg_word_len = max_avg_word_len
+        self.max_punct_ratio = max_punct_ratio
+        self.min_stopword_hits = min_stopword_hits
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+
+    def keep_expr(self) -> Column:
+        text = F.col(self.text_col)
+        words = words_expr(text)
+        n_words = F.size(words)
+        n_chars = F.length(text)
+        non_space = F.length(F.regexp_replace(text, r"\s", ""))
+        avg_wl = F.try_divide(non_space.cast("double"), n_words.cast("double"))
+        punct = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+        punct_ratio = F.coalesce(
+            F.try_divide(punct.cast("double"), n_chars.cast("double")), F.lit(0.0)
+        )
+        stops = stopword_hits_expr(words, STOPWORDS["en"])
+        return (
+            (n_words >= self.min_words)
+            & (n_words <= self.max_words)
+            & avg_wl.between(self.min_avg_word_len, self.max_avg_word_len)
+            & (punct_ratio <= self.max_punct_ratio)
+            & (stops >= self.min_stopword_hits)
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep_expr())
+
+
+class PIIRedactor(Transformer):
+    """Replace common PII patterns in place with typed placeholder tokens:
+    emails -> <EMAIL>, phone numbers -> <PHONE>, IPv4 addresses -> <IP>.
+
+    Patterns are intentionally simple character-class regexes that behave
+    identically under Java regex (Spark) and RE2 (DuckDB / warehouses) —
+    no backreferences or lookaround — so redaction is reproducible across
+    the pipeline boundary. Order: email, ip, phone (phone last; its
+    digit-run pattern could otherwise eat IP octets)."""
+
+    PATTERNS: list[tuple[str, str, str]] = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+        ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    ]
+
+    def __init__(self, columns: list[str], kinds: list[str] | None = None):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+        valid = {name for name, _, _ in self.PATTERNS}
+        kinds = list(kinds) if kinds is not None else sorted(valid)
+        for k in kinds:
+            ensure(k in valid, f"unknown PII kind '{k}' (valid: {sorted(valid)})")
+        self.kinds = kinds
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c in self.columns:
+            col = F.col(c)
+            for name, pattern, token in self.PATTERNS:
+                if name in self.kinds:
+                    col = F.regexp_replace(col, pattern, token)
+            out = out.withColumn(c, col)
+        return out
 
 
 class TextCleaner(Transformer):

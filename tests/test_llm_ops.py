@@ -75,6 +75,46 @@ def test_text_cleaner(spark):
     assert out2 == "cat dog"
 
 
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # words: 6 tokens, 2 distinct
+            (2, "x y z w v u"),       # all distinct
+        ],
+        "id bigint, t string",
+    )
+    out = {r["id"]: r for r in ff.RepetitionFeatures(["t"]).transform(df).collect()}
+    assert out[1]["t_dup_word_ratio"] == pytest.approx(4 / 6)
+    # bigrams of doc1: 'a b','b a','a b','b a','a b' -> top 'a b' 3 of 5
+    assert out[1]["t_top_bigram_ratio"] == pytest.approx(3 / 5)
+    assert out[2]["t_dup_word_ratio"] == 0.0
+    assert out[2]["t_top_bigram_ratio"] == pytest.approx(1 / 5)
+
+
+def test_gopher_quality_filter(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5  # 45 words, stopwords
+    short = "too short"
+    symbols = "### $$$ %%% " * 20
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "id bigint, t string"
+    )
+    out = ff.GopherQualityFilter("t", min_words=20, max_words=100).transform(df)
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_pii_redactor(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io, ip 10.0.0.7, call +1 (555) 010-9999 now")],
+        "id bigint, t string",
+    )
+    out = ff.PIIRedactor(["t"]).transform(df).collect()[0]["t"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "@" not in out and "10.0.0.7" not in out and "555" not in out
+    # selective kinds
+    out2 = ff.PIIRedactor(["t"], kinds=["email"]).transform(df).collect()[0]["t"]
+    assert "<EMAIL>" in out2 and "10.0.0.7" in out2
+
+
 def test_document_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],
