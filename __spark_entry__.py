@@ -1326,6 +1326,55 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# shared md5-hash fraction in SQL (see operators/sampling.py)
+SQL_HASHFRAC = (
+    "(('0x' || substr(md5('ff' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    "::DOUBLE / 1152921504606846976.0)"
+)
+
+
+@_reg(
+    "hash_sample",
+    f"SELECT doc_id FROM documents WHERE {SQL_HASHFRAC} < 0.3",
+)
+def q_hash_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ff.HashSampler("doc_id", 0.3, salt="ff").transform(docs)
+    return out.select("doc_id")
+
+
+@_reg(
+    "hash_split",
+    f"""SELECT doc_id,
+CASE WHEN {SQL_HASHFRAC} < 0.8 THEN 'train'
+     WHEN {SQL_HASHFRAC} < 0.9 THEN 'valid'
+     ELSE 'test' END AS split
+FROM documents""",
+)
+def q_hash_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = ff.HashSplitter("doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="ff")
+    return t.transform(docs).select("doc_id", "split")
+
+
+@_reg(
+    "sequence_pack",
+    """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) tokens FROM documents)
+SELECT doc_id,
+CAST(floor(COALESCE(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id
+FROM t""",
+)
+def q_sequence_pack(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    t = ff.SequencePacker("tokens", budget=512, order_col="doc_id", partition_cols=["source"])
+    return t.transform(docs).select("doc_id", "pack_id")
+
+
 # ---------------------------------------------------------------------------
 # 11. windowed aggregation over the events stream table (streaming module;
 #     batch plan == stream plan modulo watermark, so the batch oracle

@@ -65,6 +65,7 @@ from .dedup import (
 )
 from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK
 from .multimodal import BinaryFeatureExtractor, FrameSampler
+from .sampling import HashSampler, HashSplitter, SequencePacker
 
 __all__ = [
     "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
@@ -91,4 +92,5 @@ __all__ = [
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",
     "BinaryFeatureExtractor", "FrameSampler",
+    "HashSampler", "HashSplitter", "SequencePacker",
 ]

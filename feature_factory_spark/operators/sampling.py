@@ -1,0 +1,144 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines (beyond the reference, SURVEY.md §2.3).
+
+Everything here is HASH-deterministic, not RNG-based: `df.sample()` and
+`sampleBy()` depend on partitioning and seed plumbing, which makes
+results irreproducible across cluster layouts. Instead rows are bucketed
+by an md5-derived uniform value in [0, 1) — the same row always lands in
+the same split/sample on any engine (md5 is bit-identical everywhere, so
+the assignment is even reproducible in the SQL oracle and in downstream
+warehouses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..pipeline import Transformer
+from ..validation import ensure, validate_columns, validate_numeric_columns
+
+# 2^60 — the md5-prefix hash is 60 bits (15 hex chars), so the bucket
+# value h / 2^60 is uniform in [0, 1)
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_fraction_expr(id_col: Column, salt: str) -> Column:
+    """Uniform [0,1) value from md5(salt || id) — deterministic across
+    engines, partitionings, and runs. 60 bits of the digest (15 hex
+    chars) keep the bigint conversion ANSI-overflow-safe."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+class HashSampler(Transformer):
+    """Keep a deterministic ``fraction`` of rows by id-hash bucket.
+
+    Stateless filter: `hash_fraction(id) < fraction`. Pushes down like
+    any predicate; resampling with the same salt is stable (a row's fate
+    never changes when the dataset grows — the property that makes
+    hash-sampling the standard for reproducible corpus subsets)."""
+
+    def __init__(self, id_col: str, fraction: float, salt: str = "ff"):
+        ensure(0.0 <= fraction <= 1.0, "fraction must be in [0,1]")
+        self.id_col = id_col
+        self.fraction = fraction
+        self.salt = salt
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.filter(
+            hash_fraction_expr(F.col(self.id_col), self.salt) < F.lit(self.fraction)
+        )
+
+
+class HashSplitter(Transformer):
+    """Append a ``split`` column assigning each row to a named split by
+    cumulative hash-bucket thresholds, e.g. {'train': 0.9, 'valid': 0.05,
+    'test': 0.05}. Assignment is per-row deterministic and independent of
+    everything except (salt, id) — train/test never leak into each other
+    across reruns or engine moves."""
+
+    def __init__(
+        self,
+        id_col: str,
+        splits: dict[str, float],
+        salt: str = "ff",
+        output_col: str = "split",
+    ):
+        ensure(bool(splits), "at least one split is required")
+        total = sum(splits.values())
+        ensure(abs(total - 1.0) < 1e-9, f"split fractions must sum to 1, got {total}")
+        self.id_col = id_col
+        self.splits = dict(splits)
+        self.salt = salt
+        self.output_col = output_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+
+    def split_expr(self) -> Column:
+        frac = hash_fraction_expr(F.col(self.id_col), self.salt)
+        expr = None
+        upper = 0.0
+        names = list(self.splits)
+        for name in names[:-1]:
+            upper += self.splits[name]
+            cond = frac < F.lit(upper)
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        last = F.lit(names[-1])
+        return last if expr is None else expr.otherwise(last)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.select("*", self.split_expr().alias(self.output_col))
+
+
+class SequencePacker(Transformer):
+    """Assign contiguous pack ids so each pack holds ~``budget`` tokens:
+    ``pack_id = floor(exclusive_running_token_sum / budget)`` within each
+    ``partition_cols`` group, ordered by ``order_col``.
+
+    This is streaming (greedy contiguous) packing — the standard
+    pretraining shard layout — not bin packing; a document larger than
+    the budget still gets its own pack(s) downstream. One window shuffle
+    per call; partition by shard/source columns so no single global
+    ordering bottlenecks the cluster."""
+
+    def __init__(
+        self,
+        token_count_col: str,
+        budget: int,
+        order_col: str,
+        partition_cols: list[str] | None = None,
+        output_col: str = "pack_id",
+    ):
+        ensure(budget >= 1, "budget must be >= 1")
+        self.token_count_col = token_count_col
+        self.budget = budget
+        self.order_col = order_col
+        self.partition_cols = list(partition_cols or [])
+        self.output_col = output_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_numeric_columns(df, [self.token_count_col])
+        validate_columns(df, [self.order_col] + self.partition_cols)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(*self.partition_cols)
+            .orderBy(self.order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prior = F.coalesce(
+            F.sum(F.col(self.token_count_col).cast("bigint")).over(w), F.lit(0)
+        )
+        return df.select(
+            "*",
+            F.floor(prior / F.lit(self.budget)).cast("bigint").alias(self.output_col),
+        )
