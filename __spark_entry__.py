@@ -28,6 +28,50 @@ Greedy set-selection loops (MRMR redundancy pass, correlated-group
 elimination) are sequential and not expressible in one SQL statement;
 they are covered by unit tests (tests/test_feature_selection.py) and the
 queries verify the statistics those loops consume.
+
+Operator -> query coverage (SURVEY.md §2.2 numbering):
+  #1 MeanMedianImputer        mean_impute, median_impute
+  #2 ArbitraryNumberImputer   arbitrary_impute
+  #3 EndTailImputer           endtail_impute
+  #4 CategoricalImputer       categorical_impute
+  #5 AddMissingIndicator      missing_indicator
+  #6 DropMissingData          drop_missing
+  #7 OneHotEncoder            onehot_encode
+  #8 CountFrequencyEncoder    count_encode, count_encode_unseen
+  #9 OrdinalEncoder           ordinal_encode
+  #10 MeanEncoder             mean_encode
+  #11 WoEEncoder              woe_encode
+  #12 RareLabelEncoder        rare_label
+  #13 ArbitraryDiscretizer    arbitrary_discretize
+  #14 EqualFrequencyDiscretizer equal_frequency_discretize
+  #15 EqualWidthDiscretizer   equal_width_discretize
+  #16 GeometricWidthDiscretizer geometric_discretize
+  #17 ArbitraryOutlierCapper  arbitrary_cap
+  #18 Winsorizer              winsorize
+  #19 OutlierTrimmer          outlier_trim
+  #20-26 numerical transforms log/logcp/reciprocal/power/boxcox/
+                              yeojohnson/arcsin_transform
+  #27 MathFeatures            math_features
+  #28 RelativeFeatures        relative_features
+  #29 CyclicalFeatures        cyclical_features
+  #30 DatetimeFeatures        datetime_features
+  #31 DatetimeSubtraction     datetime_subtraction
+  #32 DropFeatures            drop_features
+  #33 DropConstantFeatures    drop_constant
+  #34 DropDuplicateFeatures   drop_duplicate
+  #35 DropCorrelatedFeatures  drop_correlated
+  #36 SmartCorrelatedSelection smart_correlated
+  #37 DropHighPSIFeatures     psi_drift
+  #38 SelectByInformationValue information_value
+  #39 SelectBySingleFeaturePerformance single_feature_performance
+  #40 SelectByTargetMeanPerformance target_mean_performance
+  #41 MRMR                    mrmr_relevance
+  Pipeline                    pipeline_flagship (also entry())
+  — LLM extensions: exact/minhash/ngram_jaccard/simhash/embedding dedup,
+  cosine/bucketed/ivf top-k, text_features, token_count, lang_id,
+  text_clean, doc_fingerprint, repetition_features,
+  gopher_quality_filter, pii_redact, multimodal_extract, frame_sample,
+  hash_sample, hash_split, sequence_pack, events_window, session_window.
 """
 
 from __future__ import annotations
