@@ -88,21 +88,23 @@ def category_group_stats(
     skipped (the reference skips them too, categorical.rs:101-124).
     """
     extra_cols = extra_cols or []
+    # internal names are prefixed so user columns named 'col'/'value'
+    # cannot collide with the melt machinery
     kv = F.explode(
         F.array(*[
-            F.struct(F.lit(c).alias("col"), F.col(c).alias("value"))
+            F.struct(F.lit(c).alias("__ff_col"), F.col(c).alias("__ff_val"))
             for c in columns
         ])
     ).alias("kv")
     melted = (
         df.select(kv, *[F.col(c) for c in extra_cols])
-        .select("kv.col", "kv.value", *extra_cols)
-        .where(F.col("value").isNotNull())
+        .select("kv.__ff_col", "kv.__ff_val", *extra_cols)
+        .where(F.col("__ff_val").isNotNull())
     )
-    rows = melted.groupBy("col", "value").agg(*agg_exprs).collect()
+    rows = melted.groupBy("__ff_col", "__ff_val").agg(*agg_exprs).collect()
     out: dict[str, dict[str, tuple]] = {c: {} for c in columns}
     for r in rows:
-        out[r["col"]][r["value"]] = tuple(r[2:])
+        out[r["__ff_col"]][r["__ff_val"]] = tuple(r[2:])
     return out
 
 
