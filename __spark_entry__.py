@@ -1370,6 +1370,20 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+@_reg(
+    "json_extract",
+    """SELECT event_id,
+CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events""",
+)
+def q_json_extract(spark, sf_dir):
+    from feature_factory_spark.sources.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    t = ff.JsonFeatures("props", {"k": ("$.k", "int")})
+    return t.transform(ev).select("event_id", "k")
+
+
 # shared md5-hash fraction in SQL (see operators/sampling.py)
 SQL_HASHFRAC = (
     "(('0x' || substr(md5('ff' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"

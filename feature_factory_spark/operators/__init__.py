@@ -15,7 +15,7 @@ from .discretization import (
     EqualWidthDiscretizer,
     GeometricWidthDiscretizer,
 )
-from .feature_creation import CyclicalFeatures, MathFeatures, RelativeFeatures
+from .feature_creation import CyclicalFeatures, JsonFeatures, MathFeatures, RelativeFeatures
 from .feature_selection import (
     MRMR,
     DropConstantFeatures,
@@ -78,7 +78,7 @@ __all__ = [
     "LogTransformer", "LogCpTransformer", "ReciprocalTransformer",
     "PowerTransformer", "BoxCoxTransformer", "YeoJohnsonTransformer",
     "ArcsinTransformer",
-    "MathFeatures", "RelativeFeatures", "CyclicalFeatures",
+    "MathFeatures", "RelativeFeatures", "CyclicalFeatures", "JsonFeatures",
     "DatetimeFeatures", "DatetimeSubtraction",
     "DropFeatures", "DropConstantFeatures", "DropDuplicateFeatures",
     "DropCorrelatedFeatures", "SmartCorrelatedSelection",

@@ -63,6 +63,31 @@ class RelativeFeatures(Transformer):
         return df.select("*", *new_cols)
 
 
+class JsonFeatures(Transformer):
+    """Extract JSON-path fields from a JSON-string column as typed columns
+    (beyond the reference, which has no JSON functions — SURVEY.md §2.3).
+
+    ``fields`` maps output name -> (json_path, spark_type_ddl), e.g.
+    {"k": ("$.k", "int")}. Extraction uses get_json_object (JVM-side,
+    no schema inference pass — at 100 TB, from_json with an explicit
+    schema or this path beat schema inference by an entire scan)."""
+
+    def __init__(self, column: str, fields: dict[str, tuple[str, str]]):
+        ensure(bool(fields), "at least one field is required")
+        self.column = column
+        self.fields = dict(fields)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.column])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = [
+            F.get_json_object(F.col(self.column), path).cast(dtype).alias(name)
+            for name, (path, dtype) in self.fields.items()
+        ]
+        return df.select("*", *new_cols)
+
+
 class CyclicalFeatures(Transformer):
     """sin(2πx/period) / cos(2πx/period) per column
     (feature_creation.rs:139-202); period > 0 validated. Appends

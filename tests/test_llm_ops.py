@@ -291,3 +291,15 @@ def test_frame_sampler(spark):
     assert len(out) == 4
     assert [r["frame_index"] for r in out] == [0, 1, 2, 3]
     assert bytes(out[1]["frame_bytes"]) == bytes(range(16, 24))
+
+
+def test_json_features(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}'), (2, '{"tag": "y"}'), (3, None)],
+        "id bigint, props string",
+    )
+    t = ff.JsonFeatures("props", {"k": ("$.k", "int"), "tag": ("$.tag", "string")})
+    out = {r["id"]: r for r in t.transform(df).collect()}
+    assert out[1]["k"] == 7 and out[1]["tag"] == "x"
+    assert out[2]["k"] is None and out[2]["tag"] == "y"
+    assert out[3]["k"] is None
