@@ -70,19 +70,31 @@ class JsonFeatures(Transformer):
     ``fields`` maps output name -> (json_path, spark_type_ddl), e.g.
     {"k": ("$.k", "int")}. Extraction uses get_json_object (JVM-side,
     no schema inference pass — at 100 TB, from_json with an explicit
-    schema or this path beat schema inference by an entire scan)."""
+    schema or this path beat schema inference by an entire scan).
 
-    def __init__(self, column: str, fields: dict[str, tuple[str, str]]):
+    Casting uses try_cast by default: under Spark's ANSI mode a plain
+    cast on one malformed value ('{"k": "abc"}' -> int) would kill the
+    whole job — the opposite of what a corpus-cleaning operator should
+    do on messy JSON. Malformed values become NULL; ``strict=True``
+    restores the erroring cast."""
+
+    def __init__(
+        self, column: str, fields: dict[str, tuple[str, str]], strict: bool = False
+    ):
         ensure(bool(fields), "at least one field is required")
         self.column = column
         self.fields = dict(fields)
+        self.strict = strict
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, [self.column])
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        def _cast(c: F.Column, dtype: str) -> F.Column:
+            return c.cast(dtype) if self.strict else c.try_cast(dtype)
+
         new_cols = [
-            F.get_json_object(F.col(self.column), path).cast(dtype).alias(name)
+            _cast(F.get_json_object(F.col(self.column), path), dtype).alias(name)
             for name, (path, dtype) in self.fields.items()
         ]
         return df.select("*", *new_cols)

@@ -107,9 +107,26 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     NANOS columns outright. We read them as raw nanos
     (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
     via exact integer division — `timestamp_micros(ts div 1000)` — which
-    preserves every window/bucket boundary an aggregation cares about."""
+    preserves every window/bucket boundary an aggregation cares about.
+
+    The legacy flag is session-global and only consulted at scan planning
+    time, so it is restored to its previous value before returning —
+    unrelated parquet reads in the same session keep their timestamp
+    semantics."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # force analysis (schema resolution) while the flag is active; the
+        # resolved plan keeps the nanos-as-long scan after the reset
+        out.schema  # noqa: B018
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
