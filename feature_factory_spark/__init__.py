@@ -15,15 +15,20 @@ from .exceptions import (
     NotImplementedFeatureError,
     UnsupportedFormatError,
 )
+from .logging_config import configure_logging
 from .operators import *  # noqa: F401,F403
 from .operators import __all__ as _op_all
 from .pipeline import Pipeline, Transformer, make_pipeline
 
 __version__ = "0.1.0"
 
+# reference parity (src/logging.rs): logging auto-configures at import
+# from DEBUG_FEATURE_FACTORY; a no-op unless the env var enables it
+configure_logging()
+
 __all__ = [
     "FeatureFactoryError", "MissingColumnError", "InvalidParameterError",
     "FitNotCalledError", "NotImplementedFeatureError", "UnsupportedFormatError",
-    "Transformer", "Pipeline", "make_pipeline",
+    "Transformer", "Pipeline", "make_pipeline", "configure_logging",
     *_op_all,
 ]

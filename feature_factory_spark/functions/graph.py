@@ -37,7 +37,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # label(n) <- min(label(n), min over neighbors of label(neighbor))
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -53,7 +53,14 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.persist()
+        if (it + 1) % 3 == 0:
+            # truncate the lineage every few rounds: each iteration nests
+            # the previous plan inside a join, and on high-diameter graphs
+            # the growing tree dominates planning time long before the
+            # iteration cap does
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

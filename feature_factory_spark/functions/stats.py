@@ -13,6 +13,8 @@ bounded memory, no global sort).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,7 +43,16 @@ def column_quantiles(
     exact: Spark `percentile` (interpolated order statistic — identical
     semantics to DuckDB `quantile_cont`, which is the oracle twin).
     approx: `approx_percentile` (t-digest; mergeable, single-pass — the
-    scale path)."""
+    scale path).
+
+    Setting env FF_APPROX_QUANTILES=1 flips every quantile fit that did
+    not explicitly ask for exact onto the approx path — the one-switch
+    way to run a pipeline written against the exact default at 100 TB
+    (exact `percentile` is a sort-based aggregate; t-digest is a
+    single-pass mergeable sketch). Callers that pass approx=True are
+    unaffected; there is deliberately no env to force exact back on."""
+    if not approx and os.environ.get("FF_APPROX_QUANTILES") == "1":
+        approx = True
     probs_arr = F.array(*[F.lit(p) for p in probs])
     if approx:
         exprs = [
@@ -125,12 +136,14 @@ def column_modes(
     ).alias("kv")
     melted = df.select(pairs).select("kv.col", "kv.value").where(F.col("value").isNotNull())
     counts = melted.groupBy("col", "value").count()
-    best = (
-        counts.groupBy("col")
-        .agg(F.max("count").alias("maxc"))
-        .join(counts, on="col", how="inner")
-        .where(F.col("count") == F.col("maxc"))
-        .groupBy("col")
-        .agg(F.min("value").alias("mode"))
+    # min_by over (-count, value): largest count first, then smallest
+    # value — the documented tie-break — in ONE aggregate instead of a
+    # second groupBy + join (struct comparison is lexicographic, and the
+    # ordering key contains the value itself, so it is total: no
+    # nondeterminism on count ties)
+    best = counts.groupBy("col").agg(
+        F.min_by(
+            "value", F.struct((-F.col("count")).alias("nc"), F.col("value").alias("v"))
+        ).alias("mode")
     )
     return {r["col"]: r["mode"] for r in best.collect()}

@@ -37,13 +37,23 @@ class CosineTopK(Transformer):
     ``search(corpus_df, query_df)`` is the explicit form. Output:
     (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
     neighbor id ascending (deterministic). Self-matches excluded when ids
-    collide."""
+    collide.
 
-    def __init__(self, vec_col: str, id_col: str, k: int = 10):
+    The plan is a broadcast nested-loop producing |corpus| x |queries|
+    rows — intended for a SMALL probe set over an arbitrarily large
+    corpus. ``max_queries`` (default 1000) is enforced with a cheap
+    limit+count probe before the join, so two 100 TB frames can't be
+    silently cross-joined; raise it deliberately if you mean it."""
+
+    def __init__(
+        self, vec_col: str, id_col: str, k: int = 10, max_queries: int = 1000
+    ):
         ensure(k >= 1, "k must be >= 1")
+        ensure(max_queries >= 1, "max_queries must be >= 1")
         self.vec_col = vec_col
         self.id_col = id_col
         self.k = k
+        self.max_queries = max_queries
         self.query_df: DataFrame | None = None
 
     def is_stateful(self) -> bool:
@@ -57,9 +67,22 @@ class CosineTopK(Transformer):
         # frame itself, broadcast at search time.
         self.query_df = df
 
+    def _guard_query_side(self, query_df: DataFrame) -> None:
+        # limit(n+1).count() touches at most max_queries+1 rows — O(cap),
+        # not O(|query_df|) — before the broadcast NLJ is committed to
+        n = query_df.limit(self.max_queries + 1).count()
+        ensure(
+            n <= self.max_queries,
+            f"query side has >{self.max_queries} rows; exact CosineTopK "
+            "broadcasts the query set and scores |corpus| x |queries| pairs. "
+            "Use IVFCosineTopK/BucketedCosineTopK for large probe sets, or "
+            "raise max_queries explicitly.",
+        )
+
     def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
         validate_columns(corpus_df, [self.vec_col, self.id_col])
         validate_columns(query_df, [self.vec_col, self.id_col])
+        self._guard_query_side(query_df)
         q = query_df.select(
             F.col(self.id_col).alias("query_id"), F.col(self.vec_col).alias("q_vec")
         )
@@ -110,8 +133,12 @@ class IVFCosineTopK(CosineTopK):
         n_centroids: int = 16,
         n_probe: int = 4,
         iterations: int = 2,
+        max_queries: int = 100_000,
     ):
-        super().__init__(vec_col, id_col, k)
+        # the probe side is still broadcast (n_probe rows per query), but
+        # cluster pruning makes large probe sets viable — the cap is 100x
+        # the exact path's (100k x 64 floats ~ 50 MB broadcast)
+        super().__init__(vec_col, id_col, k, max_queries=max_queries)
         ensure(n_centroids >= 2, "n_centroids must be >= 2")
         ensure(1 <= n_probe <= n_centroids, "n_probe in [1, n_centroids]")
         self.n_centroids = n_centroids
@@ -186,6 +213,7 @@ class IVFCosineTopK(CosineTopK):
         return self
 
     def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
+        self._guard_query_side(query_df)
         if not self.centroids_:
             self.fit_index(corpus_df)
         c = corpus_df.select(
@@ -242,8 +270,9 @@ class BucketedCosineTopK(CosineTopK):
         n_planes: int = 16,
         n_chunks: int = 2,
         seed: int = 42,
+        max_queries: int = 100_000,
     ):
-        super().__init__(vec_col, id_col, k)
+        super().__init__(vec_col, id_col, k, max_queries=max_queries)
         ensure(dim is not None, "dim is required for LSH bucketing")
         ensure(n_planes % n_chunks == 0, "n_planes must divide into n_chunks")
         self.dim = dim
@@ -276,6 +305,7 @@ class BucketedCosineTopK(CosineTopK):
     def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
         validate_columns(corpus_df, [self.vec_col, self.id_col])
         validate_columns(query_df, [self.vec_col, self.id_col])
+        self._guard_query_side(query_df)
         c = corpus_df.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("c_vec"),

@@ -31,6 +31,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from .exceptions import FeatureFactoryError, FitNotCalledError, InvalidParameterError
+from .logging_config import get_logger
+
+_LOGGER = get_logger()
 
 
 class Transformer(ABC):
@@ -172,8 +175,10 @@ class Pipeline:
                     current = transformer.transform(current)
                 except FeatureFactoryError as e:
                     self._reraise_with_step(e, name)
+                dt = time.perf_counter() - t0
+                _LOGGER.info("step '%s' fitted in %.3fs", name, dt)
                 if self.verbose:
-                    print(f"[pipeline] step '{name}' fitted in {time.perf_counter() - t0:.3f}s")
+                    print(f"[pipeline] step '{name}' fitted in {dt:.3f}s")
             self._fitted = True
             return current
         finally:

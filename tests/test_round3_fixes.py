@@ -1,0 +1,193 @@
+"""Regression tests for the round-2 verdict/advice findings."""
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.exceptions import InvalidParameterError
+
+
+# --- column_modes folded to one aggregate (VERDICT perf item) -------------
+
+
+def test_column_modes_tiebreak_and_values(spark):
+    from feature_factory_spark.functions.stats import column_modes
+
+    df = spark.createDataFrame(
+        [("b", "x"), ("b", "y"), ("a", "y"), ("a", "z"), ("c", "y")],
+        "u string, v string",
+    )
+    modes = column_modes(df, ["u", "v"])
+    # u: a=2, b=2, c=1 -> tie broken by smallest value
+    assert modes["u"] == "a"
+    assert modes["v"] == "y"
+
+
+def test_column_modes_ignores_nulls(spark):
+    from feature_factory_spark.functions.stats import column_modes
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), ("k",), ("k",), ("m",)], "u string"
+    )
+    assert column_modes(df, ["u"])["u"] == "k"
+
+
+# --- CosineTopK query-side guard (VERDICT wrong-item #2) ------------------
+
+
+def test_cosine_topk_guards_large_query_side(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "id bigint, v array<double>"
+    )
+    t = ff.CosineTopK("v", "id", k=2, max_queries=4)
+    with pytest.raises(InvalidParameterError, match="query side"):
+        t.search(vecs, vecs)  # 8 query rows > cap 4
+    # under the cap the same search runs
+    out = t.search(vecs, vecs.where(F.col("id") < 3))
+    assert out.count() == 6
+
+
+# --- SimHash: transposed bit-sum fold + threshold-derived chunks ----------
+
+
+def _simhash_docs(spark):
+    # docs 0/1 differ by one word: their md5 signatures are hamming
+    # distance 6 apart (measured) — found at threshold >= 6, not at 3
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " tail"),
+        (2, base),  # exact dup of 0: hamming 0
+        (3, "completely different content about distributed query engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_simhash_transposed_fold_finds_neardups(spark):
+    docs = _simhash_docs(spark)
+    dd = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3, hash_fn="md5")
+    pairs = {(r["a_id"], r["b_id"]) for r in dd.candidate_pairs(docs).collect()}
+    assert (0, 2) in pairs  # hamming 0
+    assert (0, 1) not in pairs  # hamming 6 > 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_chunks_follow_threshold(spark):
+    # pigeonhole blocking must stay exact at any threshold: n_chunks = t+1
+    assert ff.SimHashDeduplicator("t", "i", hamming_threshold=3).n_chunks == 4
+    assert ff.SimHashDeduplicator("t", "i", hamming_threshold=7).n_chunks == 8
+    dd = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=10, hash_fn="md5")
+    docs = _simhash_docs(spark)
+    pairs = {(r["a_id"], r["b_id"]) for r in dd.candidate_pairs(docs).collect()}
+    # the hamming-6 pair is invisible at threshold 3 (previous test) but
+    # must be recalled exactly once the threshold covers it
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+# --- connected_components lineage control (VERDICT wrong-item #3) ---------
+
+
+def test_connected_components_long_chain(spark):
+    from feature_factory_spark.functions.graph import connected_components
+
+    # a 25-node chain needs many propagation rounds; without lineage
+    # truncation the nested plan grows superlinearly per iteration
+    n = 25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id bigint, b_id bigint"
+    )
+    comp = connected_components(pairs, max_iterations=30)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r["component"] for r in rows} == {0}
+
+
+# --- FF_APPROX_QUANTILES switch (VERDICT next-round #6) -------------------
+
+
+def test_approx_quantiles_env_switch(spark, monkeypatch):
+    from feature_factory_spark.functions.stats import column_quantiles
+
+    df = spark.range(0, 10000).select((F.col("id").cast("double")).alias("x"))
+    exact = column_quantiles(df, ["x"], [0.05, 0.5, 0.95])["x"]
+    monkeypatch.setenv("FF_APPROX_QUANTILES", "1")
+    approx = column_quantiles(df, ["x"], [0.05, 0.5, 0.95])["x"]
+    monkeypatch.delenv("FF_APPROX_QUANTILES")
+    for e, a in zip(exact, approx):
+        assert a == pytest.approx(e, rel=0.02, abs=10.0)
+
+
+# --- JsonFeatures ANSI-safe casting (ADVICE) ------------------------------
+
+
+def test_json_features_malformed_value_becomes_null(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"k": "abc"}'), (3, None)],
+        "id bigint, props string",
+    )
+    out = ff.JsonFeatures("props", {"k": ("$.k", "int")}).transform(df)
+    got = {r["id"]: r["k"] for r in out.collect()}
+    assert got == {1: 7, 2: None, 3: None}
+
+
+def test_json_features_strict_raises(spark):
+    df = spark.createDataFrame([(2, '{"k": "abc"}')], "id bigint, props string")
+    t = ff.JsonFeatures("props", {"k": ("$.k", "int")}, strict=True)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cast"):
+        t.transform(df).collect()
+
+
+# --- load_events config scoping (ADVICE) ----------------------------------
+
+
+def test_load_events_restores_session_config(spark):
+    from feature_factory_spark.sources.io import load_events
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key)
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key) == before
+    # the frame still executes correctly after the flag is restored
+    assert ev.count() > 0
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+# --- configure_logging parity (reference src/logging.rs) ------------------
+
+
+def test_configure_logging_disabled_by_default(monkeypatch):
+    from feature_factory_spark.logging_config import configure_logging
+
+    for v in (None, "", "0", "false"):
+        if v is None:
+            monkeypatch.delenv("DEBUG_FEATURE_FACTORY", raising=False)
+        else:
+            monkeypatch.setenv("DEBUG_FEATURE_FACTORY", v)
+        logger = configure_logging()
+        assert all(isinstance(h, logging.NullHandler) for h in logger.handlers)
+
+
+def test_configure_logging_env_enables_debug(monkeypatch):
+    from feature_factory_spark.logging_config import configure_logging
+
+    monkeypatch.setenv("DEBUG_FEATURE_FACTORY", "true")
+    logger = configure_logging()
+    assert logger.level == logging.DEBUG
+    assert any(not isinstance(h, logging.NullHandler) for h in logger.handlers)
+    # explicit level overrides env
+    assert configure_logging(level=logging.WARNING).level == logging.WARNING
+
+
+def test_pipeline_step_timing_reaches_logger(spark, caplog, monkeypatch):
+    # a prior configure_logging() call may have set propagate=False;
+    # caplog captures via the root logger, so restore propagation here
+    monkeypatch.setattr(
+        logging.getLogger("feature_factory_spark"), "propagate", True
+    )
+    df = spark.createDataFrame([(1.0,), (None,)], "a double")
+    with caplog.at_level(logging.INFO, logger="feature_factory_spark"):
+        ff.make_pipeline(("imp", ff.MeanMedianImputer(["a"]))).fit(df).collect()
+    assert any("fitted in" in r.message for r in caplog.records)
