@@ -113,7 +113,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _FRAME_CACHE.get(key)
     if hit is not None:
         return hit[1]
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet").cache()
+    # the sf0.x tables fit in one parquet row group each, i.e. ONE input
+    # split — which serializes every CPU-heavy per-row expression (text
+    # features, simhash folds) onto one core. Repartition up to the
+    # session's parallelism before caching: paid once per table, and a
+    # no-op at real scale where tables already have many splits.
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    df = df.cache()
     _FRAME_CACHE[key] = (spark, df)
     return df
 
@@ -127,7 +136,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _FRAME_CACHE.get(key)
     if hit is not None:
         return hit[1]
-    df = load_events(spark, sf_dir).cache()
+    df = load_events(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    df = df.cache()
     _FRAME_CACHE[key] = (spark, df)
     return df
 
@@ -145,6 +158,19 @@ def _pyr6(x: float) -> float:
 
 def R6(e: str) -> str:
     return f"floor(({e})*1000000 + 0.5)/1000000"
+
+
+def _pyr0(x: float) -> float:
+    """Integer rounding for large-magnitude statistics (e.g. a ~1e9
+    variance): at that magnitude a double's ulp is ~1e-7 and distributed
+    reduction order drifts results by ~1e-6 — finer rounding (r6) would
+    sit ON the noise floor and flip with partitioning. floor(x+0.5) is
+    reduction-order-proof and bit-identical across engines."""
+    return float(math.floor(x + 0.5))
+
+
+def R0(e: str) -> str:
+    return f"floor(({e}) + 0.5)"
 
 
 def FMT2(e: str) -> str:
@@ -716,7 +742,7 @@ def q_drop_features(spark, sf_dir):
 @_reg(
     "drop_constant",
     " UNION ALL ".join(
-        f"SELECT '{c}' AS feature, {R6(f'var_pop({expr})')} AS variance, "
+        f"SELECT '{c}' AS feature, {R0(f'var_pop({expr})')} AS variance, "
         f"(var_pop({expr}) >= 0.00000001) AS kept FROM lineitem"
         for c, expr in [
             ("l_quantity", "l_quantity"),
@@ -736,7 +762,7 @@ def q_drop_constant(spark, sf_dir):
     var = _variances(df, ["l_quantity", "l_extendedprice", "const_col"])
     kept = set(sel.kept_)
     rows = [
-        (c, _pyr6(var[c]), c in kept)
+        (c, _pyr0(var[c]), c in kept)
         for c in ["l_quantity", "l_extendedprice", "const_col"]
     ]
     return _stats_df(spark, rows, "feature string, variance double, kept boolean")
@@ -789,7 +815,7 @@ def q_drop_correlated(spark, sf_dir):
 @_reg(
     "smart_correlated",
     " UNION ALL ".join(
-        f"SELECT '{c}' AS feature, {R6(f'var_pop({c})')} AS variance, "
+        f"SELECT '{c}' AS feature, {R0(f'var_pop({c})')} AS variance, "
         + R6(
             "greatest("
             + ", ".join(f"abs(corr({c}, {o}))" for o in _NUM4 if o != c)
@@ -811,7 +837,7 @@ def q_smart_correlated(spark, sf_dir):
     rows = [
         (
             c,
-            _pyr6(var[c]),
+            _pyr0(var[c]),
             _pyr6(max(abs(corr[(c, o)]) for o in _NUM4 if o != c)),
         )
         for c in _NUM4

@@ -21,7 +21,11 @@ _READERS = {
 
 
 def read(
-    spark: SparkSession, path: str, fmt: str | None = None, **options
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    min_partitions: int | None = None,
+    **options,
 ) -> DataFrame:
     """Extension-dispatched reader (reference: examples/shared.rs:16-30).
 
@@ -29,21 +33,38 @@ def read(
     without a .parquet suffix — the most common Spark layout). Without
     ``fmt``, extension-less paths fall back to parquet; an unknown
     extension raises UnsupportedFormatError, mirroring the reference's
-    error path (examples/shared.rs:26-30)."""
+    error path (examples/shared.rs:26-30).
+
+    ``min_partitions`` repartitions the scan up to at least that many
+    partitions when the file layout yields fewer. A table that fits in one
+    parquet row group arrives as ONE input split, so every CPU-heavy
+    per-row expression downstream runs on one core — a small corpus with
+    expensive text/dedup features is bottlenecked on layout, not data
+    size. At real scale the floor is a no-op (large tables already have
+    thousands of splits); the shuffle it inserts moves only the small
+    table once."""
     if fmt is not None:
         key = f".{fmt.lstrip('.')}"
         if key not in _READERS:
             raise UnsupportedFormatError(f"unsupported input format '{fmt}'")
-        return _READERS[key](spark, path, options)
-    for ext, fn in _READERS.items():
-        if path.endswith(ext):
-            return fn(spark, path, options)
-    last = path.rstrip("/").rsplit("/", 1)[-1]
-    if "." not in last:  # extension-less directory -> parquet dataset
-        return _READERS[".parquet"](spark, path, options)
-    raise UnsupportedFormatError(
-        f"unsupported input format for '{path}' (supported: {', '.join(_READERS)})"
-    )
+        df = _READERS[key](spark, path, options)
+    else:
+        for ext, fn in _READERS.items():
+            if path.endswith(ext):
+                df = fn(spark, path, options)
+                break
+        else:
+            last = path.rstrip("/").rsplit("/", 1)[-1]
+            if "." not in last:  # extension-less directory -> parquet dataset
+                df = _READERS[".parquet"](spark, path, options)
+            else:
+                raise UnsupportedFormatError(
+                    f"unsupported input format for '{path}' "
+                    f"(supported: {', '.join(_READERS)})"
+                )
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
 
 
 def write(

@@ -24,6 +24,21 @@ def test_read_unknown_extension_raises(spark):
         ffio.read(spark, "/tmp/file.xlsx")
 
 
+def test_read_min_partitions_fans_out_small_scan(spark, tmp_path):
+    # a table that fits one row group arrives as ONE split; min_partitions
+    # must fan it out so per-row work parallelizes (and must not shrink a
+    # scan that already has enough splits)
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2).coalesce(1)
+    p = str(tmp_path / "small.parquet")
+    ffio.write(df, p, fmt="parquet")
+    base = ffio.read(spark, p).rdd.getNumPartitions()
+    fanned = ffio.read(spark, p, min_partitions=base + 7)
+    assert fanned.rdd.getNumPartitions() == base + 7
+    assert fanned.count() == 1000
+    # floor already met -> no repartition inserted
+    assert ffio.read(spark, p, min_partitions=1).rdd.getNumPartitions() == base
+
+
 def test_write_partitioned(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id bigint, k string")
     p = str(tmp_path / "part")
