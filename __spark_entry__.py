@@ -71,7 +71,9 @@ Operator -> query coverage (SURVEY.md §2.2 numbering):
   cosine/bucketed/ivf top-k, text_features, token_count, lang_id,
   text_clean, doc_fingerprint, repetition_features,
   gopher_quality_filter, pii_redact, multimodal_extract, frame_sample,
-  hash_sample, hash_split, sequence_pack, events_window, session_window.
+  hash_sample, hash_split, sequence_pack, events_window, session_window,
+  tfidf_topk (TfIdfScorer), streaming_dedup (StreamingDeduplicator batch
+  path; stream path tested via availableNow in test_streaming_interop).
 """
 
 from __future__ import annotations
@@ -1387,6 +1389,49 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 @_reg(
+    "tfidf_topk",
+    f"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS cnt FROM w GROUP BY doc_id, term),
+dl AS (SELECT doc_id, term, cnt,
+              sum(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+dfq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+s AS (SELECT dl.doc_id, dl.term,
+             (dl.cnt / dl.doc_len) * (ln((n.nd + 1) / (dfq.dfreq + 1)) + 1) AS v
+      FROM dl JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, v,
+             row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, {R6('v')} AS tfidf, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 3""",
+)
+def q_tfidf_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ff.TfIdfScorer("text", "doc_id", k=3).transform(docs)
+    return out.select(
+        "doc_id", "term", r6(F.col("tfidf")).alias("tfidf"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@_reg(
+    "streaming_dedup",
+    """SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))""",
+)
+def q_streaming_dedup(spark, sf_dir):
+    # the BATCH path of the streaming deduplicator (keep-min-id per
+    # content key) is SQL-checkable; the stream path shares the key expr
+    # and is covered by the availableNow test in test_streaming_interop
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = StreamingDeduplicator(["text"], "doc_id", normalize=True).transform(docs)
+    return out.select("doc_id")
+
+
+@_reg(
     "multimodal_extract",
     """SELECT doc_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS payload_payload_len,
@@ -1565,7 +1610,8 @@ _VERIFY_FIRST = [
     "cosine_topk", "ivf_topk", "bucketed_topk",
     "text_features", "token_count", "lang_id", "text_clean",
     "repetition_features", "gopher_quality_filter", "pii_redact",
-    "doc_fingerprint", "multimodal_extract", "frame_sample",
+    "doc_fingerprint", "tfidf_topk", "streaming_dedup",
+    "multimodal_extract", "frame_sample",
     "json_extract", "hash_sample", "hash_split", "sequence_pack",
     "events_window", "session_window",
 ]

@@ -54,6 +54,7 @@ from .text import (
     RepetitionFeatures,
     TextCleaner,
     TextFeatures,
+    TfIdfScorer,
     TokenCount,
 )
 from .dedup import (
@@ -88,6 +89,7 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
+    "TfIdfScorer",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",

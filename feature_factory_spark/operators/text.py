@@ -347,6 +347,84 @@ class TextCleaner(Transformer):
         return out
 
 
+class TfIdfScorer(Transformer):
+    """Corpus-level TF-IDF: the top-``k`` highest-scoring terms per
+    document, as an exploded (id, term, tfidf, rank) frame.
+
+    tf   = count(term in doc) / len(doc)
+    idf  = ln((N + 1) / (df + 1)) + 1   (smoothed; no zero/negative idf)
+    rank = 1..k by tfidf descending, ties broken by term ascending
+    (deterministic output — required for cross-engine verification).
+
+    Scale shape (the standard corpus-statistics plan):
+    - explode(words) -> groupBy(doc, term).count(): ONE shuffle on
+      (doc, term) — high-cardinality composite key, skew-free even when
+      single terms are hot.
+    - doc length via sum(count) OVER (PARTITION BY doc): reuses the
+      aggregate output, one exchange on doc.
+    - document frequency via groupBy(term) + join back on term: the df
+      side is vocab-sized (<< corpus); AQE broadcasts it when it fits,
+      sort-merge otherwise. N (corpus size) rides along as a literal
+      computed in the same df aggregate — no separate count job.
+    - top-k via row_number window on doc — partial ranking, never a
+      global sort.
+
+    Stateless per-corpus (recomputes statistics on the input frame, like
+    the reference's fit-on-transform selection operators)."""
+
+    def __init__(self, text_col: str, id_col: str, k: int = 5, lowercase: bool = True):
+        ensure(k >= 1, "k must be >= 1")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.lowercase = lowercase
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        tokens = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.explode(words_expr(text)).alias("term"),
+        )
+        tf = tokens.groupBy("__ff_id", "term").agg(F.count("*").alias("cnt"))
+        doc_w = Window.partitionBy("__ff_id")
+        tf = tf.withColumn("doc_len", F.sum("cnt").over(doc_w))
+        # document frequency + corpus size in one aggregate pass
+        dfreq = tf.groupBy("term").agg(
+            F.count("*").alias("dfreq"),
+        )
+        n_docs = df.select(F.count("*").alias("n")).collect()[0]["n"]
+        scored = tf.join(dfreq, on="term").select(
+            F.col("__ff_id"),
+            "term",
+            (
+                (F.col("cnt").cast("double") / F.col("doc_len").cast("double"))
+                * (
+                    F.log(
+                        (F.lit(float(n_docs) + 1.0))
+                        / (F.col("dfreq").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+        rank_w = Window.partitionBy("__ff_id").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= self.k)
+            .withColumnRenamed("__ff_id", self.id_col)
+            .select(self.id_col, "term", "tfidf", "rank")
+        )
+
+
 class DocumentFingerprint(Transformer):
     """Append ``{c}_fingerprint``: md5 of the normalized text (lowercased,
     whitespace collapsed) — the canonical exact-dup key. md5 is available

@@ -126,6 +126,23 @@ class Pipeline:
 
     ``cache_intermediate=True`` persists the running DataFrame before each
     stateful fit to avoid O(n^2) upstream recomputation (SURVEY.md §3.3).
+
+    Example (mirrors the reference's doc example, pipeline.rs:61-89):
+
+    >>> import feature_factory_spark as ff
+    >>> df = spark.createDataFrame(
+    ...     [(1.0, "a"), (None, "b"), (3.0, "a")], "x double, k string")
+    >>> pipe = ff.make_pipeline(
+    ...     ("impute", ff.MeanMedianImputer(["x"])),
+    ...     ("encode", ff.CountFrequencyEncoder(["k"])),
+    ... )
+    >>> out = pipe.fit(df)          # fit-then-transform fold over steps
+    >>> sorted(out.columns)
+    ['k', 'x']
+    >>> out.where(out.x.isNull()).count()
+    0
+    >>> pipe.transform(df).count()  # pre-fitted re-apply, no re-fit
+    3
     """
 
     def __init__(

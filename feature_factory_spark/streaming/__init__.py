@@ -11,6 +11,7 @@ application.
 
 from .core import (
     SessionWindowAggregator,
+    StreamingDeduplicator,
     StreamingNotSupportedError,
     WindowedAggregator,
     apply_pipeline_to_stream,
@@ -20,6 +21,7 @@ from .core import (
 __all__ = [
     "WindowedAggregator",
     "SessionWindowAggregator",
+    "StreamingDeduplicator",
     "apply_pipeline_to_stream",
     "read_stream",
     "StreamingNotSupportedError",

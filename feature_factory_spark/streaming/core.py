@@ -47,6 +47,76 @@ def apply_pipeline_to_stream(pipeline: Pipeline, stream_df: DataFrame) -> DataFr
     return pipeline.transform(stream_df)
 
 
+class StreamingDeduplicator(Transformer):
+    """Exact content deduplication that runs on unbounded streams with
+    BOUNDED state (batch/stream duality like the window aggregators).
+
+    The key is md5 over the content columns — the same skew-free hash key
+    as ``ExactDeduplicator`` (operators/dedup.py).
+
+    Batch: keeps the smallest ``id_col`` row per key (identical frame to
+    ExactDeduplicator, so the DuckDB oracle can verify this path).
+
+    Stream: ``withWatermark(ts_col, watermark)`` +
+    ``dropDuplicatesWithinWatermark`` on the key — per-key state is
+    evicted once the watermark passes its event time, so memory is
+    bounded by (arrival rate x watermark delay) instead of growing with
+    the whole history. The documented trade: two duplicates farther apart
+    in event time than the delay can both survive; exact forever-dedup on
+    an infinite stream would need unbounded state. Which row of a
+    duplicate set survives is arrival-order dependent on a stream (no
+    min-id guarantee there)."""
+
+    def __init__(
+        self,
+        columns: list[str],
+        id_col: str,
+        ts_col: str | None = None,
+        watermark: str | None = None,
+        normalize: bool = False,
+    ):
+        ensure(bool(columns), "at least one content column is required")
+        self.columns = list(columns)
+        self.id_col = id_col
+        self.ts_col = ts_col
+        self.watermark = watermark
+        self.normalize = normalize
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.columns + [self.id_col])
+
+    def _key_expr(self) -> Column:
+        from ..functions.text import normalized_text_expr
+
+        parts = [
+            normalized_text_expr(F.col(c).cast("string"))
+            if self.normalize
+            else F.col(c).cast("string")
+            for c in self.columns
+        ]
+        return F.md5(F.concat_ws("", *parts))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            ensure(
+                self.ts_col is not None and self.watermark is not None,
+                "streaming dedup requires ts_col and watermark (state must "
+                "be bounded on an unbounded input)",
+            )
+            keyed = df.withWatermark(self.ts_col, self.watermark).withColumn(
+                "__ff_key", self._key_expr()
+            )
+            return keyed.dropDuplicatesWithinWatermark(["__ff_key"]).drop("__ff_key")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self._key_expr()).orderBy(F.col(self.id_col))
+        return (
+            df.withColumn("__ff_rn", F.row_number().over(w))
+            .where(F.col("__ff_rn") == 1)
+            .drop("__ff_rn")
+        )
+
+
 class WindowedAggregator(Transformer):
     """Tumbling/sliding event-time window aggregation with optional
     watermark (used only when the input is a stream).

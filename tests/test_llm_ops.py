@@ -23,6 +23,38 @@ def emb(spark):
 # ---------------------------------------------------------------- text ----
 
 
+def test_tfidf_scorer_values_and_ranking(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id bigint, text string"
+    )
+    out = ff.TfIdfScorer("text", "doc_id", k=2).transform(df)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    n = 3.0
+    idf = lambda df_t: math.log((n + 1) / (df_t + 1)) + 1  # noqa: E731
+    # doc 1: tf(a)=2/3 idf(a)=ln(4/3)+1, tf(b)=1/3 idf(b)=ln(4/2)+1
+    assert rows[(1, "a")]["tfidf"] == pytest.approx((2 / 3) * idf(2))
+    assert rows[(1, "b")]["tfidf"] == pytest.approx((1 / 3) * idf(1))
+    # a's doubled tf beats b's rarity here: (2/3)(ln(4/3)+1) > (1/3)(ln2+1)
+    assert rows[(1, "a")]["rank"] == 1 and rows[(1, "b")]["rank"] == 2
+    # empty doc contributes no rows
+    assert not any(d == 3 for d, _ in rows)
+    # k bounds output per doc
+    assert max(r["rank"] for r in rows.values()) <= 2
+
+
+def test_tfidf_scorer_deterministic_tiebreak(spark):
+    # two terms with identical tf and df -> equal score; term asc breaks it
+    df = spark.createDataFrame([(1, "z y"), (2, "z y")], "doc_id bigint, text string")
+    out = ff.TfIdfScorer("text", "doc_id", k=2).transform(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for pairs in by_doc.values():
+        assert sorted(pairs) == [(1, "y"), (2, "z")]
+
+
 def test_text_features(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog."), (2, ""), (3, "x")], "id bigint, t string"

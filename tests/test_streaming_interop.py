@@ -66,6 +66,56 @@ def test_streaming_windowed_agg(spark, events, tmp_path):
     assert got == events.count()
 
 
+def test_streaming_dedup_batch_keeps_min_id(spark):
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    df = spark.createDataFrame(
+        [(3, "dup text"), (1, "dup text"), (2, "other"), (4, "DUP  text")],
+        "doc_id bigint, text string",
+    )
+    out = StreamingDeduplicator(["text"], "doc_id").transform(df)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 4}
+    # normalize=True folds case/whitespace: 4 joins the dup group
+    norm = StreamingDeduplicator(["text"], "doc_id", normalize=True).transform(df)
+    assert {r["doc_id"] for r in norm.collect()} == {1, 2}
+
+
+def test_streaming_dedup_on_stream(spark, events, tmp_path):
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    src = str(tmp_path / "dedup_src")
+    # duplicate every event row: the stream must emit each key once
+    events.unionAll(events).write.parquet(src)
+    stream = read_stream(spark, src, events.schema)
+    dd = StreamingDeduplicator(
+        ["user_id", "event_type", "ts"], "event_id",
+        ts_col="ts", watermark="1 hour",
+    )
+    out = dd.transform(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM dedup_out").collect()[0][0]
+    expected = events.select("user_id", "event_type", "ts").distinct().count()
+    assert got == expected
+
+
+def test_streaming_dedup_requires_watermark_on_stream(spark, events, tmp_path):
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    src = str(tmp_path / "dedup_src2")
+    events.write.parquet(src)
+    stream = read_stream(spark, src, events.schema)
+    with pytest.raises(ff.InvalidParameterError):
+        StreamingDeduplicator(["ts"], "event_id").transform(stream)
+
+
 def test_stream_pipeline_stateless_ok(spark, events, tmp_path):
     src = str(tmp_path / "events_src2")
     events.write.parquet(src)
