@@ -73,7 +73,9 @@ Operator -> query coverage (SURVEY.md §2.2 numbering):
   gopher_quality_filter, pii_redact, multimodal_extract, frame_sample,
   hash_sample, hash_split, sequence_pack, events_window, session_window,
   tfidf_topk (TfIdfScorer), streaming_dedup (StreamingDeduplicator batch
-  path; stream path tested via availableNow in test_streaming_interop).
+  path; stream path tested via availableNow in test_streaming_interop),
+  weighted_sample (WeightedSampler source-mixing), contamination
+  (ContaminationChecker benchmark n-gram decontamination).
 """
 
 from __future__ import annotations
@@ -1536,6 +1538,45 @@ def q_sequence_pack(spark, sf_dir):
     return t.transform(docs).select("doc_id", "pack_id")
 
 
+@_reg(
+    "weighted_sample",
+    f"""SELECT doc_id FROM documents
+WHERE {SQL_HASHFRAC} < (CASE source WHEN 'src0' THEN 1.0
+                                    WHEN 'src1' THEN 0.5
+                                    WHEN 'src2' THEN 0.0
+                                    ELSE 0.2 END)""",
+)
+def q_weighted_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = ff.WeightedSampler(
+        "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.0},
+        default_fraction=0.2, salt="ff",
+    )
+    return t.transform(docs).select("doc_id")
+
+
+@_reg(
+    "contamination",
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM w),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
+f AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram))
+SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""",
+)
+def q_contamination(spark, sf_dir):
+    # benchmark = the first 25 docs; any doc sharing a 3-gram with them
+    # is flagged (n=3 keeps the sf0.01 oracle cheap; production uses 13)
+    docs = _t(spark, sf_dir, "documents")
+    cc = ff.ContaminationChecker("text", "doc_id", n=3)
+    cc.fit(docs.where(F.col("doc_id") < 25))
+    return cc.transform(docs).select("doc_id", "contaminated")
+
+
 # ---------------------------------------------------------------------------
 # 11. windowed aggregation over the events stream table (streaming module;
 #     batch plan == stream plan modulo watermark, so the batch oracle
@@ -1611,6 +1652,7 @@ _VERIFY_FIRST = [
     "text_features", "token_count", "lang_id", "text_clean",
     "repetition_features", "gopher_quality_filter", "pii_redact",
     "doc_fingerprint", "tfidf_topk", "streaming_dedup",
+    "weighted_sample", "contamination",
     "multimodal_extract", "frame_sample",
     "json_extract", "hash_sample", "hash_split", "sequence_pack",
     "events_window", "session_window",

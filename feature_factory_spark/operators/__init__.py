@@ -47,6 +47,7 @@ from .numerical import (
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .text import (
+    ContaminationChecker,
     DocumentFingerprint,
     GopherQualityFilter,
     LanguageIdentifier,
@@ -66,7 +67,7 @@ from .dedup import (
 )
 from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK
 from .multimodal import BinaryFeatureExtractor, FrameSampler
-from .sampling import HashSampler, HashSplitter, SequencePacker
+from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
 
 __all__ = [
     "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
@@ -89,10 +90,10 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
-    "TfIdfScorer",
+    "TfIdfScorer", "ContaminationChecker",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",
     "BinaryFeatureExtractor", "FrameSampler",
-    "HashSampler", "HashSplitter", "SequencePacker",
+    "HashSampler", "HashSplitter", "SequencePacker", "WeightedSampler",
 ]

@@ -58,6 +58,59 @@ class HashSampler(Transformer):
         )
 
 
+class WeightedSampler(Transformer):
+    """Deterministic per-group sampling rates — the data-MIXING
+    primitive: up/down-weight sources when assembling a training corpus
+    (e.g. keep 100% of books, 30% of common-crawl, 5% of logs).
+
+    ``fractions`` maps a ``group_col`` value to its keep-fraction;
+    unlisted groups keep ``default_fraction``. A row survives iff
+    ``hash_fraction(id) < fraction(group)`` — the same md5-bucket rule as
+    HashSampler, so samples are stable under dataset growth, partitioning
+    changes, and engine moves, and the SAME rows are kept when a group's
+    fraction is raised (a 5% sample is a subset of the 30% sample:
+    nested samples, the property that makes mixing ratios tunable
+    without reshuffling history).
+
+    Stateless single filter, no shuffle; the per-group fraction lookup is
+    a literal CASE chain (group cardinality = sources, i.e. tiny)."""
+
+    def __init__(
+        self,
+        id_col: str,
+        group_col: str,
+        fractions: dict[str, float],
+        default_fraction: float = 1.0,
+        salt: str = "ff",
+    ):
+        ensure(bool(fractions), "at least one group fraction is required")
+        for g, p in fractions.items():
+            ensure(0.0 <= p <= 1.0, f"fraction for group '{g}' must be in [0,1]")
+        ensure(0.0 <= default_fraction <= 1.0, "default_fraction must be in [0,1]")
+        self.id_col = id_col
+        self.group_col = group_col
+        self.fractions = dict(fractions)
+        self.default_fraction = default_fraction
+        self.salt = salt
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col, self.group_col])
+
+    def fraction_expr(self) -> Column:
+        expr = None
+        for g, p in self.fractions.items():
+            cond = F.col(self.group_col) == F.lit(g)
+            expr = (
+                F.when(cond, F.lit(p)) if expr is None else expr.when(cond, F.lit(p))
+            )
+        return expr.otherwise(F.lit(self.default_fraction))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.filter(
+            hash_fraction_expr(F.col(self.id_col), self.salt) < self.fraction_expr()
+        )
+
+
 class HashSplitter(Transformer):
     """Append a ``split`` column assigning each row to a named split by
     cumulative hash-bucket thresholds, e.g. {'train': 0.9, 'valid': 0.05,

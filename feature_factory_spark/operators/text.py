@@ -23,7 +23,7 @@ from ..functions.text import (
     words_expr,
 )
 from ..pipeline import Transformer
-from ..validation import ensure, validate_string_columns
+from ..validation import ensure, validate_columns, validate_string_columns
 
 
 class TextFeatures(Transformer):
@@ -347,6 +347,106 @@ class TextCleaner(Transformer):
         return out
 
 
+class ContaminationChecker(Transformer):
+    """Benchmark decontamination: flag (or drop) documents that share any
+    word ``n``-gram with a benchmark/eval corpus — the overlap rule used
+    to decontaminate pretraining corpora against test sets (GPT-3
+    appendix C / PaLM / Llama use 8-13 word grams; ``n`` is
+    configurable).
+
+    ``fit(benchmark_df)`` captures the benchmark frame (eval sets: at
+    most ~1e6-1e7 grams — tiny next to the corpus). ``transform(corpus)``
+    appends boolean ``output_col``; ``mode='filter'`` drops flagged rows
+    instead.
+
+    Scale shape: the benchmark side is reduced to DISTINCT 60-bit gram
+    hashes (ints broadcast far smaller than gram strings) and
+    BROADCAST; the corpus explodes to (id, gram-hash) once and LEFT
+    SEMI-joins the broadcast set — no corpus shuffle at all in the probe,
+    one distinct on flagged ids (bounded by corpus row count), and a
+    final left join back. The corpus is never hashed twice and never
+    leaves its partitions until the tiny flagged-id set comes back."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        benchmark_text_col: str | None = None,
+        n: int = 13,
+        lowercase: bool = True,
+        mode: str = "flag",
+        output_col: str = "contaminated",
+    ):
+        ensure(n >= 1, "n must be >= 1")
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.benchmark_text_col = benchmark_text_col or text_col
+        self.n = n
+        self.lowercase = lowercase
+        self.mode = mode
+        self.output_col = output_col
+        self.benchmark_df: DataFrame | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        # fit() receives the BENCHMARK frame and transform() the corpus —
+        # different schemas; each path validates its own columns (in _fit
+        # / _transform) instead of this shared hook
+        pass
+
+    def _gram_hashes(
+        self, df: DataFrame, text_col: str, id_cols: list[str]
+    ) -> DataFrame:
+        """(id_cols..., __ff_g) frame of exploded 60-bit gram hashes.
+
+        Two projections: generators must be top-level in Spark, so the
+        explode happens first and the (portable, engine-identical)
+        md5+conv hash applies in a second select."""
+        text = F.col(text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        grams = df.select(
+            *id_cols, F.explode(ngrams_expr(words_expr(text), self.n)).alias("__ff_gram")
+        )
+        h = F.conv(F.substring(F.md5(F.col("__ff_gram")), 1, 15), 16, 10).cast("bigint")
+        return grams.select(*id_cols, h.alias("__ff_g"))
+
+    def _fit(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.benchmark_text_col])
+        self.benchmark_df = df
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        ensure(self.benchmark_df is not None, "fit(benchmark_df) first")
+        validate_string_columns(df, [self.text_col])
+        validate_columns(df, [self.id_col])
+        bench = self._gram_hashes(
+            self.benchmark_df, self.benchmark_text_col, []
+        ).distinct()
+        corpus_grams = self._gram_hashes(
+            df.select(F.col(self.id_col).alias("__ff_cid"), self.text_col),
+            self.text_col,
+            ["__ff_cid"],
+        )
+        flagged = (
+            corpus_grams.join(F.broadcast(bench), on="__ff_g", how="left_semi")
+            .select("__ff_cid")
+            .distinct()
+        )
+        out = df.join(
+            flagged.withColumn("__ff_hit", F.lit(True)),
+            on=df[self.id_col] == flagged["__ff_cid"],
+            how="left",
+        )
+        if self.mode == "filter":
+            return out.where(F.col("__ff_hit").isNull()).drop("__ff_cid", "__ff_hit")
+        return out.withColumn(
+            self.output_col, F.col("__ff_hit").isNotNull()
+        ).drop("__ff_cid", "__ff_hit")
+
+
 class TfIdfScorer(Transformer):
     """Corpus-level TF-IDF: the top-``k`` highest-scoring terms per
     document, as an exploded (id, term, tfidf, rank) frame.
@@ -393,12 +493,23 @@ class TfIdfScorer(Transformer):
             F.explode(words_expr(text)).alias("term"),
         )
         tf = tokens.groupBy("__ff_id", "term").agg(F.count("*").alias("cnt"))
-        doc_w = Window.partitionBy("__ff_id")
-        tf = tf.withColumn("doc_len", F.sum("cnt").over(doc_w))
-        # document frequency + corpus size in one aggregate pass
+        # tf feeds BOTH the scored side and the document-frequency side;
+        # without a persist Spark re-derives it from scratch and the
+        # corpus is scanned + tokenized twice. (A count-over-window by
+        # term would avoid the persist but buffers whole hot-term
+        # partitions — 'the' appears in every doc — so the skew-safe
+        # partial-aggregated groupBy + evictable persist wins at scale.)
+        if not df.isStreaming:
+            from pyspark import StorageLevel
+
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        # document frequency: vocab-sized output, AQE-broadcastable join
+        # (from the raw persisted tf, before the doc_len window attaches)
         dfreq = tf.groupBy("term").agg(
             F.count("*").alias("dfreq"),
         )
+        doc_w = Window.partitionBy("__ff_id")
+        tf = tf.withColumn("doc_len", F.sum("cnt").over(doc_w))
         n_docs = df.select(F.count("*").alias("n")).collect()[0]["n"]
         scored = tf.join(dfreq, on="term").select(
             F.col("__ff_id"),

@@ -55,6 +55,35 @@ def test_tfidf_scorer_deterministic_tiebreak(spark):
         assert sorted(pairs) == [(1, "y"), (2, "z")]
 
 
+def test_contamination_checker_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "something with the quick brown fox inside"),  # shares 3-gram
+            (2, "completely clean document text here"),
+            (3, "QUICK BROWN FOX shouting match"),  # lowercase fold -> hits
+        ],
+        "doc_id bigint, text string",
+    )
+    cc = ff.ContaminationChecker("text", "doc_id", n=3)
+    cc.fit(bench)
+    got = {r["doc_id"]: r["contaminated"] for r in cc.transform(corpus).collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # filter mode drops flagged rows and adds no column
+    dropped = ff.ContaminationChecker("text", "doc_id", n=3, mode="filter")
+    out = dropped.fit(bench).transform(corpus)
+    assert {r["doc_id"] for r in out.collect()} == {2}
+    assert "contaminated" not in out.columns
+
+
+def test_contamination_checker_requires_fit(spark):
+    corpus = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    with pytest.raises(ff.FitNotCalledError):
+        ff.ContaminationChecker("text", "doc_id").transform(corpus)
+
+
 def test_text_features(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog."), (2, ""), (3, "x")], "id bigint, t string"

@@ -35,6 +35,38 @@ def test_hash_splitter_partitions_everything(ids):
     assert len(again) == 2000
 
 
+def test_weighted_sampler_mixing_and_nesting(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    keep_low = ff.WeightedSampler("id", "src", {"a": 0.2, "b": 1.0})
+    keep_high = ff.WeightedSampler("id", "src", {"a": 0.6, "b": 1.0})
+    low = {r["id"] for r in keep_low.transform(df).collect()}
+    high = {r["id"] for r in keep_high.transform(df).collect()}
+    # all of group b survives either way
+    assert all(i in low for i in range(1, 2000, 2))
+    # group-a keep rates roughly match the fractions
+    a_low = sum(1 for i in low if i % 2 == 0) / 1000
+    a_high = sum(1 for i in high if i % 2 == 0) / 1000
+    assert 0.13 <= a_low <= 0.27 and 0.5 <= a_high <= 0.7
+    # nested samples: raising a fraction only ADDS rows
+    assert low <= high
+
+
+def test_weighted_sampler_default_fraction(spark):
+    df = spark.createDataFrame(
+        [(i, "other") for i in range(1000)], "id bigint, src string"
+    )
+    none_kept = ff.WeightedSampler("id", "src", {"a": 1.0}, default_fraction=0.0)
+    assert none_kept.transform(df).count() == 0
+    all_kept = ff.WeightedSampler("id", "src", {"a": 0.0}, default_fraction=1.0)
+    assert all_kept.transform(df).count() == 1000
+
+
+def test_weighted_sampler_rejects_bad_fraction():
+    with pytest.raises(ff.InvalidParameterError):
+        ff.WeightedSampler("id", "src", {"a": 1.5})
+
+
 def test_hash_splitter_fractions_must_sum_to_one():
     with pytest.raises(ff.InvalidParameterError):
         ff.HashSplitter("id", {"a": 0.5, "b": 0.4})
