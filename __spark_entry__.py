@@ -1637,6 +1637,71 @@ def q_session_window(spark, sf_dir):
     return out.select("window_start", "window_end", "user_id", "n")
 
 
+@_reg(
+    "line_dedup",
+    # cross-corpus segment dedup (CCNet/Gopher boilerplate removal).
+    # The synthetic corpus is single-line word soup, so the query
+    # verifies on word segments (sep=' ') — same explode / corpus-count /
+    # anti-join / ordered-reassembly plan a '\n' separator exercises.
+    """WITH parts AS (SELECT doc_id, string_split(text, ' ') p FROM documents),
+segs AS (SELECT doc_id, unnest(generate_series(1, len(p))) pos, unnest(p) seg
+FROM parts),
+dups AS (SELECT seg FROM (
+  SELECT seg, count(DISTINCT doc_id) c FROM segs WHERE length(seg) >= 1
+  GROUP BY seg)
+  WHERE c >= 0.7 * (SELECT count(DISTINCT doc_id) FROM documents)),
+marked AS (SELECT s.doc_id, s.pos, s.seg,
+  (length(s.seg) >= 1 AND d.seg IS NOT NULL) AS dropped
+FROM segs s LEFT JOIN dups d USING (seg)),
+rebuilt AS (SELECT doc_id,
+  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT dropped) AS new_text,
+  count(*) FILTER (WHERE dropped) AS removed
+FROM marked GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.new_text, '') AS text,
+CAST(coalesce(r.removed, 0) AS INTEGER) AS removed_segments
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+)
+def q_line_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.LineDeduplicator("doc_id", "text", sep=" ", min_doc_fraction=0.7)
+    out = op.transform(docs)
+    return out.select(
+        "doc_id", "text",
+        F.col("text_removed_segments").alias("removed_segments"),
+    )
+
+
+@_reg(
+    "unigram_logprob",
+    # corpus unigram-LM quality score: mean ln(count(word)/total) per doc.
+    # avg() is a reduction-order-sensitive double sum -> r6 both sides.
+    f"""WITH d AS (SELECT doc_id,
+  list_transform(string_split(text, ' '), x -> lower(x)) w FROM documents),
+words AS (SELECT doc_id, unnest(w) word FROM d),
+freq AS (SELECT word, count(*) cnt FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) t FROM freq),
+scored AS (SELECT doc_id, ln(CAST(greatest(cnt, 1) AS DOUBLE) / t) lp
+FROM words JOIN freq USING (word), tot),
+agg AS (SELECT doc_id, avg(lp) s FROM scored GROUP BY doc_id)
+SELECT d2.doc_id, {R6('a.s')} AS unigram_logprob
+FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""",
+)
+def q_unigram_logprob(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.UnigramLogProbScorer("text", "doc_id")
+    out = op.fit(docs).transform(docs)
+    return out.select(
+        "doc_id", r6(F.col("text_unigram_logprob")).alias("unigram_logprob")
+    )
+
+
+@_reg("kmeans_cluster", None)  # iterative Lloyd fit: not SQL-expressible
+def q_kmeans_cluster(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    km = ff.KMeansClusterer("embedding", "vec_id", k=8, iterations=2)
+    return km.fit(emb).transform(emb).select("vec_id", "cluster")
+
+
 # ---------------------------------------------------------------------------
 # registration order
 # ---------------------------------------------------------------------------
@@ -1656,6 +1721,7 @@ _VERIFY_FIRST = [
     "multimodal_extract", "frame_sample",
     "json_extract", "hash_sample", "hash_split", "sequence_pack",
     "events_window", "session_window",
+    "line_dedup", "unigram_logprob", "kmeans_cluster",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

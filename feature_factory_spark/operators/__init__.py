@@ -48,6 +48,7 @@ from .numerical import (
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .text import (
     ContaminationChecker,
+    UnigramLogProbScorer,
     DocumentFingerprint,
     GopherQualityFilter,
     LanguageIdentifier,
@@ -60,12 +61,13 @@ from .text import (
 )
 from .dedup import (
     EmbeddingDeduplicator,
+    LineDeduplicator,
     ExactDeduplicator,
     MinHashDeduplicator,
     NGramJaccardDeduplicator,
     SimHashDeduplicator,
 )
-from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK
+from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK, KMeansClusterer
 from .multimodal import BinaryFeatureExtractor, FrameSampler
 from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
 
@@ -90,10 +92,10 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
-    "TfIdfScorer", "ContaminationChecker",
+    "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
-    "NGramJaccardDeduplicator", "EmbeddingDeduplicator",
-    "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK",
+    "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
+    "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "BinaryFeatureExtractor", "FrameSampler",
     "HashSampler", "HashSplitter", "SequencePacker", "WeightedSampler",
 ]

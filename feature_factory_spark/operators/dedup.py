@@ -543,3 +543,152 @@ class EmbeddingDeduplicator(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
+
+
+class LineDeduplicator(Transformer):
+    """Cross-corpus segment-level deduplication (the CCNet / Gopher
+    "remove duplicated lines and paragraphs" pass): a text column is
+    split into segments (lines by default), segments that occur in at
+    least ``min_docs`` DISTINCT documents are removed from every
+    document, and the survivors are stitched back in their original
+    order. Boilerplate — navigation bars, cookie banners, license
+    headers — is exactly the text that repeats across documents, and
+    removing it segment-wise keeps the unique prose that document-level
+    dedup would throw away wholesale.
+
+    Beyond the reference (it has no text operators at all — SURVEY.md
+    §2.3); standard LLM-corpus practice.
+
+    Output: ``text_col`` rewritten in place (documents whose every
+    segment is boilerplate become the empty string), plus
+    ``{text_col}_removed_segments`` counting what was cut.
+
+    Scale shape (every step shuffles on a uniform high-cardinality key):
+    - posexplode(split) is narrow — no shuffle, parallelism preserved.
+    - distinct (doc, segment) + groupBy(segment) count: the corpus-wide
+      duplicate-segment table. Spark plans both as one exchange chain on
+      the segment key; partial aggregation caps the map-side output.
+    - the duplicate table (segments repeated across >= min_docs docs) is
+      tiny next to the corpus — AQE broadcasts the anti-join side when
+      it fits, sort-merge otherwise.
+    - groupBy(doc) with array_sort(collect_list(struct(pos, segment)))
+      rebuilds each document; per-group state is one document's segments
+      (bounded by the longest document, not the corpus).
+
+    Segments shorter than ``min_segment_chars`` are exempt (never
+    removed): blank lines and stray separators repeat everywhere without
+    being boilerplate.
+
+    ``min_doc_fraction`` (mutually exclusive with ``min_docs``) states
+    the threshold as a fraction of the corpus instead of an absolute
+    count — the form that stays meaningful when the same pipeline runs
+    at 1000x the data (an absolute 'in >= 100 docs' bar means something
+    different in a 10^4-doc corpus than in a 10^9-doc one). It costs one
+    extra tiny job (a countDistinct of the id column) at transform time.
+    """
+
+    def __init__(
+        self,
+        id_col: str,
+        text_col: str,
+        min_docs: int | None = None,
+        sep: str = "\n",
+        min_segment_chars: int = 1,
+        min_doc_fraction: float | None = None,
+    ):
+        ensure(
+            (min_docs is None) != (min_doc_fraction is None),
+            "exactly one of min_docs / min_doc_fraction must be given",
+        )
+        if min_docs is not None:
+            ensure(min_docs >= 2, "min_docs must be >= 2 (a segment duplicated "
+                   "across fewer than 2 documents is not a cross-doc duplicate)")
+        if min_doc_fraction is not None:
+            ensure(0.0 < min_doc_fraction <= 1.0,
+                   "min_doc_fraction must be in (0, 1]")
+        ensure(len(sep) > 0, "sep must be a non-empty string")
+        ensure(min_segment_chars >= 0, "min_segment_chars must be >= 0")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.min_docs = min_docs
+        self.min_doc_fraction = min_doc_fraction
+        self.sep = sep
+        self.min_segment_chars = min_segment_chars
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        import re as _re
+
+        sep_pattern = _re.escape(self.sep)
+        segs = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.posexplode(F.split(F.col(self.text_col), sep_pattern)).alias(
+                "__ff_pos", "__ff_seg"
+            ),
+        )
+        eligible = F.length(F.col("__ff_seg")) >= F.lit(self.min_segment_chars)
+        # corpus-wide duplicate-segment table: distinct docs per segment.
+        # countDistinct would work too; distinct + count makes the partial
+        # aggregation explicit (both are the same two-exchange plan).
+        if self.min_doc_fraction is not None:
+            n_docs = df.select(
+                F.countDistinct(F.col(self.id_col)).alias("n")
+            ).collect()[0]["n"]
+            threshold = F.lit(self.min_doc_fraction) * F.lit(float(n_docs))
+        else:
+            threshold = F.lit(self.min_docs)
+        dup_segs = (
+            segs.where(eligible)
+            .select("__ff_id", "__ff_seg")
+            .distinct()
+            .groupBy("__ff_seg")
+            .agg(F.count("*").alias("__ff_ndocs"))
+            .where(F.col("__ff_ndocs") >= threshold)
+            .select("__ff_seg", F.lit(True).alias("__ff_dup"))
+        )
+        marked = segs.join(dup_segs, on="__ff_seg", how="left").select(
+            "__ff_id",
+            "__ff_pos",
+            "__ff_seg",
+            (eligible & F.col("__ff_dup").isNotNull()).alias("__ff_drop"),
+        )
+        # collect_list skips nulls, so the conditional struct keeps only
+        # surviving segments while the same aggregate counts the dropped
+        # ones — one groupBy(doc), not two.
+        rebuilt = marked.groupBy("__ff_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("__ff_drop"),
+                        F.struct(
+                            F.col("__ff_pos").alias("p"),
+                            F.col("__ff_seg").alias("s"),
+                        ),
+                    )
+                )
+            ).alias("__ff_kept"),
+            F.sum(F.col("__ff_drop").cast("int")).alias("__ff_removed"),
+        )
+        rebuilt = rebuilt.select(
+            "__ff_id",
+            F.concat_ws(
+                self.sep, F.transform(F.col("__ff_kept"), lambda x: x["s"])
+            ).alias("__ff_new_text"),
+            F.col("__ff_removed").cast("int").alias("__ff_removed"),
+        )
+        out_cols = [
+            F.col("__ff_new_text").alias(c) if c == self.text_col else F.col(c)
+            for c in df.columns
+        ]
+        return (
+            df.join(rebuilt, on=df[self.id_col] == rebuilt["__ff_id"], how="left")
+            .select(
+                *out_cols,
+                F.coalesce(F.col("__ff_removed"), F.lit(0)).alias(
+                    f"{self.text_col}_removed_segments"
+                ),
+            )
+        )

@@ -29,6 +29,78 @@ from ..validation import ensure, validate_columns
 from .dedup import _hyperplanes
 
 
+def nearest_centroids_expr(
+    vec: Column, centroids: list[list[float]], n: int = 1
+) -> Column:
+    """Indices (0-based) of the n centroids nearest to vec by cosine,
+    best first.
+
+    The centroid matrix is ONE nested-array literal scanned with a
+    single transform — not k independent dim-term folds — which keeps
+    the generated code small enough to JIT quickly even at k=256."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine_expr(vec, c))
+    pairs = F.zip_with(
+        sims,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.named_struct(F.lit("s"), s, F.lit("i"), i),
+    )
+    ordered = F.reverse(F.array_sort(pairs))
+    return F.slice(F.transform(ordered, lambda x: x["i"]), 1, n)
+
+
+def lloyd_fit(
+    corpus_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int,
+) -> list[list[float]]:
+    """Distributed spherical-ish k-means: deterministic seeds (smallest
+    murmur3(id) — pseudo-random but reproducible across runs, engines,
+    and partitionings), refined by ``iterations`` Lloyd steps. Each step
+    is one aggregate job (assign via argmax cosine, new centroid =
+    per-cluster element-wise mean); only k x dim floats ever reach the
+    driver. Empty clusters keep their previous centroid."""
+    validate_columns(corpus_df, [vec_col, id_col])
+    seeds = (
+        corpus_df.select(
+            F.col(vec_col).alias("vec"),
+            F.hash(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["vec"]] for r in seeds]
+    ensure(len(centroids) >= 2, "corpus has fewer rows than 2 seeds")
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        # per-cluster mean as ONE aggregate of dim element sums — never
+        # posexplode: a generator re-evaluates the (expensive) cluster
+        # assignment once per exploded element instead of once per row
+        assigned = corpus_df.select(
+            F.element_at(
+                nearest_centroids_expr(F.col(vec_col), centroids, 1), 1
+            ).alias("cluster"),
+            F.col(vec_col).alias("vec"),
+        )
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("vec"), i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in rows}
+        centroids = [new.get(ci, centroids[ci]) for ci in range(len(centroids))]
+    return centroids
+
+
 class CosineTopK(Transformer):
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors by cosine similarity.
@@ -147,22 +219,7 @@ class IVFCosineTopK(CosineTopK):
         self.centroids_: list[list[float]] = []
 
     def _nearest_expr(self, vec: Column, n: int = 1) -> Column:
-        """Indices (0-based) of the n centroids nearest to vec, best first.
-
-        The centroid matrix is ONE nested-array literal scanned with a
-        single transform — not k independent 64-term folds — which keeps
-        the generated code small enough to JIT quickly even at k=256."""
-        cents = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in self.centroids_
-        ])
-        sims = F.transform(cents, lambda c: cosine_expr(vec, c))
-        pairs = F.zip_with(
-            sims,
-            F.sequence(F.lit(0), F.lit(len(self.centroids_) - 1)),
-            lambda s, i: F.named_struct(F.lit("s"), s, F.lit("i"), i),
-        )
-        ordered = F.reverse(F.array_sort(pairs))
-        return F.slice(F.transform(ordered, lambda x: x["i"]), 1, n)
+        return nearest_centroids_expr(vec, self.centroids_, n)
 
     def _fit(self, df: DataFrame) -> None:
         super()._fit(df)
@@ -170,46 +227,9 @@ class IVFCosineTopK(CosineTopK):
     def fit_index(self, corpus_df: DataFrame) -> "IVFCosineTopK":
         """Learn centroids from the corpus (separate from fit(), which
         pins the query set)."""
-        validate_columns(corpus_df, [self.vec_col, self.id_col])
-        seeds = (
-            corpus_df.select(
-                F.col(self.vec_col).alias("vec"),
-                F.hash(F.col(self.id_col).cast("string")).alias("h"),
-            )
-            .orderBy("h")
-            .limit(self.n_centroids)
-            .collect()
+        self.centroids_ = lloyd_fit(
+            corpus_df, self.vec_col, self.id_col, self.n_centroids, self.iterations
         )
-        self.centroids_ = [[float(x) for x in r["vec"]] for r in seeds]
-        dim = len(self.centroids_[0])
-        for _ in range(self.iterations):
-            # per-cluster mean as ONE aggregate of dim element sums — never
-            # posexplode: a generator re-evaluates the (expensive) cluster
-            # assignment once per exploded element instead of once per row
-            assigned = corpus_df.select(
-                F.element_at(
-                    self._nearest_expr(F.col(self.vec_col), 1), 1
-                ).alias("cluster"),
-                F.col(self.vec_col).alias("vec"),
-            )
-            rows = (
-                assigned.groupBy("cluster")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[
-                        F.sum(F.element_at(F.col("vec"), i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            new = {
-                r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)]
-                for r in rows
-            }
-            self.centroids_ = [
-                new.get(ci, self.centroids_[ci]) for ci in range(self.n_centroids)
-            ]
         return self
 
     def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
@@ -332,4 +352,57 @@ class BucketedCosineTopK(CosineTopK):
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= self.k)
+        )
+
+
+class KMeansClusterer(Transformer):
+    """Document clustering over an embedding column: ``fit`` learns ``k``
+    centroids (deterministic seeds + distributed Lloyd refinement, see
+    :func:`lloyd_fit`), ``transform`` appends a ``cluster`` id column
+    (0..k-1, nearest centroid by cosine).
+
+    This is the topic-bucketing primitive of a training-data pipeline:
+    cluster ids feed source-mixing (WeightedSampler on the cluster
+    column), per-topic dedup, and stratified eval splits. It is also the
+    IVF index's coarse quantizer exposed standalone.
+
+    Scale shape: fit runs ``iterations`` aggregate jobs (k x dim floats
+    to the driver — tiny); transform is a stateless projection against a
+    centroid literal — no shuffle, no UDF, embarrassingly parallel.
+    """
+
+    def __init__(
+        self,
+        vec_col: str,
+        id_col: str,
+        k: int = 8,
+        iterations: int = 2,
+        out_col: str = "cluster",
+    ):
+        ensure(k >= 2, "k must be >= 2")
+        ensure(iterations >= 0, "iterations must be >= 0")
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+        self.iterations = iterations
+        self.out_col = out_col
+        self.centroids_: list[list[float]] = []
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col, self.id_col])
+
+    def _fit(self, df: DataFrame) -> None:
+        self.centroids_ = lloyd_fit(
+            df, self.vec_col, self.id_col, self.k, self.iterations
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.element_at(
+                nearest_centroids_expr(F.col(self.vec_col), self.centroids_, 1), 1
+            ).alias(self.out_col),
         )

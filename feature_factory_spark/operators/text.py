@@ -558,3 +558,85 @@ class DocumentFingerprint(Transformer):
             for c in self.columns
         ]
         return df.select("*", *new_cols)
+
+
+class UnigramLogProbScorer(Transformer):
+    """Corpus unigram language-model quality score: ``fit`` learns word
+    frequencies over a (large) reference corpus, ``transform`` appends
+    the mean log-probability of each document's words under that model.
+    Low scores flag gibberish / OCR noise / wrong-language text — the
+    cheap stand-in for the KenLM perplexity filter in CCNet-style
+    pipeline stages (the full n-gram LM needs external model files this
+    environment doesn't ship; the unigram fit is self-contained and
+    captures most of the junk signal).
+
+    score(doc) = avg over words w of ln(max(count(w), 1) / total) —
+    unseen words get the count-1 floor (add-epsilon smoothing), empty
+    documents get NULL.
+
+    Scale shape — the fitted state is a DATAFRAME, not a driver dict:
+    a 100 TB corpus has a vocabulary far beyond driver memory, so the
+    frequency table stays distributed (persisted MEMORY_AND_DISK) and
+    ``transform`` joins against it on the word key. AQE broadcasts the
+    vocab side when it fits, sort-merge otherwise; the per-doc average
+    is one groupBy(doc) over the exploded words. Only the scalar total
+    word count ever reaches the driver.
+    """
+
+    def __init__(self, text_col: str, id_col: str, lowercase: bool = True):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lowercase = lowercase
+        self.freq_df_: DataFrame | None = None
+        self.total_words_: float = 0.0
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+
+    def _word_expr(self) -> Column:
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        return words_expr(text)
+
+    def _fit(self, df: DataFrame) -> None:
+        from pyspark import StorageLevel
+
+        freq = (
+            df.select(F.explode(self._word_expr()).alias("__ff_word"))
+            .groupBy("__ff_word")
+            .agg(F.count("*").alias("__ff_cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row = freq.agg(F.sum("__ff_cnt").alias("t")).collect()[0]
+        self.total_words_ = float(row["t"] or 0.0)
+        ensure(self.total_words_ > 0, "fit corpus contains no words")
+        self.freq_df_ = freq
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        words = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.explode(self._word_expr()).alias("__ff_word"),
+        )
+        scored = words.join(self.freq_df_, on="__ff_word", how="left").select(
+            "__ff_id",
+            F.log(
+                F.greatest(F.coalesce(F.col("__ff_cnt"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+                / F.lit(self.total_words_)
+            ).alias("__ff_lp"),
+        )
+        per_doc = scored.groupBy("__ff_id").agg(
+            F.avg("__ff_lp").alias("__ff_logprob")
+        )
+        out_col = f"{self.text_col}_unigram_logprob"
+        return (
+            df.join(per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left")
+            .select(*[F.col(c) for c in df.columns],
+                    F.col("__ff_logprob").alias(out_col))
+        )

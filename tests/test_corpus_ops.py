@@ -1,0 +1,169 @@
+"""LineDeduplicator, UnigramLogProbScorer, KMeansClusterer (round 3
+additions to the LLM-data-pipeline surface)."""
+
+import math
+
+import pytest
+
+import feature_factory_spark as ff
+from feature_factory_spark.exceptions import InvalidParameterError
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique one\nCOMMON LINE\nmore text"),
+            (2, "COMMON LINE\nother stuff"),
+            (3, "third doc\nCOMMON LINE"),
+            (4, "COMMON LINE"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+class TestLineDeduplicator:
+    def test_removes_cross_doc_segments_in_order(self, docs):
+        out = (
+            ff.LineDeduplicator("doc_id", "text", min_docs=3)
+            .transform(docs)
+            .orderBy("doc_id")
+            .collect()
+        )
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["text"] == "unique one\nmore text"
+        assert by_id[1]["text_removed_segments"] == 1
+        assert by_id[2]["text"] == "other stuff"
+        assert by_id[3]["text"] == "third doc"
+        # a doc that was ALL boilerplate survives as an empty string
+        assert by_id[4]["text"] == ""
+        assert by_id[4]["text_removed_segments"] == 1
+
+    def test_below_threshold_segments_kept(self, docs):
+        # "unique one" occurs in 1 doc < min_docs -> kept everywhere
+        out = ff.LineDeduplicator("doc_id", "text", min_docs=5).transform(docs)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["text"] == "unique one\nCOMMON LINE\nmore text"
+        assert rows[1]["text_removed_segments"] == 0
+
+    def test_min_segment_chars_exempts_short_segments(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x\nlong segment"), (2, "x\nother"), (3, "x")],
+            ["doc_id", "text"],
+        )
+        out = ff.LineDeduplicator(
+            "doc_id", "text", min_docs=2, min_segment_chars=2
+        ).transform(df)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # "x" repeats in all 3 docs but is under min_segment_chars -> kept
+        assert rows[3]["text"] == "x"
+        assert rows[1]["text"] == "x\nlong segment"
+
+    def test_fraction_threshold(self, docs):
+        # COMMON LINE is in 4/5 docs = 0.8 -> removed at 0.8, kept at 0.9
+        hi = ff.LineDeduplicator(
+            "doc_id", "text", min_doc_fraction=0.9
+        ).transform(docs)
+        assert all(r["text_removed_segments"] == 0 for r in hi.collect())
+        lo = ff.LineDeduplicator(
+            "doc_id", "text", min_doc_fraction=0.8
+        ).transform(docs)
+        assert {r["doc_id"] for r in lo.collect() if r["text_removed_segments"]} == {
+            1, 2, 3, 4,
+        }
+
+    def test_param_validation(self):
+        with pytest.raises(InvalidParameterError):
+            ff.LineDeduplicator("id", "t")  # neither threshold
+        with pytest.raises(InvalidParameterError):
+            ff.LineDeduplicator("id", "t", min_docs=3, min_doc_fraction=0.5)
+        with pytest.raises(InvalidParameterError):
+            ff.LineDeduplicator("id", "t", min_docs=1)
+        with pytest.raises(InvalidParameterError):
+            ff.LineDeduplicator("id", "t", min_doc_fraction=1.5)
+
+    def test_preserves_other_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb", "keep-me"), (2, "a\nc", "me-too")],
+            ["doc_id", "text", "extra"],
+        )
+        out = ff.LineDeduplicator("doc_id", "text", min_docs=2).transform(df)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["extra"] == "keep-me"
+        assert set(out.columns) == {
+            "doc_id", "text", "extra", "text_removed_segments",
+        }
+
+
+class TestUnigramLogProbScorer:
+    def test_scores_match_hand_computation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+        )
+        out = (
+            ff.UnigramLogProbScorer("text", "doc_id")
+            .fit(df)
+            .transform(df)
+            .collect()
+        )
+        # corpus: a=2 b=2 c=1, total=5
+        rows = {r["doc_id"]: r["text_unigram_logprob"] for r in out}
+        exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+        exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+        assert rows[1] == pytest.approx(exp1)
+        assert rows[2] == pytest.approx(exp2)
+
+    def test_unseen_words_get_count_floor(self, spark):
+        fit_df = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+        new_df = spark.createDataFrame([(9, "zzz")], ["doc_id", "text"])
+        op = ff.UnigramLogProbScorer("text", "doc_id").fit(fit_df)
+        row = op.transform(new_df).collect()[0]
+        # unseen word -> ln(1/total) with total=3
+        assert row["text_unigram_logprob"] == pytest.approx(math.log(1 / 3))
+
+    def test_empty_doc_scores_null(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "")], ["doc_id", "text"])
+        op = ff.UnigramLogProbScorer("text", "doc_id").fit(df)
+        rows = {r["doc_id"]: r for r in op.transform(df).collect()}
+        assert rows[2]["text_unigram_logprob"] is None
+
+    def test_requires_fit(self, spark):
+        from feature_factory_spark.exceptions import FitNotCalledError
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(FitNotCalledError):
+            ff.UnigramLogProbScorer("text", "doc_id").transform(df)
+
+
+class TestKMeansClusterer:
+    def test_separated_clusters_recovered(self, spark):
+        # two tight blobs far apart (cosine): e1-ish and e2-ish vectors
+        rows = [(i, [10.0 + (i % 3), 0.1 * (i % 2), 0.0]) for i in range(10)]
+        rows += [(100 + i, [0.1 * (i % 2), 10.0 + (i % 3), 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        km = ff.KMeansClusterer("embedding", "vec_id", k=2, iterations=3)
+        out = km.fit(df).transform(df).collect()
+        groups = {}
+        for r in out:
+            groups.setdefault(r["cluster"], set()).add(r["vec_id"] < 100)
+        # each cluster is pure: only low ids or only high ids
+        assert all(len(v) == 1 for v in groups.values())
+        assert len(groups) == 2
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        a = ff.KMeansClusterer("embedding", "vec_id", k=4, iterations=2)
+        b = ff.KMeansClusterer("embedding", "vec_id", k=4, iterations=2)
+        ra = sorted((r["vec_id"], r["cluster"]) for r in a.fit(df).transform(df).collect())
+        rb = sorted((r["vec_id"], r["cluster"]) for r in b.fit(df).transform(df).collect())
+        assert ra == rb
+
+    def test_cluster_ids_in_range(self, spark):
+        rows = [(i, [float(i), 1.0]) for i in range(20)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        km = ff.KMeansClusterer("embedding", "vec_id", k=3, iterations=1)
+        out = km.fit(df).transform(df)
+        vals = {r["cluster"] for r in out.collect()}
+        assert vals <= {0, 1, 2}
