@@ -1703,6 +1703,135 @@ def q_kmeans_cluster(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# scalers (beyond the reference inventory; operators/scaling.py)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "minmax_scale",
+    # min/max are exact (no reduction-order drift); r6 guards the division
+    f"""WITH s AS (SELECT min(l_quantity) q_mn, max(l_quantity) q_mx,
+  min(l_discount) d_mn, max(l_discount) d_mx FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+{R6('(l_quantity - q_mn) / (q_mx - q_mn)')} AS l_quantity,
+{R6('(l_discount - d_mn) / (d_mx - d_mn)')} AS l_discount
+FROM lineitem, s""",
+)
+def q_minmax_scale(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    op = ff.MinMaxScaler(["l_quantity", "l_discount"])
+    out = op.fit(li).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        r6(F.col("l_quantity")).alias("l_quantity"),
+        r6(F.col("l_discount")).alias("l_discount"),
+    )
+
+
+@_reg(
+    "standard_scale",
+    f"""WITH s AS (SELECT avg(l_quantity) m, stddev_pop(l_quantity) sd
+FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+{R6('(l_quantity - m) / sd')} AS l_quantity
+FROM lineitem, s""",
+)
+def q_standard_scale(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    op = ff.StandardScaler(["l_quantity"])
+    out = op.fit(li).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", r6(F.col("l_quantity")).alias("l_quantity")
+    )
+
+
+@_reg(
+    "robust_scale",
+    # exact percentile == quantile_cont bit-for-bit (parity rule §2.4-A)
+    f"""WITH s AS (SELECT quantile_cont(l_extendedprice, 0.25) q1,
+  quantile_cont(l_extendedprice, 0.5) med,
+  quantile_cont(l_extendedprice, 0.75) q3 FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+{R6('(l_extendedprice - med) / (q3 - q1)')} AS l_extendedprice
+FROM lineitem, s""",
+)
+def q_robust_scale(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    op = ff.RobustScaler(["l_extendedprice"])
+    out = op.fit(li).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        r6(F.col("l_extendedprice")).alias("l_extendedprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding projections (operators/embeddings.py)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "l2_normalize",
+    # exploded (vec_id, pos, val) so the hash compares scalar doubles;
+    # the norm fold mirrors norm_expr's sequential left fold (list_sum
+    # over list_transform — the SQL_COS-proven pattern)
+    """WITH n AS (SELECT vec_id, embedding,
+  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+FROM embeddings),
+v AS (SELECT vec_id, generate_series(1, len(embedding)) poss,
+  list_transform(embedding,
+    x -> floor((x::DOUBLE / nrm) * 1000000 + 0.5) / 1000000) vals
+FROM n)
+SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
+FROM (SELECT vec_id, unnest(poss) pos, unnest(vals) val FROM v) t""",
+)
+def q_l2_normalize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ff.L2Normalizer("embedding").transform(emb)
+    ex = out.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+    return ex.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        r6(F.col("val")).alias("val"),
+    )
+
+
+def _sql_random_projection(out_dim: int = 8, in_dim: int = 64, seed: int = 13) -> str:
+    """Bake the deterministic plane matrix into the oracle as literals —
+    the same floats the Spark plan carries (shortest round-trip repr
+    parses back to the identical double in DuckDB)."""
+    from feature_factory_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(out_dim, in_dim, seed)
+    dots = ", ".join(
+        "list_sum(list_transform(generate_series(1, {d}), i -> "
+        "embedding[i]::DOUBLE * [{lits}][i]))".format(
+            d=in_dim, lits=", ".join(repr(x) for x in p)
+        )
+        for p in planes
+    )
+    return f"""WITH p AS (SELECT vec_id, [{dots}] vals FROM embeddings),
+r AS (SELECT vec_id, generate_series(1, {out_dim}) poss,
+  list_transform(vals, v -> floor(v * 1000000 + 0.5) / 1000000) rvals
+FROM p)
+SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
+FROM (SELECT vec_id, unnest(poss) pos, unnest(rvals) val FROM r) t"""
+
+
+@_reg("random_projection", _sql_random_projection())
+def q_random_projection(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    op = ff.RandomProjection("embedding", out_dim=8, in_dim=64, seed=13)
+    out = op.transform(emb)
+    ex = out.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+    return ex.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        r6(F.col("val")).alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration order
 # ---------------------------------------------------------------------------
 
@@ -1722,6 +1851,8 @@ _VERIFY_FIRST = [
     "json_extract", "hash_sample", "hash_split", "sequence_pack",
     "events_window", "session_window",
     "line_dedup", "unigram_logprob", "kmeans_cluster",
+    "minmax_scale", "standard_scale", "robust_scale",
+    "l2_normalize", "random_projection",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

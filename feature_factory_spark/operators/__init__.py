@@ -69,6 +69,8 @@ from .dedup import (
 )
 from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK, KMeansClusterer
 from .multimodal import BinaryFeatureExtractor, FrameSampler
+from .embeddings import L2Normalizer, RandomProjection
+from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
 
 __all__ = [
@@ -82,6 +84,7 @@ __all__ = [
     "LogTransformer", "LogCpTransformer", "ReciprocalTransformer",
     "PowerTransformer", "BoxCoxTransformer", "YeoJohnsonTransformer",
     "ArcsinTransformer",
+    "MinMaxScaler", "StandardScaler", "RobustScaler",
     "MathFeatures", "RelativeFeatures", "CyclicalFeatures", "JsonFeatures",
     "DatetimeFeatures", "DatetimeSubtraction",
     "DropFeatures", "DropConstantFeatures", "DropDuplicateFeatures",
@@ -96,6 +99,7 @@ __all__ = [
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
+    "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "HashSampler", "HashSplitter", "SequencePacker", "WeightedSampler",
 ]

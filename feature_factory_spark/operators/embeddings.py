@@ -1,0 +1,102 @@
+"""Embedding-column operators (beyond the reference, which has no vector
+types at all — SURVEY.md §1.3 'Not supported anywhere: ... arrays').
+
+Both operators are stateless projections over an ``array<float>`` column:
+JVM-side higher-order functions (zip_with/aggregate folds from
+functions/expressions) — no shuffle, no UDF, whole-stage codegen,
+embarrassingly parallel at any scale.
+
+- L2Normalizer: unit-norm vectors. Normalizing once up front turns every
+  downstream cosine into a plain dot product (CosineTopK, dedup LSH,
+  KMeansClusterer all get cheaper) and is idempotent.
+- RandomProjection: Johnson-Lindenstrauss dimensionality reduction via a
+  deterministic seeded hyperplane matrix (same generator as the
+  embedding-LSH dedup planes — reproducible across runs, engines, and
+  partitionings; no model file to ship). 64 -> 8/16 dims cuts every
+  downstream vector op's cost ~8/4x at bounded distortion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import dot_expr, norm_expr
+from ..pipeline import Transformer
+from ..validation import ensure, validate_columns
+from .dedup import _hyperplanes
+
+
+class L2Normalizer(Transformer):
+    """Replace ``vec_col`` (or write ``out_col``) with the L2-normalized
+    vector, as array<double>. Zero vectors stay zero (no NaN/ANSI
+    division error)."""
+
+    def __init__(self, vec_col: str, out_col: str | None = None):
+        self.vec_col = vec_col
+        self.out_col = out_col or vec_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        vec = F.col(self.vec_col)
+        nrm = norm_expr(vec)
+        normalized = F.when(nrm == 0.0, F.transform(vec, lambda x: F.lit(0.0))).otherwise(
+            F.transform(vec, lambda x: x.cast("double") / nrm)
+        )
+        if self.out_col == self.vec_col:
+            cols = [
+                normalized.alias(c) if c == self.vec_col else F.col(c)
+                for c in df.columns
+            ]
+            return df.select(*cols)
+        return df.select("*", normalized.alias(self.out_col))
+
+
+class RandomProjection(Transformer):
+    """Project ``vec_col`` (dim ``in_dim``) onto ``out_dim`` seeded
+    hyperplanes: out[j] = dot(vec, plane_j), as array<double>.
+
+    The plane matrix is a deterministic function of (seed, out_dim,
+    in_dim) — fitted state is the three integers, not the matrix, so
+    save/load round-trips trivially and two clusters given the same seed
+    project identically. The matrix rides into the plan as ONE nested
+    array literal scanned with a single transform (the same codegen-width
+    trick as the IVF centroid scan)."""
+
+    def __init__(
+        self,
+        vec_col: str,
+        out_dim: int,
+        in_dim: int,
+        seed: int = 13,
+        out_col: str | None = None,
+    ):
+        ensure(out_dim >= 1, "out_dim must be >= 1")
+        ensure(in_dim >= 1, "in_dim must be >= 1")
+        self.vec_col = vec_col
+        self.out_dim = out_dim
+        self.in_dim = in_dim
+        self.seed = seed
+        self.out_col = out_col or vec_col
+
+    def planes(self) -> list[list[float]]:
+        return _hyperplanes(self.out_dim, self.in_dim, self.seed)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        vec = F.col(self.vec_col)
+        planes_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in p]) for p in self.planes()]
+        )
+        projected = F.transform(planes_lit, lambda p: dot_expr(vec, p))
+        if self.out_col == self.vec_col:
+            cols = [
+                projected.alias(c) if c == self.vec_col else F.col(c)
+                for c in df.columns
+            ]
+            return df.select(*cols)
+        return df.select("*", projected.alias(self.out_col))
