@@ -1832,6 +1832,85 @@ def q_random_projection(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# time-series features (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "lag_features",
+    # (ts, event_id) sort key: ts alone can repeat within a user
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) ts,
+  value FROM events)
+SELECT event_id, user_id,
+lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag_1,
+lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag_3
+FROM e""",
+)
+def q_lag_features(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    op = ff.LagFeatures(
+        ["value"], ["ts", "event_id"], periods=[1, 3], partition_by=["user_id"]
+    )
+    out = op.transform(ev)
+    return out.select("event_id", "user_id", "value_lag_1", "value_lag_3")
+
+
+@_reg(
+    "window_features",
+    # rolling stats over the 3 rows strictly before each row (leakage-
+    # safe shift-by-1); avg is reduction-order-stable here (<= 3 terms,
+    # same order both engines) but r6 anyway
+    f"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) ts,
+  value FROM events)
+SELECT event_id, user_id,
+{R6('avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id '
+    'ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)')} AS value_window_3_mean,
+max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS value_window_3_max
+FROM e""",
+)
+def q_window_features(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    op = ff.WindowFeatures(
+        ["value"], ["ts", "event_id"], window=3, functions=["mean", "max"],
+        partition_by=["user_id"],
+    )
+    out = op.transform(ev)
+    return out.select(
+        "event_id", "user_id",
+        r6(F.col("value_window_3_mean")).alias("value_window_3_mean"),
+        "value_window_3_max",
+    )
+
+
+@_reg(
+    "expanding_features",
+    # running sum over all strictly-earlier rows. sum (not mean): the
+    # expanding avg's accumulation order differs between engines at
+    # growing prefix lengths, while the windowed running sum is the
+    # same left-to-right prefix sum in both.
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) ts,
+  value FROM events)
+SELECT event_id, user_id,
+floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5)
+  / 1000000 AS value_expanding_sum
+FROM e""",
+)
+def q_expanding_features(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    op = ff.ExpandingWindowFeatures(
+        ["value"], ["ts", "event_id"], functions=["sum"],
+        partition_by=["user_id"],
+    )
+    out = op.transform(ev)
+    return out.select(
+        "event_id", "user_id",
+        r6(F.col("value_expanding_sum")).alias("value_expanding_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration order
 # ---------------------------------------------------------------------------
 
@@ -1853,6 +1932,7 @@ _VERIFY_FIRST = [
     "line_dedup", "unigram_logprob", "kmeans_cluster",
     "minmax_scale", "standard_scale", "robust_scale",
     "l2_normalize", "random_projection",
+    "lag_features", "window_features", "expanding_features",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

@@ -70,6 +70,7 @@ from .dedup import (
 from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK, KMeansClusterer
 from .multimodal import BinaryFeatureExtractor, FrameSampler
 from .embeddings import L2Normalizer, RandomProjection
+from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
 
@@ -85,6 +86,7 @@ __all__ = [
     "PowerTransformer", "BoxCoxTransformer", "YeoJohnsonTransformer",
     "ArcsinTransformer",
     "MinMaxScaler", "StandardScaler", "RobustScaler",
+    "LagFeatures", "WindowFeatures", "ExpandingWindowFeatures",
     "MathFeatures", "RelativeFeatures", "CyclicalFeatures", "JsonFeatures",
     "DatetimeFeatures", "DatetimeSubtraction",
     "DropFeatures", "DropConstantFeatures", "DropDuplicateFeatures",
