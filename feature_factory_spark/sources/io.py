@@ -16,6 +16,8 @@ _READERS = {
     ".parquet": lambda s, p, o: s.read.options(**o).parquet(p),
     ".csv": lambda s, p, o: s.read.options(header=True, inferSchema=True, **o).csv(p),
     ".json": lambda s, p, o: s.read.options(**o).json(p),
+    # LLM corpora ship as JSON Lines; Spark's json reader is line-oriented
+    ".jsonl": lambda s, p, o: s.read.options(**o).json(p),
     ".orc": lambda s, p, o: s.read.options(**o).orc(p),
 }
 

@@ -19,6 +19,15 @@ def test_read_dispatch_and_write_round_trip(spark, tmp_path):
         assert set(back.columns) == {"id", "k"}
 
 
+def test_read_jsonl_alias(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, k string")
+    p = str(tmp_path / "corpus.jsonl")
+    df.coalesce(1).write.json(p)
+    back = ffio.read(spark, p)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "k"}
+
+
 def test_read_unknown_extension_raises(spark):
     with pytest.raises(ff.UnsupportedFormatError):
         ffio.read(spark, "/tmp/file.xlsx")
