@@ -1831,6 +1831,27 @@ def q_random_projection(spark, sf_dir):
     )
 
 
+@_reg(
+    "running_stats",
+    # RunningAggregator's batch twin: the final running value of a finite
+    # input IS its total aggregate (stream path covered by
+    # tests/test_streaming_interop.py stream==batch check)
+    f"""SELECT event_type, count(value) AS n,
+{R6('sum(value)')} AS total, {R6('avg(value)')} AS mean_value
+FROM events GROUP BY event_type""",
+)
+def q_running_stats(spark, sf_dir):
+    from feature_factory_spark.streaming import RunningAggregator
+
+    ev = _events(spark, sf_dir)
+    out = RunningAggregator(["event_type"], "value").transform(ev)
+    return out.select(
+        "event_type", "n",
+        r6(F.col("total")).alias("total"),
+        r6(F.col("mean_value")).alias("mean_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # time-series features (operators/timeseries.py)
 # ---------------------------------------------------------------------------
@@ -1933,6 +1954,7 @@ _VERIFY_FIRST = [
     "minmax_scale", "standard_scale", "robust_scale",
     "l2_normalize", "random_projection",
     "lag_features", "window_features", "expanding_features",
+    "running_stats",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

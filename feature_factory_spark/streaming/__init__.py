@@ -10,6 +10,7 @@ application.
 """
 
 from .core import (
+    RunningAggregator,
     SessionWindowAggregator,
     StreamingDeduplicator,
     StreamingNotSupportedError,
@@ -22,6 +23,7 @@ __all__ = [
     "WindowedAggregator",
     "SessionWindowAggregator",
     "StreamingDeduplicator",
+    "RunningAggregator",
     "apply_pipeline_to_stream",
     "read_stream",
     "StreamingNotSupportedError",

@@ -208,3 +208,111 @@ class SessionWindowAggregator(Transformer):
             *self.keys,
             *self.aggs.keys(),
         )
+
+
+class RunningAggregator(Transformer):
+    """Per-key running count/sum/mean maintained across micro-batches
+    with EXPLICIT keyed state — the custom-stateful-operator pattern
+    (``applyInPandasWithState``) for semantics the built-in windowed
+    aggregations can't express: an all-history cumulative statistic per
+    key, updated and re-emitted every micro-batch.
+
+    Batch: collapses to one ``groupBy(keys).agg(count/sum/avg)`` — the
+    final running value of a finite input IS its total aggregate, which
+    is what the DuckDB oracle verifies (batch==stream duality, same
+    contract as the window aggregators).
+
+    Stream: state per key is two numbers (count, sum) — O(distinct keys)
+    memory, independent of stream length. The update function receives
+    Arrow-batched pandas frames (vectorized, not row-at-a-time) and
+    re-emits the key's updated row each batch (output mode 'update').
+    ``ttl`` (processing-time timeout, e.g. '1 hour') evicts idle keys so
+    unbounded key spaces (user ids over months) can't grow state without
+    bound; an evicted key that reappears restarts from zero — the
+    standard trade, documented rather than hidden.
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        value_col: str,
+        ttl: str | None = None,
+    ):
+        ensure(bool(keys), "at least one key column is required")
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.ttl = ttl
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.keys + [self.value_col])
+
+    def _out_schema(self, df: DataFrame):
+        from pyspark.sql import types as T
+
+        key_fields = [df.schema[k] for k in self.keys]
+        return T.StructType(
+            [*key_fields,
+             T.StructField("n", T.LongType()),
+             T.StructField("total", T.DoubleType()),
+             T.StructField("mean_value", T.DoubleType())]
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if not df.isStreaming:
+            # n counts non-null values (not rows) so all three statistics
+            # share one consistent denominator on both paths
+            return df.groupBy(*self.keys).agg(
+                F.count(self.value_col).alias("n"),
+                F.sum(F.col(self.value_col).cast("double")).alias("total"),
+                F.avg(F.col(self.value_col).cast("double")).alias("mean_value"),
+            )
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        value_col = self.value_col
+        keys = self.keys
+        ttl_ms = None
+        if self.ttl is not None:
+            # reuse Spark's interval parsing via a tiny literal plan is
+            # overkill driver-side; accept '<n> <unit>' with the units
+            # CalendarInterval supports in timeouts
+            qty, unit = self.ttl.split()
+            per = {"millisecond": 1, "second": 1000, "minute": 60_000,
+                   "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
+            ttl_ms = int(qty) * per
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.hasTimedOut:
+                state.remove()
+                return
+            cnt, tot = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                vals = pd.to_numeric(pdf[value_col], errors="coerce")
+                cnt += int(vals.notna().sum())
+                tot += float(vals.sum(skipna=True))
+            state.update((cnt, tot))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {
+                    **{k: [key[i]] for i, k in enumerate(keys)},
+                    "n": [cnt],
+                    "total": [tot],
+                    "mean_value": [tot / cnt if cnt else None],
+                }
+            )
+
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        )
+        return df.groupBy(*self.keys).applyInPandasWithState(
+            update,
+            outputStructType=self._out_schema(df),
+            stateStructType="cnt long, tot double",
+            outputMode="update",
+            timeoutConf=timeout,
+        )

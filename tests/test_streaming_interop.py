@@ -173,3 +173,53 @@ def test_ml_interop_stateless_is_transformer(spark):
 
     stage = as_ml_stage(ff.AddMissingIndicator(["x"]))
     assert isinstance(stage, MLTransformer)
+
+
+def test_running_aggregator_batch(spark):
+    from feature_factory_spark.streaming import RunningAggregator
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("a", None)],
+        "k string, v double",
+    )
+    out = RunningAggregator(["k"], "v").transform(df)
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["a"]["n"] == 2 and rows["a"]["total"] == 4.0
+    assert rows["a"]["mean_value"] == 2.0
+    assert rows["b"]["n"] == 1 and rows["b"]["mean_value"] == 10.0
+
+
+def test_running_aggregator_stream_matches_batch(spark, events, tmp_path):
+    from feature_factory_spark.streaming import RunningAggregator
+
+    src = str(tmp_path / "run_src")
+    events.write.parquet(src)
+    stream = read_stream(spark, src, events.schema)
+    agg = RunningAggregator(["event_type"], "value")
+    out = agg.transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the LAST emitted row per key is the final running value == batch agg
+    got = {
+        r["event_type"]: r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY n DESC) rn
+                 FROM running_stats) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["event_type"]: r
+        for r in agg.transform(events).collect()
+    }
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        assert got[k]["n"] == e["n"]
+        assert got[k]["total"] == pytest.approx(e["total"])
