@@ -47,11 +47,33 @@ def main() -> None:
     final = near.transform(deduped)
     print(f"after dedup: {final.count()}")
 
-    # 3. similarity search over embeddings
+    # 3. corpus-level cleaning + scoring: boilerplate segment removal
+    #    and a unigram-LM junk score fitted on the surviving corpus
+    cleaned = ff.LineDeduplicator(
+        "doc_id", "text", sep=" ", min_doc_fraction=0.8
+    ).transform(final)
+    lm = ff.UnigramLogProbScorer("text", "doc_id").fit(cleaned)
+    cleaned = lm.transform(cleaned)
+    cleaned.select("doc_id", "text_removed_segments", "text_unigram_logprob") \
+        .orderBy("text_unigram_logprob").show(5)
+
+    # 4. similarity search + topic bucketing over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 3)
     topk = ff.CosineTopK("embedding", "vec_id", k=3).search(emb, queries)
     topk.show()
+    clustered = (
+        ff.KMeansClusterer("embedding", "vec_id", k=4, iterations=2)
+        .fit(emb).transform(emb)
+    )
+    clustered.groupBy("cluster").count().orderBy("cluster").show()
+
+    # 5. mix sources using the cluster id as the mixing key
+    mixed = ff.WeightedSampler(
+        "vec_id", "cluster_str", fractions={"0": 1.0, "1": 0.5},
+        default_fraction=0.25,
+    ).transform(clustered.withColumn("cluster_str", F.col("cluster").cast("string")))
+    print(f"mixed corpus rows: {mixed.count()}")
     spark.stop()
 
 
