@@ -93,7 +93,14 @@ class OneHotEncoder(Transformer):
 class CountFrequencyEncoder(Transformer):
     """fit: category -> count map (one melted job for all columns);
     transform: category replaced by its bigint count, unseen -> 0
-    (categorical.rs:262-313)."""
+    (categorical.rs:262-313).
+
+    >>> df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    >>> enc = CountFrequencyEncoder(["k"]).fit(df)
+    >>> new = spark.createDataFrame([("a",), ("zzz",)], "k string")
+    >>> sorted(r["k"] for r in enc.transform(new).collect())
+    [0, 2]
+    """
 
     def __init__(self, columns: list[str]):
         self.columns = require_nonempty_columns(columns)

@@ -585,6 +585,13 @@ class LineDeduplicator(Transformer):
     at 1000x the data (an absolute 'in >= 100 docs' bar means something
     different in a 10^4-doc corpus than in a 10^9-doc one). It costs one
     extra tiny job (a countDistinct of the id column) at transform time.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "unique BOILERPLATE"), (2, "BOILERPLATE other")],
+    ...     ["doc_id", "text"])
+    >>> out = LineDeduplicator("doc_id", "text", min_docs=2, sep=" ").transform(df)
+    >>> sorted((r["doc_id"], r["text"]) for r in out.collect())
+    [(1, 'unique'), (2, 'other')]
     """
 
     def __init__(

@@ -30,7 +30,13 @@ from .dedup import _hyperplanes
 class L2Normalizer(Transformer):
     """Replace ``vec_col`` (or write ``out_col``) with the L2-normalized
     vector, as array<double>. Zero vectors stay zero (no NaN/ANSI
-    division error)."""
+    division error).
+
+    >>> df = spark.createDataFrame([(1, [3.0, 4.0])], ["id", "embedding"])
+    >>> out = L2Normalizer("embedding").transform(df)
+    >>> [round(x, 4) for x in out.collect()[0]["embedding"]]
+    [0.6, 0.8]
+    """
 
     def __init__(self, vec_col: str, out_col: str | None = None):
         self.vec_col = vec_col

@@ -48,6 +48,13 @@ class MeanMedianImputer(Transformer):
     (imputation.rs:134-138); we implement it with Spark's exact
     ``percentile(col, 0.5)`` (oracle twin: DuckDB ``quantile_cont(col, 0.5)``),
     or t-digest ``approx_percentile`` when ``approx=True``.
+
+    >>> df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    >>> imp = MeanMedianImputer(["x"]).fit(df)
+    >>> imp.impute_values
+    {'x': 2.0}
+    >>> imp.transform(df).where("x IS NULL").count()
+    0
     """
 
     def __init__(self, columns: list[str], strategy: str = "mean", approx: bool = False):

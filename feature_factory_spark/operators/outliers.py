@@ -47,7 +47,14 @@ class Winsorizer(Transformer):
     """fit: learn [p_lo, p_hi] percentiles per column; transform: cap
     (outliers.rs:216-300). Validation: each p in [0,1], lo < hi
     (outliers.rs:238-255). One quantile job for all columns and both tails
-    (vs two jobs per column in the reference, outliers.rs:59-161)."""
+    (vs two jobs per column in the reference, outliers.rs:59-161).
+
+    >>> df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    >>> w = Winsorizer(["x"], 0.05, 0.95).fit(df)
+    >>> out = w.transform(df)
+    >>> out.agg({"x": "max"}).collect()[0][0] <= 96.0
+    True
+    """
 
     def __init__(
         self,

@@ -116,7 +116,16 @@ class HashSplitter(Transformer):
     cumulative hash-bucket thresholds, e.g. {'train': 0.9, 'valid': 0.05,
     'test': 0.05}. Assignment is per-row deterministic and independent of
     everything except (salt, id) — train/test never leak into each other
-    across reruns or engine moves."""
+    across reruns or engine moves.
+
+    >>> df = spark.range(1000)
+    >>> sp = HashSplitter("id", {"train": 0.8, "test": 0.2})
+    >>> out = sp.transform(df)
+    >>> counts = {r["split"]: r["count"]
+    ...           for r in out.groupBy("split").count().collect()}
+    >>> 700 < counts["train"] < 900 and counts["train"] + counts["test"] == 1000
+    True
+    """
 
     def __init__(
         self,

@@ -34,7 +34,13 @@ def _safe_scale_expr(col: Column, center: float, scale: float) -> Column:
 class MinMaxScaler(Transformer):
     """fit: per-column min/max (one job, functions/stats.column_min_max);
     transform: x -> (x - min) / (max - min) scaled into ``feature_range``.
-    Constant columns map to the range lower bound."""
+    Constant columns map to the range lower bound.
+
+    >>> df = spark.createDataFrame([(10.0,), (20.0,), (30.0,)], "x double")
+    >>> sc = MinMaxScaler(["x"]).fit(df)
+    >>> sorted(r["x"] for r in sc.transform(df).collect())
+    [0.0, 0.5, 1.0]
+    """
 
     def __init__(
         self, columns: list[str], feature_range: tuple[float, float] = (0.0, 1.0)

@@ -66,7 +66,14 @@ class _TimeSeriesBase(Transformer):
 class LagFeatures(_TimeSeriesBase):
     """Append ``{col}_lag_{p}`` for every column and every period in
     ``periods`` (feature-engine LagFeatures). Rows without ``p``
-    predecessors get NULL."""
+    predecessors get NULL.
+
+    >>> df = spark.createDataFrame(
+    ...     [("u", 1, 10.0), ("u", 2, 20.0)], "k string, t int, v double")
+    >>> out = LagFeatures(["v"], ["t"], partition_by=["k"]).transform(df)
+    >>> [r["v_lag_1"] for r in out.orderBy("t").collect()]
+    [None, 10.0]
+    """
 
     def __init__(
         self,

@@ -2,10 +2,10 @@
 so copies of one base doc form a near-dup cluster) and check MinHash
 dedup wall time grows ~linearly, not quadratically.
 
-Observed on local[32] at sf0.1 (2026-08): 5,000 docs / 256 pairs in
-~9 s -> 50,000 docs / ~250k pairs in ~40 s — 4.5x time for 10x docs and
-~1000x verified pairs. The banded bucket join is what keeps the pair
-explosion off the critical path.
+Observed on local[32] at sf0.1 (2026-08, round 3): 5,000 docs / 256
+pairs in 7.8 s -> 50,000 docs / ~250k pairs in 12.6 s — 1.6x time for
+10x docs and ~1000x verified pairs. The banded bucket join is what keeps
+the pair explosion off the critical path.
 
 Usage: python scripts/scale_sanity.py [copies]
 """
