@@ -111,3 +111,50 @@ def test_format_2dp_matches_sql_formula(x):
     sign = "-" if scaled < 0 else ""
     expect = f"{sign}{abs(scaled) // 100}.{abs(scaled) % 100:02d}"
     assert format_2dp(x) == expect
+
+
+WORD = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+
+
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_line_dedup_high_threshold_is_identity(spark, docs):
+    # with a threshold above the corpus size nothing can be removed, and
+    # the reassembly must round-trip every document byte-for-byte
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    out = ff.LineDeduplicator(
+        "doc_id", "text", min_docs=len(docs) + 1, sep=" "
+    ).transform(df)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {i: d for i, d in enumerate(docs)}
+    assert all(r["text_removed_segments"] == 0 for r in out.collect())
+
+
+@given(
+    vals=st.lists(FINITE, min_size=2, max_size=30),
+)
+@settings(**SETTINGS)
+def test_minmax_scaler_output_in_feature_range(spark, vals):
+    df = _df(spark, vals)
+    out = ff.MinMaxScaler(["x"]).fit(df).transform(df)
+    got = [r["x"] for r in out.collect()]
+    assert all(-1e-9 <= v <= 1 + 1e-9 for v in got)
+
+
+@given(seq=st.lists(FINITE, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_lag_shifts_exactly(spark, seq):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(seq)], "t int, v double"
+    )
+    out = ff.LagFeatures(["v"], ["t"]).transform(df).orderBy("t")
+    lags = [r["v_lag_1"] for r in out.collect()]
+    assert lags == [None] + seq[:-1]
