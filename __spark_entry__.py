@@ -1831,6 +1831,19 @@ def q_random_projection(spark, sf_dir):
     )
 
 
+@_reg("tree_discretize", None)  # distributed tree fit: not SQL-expressible
+def q_tree_discretize(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    op = ff.DecisionTreeDiscretiser(
+        ["l_extendedprice"], "l_quantity", max_depth=3
+    )
+    out = op.fit(li).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").alias("price_bin"),
+    )
+
+
 @_reg(
     "running_stats",
     # RunningAggregator's batch twin: the final running value of a finite
@@ -1954,7 +1967,7 @@ _VERIFY_FIRST = [
     "minmax_scale", "standard_scale", "robust_scale",
     "l2_normalize", "random_projection",
     "lag_features", "window_features", "expanding_features",
-    "running_stats",
+    "running_stats", "tree_discretize",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

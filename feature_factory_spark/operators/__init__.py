@@ -10,6 +10,7 @@ from .categorical import (
 )
 from .datetime_features import DatetimeFeatures, DatetimeSubtraction
 from .discretization import (
+    DecisionTreeDiscretiser,
     ArbitraryDiscretizer,
     EqualFrequencyDiscretizer,
     EqualWidthDiscretizer,
@@ -81,6 +82,7 @@ __all__ = [
     "MeanEncoder", "WoEEncoder", "RareLabelEncoder",
     "ArbitraryDiscretizer", "EqualFrequencyDiscretizer",
     "EqualWidthDiscretizer", "GeometricWidthDiscretizer",
+    "DecisionTreeDiscretiser",
     "ArbitraryOutlierCapper", "Winsorizer", "OutlierTrimmer",
     "LogTransformer", "LogCpTransformer", "ReciprocalTransformer",
     "PowerTransformer", "BoxCoxTransformer", "YeoJohnsonTransformer",

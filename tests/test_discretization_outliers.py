@@ -119,3 +119,40 @@ def test_winsorizer_invalid_percentiles():
         ff.Winsorizer(["value"], 0.8, 0.2)
     with pytest.raises(ff.InvalidParameterError):
         ff.Winsorizer(["value"], -0.1, 0.5)
+
+
+class TestDecisionTreeDiscretiser:
+    def test_finds_step_boundary(self, spark):
+        rows = [(float(i), 0.0 if i < 50 else 100.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        dt = ff.DecisionTreeDiscretiser(["x"], "y", max_depth=1).fit(df)
+        ivs = dt.intervals_["x"]
+        assert len(ivs) == 2
+        # the single split lands between the two target plateaus
+        assert 49.0 <= ivs[0][1] <= 50.0
+        out = dt.transform(df)
+        assert out.select("x").distinct().count() == 2
+
+    def test_no_signal_yields_single_bin(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), 5.0) for i in range(10)], "x double, y double"
+        )
+        dt = ff.DecisionTreeDiscretiser(["x"], "y").fit(df)
+        assert len(dt.intervals_["x"]) == 1
+        out = dt.transform(df)
+        # last bin is closed: every value (incl. max) gets the one label
+        assert out.where("x IS NULL").count() == 0
+
+    def test_label_contract_matches_other_discretizers(self, spark):
+        rows = [(float(i), float(i > 5)) for i in range(10)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        dt = ff.DecisionTreeDiscretiser(["x"], "y", max_depth=1).fit(df)
+        label = dt.intervals_["x"][0][2]
+        assert label.startswith("[") and label.endswith(")")
+
+    def test_requires_fit(self, spark):
+        from feature_factory_spark.exceptions import FitNotCalledError
+
+        df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+        with pytest.raises(FitNotCalledError):
+            ff.DecisionTreeDiscretiser(["x"], "y").transform(df)
