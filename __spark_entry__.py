@@ -1831,6 +1831,39 @@ def q_random_projection(spark, sf_dir):
     )
 
 
+@_reg(
+    "oof_mean_encode",
+    # out-of-fold target encoding, rebuilt relationally: fold = md5-hash
+    # bucket (cross-engine 60-bit rule), oof mean = (category totals
+    # minus own-fold totals); single-fold categories fall back to the
+    # global out-of-fold mean
+    f"""WITH b AS (SELECT o_orderkey,
+  o_orderpriority k, o_totalprice y,
+  CAST(floor((('0x' || substr(md5('ff-oof' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+    / 1152921504606846976.0) * 5.0) AS INT) f
+FROM orders),
+m AS (SELECT o_orderkey, k, f,
+  sum(y) OVER (PARTITION BY k) ks, count(y) OVER (PARTITION BY k) kc,
+  sum(y) OVER (PARTITION BY k, f) kfs, count(y) OVER (PARTITION BY k, f) kfc,
+  sum(y) OVER () gs, count(y) OVER () gc,
+  sum(y) OVER (PARTITION BY f) fs, count(y) OVER (PARTITION BY f) fc
+FROM b)
+SELECT o_orderkey,
+{R6('''CASE WHEN kc - kfc = 0 THEN (gs - fs) / CAST(gc - fc AS DOUBLE)
+     ELSE (ks - kfs) / CAST(kc - kfc AS DOUBLE) END''')} AS priority_enc
+FROM m""",
+)
+def q_oof_mean_encode(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    enc = ff.OutOfFoldMeanEncoder(
+        ["o_orderpriority"], "o_totalprice", "o_orderkey", n_folds=5
+    )
+    out = enc.fit(orders).transform(orders)
+    return out.select(
+        "o_orderkey", r6(F.col("o_orderpriority")).alias("priority_enc")
+    )
+
+
 @_reg("tree_discretize", None)  # distributed tree fit: not SQL-expressible
 def q_tree_discretize(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -1967,7 +2000,7 @@ _VERIFY_FIRST = [
     "minmax_scale", "standard_scale", "robust_scale",
     "l2_normalize", "random_projection",
     "lag_features", "window_features", "expanding_features",
-    "running_stats", "tree_discretize",
+    "running_stats", "tree_discretize", "oof_mean_encode",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

@@ -2,6 +2,7 @@
 
 from .categorical import (
     CountFrequencyEncoder,
+    OutOfFoldMeanEncoder,
     MeanEncoder,
     OneHotEncoder,
     OrdinalEncoder,
@@ -80,6 +81,7 @@ __all__ = [
     "CategoricalImputer", "AddMissingIndicator", "DropMissingData",
     "OneHotEncoder", "CountFrequencyEncoder", "OrdinalEncoder",
     "MeanEncoder", "WoEEncoder", "RareLabelEncoder",
+    "OutOfFoldMeanEncoder",
     "ArbitraryDiscretizer", "EqualFrequencyDiscretizer",
     "EqualWidthDiscretizer", "GeometricWidthDiscretizer",
     "DecisionTreeDiscretiser",

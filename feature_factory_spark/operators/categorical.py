@@ -32,6 +32,7 @@ from ..pipeline import Transformer
 from ..validation import (
     ensure,
     require_nonempty_columns,
+    validate_columns,
     validate_numeric_columns,
     validate_string_columns,
 )
@@ -292,3 +293,88 @@ class RareLabelEncoder(Transformer):
                     cast_to="string",
                 )
         return out
+
+
+class OutOfFoldMeanEncoder(Transformer):
+    """Leakage-safe target (mean) encoding: each row's category is
+    replaced by the target mean computed from the OTHER folds, so no row
+    contributes to its own encoding — the cross-fitting scheme production
+    target encoders use (naive MeanEncoder leaks the row's own label,
+    which inflates high-cardinality categories into memorized features).
+
+    Folds are deterministic md5-hash buckets of ``id_col`` (the same
+    cross-engine-stable rule as HashSampler/HashSplitter) — fold
+    assignment survives reruns, partitioning changes, and engine moves,
+    so the encoding is reproducible and SQL-verifiable.
+
+    out-of-fold mean for (category g, fold f):
+        (sum_g - sum_{g,f}) / (cnt_g - cnt_{g,f})
+    i.e. one groupBy(category, fold) aggregate plus window totals over
+    the category — TWO exchanges on a skew-free composite key, however
+    many folds. Categories seen in only one fold fall back to the GLOBAL
+    out-of-fold mean for that fold (same formula, category dropped);
+    ``smoothing`` (>= 0 pseudo-observations of the global mean) shrinks
+    rare categories toward it.
+
+    Stateless-per-frame like the reference's selection operators: the
+    encoding is a pure plan over the input (fit is a no-op hook). Use
+    plain MeanEncoder fit on train for serving unseen data.
+    """
+
+    def __init__(
+        self,
+        columns: list[str],
+        target: str,
+        id_col: str,
+        n_folds: int = 5,
+        smoothing: float = 0.0,
+        salt: str = "ff-oof",
+    ):
+        ensure(n_folds >= 2, "n_folds must be >= 2")
+        ensure(smoothing >= 0.0, "smoothing must be >= 0")
+        self.columns = require_nonempty_columns(columns)
+        self.target = target
+        self.id_col = id_col
+        self.n_folds = n_folds
+        self.smoothing = smoothing
+        self.salt = salt
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+        validate_columns(df, [self.id_col])
+        validate_numeric_columns(df, [self.target])
+
+    def _fold_expr(self) -> Column:
+        from .sampling import hash_fraction_expr
+
+        return F.floor(
+            hash_fraction_expr(F.col(self.id_col), self.salt)
+            * F.lit(float(self.n_folds))
+        ).cast("int")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        out = df.withColumn("__ff_fold", self._fold_expr())
+        t = F.col(self.target).cast("double")
+        # global per-fold complements (for the fallback + smoothing prior)
+        gw = Window.partitionBy(F.lit(1))
+        fw = Window.partitionBy("__ff_fold")
+        out = out.withColumn(
+            "__ff_gmean",
+            (F.sum(t).over(gw) - F.sum(t).over(fw))
+            / (F.count(t).over(gw) - F.count(t).over(fw)),
+        )
+        for c in self.columns:
+            cw = Window.partitionBy(F.col(c))
+            cfw = Window.partitionBy(F.col(c), F.col("__ff_fold"))
+            oof_sum = F.sum(t).over(cw) - F.sum(t).over(cfw)
+            oof_cnt = F.count(t).over(cw) - F.count(t).over(cfw)
+            smoothed = F.try_divide(
+                oof_sum + F.lit(self.smoothing) * F.col("__ff_gmean"),
+                oof_cnt + F.lit(self.smoothing),
+            )
+            out = out.withColumn(
+                c, F.coalesce(smoothed, F.col("__ff_gmean")).cast("double")
+            )
+        return out.drop("__ff_fold", "__ff_gmean")

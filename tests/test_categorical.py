@@ -114,3 +114,71 @@ def test_broadcast_join_path_matches_when_chain(spark):
     out = enc.transform(df)
     got = {r["k"] for r in out.collect()}
     assert got == {1, 2, 3}
+
+
+class TestOutOfFoldMeanEncoder:
+    def test_no_row_sees_its_own_label(self, spark):
+        # one category; fold f's encoding must equal the mean of the
+        # OTHER folds' targets, never the global mean
+        rows = [(i, "a", float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "id bigint, k string, y double")
+        enc = ff.OutOfFoldMeanEncoder(["k"], "y", "id", n_folds=4)
+        out = enc.fit(df).transform(df).collect()
+        global_mean = sum(float(i) for i in range(40)) / 40
+        # with a non-constant target, at least one fold's oof mean must
+        # differ from the global mean (its own rows were excluded)
+        assert any(abs(r["k"] - global_mean) > 1e-9 for r in out)
+
+    def test_matches_hand_computation(self, spark):
+        import collections
+        import hashlib
+
+        rows = [(i, "a" if i % 2 == 0 else "b", float(i % 4)) for i in range(20)]
+        df = spark.createDataFrame(rows, "id bigint, k string, y double")
+        out = (
+            ff.OutOfFoldMeanEncoder(["k"], "y", "id", n_folds=4)
+            .fit(df).transform(df).collect()
+        )
+
+        def fold(i):
+            h = int(hashlib.md5(f"ff-oof{i}".encode()).hexdigest()[:15], 16)
+            return int(h / float(1 << 60) * 4)
+
+        sums = collections.defaultdict(float)
+        cnts = collections.defaultdict(int)
+        for i, k, y in rows:
+            sums[(k, fold(i))] += y
+            cnts[(k, fold(i))] += 1
+        for r in out:
+            i = r["id"]
+            k = "a" if i % 2 == 0 else "b"
+            s = sum(sums[(k, g)] for g in range(4) if g != fold(i))
+            c = sum(cnts[(k, g)] for g in range(4) if g != fold(i))
+            assert r["k"] == pytest.approx(s / c)
+
+    def test_single_fold_category_falls_back_to_global(self, spark):
+        # category "z" has one row -> its fold's oof count is 0 ->
+        # global out-of-fold mean fallback (not NULL, not 0)
+        rows = [(i, "a", 10.0) for i in range(30)] + [(100, "z", 99.0)]
+        df = spark.createDataFrame(rows, "id bigint, k string, y double")
+        out = ff.OutOfFoldMeanEncoder(["k"], "y", "id", n_folds=5).fit(df).transform(df)
+        z = [r for r in out.collect() if r["id"] == 100][0]
+        assert z["k"] is not None
+        assert 9.0 < z["k"] < 11.0  # global oof mean of mostly-10 corpus
+
+    def test_smoothing_shrinks_toward_global(self, spark):
+        rows = [(i, "rare" if i == 0 else "base", 100.0 if i == 0 else 0.0, )
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "id bigint, k string, y double")
+        plain = ff.OutOfFoldMeanEncoder(["k"], "y", "id", n_folds=5)
+        smooth = ff.OutOfFoldMeanEncoder(["k"], "y", "id", n_folds=5, smoothing=10.0)
+        p = {r["id"]: r["k"] for r in plain.fit(df).transform(df).collect()}
+        s = {r["id"]: r["k"] for r in smooth.fit(df).transform(df).collect()}
+        # base-category rows: smoothing pulls encodings toward the global
+        # mean (which includes the rare 100.0) -> strictly larger values
+        base_ids = [i for i in range(1, 50)]
+        assert all(s[i] >= p[i] for i in base_ids)
+
+    def test_fold_count_validated(self):
+        with pytest.raises(ff.InvalidParameterError):
+            ff.OutOfFoldMeanEncoder(["k"], "y", "id", n_folds=1)
