@@ -355,26 +355,52 @@ class OutOfFoldMeanEncoder(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
+        # Scale shape: NEVER a window over the raw frame — a global
+        # (lit-partitioned) window serializes the corpus through one
+        # task, and a per-category window makes every hot category a
+        # straggler. Instead every statistic reduces through groupBy
+        # (map-side partial aggregation eats the skew) down to
+        # cats x folds rows, windows run over THOSE tiny frames, and the
+        # results broadcast-join back onto the corpus.
         out = df.withColumn("__ff_fold", self._fold_expr())
         t = F.col(self.target).cast("double")
-        # global per-fold complements (for the fallback + smoothing prior)
-        gw = Window.partitionBy(F.lit(1))
-        fw = Window.partitionBy("__ff_fold")
-        out = out.withColumn(
-            "__ff_gmean",
-            (F.sum(t).over(gw) - F.sum(t).over(fw))
-            / (F.count(t).over(gw) - F.count(t).over(fw)),
+
+        # per-fold totals -> global out-of-fold mean per fold (n_folds rows)
+        ft = out.groupBy("__ff_fold").agg(
+            F.sum(t).alias("__ff_fs"), F.count(t).alias("__ff_fn")
         )
+        w_all = Window.partitionBy(F.lit(1))  # over n_folds rows — trivial
+        ft = ft.select(
+            "__ff_fold",
+            (
+                (F.sum("__ff_fs").over(w_all) - F.col("__ff_fs"))
+                / (F.sum("__ff_fn").over(w_all) - F.col("__ff_fn"))
+            ).alias("__ff_gmean"),
+        )
+        out = out.join(F.broadcast(ft), on="__ff_fold", how="left")
+
         for c in self.columns:
-            cw = Window.partitionBy(F.col(c))
-            cfw = Window.partitionBy(F.col(c), F.col("__ff_fold"))
-            oof_sum = F.sum(t).over(cw) - F.sum(t).over(cfw)
-            oof_cnt = F.count(t).over(cw) - F.count(t).over(cfw)
+            cf = out.groupBy(F.col(c).alias("__ff_cat"), "__ff_fold").agg(
+                F.sum(t).alias("__ff_s"), F.count(t).alias("__ff_n")
+            )
+            w_cat = Window.partitionBy("__ff_cat")  # over cats x folds rows
+            cf = cf.select(
+                "__ff_cat",
+                "__ff_fold",
+                (F.sum("__ff_s").over(w_cat) - F.col("__ff_s")).alias("__ff_os"),
+                (F.sum("__ff_n").over(w_cat) - F.col("__ff_n")).alias("__ff_on"),
+            )
+            out = out.join(
+                F.broadcast(cf),
+                on=[out[c].eqNullSafe(cf["__ff_cat"]),
+                    out["__ff_fold"] == cf["__ff_fold"]],
+                how="left",
+            ).drop(cf["__ff_fold"]).drop("__ff_cat")
             smoothed = F.try_divide(
-                oof_sum + F.lit(self.smoothing) * F.col("__ff_gmean"),
-                oof_cnt + F.lit(self.smoothing),
+                F.col("__ff_os") + F.lit(self.smoothing) * F.col("__ff_gmean"),
+                F.col("__ff_on") + F.lit(self.smoothing),
             )
             out = out.withColumn(
                 c, F.coalesce(smoothed, F.col("__ff_gmean")).cast("double")
-            )
+            ).drop("__ff_os", "__ff_on")
         return out.drop("__ff_fold", "__ff_gmean")
