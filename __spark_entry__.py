@@ -1978,6 +1978,110 @@ def q_expanding_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# temporal joins + profiling (operators/joins.py, operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "asof_join",
+    # as-of join: each purchase picks the most recent click at-or-before
+    # it per user (DuckDB ASOF JOIN is the exact relational twin of the
+    # union+window plan). value is a pass-through double -> bit-identical.
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) ts,
+  event_type, value FROM events),
+l AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts AS rts, value AS rv FROM e WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, l.value,
+r.rts AS ts_right, r.rv AS value_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts""",
+)
+def q_asof_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = ff.AsOfJoiner(right, on=["user_id"], ts_col="ts")
+    return j.transform(left)
+
+
+@_reg(
+    "grouped_topk",
+    # best-k-per-group selection (top 3 longest documents per source)
+    """SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) rn
+  FROM documents) t WHERE rn <= 3""",
+)
+def q_grouped_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tk = ff.GroupedTopK(["source"], "n_chars", k=3, tiebreak_cols=["doc_id"])
+    return tk.transform(docs)
+
+
+@_reg(
+    "column_profile",
+    # one-pass melted column statistics; mean/stddev are reduction-order
+    # sensitive -> r6 both sides; exact distinct for oracle parity
+    # (approx HLL is the default scale path, tested separately)
+    f"""SELECT 'l_quantity' AS column, 'count' AS metric,
+  CAST(count(l_quantity) AS DOUBLE) AS value_num, NULL AS value_str FROM lineitem
+UNION ALL SELECT 'l_quantity', 'nulls',
+  CAST(count(*) - count(l_quantity) AS DOUBLE), NULL FROM lineitem
+UNION ALL SELECT 'l_quantity', 'distinct',
+  CAST(count(DISTINCT l_quantity) AS DOUBLE), NULL FROM lineitem
+UNION ALL SELECT 'l_quantity', 'min', min(l_quantity), NULL FROM lineitem
+UNION ALL SELECT 'l_quantity', 'max', max(l_quantity), NULL FROM lineitem
+UNION ALL SELECT 'l_quantity', 'mean', {R6('avg(l_quantity)')}, NULL FROM lineitem
+UNION ALL SELECT 'l_quantity', 'stddev', {R6('stddev_samp(l_quantity)')}, NULL FROM lineitem
+UNION ALL SELECT 'l_returnflag', 'count',
+  CAST(count(l_returnflag) AS DOUBLE), NULL FROM lineitem
+UNION ALL SELECT 'l_returnflag', 'nulls',
+  CAST(count(*) - count(l_returnflag) AS DOUBLE), NULL FROM lineitem
+UNION ALL SELECT 'l_returnflag', 'distinct',
+  CAST(count(DISTINCT l_returnflag) AS DOUBLE), NULL FROM lineitem
+UNION ALL SELECT 'l_returnflag', 'min', NULL, min(l_returnflag) FROM lineitem
+UNION ALL SELECT 'l_returnflag', 'max', NULL, max(l_returnflag) FROM lineitem
+UNION ALL SELECT 'l_returnflag', 'avg_len',
+  {R6('avg(CAST(length(l_returnflag) AS DOUBLE))')}, NULL FROM lineitem""",
+)
+def q_column_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    prof = ff.ColumnProfiler(
+        columns=["l_quantity", "l_returnflag"], exact_distinct=True
+    ).profile(li)
+    return prof.select(
+        "column", "metric",
+        r6(F.col("value_num")).alias("value_num"), "value_str",
+    )
+
+
+@_reg(
+    "frequent_items",
+    # exact heavy hitters, melted (column, value, cnt), top-3 per column
+    """WITH pairs AS (
+  SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS "value"
+  FROM lineitem WHERE l_returnflag IS NOT NULL
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+  FROM lineitem WHERE l_linestatus IS NOT NULL),
+counts AS (SELECT "column", "value", count(*) cnt FROM pairs GROUP BY 1, 2)
+SELECT "column", "value", cnt FROM (
+  SELECT "column", "value", cnt,
+    row_number() OVER (PARTITION BY "column"
+                       ORDER BY cnt DESC, "value" ASC) rn
+  FROM counts) t WHERE rn <= 3""",
+)
+def q_frequent_items(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fi = ff.FrequentItems(["l_returnflag", "l_linestatus"], min_count=1, top_k=3)
+    return fi.frequent(li)
+
+
+# ---------------------------------------------------------------------------
 # registration order
 # ---------------------------------------------------------------------------
 
@@ -2001,6 +2105,7 @@ _VERIFY_FIRST = [
     "l2_normalize", "random_projection",
     "lag_features", "window_features", "expanding_features",
     "running_stats", "tree_discretize", "oof_mean_encode",
+    "asof_join", "grouped_topk", "column_profile", "frequent_items",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

@@ -75,6 +75,8 @@ from .embeddings import L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
+from .joins import AsOfJoiner, GroupedTopK
+from .profiling import ColumnProfiler, FrequentItems
 
 __all__ = [
     "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
@@ -108,4 +110,5 @@ __all__ = [
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "HashSampler", "HashSplitter", "SequencePacker", "WeightedSampler",
+    "AsOfJoiner", "GroupedTopK", "ColumnProfiler", "FrequentItems",
 ]

@@ -1,0 +1,228 @@
+"""Temporal joins for event/feature alignment (beyond the reference,
+SURVEY.md §2.3): the as-of join is the standard way to attach "the most
+recent observation at or before time t" (quotes to trades, feature
+snapshots to label events) without leaking future data.
+
+Spark-first design — the naive formulation is a range join
+(``l.ts >= r.ts`` equi-join on key) whose inner inequality makes Catalyst
+fall back to a per-key cross product: O(L×R) per key, a scale killer when
+a hot key holds millions of rows on both sides. Instead the two sides are
+UNIONed and resolved with ONE window pass:
+
+1. tag rows (right=0 / left=1), pack the right side's carried columns
+   into a single struct;
+2. one window per key ordered by (ts, tag): ``last(struct, ignorenulls)``
+   over ``unboundedPreceding..currentRow`` gives every left row the most
+   recent right row at-or-before it (the tag tie-break makes the match
+   inclusive); ``first(...)`` over the mirrored frame gives the forward
+   variant;
+3. keep left rows, unpack the struct, null it out when outside
+   ``tolerance``.
+
+Cost: one shuffle of L+R rows on the key — the same price as the
+equi-join Spark would run anyway, with no range-explosion term. Running
+state per partition is a single struct, so a 100 TB sorted-merge window
+never materializes a per-key buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..pipeline import Transformer
+from ..validation import ensure, validate_columns
+
+
+class AsOfJoiner(Transformer):
+    """Join each left row to the nearest right row at-or-before
+    (``direction='backward'``, the default) or at-or-after
+    (``'forward'``) its timestamp, per key.
+
+    Parameters
+    ----------
+    right : DataFrame
+        The lookup side. Its ``value_cols`` are appended to every left
+        row (with ``suffix`` on name collisions) plus a
+        ``<ts_col><suffix>`` column holding the matched timestamp.
+    on : list[str]
+        Equality key columns (present on both sides).
+    ts_col : str
+        Event-time column name (both sides; cast-compatible with
+        timestamp ordering).
+    value_cols : list[str] | None
+        Right columns to carry (default: all non-key, non-ts columns).
+    tolerance_seconds : float | None
+        Maximum |left.ts - right.ts|; matches farther away are nulled
+        (the row is kept — this is a left join).
+    direction : 'backward' | 'forward'
+
+    At equal timestamps the right row is eligible (inclusive, matching
+    DuckDB/pandas ``merge_asof`` semantics). Ties among right rows with
+    an identical (key, ts) resolve to an arbitrary-but-deterministic one
+    (max by the packed struct's ordering) — supply unique (key, ts) on
+    the right for fully specified output.
+    """
+
+    def __init__(
+        self,
+        right: DataFrame,
+        on: list[str],
+        ts_col: str,
+        value_cols: list[str] | None = None,
+        tolerance_seconds: float | None = None,
+        direction: str = "backward",
+        suffix: str = "_right",
+    ):
+        ensure(direction in ("backward", "forward"), "direction must be backward|forward")
+        ensure(bool(on), "at least one key column is required")
+        ensure(
+            tolerance_seconds is None or tolerance_seconds >= 0,
+            "tolerance_seconds must be >= 0",
+        )
+        self.right = right
+        self.on = list(on)
+        self.ts_col = ts_col
+        if value_cols is None:
+            value_cols = [
+                c for c in right.columns if c not in set(on) | {ts_col}
+            ]
+        ensure(bool(value_cols), "right side carries no value columns")
+        self.value_cols = list(value_cols)
+        self.tolerance_seconds = tolerance_seconds
+        self.direction = direction
+        self.suffix = suffix
+        validate_columns(right, self.on + [ts_col] + self.value_cols)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.on + [self.ts_col])
+
+    def _out_name(self, c: str, left_cols: set[str]) -> str:
+        return c + self.suffix if c in left_cols else c
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        ts, on = self.ts_col, self.on
+        left_cols = df.columns
+        # right rows carry their payload in one struct (ts first, so the
+        # arbitrary-tie max is by timestamp then payload — deterministic);
+        # left rows carry NULL so ignorenulls skips them.
+        payload = F.struct(
+            F.col(ts).alias("__ats"), *[F.col(c).alias(c) for c in self.value_cols]
+        )
+        r = self.right.select(
+            *on,
+            F.col(ts).alias("__ts"),
+            F.lit(0).alias("__tag"),
+            payload.alias("__p"),
+            *[F.lit(None).cast(df.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+        )
+        l = df.select(
+            *on,
+            F.col(ts).alias("__ts"),
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+            *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+        )
+        u = l.unionByName(r)
+        if self.direction == "backward":
+            # right (tag 0) sorts before left (tag 1) at equal ts ->
+            # inclusive; frame looks back.
+            w = (
+                Window.partitionBy(*on)
+                .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            matched = F.last(F.col("__p"), ignorenulls=True).over(w)
+        else:
+            # left first at equal ts, frame looks forward.
+            w = (
+                Window.partitionBy(*on)
+                .orderBy(F.col("__ts").asc(), F.col("__tag").desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            matched = F.first(F.col("__p"), ignorenulls=True).over(w)
+        out = u.select(
+            *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+            F.col("__tag"),
+            matched.alias("__m"),
+        ).filter(F.col("__tag") == 1)
+        if self.tolerance_seconds is not None:
+            gap = F.abs(
+                F.col(ts).cast("double") - F.col("__m.__ats").cast("double")
+            )
+            out = out.withColumn(
+                "__m",
+                F.when(gap <= F.lit(float(self.tolerance_seconds)), F.col("__m")),
+            )
+        lset = set(left_cols)
+        return out.select(
+            *left_cols,
+            F.col("__m.__ats").alias(ts + self.suffix),
+            *[
+                F.col(f"__m.{c}").alias(self._out_name(c, lset))
+                for c in self.value_cols
+            ],
+        )
+
+
+class GroupedTopK(Transformer):
+    """Keep the top ``k`` rows per group by ``order_col`` — the
+    "best-k documents per domain/source by quality score" selection
+    primitive.
+
+    Default plan: one hash shuffle on the group key + in-partition sort,
+    ``row_number() <= k`` (no full sort, no global limit). With
+    ``skew_safe=True`` a salted pre-pass first takes top-k per
+    (input-partition, group) — that window shuffles on the salted key, so
+    a pathological group with 10^9 rows spreads across every reducer and
+    ships at most k×num_partitions survivors into the final per-group
+    sort instead of all 10^9. Two shuffles total, no single-reducer
+    hotspot — the standard salted two-phase top-k at 100 TB.
+
+    Ties beyond position k are broken by ``tiebreak_cols`` (required for
+    deterministic output when scores repeat).
+    """
+
+    def __init__(
+        self,
+        group_cols: list[str],
+        order_col: str,
+        k: int,
+        ascending: bool = False,
+        tiebreak_cols: list[str] | None = None,
+        skew_safe: bool = False,
+    ):
+        ensure(k >= 1, "k must be >= 1")
+        ensure(bool(group_cols), "at least one group column is required")
+        self.group_cols = list(group_cols)
+        self.order_col = order_col
+        self.k = k
+        self.ascending = ascending
+        self.tiebreak_cols = list(tiebreak_cols or [])
+        self.skew_safe = skew_safe
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.group_cols + [self.order_col] + self.tiebreak_cols)
+
+    def _order(self) -> list[Column]:
+        main = F.col(self.order_col).asc() if self.ascending else F.col(self.order_col).desc()
+        return [main] + [F.col(c).asc() for c in self.tiebreak_cols]
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if self.skew_safe:
+            # salt = input partition id, materialized as a column BEFORE
+            # the window shuffle (nondeterministic exprs aren't allowed
+            # inside partitionBy itself)
+            pre = Window.partitionBy("__salt", *self.group_cols).orderBy(*self._order())
+            df = (
+                df.withColumn("__salt", F.spark_partition_id())
+                .withColumn("__rn0", F.row_number().over(pre))
+                .filter(F.col("__rn0") <= self.k)
+                .drop("__rn0", "__salt")
+            )
+        w = Window.partitionBy(*self.group_cols).orderBy(*self._order())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )

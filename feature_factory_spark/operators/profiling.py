@@ -1,0 +1,185 @@
+"""Corpus profiling: one-pass column statistics and heavy hitters
+(beyond the reference, SURVEY.md §2.3). At 100 TB you profile BEFORE you
+transform — null rates, cardinalities, and dominant values decide which
+operators to run at all.
+
+Both operators return DataFrames (melted long format), never driver-side
+dicts: profiles of a 10^5-column feature store stay distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipeline import Transformer
+from ..validation import ensure, validate_columns
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+class ColumnProfiler(Transformer):
+    """Per-column statistics in ONE aggregate job, melted to
+    ``(column, metric, value_num, value_str)``.
+
+    Metrics: ``count`` (non-null), ``nulls``, ``distinct``; numerics add
+    ``min / max / mean / stddev`` (as value_num); strings add lexical
+    ``min / max`` and ``avg_len`` (min/max as value_str).
+
+    Scale design: every statistic is an aggregate with a map-side partial
+    (count / min / max / sum-based mean+stddev), so the job is one scan +
+    one tiny shuffle of per-partition partials regardless of row count.
+    ``distinct`` defaults to ``approx_count_distinct`` (HyperLogLog++,
+    mergeable, one pass for ALL columns together); ``exact_distinct=True``
+    switches to exact ``count(distinct)``, which Spark executes via
+    expand — one extra shuffle, only sane for bounded-cardinality
+    columns or oracle comparison.
+
+    The melt runs on the single 1-row aggregate result — driver-scale,
+    not data-scale.
+    """
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        exact_distinct: bool = False,
+        rsd: float = 0.05,
+    ):
+        ensure(0.0 < rsd < 1.0, "rsd must be in (0,1)")
+        self.columns = list(columns) if columns else None
+        self.exact_distinct = exact_distinct
+        self.rsd = rsd
+
+    def _check_input(self, df: DataFrame) -> None:
+        if self.columns:
+            validate_columns(df, self.columns)
+
+    def _metric_exprs(self, df: DataFrame, c: str) -> list[tuple[str, Column, bool]]:
+        """(metric, aggregate expr, is_numeric_output) triples for col c."""
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        distinct = (
+            F.count_distinct(col)
+            if self.exact_distinct
+            else F.approx_count_distinct(col, self.rsd)
+        )
+        out: list[tuple[str, Column, bool]] = [
+            ("count", F.count(col), True),
+            ("nulls", F.count(F.lit(1)) - F.count(col), True),
+            ("distinct", distinct, True),
+        ]
+        if isinstance(dt, _NUMERIC):
+            out += [
+                ("min", F.min(col).cast("double"), True),
+                ("max", F.max(col).cast("double"), True),
+                ("mean", F.avg(col.cast("double")), True),
+                ("stddev", F.stddev_samp(col.cast("double")), True),
+            ]
+        elif isinstance(dt, T.StringType):
+            out += [
+                ("min", F.min(col), False),
+                ("max", F.max(col), False),
+                ("avg_len", F.avg(F.length(col).cast("double")), True),
+            ]
+        return out
+
+    def profile(self, df: DataFrame) -> DataFrame:
+        self._check_input(df)
+        cols = self.columns or [
+            c
+            for c in df.columns
+            if isinstance(df.schema[c].dataType, _NUMERIC + (T.StringType,))
+        ]
+        ensure(bool(cols), "no profilable (numeric or string) columns")
+        aggs, meta = [], []
+        for c in cols:
+            for metric, expr, is_num in self._metric_exprs(df, c):
+                slot = f"__{len(aggs)}"
+                aggs.append(expr.alias(slot))
+                meta.append((c, metric, slot, is_num))
+        wide = df.agg(*aggs)  # 1 row; partial-aggregated scan
+        rows = F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(metric).alias("metric"),
+                (F.col(slot).cast("double") if is_num else F.lit(None).cast("double")).alias("value_num"),
+                (F.lit(None).cast("string") if is_num else F.col(slot).cast("string")).alias("value_str"),
+            )
+            for c, metric, slot, is_num in meta
+        ])
+        return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return self.profile(df)
+
+
+class FrequentItems(Transformer):
+    """Exact heavy hitters per column: values occurring at least
+    ``min_count`` times (and/or the ``top_k`` most frequent), melted to
+    ``(column, value, cnt)``.
+
+    Plan: the probed columns are exploded to (column, value) pairs —
+    a narrow ×C row multiply, no shuffle — then ONE
+    ``groupBy(column, value).count()``. Spark's hash aggregate applies
+    map-side partial counting, so the shuffle carries at most
+    (partitions × distinct values) partial rows, not the corpus: the
+    same two-phase structure Misra-Gries/count-min approximations
+    exist to emulate, but exact, because the post-combine volume is
+    bounded by cardinality rather than row count. ``top_k`` adds a
+    per-column row_number window over the (tiny) distinct-value frame.
+    """
+
+    def __init__(
+        self,
+        columns: list[str],
+        min_count: int = 2,
+        top_k: int | None = None,
+    ):
+        ensure(bool(columns), "at least one column is required")
+        ensure(min_count >= 1, "min_count must be >= 1")
+        ensure(top_k is None or top_k >= 1, "top_k must be >= 1")
+        self.columns = list(columns)
+        self.min_count = min_count
+        self.top_k = top_k
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.columns)
+
+    def frequent(self, df: DataFrame) -> DataFrame:
+        self._check_input(df)
+        pairs = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in self.columns
+                ])
+            ).alias("p")
+        ).select("p.*")
+        counts = (
+            pairs.filter(F.col("value").isNotNull())
+            .groupBy("column", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= self.min_count)
+        )
+        if self.top_k is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("column").orderBy(
+                F.col("cnt").desc(), F.col("value").asc()
+            )
+            counts = (
+                counts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= self.top_k)
+                .drop("__rn")
+            )
+        return counts
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return self.frequent(df)

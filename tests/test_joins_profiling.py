@@ -1,0 +1,173 @@
+"""AsOfJoiner / GroupedTopK / ColumnProfiler / FrequentItems."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+
+
+def ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # key A: quotes at minute 0, 10, 20; key B: quote at minute 5
+    return spark.createDataFrame(
+        [
+            ("A", ts(0), 1.0),
+            ("A", ts(10), 2.0),
+            ("A", ts(20), 3.0),
+            ("B", ts(5), 9.0),
+        ],
+        "k string, t timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts(0), 100),   # exact tie -> inclusive match px=1.0
+            ("A", ts(15), 101),  # latest prior is minute 10 -> 2.0
+            ("A", ts(25), 102),  # -> 3.0
+            ("B", ts(4), 103),   # before any quote -> NULL
+            ("C", ts(9), 104),   # key never quoted -> NULL
+        ],
+        "k string, t timestamp, qty int",
+    )
+
+
+class TestAsOfJoiner:
+    def test_backward(self, quotes, trades):
+        j = ff.AsOfJoiner(quotes, on=["k"], ts_col="t", value_cols=["px"])
+        out = {r["qty"]: r["px"] for r in j.transform(trades).collect()}
+        assert out == {100: 1.0, 101: 2.0, 102: 3.0, 103: None, 104: None}
+
+    def test_backward_matched_ts(self, quotes, trades):
+        j = ff.AsOfJoiner(quotes, on=["k"], ts_col="t")
+        row = {r["qty"]: r["t_right"] for r in j.transform(trades).collect()}
+        assert row[101] == ts(10)
+        assert row[103] is None
+
+    def test_forward(self, quotes, trades):
+        j = ff.AsOfJoiner(quotes, on=["k"], ts_col="t", direction="forward")
+        out = {r["qty"]: r["px"] for r in j.transform(trades).collect()}
+        # forward: first quote at-or-after the trade
+        assert out == {100: 1.0, 101: 3.0, 102: None, 103: 9.0, 104: None}
+
+    def test_tolerance(self, quotes, trades):
+        j = ff.AsOfJoiner(
+            quotes, on=["k"], ts_col="t", tolerance_seconds=300.0
+        )
+        out = {r["qty"]: r["px"] for r in j.transform(trades).collect()}
+        # trade 101 at minute 15 matches quote at minute 10: 300s -> kept;
+        # trade 102 at 25 matches 20: kept; exact tie gap 0 kept
+        assert out == {100: 1.0, 101: 2.0, 102: 3.0, 103: None, 104: None}
+        j2 = ff.AsOfJoiner(quotes, on=["k"], ts_col="t", tolerance_seconds=100.0)
+        out2 = {r["qty"]: r["px"] for r in j2.transform(trades).collect()}
+        assert out2 == {100: 1.0, 101: None, 102: None, 103: None, 104: None}
+
+    def test_left_rows_preserved(self, quotes, trades):
+        j = ff.AsOfJoiner(quotes, on=["k"], ts_col="t")
+        assert j.transform(trades).count() == trades.count()
+
+    def test_name_collision_suffix(self, spark, quotes):
+        left = spark.createDataFrame(
+            [("A", ts(15), 7.7)], "k string, t timestamp, px double"
+        )
+        out = ff.AsOfJoiner(quotes, on=["k"], ts_col="t").transform(left)
+        assert set(out.columns) == {"k", "t", "px", "t_right", "px_right"}
+        r = out.collect()[0]
+        assert r["px"] == 7.7 and r["px_right"] == 2.0
+
+
+class TestGroupedTopK:
+    def test_basic(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, float(i % 5)) for i in range(20)]
+            + [("b", 100 + i, float(i)) for i in range(3)],
+            "g string, id long, score double",
+        )
+        tk = ff.GroupedTopK(["g"], "score", k=2, tiebreak_cols=["id"])
+        rows = sorted(
+            (r["g"], r["id"]) for r in tk.transform(df).collect()
+        )
+        # group a: score 4.0 ids 4 and 9 (smallest ids on tie)
+        assert rows == [("a", 4), ("a", 9), ("b", 101), ("b", 102)]
+
+    def test_skew_safe_same_result(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, float((i * 37) % 101)) for i in range(500)],
+            "g string, id long, score double",
+        ).repartition(8)
+        plain = ff.GroupedTopK(["g"], "score", k=5, tiebreak_cols=["id"])
+        salted = ff.GroupedTopK(
+            ["g"], "score", k=5, tiebreak_cols=["id"], skew_safe=True
+        )
+        a = sorted(r["id"] for r in plain.transform(df).collect())
+        b = sorted(r["id"] for r in salted.transform(df).collect())
+        assert a == b and len(a) == 5
+
+    def test_ascending(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, 5.0), ("g", 2, 1.0), ("g", 3, 3.0)],
+            "g string, id long, score double",
+        )
+        tk = ff.GroupedTopK(["g"], "score", k=1, ascending=True)
+        assert tk.transform(df).collect()[0]["id"] == 2
+
+
+class TestColumnProfiler:
+    def test_profile(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, "x"), (2.0, "y"), (None, "x"), (4.0, None)],
+            "n double, s string",
+        )
+        p = ff.ColumnProfiler(exact_distinct=True).profile(df)
+        m = {(r["column"], r["metric"]): r for r in p.collect()}
+        assert m[("n", "count")]["value_num"] == 3
+        assert m[("n", "nulls")]["value_num"] == 1
+        assert m[("n", "distinct")]["value_num"] == 3
+        assert m[("n", "min")]["value_num"] == 1.0
+        assert m[("n", "max")]["value_num"] == 4.0
+        assert m[("n", "mean")]["value_num"] == pytest.approx(7.0 / 3)
+        assert m[("s", "min")]["value_str"] == "x"
+        assert m[("s", "max")]["value_str"] == "y"
+        assert m[("s", "avg_len")]["value_num"] == 1.0
+        assert m[("s", "nulls")]["value_num"] == 1
+
+    def test_approx_distinct_close(self, spark):
+        df = spark.range(1000).select(F.col("id").cast("double").alias("n"))
+        p = ff.ColumnProfiler(columns=["n"]).profile(df)
+        d = {r["metric"]: r["value_num"] for r in p.collect()}
+        # rsd=0.05 is ONE standard error; allow 4 sigma
+        assert abs(d["distinct"] - 1000) / 1000 < 0.2
+
+    def test_skips_unprofilable(self, spark):
+        df = spark.createDataFrame([([1, 2], 1.0)], "arr array<int>, n double")
+        cols = {r["column"] for r in ff.ColumnProfiler().profile(df).collect()}
+        assert cols == {"n"}
+
+
+class TestFrequentItems:
+    def test_min_count_and_topk(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("a",), ("b",), ("b",), ("c",), (None,)],
+            "v string",
+        )
+        out = ff.FrequentItems(["v"], min_count=2).frequent(df)
+        m = {r["value"]: r["cnt"] for r in out.collect()}
+        assert m == {"a": 3, "b": 2}
+        top1 = ff.FrequentItems(["v"], min_count=1, top_k=1).frequent(df)
+        assert [(r["value"], r["cnt"]) for r in top1.collect()] == [("a", 3)]
+
+    def test_multi_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "y")], "a int, b string"
+        )
+        out = ff.FrequentItems(["a", "b"], min_count=2).frequent(df)
+        m = {(r["column"], r["value"]): r["cnt"] for r in out.collect()}
+        assert m == {("a", "1"): 2, ("b", "y"): 2}
