@@ -2014,6 +2014,38 @@ def q_asof_join(spark, sf_dir):
 
 
 @_reg(
+    "interval_join",
+    # bin-blocked point-in-interval join: views landing inside the 10-min
+    # window after each error, per user. The oracle is the plain
+    # inequality join the bin plan must reproduce exactly.
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) ts,
+  event_type FROM events),
+l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+r AS (SELECT event_id AS err_id, user_id, ts AS w_start,
+  ts + INTERVAL 10 MINUTE AS w_end FROM e WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, l.ts, r.w_start, r.w_end, r.err_id
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.w_start <= l.ts AND l.ts < r.w_end""",
+)
+def q_interval_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    j = ff.IntervalJoiner(
+        right, on=["user_id"], point_col="ts",
+        start_col="w_start", end_col="w_end", bin_width_seconds=600,
+    )
+    return j.transform(left)
+
+
+@_reg(
     "grouped_topk",
     # best-k-per-group selection (top 3 longest documents per source)
     """SELECT doc_id, source, n_chars FROM (
@@ -2111,7 +2143,8 @@ _VERIFY_FIRST = [
     "l2_normalize", "random_projection",
     "lag_features", "window_features", "expanding_features",
     "running_stats", "tree_discretize", "oof_mean_encode",
-    "asof_join", "grouped_topk", "column_profile", "frequent_items",
+    "asof_join", "interval_join", "grouped_topk", "column_profile",
+    "frequent_items",
 ]
 _REGISTRY = {
     **{k: _REGISTRY[k] for k in _VERIFY_FIRST},

@@ -75,7 +75,7 @@ from .embeddings import L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
-from .joins import AsOfJoiner, GroupedTopK
+from .joins import AsOfJoiner, GroupedTopK, IntervalJoiner
 from .profiling import ColumnProfiler, FrequentItems
 
 __all__ = [
@@ -110,5 +110,6 @@ __all__ = [
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "HashSampler", "HashSplitter", "SequencePacker", "WeightedSampler",
-    "AsOfJoiner", "GroupedTopK", "ColumnProfiler", "FrequentItems",
+    "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
+    "ColumnProfiler", "FrequentItems",
 ]

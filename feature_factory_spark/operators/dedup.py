@@ -447,6 +447,35 @@ def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def hyperplane_sig_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i of the result is 1 iff
+    vec . planes[i] >= 0 (bigint, so up to 63 planes).
+
+    The plane matrix is ONE nested-array Literal and the n dot products
+    come from a single transform — not n independent folds over n x dim
+    Literal nodes — keeping plan analysis and generated-code size O(1)
+    in n_planes x dim. The per-plane dot is the same sequential
+    zip_with/aggregate fold as before, so signature values are
+    unchanged."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    powers = F.lit([1 << i for i in range(len(planes))]).cast("array<bigint>")
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots, powers, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 class EmbeddingDeduplicator(Transformer):
     """Embedding-cosine near-dup removal.
 
@@ -489,17 +518,7 @@ class EmbeddingDeduplicator(Transformer):
 
     def _signature_expr(self) -> Column:
         planes = _hyperplanes(self.n_planes, self.dim, self.seed)
-        v = F.col("vec")
-        sig = F.lit(0)
-        for i, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(v, plane_col, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return sig
+        return hyperplane_sig_expr(F.col("vec"), planes)
 
     def candidate_pairs(self, df: DataFrame) -> DataFrame:
         """Verified pairs (a_id, b_id, cosine), a_id < b_id."""

@@ -95,9 +95,10 @@ class RandomProjection(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         vec = F.col(self.vec_col)
-        planes_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in p]) for p in self.planes()]
-        )
+        # one nested-array Literal (out_dim x in_dim values in a single
+        # node), not out_dim x in_dim Literal nodes: plan analysis and
+        # codegen stay O(1) in the projection size
+        planes_lit = F.lit([[float(x) for x in p] for p in self.planes()])
         projected = F.transform(planes_lit, lambda p: dot_expr(vec, p))
         if self.out_col == self.vec_col:
             cols = [

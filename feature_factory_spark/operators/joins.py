@@ -165,6 +165,134 @@ class AsOfJoiner(Transformer):
         )
 
 
+class IntervalJoiner(Transformer):
+    """Join left point rows to right interval rows containing them:
+    ``l.key = r.key AND r.start <= l.point < r.end`` — event-to-session,
+    trade-to-auction-window, reading-to-maintenance-window attachment.
+
+    Spark executes a naive equi+range join as a sort-merge on the key
+    alone and cross-products each key's rows before applying the range
+    filter — O(|L_k| x |R_k|) per key, unusable when one key holds
+    millions of rows. This operator bin-blocks instead:
+
+    1. each interval row explodes to the ``bin_width_seconds``-wide epoch
+       bins it overlaps (fan-out = ceil(len/width)+1; intervals spanning
+       more than ``max_bins_per_interval`` bins are excluded from the
+       join — size the bin width to the longest legitimate interval);
+    2. each point row computes its single containing bin;
+    3. equi-join on (key, bin) — a plain hash/sort-merge join with
+       pushdown-able keys — then the exact range predicate filters.
+
+    A point has exactly ONE bin, so every (point, interval) pair meets at
+    most once: no post-join dedup. Pick ``bin_width_seconds`` near the
+    typical interval length — fan-out stays ~2 and the join carries no
+    cross-product term at any key skew.
+
+    ``how='left'`` keeps unmatched points with null right columns (one
+    extra anti-join branch over the same bin-blocked plan).
+    """
+
+    def __init__(
+        self,
+        right: DataFrame,
+        on: list[str],
+        point_col: str,
+        start_col: str,
+        end_col: str,
+        bin_width_seconds: int = 3600,
+        value_cols: list[str] | None = None,
+        how: str = "inner",
+        suffix: str = "_right",
+        max_bins_per_interval: int = 10_000,
+    ):
+        ensure(bool(on), "at least one key column is required")
+        ensure(bin_width_seconds >= 1, "bin_width_seconds must be >= 1")
+        ensure(how in ("inner", "left"), "how must be inner|left")
+        self.right = right
+        self.on = list(on)
+        self.point_col = point_col
+        self.start_col = start_col
+        self.end_col = end_col
+        self.bin_width = int(bin_width_seconds)
+        if value_cols is None:
+            value_cols = [
+                c
+                for c in right.columns
+                if c not in set(on) | {start_col, end_col}
+            ]
+        self.value_cols = list(value_cols)
+        self.how = how
+        self.suffix = suffix
+        self.max_bins = max_bins_per_interval
+        validate_columns(right, self.on + [start_col, end_col] + self.value_cols)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, self.on + [self.point_col])
+
+    def _bin(self, c: Column) -> Column:
+        return F.floor(c.cast("double") / F.lit(float(self.bin_width))).cast("bigint")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        on = self.on
+        sb, eb = self._bin(F.col(self.start_col)), self._bin(
+            F.col(self.end_col)
+        )
+        # guard against adversarial fan-out: an interval spanning more
+        # than max_bins_per_interval bins is EXCLUDED from the join (a
+        # 10-year interval at 1s bins would explode to 3e8 rows). Size
+        # bin_width to the longest legitimate interval instead.
+        r = (
+            self.right.filter((eb - sb) <= F.lit(self.max_bins))
+            .select(
+                *[F.col(c).alias(f"__r_{c}") for c in on],
+                F.col(self.start_col).alias("__start"),
+                F.col(self.end_col).alias("__end"),
+                F.explode(F.sequence(sb, eb)).alias("__bin"),
+                *[F.col(c).alias(f"__v_{c}") for c in self.value_cols],
+            )
+        )
+        pt_bin = self._bin(F.col(self.point_col))
+        l = df.withColumn("__bin", pt_bin)
+        cond = (
+            (F.col("__start") <= F.col(self.point_col))
+            & (F.col(self.point_col) < F.col("__end"))
+        )
+        for c in on:
+            cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+        joined = l.join(r, on=(l["__bin"] == r["__bin"]) & cond, how="inner")
+        lset = set(df.columns)
+
+        def out_name(c: str) -> str:
+            return c + self.suffix if c in lset else c
+
+        matched = joined.select(
+            *[l[c] for c in df.columns],
+            F.col("__start").alias(out_name(self.start_col)),
+            F.col("__end").alias(out_name(self.end_col)),
+            *[F.col(f"__v_{c}").alias(out_name(c)) for c in self.value_cols],
+        )
+        if self.how == "inner":
+            return matched
+        unmatched = l.join(
+            r, on=(l["__bin"] == r["__bin"]) & cond, how="left_anti"
+        ).select(
+            *df.columns,
+            F.lit(None).cast(self.right.schema[self.start_col].dataType).alias(
+                out_name(self.start_col)
+            ),
+            F.lit(None).cast(self.right.schema[self.end_col].dataType).alias(
+                out_name(self.end_col)
+            ),
+            *[
+                F.lit(None)
+                .cast(self.right.schema[c].dataType)
+                .alias(out_name(c))
+                for c in self.value_cols
+            ],
+        )
+        return matched.unionByName(unmatched)
+
+
 class GroupedTopK(Transformer):
     """Keep the top ``k`` rows per group by ``order_col`` — the
     "best-k documents per domain/source by quality score" selection

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.expressions import cosine_expr
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns
-from .dedup import _hyperplanes
+from .dedup import _hyperplanes, hyperplane_sig_expr
 
 
 def nearest_centroids_expr(
@@ -37,8 +37,11 @@ def nearest_centroids_expr(
 
     The centroid matrix is ONE nested-array literal scanned with a
     single transform — not k independent dim-term folds — which keeps
-    the generated code small enough to JIT quickly even at k=256."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    the generated code small enough to JIT quickly even at k=256.
+    F.lit on the nested list yields a single Literal node (k x dim
+    values in one object) instead of k x dim Literal nodes: plan
+    analysis and codegen stay O(1) in index size."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
     sims = F.transform(cents, lambda c: cosine_expr(vec, c))
     pairs = F.zip_with(
         sims,
@@ -300,18 +303,13 @@ class BucketedCosineTopK(CosineTopK):
         self.n_chunks = n_chunks
         self.seed = seed
 
-    def _chunks_expr(self, vec: Column) -> Column:
-        planes = _hyperplanes(self.n_planes, self.dim, self.seed)
+    def _sig_expr(self, vec: Column) -> Column:
+        return hyperplane_sig_expr(
+            vec, _hyperplanes(self.n_planes, self.dim, self.seed)
+        )
+
+    def _chunks_from_sig(self, sig: Column) -> Column:
         width = self.n_planes // self.n_chunks
-        sig = F.lit(0)
-        for i, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         return F.array(*[
             F.struct(
                 F.lit(i).alias("ci"),
@@ -322,20 +320,33 @@ class BucketedCosineTopK(CosineTopK):
             for i in range(self.n_chunks)
         ])
 
+    def _chunks_expr(self, vec: Column) -> Column:
+        return self._chunks_from_sig(self._sig_expr(vec))
+
+    def _chunked(self, df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # materialize the signature in its own projection so the chunk
+        # extractors reference ONE sig computation instead of inlining
+        # the hyperplane fold n_chunks times
+        return (
+            df.select(
+                F.col(self.id_col).alias(id_alias),
+                F.col(self.vec_col).alias(vec_alias),
+                self._sig_expr(F.col(self.vec_col)).alias("__sig"),
+            )
+            .select(
+                id_alias,
+                vec_alias,
+                F.explode(self._chunks_from_sig(F.col("__sig"))).alias("ch"),
+            )
+            .select(id_alias, vec_alias, "ch.ci", "ch.cv")
+        )
+
     def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
         validate_columns(corpus_df, [self.vec_col, self.id_col])
         validate_columns(query_df, [self.vec_col, self.id_col])
         self._guard_query_side(query_df)
-        c = corpus_df.select(
-            F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("c_vec"),
-            F.explode(self._chunks_expr(F.col(self.vec_col))).alias("ch"),
-        ).select("neighbor_id", "c_vec", "ch.ci", "ch.cv")
-        q = query_df.select(
-            F.col(self.id_col).alias("query_id"),
-            F.col(self.vec_col).alias("q_vec"),
-            F.explode(self._chunks_expr(F.col(self.vec_col))).alias("ch"),
-        ).select("query_id", "q_vec", "ch.ci", "ch.cv")
+        c = self._chunked(corpus_df, "neighbor_id", "c_vec")
+        q = self._chunked(query_df, "query_id", "q_vec")
         cand = (
             c.join(F.broadcast(q), on=["ci", "cv"])
             .where(F.col("query_id") != F.col("neighbor_id"))

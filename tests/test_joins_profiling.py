@@ -84,6 +84,78 @@ class TestAsOfJoiner:
         assert r["px"] == 7.7 and r["px_right"] == 2.0
 
 
+class TestIntervalJoiner:
+    @pytest.fixture(scope="class")
+    def windows(self, spark):
+        # key A: [0:05, 0:15) and [0:10, 0:30) overlap; key B: [0:00, 0:10)
+        return spark.createDataFrame(
+            [
+                ("A", ts(5), ts(15), "w1"),
+                ("A", ts(10), ts(30), "w2"),
+                ("B", ts(0), ts(10), "w3"),
+            ],
+            "k string, s timestamp, e timestamp, wid string",
+        )
+
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        return spark.createDataFrame(
+            [
+                ("A", ts(12), 1),  # in w1 and w2
+                ("A", ts(5), 2),   # start-inclusive -> w1
+                ("A", ts(15), 3),  # end-exclusive for w1 -> only w2
+                ("A", ts(45), 4),  # no window
+                ("B", ts(3), 5),   # w3
+                ("C", ts(3), 6),   # key never windowed
+            ],
+            "k string, t timestamp, pid int",
+        )
+
+    def test_inner(self, windows, points):
+        j = ff.IntervalJoiner(
+            windows, on=["k"], point_col="t", start_col="s", end_col="e",
+            bin_width_seconds=300,
+        )
+        got = sorted((r["pid"], r["wid"]) for r in j.transform(points).collect())
+        assert got == [(1, "w1"), (1, "w2"), (2, "w1"), (3, "w2"), (5, "w3")]
+
+    def test_left(self, windows, points):
+        j = ff.IntervalJoiner(
+            windows, on=["k"], point_col="t", start_col="s", end_col="e",
+            bin_width_seconds=300, how="left",
+        )
+        out = j.transform(points)
+        got = sorted((r["pid"], r["wid"]) for r in out.collect())
+        assert got == [
+            (1, "w1"), (1, "w2"), (2, "w1"), (3, "w2"),
+            (4, None), (5, "w3"), (6, None),
+        ]
+
+    def test_bin_width_invariance(self, windows, points):
+        base = None
+        for w in (60, 171, 300, 3600):
+            j = ff.IntervalJoiner(
+                windows, on=["k"], point_col="t", start_col="s", end_col="e",
+                bin_width_seconds=w,
+            )
+            got = sorted(
+                (r["pid"], r["wid"]) for r in j.transform(points).collect()
+            )
+            base = got if base is None else base
+            assert got == base, f"bin width {w} changed results"
+
+    def test_oversize_interval_excluded(self, spark, points):
+        huge = spark.createDataFrame(
+            [("A", ts(0), dt.datetime(2030, 1, 1), "huge")],
+            "k string, s timestamp, e timestamp, wid string",
+        )
+        j = ff.IntervalJoiner(
+            huge, on=["k"], point_col="t", start_col="s", end_col="e",
+            bin_width_seconds=60, max_bins_per_interval=100,
+        )
+        assert j.transform(points).count() == 0
+
+
 class TestGroupedTopK:
     def test_basic(self, spark):
         df = spark.createDataFrame(
