@@ -47,6 +47,15 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ~90 distinct wide whole-stage-codegen units run back-to-back in
+        # one JVM; the default 240m reserved code cache fills mid-run and
+        # late queries degrade to interpreted/deoptimized code. A bigger
+        # cache + flushing keeps JIT behavior flat across the run — the
+        # long-lived-executor analogue of a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
