@@ -124,26 +124,50 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str,
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column usable in Spark.
+    """events table with its `ts` column normalised to TimestampType.
 
-    Spark has no nanosecond timestamp type; the parquet reader rejects
-    NANOS columns outright. We read them as raw nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
-    via exact integer division — `timestamp_micros(ts div 1000)` — which
-    preserves every window/bucket boundary an aggregation cares about.
+    The testdata has shipped `ts` as both TIMESTAMP(NANOS) (earlier
+    generations) and plain timestamp[us] (current), so the loader
+    dispatches on the SCANNED dtype instead of assuming one physical
+    encoding:
 
-    The legacy flag is session-global and only consulted at scan planning
-    time, so it is restored to its previous value before returning —
-    unrelated parquet reads in the same session keep their timestamp
-    semantics."""
+    - TimestampType       -> pass through unchanged.
+    - TimestampNTZType    -> cast to TimestampType (the session runs in
+      UTC so the cast is value-identical; downstream windows/oracles
+      were written against the zoned type).
+    - LongType            -> the column was scanned as raw nanos (a
+      session already carries spark.sql.legacy.parquet.nanosAsLong);
+      truncate to micros via exact integer division.
+    - scan REJECTED       -> genuinely-nanos file on a default session;
+      re-read under the legacy nanos flag, then truncate. The flag is
+      session-global and only consulted at scan planning time, so it is
+      restored before returning.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
+
+    def _normalise(df: DataFrame) -> DataFrame:
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # raw nanoseconds since epoch -> exact truncation to micros
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(dt, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
+
+    try:
+        return _normalise(spark.read.parquet(path))
+    except Exception as exc:  # TIMESTAMP(NANOS) rejected at scan planning
+        if "NANOS" not in str(exc) and "Parquet type" not in str(exc):
+            raise
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
     try:
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out = _normalise(spark.read.parquet(path))
         # force analysis (schema resolution) while the flag is active; the
         # resolved plan keeps the nanos-as-long scan after the reset
         out.schema  # noqa: B018

@@ -155,6 +155,45 @@ def test_load_events_restores_session_config(spark):
     assert ev.schema["ts"].dataType.simpleString() == "timestamp"
 
 
+def test_load_events_micros_and_nanos_fixtures(spark, tmp_path):
+    """Schema drift in the testdata (nanos -> micros in round 3) silently
+    broke nine operators; pin BOTH physical encodings explicitly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_factory_spark.sources.io import load_events
+
+    ts_vals = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        datetime.datetime(2024, 1, 1, 0, 0, 1, 654321),
+        datetime.datetime(2024, 1, 2, 12, 30, 0, 7),
+    ]
+    for unit, sub in (("us", "micros"), ("ns", "nanos")):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(ts_vals, pa.timestamp(unit)),
+            }
+        )
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet", coerce_timestamps=None)
+        written = pq.read_schema(d / "events.parquet").field("ts").type
+        assert str(written) == f"timestamp[{unit}]", written
+
+        ev = load_events(spark, str(d))
+        assert ev.schema["ts"].dataType.simpleString() == "timestamp", unit
+        got = sorted(r["ts"] for r in ev.select("ts").collect())
+        assert got == ts_vals, (unit, got)
+        # the legacy nanos flag never leaks out of the loader
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            == "false"
+        )
+
+
 # --- configure_logging parity (reference src/logging.rs) ------------------
 
 
