@@ -2120,36 +2120,267 @@ def q_frequent_items(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# registration order
+# family consolidation
 # ---------------------------------------------------------------------------
 
-# The round-2 correctness artifact contained rows for only the first 50
-# registered queries — everything after embedding_dedup_lsh ran in the
-# bench but got no hard-signal verification. Front-load the queries that
-# were cut off (similarity, text, multimodal, sampling, windows) so a
-# driver-side row cap or wall-clock budget hits the long-proven reference
-# surface last instead.
-_VERIFY_FIRST = [
-    "cosine_topk", "ivf_topk", "bucketed_topk",
-    "text_features", "token_count", "lang_id", "text_clean",
-    "repetition_features", "gopher_quality_filter", "pii_redact",
-    "doc_fingerprint", "tfidf_topk", "streaming_dedup",
-    "weighted_sample", "contamination",
-    "multimodal_extract", "frame_sample",
-    "json_extract", "hash_sample", "hash_split", "sequence_pack",
-    "events_window", "session_window",
-    "line_dedup", "unigram_logprob", "kmeans_cluster",
-    "minmax_scale", "standard_scale", "robust_scale",
-    "l2_normalize", "random_projection",
-    "lag_features", "window_features", "expanding_features",
-    "running_stats", "tree_discretize", "oof_mean_encode",
-    "asof_join", "interval_join", "grouped_topk", "column_profile",
-    "frequent_items",
-]
-_REGISTRY = {
-    **{k: _REGISTRY[k] for k in _VERIFY_FIRST},
-    **{k: v for k, v in _REGISTRY.items() if k not in set(_VERIFY_FIRST)},
-}
+# The driver's correctness artifact records rows for only the FIRST 50
+# registered queries. With 92 per-operator entries, half the surface was
+# unverified every round (r2 verified queries 1-50, r3 the reorder's
+# other half). Fix: collapse the cheap per-operator projections into
+# family queries whose result unions the members' frames under an `op`
+# discriminator column — one value-hash still pins every operator, and
+# the whole registry fits inside a single round's artifact.
+#
+# Adapters ONLY rename, cast, or concat member columns (never new float
+# math), so each member keeps its own deterministic rounding contract.
+# The driver sorts columns by name before hashing, so only names+values
+# must agree between the Spark frame and the DuckDB oracle.
+
+_FAMILY_DOC: dict[str, list[str]] = {}  # family -> member ops (for tests/docs)
+
+
+def _merge(family: str, members: list[tuple[str, list[str], str | list[str]]]) -> None:
+    """Collapse registry entries into ONE family query.
+
+    members: (op, spark_exprs, sql_select) where `spark_exprs` feeds
+    selectExpr on the member's frame (may contain a `stack(...)` melt)
+    and `sql_select` is the select list over the member's oracle SQL —
+    a list of select lists means one UNION ALL slice per entry (the SQL
+    twin of a stack melt). Every member must project to the same column
+    names."""
+    specs = []
+    for op, spark_exprs, sql_select in members:
+        fn, sql = _REGISTRY.pop(op)
+        assert sql is not None, f"family member {op} has no oracle"
+        specs.append((op, fn, spark_exprs, sql, sql_select))
+    _FAMILY_DOC[family] = [op for op, *_ in specs]
+
+    def family_fn(spark, sf_dir, _specs=tuple(specs)):
+        frames = []
+        for op, fn, exprs, _, _ in _specs:
+            frames.append(fn(spark, sf_dir).selectExpr(f"'{op}' AS op", *exprs))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    slices = []
+    for op, _, _, sql, sql_select in specs:
+        lists = [sql_select] if isinstance(sql_select, str) else sql_select
+        slices.extend(
+            f"SELECT '{op}' AS op, {sel} FROM ({sql}) __m" for sel in lists
+        )
+    _REGISTRY[family] = (family_fn, "\nUNION ALL\n".join(slices))
+
+
+_KEYS2 = ["l_orderkey", "l_linenumber"]
+
+_merge("impute_numeric", [
+    (op, [*_KEYS2, "q_imputed"], "l_orderkey, l_linenumber, q_imputed")
+    for op in ("mean_impute", "median_impute", "endtail_impute", "arbitrary_impute")
+])
+
+_merge("impute_other", [
+    ("categorical_impute",
+     [*_KEYS2, "rf_imputed AS val"],
+     "l_orderkey, l_linenumber, rf_imputed AS val"),
+    ("missing_indicator",
+     [*_KEYS2,
+      "concat(cast(q_missing AS string), ',', cast(rf_missing AS string)) AS val"],
+     "l_orderkey, l_linenumber, "
+     "CAST(q_missing AS VARCHAR) || ',' || CAST(rf_missing AS VARCHAR) AS val"),
+    ("drop_missing",
+     [*_KEYS2, "cast(NULL AS string) AS val"],
+     "l_orderkey, l_linenumber, CAST(NULL AS VARCHAR) AS val"),
+])
+
+_merge("encode_count_ordinal", [
+    (op, ["o_orderkey", "o_orderpriority AS enc"], "o_orderkey, o_orderpriority AS enc")
+    for op in ("count_encode", "count_encode_unseen", "ordinal_encode")
+])
+
+_merge("encode_target", [
+    ("mean_encode", ["p_partkey AS id", "p_brand AS enc"],
+     "p_partkey AS id, p_brand AS enc"),
+    ("woe_encode", ["o_orderkey AS id", "o_orderpriority AS enc"],
+     "o_orderkey AS id, o_orderpriority AS enc"),
+])
+
+_merge("encode_label", [
+    ("onehot_encode",
+     ["l_orderkey AS id1", "cast(l_linenumber AS bigint) AS id2",
+      "cast(l_returnflag_A*100 + l_returnflag_N*10 + l_returnflag_R AS string) AS label"],
+     "l_orderkey AS id1, CAST(l_linenumber AS BIGINT) AS id2, "
+     "CAST(l_returnflag_A*100 + l_returnflag_N*10 + l_returnflag_R AS VARCHAR) AS label"),
+    ("rare_label",
+     ["p_partkey AS id1", "cast(NULL AS bigint) AS id2", "p_brand AS label"],
+     "p_partkey AS id1, CAST(NULL AS BIGINT) AS id2, p_brand AS label"),
+])
+
+_merge("discretize_family", [
+    ("arbitrary_discretize", [*_KEYS2, "l_quantity AS bin"],
+     "l_orderkey, l_linenumber, l_quantity AS bin"),
+    ("equal_frequency_discretize", [*_KEYS2, "l_extendedprice AS bin"],
+     "l_orderkey, l_linenumber, l_extendedprice AS bin"),
+    ("equal_width_discretize", [*_KEYS2, "l_discount AS bin"],
+     "l_orderkey, l_linenumber, l_discount AS bin"),
+    ("geometric_discretize", [*_KEYS2, "l_quantity AS bin"],
+     "l_orderkey, l_linenumber, l_quantity AS bin"),
+])
+
+_merge("outlier_family", [
+    ("arbitrary_cap", [*_KEYS2, "l_quantity AS capped"],
+     "l_orderkey, l_linenumber, l_quantity AS capped"),
+    ("winsorize", [*_KEYS2, "l_extendedprice AS capped"],
+     "l_orderkey, l_linenumber, l_extendedprice AS capped"),
+    ("outlier_trim", [*_KEYS2, "cast(NULL AS double) AS capped"],
+     "l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS capped"),
+])
+
+_merge("numeric_transform", [
+    (op, [*_KEYS2, "v"], "l_orderkey, l_linenumber, v")
+    for op in ("log_transform", "logcp_transform", "reciprocal_transform",
+               "power_transform", "boxcox_transform", "arcsin_transform",
+               "yeojohnson_transform")
+])
+
+_merge("feature_create", [
+    ("math_features",
+     [*_KEYS2, "stack(2, 'gross', gross, 'net', net) AS (feature, value)"],
+     ["l_orderkey, l_linenumber, 'gross' AS feature, gross AS value",
+      "l_orderkey, l_linenumber, 'net' AS feature, net AS value"]),
+    ("relative_features",
+     [*_KEYS2,
+      "stack(3, 'r_ratio', r_ratio, 'r_diff', r_diff, 'r_pct', r_pct) AS (feature, value)"],
+     ["l_orderkey, l_linenumber, 'r_ratio' AS feature, r_ratio AS value",
+      "l_orderkey, l_linenumber, 'r_diff' AS feature, r_diff AS value",
+      "l_orderkey, l_linenumber, 'r_pct' AS feature, r_pct AS value"]),
+    ("cyclical_features",
+     [*_KEYS2, "stack(2, 'm_sin', m_sin, 'm_cos', m_cos) AS (feature, value)"],
+     ["l_orderkey, l_linenumber, 'm_sin' AS feature, m_sin AS value",
+      "l_orderkey, l_linenumber, 'm_cos' AS feature, m_cos AS value"]),
+])
+
+_merge("datetime_family", [
+    ("datetime_features",
+     [*_KEYS2,
+      "stack(4, 'year', cast(l_shipdate_year AS double), "
+      "'month', cast(l_shipdate_month AS double), "
+      "'day', cast(l_shipdate_day AS double), "
+      "'weekday', cast(l_shipdate_weekday AS double)) AS (feature, value)"],
+     ["l_orderkey, l_linenumber, 'year' AS feature, CAST(l_shipdate_year AS DOUBLE) AS value",
+      "l_orderkey, l_linenumber, 'month' AS feature, CAST(l_shipdate_month AS DOUBLE) AS value",
+      "l_orderkey, l_linenumber, 'day' AS feature, CAST(l_shipdate_day AS DOUBLE) AS value",
+      "l_orderkey, l_linenumber, 'weekday' AS feature, CAST(l_shipdate_weekday AS DOUBLE) AS value"]),
+    ("datetime_subtraction",
+     [*_KEYS2, "'ship_delay_days' AS feature", "ship_delay_days AS value"],
+     "l_orderkey, l_linenumber, 'ship_delay_days' AS feature, ship_delay_days AS value"),
+])
+
+_merge("select_stats", [
+    ("drop_constant",
+     ["feature", "'variance' AS stat", "variance AS value", "kept AS flag"],
+     "feature, 'variance' AS stat, variance AS value, kept AS flag"),
+    ("drop_duplicate",
+     ["feature", "cast(NULL AS string) AS stat", "cast(NULL AS double) AS value",
+      "kept AS flag"],
+     "feature, CAST(NULL AS VARCHAR) AS stat, CAST(NULL AS DOUBLE) AS value, kept AS flag"),
+    ("drop_correlated",
+     ["concat(a_feature, '|', b_feature) AS feature", "'corr_r' AS stat",
+      "corr_r AS value", "above AS flag"],
+     "a_feature || '|' || b_feature AS feature, 'corr_r' AS stat, "
+     "corr_r AS value, above AS flag"),
+    ("smart_correlated",
+     ["feature",
+      "stack(2, 'variance', variance, 'max_abs_corr', max_abs_corr) AS (stat, value)",
+      "cast(NULL AS boolean) AS flag"],
+     ["feature, 'variance' AS stat, variance AS value, CAST(NULL AS BOOLEAN) AS flag",
+      "feature, 'max_abs_corr' AS stat, max_abs_corr AS value, CAST(NULL AS BOOLEAN) AS flag"]),
+    ("psi_drift",
+     ["feature", "'psi' AS stat", "psi AS value", "dropped AS flag"],
+     "feature, 'psi' AS stat, psi AS value, dropped AS flag"),
+    ("information_value",
+     ["feature", "'iv' AS stat", "iv AS value", "kept AS flag"],
+     "feature, 'iv' AS stat, iv AS value, kept AS flag"),
+    ("single_feature_performance",
+     ["feature", "'performance' AS stat", "performance AS value", "kept AS flag"],
+     "feature, 'performance' AS stat, performance AS value, kept AS flag"),
+    ("target_mean_performance",
+     ["feature", "'performance' AS stat", "performance AS value",
+      "cast(NULL AS boolean) AS flag"],
+     "feature, 'performance' AS stat, performance AS value, CAST(NULL AS BOOLEAN) AS flag"),
+    ("mrmr_relevance",
+     ["feature", "'relevance' AS stat", "relevance AS value", "candidate AS flag"],
+     "feature, 'relevance' AS stat, relevance AS value, candidate AS flag"),
+])
+
+_merge("scale_family", [
+    ("minmax_scale",
+     [*_KEYS2,
+      "stack(2, 'l_quantity', l_quantity, 'l_discount', l_discount) AS (feature, value)"],
+     ["l_orderkey, l_linenumber, 'l_quantity' AS feature, l_quantity AS value",
+      "l_orderkey, l_linenumber, 'l_discount' AS feature, l_discount AS value"]),
+    ("standard_scale",
+     [*_KEYS2, "'l_quantity' AS feature", "l_quantity AS value"],
+     "l_orderkey, l_linenumber, 'l_quantity' AS feature, l_quantity AS value"),
+    ("robust_scale",
+     [*_KEYS2, "'l_extendedprice' AS feature", "l_extendedprice AS value"],
+     "l_orderkey, l_linenumber, 'l_extendedprice' AS feature, l_extendedprice AS value"),
+])
+
+_merge("embed_transform", [
+    (op, ["vec_id", "pos", "val"], "vec_id, pos, val")
+    for op in ("l2_normalize", "random_projection")
+])
+
+_merge("ts_features", [
+    ("lag_features",
+     ["event_id", "user_id",
+      "stack(2, 'lag_1', value_lag_1, 'lag_3', value_lag_3) AS (feature, value)"],
+     ["event_id, user_id, 'lag_1' AS feature, value_lag_1 AS value",
+      "event_id, user_id, 'lag_3' AS feature, value_lag_3 AS value"]),
+    ("window_features",
+     ["event_id", "user_id",
+      "stack(2, 'w3_mean', value_window_3_mean, 'w3_max', value_window_3_max) AS (feature, value)"],
+     ["event_id, user_id, 'w3_mean' AS feature, value_window_3_mean AS value",
+      "event_id, user_id, 'w3_max' AS feature, value_window_3_max AS value"]),
+    ("expanding_features",
+     ["event_id", "user_id", "'expanding_sum' AS feature",
+      "value_expanding_sum AS value"],
+     "event_id, user_id, 'expanding_sum' AS feature, value_expanding_sum AS value"),
+])
+
+_merge("dedup_pairs", [
+    ("minhash_dedup", ["a_id", "b_id", "jaccard AS score"],
+     "a_id, b_id, jaccard AS score"),
+    ("ngram_jaccard_dedup", ["a_id", "b_id", "jaccard AS score"],
+     "a_id, b_id, jaccard AS score"),
+    ("simhash_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
+     "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
+    ("embedding_dedup", ["a_id", "b_id", "cosine AS score"],
+     "a_id, b_id, cosine AS score"),
+])
+
+_merge("dedup_ids", [
+    (op, ["doc_id"], "doc_id") for op in ("exact_dedup", "streaming_dedup")
+])
+
+_merge("sample_family", [
+    ("hash_sample", ["doc_id", "cast(NULL AS string) AS val"],
+     "doc_id, CAST(NULL AS VARCHAR) AS val"),
+    ("hash_split", ["doc_id", "split AS val"], "doc_id, split AS val"),
+    ("weighted_sample", ["doc_id", "cast(NULL AS string) AS val"],
+     "doc_id, CAST(NULL AS VARCHAR) AS val"),
+])
+
+_merge("quality_filter", [
+    ("gopher_quality_filter", ["doc_id", "cast(NULL AS boolean) AS flag"],
+     "doc_id, CAST(NULL AS BOOLEAN) AS flag"),
+    ("contamination", ["doc_id", "contaminated AS flag"],
+     "doc_id, contaminated AS flag"),
+])
+
+assert len(_REGISTRY) <= 50, f"registry exceeds driver's 50-row cap: {len(_REGISTRY)}"
 
 
 # ---------------------------------------------------------------------------
