@@ -141,7 +141,7 @@ class MinHashDeduplicator(Transformer):
         seed: int = 42,
         persist_shingles: bool = True,
         policy: str = "greedy",
-        bucket_pairing: str = "all",
+        bucket_pairing: str = "star",
     ):
         ensure(num_perm % bands == 0, "num_perm must be divisible by bands")
         ensure(0.0 < threshold <= 1.0, "threshold must be in (0,1]")
@@ -164,13 +164,17 @@ class MinHashDeduplicator(Transformer):
         # ContextCleaner once the result DataFrame is garbage-collected.
         self.persist_shingles = persist_shingles
         self.policy = policy
-        # 'all': every pair within a bucket (exact candidate set; a bucket
-        # holding B near-identical docs yields B^2/2 pairs — the skew
-        # hazard at 100 TB when mass duplication exists).
-        # 'star': only (bucket-min, member) pairs — linear in bucket size.
-        # Exact for true-duplicate clusters (all members pair with the
-        # min); an approximation for chains where only non-min members
-        # exceed the threshold. Combine with policy='components'.
+        # 'star' (default): only (bucket-min, member) pairs — linear in
+        # bucket size. Exact for true-duplicate clusters (all members
+        # pair with the min); an approximation for chains where only
+        # non-min members exceed the threshold. This is the 100 TB-safe
+        # default: boilerplate-heavy crawls create giant buckets, and
+        # the drop policies (greedy/components) consume exactly the
+        # star pair set.
+        # 'all' (opt-in): every pair within a bucket — the complete
+        # candidate set for pair-complete analytics, but a bucket
+        # holding B near-identical docs yields B^2/2 pairs, which is
+        # the scale-killer under mass duplication.
         self.bucket_pairing = bucket_pairing
         self._constants = _minhash_constants(num_perm, seed)
 

@@ -207,7 +207,9 @@ def test_minhash_dedup_finds_planted_pairs(docs):
 
 
 def test_minhash_star_pairing_subset_and_same_dedup(docs):
-    all_p = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
+    all_p = ff.MinHashDeduplicator(
+        "text", "doc_id", threshold=0.5, bucket_pairing="all"
+    )
     star = ff.MinHashDeduplicator(
         "text", "doc_id", threshold=0.5, bucket_pairing="star", policy="components"
     )
@@ -216,6 +218,25 @@ def test_minhash_star_pairing_subset_and_same_dedup(docs):
     assert sp <= ap
     # planted dups are pairwise clusters -> star finds the same dedup set
     assert star.transform(docs).count() == all_p.transform(docs).count()
+
+
+def test_minhash_star_default_survives_mass_duplication(spark):
+    """1k copies of one doc: the default (star) pairing yields exactly
+    n-1 candidate pairs, not the quadratic ~n^2/2 the 'all' pairing
+    would enumerate — the scale guarantee for boilerplate-heavy crawls."""
+    base = "the same boilerplate paragraph repeated across the crawl corpus"
+    rows = [(i, base) for i in range(1000)]
+    rows.append((5000, "one genuinely distinct document about spark planning"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    dd = ff.MinHashDeduplicator("text", "doc_id", threshold=0.9)
+    assert dd.bucket_pairing == "star"
+    pairs = dd.candidate_pairs(df)
+    # every copy pairs with the cluster min (doc 0) exactly once
+    assert pairs.count() == 999
+    assert pairs.agg(F.min("a_id"), F.max("a_id")).first() == (0, 0)
+    kept = dd.transform(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 5000]
 
 
 def test_approx_quantiles_close_to_exact(spark):
@@ -228,7 +249,7 @@ def test_approx_quantiles_close_to_exact(spark):
 
 def test_ngram_jaccard_all_pairs_matches_minhash(docs):
     brute = ff.NGramJaccardDeduplicator("text", "doc_id", threshold=0.5, all_pairs=True)
-    mh = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
+    mh = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5, bucket_pairing="all")
     bp = {(r["a_id"], r["b_id"]) for r in brute.candidate_pairs(docs).collect()}
     mp = {(r["a_id"], r["b_id"]) for r in mh.candidate_pairs(docs).collect()}
     # banding at these params has ~certain recall at j>=0.5 on planted dups
