@@ -52,6 +52,27 @@ def nearest_centroids_expr(
     return F.slice(F.transform(ordered, lambda x: x["i"]), 1, n)
 
 
+def cluster_sums_frame(assigned: DataFrame) -> DataFrame:
+    """(cluster, pos, s, n) element sums per cluster, dim-independent.
+
+    The vector is melted with posexplode and reduced by
+    groupBy(cluster, pos) — the aggregate carries exactly TWO aggregate
+    expressions (sum, count) no matter the embedding dimension, where
+    the previous shape built ``dim`` separate F.sum columns (thousands
+    of aggregate expressions at dim 768-4096, multi-MB plans). Hash
+    partial aggregation (map-side combine) caps the shuffle at
+    k*dim rows per map task regardless of corpus size.
+
+    `assigned` must already project (cluster, vec): the cluster
+    expression lives in the projection BELOW the Generate node, so it is
+    evaluated once per row, not once per exploded element."""
+    return (
+        assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+
+
 def lloyd_fit(
     corpus_df: DataFrame,
     vec_col: str,
@@ -62,9 +83,11 @@ def lloyd_fit(
     """Distributed spherical-ish k-means: deterministic seeds (smallest
     murmur3(id) — pseudo-random but reproducible across runs, engines,
     and partitionings), refined by ``iterations`` Lloyd steps. Each step
-    is one aggregate job (assign via argmax cosine, new centroid =
-    per-cluster element-wise mean); only k x dim floats ever reach the
-    driver. Empty clusters keep their previous centroid."""
+    is one aggregate job (assign via argmax cosine against the single
+    nested-array centroid literal — shuffle-free; new centroid =
+    per-cluster element-wise mean via cluster_sums_frame); only k x dim
+    (cluster, pos, sum, n) cells ever reach the driver. Empty clusters
+    keep their previous centroid."""
     validate_columns(corpus_df, [vec_col, id_col])
     seeds = (
         corpus_df.select(
@@ -79,27 +102,20 @@ def lloyd_fit(
     ensure(len(centroids) >= 2, "corpus has fewer rows than 2 seeds")
     dim = len(centroids[0])
     for _ in range(iterations):
-        # per-cluster mean as ONE aggregate of dim element sums — never
-        # posexplode: a generator re-evaluates the (expensive) cluster
-        # assignment once per exploded element instead of once per row
         assigned = corpus_df.select(
             F.element_at(
                 nearest_centroids_expr(F.col(vec_col), centroids, 1), 1
             ).alias("cluster"),
             F.col(vec_col).alias("vec"),
         )
-        rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at(F.col("vec"), i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
-        new = {r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in rows}
+        cells = cluster_sums_frame(assigned).collect()
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in cells:
+            vecsum = sums.setdefault(r["cluster"], [0.0] * dim)
+            vecsum[r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        new = {c: [s / counts[c] for s in v] for c, v in sums.items()}
         centroids = [new.get(ci, centroids[ci]) for ci in range(len(centroids))]
     return centroids
 

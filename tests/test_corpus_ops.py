@@ -167,3 +167,37 @@ class TestKMeansClusterer:
         out = km.fit(df).transform(df)
         vals = {r["cluster"] for r in out.collect()}
         assert vals <= {0, 1, 2}
+
+    def test_lloyd_agg_plan_is_dim_independent(self, spark):
+        """At dim=768, k=64 the Lloyd aggregate must hold exactly two
+        aggregate expressions (sum, count) — not one per dimension —
+        and the whole fit must complete without building a multi-MB
+        per-dimension plan."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from feature_factory_spark.operators.similarity import (
+            cluster_sums_frame,
+            lloyd_fit,
+        )
+
+        dim, k, n = 768, 64, 200
+        rows = [
+            (i, [float((i * 31 + j * 7) % 13) - 6.0 for j in range(dim)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        agg = cluster_sums_frame(
+            df.select((F.col("vec_id") % 4).alias("cluster"),
+                      F.col("embedding").alias("vec"))
+        )
+        plan = agg._jdf.queryExecution().optimizedPlan().toString()
+        agg_line = next(ln for ln in plan.splitlines() if "Aggregate" in ln)
+        # one sum + one count, regardless of dim
+        assert len(re.findall(r"\bsum\(", agg_line)) == 1, agg_line
+        assert "s767" not in plan and len(plan) < 20_000, len(plan)
+
+        cents = lloyd_fit(df, "embedding", "vec_id", k, iterations=1)
+        assert len(cents) == k and all(len(c) == dim for c in cents)
