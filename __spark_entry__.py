@@ -1148,14 +1148,45 @@ def q_embedding_dedup(spark, sf_dir):
     return pairs.select("a_id", "b_id", r6(F.col("cosine")).alias("cosine"))
 
 
-@_reg("embedding_dedup_lsh", None)  # LSH bucket recall is probabilistic: rows-only check
+def _inv_row(df_1row, name: str, col: str) -> DataFrame:
+    """One (invariant, n) row from a 1-row aggregate frame."""
+    return df_1row.select(
+        F.lit(name).alias("invariant"), F.col(col).cast("long").alias("n")
+    )
+
+
+@_reg(
+    "embedding_dedup_lsh",
+    # LSH recall is probabilistic, so the oracle pins INVARIANTS instead
+    # of the pair set: every LSH pair must also be a brute-force pair at
+    # the same threshold (no false positives — catches bucket-wiring or
+    # cosine-verify regressions), at/above threshold, and ordered a<b.
+    """SELECT 'false_positive_pairs' AS invariant, CAST(0 AS BIGINT) AS n
+UNION ALL SELECT 'below_threshold_pairs', CAST(0 AS BIGINT)
+UNION ALL SELECT 'misordered_pairs', CAST(0 AS BIGINT)""",
+)
 def q_embedding_dedup_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    dd = ff.EmbeddingDeduplicator(
+    lsh = ff.EmbeddingDeduplicator(
         "embedding", "vec_id", threshold=0.45, method="lsh", dim=64
+    ).candidate_pairs(emb)
+    brute = ff.EmbeddingDeduplicator(
+        "embedding", "vec_id", threshold=0.45, method="brute"
+    ).candidate_pairs(emb)
+    fp = lsh.join(brute, ["a_id", "b_id"], "left_anti").agg(
+        F.count("*").alias("c")
     )
-    pairs = dd.candidate_pairs(emb)
-    return pairs.select("a_id", "b_id", r6(F.col("cosine")).alias("cosine"))
+    below = lsh.agg(
+        F.sum((F.col("cosine") < 0.45).cast("long")).alias("c")
+    ).na.fill(0)
+    misord = lsh.agg(
+        F.sum((F.col("a_id") >= F.col("b_id")).cast("long")).alias("c")
+    ).na.fill(0)
+    return (
+        _inv_row(fp, "false_positive_pairs", "c")
+        .unionByName(_inv_row(below, "below_threshold_pairs", "c"))
+        .unionByName(_inv_row(misord, "misordered_pairs", "c"))
+    )
 
 
 @_reg(
@@ -1181,26 +1212,106 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-@_reg("ivf_topk", None)  # k-means index: deterministic but not SQL-expressible
+@_reg(
+    "ivf_topk",
+    # The Lloyd index is deterministic but not SQL-expressible, so the
+    # oracle pins recall-vs-exact invariants: every query answered with
+    # a full k, none below the recall floor (floors carry margin against
+    # parallelism-induced float drift: empirical hits at sf0.01 are
+    # {6,6,7,9,10}/10 per query, 38/50 total, vs floors 4 and 30).
+    """SELECT 'queries' AS invariant, count(*) AS n FROM embeddings WHERE vec_id < 5
+UNION ALL SELECT 'complete_queries', count(*) FROM embeddings WHERE vec_id < 5
+UNION ALL SELECT 'low_recall_queries', CAST(0 AS BIGINT)
+UNION ALL SELECT 'total_recall_floor_met', CAST(1 AS BIGINT)""",
+)
 def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    ivf = ff.IVFCosineTopK("embedding", "vec_id", k=10, n_centroids=8, n_probe=3)
-    out = ivf.search(emb, queries)
-    return out.select(
-        "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
+    exact = ff.CosineTopK("embedding", "vec_id", k=10).search(emb, queries)
+    ivf = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=10, n_centroids=8, n_probe=4
+    ).search(emb, queries)
+    per_q = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(
+            ivf.groupBy("query_id").agg(F.count("*").alias("n_ivf")),
+            "query_id", "left",
+        )
+        .join(
+            exact.join(
+                ivf.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"], "leftsemi",
+            ).groupBy("query_id").agg(F.count("*").alias("hits")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_ivf", F.lit(0)).alias("n_ivf"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+    agg = per_q.agg(
+        F.count("*").alias("queries"),
+        F.sum((F.col("n_ivf") == 10).cast("long")).alias("complete_queries"),
+        F.sum((F.col("hits") < 4).cast("long")).alias("low_recall_queries"),
+        (F.sum("hits") >= 30).cast("long").alias("total_floor"),
+    )
+    return (
+        _inv_row(agg, "queries", "queries")
+        .unionByName(_inv_row(agg, "complete_queries", "complete_queries"))
+        .unionByName(_inv_row(agg, "low_recall_queries", "low_recall_queries"))
+        .unionByName(_inv_row(agg, "total_recall_floor_met", "total_floor"))
     )
 
 
-@_reg("bucketed_topk", None)  # LSH recall is probabilistic: rows-only check
+@_reg(
+    "bucketed_topk",
+    # Hyperplane-LSH recall on near-random embeddings is genuinely low
+    # (that is the pruning working); the oracle pins well-formedness:
+    # per-query result caps, rank/cosine ordering, no self-matches.
+    """SELECT 'queries' AS invariant, count(*) AS n FROM embeddings WHERE vec_id < 5
+UNION ALL SELECT 'overfull_queries', CAST(0 AS BIGINT)
+UNION ALL SELECT 'rank_order_violations', CAST(0 AS BIGINT)
+UNION ALL SELECT 'self_matches', CAST(0 AS BIGINT)""",
+)
 def q_bucketed_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = ff.BucketedCosineTopK("embedding", "vec_id", k=10, dim=64).search(emb, queries)
-    return out.select(
-        "query_id", "neighbor_id", r6(F.col("cosine")).alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
+    out = ff.BucketedCosineTopK("embedding", "vec_id", k=10, dim=64).search(
+        emb, queries
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    checked = out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+        F.lag("cosine").over(w).alias("prev_cos"),
+        F.lag("rank").over(w).alias("prev_rank"),
+    )
+    agg = checked.agg(
+        (
+            F.sum((F.col("rank") > 10).cast("long"))
+            + F.sum((F.col("rank") < 1).cast("long"))
+        ).alias("overfull"),
+        F.sum(
+            (
+                (F.col("prev_cos") < F.col("cosine"))
+                | (F.col("prev_rank") + 1 != F.col("rank"))
+            ).cast("long")
+        ).alias("order_viol"),
+        F.sum((F.col("query_id") == F.col("neighbor_id")).cast("long")).alias(
+            "self_m"
+        ),
+    ).na.fill(0)
+    nq = queries.agg(F.count("*").alias("nq"))
+    return (
+        _inv_row(nq, "queries", "nq")
+        .unionByName(_inv_row(agg, "overfull_queries", "overfull"))
+        .unionByName(_inv_row(agg, "rank_order_violations", "order_viol"))
+        .unionByName(_inv_row(agg, "self_matches", "self_m"))
     )
 
 
@@ -1701,11 +1812,43 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
-@_reg("kmeans_cluster", None)  # iterative Lloyd fit: not SQL-expressible
+@_reg(
+    "kmeans_cluster",
+    # Iterative Lloyd is not SQL-expressible; the oracle pins the
+    # clustering's verifiable invariants: every row assigned, exactly k
+    # clusters used, ids in range, and every assignment IS the argmax
+    # cosine against the fitted centroids (re-scored independently).
+    """SELECT 'n_rows' AS invariant, count(*) AS n FROM embeddings
+UNION ALL SELECT 'n_clusters', CAST(8 AS BIGINT)
+UNION ALL SELECT 'out_of_range', CAST(0 AS BIGINT)
+UNION ALL SELECT 'not_nearest_centroid', CAST(0 AS BIGINT)""",
+)
 def q_kmeans_cluster(spark, sf_dir):
+    from feature_factory_spark.operators.similarity import nearest_centroids_expr
+
     emb = _t(spark, sf_dir, "embeddings")
     km = ff.KMeansClusterer("embedding", "vec_id", k=8, iterations=2)
-    return km.fit(emb).transform(emb).select("vec_id", "cluster")
+    out = km.fit(emb).transform(emb).select("vec_id", "cluster", "embedding")
+    rescored = out.select(
+        "cluster",
+        F.element_at(
+            nearest_centroids_expr(F.col("embedding"), km.centroids_, 1), 1
+        ).alias("nearest"),
+    )
+    agg = rescored.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("cluster").alias("n_clusters"),
+        F.sum(
+            ((F.col("cluster") < 0) | (F.col("cluster") >= 8)).cast("long")
+        ).alias("oor"),
+        F.sum((F.col("cluster") != F.col("nearest")).cast("long")).alias("nn"),
+    )
+    return (
+        _inv_row(agg, "n_rows", "n_rows")
+        .unionByName(_inv_row(agg, "n_clusters", "n_clusters"))
+        .unionByName(_inv_row(agg, "out_of_range", "oor"))
+        .unionByName(_inv_row(agg, "not_nearest_centroid", "nn"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1870,16 +2013,50 @@ def q_oof_mean_encode(spark, sf_dir):
     )
 
 
-@_reg("tree_discretize", None)  # distributed tree fit: not SQL-expressible
+@_reg(
+    "tree_discretize",
+    # The distributed tree fit is not SQL-expressible; the oracle pins
+    # the discretisation's verifiable invariants: every row binned
+    # (count preserved, no NULL bins), bin count within the depth-3 leaf
+    # budget, and bin value-ranges disjoint (a bin's max never crosses
+    # the next bin's min — monotone, exhaustive binning).
+    """SELECT 'n_rows' AS invariant, count(*) AS n FROM lineitem
+UNION ALL SELECT 'null_bins', CAST(0 AS BIGINT)
+UNION ALL SELECT 'bins_within_budget', CAST(1 AS BIGINT)
+UNION ALL SELECT 'range_overlaps', CAST(0 AS BIGINT)""",
+)
 def q_tree_discretize(spark, sf_dir):
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     op = ff.DecisionTreeDiscretiser(
         ["l_extendedprice"], "l_quantity", max_depth=3
     )
-    out = op.fit(li).transform(li)
-    return out.select(
-        "l_orderkey", "l_linenumber",
-        F.col("l_extendedprice").alias("price_bin"),
+    out = op.fit(li).transform(
+        li.withColumn("raw_price", F.col("l_extendedprice"))
+    )
+    binned = out.select(F.col("l_extendedprice").alias("bin"), "raw_price")
+    agg = binned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("bin").isNull().cast("long")).alias("null_bins"),
+        (F.count_distinct("bin") <= 8).cast("long").alias("within_budget"),
+    )
+    ranges = binned.groupBy("bin").agg(
+        F.min("raw_price").alias("mn"), F.max("raw_price").alias("mx")
+    )
+    w = Window.orderBy("mn")
+    overlaps = (
+        ranges.select(
+            (F.lag("mx").over(w) > F.col("mn")).cast("long").alias("overlap")
+        )
+        .agg(F.sum("overlap").alias("c"))
+        .na.fill(0)
+    )
+    return (
+        _inv_row(agg, "n_rows", "n_rows")
+        .unionByName(_inv_row(agg, "null_bins", "null_bins"))
+        .unionByName(_inv_row(agg, "bins_within_budget", "within_budget"))
+        .unionByName(_inv_row(overlaps, "range_overlaps", "c"))
     )
 
 
