@@ -294,34 +294,44 @@ def _bin_proportions(
 
     Without ``frame_col``: returns {col: [p_1..p_bins]}.
     With ``frame_col`` (an int 0/1 tag): both tagged sub-frames are
-    aggregated in the same single job; returns {col: {tag: [p...]}}."""
-    frames = (0, 1) if frame_col else (None,)
-    exprs = []
-    for c in columns:
-        b = _bin_index_expr(c, edges[c], bins)
-        nn = F.col(c).isNotNull()
-        for f in frames:
-            in_frame = nn if f is None else (nn & (F.col(frame_col) == f))
-            tag = "" if f is None else f"_{f}"
-            exprs.append(F.sum(in_frame.cast("bigint")).alias(f"t{tag}_{c}"))
-            for i in range(1, bins + 1):
-                exprs.append(
-                    F.sum((in_frame & (b == i)).cast("bigint")).alias(
-                        f"b{tag}_{c}_{i}"
-                    )
-                )
-    row = df.agg(*exprs).collect()[0]
+    aggregated in the same single job; returns {col: {tag: [p...]}}.
 
-    def props(c, tag):
-        total = row[f"t{tag}_{c}"] or 0
-        return [
-            (row[f"b{tag}_{c}_{i}"] / total) if total else 0.0
-            for i in range(1, bins + 1)
-        ]
+    Shape: bin indexes are projected once per column, melted with
+    ``stack`` to (column, bin) rows, and reduced by ONE map-side-combined
+    groupBy — the per-map-task shuffle is at most columns x bins x 2
+    rows. The previous columns x bins grid of conditional-sum aggregate
+    expressions generated a single huge update method that HotSpot
+    refused to JIT (interpreted execution, ~4x slower) and whose Janino
+    compile alone cost seconds at wide column counts."""
+    frames = (0, 1) if frame_col else (None,)
+    proj = [
+        (F.col(frame_col) if frame_col else F.lit(0)).alias("__frame")
+    ]
+    for c in columns:
+        proj.append(_bin_index_expr(c, edges[c], bins).alias(f"__bin_{c}"))
+        proj.append(F.col(c).isNotNull().alias(f"__nn_{c}"))
+    base = df.select(*proj)
+    stack_args = []
+    for c in columns:
+        stack_args += [f"'{c}'", f"__bin_{c}", f"__nn_{c}"]
+    melted = base.selectExpr(
+        "__frame",
+        f"stack({len(columns)}, {', '.join(stack_args)}) AS (__col, __bin, __nn)",
+    )
+    cells = (
+        melted.where("__nn").groupBy("__col", "__bin", "__frame").count().collect()
+    )
+    cell = {(r["__col"], r["__bin"], r["__frame"]): r["count"] for r in cells}
+
+    def props(c, f):
+        f = 0 if f is None else f
+        by_bin = [cell.get((c, i, f), 0) for i in range(1, bins + 1)]
+        total = sum(by_bin)
+        return [(n / total) if total else 0.0 for n in by_bin]
 
     if frame_col is None:
-        return {c: props(c, "") for c in columns}
-    return {c: {f: props(c, f"_{f}") for f in frames} for c in columns}
+        return {c: props(c, None) for c in columns}
+    return {c: {f: props(c, f) for f in frames} for c in columns}
 
 
 class DropHighPSIFeatures(_KeepColumnsTransformer):
@@ -421,30 +431,38 @@ class SelectByInformationValue(_KeepColumnsTransformer):
             edges = column_quantiles(df, num, probs, approx=self.approx)
 
         # job 2: grand totals + every numeric column's per-bin conditional
-        # counts, ONE aggregate pass
-        exprs = [
-            F.sum((tgt == 1).cast("bigint")).alias("__tg"),
-            F.sum((tgt != 1).cast("bigint")).alias("__tb"),
-        ]
-        for c in num:
-            if edges.get(c) is None:
-                continue
-            b = _bin_index_expr(c, edges[c], self.BINS)
-            nn = F.col(c).isNotNull()
-            for i in range(1, self.BINS + 1):
-                exprs.append(
-                    F.sum((nn & (b == i) & (tgt == 1)).cast("bigint")).alias(f"g_{c}_{i}")
-                )
-                exprs.append(
-                    F.sum((nn & (b == i) & (tgt != 1)).cast("bigint")).alias(f"b_{c}_{i}")
-                )
-        row = df.agg(*exprs).collect()[0]
-        tg, tb = row["__tg"] or 0, row["__tb"] or 0
-        for c in num:
-            if edges.get(c) is None:
-                continue
+        # counts in ONE map-side-combined groupBy over the melted
+        # (column, bin) pairs — a '__total' sentinel row per input row
+        # carries the grand totals through the same job. The per-map-task
+        # shuffle is at most (columns*bins + 1) x 2 rows. (A conditional-
+        # sum grid of 2*bins aggregate expressions per column generated a
+        # huge update method HotSpot refused to JIT.)
+        binned = [c for c in num if edges.get(c) is not None]
+        proj = [(tgt == 1).alias("__is_good")]
+        for c in binned:
+            proj.append(_bin_index_expr(c, edges[c], self.BINS).alias(f"__bin_{c}"))
+            proj.append(F.col(c).isNotNull().alias(f"__nn_{c}"))
+        base = df.select(*proj)
+        stack_args = ["'__total'", "0", "true"]
+        for c in binned:
+            stack_args += [f"'{c}'", f"__bin_{c}", f"__nn_{c}"]
+        melted = base.selectExpr(
+            "__is_good",
+            f"stack({len(binned) + 1}, {', '.join(stack_args)})"
+            " AS (__col, __bin, __nn)",
+        )
+        cells = (
+            melted.where("__nn")
+            .groupBy("__col", "__bin", "__is_good")
+            .count()
+            .collect()
+        )
+        cell = {(r["__col"], r["__bin"], r["__is_good"]): r["count"] for r in cells}
+        tg = cell.get(("__total", 0, True), 0)
+        tb = cell.get(("__total", 0, False), 0)
+        for c in binned:
             counts = [
-                (row[f"g_{c}_{i}"] or 0, row[f"b_{c}_{i}"] or 0)
+                (cell.get((c, i, True), 0), cell.get((c, i, False), 0))
                 for i in range(1, self.BINS + 1)
             ]
             self.iv_values_[c] = self._iv_from_counts(counts, tg, tb)
