@@ -62,6 +62,17 @@ class AsOfJoiner(Transformer):
     an identical (key, ts) resolve to an arbitrary-but-deterministic one
     (max by the packed struct's ordering) — supply unique (key, ts) on
     the right for fully specified output.
+
+    Scale note (hot keys): the union+window plan shuffles once on the
+    join keys and never builds a range-join cross product, but the
+    window partitions by key ONLY — one pathologically hot key (a
+    single device/user holding a large fraction of all rows) serializes
+    onto one reducer. Unlike GroupedTopK's ``skew_safe`` mode, an as-of
+    window cannot be salted by rows alone: a salt bucket's first row
+    still needs the last right row of the previous bucket, so the fix
+    is time-bucketing with a carry-in pass. If one key dominates,
+    pre-split its history by coarse time range, as-of join each range,
+    and stitch the boundary matches from the per-range tail rows.
     """
 
     def __init__(
