@@ -389,15 +389,46 @@ def q_ordinal_encode(spark, sf_dir):
 
 @_reg(
     "mean_encode",
-    f"""WITH m AS (SELECT p_brand k, avg(p_retailprice) v FROM part
-WHERE p_brand IS NOT NULL GROUP BY 1)
+    # decimal-exact category mean: float avg() lands EXACTLY on an r6
+    # rounding boundary for one sf0.01 brand (measured), where last-ulp
+    # reduction-order drift between engines flips the rounded value.
+    # Decimal sums are order-independent in both engines; the single
+    # double division of deterministic inputs is identical IEEE.
+    f"""WITH m AS (SELECT p_brand k,
+  CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE)
+    / count(p_retailprice) v
+FROM part WHERE p_brand IS NOT NULL GROUP BY 1)
 SELECT p_partkey, {R6("COALESCE(m.v, 0.0)")} AS p_brand
 FROM part LEFT JOIN m ON part.p_brand = m.k""",
 )
 def q_mean_encode(spark, sf_dir):
+    # The operator's float mapping is pinned in-query against the
+    # decimal-exact mean: a category drifting beyond 1e-6 poisons its
+    # rows with -999 (loud hash failure), while the hashed values
+    # themselves come from the deterministic decimal computation.
     df = _t(spark, sf_dir, "part")
     out = ff.MeanEncoder(["p_brand"], "p_retailprice").fit_transform(df)
-    return out.select("p_partkey", r6(F.col("p_brand")).alias("p_brand"))
+    exact = (
+        df.where(F.col("p_brand").isNotNull())
+        .groupBy(F.col("p_brand").alias("__cat"))
+        .agg(
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(30,2)")).cast("double")
+                / F.count("p_retailprice")
+            ).alias("__exact")
+        )
+    )
+    raw = df.select("p_partkey", F.col("p_brand").alias("__cat"))
+    j = (
+        out.select("p_partkey", F.col("p_brand").alias("__enc"))
+        .join(raw, "p_partkey")
+        .join(F.broadcast(exact), "__cat", "left")
+    )
+    ev = F.coalesce(F.col("__exact"), F.lit(0.0))
+    val = F.when(F.abs(F.col("__enc") - ev) < 1e-6, r6(ev)).otherwise(
+        F.lit(-999.0)
+    )
+    return j.select("p_partkey", val.alias("p_brand"))
 
 
 @_reg(
