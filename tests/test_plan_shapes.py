@@ -1,0 +1,91 @@
+"""Join-shape contracts for the dedup/similarity operators.
+
+At 100 TB the difference between a bucketed/broadcast join and an
+accidental cartesian product is the whole ballgame; these tests pin the
+physical join strategies so a refactor can't silently regress them.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"document number {i} with some shared boilerplate text tokens {i % 7}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (i, [float((i * 13 + j * 5) % 11) - 5.0 for j in range(16)])
+        for i in range(80)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_candidates_never_cartesian(docs):
+    for pairing in ("star", "all"):
+        dd = ff.MinHashDeduplicator(
+            "text", "doc_id", threshold=0.5, bucket_pairing=pairing
+        )
+        plan = _phys(dd.candidate_pairs(docs))
+        assert "CartesianProduct" not in plan, pairing
+        assert "BroadcastNestedLoopJoin" not in plan, pairing
+
+
+def test_simhash_candidates_never_cartesian(docs):
+    dd = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=4)
+    plan = _phys(dd.candidate_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_candidates_never_cartesian(vecs):
+    dd = ff.EmbeddingDeduplicator(
+        "embedding", "vec_id", threshold=0.8, method="lsh", dim=16
+    )
+    plan = _phys(dd.candidate_pairs(vecs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_query_side_only(vecs):
+    queries = vecs.where(F.col("vec_id") < 3)
+    out = ff.CosineTopK("embedding", "vec_id", k=5).search(vecs, queries)
+    plan = _phys(out)
+    # the deliberate broadcast NLJ: |queries| rows broadcast, corpus
+    # streamed in place — the corpus side must never shuffle for the join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bucketed_topk_uses_broadcast_hash_join(vecs):
+    queries = vecs.where(F.col("vec_id") < 3)
+    out = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16).search(
+        vecs, queries
+    )
+    plan = _phys(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_search_join_is_broadcast_on_cluster(vecs):
+    ivf = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=5, n_centroids=4, n_probe=2, iterations=1
+    )
+    queries = vecs.where(F.col("vec_id") < 3)
+    out = ivf.search(vecs, queries)
+    plan = _phys(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
