@@ -63,16 +63,27 @@ class AsOfJoiner(Transformer):
     (max by the packed struct's ordering) — supply unique (key, ts) on
     the right for fully specified output.
 
-    Scale note (hot keys): the union+window plan shuffles once on the
-    join keys and never builds a range-join cross product, but the
-    window partitions by key ONLY — one pathologically hot key (a
+    Scale note (hot keys): the default union+window plan shuffles once
+    on the join keys and never builds a range-join cross product, but
+    the window partitions by key ONLY — one pathologically hot key (a
     single device/user holding a large fraction of all rows) serializes
-    onto one reducer. Unlike GroupedTopK's ``skew_safe`` mode, an as-of
-    window cannot be salted by rows alone: a salt bucket's first row
-    still needs the last right row of the previous bucket, so the fix
-    is time-bucketing with a carry-in pass. If one key dominates,
-    pre-split its history by coarse time range, as-of join each range,
-    and stitch the boundary matches from the per-range tail rows.
+    onto one reducer. An as-of window cannot be salted by rows alone (a
+    salt bucket's first row still needs the last right row of the
+    previous bucket), so the skew-safe mode is TIME bucketing with a
+    carry-in pass: set ``time_bucket_seconds`` and the plan becomes
+
+    1. in-bucket window partitioned by (key, floor(ts/bucket)) — reducer
+       work bounded by rows per key per bucket;
+    2. one tiny per-(key, bucket) aggregate of the boundary payload
+       (last right row for backward, first for forward);
+    3. a second window over that per-bucket frame (rows = number of
+       buckets per key, not number of events) computing the carry-in;
+    4. rows with no in-bucket match take their bucket's carry-in.
+
+    Output is identical to the default plan (boundary ties inherit the
+    same packed-struct ordering). Pick the bucket so a hot key's rows
+    per bucket AND its bucket count are both comfortable — e.g. hours
+    for a key logging millions of events per day over a year.
     """
 
     def __init__(
@@ -84,12 +95,17 @@ class AsOfJoiner(Transformer):
         tolerance_seconds: float | None = None,
         direction: str = "backward",
         suffix: str = "_right",
+        time_bucket_seconds: float | None = None,
     ):
         ensure(direction in ("backward", "forward"), "direction must be backward|forward")
         ensure(bool(on), "at least one key column is required")
         ensure(
             tolerance_seconds is None or tolerance_seconds >= 0,
             "tolerance_seconds must be >= 0",
+        )
+        ensure(
+            time_bucket_seconds is None or time_bucket_seconds > 0,
+            "time_bucket_seconds must be > 0",
         )
         self.right = right
         self.on = list(on)
@@ -103,6 +119,7 @@ class AsOfJoiner(Transformer):
         self.tolerance_seconds = tolerance_seconds
         self.direction = direction
         self.suffix = suffix
+        self.time_bucket_seconds = time_bucket_seconds
         validate_columns(right, self.on + [ts_col] + self.value_cols)
 
     def _check_input(self, df: DataFrame) -> None:
@@ -135,11 +152,20 @@ class AsOfJoiner(Transformer):
             *[F.col(c).alias(f"__l_{c}") for c in left_cols],
         )
         u = l.unionByName(r)
+        bucket = self.time_bucket_seconds
+        if bucket is not None:
+            u = u.withColumn(
+                "__bkt",
+                F.floor(
+                    F.col("__ts").cast("double") / F.lit(float(bucket))
+                ).cast("long"),
+            )
+        part = [*on, "__bkt"] if bucket is not None else on
         if self.direction == "backward":
             # right (tag 0) sorts before left (tag 1) at equal ts ->
             # inclusive; frame looks back.
             w = (
-                Window.partitionBy(*on)
+                Window.partitionBy(*part)
                 .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
@@ -147,11 +173,41 @@ class AsOfJoiner(Transformer):
         else:
             # left first at equal ts, frame looks forward.
             w = (
-                Window.partitionBy(*on)
+                Window.partitionBy(*part)
                 .orderBy(F.col("__ts").asc(), F.col("__tag").desc())
                 .rowsBetween(Window.currentRow, Window.unboundedFollowing)
             )
             matched = F.first(F.col("__p"), ignorenulls=True).over(w)
+        if bucket is not None:
+            # carry-in pass: rows whose bucket-local window found nothing
+            # take the boundary payload of the nearest earlier (backward)
+            # or later (forward) bucket. The carry window runs over ONE
+            # row per (key, bucket) — bucket counts, not event counts —
+            # so a hot key's reducer work stays bounded. The payload
+            # struct leads with __ats, so max/min == last/first by ts.
+            buckets = u.select(*on, "__bkt").distinct()
+            rb = u.where(F.col("__tag") == 0).groupBy(*on, "__bkt")
+            if self.direction == "backward":
+                pb = rb.agg(F.max("__p").alias("__bp"))
+                w_carry = (
+                    Window.partitionBy(*on)
+                    .orderBy(F.col("__bkt").asc())
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                carry_expr = F.last(F.col("__bp"), ignorenulls=True).over(w_carry)
+            else:
+                pb = rb.agg(F.min("__p").alias("__bp"))
+                w_carry = (
+                    Window.partitionBy(*on)
+                    .orderBy(F.col("__bkt").asc())
+                    .rowsBetween(1, Window.unboundedFollowing)
+                )
+                carry_expr = F.first(F.col("__bp"), ignorenulls=True).over(w_carry)
+            carry = buckets.join(pb, [*on, "__bkt"], "left").select(
+                *on, "__bkt", carry_expr.alias("__carry")
+            )
+            u = u.join(carry, [*on, "__bkt"], "left")
+            matched = F.coalesce(matched, F.col("__carry"))
         out = u.select(
             *[F.col(f"__l_{c}").alias(c) for c in left_cols],
             F.col("__tag"),

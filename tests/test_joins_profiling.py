@@ -83,6 +83,54 @@ class TestAsOfJoiner:
         r = out.collect()[0]
         assert r["px"] == 7.7 and r["px_right"] == 2.0
 
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize("tolerance", [None, 300.0])
+    def test_time_bucketed_equals_default(self, spark, direction, tolerance):
+        """The skew-safe carry-in plan must reproduce the single-window
+        plan exactly — including buckets holding only left rows, only
+        right rows, or nothing, and carries across multiple empty
+        buckets."""
+        import random
+
+        rng = random.Random(7)
+        quotes = spark.createDataFrame(
+            [
+                (k, ts(rng.randrange(0, 59)), float(i))
+                for i, k in enumerate(
+                    [rng.choice("AABC") for _ in range(40)]
+                )
+            ],
+            "k string, t timestamp, px double",
+        )
+        trades = spark.createDataFrame(
+            [
+                (rng.choice("AABCD"), ts(rng.randrange(0, 59)), i)
+                for i in range(60)
+            ],
+            "k string, t timestamp, qty int",
+        )
+        kw = dict(
+            on=["k"], ts_col="t", value_cols=["px"],
+            direction=direction, tolerance_seconds=tolerance,
+        )
+        base = ff.AsOfJoiner(quotes, **kw).transform(trades)
+        # 5-minute buckets over an hour of data: in-bucket misses and
+        # multi-bucket carries both occur
+        bucketed = ff.AsOfJoiner(
+            quotes, time_bucket_seconds=300.0, **kw
+        ).transform(trades)
+        key = lambda r: (r["k"], r["t"], r["qty"])  # noqa: E731
+        b = {key(r): (r["px"], r["t_right"]) for r in base.collect()}
+        s = {key(r): (r["px"], r["t_right"]) for r in bucketed.collect()}
+        assert b == s
+
+    def test_time_bucketed_plan_partitions_by_bucket(self, quotes, trades):
+        j = ff.AsOfJoiner(
+            quotes, on=["k"], ts_col="t", time_bucket_seconds=600.0
+        )
+        plan = j.transform(trades)._jdf.queryExecution().optimizedPlan().toString()
+        assert "__bkt" in plan
+
 
 class TestIntervalJoiner:
     @pytest.fixture(scope="class")
