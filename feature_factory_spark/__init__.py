@@ -16,6 +16,7 @@ from .exceptions import (
     UnsupportedFormatError,
 )
 from .logging_config import configure_logging
+from .ml_adapter import FFEstimator, FFModel, FFTransformer, as_ml_stage
 from .operators import *  # noqa: F401,F403
 from .operators import __all__ as _op_all
 from .pipeline import Pipeline, Transformer, make_pipeline
@@ -30,5 +31,6 @@ __all__ = [
     "FeatureFactoryError", "MissingColumnError", "InvalidParameterError",
     "FitNotCalledError", "NotImplementedFeatureError", "UnsupportedFormatError",
     "Transformer", "Pipeline", "make_pipeline", "configure_logging",
+    "as_ml_stage", "FFEstimator", "FFModel", "FFTransformer",
     *_op_all,
 ]
