@@ -15,8 +15,8 @@ from .exceptions import (
     NotImplementedFeatureError,
     UnsupportedFormatError,
 )
+from .interop import MLEstimatorAdapter, MLTransformerAdapter, as_ml_stage
 from .logging_config import configure_logging
-from .ml_adapter import FFEstimator, FFModel, FFTransformer, as_ml_stage
 from .operators import *  # noqa: F401,F403
 from .operators import __all__ as _op_all
 from .pipeline import Pipeline, Transformer, make_pipeline
@@ -31,6 +31,6 @@ __all__ = [
     "FeatureFactoryError", "MissingColumnError", "InvalidParameterError",
     "FitNotCalledError", "NotImplementedFeatureError", "UnsupportedFormatError",
     "Transformer", "Pipeline", "make_pipeline", "configure_logging",
-    "as_ml_stage", "FFEstimator", "FFModel", "FFTransformer",
+    "as_ml_stage", "MLEstimatorAdapter", "MLTransformerAdapter",
     *_op_all,
 ]

@@ -1,4 +1,5 @@
-"""pyspark.ml interop adapter: ff operators as MLlib pipeline stages."""
+"""Deeper pyspark.ml interop coverage (adapters live in interop.py;
+basic estimator/transformer round-trips are in test_streaming_interop)."""
 
 import pytest
 
@@ -6,7 +7,7 @@ from pyspark.ml import Pipeline as MLPipeline
 from pyspark.sql import functions as F
 
 import feature_factory_spark as ff
-from feature_factory_spark.validation import InvalidParameterError
+from feature_factory_spark.exceptions import FitNotCalledError
 
 
 @pytest.fixture(scope="module")
@@ -18,41 +19,27 @@ def df(spark):
     return spark.createDataFrame(rows, "id bigint, x double, cat string")
 
 
-def test_stateless_op_becomes_transformer(df):
-    stage = ff.as_ml_stage(ff.ArbitraryNumberImputer(["x"], -1.0))
-    assert isinstance(stage, ff.FFTransformer)
-    out = stage.transform(df)
-    assert out.where(F.col("x").isNull()).count() == 0
-    assert out.where(F.col("x") == -1.0).count() == df.where(
-        F.col("id") % 5 == 0
-    ).count()
-
-
-def test_stateful_op_becomes_estimator_and_fits(df):
-    stage = ff.as_ml_stage(ff.MeanMedianImputer(["x"]))
-    assert isinstance(stage, ff.FFEstimator)
-    model = stage.fit(df)
-    assert isinstance(model, ff.FFModel)
-    assert out_has_no_nulls(model.transform(df))
-    # the estimator stays unfitted and reusable: its wrapped op never
-    # received the fitted state
-    with pytest.raises(Exception, match="fit"):
-        stage.op.transform(df)
-
-
 def out_has_no_nulls(out):
     return out.where(F.col("x").isNull()).count() == 0
 
 
-def test_mllib_pipeline_of_ff_stages(df):
-    pipe = MLPipeline(stages=[
-        ff.as_ml_stage(ff.MeanMedianImputer(["x"])),
-        ff.as_ml_stage(ff.OneHotEncoder(["cat"])),
-    ])
-    model = pipe.fit(df)
-    out = model.transform(df)
-    assert out_has_no_nulls(out)
-    assert {"cat_c0", "cat_c1", "cat_c2"} <= set(out.columns)
+def test_estimator_leaves_wrapped_op_unfitted(df):
+    stage = ff.as_ml_stage(ff.MeanMedianImputer(["x"]))
+    assert isinstance(stage, ff.MLEstimatorAdapter)
+    model = stage.fit(df)
+    assert isinstance(model, ff.MLTransformerAdapter)
+    assert out_has_no_nulls(model.transform(df))
+    # fit() deep-copied: the estimator's own op is still unfitted and
+    # the estimator stays reusable per the MLlib contract
+    with pytest.raises(FitNotCalledError):
+        stage.op.transform(df)
+
+
+def test_prefitted_stateful_op_becomes_transformer(df):
+    op = ff.MeanMedianImputer(["x"]).fit(df)
+    stage = ff.as_ml_stage(op)
+    assert isinstance(stage, ff.MLTransformerAdapter)
+    assert out_has_no_nulls(stage.transform(df))
 
 
 def test_mllib_pipeline_mixes_ff_and_mllib_stages(df):
@@ -72,8 +59,3 @@ def test_model_copy_is_independent(df):
     clone = model.copy()
     assert clone is not model and clone.op is not model.op
     assert out_has_no_nulls(clone.transform(df))
-
-
-def test_as_ml_stage_rejects_non_ff_objects():
-    with pytest.raises(InvalidParameterError):
-        ff.as_ml_stage(object())
