@@ -158,3 +158,42 @@ def test_lag_shifts_exactly(spark, seq):
     out = ff.LagFeatures(["v"], ["t"]).transform(df).orderBy("t")
     lags = [r["v_lag_1"] for r in out.collect()]
     assert lags == [None] + seq[:-1]
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_r6_rounding_identical_across_python_spark_duckdb(spark, xs):
+    """The whole oracle layer hangs on floor(x*1e6 + 0.5)/1e6 evaluating
+    bit-identically in Python, Spark, and DuckDB — pin it on arbitrary
+    doubles (native round() functions disagree on ties; this formula
+    must not)."""
+    import duckdb
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    py = [m.floor(x * 1e6 + 0.5) / 1e6 for x in xs]
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x double")
+    sp = [
+        r["y"]
+        for r in sdf.select(
+            "i", (F.floor(F.col("x") * 1e6 + 0.5) / 1e6).alias("y")
+        ).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    dk = [
+        con.execute(
+            "SELECT floor(CAST(? AS DOUBLE)*1000000 + 0.5)/1000000", [x]
+        ).fetchone()[0]
+        for x in xs
+    ]
+    assert py == sp == dk
