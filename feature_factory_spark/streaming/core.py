@@ -48,11 +48,21 @@ def apply_pipeline_to_stream(pipeline: Pipeline, stream_df: DataFrame) -> DataFr
 
 
 class StreamingDeduplicator(Transformer):
-    """Exact content deduplication that runs on unbounded streams with
-    BOUNDED state (batch/stream duality like the window aggregators).
+    """Content deduplication that runs on unbounded streams with BOUNDED
+    state (batch/stream duality like the window aggregators).
 
-    The key is md5 over the content columns — the same skew-free hash key
-    as ``ExactDeduplicator`` (operators/dedup.py).
+    ``key`` selects the dedup granularity:
+
+    - ``'md5'`` (default): exact content key over the content columns —
+      the same skew-free hash key as ``ExactDeduplicator``.
+    - ``'simhash'``: the 64-bit SimHash sketch of the (single) text
+      column — SKETCH-EXACT near-dedup: documents whose word multisets
+      collapse to the same sketch (whitespace/formatting/ordering
+      variants) dedup as one, with exactly the same bounded-state
+      mechanics as the exact key. A hamming-BALL match (distance <= t,
+      not just 0) needs cross-bucket pair state that Structured
+      Streaming's dropDuplicates cannot express — run the batch
+      ``SimHashDeduplicator`` over closed partitions for that.
 
     Batch: keeps the smallest ``id_col`` row per key (identical frame to
     ExactDeduplicator, so the DuckDB oracle can verify this path).
@@ -74,13 +84,20 @@ class StreamingDeduplicator(Transformer):
         ts_col: str | None = None,
         watermark: str | None = None,
         normalize: bool = False,
+        key: str = "md5",
     ):
         ensure(bool(columns), "at least one content column is required")
+        ensure(key in ("md5", "simhash"), "key must be 'md5' or 'simhash'")
+        ensure(
+            key != "simhash" or len(columns) == 1,
+            "simhash key takes exactly one text column",
+        )
         self.columns = list(columns)
         self.id_col = id_col
         self.ts_col = ts_col
         self.watermark = watermark
         self.normalize = normalize
+        self.key = key
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, self.columns + [self.id_col])
@@ -96,6 +113,27 @@ class StreamingDeduplicator(Transformer):
         ]
         return F.md5(F.concat_ws("", *parts))
 
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        """df + '__ff_key': one projection for md5; the simhash sketch
+        needs the word-hash -> bit-sums -> signature projection chain
+        (each stage multi-references the previous, so they must stay in
+        separate projections — see SimHashDeduplicator.sig_expr)."""
+        if self.key == "md5":
+            return df.withColumn("__ff_key", self._key_expr())
+        from ..functions.text import normalized_text_expr
+        from ..operators.dedup import SimHashDeduplicator, words_expr
+
+        sh = SimHashDeduplicator(self.columns[0], self.id_col)
+        text = F.col(self.columns[0])
+        if self.normalize:
+            text = normalized_text_expr(text)
+        return (
+            df.withColumn("hs", F.transform(words_expr(text), sh._word_hash))
+            .withColumn("__ff_bsums", sh.bit_sums_expr())
+            .withColumn("__ff_key", sh.sig_expr(F.col("__ff_bsums")))
+            .drop("hs", "__ff_bsums")
+        )
+
     def _transform(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
             ensure(
@@ -103,17 +141,16 @@ class StreamingDeduplicator(Transformer):
                 "streaming dedup requires ts_col and watermark (state must "
                 "be bounded on an unbounded input)",
             )
-            keyed = df.withWatermark(self.ts_col, self.watermark).withColumn(
-                "__ff_key", self._key_expr()
-            )
+            keyed = self._keyed(df.withWatermark(self.ts_col, self.watermark))
             return keyed.dropDuplicatesWithinWatermark(["__ff_key"]).drop("__ff_key")
         from pyspark.sql import Window
 
-        w = Window.partitionBy(self._key_expr()).orderBy(F.col(self.id_col))
+        w = Window.partitionBy("__ff_key").orderBy(F.col(self.id_col))
         return (
-            df.withColumn("__ff_rn", F.row_number().over(w))
+            self._keyed(df)
+            .withColumn("__ff_rn", F.row_number().over(w))
             .where(F.col("__ff_rn") == 1)
-            .drop("__ff_rn")
+            .drop("__ff_rn", "__ff_key")
         )
 
 

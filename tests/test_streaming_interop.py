@@ -80,6 +80,63 @@ def test_streaming_dedup_batch_keeps_min_id(spark):
     assert {r["doc_id"] for r in norm.collect()} == {1, 2}
 
 
+def test_streaming_dedup_simhash_key_batch(spark):
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick  brown fox jumps over   the lazy dog"),  # ws variant
+            (2, "a completely different document about spark planning"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = StreamingDeduplicator(["text"], "doc_id", key="simhash").transform(df)
+    # identical word multiset -> identical 64-bit sketch -> one survivor
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_streaming_dedup_simhash_key_on_stream(spark, tmp_path):
+    import datetime
+
+    from feature_factory_spark.streaming import StreamingDeduplicator, read_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, "shared boilerplate page text", t0),
+            (2, "shared  boilerplate   page text", t0),
+            (3, "unique article body here", t0),
+        ],
+        "doc_id bigint, text string, ts timestamp",
+    )
+    src = str(tmp_path / "simhash_src")
+    df.write.parquet(src)
+    dd = StreamingDeduplicator(
+        ["text"], "doc_id", ts_col="ts", watermark="1 hour", key="simhash"
+    )
+    out = dd.transform(read_stream(spark, src, df.schema))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("simhash_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM simhash_dedup").collect()
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == 2 and 3 in ids  # one of {1,2} + the unique doc
+
+
+def test_streaming_dedup_simhash_requires_single_column():
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    with pytest.raises(Exception, match="one text column"):
+        StreamingDeduplicator(["a", "b"], "id", key="simhash")
+
+
 def test_streaming_dedup_on_stream(spark, events, tmp_path):
     from feature_factory_spark.streaming import StreamingDeduplicator
 
