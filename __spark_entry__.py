@@ -68,7 +68,7 @@ the op is a member slice of that family query):
   — LLM extensions (standalone): cosine/ivf/bucketed topk, text_features,
   token_count, lang_id, text_clean, repetition_features, pii_redact,
   doc_fingerprint, tfidf_topk, multimodal_extract, frame_sample,
-  json_extract, sequence_pack, events_window, session_window, line_dedup,
+  json_extract, events_window, session_window, line_dedup,
   unigram_logprob, kmeans_cluster, oof_mean_encode, tree_discretize,
   running_stats, asof_join, interval_join, grouped_topk, column_profile,
   frequent_items, quality_filter (gopher + contamination),
@@ -76,7 +76,8 @@ the op is a member slice of that family query):
   — LLM extensions (families): dedup_pairs (minhash+simhash),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
-  sample_family (hash_sample/hash_split/weighted_sample), scale_family,
+  sample_family (hash_sample/hash_split/weighted_sample), pack_family
+  (sequence_pack + doc_chunk context-window chunking), scale_family,
   embed_transform (l2 + random projection), ts_features (lag/window/
   expanding).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
@@ -1710,6 +1711,32 @@ def q_sequence_pack(spark, sf_dir):
 
 
 @_reg(
+    "doc_chunk",
+    # DuckDB twin of DocumentChunker(chunk_size=32, overlap=8):
+    # step 24, chunk i = words[i*24+1 .. i*24+32] (list slice inclusive)
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+  FROM documents),
+c AS (SELECT doc_id, w,
+  1 + CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS INT) nc FROM d),
+e AS (SELECT doc_id, w,
+  CAST(UNNEST(generate_series(1, nc)) - 1 AS INT) chunk_id FROM c)
+SELECT doc_id, chunk_id,
+  CAST(len(w[chunk_id*24+1 : chunk_id*24+32]) AS INT) AS chunk_n_words,
+  md5(array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_md5
+FROM e""",
+)
+def q_doc_chunk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ff.DocumentChunker("text", chunk_size=32, overlap=8).transform(docs)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_n_words").cast("int").alias("chunk_n_words"),
+        F.md5(F.col("text_chunk")).alias("chunk_md5"),
+    )
+
+
+@_reg(
     "weighted_sample",
     f"""SELECT doc_id FROM documents
 WHERE {SQL_HASHFRAC} < (CASE source WHEN 'src0' THEN 1.0
@@ -2620,6 +2647,16 @@ _merge("quality_filter", [
      "doc_id, CAST(NULL AS BOOLEAN) AS flag"),
     ("contamination", ["doc_id", "contaminated AS flag"],
      "doc_id, contaminated AS flag"),
+])
+
+_merge("pack_family", [
+    ("sequence_pack", ["doc_id", "pack_id AS k", "cast(NULL AS string) AS val"],
+     "doc_id, pack_id AS k, CAST(NULL AS VARCHAR) AS val"),
+    ("doc_chunk",
+     ["doc_id", "cast(chunk_id AS bigint) AS k",
+      "concat(cast(chunk_n_words AS string), ':', chunk_md5) AS val"],
+     "doc_id, CAST(chunk_id AS BIGINT) AS k, "
+     "CAST(chunk_n_words AS VARCHAR) || ':' || chunk_md5 AS val"),
 ])
 
 assert len(_REGISTRY) <= 50, f"registry exceeds driver's 50-row cap: {len(_REGISTRY)}"

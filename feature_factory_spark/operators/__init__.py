@@ -74,7 +74,13 @@ from .multimodal import BinaryFeatureExtractor, FrameSampler
 from .embeddings import L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
-from .sampling import HashSampler, HashSplitter, SequencePacker, WeightedSampler
+from .sampling import (
+    DocumentChunker,
+    HashSampler,
+    HashSplitter,
+    SequencePacker,
+    WeightedSampler,
+)
 from .joins import AsOfJoiner, GroupedTopK, IntervalJoiner
 from .profiling import ColumnProfiler, FrequentItems
 
@@ -109,7 +115,8 @@ __all__ = [
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
-    "HashSampler", "HashSplitter", "SequencePacker", "WeightedSampler",
+    "DocumentChunker", "HashSampler", "HashSplitter", "SequencePacker",
+    "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems",
 ]

@@ -161,6 +161,67 @@ class HashSplitter(Transformer):
         return df.select("*", self.split_expr().alias(self.output_col))
 
 
+class DocumentChunker(Transformer):
+    """Split each document into overlapping word-window chunks — the
+    context-window preparation step between cleaning and packing in a
+    pretraining pipeline (beyond the reference, SURVEY.md §2.3).
+
+    Output: one row per chunk with ``chunk_id`` (0-based, ordered),
+    ``<text_col>_chunk`` (the chunk text) and ``chunk_n_words``. Chunk i
+    starts at word ``i * (chunk_size - overlap)``; the last chunk is the
+    remainder (>= 1 word). A document with at most ``chunk_size`` words
+    yields exactly itself as chunk 0, so chunking then packing degrades
+    gracefully for short documents.
+
+    Scale shape: expression-only — split once, then one
+    ``posexplode(transform(sequence(...)))`` projection. No shuffle, no
+    UDF; output row count is sum of per-doc chunk counts, and Spark's
+    generator handling keeps peak memory per row at one document. The
+    word-slice arithmetic is reproducible in ANSI SQL (DuckDB list
+    slicing), so the operator is oracle-verifiable."""
+
+    def __init__(
+        self,
+        text_col: str,
+        chunk_size: int = 512,
+        overlap: int = 0,
+        out_prefix: str | None = None,
+    ):
+        ensure(chunk_size >= 1, "chunk_size must be >= 1")
+        ensure(0 <= overlap < chunk_size, "overlap must be in [0, chunk_size)")
+        self.text_col = text_col
+        self.chunk_size = chunk_size
+        self.overlap = overlap
+        self.out_prefix = out_prefix or text_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.text_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        size, step = self.chunk_size, self.chunk_size - self.overlap
+        words = F.split(F.trim(F.col(self.text_col)), r"\s+")
+        n = F.size(words)
+        # number of chunks: 1 + ceil(max(n - size, 0) / step), floor-safe
+        extra = F.greatest(n - F.lit(size), F.lit(0))
+        n_chunks = F.lit(1) + F.ceil(extra.cast("double") / F.lit(step)).cast("int")
+        base = df.select(
+            "*",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                    lambda i: F.slice(words, i * F.lit(step) + 1, size),
+                )
+            ).alias("chunk_id", "__chunk_words"),
+        )
+        return base.select(
+            "*",
+            F.array_join(F.col("__chunk_words"), " ").alias(
+                f"{self.out_prefix}_chunk"
+            ),
+            F.size("__chunk_words").alias("chunk_n_words"),
+        ).drop("__chunk_words")
+
+
 class SequencePacker(Transformer):
     """Assign contiguous pack ids so each pack holds ~``budget`` tokens:
     ``pack_id = floor(exclusive_running_token_sum / budget)`` within each

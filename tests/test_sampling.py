@@ -99,3 +99,53 @@ def test_sequence_packer_per_partition(spark):
     for src, pairs in by_src.items():
         packs = [p for _, p in sorted(pairs)]
         assert packs == [0, 0, 1]  # 300+300 fills a pack per group
+
+
+class TestDocumentChunker:
+    def test_short_doc_is_single_identity_chunk(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        out = ff.DocumentChunker("text", chunk_size=10).transform(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["chunk_id"], r["text_chunk"], r["chunk_n_words"]) == (0, "a b c", 3)
+
+    def test_overlapping_chunks_cover_all_words_in_order(self, spark):
+        words = [f"w{i}" for i in range(25)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id bigint, text string"
+        )
+        out = (
+            ff.DocumentChunker("text", chunk_size=10, overlap=2)
+            .transform(df)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        # step 8: starts at 0, 8, 16, 24 -> 1 + ceil((25-10)/8) = 3... and
+        # start 16 covers w16..w24 (9 words); chunks = ceil(15/8)+1 = 3
+        assert [r["chunk_id"] for r in out] == [0, 1, 2]
+        assert out[0]["text_chunk"].split() == words[0:10]
+        assert out[1]["text_chunk"].split() == words[8:18]
+        assert out[2]["text_chunk"].split() == words[16:25]
+        assert out[2]["chunk_n_words"] == 9
+
+    def test_no_overlap_partitions_exactly(self, spark):
+        words = [f"t{i}" for i in range(12)]
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+        out = (
+            ff.DocumentChunker("text", chunk_size=4)
+            .transform(df)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        rebuilt = [w for r in out for w in r["text_chunk"].split()]
+        assert rebuilt == words
+
+    def test_invalid_params_rejected(self):
+        import pytest as _pytest
+
+        from feature_factory_spark.exceptions import InvalidParameterError
+
+        with _pytest.raises(InvalidParameterError):
+            ff.DocumentChunker("text", chunk_size=0)
+        with _pytest.raises(InvalidParameterError):
+            ff.DocumentChunker("text", chunk_size=4, overlap=4)
