@@ -1713,11 +1713,15 @@ def q_sequence_pack(spark, sf_dir):
 @_reg(
     "doc_chunk",
     # DuckDB twin of DocumentChunker(chunk_size=32, overlap=8):
-    # step 24, chunk i = words[i*24+1 .. i*24+32] (list slice inclusive)
-    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
-  FROM documents),
+    # step 24, chunk i = words[i*24+1 .. i*24+32] (list slice inclusive).
+    # Tokenization mirrors functions/text.words_expr: empty tokens are
+    # filtered and NULL/blank documents yield zero chunk rows.
+    """WITH d AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') w
+  FROM documents WHERE text IS NOT NULL),
 c AS (SELECT doc_id, w,
-  1 + CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS INT) nc FROM d),
+  1 + CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS INT) nc FROM d
+  WHERE len(w) > 0),
 e AS (SELECT doc_id, w,
   CAST(UNNEST(generate_series(1, nc)) - 1 AS INT) chunk_id FROM c)
 SELECT doc_id, chunk_id,

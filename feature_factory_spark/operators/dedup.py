@@ -315,9 +315,9 @@ class SimHashDeduplicator(Transformer):
         # bigint cast can never overflow under ANSI mode)
         return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
 
-    def bit_sums_expr(self) -> Column:
-        """Per-bit sums over a pre-materialized 'hs' word-hash array
-        column, as ONE fold producing array<bigint>[n_bits].
+    def bit_sums_expr(self, hs_col: str = "hs") -> Column:
+        """Per-bit sums over a pre-materialized word-hash array column
+        (``hs_col``), as ONE fold producing array<bigint>[n_bits].
 
         sums[k] = sum over word hashes h of (2*bit_k(h) - 1). A single
         pass over the words with a zip_with per word replaces n_bits
@@ -327,7 +327,7 @@ class SimHashDeduplicator(Transformer):
         seq = F.sequence(F.lit(0), F.lit(self.n_bits - 1))
         zeros = F.array_repeat(F.lit(0).cast("bigint"), self.n_bits)
         return F.aggregate(
-            F.col("hs"),
+            F.col(hs_col),
             zeros,
             lambda acc, h: F.zip_with(
                 acc, seq, lambda a, k: a + (F.getbit(h, k) * F.lit(2) - F.lit(1))

@@ -307,16 +307,22 @@ def _bin_proportions(
     proj = [
         (F.col(frame_col) if frame_col else F.lit(0)).alias("__frame")
     ]
-    for c in columns:
-        proj.append(_bin_index_expr(c, edges[c], bins).alias(f"__bin_{c}"))
-        proj.append(F.col(c).isNotNull().alias(f"__nn_{c}"))
+    # index-based internal aliases + Column-API melt: column names with
+    # spaces/quotes/operators never enter generated SQL text
+    for i, c in enumerate(columns):
+        proj.append(_bin_index_expr(c, edges[c], bins).alias(f"__bin_{i}"))
+        proj.append(F.col(c).isNotNull().alias(f"__nn_{i}"))
     base = df.select(*proj)
-    stack_args = []
-    for c in columns:
-        stack_args += [f"'{c}'", f"__bin_{c}", f"__nn_{c}"]
-    melted = base.selectExpr(
-        "__frame",
-        f"stack({len(columns)}, {', '.join(stack_args)}) AS (__col, __bin, __nn)",
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("__col"),
+            F.col(f"__bin_{i}").alias("__bin"),
+            F.col(f"__nn_{i}").alias("__nn"),
+        )
+        for i, c in enumerate(columns)
+    ])
+    melted = base.select("__frame", F.explode(entries).alias("__e")).select(
+        "__frame", "__e.__col", "__e.__bin", "__e.__nn"
     )
     cells = (
         melted.where("__nn").groupBy("__col", "__bin", "__frame").count().collect()
@@ -439,17 +445,29 @@ class SelectByInformationValue(_KeepColumnsTransformer):
         # huge update method HotSpot refused to JIT.)
         binned = [c for c in num if edges.get(c) is not None]
         proj = [(tgt == 1).alias("__is_good")]
-        for c in binned:
-            proj.append(_bin_index_expr(c, edges[c], self.BINS).alias(f"__bin_{c}"))
-            proj.append(F.col(c).isNotNull().alias(f"__nn_{c}"))
+        # index-based internal aliases + Column-API melt keep arbitrary
+        # column names out of generated SQL text
+        for i, c in enumerate(binned):
+            proj.append(_bin_index_expr(c, edges[c], self.BINS).alias(f"__bin_{i}"))
+            proj.append(F.col(c).isNotNull().alias(f"__nn_{i}"))
         base = df.select(*proj)
-        stack_args = ["'__total'", "0", "true"]
-        for c in binned:
-            stack_args += [f"'{c}'", f"__bin_{c}", f"__nn_{c}"]
-        melted = base.selectExpr(
-            "__is_good",
-            f"stack({len(binned) + 1}, {', '.join(stack_args)})"
-            " AS (__col, __bin, __nn)",
+        entries = F.array(
+            F.struct(
+                F.lit("__total").alias("__col"),
+                F.lit(0).alias("__bin"),
+                F.lit(True).alias("__nn"),
+            ),
+            *[
+                F.struct(
+                    F.lit(c).alias("__col"),
+                    F.col(f"__bin_{i}").alias("__bin"),
+                    F.col(f"__nn_{i}").alias("__nn"),
+                )
+                for i, c in enumerate(binned)
+            ],
+        )
+        melted = base.select("__is_good", F.explode(entries).alias("__e")).select(
+            "__is_good", "__e.__col", "__e.__bin", "__e.__nn"
         )
         cells = (
             melted.where("__nn")

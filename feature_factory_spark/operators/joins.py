@@ -203,10 +203,27 @@ class AsOfJoiner(Transformer):
                     .rowsBetween(1, Window.unboundedFollowing)
                 )
                 carry_expr = F.first(F.col("__bp"), ignorenulls=True).over(w_carry)
-            carry = buckets.join(pb, [*on, "__bkt"], "left").select(
-                *on, "__bkt", carry_expr.alias("__carry")
+            # null-safe equality throughout: the default plan's window
+            # groups NULL keys (and the NULL bucket from a NULL ts) into
+            # their own partition, so the bucket/carry joins must match
+            # them too — plain equi-joins would silently drop their
+            # carry-in matches
+            bb, bp2 = buckets.alias("__b"), pb.alias("__p")
+            bcond = [
+                F.col(f"__b.{k}").eqNullSafe(F.col(f"__p.{k}")) for k in on
+            ] + [F.col("__b.__bkt").eqNullSafe(F.col("__p.__bkt"))]
+            carry = (
+                bb.join(bp2, on=bcond, how="left")
+                .select("__b.*", F.col("__p.__bp").alias("__bp"))
+                .select(*on, "__bkt", carry_expr.alias("__carry"))
             )
-            u = u.join(carry, [*on, "__bkt"], "left")
+            cu, cc = u.alias("__u"), carry.alias("__c")
+            cond = [
+                F.col(f"__u.{k}").eqNullSafe(F.col(f"__c.{k}")) for k in on
+            ] + [F.col("__u.__bkt").eqNullSafe(F.col("__c.__bkt"))]
+            u = cu.join(cc, on=cond, how="left").select(
+                "__u.*", F.col("__c.__carry").alias("__carry")
+            )
             matched = F.coalesce(matched, F.col("__carry"))
         out = u.select(
             *[F.col(f"__l_{c}").alias(c) for c in left_cols],

@@ -198,20 +198,28 @@ class DocumentChunker(Transformer):
         validate_columns(df, [self.text_col])
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        from ..functions.text import words_expr
+
         size, step = self.chunk_size, self.chunk_size - self.overlap
-        words = F.split(F.trim(F.col(self.text_col)), r"\s+")
+        # words_expr: blank -> [], NULL -> NULL (a raw split would yield
+        # [''] for blank text and count one phantom word)
+        words = words_expr(F.col(self.text_col))
         n = F.size(words)
-        # number of chunks: 1 + ceil(max(n - size, 0) / step), floor-safe
+        # number of chunks: 1 + ceil(max(n - size, 0) / step); NULL or
+        # blank text yields ZERO chunk rows (guarded below — an
+        # unconditional sequence(0, -1) would COUNT DOWN, not be empty)
         extra = F.greatest(n - F.lit(size), F.lit(0))
         n_chunks = F.lit(1) + F.ceil(extra.cast("double") / F.lit(step)).cast("int")
+        chunks = F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.slice(words, i * F.lit(step) + 1, size),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
         base = df.select(
             "*",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                    lambda i: F.slice(words, i * F.lit(step) + 1, size),
-                )
-            ).alias("chunk_id", "__chunk_words"),
+            F.posexplode(chunks).alias("chunk_id", "__chunk_words"),
         )
         return base.select(
             "*",

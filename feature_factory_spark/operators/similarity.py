@@ -102,7 +102,11 @@ def lloyd_fit(
     ensure(len(centroids) >= 2, "corpus has fewer rows than 2 seeds")
     dim = len(centroids[0])
     for _ in range(iterations):
-        assigned = corpus_df.select(
+        # NULL vectors carry no position cells and must not participate;
+        # the mean divisor is PER CELL (cluster, pos) so ragged vectors
+        # (longer or shorter than the seed dim) cannot skew other
+        # positions, and positions beyond the seed dim are ignored.
+        assigned = corpus_df.where(F.col(vec_col).isNotNull()).select(
             F.element_at(
                 nearest_centroids_expr(F.col(vec_col), centroids, 1), 1
             ).alias("cluster"),
@@ -110,12 +114,16 @@ def lloyd_fit(
         )
         cells = cluster_sums_frame(assigned).collect()
         sums: dict[int, list[float]] = {}
-        counts: dict[int, int] = {}
+        ns: dict[int, list[int]] = {}
         for r in cells:
-            vecsum = sums.setdefault(r["cluster"], [0.0] * dim)
-            vecsum[r["pos"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        new = {c: [s / counts[c] for s in v] for c, v in sums.items()}
+            if r["pos"] >= dim:
+                continue
+            sums.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["s"]
+            ns.setdefault(r["cluster"], [0] * dim)[r["pos"]] = r["n"]
+        new = {
+            c: [s / n if n else 0.0 for s, n in zip(v, ns[c])]
+            for c, v in sums.items()
+        }
         centroids = [new.get(ci, centroids[ci]) for ci in range(len(centroids))]
     return centroids
 

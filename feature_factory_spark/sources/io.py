@@ -160,7 +160,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return _normalise(spark.read.parquet(path))
     except Exception as exc:  # TIMESTAMP(NANOS) rejected at scan planning
-        if "NANOS" not in str(exc) and "Parquet type" not in str(exc):
+        # only the nanos rejection triggers the legacy-flag retry: any
+        # other unsupported-type error should surface directly instead
+        # of being masked by (and re-raised from inside) the retry path
+        if "NANOS" not in str(exc):
             raise
 
     key = "spark.sql.legacy.parquet.nanosAsLong"

@@ -128,10 +128,10 @@ class StreamingDeduplicator(Transformer):
         if self.normalize:
             text = normalized_text_expr(text)
         return (
-            df.withColumn("hs", F.transform(words_expr(text), sh._word_hash))
-            .withColumn("__ff_bsums", sh.bit_sums_expr())
+            df.withColumn("__ff_hs", F.transform(words_expr(text), sh._word_hash))
+            .withColumn("__ff_bsums", sh.bit_sums_expr("__ff_hs"))
             .withColumn("__ff_key", sh.sig_expr(F.col("__ff_bsums")))
-            .drop("hs", "__ff_bsums")
+            .drop("__ff_hs", "__ff_bsums")
         )
 
     def _transform(self, df: DataFrame) -> DataFrame:

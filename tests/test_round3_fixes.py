@@ -230,3 +230,91 @@ def test_pipeline_step_timing_reaches_logger(spark, caplog, monkeypatch):
     with caplog.at_level(logging.INFO, logger="feature_factory_spark"):
         ff.make_pipeline(("imp", ff.MeanMedianImputer(["a"]))).fit(df).collect()
     assert any("fitted in" in r.message for r in caplog.records)
+
+
+# --- round-4 review fixes -------------------------------------------------
+
+
+def test_psi_and_iv_accept_non_identifier_column_names(spark):
+    import feature_factory_spark as ff
+
+    rows = [(float(i % 7), float(i % 5), 1 if i % 3 == 0 else 0) for i in range(60)]
+    df = (
+        spark.createDataFrame(rows, ["a", "b", "tgt"])
+        .withColumnRenamed("a", "total sales")
+        .withColumnRenamed("b", "a-b")
+    )
+    sel = ff.SelectByInformationValue("tgt", threshold=0.0)
+    sel.fit(df)
+    assert set(sel.iv_values_) == {"total sales", "a-b"}
+
+    ref = df.select("total sales", "a-b")
+    psi = ff.DropHighPSIFeatures(ref, threshold=0.25)
+    psi.fit(df.select("total sales", "a-b"))
+    assert set(psi.psi_values_) == {"total sales", "a-b"}
+
+
+def test_asof_bucketed_matches_default_with_null_keys(spark):
+    import datetime as dt
+
+    import feature_factory_spark as ff
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("A", t(0), 1.0), (None, t(2), 5.0), (None, t(40), 6.0)],
+        "k string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", t(5), 1), (None, t(3), 2), (None, t(55), 3)],
+        "k string, ts timestamp, qty int",
+    )
+    kw = dict(on=["k"], ts_col="ts", value_cols=["px"])
+    base = {
+        r["qty"]: r["px"]
+        for r in ff.AsOfJoiner(quotes, **kw).transform(trades).collect()
+    }
+    bucketed = {
+        r["qty"]: r["px"]
+        for r in ff.AsOfJoiner(quotes, time_bucket_seconds=300.0, **kw)
+        .transform(trades)
+        .collect()
+    }
+    # NULL keys join each other (window semantics), incl. the carry from
+    # an earlier bucket for qty=3
+    assert base == bucketed == {1: 1.0, 2: 5.0, 3: 6.0}
+
+
+def test_streaming_simhash_preserves_user_hs_column(spark):
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "some text body", "keep-me"), (2, "other words entirely", "me-too")],
+        "doc_id bigint, text string, hs string",
+    )
+    out = StreamingDeduplicator(["text"], "doc_id", key="simhash").transform(df)
+    assert set(out.columns) == {"doc_id", "text", "hs"}
+    assert {r["hs"] for r in out.collect()} == {"keep-me", "me-too"}
+
+
+def test_document_chunker_null_and_blank_text_yield_no_chunks(spark):
+    import feature_factory_spark as ff
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "real words here")],
+        "doc_id bigint, text string",
+    )
+    out = ff.DocumentChunker("text", chunk_size=2).transform(df).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert all(r["chunk_n_words"] >= 1 for r in out)
+
+
+def test_lloyd_fit_tolerates_null_and_ragged_vectors(spark):
+    from feature_factory_spark.operators.similarity import lloyd_fit
+
+    rows = [(i, [float(i % 5) + 1.0, float(i % 3) + 1.0]) for i in range(20)]
+    rows.append((100, None))              # NULL vector: ignored
+    rows.append((101, [1.0, 2.0, 9.9]))   # ragged: extra dim ignored
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = lloyd_fit(df, "embedding", "vec_id", k=2, iterations=2)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+    assert all(all(x == x for x in c) for c in cents)  # no NaNs
