@@ -164,4 +164,13 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity; a zero-norm (or all-NULL) vector yields -1.0
+    ("similar to nothing") instead of an ANSI DIVIDE_BY_ZERO crash —
+    top-k ranking, LSH verification, and k-means assignment all then
+    treat degenerate vectors as maximally distant rather than aborting
+    the job. (The synthetic oracle tables contain no zero vectors, so
+    the DuckDB twins never exercise this branch.)"""
+    return F.coalesce(
+        F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b)),
+        F.lit(-1.0),
+    )

@@ -318,3 +318,25 @@ def test_lloyd_fit_tolerates_null_and_ragged_vectors(spark):
     cents = lloyd_fit(df, "embedding", "vec_id", k=2, iterations=2)
     assert len(cents) == 2 and all(len(c) == 2 for c in cents)
     assert all(all(x == x for x in c) for c in cents)  # no NaNs
+
+
+def test_cosine_zero_norm_vector_is_max_distant_not_crash(spark):
+    import feature_factory_spark as ff
+
+    rows = [
+        (0, [0.0, 0.0]),         # zero norm: must not abort the job
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ff.CosineTopK("embedding", "vec_id", k=2).search(
+        df, df.where(F.col("vec_id") == 1)
+    ).collect()
+    got = {r["neighbor_id"]: r["cosine"] for r in out}
+    # the zero vector ranks last (-1.0), real neighbors rank first
+    assert set(got) == {2, 3}
+    from feature_factory_spark.operators.similarity import lloyd_fit
+
+    cents = lloyd_fit(df, "embedding", "vec_id", k=2, iterations=2)
+    assert len(cents) == 2 and all(all(x == x for x in c) for c in cents)
