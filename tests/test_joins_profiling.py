@@ -93,18 +93,22 @@ class TestAsOfJoiner:
         import random
 
         rng = random.Random(7)
+
+        def key(ch):  # ~1 in 5 rows carries a NULL key
+            return None if ch == "N" else ch
+
         quotes = spark.createDataFrame(
             [
-                (k, ts(rng.randrange(0, 59)), float(i))
+                (key(k), ts(rng.randrange(0, 59)), float(i))
                 for i, k in enumerate(
-                    [rng.choice("AABC") for _ in range(40)]
+                    [rng.choice("AABCN") for _ in range(40)]
                 )
             ],
             "k string, t timestamp, px double",
         )
         trades = spark.createDataFrame(
             [
-                (rng.choice("AABCD"), ts(rng.randrange(0, 59)), i)
+                (key(rng.choice("AABCDN")), ts(rng.randrange(0, 59)), i)
                 for i in range(60)
             ],
             "k string, t timestamp, qty int",
