@@ -164,13 +164,13 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity; a zero-norm (or all-NULL) vector yields -1.0
-    ("similar to nothing") instead of an ANSI DIVIDE_BY_ZERO crash —
-    top-k ranking, LSH verification, and k-means assignment all then
-    treat degenerate vectors as maximally distant rather than aborting
-    the job. (The synthetic oracle tables contain no zero vectors, so
-    the DuckDB twins never exercise this branch.)"""
-    return F.coalesce(
-        F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b)),
-        F.lit(-1.0),
-    )
+    """Cosine similarity; degenerate inputs (zero-norm, NULL, or
+    length-mismatched vectors) yield NULL instead of an ANSI
+    DIVIDE_BY_ZERO crash — the NULL is a real signal consumers keep:
+    threshold filters (`cosine >= t`) drop such pairs naturally, and the
+    top-k rankers exclude NULL-scored candidates explicitly. Only
+    k-means assignment, which needs a total order, substitutes its own
+    -1.0 fallback (see nearest_centroids_expr). The synthetic oracle
+    tables contain no degenerate vectors, so the DuckDB twins never
+    exercise this branch."""
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))

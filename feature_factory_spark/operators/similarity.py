@@ -42,7 +42,11 @@ def nearest_centroids_expr(
     values in one object) instead of k x dim Literal nodes: plan
     analysis and codegen stay O(1) in index size."""
     cents = F.lit([[float(x) for x in c] for c in centroids])
-    sims = F.transform(cents, lambda c: cosine_expr(vec, c))
+    # assignment needs a TOTAL order: a degenerate vector's NULL cosine
+    # becomes -1.0 ("far from every centroid") so argmax stays defined
+    sims = F.transform(
+        cents, lambda c: F.coalesce(cosine_expr(vec, c), F.lit(-1.0))
+    )
     pairs = F.zip_with(
         sims,
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
@@ -200,7 +204,11 @@ class CosineTopK(Transformer):
             F.desc("cosine"), F.asc("neighbor_id")
         )
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            # degenerate vectors score NULL cosine (see cosine_expr) and
+            # are excluded from the ranking rather than surfacing with a
+            # fabricated similarity
+            scored.where(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= self.k)
         )
 
@@ -289,7 +297,11 @@ class IVFCosineTopK(CosineTopK):
             F.desc("cosine"), F.asc("neighbor_id")
         )
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            # degenerate vectors score NULL cosine (see cosine_expr) and
+            # are excluded from the ranking rather than surfacing with a
+            # fabricated similarity
+            scored.where(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= self.k)
         )
 
@@ -385,7 +397,11 @@ class BucketedCosineTopK(CosineTopK):
             F.desc("cosine"), F.asc("neighbor_id")
         )
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            # degenerate vectors score NULL cosine (see cosine_expr) and
+            # are excluded from the ranking rather than surfacing with a
+            # fabricated similarity
+            scored.where(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= self.k)
         )
 

@@ -123,9 +123,9 @@ class TestAsOfJoiner:
         bucketed = ff.AsOfJoiner(
             quotes, time_bucket_seconds=300.0, **kw
         ).transform(trades)
-        key = lambda r: (r["k"], r["t"], r["qty"])  # noqa: E731
-        b = {key(r): (r["px"], r["t_right"]) for r in base.collect()}
-        s = {key(r): (r["px"], r["t_right"]) for r in bucketed.collect()}
+        row_key = lambda r: (r["k"], r["t"], r["qty"])  # noqa: E731
+        b = {row_key(r): (r["px"], r["t_right"]) for r in base.collect()}
+        s = {row_key(r): (r["px"], r["t_right"]) for r in bucketed.collect()}
         assert b == s
 
     def test_time_bucketed_plan_partitions_by_bucket(self, quotes, trades):

@@ -334,8 +334,15 @@ def test_cosine_zero_norm_vector_is_max_distant_not_crash(spark):
         df, df.where(F.col("vec_id") == 1)
     ).collect()
     got = {r["neighbor_id"]: r["cosine"] for r in out}
-    # the zero vector ranks last (-1.0), real neighbors rank first
+    # the zero vector is EXCLUDED (NULL cosine, no fabricated score);
+    # real neighbors fill the top-k
     assert set(got) == {2, 3}
+    assert all(v is not None for v in got.values())
+    # a zero-norm QUERY returns no neighbors instead of crashing
+    zq = ff.CosineTopK("embedding", "vec_id", k=2).search(
+        df, df.where(F.col("vec_id") == 0)
+    )
+    assert zq.count() == 0
     from feature_factory_spark.operators.similarity import lloyd_fit
 
     cents = lloyd_fit(df, "embedding", "vec_id", k=2, iterations=2)
