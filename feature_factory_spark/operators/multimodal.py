@@ -88,6 +88,16 @@ class BinaryFeatureExtractor(Transformer):
                 f"column '{self.binary_col}' must be binary, got "
                 f"{df.schema[self.binary_col].dataType.simpleString()}"
             )
+        clash = [
+            f"{self.prefix}{n}"
+            for n, _ in self.feature_schema
+            if f"{self.prefix}{n}" in df.columns
+        ]
+        ensure(
+            not clash,
+            f"feature column(s) {clash} already exist in the input; "
+            "pass a different prefix",
+        )
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out_schema = T.StructType(
@@ -106,7 +116,12 @@ class BinaryFeatureExtractor(Transformer):
             for pdf in batches:
                 feats = {f"{prefix}{n}": [] for n in feat_names}
                 for payload in pdf[bin_col]:
-                    d = decoder(bytes(payload) if payload is not None else b"")
+                    if payload is None:
+                        # missing media stays distinguishable from a
+                        # zero-byte payload: every feature is NULL
+                        d = {}
+                    else:
+                        d = decoder(bytes(payload))
                     for n in feat_names:
                         feats[f"{prefix}{n}"].append(d.get(n))
                 for k, v in feats.items():
@@ -123,7 +138,9 @@ class FrameSampler(Transformer):
 
     Emits one row per sampled frame: input columns + (frame_index,
     frame_bytes). Uses ``mapInPandas`` with an exploding generator —
-    narrow, no shuffle."""
+    narrow, no shuffle. Rows whose payload is NULL or empty produce ZERO
+    output rows (there is nothing to sample) — keep the original frame
+    and join back if those records must survive."""
 
     def __init__(
         self,
@@ -154,6 +171,11 @@ class FrameSampler(Transformer):
             raise InvalidParameterError(
                 f"column '{self.binary_col}' must be binary"
             )
+        clash = [c for c in ("frame_index", "frame_bytes") if c in df.columns]
+        ensure(
+            not clash,
+            f"output column(s) {clash} already exist in the input frame",
+        )
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out_schema = T.StructType(
@@ -165,17 +187,21 @@ class FrameSampler(Transformer):
         )
         bin_col, slicer = self.binary_col, self.slicer
         n_frames, frame_size = self.n_frames, self.frame_size
+        cols = [f.name for f in out_schema.fields]
 
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
-                for _, row in pdf.iterrows():
-                    payload = bytes(row[bin_col]) if row[bin_col] is not None else b""
-                    for i, frame in enumerate(slicer(payload, n_frames, frame_size)):
-                        r = row.to_dict()
-                        r["frame_index"] = i
-                        r["frame_bytes"] = frame
-                        rows.append(r)
-                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                # to_dict('records') builds plain dicts once per row —
+                # no per-row Series allocation (iterrows) on the hot path
+                for rec in pdf.to_dict("records"):
+                    payload = rec[bin_col]
+                    if payload is None:
+                        continue
+                    for i, frame in enumerate(
+                        slicer(bytes(payload), n_frames, frame_size)
+                    ):
+                        rows.append({**rec, "frame_index": i, "frame_bytes": frame})
+                yield pd.DataFrame(rows, columns=cols)
 
         return df.mapInPandas(sample, schema=out_schema)

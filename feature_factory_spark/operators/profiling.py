@@ -50,7 +50,14 @@ class ColumnProfiler(Transformer):
         rsd: float = 0.05,
     ):
         ensure(0.0 < rsd < 1.0, "rsd must be in (0,1)")
-        self.columns = list(columns) if columns else None
+        # None means "profile every numeric/string column"; an EXPLICIT
+        # empty list is almost certainly a caller bug — fail fast rather
+        # than silently scanning the whole (possibly very wide) frame
+        ensure(
+            columns is None or len(list(columns)) > 0,
+            "columns must be None (profile all) or a non-empty list",
+        )
+        self.columns = list(columns) if columns is not None else None
         self.exact_distinct = exact_distinct
         self.rsd = rsd
 

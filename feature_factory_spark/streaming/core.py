@@ -101,17 +101,18 @@ class StreamingDeduplicator(Transformer):
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, self.columns + [self.id_col])
+        if self.ts_col is not None:
+            validate_datetime_columns(df, [self.ts_col])
 
     def _key_expr(self) -> Column:
-        from ..functions.text import normalized_text_expr
+        # ONE definition of the exact content key, shared with the batch
+        # operator, so the documented "same hash key as ExactDeduplicator"
+        # equivalence cannot drift
+        from ..operators.dedup import ExactDeduplicator
 
-        parts = [
-            normalized_text_expr(F.col(c).cast("string"))
-            if self.normalize
-            else F.col(c).cast("string")
-            for c in self.columns
-        ]
-        return F.md5(F.concat_ws("", *parts))
+        return ExactDeduplicator(
+            self.columns, self.id_col, normalize=self.normalize
+        )._key_expr()
 
     def _keyed(self, df: DataFrame) -> DataFrame:
         """df + '__ff_key': one projection for md5; the simhash sketch
@@ -269,6 +270,11 @@ class RunningAggregator(Transformer):
     standard trade, documented rather than hidden.
     """
 
+    _TTL_UNIT_MS = {
+        "millisecond": 1, "second": 1000, "minute": 60_000,
+        "hour": 3_600_000, "day": 86_400_000,
+    }
+
     def __init__(
         self,
         keys: list[str],
@@ -279,6 +285,25 @@ class RunningAggregator(Transformer):
         self.keys = list(keys)
         self.value_col = value_col
         self.ttl = ttl
+        # parse at construction so a malformed ttl fails HERE with the
+        # package's error type, not as a raw ValueError/KeyError deep
+        # inside the streaming query
+        self._ttl_ms: int | None = None
+        if ttl is not None:
+            parts = ttl.strip().lower().split()
+            ensure(
+                len(parts) == 2 and parts[0].lstrip("-").isdigit(),
+                f"ttl must look like '<n> <unit>', got {ttl!r}",
+            )
+            unit = parts[1].rstrip("s")
+            ensure(
+                unit in self._TTL_UNIT_MS,
+                f"ttl unit must be one of {sorted(self._TTL_UNIT_MS)}, "
+                f"got {parts[1]!r}",
+            )
+            ms = int(parts[0]) * self._TTL_UNIT_MS[unit]
+            ensure(ms > 0, "ttl must be positive")
+            self._ttl_ms = ms
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, self.keys + [self.value_col])
@@ -296,27 +321,24 @@ class RunningAggregator(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         if not df.isStreaming:
-            # n counts non-null values (not rows) so all three statistics
-            # share one consistent denominator on both paths
+            # batch mirrors the stream's pd.to_numeric(errors='coerce')
+            # exactly: values that don't cast to a finite double (bad
+            # strings under try_cast, NaN) are excluded from ALL three
+            # statistics, so n/total/mean share one denominator and the
+            # batch==stream duality holds for dirty inputs too
+            v = F.col(self.value_col).try_cast("double")
+            v = F.when(~F.isnan(v), v)
             return df.groupBy(*self.keys).agg(
-                F.count(self.value_col).alias("n"),
-                F.sum(F.col(self.value_col).cast("double")).alias("total"),
-                F.avg(F.col(self.value_col).cast("double")).alias("mean_value"),
+                F.count(v).alias("n"),
+                F.coalesce(F.sum(v), F.lit(0.0)).alias("total"),
+                F.avg(v).alias("mean_value"),
             )
 
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         value_col = self.value_col
         keys = self.keys
-        ttl_ms = None
-        if self.ttl is not None:
-            # reuse Spark's interval parsing via a tiny literal plan is
-            # overkill driver-side; accept '<n> <unit>' with the units
-            # CalendarInterval supports in timeouts
-            qty, unit = self.ttl.split()
-            per = {"millisecond": 1, "second": 1000, "minute": 60_000,
-                   "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
-            ttl_ms = int(qty) * per
+        ttl_ms = self._ttl_ms
 
         def update(key, pdfs, state):
             import pandas as pd

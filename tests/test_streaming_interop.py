@@ -280,3 +280,92 @@ def test_running_aggregator_stream_matches_batch(spark, events, tmp_path):
     for k, e in expected.items():
         assert got[k]["n"] == e["n"]
         assert got[k]["total"] == pytest.approx(e["total"])
+
+
+# --- round-4 review fixes -------------------------------------------------
+
+
+def test_running_aggregator_batch_excludes_uncastable_and_nan(spark):
+    from feature_factory_spark.streaming import RunningAggregator
+
+    df = spark.createDataFrame(
+        [("k", "1"), ("k", "abc"), ("k", "3"), ("e", None)],
+        "g string, v string",
+    )
+    out = {r["g"]: r for r in RunningAggregator(["g"], "v").transform(df).collect()}
+    # 'abc' fails the cast and is excluded from ALL three statistics
+    assert (out["k"]["n"], out["k"]["total"], out["k"]["mean_value"]) == (2, 4.0, 2.0)
+    # an all-null key matches the stream's zero-initialised state
+    assert (out["e"]["n"], out["e"]["total"], out["e"]["mean_value"]) == (0, 0.0, None)
+
+    nan_df = spark.createDataFrame(
+        [("k", 1.0), ("k", float("nan"))], "g string, v double"
+    )
+    r = RunningAggregator(["g"], "v").transform(nan_df).collect()[0]
+    assert (r["n"], r["total"], r["mean_value"]) == (1, 1.0, 1.0)
+
+
+def test_running_aggregator_ttl_validated_at_init():
+    from feature_factory_spark.exceptions import InvalidParameterError
+    from feature_factory_spark.streaming import RunningAggregator
+
+    for bad in ("90s", "1 hr", "-5 minutes", "five minutes"):
+        with pytest.raises(InvalidParameterError):
+            RunningAggregator(["k"], "v", ttl=bad)
+    assert RunningAggregator(["k"], "v", ttl="2 hours")._ttl_ms == 7_200_000
+
+
+def test_streaming_dedup_validates_ts_col(spark):
+    from feature_factory_spark.exceptions import (
+        InvalidParameterError,
+        MissingColumnError,
+    )
+    from feature_factory_spark.streaming import StreamingDeduplicator
+
+    df = spark.createDataFrame([(1, "t", "x")], "doc_id bigint, text string, s string")
+    with pytest.raises(MissingColumnError):
+        StreamingDeduplicator(
+            ["text"], "doc_id", ts_col="nope", watermark="1 hour"
+        ).transform(df)
+    with pytest.raises(InvalidParameterError):
+        StreamingDeduplicator(
+            ["text"], "doc_id", ts_col="s", watermark="1 hour"
+        ).transform(df)
+
+
+def test_binary_extractor_null_payload_yields_null_features(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None), (3, bytearray(b"abc"))],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["doc_id"]: r for r in ff.BinaryFeatureExtractor("payload").transform(df).collect()}
+    # zero-byte media is real (len 0, md5 of b''); missing media is NULL
+    assert out[1]["payload_payload_len"] == 0
+    assert out[1]["payload_payload_md5"] is not None
+    assert out[2]["payload_payload_len"] is None
+    assert out[2]["payload_payload_md5"] is None
+    assert out[3]["payload_payload_len"] == 3
+
+
+def test_multimodal_output_column_collisions_rejected(spark):
+    from feature_factory_spark.exceptions import InvalidParameterError
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef"), 9)],
+        "doc_id bigint, payload binary, frame_index int",
+    )
+    with pytest.raises(InvalidParameterError, match="frame_index"):
+        ff.FrameSampler("payload").transform(df)
+    df2 = spark.createDataFrame(
+        [(1, bytearray(b"abcdef"), "x")],
+        "doc_id bigint, payload binary, payload_payload_len string",
+    )
+    with pytest.raises(InvalidParameterError, match="payload_payload_len"):
+        ff.BinaryFeatureExtractor("payload").transform(df2)
+
+
+def test_column_profiler_rejects_explicit_empty_list():
+    from feature_factory_spark.exceptions import InvalidParameterError
+
+    with pytest.raises(InvalidParameterError):
+        ff.ColumnProfiler(columns=[])
