@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import FeatureFactoryError
+
 
 def connected_components(
     pairs: DataFrame,
@@ -26,11 +28,20 @@ def connected_components(
     max_iterations: int = 15,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component
-    is the minimum node id reachable through the pair graph."""
+    is the minimum node id reachable through the pair graph.
+
+    Raises FeatureFactoryError if labels have not converged after
+    ``max_iterations`` rounds (graph diameter exceeds the cap): an
+    unconverged result would silently keep several "representatives"
+    per true cluster, i.e. let duplicates survive dedup. Raise the cap
+    for pathological chain-shaped graphs."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # every iteration's join + convergence count re-reads the edge
+        # frame; persist once, release before returning
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -71,6 +82,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise FeatureFactoryError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "max_iterations"
+        )
+    edges.unpersist()
     return labels
 
 

@@ -122,12 +122,22 @@ def category_group_stats(
 def column_modes(
     df: DataFrame, columns: list[str]
 ) -> dict[str, object]:
-    """Per-column mode. Tie-break: highest count, then smallest value —
-    deterministic (the reference's `ORDER BY cnt DESC LIMIT 1`,
-    imputation.rs:297-305, is tie-unstable; we document the determinism).
+    """Per-column mode for STRING columns. Tie-break: highest count, then
+    smallest value — deterministic (the reference's `ORDER BY cnt DESC
+    LIMIT 1`, imputation.rs:297-305, is tie-unstable; we document the
+    determinism).
+
+    String-only by contract, enforced here: the one-job melt casts every
+    value to string to share a single aggregate, so a numeric column
+    would silently get a string-typed mode with a LEXICOGRAPHIC
+    tie-break ('10' < '9'). Numeric modes need a per-type path; fail
+    loudly instead of returning a wrong-typed answer.
 
     One job total: melt columns into (col, value) pairs via a stack/explode
     and aggregate once, instead of one job per column."""
+    from ..validation import validate_string_columns
+
+    validate_string_columns(df, columns)
     pairs = F.explode(
         F.array(*[
             F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("value"))

@@ -81,12 +81,20 @@ class Transformer(ABC):
     # -- fitted-state persistence (improvement over the reference, which
     # -- has no save/load; SURVEY.md §7.0 item 5) ------------------------
     def get_fitted_state(self) -> dict[str, Any]:
-        """JSON-serializable fitted parameters."""
-        return {
-            k: v
-            for k, v in vars(self).items()
-            if not k.startswith("__") and _json_safe(v)
-        }
+        """JSON-serializable fitted parameters.
+
+        Scalar-bearing containers are CONVERTED (Decimal -> float,
+        tuple/set -> list) rather than silently dropped: dropping a
+        fitted mapping would let load_state mark the transformer fitted
+        while transform() becomes a silent no-op."""
+        out = {}
+        for k, v in vars(self).items():
+            if k.startswith("__"):
+                continue
+            converted = _to_json_value(v)
+            if converted is not _UNSERIALIZABLE:
+                out[k] = converted
+        return out
 
     def save_state(self, path: str) -> None:
         with open(path, "w") as f:
@@ -109,12 +117,42 @@ class Transformer(ABC):
             return self.set_fitted_state(json.load(f))
 
 
-def _json_safe(v: Any) -> bool:
-    try:
-        json.dumps(v)
-        return True
-    except (TypeError, ValueError):
-        return False
+_UNSERIALIZABLE = object()
+
+
+def _to_json_value(v: Any) -> Any:
+    """v converted to a JSON-representable value, or _UNSERIALIZABLE for
+    genuinely non-state objects (DataFrames, callables, ...). Numeric
+    scalars Spark hands back for exotic column types (decimal.Decimal
+    from DecimalType aggregates, numpy scalars from pandas paths) become
+    plain floats/ints so fitted mappings survive the round-trip."""
+    import decimal
+
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "item") and not isinstance(v, (list, tuple, set, dict)):
+        try:  # numpy scalar
+            return _to_json_value(v.item())
+        except Exception:
+            return _UNSERIALIZABLE
+    if isinstance(v, (list, tuple, set)):
+        items = [_to_json_value(x) for x in v]
+        if any(x is _UNSERIALIZABLE for x in items):
+            return _UNSERIALIZABLE
+        return items
+    if isinstance(v, dict):
+        out = {}
+        for k, x in v.items():
+            cx = _to_json_value(x)
+            if cx is _UNSERIALIZABLE or not isinstance(k, (str, int, float, bool)):
+                return _UNSERIALIZABLE
+            out[k] = cx
+        return out
+    return _UNSERIALIZABLE
 
 
 class Pipeline:
@@ -201,7 +239,12 @@ class Pipeline:
         finally:
             for c in cached[:-1]:  # keep the last persisted frame hot for the caller
                 c.unpersist()
-            # the caller releases the last one via Pipeline.unpersist()
+            # release whatever a PREVIOUS fit left pinned before taking
+            # ownership of this fit's frame (refit would otherwise leak
+            # executor storage); the caller releases the new one via
+            # Pipeline.unpersist()
+            for c in self._persisted:
+                c.unpersist()
             self._persisted = cached[-1:]
 
     def unpersist(self) -> None:

@@ -12,9 +12,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..exceptions import UnsupportedFormatError
 
+def _read_csv(s, p, o):
+    # defaults, not hard-coded: read(..., header=False) must override
+    o.setdefault("header", True)
+    o.setdefault("inferSchema", True)
+    return s.read.options(**o).csv(p)
+
+
 _READERS = {
     ".parquet": lambda s, p, o: s.read.options(**o).parquet(p),
-    ".csv": lambda s, p, o: s.read.options(header=True, inferSchema=True, **o).csv(p),
+    ".csv": _read_csv,
     ".json": lambda s, p, o: s.read.options(**o).json(p),
     # LLM corpora ship as JSON Lines; Spark's json reader is line-oriented
     ".jsonl": lambda s, p, o: s.read.options(**o).json(p),
@@ -51,12 +58,15 @@ def read(
             raise UnsupportedFormatError(f"unsupported input format '{fmt}'")
         df = _READERS[key](spark, path, options)
     else:
+        # dispatch on the final path segment with trailing slashes
+        # stripped, so '/data/events.parquet/' reads like the same
+        # dataset path without the slash
+        last = path.rstrip("/").rsplit("/", 1)[-1]
         for ext, fn in _READERS.items():
-            if path.endswith(ext):
+            if last.endswith(ext):
                 df = fn(spark, path, options)
                 break
         else:
-            last = path.rstrip("/").rsplit("/", 1)[-1]
             if "." not in last:  # extension-less directory -> parquet dataset
                 df = _READERS[".parquet"](spark, path, options)
             else:

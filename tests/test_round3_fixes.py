@@ -347,3 +347,70 @@ def test_cosine_zero_norm_vector_is_max_distant_not_crash(spark):
 
     cents = lloyd_fit(df, "embedding", "vec_id", k=2, iterations=2)
     assert len(cents) == 2 and all(all(x == x for x in c) for c in cents)
+
+
+def test_csv_reader_accepts_header_override(spark, tmp_path):
+    from feature_factory_spark.sources import read
+
+    p = str(tmp_path / "nohead.csv")
+    with open(p, "w") as f:
+        f.write("1,alpha\n2,beta\n")
+    df = read(spark, p, header=False, inferSchema=False)
+    assert df.count() == 2 and len(df.columns) == 2
+
+
+def test_read_dispatches_with_trailing_slash(spark, tmp_path):
+    from feature_factory_spark.sources import read
+
+    d = str(tmp_path / "events.parquet")
+    spark.range(5).write.parquet(d)
+    assert read(spark, d + "/").count() == 5
+
+
+def test_fitted_state_round_trips_decimal_values(spark, tmp_path):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("2.50"),), (None,)],
+        "x decimal(10,2)",
+    )
+    imp = ff.MeanMedianImputer(["x"]).fit(df)
+    path = str(tmp_path / "state.json")
+    imp.save_state(path)
+    restored = ff.MeanMedianImputer(["x"]).load_state(path)
+    # the fitted mapping must SURVIVE serialization — a dropped mapping
+    # would silently make transform a no-op
+    assert restored.impute_values and restored.impute_values["x"] == 2.0
+    out = restored.transform(df)
+    assert out.where(F.col("x").isNull()).count() == 0
+
+
+def test_pipeline_refit_releases_previous_persist(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, None)], "id bigint, x double")
+    p = ff.Pipeline(
+        [("imp", ff.MeanMedianImputer(["x"]))], cache_intermediate=True
+    )
+    p.fit(df)
+    first = p._persisted[0]
+    p.fit(df)  # refit must release the first fit's pinned frame
+    assert first.storageLevel.useMemory is False
+    p.unpersist()
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from feature_factory_spark.exceptions import FeatureFactoryError
+    from feature_factory_spark.functions.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a_id bigint, b_id bigint"
+    )
+    with pytest.raises(FeatureFactoryError, match="converge"):
+        connected_components(pairs, max_iterations=3)
+
+
+def test_column_modes_rejects_numeric_columns(spark):
+    from feature_factory_spark.functions.stats import column_modes
+
+    df = spark.createDataFrame([(9,), (9,), (10,), (10,)], "n int")
+    with pytest.raises(InvalidParameterError):
+        column_modes(df, ["n"])
