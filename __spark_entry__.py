@@ -93,6 +93,7 @@ import contextlib
 import math
 import os
 import sys
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,16 +121,26 @@ TABLES = [
 # re-scanning parquet per query is pure fixed cost. The session object is
 # held in the cache entry so id(spark) can never be recycled underneath us.
 _FRAME_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
-# family queries build members from a thread pool; without the lock two
-# threads racing a cold key would each .cache() a copy of the table and
-# the loser's copy would stay pinned in the cache manager
-_FRAME_LOCK = __import__("threading").Lock()
+# Family queries build members from concurrent threads. The lock serves
+# two purposes on a COLD key: (1) without it two threads would each
+# .cache() a copy of the table and the loser's copy would stay pinned in
+# the cache manager; (2) load_events' TIMESTAMP(NANOS) fallback mutates
+# session-global spark.sql.legacy.parquet.nanosAsLong during scan
+# planning, and holding the lock across that planning keeps the flag
+# flip invisible to other loaders. Warm keys read the dict without the
+# lock (a CPython dict read is atomic; entries are write-once), so the
+# steady-state path — every access after the first per table — has no
+# contention.
+_FRAME_LOCK = threading.Lock()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
     with _FRAME_LOCK:
-        hit = _FRAME_CACHE.get(key)
+        hit = _FRAME_CACHE.get(key)  # re-check: raced loader may have won
         if hit is not None:
             return hit[1]
         # the sf0.x tables fit in one parquet row group each, i.e. ONE
@@ -153,6 +164,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_factory_spark.sources.io import load_events
 
     key = (id(spark), sf_dir, "__events__")
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
     with _FRAME_LOCK:
         hit = _FRAME_CACHE.get(key)
         if hit is not None:
@@ -1207,6 +1221,9 @@ def _inv_df(spark, rows: list[tuple[str, int]]) -> DataFrame:
     )
 
 
+_INTERPRETED_LOCK = threading.Lock()
+
+
 @contextlib.contextmanager
 def _interpreted_eval(spark):
     """Run a block with whole-stage codegen off (restored on exit).
@@ -1220,14 +1237,23 @@ def _interpreted_eval(spark):
     on the LSH-vs-brute anti-join's first run. Production operator
     queries keep codegen on: at real scale their per-row volume is what
     codegen exists for; this harness-only switch does not change results
-    (same expressions, same evaluation semantics)."""
+    (same expressions, same evaluation semantics).
+
+    The conf is session-global, so the block is serialized under a
+    module lock: if a caller ever ends up inside a family's member
+    thread (or two registry queries run concurrently), overlapping
+    blocks would otherwise restore each other's codegen flag mid-flight
+    — with the lock the worst case is serialization, never a corrupted
+    flag. MUST NOT be held around another family query (lock ordering:
+    _INTERPRETED_LOCK is leaf-level)."""
     key = "spark.sql.codegen.wholeStage"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    with _INTERPRETED_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 @_reg(
@@ -2501,24 +2527,54 @@ def _merge(family: str, members: list[tuple[str, list[str], str | list[str]]]) -
         # Stateful members run their fit jobs EAGERLY inside fn(), each
         # blocking the driver on aggregate round-trips. Spark schedules
         # jobs submitted from separate threads concurrently, so building
-        # the members in a thread pool overlaps those fits (select_stats:
+        # the members concurrently overlaps those fits (select_stats:
         # nine selector fits, wall time ~= max fit instead of the sum).
         # Union order stays the registry order — only job submission is
-        # concurrent, the returned plan is deterministic. Thread safety:
-        # members share only the read-side _FRAME_CACHE (warmed by the
-        # first access; a benign duplicate read if raced) and never
-        # mutate session conf.
-        from concurrent.futures import ThreadPoolExecutor
+        # concurrent, the returned plan is deterministic.
+        #
+        # InheritableThread, not ThreadPoolExecutor: under PySpark's
+        # pinned-thread mode (the default) every Python thread that
+        # talks to the JVM gets a dedicated JVM peer thread that plain
+        # threads never clean up — a full bench run's ~21 family queries
+        # would strand 100+ dead JVM threads. InheritableThread also
+        # propagates the parent's local properties (job group), so
+        # member jobs stay cancellable as a unit.
+        #
+        # Shared mutable state the members touch: _FRAME_CACHE cold
+        # loads (including load_events' legacy-nanos conf flip) are
+        # serialized under _FRAME_LOCK; _interpreted_eval callers are
+        # standalone registry queries, not family members, and its
+        # module lock keeps even a future overlap safe.
+        from pyspark import InheritableThread
 
-        def build(spec):
+        frames: list = [None] * len(_specs)
+        errors: list = []
+
+        def build(spec, i):
             op, fn, exprs, _, _ = spec
-            return fn(spark, sf_dir).selectExpr(f"'{op}' AS op", *exprs)
+            try:
+                frames[i] = fn(spark, sf_dir).selectExpr(f"'{op}' AS op", *exprs)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                errors.append((op, exc))
 
         if len(_specs) > 1:
-            with ThreadPoolExecutor(max_workers=len(_specs)) as pool:
-                frames = list(pool.map(build, _specs))
+            threads = [
+                InheritableThread(target=build, args=(s, i))
+                for i, s in enumerate(_specs)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errors:
+                op, exc = errors[0]
+                raise RuntimeError(
+                    f"family '{family}' member '{op}' failed"
+                ) from exc
         else:
-            frames = [build(_specs[0])]
+            build(_specs[0], 0)
+            if errors:
+                raise errors[0][1]
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
