@@ -65,6 +65,29 @@ def test_family_slices_all_non_empty(entry, spark, family):
     assert got == expected, (sorted(expected - got), sorted(got - expected))
 
 
+def test_frame_cache_one_entry_under_concurrent_cold_access(entry, spark):
+    # family members race _t on cold keys from InheritableThreads; the
+    # double-checked lock must hand every racer the SAME cached frame —
+    # a loser materializing its own .cache() copy would pin duplicate
+    # storage in the cache manager for the life of the session
+    from pyspark import InheritableThread
+
+    entry._FRAME_CACHE.clear()
+    got = []
+
+    def grab():
+        got.append(entry._t(spark, SF_DIR, "nation"))
+
+    threads = [InheritableThread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 8
+    assert len({id(df) for df in got}) == 1
+    entry._FRAME_CACHE.clear()
+
+
 def test_dedup_pair_families_find_planted_pairs(entry, spark):
     # pair yield depends on planted near-dups; assert each member slice
     # is non-empty at sf0.001 where pairs are guaranteed planted
