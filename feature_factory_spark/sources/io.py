@@ -26,6 +26,11 @@ _READERS = {
     # LLM corpora ship as JSON Lines; Spark's json reader is line-oriented
     ".jsonl": lambda s, p, o: s.read.options(**o).json(p),
     ".orc": lambda s, p, o: s.read.options(**o).orc(p),
+    # raw text corpora: one row per line in a `value` string column
+    # (pass lineSep/wholetext through options); Spark decompresses
+    # .txt.gz/.txt.bz2 transparently via the same codec inference as
+    # the other line-oriented readers
+    ".txt": lambda s, p, o: s.read.options(**o).text(p),
 }
 
 
@@ -60,8 +65,15 @@ def read(
     else:
         # dispatch on the final path segment with trailing slashes
         # stripped, so '/data/events.parquet/' reads like the same
-        # dataset path without the slash
+        # dataset path without the slash; a compression suffix is
+        # stripped first ('corpus.jsonl.gz' dispatches on .jsonl —
+        # Spark's line-oriented readers decompress those codecs
+        # transparently)
         last = path.rstrip("/").rsplit("/", 1)[-1]
+        for codec in (".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"):
+            if last.endswith(codec):
+                last = last[: -len(codec)]
+                break
         for ext, fn in _READERS.items():
             if last.endswith(ext):
                 df = fn(spark, path, options)

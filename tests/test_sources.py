@@ -28,6 +28,33 @@ def test_read_jsonl_alias(spark, tmp_path):
     assert set(back.columns) == {"id", "k"}
 
 
+def test_read_raw_text(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("first line\nsecond line\nthird line\n")
+    back = ffio.read(spark, str(p))
+    assert back.columns == ["value"]
+    assert back.count() == 3
+    assert {r["value"] for r in back.collect()} == {
+        "first line", "second line", "third line",
+    }
+
+
+def test_read_compressed_suffix_dispatches_on_inner_extension(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "corpus.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"id": 1, "k": "a"}\n{"id": 2, "k": "b"}\n')
+    back = ffio.read(spark, str(p))
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "k"}
+
+    t = tmp_path / "lines.txt.gz"
+    with gzip.open(t, "wt") as f:
+        f.write("x\ny\n")
+    assert ffio.read(spark, str(t)).count() == 2
+
+
 def test_read_unknown_extension_raises(spark):
     with pytest.raises(ff.UnsupportedFormatError):
         ffio.read(spark, "/tmp/file.xlsx")
