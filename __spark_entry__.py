@@ -69,7 +69,7 @@ the op is a member slice of that family query):
   token_count, lang_id, text_clean, repetition_features, pii_redact,
   doc_fingerprint, tfidf_topk, multimodal_extract, frame_sample,
   json_extract, events_window, session_window, line_dedup,
-  unigram_logprob, kmeans_cluster, oof_mean_encode, tree_discretize,
+  kmeans_cluster, oof_mean_encode, tree_discretize,
   running_stats, asof_join, interval_join, grouped_topk, column_profile,
   frequent_items, quality_filter (gopher + contamination),
   embedding_dedup_lsh.
@@ -79,7 +79,8 @@ the op is a member slice of that family query):
   sample_family (hash_sample/hash_split/weighted_sample), pack_family
   (sequence_pack + doc_chunk context-window chunking), scale_family,
   embed_transform (l2 + random projection), ts_features (lag/window/
-  expanding).
+  expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
+  build and vocab_oov coverage audit).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
   embedding_dedup_lsh return eagerly-computed INVARIANT frames
   (recall floors, argmax consistency, disjoint bin ranges, no LSH false
@@ -1996,6 +1997,53 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+# shared by the two VocabBuilder oracles: lowered whitespace words and
+# the top-100 (count DESC, token ASC) vocabulary — the tie order is
+# total because tokens are unique, so the cap boundary is deterministic
+_SQL_VOCAB100 = """WITH w AS (SELECT doc_id,
+  unnest(list_transform(string_split(text, ' '), x -> lower(x))) token
+FROM documents),
+counts AS (SELECT token, count(*) cnt FROM w GROUP BY token),
+vocab AS (SELECT token, cnt,
+  row_number() OVER (ORDER BY cnt DESC, token ASC) rank
+FROM counts ORDER BY cnt DESC, token ASC LIMIT 100)"""
+
+
+@_reg(
+    "vocab_topk",
+    # tokenizer-prep vocabulary: top-100 corpus tokens with counts/ranks
+    f"""{_SQL_VOCAB100}
+SELECT token, CAST(cnt AS BIGINT) AS count, CAST(rank AS INTEGER) AS rank
+FROM vocab""",
+)
+def q_vocab_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ff.VocabBuilder("text", "doc_id", vocab_size=100).build(docs).select(
+        "token", "count", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@_reg(
+    "vocab_oov",
+    # per-document OOV fraction under the same top-100 vocabulary (the
+    # coverage audit VocabBuilder.transform runs); token-less documents
+    # stay NULL on both sides via the left join
+    f"""{_SQL_VOCAB100},
+hits AS (SELECT w.doc_id,
+  1.0 - CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS oov
+FROM w LEFT JOIN vocab v ON w.token = v.token GROUP BY w.doc_id)
+SELECT d.doc_id, {R6('h.oov')} AS oov_rate
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+)
+def q_vocab_oov(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    vb = ff.VocabBuilder("text", "doc_id", vocab_size=100).fit(docs)
+    return vb.transform(docs).select(
+        "doc_id", r6(F.col("text_oov_rate")).alias("oov_rate")
+    )
+
+
 @_reg(
     "kmeans_cluster",
     # Iterative Lloyd is not SQL-expressible; the oracle pins the
@@ -2800,6 +2848,20 @@ _merge("quality_filter", [
      "doc_id, CAST(NULL AS BOOLEAN) AS flag"),
     ("contamination", ["doc_id", "contaminated AS flag"],
      "doc_id, contaminated AS flag"),
+])
+
+# corpus language-model surface: unigram quality score + tokenizer-prep
+# vocabulary (top-k build and the per-document OOV coverage audit)
+_merge("lm_family", [
+    ("unigram_logprob",
+     ["doc_id AS k", "cast(NULL AS string) AS tok", "unigram_logprob AS val"],
+     "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, unigram_logprob AS val"),
+    ("vocab_topk",
+     ["cast(rank AS bigint) AS k", "token AS tok", "cast(count AS double) AS val"],
+     "CAST(rank AS BIGINT) AS k, token AS tok, CAST(count AS DOUBLE) AS val"),
+    ("vocab_oov",
+     ["doc_id AS k", "cast(NULL AS string) AS tok", "oov_rate AS val"],
+     "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, oov_rate AS val"),
 ])
 
 _merge("pack_family", [

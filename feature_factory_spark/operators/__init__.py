@@ -60,6 +60,7 @@ from .text import (
     TextFeatures,
     TfIdfScorer,
     TokenCount,
+    VocabBuilder,
 )
 from .dedup import (
     EmbeddingDeduplicator,
@@ -110,6 +111,7 @@ __all__ = [
     "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
+    "VocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",

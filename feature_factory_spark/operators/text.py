@@ -640,3 +640,121 @@ class UnigramLogProbScorer(Transformer):
             .select(*[F.col(c) for c in df.columns],
                     F.col("__ff_logprob").alias(out_col))
         )
+
+
+class VocabBuilder(Transformer):
+    """Top-k token-vocabulary construction with an OOV-rate audit —
+    the corpus pass that sizes a tokenizer's vocabulary before training
+    one, and the coverage check run whenever a corpus mix changes.
+
+    ``build(df)`` returns the vocabulary as a DataFrame
+    ``(token, count, rank)``: word (or word-n-gram) counts over the
+    corpus, ranked by (count desc, token asc — deterministic ties) and
+    capped at ``vocab_size`` after dropping tokens below ``min_count``.
+    ``fit`` stores that frame; ``transform`` appends
+    ``{text_col}_oov_rate`` — the fraction of each document's tokens
+    absent from the fitted vocabulary (NULL for token-less documents).
+    High OOV under a candidate vocab size means byte-fallback blowup at
+    tokenization time; per-source OOV aggregation locates which corpus
+    slice moved.
+
+    Scale shape: counting is one explode + map-side-combined
+    groupBy(token) — the same skew-free single exchange as
+    UnigramLogProbScorer's fit. The (count desc, token asc) rank runs
+    on the AGGREGATED vocabulary table (|distinct tokens|, orders of
+    magnitude smaller than the corpus), and only after the min_count
+    filter; the global sort-limit is Spark's distributed TakeOrdered.
+    The fitted vocab stays a DATAFRAME joined on the token key at
+    transform time (AQE broadcasts when it fits) — never a driver-side
+    set, because a 100 TB corpus's candidate vocabulary exceeds driver
+    memory long before the cap is applied.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        vocab_size: int = 32768,
+        n: int = 1,
+        lowercase: bool = True,
+        min_count: int = 1,
+    ):
+        ensure(vocab_size >= 1, "vocab_size must be >= 1")
+        ensure(n >= 1, "n must be >= 1")
+        ensure(min_count >= 1, "min_count must be >= 1")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.vocab_size = vocab_size
+        self.n = n
+        self.lowercase = lowercase
+        self.min_count = min_count
+        self.vocab_df_: DataFrame | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+
+    def _token_expr(self) -> Column:
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        words = words_expr(text)
+        if self.n == 1:
+            return words
+        # n-gram vocab: documents shorter than n words contribute no
+        # grams (unlike the shingle clamp, a vocab must not contain
+        # partial grams)
+        return F.when(F.size(words) < self.n, F.array().cast("array<string>")) \
+            .otherwise(ngrams_expr(words, self.n))
+
+    def build(self, df: DataFrame) -> DataFrame:
+        """The vocabulary frame (token, count, rank) without mutating
+        fitted state."""
+        self._check_input(df)
+        counts = (
+            df.select(F.explode(self._token_expr()).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("count"))
+        )
+        if self.min_count > 1:
+            counts = counts.where(F.col("count") >= self.min_count)
+        from pyspark.sql import Window
+
+        top = counts.orderBy(F.desc("count"), F.asc("token")).limit(self.vocab_size)
+        # rank the capped table: vocab_size rows on one reducer, fine
+        w = Window.orderBy(F.desc("count"), F.asc("token"))
+        return top.select(
+            "token", "count", F.row_number().over(w).alias("rank")
+        )
+
+    def _fit(self, df: DataFrame) -> None:
+        from pyspark import StorageLevel
+
+        self.vocab_df_ = self.build(df).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        tokens = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.explode(self._token_expr()).alias("token"),
+        )
+        hit = tokens.join(
+            self.vocab_df_.select("token", F.lit(1).alias("__ff_in")),
+            on="token",
+            how="left",
+        )
+        per_doc = hit.groupBy("__ff_id").agg(
+            (
+                F.lit(1.0)
+                - F.sum(F.coalesce(F.col("__ff_in"), F.lit(0)))
+                / F.count("*")
+            ).alias("__ff_oov")
+        )
+        out_col = f"{self.text_col}_oov_rate"
+        return df.join(
+            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns], F.col("__ff_oov").alias(out_col)
+        )

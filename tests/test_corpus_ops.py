@@ -201,3 +201,57 @@ class TestKMeansClusterer:
 
         cents = lloyd_fit(df, "embedding", "vec_id", k, iterations=1)
         assert len(cents) == k and all(len(c) == dim for c in cents)
+
+
+class TestVocabBuilder:
+    def test_build_ranks_by_count_then_token(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b b b a a c"), (2, "a d")], ["doc_id", "text"]
+        )
+        vocab = ff.VocabBuilder("text", "doc_id").build(df)
+        rows = [(r["token"], r["count"], r["rank"]) for r in
+                vocab.orderBy("rank").collect()]
+        assert rows == [("a", 3, 1), ("b", 3, 2), ("c", 1, 3), ("d", 1, 4)]
+
+    def test_vocab_size_cap_and_min_count(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a b b c")], ["doc_id", "text"]
+        )
+        top = ff.VocabBuilder("text", "doc_id", vocab_size=2).build(df)
+        assert [r["token"] for r in top.orderBy("rank").collect()] == ["a", "b"]
+        floored = ff.VocabBuilder("text", "doc_id", min_count=2).build(df)
+        assert {r["token"] for r in floored.collect()} == {"a", "b"}
+
+    def test_oov_rate_hand_computed(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b c")], ["doc_id", "text"]
+        )
+        vb = ff.VocabBuilder("text", "doc_id", vocab_size=2).fit(corpus)
+        # vocab = {a (3), b (2)}; doc "a x y": 2 of 3 tokens OOV
+        probe = spark.createDataFrame(
+            [(10, "a x y"), (11, "a b"), (12, "  ")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["text_oov_rate"] for r in vb.transform(probe).collect()}
+        assert abs(out[10] - 2 / 3) < 1e-12
+        assert out[11] == 0.0
+        assert out[12] is None  # token-less document -> NULL, not 0
+
+    def test_ngram_vocab_excludes_partial_grams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "x")], ["doc_id", "text"]
+        )
+        vocab = ff.VocabBuilder("text", "doc_id", n=2).build(df)
+        toks = {r["token"] for r in vocab.collect()}
+        assert toks == {"a b", "b c"}  # the 1-word doc contributes nothing
+
+    def test_lowercase_folding(self, spark):
+        df = spark.createDataFrame([(1, "The the THE")], ["doc_id", "text"])
+        vocab = ff.VocabBuilder("text", "doc_id").build(df)
+        rows = [(r["token"], r["count"]) for r in vocab.collect()]
+        assert rows == [("the", 3)]
+
+    def test_transform_before_fit_raises(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ff.FitNotCalledError):
+            ff.VocabBuilder("text", "doc_id").transform(df)
