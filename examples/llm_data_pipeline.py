@@ -25,6 +25,9 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[*]")
         .config("spark.sql.shuffle.partitions", "8")
+        # the walkthrough caches several corpus frames (dedup state,
+        # unigram vocab, topic clusters); the 1g default heap is tight
+        .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,6 +59,13 @@ def main() -> None:
     cleaned = lm.transform(cleaned)
     cleaned.select("doc_id", "text_removed_segments", "text_unigram_logprob") \
         .orderBy("text_unigram_logprob").show(5)
+
+    # 3b. tokenizer prep: top-k vocabulary over the cleaned corpus and
+    #     the OOV coverage each document would see under it
+    vb = ff.VocabBuilder("text", "doc_id", vocab_size=512).fit(cleaned)
+    print(f"vocab size: {vb.vocab_df_.count()}")
+    cleaned = vb.transform(cleaned)
+    cleaned.selectExpr("avg(text_oov_rate) AS mean_oov").show()
 
     # 4. similarity search + topic bucketing over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -197,3 +197,35 @@ def test_r6_rounding_identical_across_python_spark_duckdb(spark, xs):
         for x in xs
     ]
     assert py == sp == dk
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=10,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_vocab_builder_rank_contiguous_counts_monotone(spark, docs, cap):
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    rows = (
+        ff.VocabBuilder("text", "doc_id", vocab_size=cap)
+        .build(df)
+        .orderBy("rank")
+        .collect()
+    )
+    # ranks are 1..n contiguous, counts non-increasing, cap respected,
+    # ties broken by token ascending
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= cap
+    for a, b in zip(rows, rows[1:]):
+        assert a["count"] > b["count"] or (
+            a["count"] == b["count"] and a["token"] < b["token"]
+        )
