@@ -22,8 +22,27 @@ from ..functions.text import (
     word_count_expr,
     words_expr,
 )
+from ..exceptions import FitNotCalledError
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_string_columns
+
+
+def _require_frame_state(frame: DataFrame | None, op: str, attr: str) -> DataFrame:
+    """Guard for DataFrame-held fitted state. save_state/load_state
+    round-trips only JSON-serializable parameters; a DataFrame-valued
+    attribute is dropped, so a load_state'd instance is marked fitted
+    while the frame is still None — surface that as the fit-contract
+    error it is (with the remedy) instead of an AttributeError deep in
+    the plan builder."""
+    if frame is None:
+        # FitNotCalledError prefixes "fit() must be called before
+        # transform() on ..." — the argument continues that sentence
+        raise FitNotCalledError(
+            f"{op}: its {attr} fitted state is a DataFrame, which "
+            "save_state/load_state cannot serialize, so an instance "
+            "restored from disk must be re-fit"
+        )
+    return frame
 
 
 class TextFeatures(Transformer):
@@ -618,11 +637,14 @@ class UnigramLogProbScorer(Transformer):
         self.freq_df_ = freq
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        freq_df = _require_frame_state(
+            self.freq_df_, "UnigramLogProbScorer", "freq_df_"
+        )
         words = df.select(
             F.col(self.id_col).alias("__ff_id"),
             F.explode(self._word_expr()).alias("__ff_word"),
         )
-        scored = words.join(self.freq_df_, on="__ff_word", how="left").select(
+        scored = words.join(freq_df, on="__ff_word", how="left").select(
             "__ff_id",
             F.log(
                 F.greatest(F.coalesce(F.col("__ff_cnt"), F.lit(0)), F.lit(1)).cast(
@@ -736,12 +758,13 @@ class VocabBuilder(Transformer):
         self.vocab_df_ = self.build(df).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        vocab_df = _require_frame_state(self.vocab_df_, "VocabBuilder", "vocab_df_")
         tokens = df.select(
             F.col(self.id_col).alias("__ff_id"),
             F.explode(self._token_expr()).alias("token"),
         )
         hit = tokens.join(
-            self.vocab_df_.select("token", F.lit(1).alias("__ff_in")),
+            vocab_df.select("token", F.lit(1).alias("__ff_in")),
             on="token",
             how="left",
         )

@@ -65,14 +65,20 @@ def read(
     else:
         # dispatch on the final path segment with trailing slashes
         # stripped, so '/data/events.parquet/' reads like the same
-        # dataset path without the slash; a compression suffix is
-        # stripped first ('corpus.jsonl.gz' dispatches on .jsonl —
-        # Spark's line-oriented readers decompress those codecs
-        # transparently)
+        # dataset path without the slash. A compression suffix is
+        # stripped only when the INNER extension is a line-oriented
+        # format ('corpus.jsonl.gz' -> .jsonl): those readers
+        # decompress the codec transparently. Anything else keeps the
+        # full name — 'corpus.gz' (no inner extension) and
+        # 'data.parquet.gz' (whole-file-compressed columnar, which no
+        # reader can open) both raise UnsupportedFormatError instead of
+        # handing a gzip stream to the parquet fallback.
         last = path.rstrip("/").rsplit("/", 1)[-1]
         for codec in (".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"):
             if last.endswith(codec):
-                last = last[: -len(codec)]
+                inner = last[: -len(codec)]
+                if inner.endswith((".txt", ".json", ".jsonl", ".csv")):
+                    last = inner
                 break
         for ext, fn in _READERS.items():
             if last.endswith(ext):

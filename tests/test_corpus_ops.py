@@ -255,3 +255,18 @@ class TestVocabBuilder:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ff.FitNotCalledError):
             ff.VocabBuilder("text", "doc_id").transform(df)
+
+
+class TestFrameStateGuards:
+    def test_load_state_without_frame_raises_fit_contract_error(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        for make in (
+            lambda: ff.VocabBuilder("text", "doc_id"),
+            lambda: ff.UnigramLogProbScorer("text", "doc_id"),
+        ):
+            op = make().fit(df)
+            p = str(tmp_path / f"{type(op).__name__}.json")
+            op.save_state(p)
+            restored = make().load_state(p)
+            with pytest.raises(ff.FitNotCalledError, match="DataFrame"):
+                restored.transform(df)

@@ -72,20 +72,29 @@ def test_frame_cache_one_entry_under_concurrent_cold_access(entry, spark):
     # storage in the cache manager for the life of the session
     from pyspark import InheritableThread
 
+    # sideline (not discard) the module-scope cache so the race sees a
+    # cold key; clearing alone would orphan the other tests' .cache()'d
+    # frames in the cache manager — the very leak under test
+    snapshot = dict(entry._FRAME_CACHE)
     entry._FRAME_CACHE.clear()
     got = []
 
     def grab():
         got.append(entry._t(spark, SF_DIR, "nation"))
 
-    threads = [InheritableThread(target=grab) for _ in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    assert len(got) == 8
-    assert len({id(df) for df in got}) == 1
-    entry._FRAME_CACHE.clear()
+    try:
+        threads = [InheritableThread(target=grab) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(got) == 8
+        assert len({id(df) for df in got}) == 1
+    finally:
+        for df in {id(d): d for d in got}.values():
+            df.unpersist()
+        entry._FRAME_CACHE.clear()
+        entry._FRAME_CACHE.update(snapshot)
 
 
 def test_dedup_pair_families_find_planted_pairs(entry, spark):

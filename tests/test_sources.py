@@ -106,3 +106,14 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_bare_or_columnar_compressed_files_raise_clearly(spark, tmp_path):
+    import gzip
+
+    for name in ("corpus.gz", "data.parquet.gz"):
+        p = tmp_path / name
+        with gzip.open(p, "wt") as f:
+            f.write("not a table\n")
+        with pytest.raises(ff.UnsupportedFormatError):
+            ffio.read(spark, str(p))
