@@ -369,3 +369,45 @@ def test_column_profiler_rejects_explicit_empty_list():
 
     with pytest.raises(InvalidParameterError):
         ff.ColumnProfiler(columns=[])
+
+
+def test_text_quality_stage_stream_matches_batch(spark, tmp_path):
+    # the filter-on-ingest pattern: the stateless text-quality stage
+    # (features -> language id -> Gopher filter -> PII redaction) must
+    # run unchanged on a document stream and produce exactly the batch
+    # result — these operators are pure plan rewrites, so stream==batch
+    # is a contract, not a coincidence
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    pipe = ff.make_pipeline(
+        ("feat", ff.TextFeatures(["text"])),
+        ("lang", ff.LanguageIdentifier(["text"])),
+        ("gopher", ff.GopherQualityFilter("text", min_words=5)),
+        ("pii", ff.PIIRedactor(["text"])),
+    )
+    batch_out = pipe.fit(docs)
+
+    stream = read_stream(spark, src, docs.schema)
+    out = apply_pipeline_to_stream(pipe, stream)
+    assert out.isStreaming
+    sink = str(tmp_path / "docs_sink")
+    (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_docs"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    stream_rows = sorted(
+        (r["doc_id"], r["text"], r["text_quality_score"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch_rows = sorted(
+        (r["doc_id"], r["text"], r["text_quality_score"])
+        for r in batch_out.collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
