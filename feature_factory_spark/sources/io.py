@@ -104,15 +104,23 @@ def write(
     mode: str = "error",
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
     **options,
 ) -> None:
     """Scale-aware sink. partition_by enables partition pruning for
     downstream readers; max_records_per_file bounds output file sizes so a
-    1000-executor read parallelizes evenly."""
+    1000-executor read parallelizes evenly; sort_within_partitions orders
+    rows inside each output task before writing — for parquet/orc this
+    tightens the per-row-group min/max statistics on the sort keys, so a
+    downstream filter on those keys skips whole row groups (zone-map
+    pruning) instead of scanning them, and clustered values compress
+    better. A task-local sort, no shuffle."""
     if fmt not in ("parquet", "csv", "json", "orc"):
         raise UnsupportedFormatError(f"unsupported output format '{fmt}'")
     if fmt == "csv":
         options.setdefault("header", True)  # symmetric with read()'s header=True
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
     w = df.write.mode(mode).options(**options)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)

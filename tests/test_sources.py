@@ -117,3 +117,24 @@ def test_bare_or_columnar_compressed_files_raise_clearly(spark, tmp_path):
             f.write("not a table\n")
         with pytest.raises(ff.UnsupportedFormatError):
             ffio.read(spark, str(p))
+
+
+def test_write_sort_within_partitions_tightens_row_group_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10000).selectExpr(
+        "id", "cast(hash(id) % 1000 AS bigint) AS k"
+    ).repartition(2)
+    sorted_p = str(tmp_path / "sorted.parquet")
+    ffio.write(df, sorted_p, sort_within_partitions=["k"])
+
+    # rows inside each written file are ordered by k, so each file's
+    # row-group k-min/max stats cover a tight, disjoint-ish range —
+    # verify the written order directly (stats follow the data)
+    import glob
+
+    for f in glob.glob(f"{sorted_p}/*.parquet"):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), f
+    back = ffio.read(spark, sorted_p)
+    assert back.count() == 10000
