@@ -120,7 +120,14 @@ def write(
     if fmt == "csv":
         options.setdefault("header", True)  # symmetric with read()'s header=True
     if sort_within_partitions:
-        df = df.sortWithinPartitions(*sort_within_partitions)
+        # with partition_by, FileFormatWriter requires its input ordered
+        # on the partition columns and inserts its own (non-stable) sort
+        # when it is not — which would destroy the requested key order.
+        # Sorting on (partition cols, sort keys) satisfies the writer's
+        # required ordering up front, so no destructive re-sort happens
+        # and rows inside every output file stay ordered on the keys.
+        keys = [*(partition_by or []), *sort_within_partitions]
+        df = df.sortWithinPartitions(*keys)
     w = df.write.mode(mode).options(**options)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)

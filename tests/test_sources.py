@@ -138,3 +138,22 @@ def test_write_sort_within_partitions_tightens_row_group_stats(spark, tmp_path):
         assert ks == sorted(ks), f
     back = ffio.read(spark, sorted_p)
     assert back.count() == 10000
+
+
+def test_write_sorted_with_partition_by_keeps_key_order(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 8000).selectExpr(
+        "id", "id % 4 AS part", "cast(hash(id) % 997 AS bigint) AS k"
+    ).repartition(2)
+    p = str(tmp_path / "part_sorted.parquet")
+    ffio.write(df, p, partition_by=["part"], sort_within_partitions=["k"])
+    files = glob.glob(f"{p}/part=*/**/*.parquet", recursive=True) + glob.glob(
+        f"{p}/part=*/*.parquet"
+    )
+    assert files
+    for f in set(files):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), f
