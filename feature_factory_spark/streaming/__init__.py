@@ -17,6 +17,7 @@ from .core import (
     WindowedAggregator,
     apply_pipeline_to_stream,
     read_stream,
+    run_incremental,
 )
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "RunningAggregator",
     "apply_pipeline_to_stream",
     "read_stream",
+    "run_incremental",
     "StreamingNotSupportedError",
 ]

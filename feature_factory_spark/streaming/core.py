@@ -13,8 +13,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..exceptions import FeatureFactoryError
+from ..logging_config import get_logger
 from ..pipeline import Pipeline, Transformer
 from ..validation import ensure, validate_columns, validate_datetime_columns
+
+LOG = get_logger()
 
 
 class StreamingNotSupportedError(FeatureFactoryError):
@@ -374,4 +377,65 @@ class RunningAggregator(Transformer):
             stateStructType="cnt long, tot double",
             outputMode="update",
             timeoutConf=timeout,
+        )
+
+
+def run_incremental(
+    pipeline: Pipeline,
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    schema,
+    source_fmt: str = "parquet",
+    sink_fmt: str = "parquet",
+    timeout_seconds: int | None = None,
+    **source_options,
+) -> None:
+    """One incremental batch run: apply ``pipeline`` to files that
+    arrived in ``source_path`` since the last run, append the results to
+    ``sink_path``, and stop.
+
+    This is the standard Spark recipe for a scheduled (e.g. daily)
+    pipeline over a growing 100 TB corpus directory — Structured
+    Streaming's ``availableNow`` trigger with a durable checkpoint:
+
+    - the checkpoint's file-source log records which input files every
+      previous run already processed, so each invocation reads ONLY the
+      delta — no bookkeeping tables, no manual partition arithmetic;
+    - the sink's commit log makes the append exactly-once: a run that
+      dies mid-write is redone from the checkpoint on the next
+      invocation without duplicating output files;
+    - ``availableNow`` processes everything currently available and
+      then terminates, so the job is a bounded batch, not a resident
+      stream.
+
+    Stateful pipeline steps must be pre-fitted (same contract as
+    apply_pipeline_to_stream): fit on a batch snapshot, serve
+    incrementally. ``timeout_seconds`` bounds the wait (None = until
+    the delta is fully processed); on timeout the query is stopped and
+    the NEXT run resumes from the checkpoint — nothing is lost.
+    """
+    stream = read_stream(spark, source_path, schema, source_fmt, **source_options)
+    out = apply_pipeline_to_stream(pipeline, stream)
+    q = (
+        out.writeStream.format(sink_fmt)
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_seconds) if timeout_seconds else (
+            q.awaitTermination() or True
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+    if timeout_seconds and not finished:
+        LOG.warning(
+            "run_incremental timed out after %ss; processed prefix is "
+            "committed, next run resumes from the checkpoint",
+            timeout_seconds,
         )

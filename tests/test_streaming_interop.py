@@ -411,3 +411,35 @@ def test_text_quality_stage_stream_matches_batch(spark, tmp_path):
     )
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_run_incremental_processes_only_new_files_exactly_once(spark, tmp_path):
+    from feature_factory_spark.streaming import run_incremental
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body text") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "inc_src")
+    sink = str(tmp_path / "inc_sink")
+    ckpt = str(tmp_path / "inc_ckpt")
+    first = docs.where("doc_id < 12")
+    first.write.parquet(src)
+
+    pipe = ff.make_pipeline(("tok", ff.TokenCount(["text"])))
+
+    run_incremental(pipe, spark, src, sink, ckpt, docs.schema)
+    out1 = spark.read.parquet(sink)
+    assert out1.count() == 12
+    assert "text_ws_tokens" in out1.columns
+
+    # second batch of files arrives; a new run must process ONLY those
+    docs.where("doc_id >= 12").write.mode("append").parquet(src)
+    run_incremental(pipe, spark, src, sink, ckpt, docs.schema)
+    out2 = spark.read.parquet(sink)
+    assert out2.count() == 20
+    assert sorted(r["doc_id"] for r in out2.collect()) == list(range(20))
+
+    # a third run with no new input appends nothing (exactly-once)
+    run_incremental(pipe, spark, src, sink, ckpt, docs.schema)
+    assert spark.read.parquet(sink).count() == 20
