@@ -389,6 +389,7 @@ def run_incremental(
     schema,
     source_fmt: str = "parquet",
     sink_fmt: str = "parquet",
+    partition_by: list[str] | None = None,
     timeout_seconds: int | None = None,
     **source_options,
 ) -> None:
@@ -418,14 +419,18 @@ def run_incremental(
     """
     stream = read_stream(spark, source_path, schema, source_fmt, **source_options)
     out = apply_pipeline_to_stream(pipeline, stream)
-    q = (
+    writer = (
         out.writeStream.format(sink_fmt)
         .option("path", sink_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        # date-partitioned sinks give downstream readers partition
+        # pruning on every incremental slice
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
     try:
         finished = q.awaitTermination(timeout_seconds) if timeout_seconds else (
             q.awaitTermination() or True

@@ -443,3 +443,23 @@ def test_run_incremental_processes_only_new_files_exactly_once(spark, tmp_path):
     # a third run with no new input appends nothing (exactly-once)
     run_incremental(pipe, spark, src, sink, ckpt, docs.schema)
     assert spark.read.parquet(sink).count() == 20
+
+
+def test_run_incremental_partitioned_sink(spark, tmp_path):
+    import glob
+
+    from feature_factory_spark.streaming import run_incremental
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", f"text {i}") for i in range(10)],
+        "doc_id bigint, source string, text string",
+    )
+    src, sink, ckpt = (str(tmp_path / p) for p in ("s", "k", "c"))
+    docs.write.parquet(src)
+    pipe = ff.make_pipeline(("feat", ff.TextFeatures(["text"])))
+    run_incremental(pipe, spark, src, sink, ckpt, docs.schema,
+                    partition_by=["source"])
+    assert sorted(
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{sink}/source=*")
+    ) == ["source=src0", "source=src1"]
+    assert spark.read.parquet(sink).count() == 10
