@@ -1,1 +1,1 @@
-from .io import load_tables, read, write
+from .io import compact_to, load_events, load_tables, read, write, write_bucketed

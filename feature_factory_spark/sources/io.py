@@ -136,6 +136,59 @@ def write(
     w.format(fmt).save(path)
 
 
+def compact_to(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    target_records_per_file: int,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+    **options,
+) -> int:
+    """Compact a dataset of many small files into evenly sized ones,
+    written to ``dest_path``. Returns the row count written.
+
+    Incremental appends (run_incremental, micro-batch sinks) accrete
+    small files; at 100 TB that means millions of file-open round trips
+    and task-scheduling overhead per scan. Compaction reads the dataset
+    once, repartitions to ceil(rows / target_records_per_file) balanced
+    output tasks (a full-shuffle repartition — coalesce would merge
+    unevenly and skew file sizes), and rewrites with the same
+    partitioning/sorting options as write().
+
+    With ``partition_by``, rows are repartitioned ON the partition
+    columns (hash-clustered into n_files tasks) so a task holds whole
+    partition values and writes ~one file per value it owns — a plain
+    round-robin repartition would scatter every value across every
+    task and multiply the file count by the partition cardinality.
+
+    The compacted copy is written to a NEW path: an in-place rewrite
+    cannot be atomic on object stores (rename is copy+delete), so the
+    safe pattern is compact to the side, validate, then swap the table
+    location (or repoint the catalog). This helper deliberately does
+    not delete the source."""
+    from ..validation import ensure
+
+    ensure(target_records_per_file >= 1, "target_records_per_file must be >= 1")
+    df = read(spark, source_path, fmt=fmt, **options)
+    rows = df.count()
+    n_files = max(1, -(-rows // target_records_per_file))  # ceil
+    if partition_by:
+        df = df.repartition(n_files, *partition_by)
+    else:
+        df = df.repartition(n_files)
+    write(
+        df,
+        dest_path,
+        fmt=fmt,
+        mode="error",
+        partition_by=partition_by,
+        sort_within_partitions=sort_within_partitions,
+    )
+    return rows
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -157,3 +157,34 @@ def test_write_sorted_with_partition_by_keeps_key_order(spark, tmp_path):
     for f in set(files):
         ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
         assert ks == sorted(ks), f
+
+
+def test_compact_to_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    df = spark.range(0, 5000).selectExpr("id", "id % 3 AS part")
+    frag = str(tmp_path / "fragmented.parquet")
+    # simulate incremental-append fragmentation: 50 tiny files
+    df.repartition(50).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 50
+
+    dest = str(tmp_path / "compacted.parquet")
+    rows = ffio.compact_to(spark, frag, dest, target_records_per_file=2500)
+    assert rows == 5000
+    assert len(glob.glob(f"{dest}/*.parquet")) == 2
+    assert ffio.read(spark, dest).count() == 5000
+
+
+def test_compact_to_partitioned_writes_one_file_per_value(spark, tmp_path):
+    import glob
+
+    df = spark.range(0, 3000).selectExpr("id", "id % 3 AS part")
+    frag = str(tmp_path / "frag2.parquet")
+    df.repartition(30).write.parquet(frag)
+    dest = str(tmp_path / "comp2.parquet")
+    ffio.compact_to(
+        spark, frag, dest, target_records_per_file=1000, partition_by=["part"]
+    )
+    for p in glob.glob(f"{dest}/part=*"):
+        assert len(glob.glob(f"{p}/*.parquet")) <= 3, p
+    assert ffio.read(spark, dest).count() == 3000
