@@ -144,6 +144,7 @@ def compact_to(
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
+    writer_options: dict | None = None,
     **options,
 ) -> int:
     """Compact a dataset of many small files into evenly sized ones,
@@ -151,26 +152,47 @@ def compact_to(
 
     Incremental appends (run_incremental, micro-batch sinks) accrete
     small files; at 100 TB that means millions of file-open round trips
-    and task-scheduling overhead per scan. Compaction reads the dataset
-    once, repartitions to ceil(rows / target_records_per_file) balanced
-    output tasks (a full-shuffle repartition — coalesce would merge
-    unevenly and skew file sizes), and rewrites with the same
-    partitioning/sorting options as write().
+    and task-scheduling overhead per scan. Two passes over the source:
+    a counting pass (metadata-only for parquet/orc — row counts come
+    from footers; a real parse for csv/json) sizes the output at
+    ceil(rows / target_records_per_file) files, then the
+    shuffle-and-write pass rewrites them balanced (a full-shuffle
+    repartition — coalesce would merge unevenly and skew file sizes).
+    ``**options`` go to the reader; ``writer_options`` to the writer
+    (e.g. ``{"compression": "zstd"}``).
 
-    With ``partition_by``, rows are repartitioned ON the partition
-    columns (hash-clustered into n_files tasks) so a task holds whole
-    partition values and writes ~one file per value it owns — a plain
-    round-robin repartition would scatter every value across every
-    task and multiply the file count by the partition cardinality.
+    With ``partition_by``, rows are hash-clustered on the partition
+    columns so a task holds whole partition values — a round-robin
+    repartition would scatter every value across every task and
+    multiply the file count by the partition cardinality. A value with
+    more rows than the target still lands on one task (parallelism
+    skew; pre-salt a synthetic column if that dominates), but its
+    output is split into target-sized files via maxRecordsPerFile,
+    which bounds file sizes in every mode.
 
     The compacted copy is written to a NEW path: an in-place rewrite
     cannot be atomic on object stores (rename is copy+delete), so the
-    safe pattern is compact to the side, validate, then swap the table
-    location (or repoint the catalog). This helper deliberately does
-    not delete the source."""
+    safe pattern is compact to the side, validate, then repoint readers
+    (table location / catalog). This helper deliberately does not
+    delete the source.
+
+    Structured Streaming sink caveat: a sink written by
+    ``run_incremental`` carries a ``_spark_metadata`` commit log, and
+    batch reads of such a root return ONLY files listed in that log.
+    This helper reads the committed set (correct), but the compacted
+    copy must NEVER become the target of the SAME streaming
+    checkpoint's future appends — the query would start a fresh
+    ``_spark_metadata`` at the swapped path listing only post-swap
+    batches, silently hiding the compacted history from readers. Serve
+    reads from the compacted copy and keep appending to the raw sink,
+    or re-baseline with a fresh checkpoint + sink after the swap."""
     from ..validation import ensure
 
     ensure(target_records_per_file >= 1, "target_records_per_file must be >= 1")
+    if fmt not in ("parquet", "csv", "json", "orc"):
+        # fail before the counting scan, not after it (write()'s check
+        # would otherwise fire with a full pass already burned)
+        raise UnsupportedFormatError(f"unsupported output format '{fmt}'")
     df = read(spark, source_path, fmt=fmt, **options)
     rows = df.count()
     n_files = max(1, -(-rows // target_records_per_file))  # ceil
@@ -184,7 +206,9 @@ def compact_to(
         fmt=fmt,
         mode="error",
         partition_by=partition_by,
+        max_records_per_file=target_records_per_file,
         sort_within_partitions=sort_within_partitions,
+        **(writer_options or {}),
     )
     return rows
 

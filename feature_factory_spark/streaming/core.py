@@ -28,7 +28,17 @@ def read_stream(
     spark: SparkSession, path: str, schema, fmt: str = "parquet", **options
 ) -> DataFrame:
     """File-source stream over a path/glob. Schema must be supplied —
-    streaming sources cannot infer it."""
+    streaming sources cannot infer it. ``jsonl`` is accepted as an
+    alias for ``json`` (mirroring the batch reader's dispatch)."""
+    from ..exceptions import UnsupportedFormatError
+
+    fmt = {"jsonl": "json", "txt": "text"}.get(fmt, fmt)
+    supported = ("parquet", "json", "csv", "orc", "text")
+    if fmt not in supported:
+        raise UnsupportedFormatError(
+            f"unsupported stream source format '{fmt}' "
+            f"(supported: {', '.join(supported)})"
+        )
     reader = spark.readStream.schema(schema).options(**options)
     return getattr(reader, fmt)(path)
 
@@ -417,6 +427,11 @@ def run_incremental(
     the delta is fully processed); on timeout the query is stopped and
     the NEXT run resumes from the checkpoint — nothing is lost.
     """
+    ensure(
+        timeout_seconds is None or timeout_seconds > 0,
+        "timeout_seconds must be a positive number of seconds or None "
+        "(None = wait until the delta is fully processed)",
+    )
     stream = read_stream(spark, source_path, schema, source_fmt, **source_options)
     out = apply_pipeline_to_stream(pipeline, stream)
     writer = (
@@ -432,13 +447,15 @@ def run_incremental(
         writer = writer.partitionBy(*partition_by)
     q = writer.start()
     try:
-        finished = q.awaitTermination(timeout_seconds) if timeout_seconds else (
-            q.awaitTermination() or True
-        )
+        if timeout_seconds is None:
+            q.awaitTermination()
+            finished = True
+        else:
+            finished = q.awaitTermination(timeout_seconds)
     finally:
         if q.isActive:
             q.stop()
-    if timeout_seconds and not finished:
+    if not finished:
         LOG.warning(
             "run_incremental timed out after %ss; processed prefix is "
             "committed, next run resumes from the checkpoint",

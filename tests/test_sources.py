@@ -171,7 +171,15 @@ def test_compact_to_reduces_file_count_and_preserves_rows(spark, tmp_path):
     dest = str(tmp_path / "compacted.parquet")
     rows = ffio.compact_to(spark, frag, dest, target_records_per_file=2500)
     assert rows == 5000
-    assert len(glob.glob(f"{dest}/*.parquet")) == 2
+    # 2 balanced tasks; hash imbalance may split one over the
+    # maxRecordsPerFile cap — far fewer files than the 50 inputs, and
+    # none above the target size
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{dest}/*.parquet")
+    assert 2 <= len(files) <= 4
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 2500
     assert ffio.read(spark, dest).count() == 5000
 
 
@@ -188,3 +196,45 @@ def test_compact_to_partitioned_writes_one_file_per_value(spark, tmp_path):
     for p in glob.glob(f"{dest}/part=*"):
         assert len(glob.glob(f"{p}/*.parquet")) <= 3, p
     assert ffio.read(spark, dest).count() == 3000
+
+
+def test_compact_to_bounds_file_size_under_partition_skew(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # one partition value holds ALL rows: hash-clustering on the
+    # partition column gives one writer task, but maxRecordsPerFile
+    # must still split its output into target-sized files
+    df = spark.range(0, 4000).selectExpr("id", "0 AS part")
+    frag = str(tmp_path / "skew.parquet")
+    df.repartition(16).write.parquet(frag)
+    dest = str(tmp_path / "skew_out.parquet")
+    ffio.compact_to(
+        spark, frag, dest, target_records_per_file=1000, partition_by=["part"]
+    )
+    files = glob.glob(f"{dest}/part=0/*.parquet")
+    assert len(files) >= 4
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 1000, f
+
+
+def test_compact_to_writer_options_reach_the_writer(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    frag = str(tmp_path / "wo.parquet")
+    spark.range(100).repartition(4).write.parquet(frag)
+    dest = str(tmp_path / "wo_out.parquet")
+    ffio.compact_to(
+        spark, frag, dest, target_records_per_file=100,
+        writer_options={"compression": "gzip"},
+    )
+    f = glob.glob(f"{dest}/*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "GZIP"
+
+
+def test_compact_to_rejects_unwritable_format_before_scanning(spark):
+    with pytest.raises(ff.UnsupportedFormatError):
+        ffio.compact_to(spark, "/nonexistent", "/tmp/x", 100, fmt="jsonl")

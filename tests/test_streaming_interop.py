@@ -463,3 +463,27 @@ def test_run_incremental_partitioned_sink(spark, tmp_path):
         p.rsplit("/", 1)[-1] for p in glob.glob(f"{sink}/source=*")
     ) == ["source=src0", "source=src1"]
     assert spark.read.parquet(sink).count() == 10
+
+
+def test_read_stream_jsonl_alias_and_unknown_format(spark, tmp_path):
+    from feature_factory_spark.exceptions import UnsupportedFormatError
+    from feature_factory_spark.streaming import read_stream
+
+    schema = "doc_id bigint, text string"
+    s = read_stream(spark, str(tmp_path), schema, fmt="jsonl")
+    assert s.isStreaming
+    with pytest.raises(UnsupportedFormatError, match="supported"):
+        read_stream(spark, str(tmp_path), schema, fmt="avro")
+
+
+def test_run_incremental_rejects_zero_timeout(spark, tmp_path):
+    from feature_factory_spark.exceptions import InvalidParameterError
+    from feature_factory_spark.streaming import run_incremental
+
+    pipe = ff.make_pipeline(("feat", ff.TextFeatures(["text"])))
+    with pytest.raises(InvalidParameterError):
+        run_incremental(
+            pipe, spark, str(tmp_path / "s"), str(tmp_path / "k"),
+            str(tmp_path / "c"), "doc_id bigint, text string",
+            timeout_seconds=0,
+        )
