@@ -632,8 +632,13 @@ class UnigramLogProbScorer(Transformer):
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         row = freq.agg(F.sum("__ff_cnt").alias("t")).collect()[0]
-        self.total_words_ = float(row["t"] or 0.0)
-        ensure(self.total_words_ > 0, "fit corpus contains no words")
+        total = float(row["t"] or 0.0)
+        ensure(total > 0, "fit corpus contains no words")
+        if self.freq_df_ is not None:
+            # refit: release the previous fit's persisted frame, or each
+            # refit pins one more cached vocabulary for the session
+            self.freq_df_.unpersist()
+        self.total_words_ = total
         self.freq_df_ = freq
 
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -723,7 +728,14 @@ class VocabBuilder(Transformer):
         text = F.col(self.text_col)
         if self.lowercase:
             text = F.lower(text)
-        words = words_expr(text)
+        # NULL text -> NULL word array from words_expr; coalesce to the
+        # empty array so a NULL-text document contributes NO tokens in
+        # every mode. Without this, the n>=2 branch's size(NULL) is a
+        # NULL condition -> otherwise -> ngrams over a NULL array
+        # evaluates to [NULL], polluting the vocabulary with a NULL
+        # token and scoring NULL-text docs oov_rate=1.0 instead of the
+        # documented NULL.
+        words = F.coalesce(words_expr(text), F.array().cast("array<string>"))
         if self.n == 1:
             return words
         # n-gram vocab: documents shorter than n words contribute no
@@ -755,6 +767,9 @@ class VocabBuilder(Transformer):
     def _fit(self, df: DataFrame) -> None:
         from pyspark import StorageLevel
 
+        if self.vocab_df_ is not None:
+            # refit: release the previous vocabulary's persisted frame
+            self.vocab_df_.unpersist()
         self.vocab_df_ = self.build(df).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _transform(self, df: DataFrame) -> DataFrame:

@@ -427,11 +427,23 @@ def run_incremental(
     the delta is fully processed); on timeout the query is stopped and
     the NEXT run resumes from the checkpoint — nothing is lost.
     """
+    from ..exceptions import UnsupportedFormatError
+
     ensure(
         timeout_seconds is None or timeout_seconds > 0,
         "timeout_seconds must be a positive number of seconds or None "
         "(None = wait until the delta is fully processed)",
     )
+    # same alias + validation treatment as the source side: fail with
+    # the package's clear error before any stream is constructed,
+    # instead of Spark's data-source-lookup failure at start()
+    sink_fmt = {"jsonl": "json", "txt": "text"}.get(sink_fmt, sink_fmt)
+    supported_sinks = ("parquet", "json", "csv", "orc", "text")
+    if sink_fmt not in supported_sinks:
+        raise UnsupportedFormatError(
+            f"unsupported stream sink format '{sink_fmt}' "
+            f"(supported: {', '.join(supported_sinks)})"
+        )
     stream = read_stream(spark, source_path, schema, source_fmt, **source_options)
     out = apply_pipeline_to_stream(pipeline, stream)
     writer = (

@@ -270,3 +270,36 @@ class TestFrameStateGuards:
             restored = make().load_state(p)
             with pytest.raises(ff.FitNotCalledError, match="DataFrame"):
                 restored.transform(df)
+
+
+class TestVocabBuilderNullText:
+    def test_null_text_contributes_no_tokens_any_n(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, None), (3, None)], "doc_id bigint, text string"
+        )
+        for n in (1, 2):
+            vocab = ff.VocabBuilder("text", "doc_id", n=n).build(df)
+            toks = [r["token"] for r in vocab.collect()]
+            assert None not in toks, (n, toks)
+            assert toks  # the real doc still contributes
+        # NULL-text docs score NULL oov (token-less), not 1.0
+        vb = ff.VocabBuilder("text", "doc_id", n=2).fit(df)
+        out = {r["doc_id"]: r["text_oov_rate"] for r in vb.transform(df).collect()}
+        assert out[2] is None and out[3] is None
+
+    def test_refit_unpersists_previous_frame(self, spark):
+        # refit on a DIFFERENT corpus: with the same input the old and
+        # new frames share a canonical plan, and the cache manager
+        # reports the new entry for the old handle
+        df1 = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        df2 = spark.createDataFrame([(2, "c d e")], "doc_id bigint, text string")
+        vb = ff.VocabBuilder("text", "doc_id").fit(df1)
+        first = vb.vocab_df_
+        vb.fit(df2)
+        assert first.storageLevel.useMemory is False  # released
+        assert vb.vocab_df_ is not first
+
+        lm = ff.UnigramLogProbScorer("text", "doc_id").fit(df1)
+        f1 = lm.freq_df_
+        lm.fit(df2)
+        assert f1.storageLevel.useMemory is False

@@ -487,3 +487,16 @@ def test_run_incremental_rejects_zero_timeout(spark, tmp_path):
             str(tmp_path / "c"), "doc_id bigint, text string",
             timeout_seconds=0,
         )
+
+
+def test_run_incremental_rejects_unknown_sink_format(spark, tmp_path):
+    from feature_factory_spark.exceptions import UnsupportedFormatError
+    from feature_factory_spark.streaming import run_incremental
+
+    pipe = ff.make_pipeline(("feat", ff.TextFeatures(["text"])))
+    with pytest.raises(UnsupportedFormatError, match="sink"):
+        run_incremental(
+            pipe, spark, str(tmp_path / "s"), str(tmp_path / "k"),
+            str(tmp_path / "c"), "doc_id bigint, text string",
+            sink_fmt="avro",
+        )
