@@ -89,3 +89,19 @@ def test_ivf_search_join_is_broadcast_on_cluster(vecs):
     plan = _phys(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_build_is_single_aggregation_no_cartesian(docs):
+    # corpus counting must be ONE map-side-combined aggregation chain:
+    # partial hash-agg before the exchange, final after — never a join
+    plan = _phys(ff.VocabBuilder("text", "doc_id", vocab_size=10).build(docs))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_vocab_oov_join_never_cartesian(docs):
+    vb = ff.VocabBuilder("text", "doc_id", vocab_size=10).fit(docs)
+    plan = _phys(vb.transform(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
