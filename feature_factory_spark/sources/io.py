@@ -31,6 +31,12 @@ _READERS = {
     # .txt.gz/.txt.bz2 transparently via the same codec inference as
     # the other line-oriented readers
     ".txt": lambda s, p, o: s.read.options(**o).text(p),
+    # raw media ingestion for the multimodal operators: whole files as
+    # (path, modificationTime, length, content binary) rows — pair with
+    # a pathGlobFilter option ('*.png') to select one media type. Only
+    # reachable via fmt="binaryFile" (media extensions are too varied
+    # for suffix dispatch).
+    ".binaryFile": lambda s, p, o: s.read.options(**o).format("binaryFile").load(p),
 }
 
 

@@ -238,3 +238,21 @@ def test_compact_to_writer_options_reach_the_writer(spark, tmp_path):
 def test_compact_to_rejects_unwritable_format_before_scanning(spark):
     with pytest.raises(ff.UnsupportedFormatError):
         ffio.compact_to(spark, "/nonexistent", "/tmp/x", 100, fmt="jsonl")
+
+
+def test_read_binary_files_feed_multimodal_extractor(spark, tmp_path):
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(b"\x89PNG fake image payload")
+    (media / "b.png").write_bytes(b"\x89PNG other payload bytes!")
+    (media / "skip.txt").write_text("not media")
+
+    df = ffio.read(
+        spark, str(media), fmt="binaryFile", pathGlobFilter="*.png"
+    )
+    assert df.count() == 2
+    assert "content" in df.columns and "path" in df.columns
+
+    out = ff.BinaryFeatureExtractor("content").transform(df)
+    feats = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert feats["a.png"]["content_payload_len"] == 23
