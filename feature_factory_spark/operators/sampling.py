@@ -261,6 +261,10 @@ class SequencePacker(Transformer):
         validate_columns(df, [self.order_col] + self.partition_cols)
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        if not self.partition_cols:
+            from .timeseries import warn_global_window
+
+            warn_global_window("SequencePacker", "partition_cols")
         w = (
             Window.partitionBy(*self.partition_cols)
             .orderBy(self.order_col)

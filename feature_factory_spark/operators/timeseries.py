@@ -24,11 +24,31 @@ repeat.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ..logging_config import get_logger
 from ..pipeline import Transformer
 from ..validation import ensure, require_nonempty_columns, validate_columns
+
+_LOGGER = get_logger()
+
+
+def warn_global_window(operator: str, param: str) -> None:
+    """Loud warning for the silent-scale-killer default: a window spec
+    with no partition columns funnels the ENTIRE dataset through one
+    task's sort at scale. Fine for a single small series; catastrophic
+    on a 1000-executor cluster. Warn (stacklevel points at the caller's
+    transform call) rather than raise — single-series use is legitimate."""
+    msg = (
+        f"{operator}: no {param} given — the window is GLOBAL, so the whole "
+        "dataset sorts on a single task. Pass an entity/shard key in "
+        f"{param} for any data that does not fit one executor."
+    )
+    _LOGGER.warning(msg)
+    warnings.warn(msg, UserWarning, stacklevel=3)
 
 _WINDOW_FUNCTIONS = {
     "mean": F.avg,
@@ -60,6 +80,7 @@ class _TimeSeriesBase(Transformer):
         cols = [F.col(c) for c in self.sort_cols]
         if self.partition_by:
             return Window.partitionBy(*self.partition_by).orderBy(*cols)
+        warn_global_window(type(self).__name__, "partition_by")
         return Window.orderBy(*cols)
 
 

@@ -80,7 +80,7 @@ def read(
         # reader can open) both raise UnsupportedFormatError instead of
         # handing a gzip stream to the parquet fallback.
         last = path.rstrip("/").rsplit("/", 1)[-1]
-        for codec in (".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"):
+        for codec in (".gz", ".bz2", ".zst", ".zstd", ".lz4", ".snappy", ".deflate"):
             if last.endswith(codec):
                 inner = last[: -len(codec)]
                 if inner.endswith((".txt", ".json", ".jsonl", ".csv")):

@@ -401,6 +401,7 @@ def run_incremental(
     sink_fmt: str = "parquet",
     partition_by: list[str] | None = None,
     timeout_seconds: int | None = None,
+    sink_options: dict | None = None,
     **source_options,
 ) -> None:
     """One incremental batch run: apply ``pipeline`` to files that
@@ -426,6 +427,12 @@ def run_incremental(
     incrementally. ``timeout_seconds`` bounds the wait (None = until
     the delta is fully processed); on timeout the query is stopped and
     the NEXT run resumes from the checkpoint — nothing is lost.
+
+    ``sink_options`` go to the stream writer. A csv sink defaults to
+    header=True, symmetric with sources.io.read()/write(): without it
+    the sink is written headerless while the package's own reader
+    defaults header=True, which would silently consume the first data
+    row of every file as a header on read-back.
     """
     from ..exceptions import UnsupportedFormatError
 
@@ -444,10 +451,14 @@ def run_incremental(
             f"unsupported stream sink format '{sink_fmt}' "
             f"(supported: {', '.join(supported_sinks)})"
         )
+    sink_options = dict(sink_options or {})
+    if sink_fmt == "csv":
+        sink_options.setdefault("header", True)
     stream = read_stream(spark, source_path, schema, source_fmt, **source_options)
     out = apply_pipeline_to_stream(pipeline, stream)
     writer = (
         out.writeStream.format(sink_fmt)
+        .options(**sink_options)
         .option("path", sink_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
