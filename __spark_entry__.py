@@ -93,6 +93,7 @@ from __future__ import annotations
 import contextlib
 import math
 import os
+import tempfile
 import sys
 import threading
 from collections.abc import Callable
@@ -157,6 +158,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.cache()
         _FRAME_CACHE[key] = (spark, df)
         return df
+
+
+# Fitted frame-holding operators (and their temp state dirs) awaiting
+# release. Registry queries that fit DataFrame-stateful operators pin a
+# MEMORY_AND_DISK cache entry per invocation; a harness that runs many
+# queries in one session (bench.py) calls release_fitted_frames() after
+# each query's materialization so the session's storage stays flat. The
+# correctness driver never calls it — its per-query frames are few and
+# small — but the family builder releases eagerly on member failure so a
+# poisoned member cannot strand its siblings' fitted frames.
+_FITTED_OPS: list = []
+_TEMP_STATE_DIRS: list[str] = []
+
+
+def _track(op):
+    _FITTED_OPS.append(op)
+    return op
+
+
+def release_fitted_frames() -> None:
+    """Unpersist every fitted frame the registry queries pinned and
+    drop their temp state dirs. Safe to call only after the frames'
+    consuming queries are fully materialized."""
+    import shutil
+
+    while _FITTED_OPS:
+        _FITTED_OPS.pop().release()
+    while _TEMP_STATE_DIRS:
+        shutil.rmtree(_TEMP_STATE_DIRS.pop(), ignore_errors=True)
+
+
+def _state_roundtrip(op, make_fresh, spark):
+    """fit -> save_state -> load_state round-trip INSIDE a verified
+    query: the query's oracle hash then pins that an operator restored
+    from disk (parquet-backed frame state + scalar JSON) transforms
+    identically to the in-session fit — the restart contract a
+    scheduled pipeline needs. The fitted original is released; the
+    restored instance (and its temp dir) are tracked for
+    release_fitted_frames()."""
+    tmp = tempfile.mkdtemp(prefix="ff_state_")
+    _TEMP_STATE_DIRS.append(tmp)
+    op.save_state(tmp)
+    restored = make_fresh().load_state(tmp, spark)
+    op.release()
+    return _track(restored)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,10 +1918,16 @@ FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""",
 )
 def q_contamination(spark, sf_dir):
     # benchmark = the first 25 docs; any doc sharing a 3-gram with them
-    # is flagged (n=3 keeps the sf0.01 oracle cheap; production uses 13)
+    # is flagged (n=3 keeps the sf0.01 oracle cheap; production uses 13).
+    # The checker runs through a save/load round-trip: the flags the
+    # oracle hashes come from an instance restored off disk, probing
+    # from the persisted gram-hash frame alone.
     docs = _t(spark, sf_dir, "documents")
     cc = ff.ContaminationChecker("text", "doc_id", n=3)
     cc.fit(docs.where(F.col("doc_id") < 25))
+    cc = _state_roundtrip(
+        cc, lambda: ff.ContaminationChecker("text", "doc_id", n=3), spark
+    )
     return cc.transform(docs).select("doc_id", "contaminated")
 
 
@@ -1989,9 +2041,15 @@ SELECT d2.doc_id, {R6('a.s')} AS unigram_logprob
 FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""",
 )
 def q_unigram_logprob(spark, sf_dir):
+    # fitted-state round-trip inside the verified query: scores come
+    # from a scorer restored off disk (frequency frame from parquet,
+    # total_words_ from JSON), oracle-hash-pinned identical to the fit
     docs = _t(spark, sf_dir, "documents")
-    op = ff.UnigramLogProbScorer("text", "doc_id")
-    out = op.fit(docs).transform(docs)
+    op = ff.UnigramLogProbScorer("text", "doc_id").fit(docs)
+    op = _state_roundtrip(
+        op, lambda: ff.UnigramLogProbScorer("text", "doc_id"), spark
+    )
+    out = op.transform(docs)
     return out.select(
         "doc_id", r6(F.col("text_unigram_logprob")).alias("unigram_logprob")
     )
@@ -2037,8 +2095,13 @@ SELECT d.doc_id, {R6('h.oov')} AS oov_rate
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
 )
 def q_vocab_oov(spark, sf_dir):
+    # fitted-state round-trip inside the verified query (see
+    # q_unigram_logprob): OOV rates come from a restored VocabBuilder
     docs = _t(spark, sf_dir, "documents")
     vb = ff.VocabBuilder("text", "doc_id", vocab_size=100).fit(docs)
+    vb = _state_roundtrip(
+        vb, lambda: ff.VocabBuilder("text", "doc_id", vocab_size=100), spark
+    )
     return vb.transform(docs).select(
         "doc_id", r6(F.col("text_oov_rate")).alias("oov_rate")
     )
@@ -2615,6 +2678,10 @@ def _merge(family: str, members: list[tuple[str, list[str], str | list[str]]]) -
             for t in threads:
                 t.join()
             if errors:
+                # a poisoned member must not strand its siblings' fitted
+                # frames (every prior query is already materialized, so
+                # releasing here is safe)
+                release_fitted_frames()
                 op, exc = errors[0]
                 raise RuntimeError(
                     f"family '{family}' member '{op}' failed"
@@ -2622,6 +2689,7 @@ def _merge(family: str, members: list[tuple[str, list[str], str | list[str]]]) -
         else:
             build(_specs[0], 0)
             if errors:
+                release_fitted_frames()
                 raise errors[0][1]
         out = frames[0]
         for fr in frames[1:]:

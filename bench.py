@@ -99,6 +99,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             dt = float("nan")
+        finally:
+            # unpin whatever fitted frames the query persisted: a full
+            # run otherwise accretes one cache entry per stateful query
+            # for the session's lifetime (ADVICE r4 item 2)
+            entry.release_fitted_frames()
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt

@@ -45,3 +45,12 @@ class NotImplementedFeatureError(FeatureFactoryError):
 
 class UnsupportedFormatError(FeatureFactoryError):
     """An input file format is not supported by the source readers."""
+
+
+class StatePersistenceError(FeatureFactoryError):
+    """save_state/load_state cannot round-trip a transformer's fitted
+    state — e.g. an undeclared non-serializable fitted attribute would
+    be silently dropped, or frame-held state needs a SparkSession to
+    load. Failing loud here is the difference between a pipeline that
+    restarts cleanly and one whose restored transformers raise (or
+    silently no-op) at transform time."""

@@ -28,19 +28,20 @@ from ..validation import ensure, validate_columns, validate_string_columns
 
 
 def _require_frame_state(frame: DataFrame | None, op: str, attr: str) -> DataFrame:
-    """Guard for DataFrame-held fitted state. save_state/load_state
-    round-trips only JSON-serializable parameters; a DataFrame-valued
-    attribute is dropped, so a load_state'd instance is marked fitted
-    while the frame is still None — surface that as the fit-contract
-    error it is (with the remedy) instead of an AttributeError deep in
-    the plan builder."""
+    """Guard for DataFrame-held fitted state: surface a missing frame as
+    the fit-contract error it is (with the remedy) instead of an
+    AttributeError deep in the plan builder. Frame-holding operators
+    declare the attribute in _frame_state_attrs(), so save_state writes
+    it to parquet and load_state restores it — this error now only
+    fires on an instance that was never fit/loaded at all, or whose
+    scalar-only JSON state predates the frame-backed format."""
     if frame is None:
         # FitNotCalledError prefixes "fit() must be called before
         # transform() on ..." — the argument continues that sentence
         raise FitNotCalledError(
-            f"{op}: its {attr} fitted state is a DataFrame, which "
-            "save_state/load_state cannot serialize, so an instance "
-            "restored from disk must be re-fit"
+            f"{op}: its {attr} fitted frame is absent — fit() it, or "
+            "load_state() from a directory save_state wrote (scalar-only "
+            "JSON state files do not carry the frame)"
         )
     return frame
 
@@ -373,8 +374,11 @@ class ContaminationChecker(Transformer):
     appendix C / PaLM / Llama use 8-13 word grams; ``n`` is
     configurable).
 
-    ``fit(benchmark_df)`` captures the benchmark frame (eval sets: at
-    most ~1e6-1e7 grams — tiny next to the corpus). ``transform(corpus)``
+    ``fit(benchmark_df)`` reduces the benchmark frame to its DISTINCT
+    60-bit gram-hash frame ``bench_hashes_`` (eval sets: at most
+    ~1e6-1e7 grams — tiny next to the corpus), which is also what
+    save_state persists to parquet: a restored checker probes without
+    ever needing the original benchmark text again. ``transform(corpus)``
     appends boolean ``output_col``; ``mode='filter'`` drops flagged rows
     instead.
 
@@ -405,10 +409,13 @@ class ContaminationChecker(Transformer):
         self.lowercase = lowercase
         self.mode = mode
         self.output_col = output_col
-        self.benchmark_df: DataFrame | None = None
+        self.bench_hashes_: DataFrame | None = None
 
     def is_stateful(self) -> bool:
         return True
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["bench_hashes_"]
 
     def _check_input(self, df: DataFrame) -> None:
         # fit() receives the BENCHMARK frame and transform() the corpus —
@@ -435,15 +442,16 @@ class ContaminationChecker(Transformer):
 
     def _fit(self, df: DataFrame) -> None:
         validate_string_columns(df, [self.benchmark_text_col])
-        self.benchmark_df = df
+        self.bench_hashes_ = self._gram_hashes(
+            df, self.benchmark_text_col, []
+        ).distinct()
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        ensure(self.benchmark_df is not None, "fit(benchmark_df) first")
+        bench = _require_frame_state(
+            self.bench_hashes_, "ContaminationChecker", "bench_hashes_"
+        )
         validate_string_columns(df, [self.text_col])
         validate_columns(df, [self.id_col])
-        bench = self._gram_hashes(
-            self.benchmark_df, self.benchmark_text_col, []
-        ).distinct()
         corpus_grams = self._gram_hashes(
             df.select(F.col(self.id_col).alias("__ff_cid"), self.text_col),
             self.text_col,
@@ -612,6 +620,9 @@ class UnigramLogProbScorer(Transformer):
     def is_stateful(self) -> bool:
         return True
 
+    def _frame_state_attrs(self) -> list[str]:
+        return ["freq_df_"]
+
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, [self.id_col])
         validate_string_columns(df, [self.text_col])
@@ -719,6 +730,9 @@ class VocabBuilder(Transformer):
 
     def is_stateful(self) -> bool:
         return True
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["vocab_df_"]
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, [self.id_col])

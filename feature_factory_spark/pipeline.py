@@ -24,13 +24,19 @@ Spark-first notes:
 from __future__ import annotations
 
 import json
+import os
 import time
 from abc import ABC, abstractmethod
 from typing import Any
 
 from pyspark.sql import DataFrame
 
-from .exceptions import FeatureFactoryError, FitNotCalledError, InvalidParameterError
+from .exceptions import (
+    FeatureFactoryError,
+    FitNotCalledError,
+    InvalidParameterError,
+    StatePersistenceError,
+)
 from .logging_config import get_logger
 
 _LOGGER = get_logger()
@@ -96,9 +102,71 @@ class Transformer(ABC):
                 out[k] = converted
         return out
 
+    def _frame_state_attrs(self) -> list[str]:
+        """Names of fitted attributes that hold DataFrames (distributed
+        fitted state too large for the driver — e.g. a 100 TB corpus's
+        vocabulary). Declared per-operator so save_state can persist
+        them to parquet instead of silently dropping them."""
+        return []
+
     def save_state(self, path: str) -> None:
-        with open(path, "w") as f:
-            json.dump(self.get_fitted_state(), f, indent=2, default=str)
+        """Persist fitted state.
+
+        Scalar parameters always go to JSON. Operators whose fitted
+        state is a DataFrame (declared via ``_frame_state_attrs``) write
+        a DIRECTORY at ``path``: ``state.json`` plus one parquet dataset
+        per fitted frame — the only layout that scales, because
+        frame-held state (a vocabulary over a 100 TB corpus) never fits
+        in a driver-side JSON file. Frameless operators keep writing a
+        single JSON file at ``path``.
+
+        Fails LOUD (StatePersistenceError) when a fitted ``*_``
+        attribute is neither JSON-serializable nor a declared frame:
+        silently dropping it would let load_state mark the instance
+        fitted while transform raises (or no-ops) later.
+        """
+        frame_attrs = self._frame_state_attrs()
+        dropped = [
+            k
+            for k, v in vars(self).items()
+            if k.endswith("_")
+            and not k.startswith("__")
+            and k not in frame_attrs
+            and _to_json_value(v) is _UNSERIALIZABLE
+        ]
+        if dropped:
+            raise StatePersistenceError(
+                f"{type(self).__name__}.save_state would drop fitted "
+                f"attribute(s) {dropped}: not JSON-serializable and not "
+                "declared in _frame_state_attrs(). Declare them (DataFrame "
+                "state) or convert them to plain scalars/containers."
+            )
+        state = self.get_fitted_state()
+        frames = {
+            a: getattr(self, a, None)
+            for a in frame_attrs
+            if getattr(self, a, None) is not None
+        }
+        if not frames:
+            with open(path, "w") as f:
+                json.dump(state, f, indent=2, default=str)
+            return
+        os.makedirs(path, exist_ok=True)
+        for attr, frame in frames.items():
+            frame.write.mode("overwrite").parquet(
+                os.path.join(path, f"frame_{attr}")
+            )
+        with open(os.path.join(path, "state.json"), "w") as f:
+            json.dump(
+                {
+                    "class": type(self).__name__,
+                    "state": state,
+                    "frames": sorted(frames),
+                },
+                f,
+                indent=2,
+                default=str,
+            )
 
     def set_fitted_state(self, state: dict[str, Any]) -> "Transformer":
         """Restore fitted parameters (inverse of get_fitted_state).
@@ -110,11 +178,57 @@ class Transformer(ABC):
         self._fitted = True
         return self
 
-    def load_state(self, path: str) -> "Transformer":
+    def load_state(self, path: str, spark=None) -> "Transformer":
         """fit -> save_state -> load_state -> transform round-trip
-        (SURVEY.md §7.0 item 5; the reference has no persistence at all)."""
-        with open(path) as f:
-            return self.set_fitted_state(json.load(f))
+        (SURVEY.md §7.0 item 5; the reference has no persistence at all).
+
+        A directory written by a frame-holding operator restores both
+        the scalar JSON state and each parquet-backed fitted frame
+        (persisted MEMORY_AND_DISK, matching fit-time behavior).
+        ``spark`` defaults to the active session."""
+        if not os.path.isdir(path):
+            with open(path) as f:
+                return self.set_fitted_state(json.load(f))
+        with open(os.path.join(path, "state.json")) as f:
+            payload = json.load(f)
+        saved_cls = payload.get("class")
+        if saved_cls and saved_cls != type(self).__name__:
+            raise StatePersistenceError(
+                f"state at '{path}' was saved by {saved_cls}, not "
+                f"{type(self).__name__}"
+            )
+        self.set_fitted_state(payload["state"])
+        frame_names = payload.get("frames", [])
+        if frame_names:
+            from pyspark import StorageLevel
+            from pyspark.sql import SparkSession
+
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise StatePersistenceError(
+                    "load_state needs a SparkSession to read frame-held "
+                    "state; pass spark= or create a session first"
+                )
+            for attr in frame_names:
+                prev = getattr(self, attr, None)
+                if isinstance(prev, DataFrame):
+                    # reload over a fitted instance: release the frame it
+                    # pinned, same as the refit path
+                    prev.unpersist()
+                frame = spark.read.parquet(
+                    os.path.join(path, f"frame_{attr}")
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                setattr(self, attr, frame)
+        return self
+
+    def release(self) -> None:
+        """Unpersist every declared fitted frame (no-op for frameless
+        operators). Call when a fitted instance is retired; otherwise
+        each fit/load pins a cache entry for the session's lifetime."""
+        for attr in self._frame_state_attrs():
+            frame = getattr(self, attr, None)
+            if isinstance(frame, DataFrame):
+                frame.unpersist()
 
 
 _UNSERIALIZABLE = object()
@@ -269,6 +383,56 @@ class Pipeline:
     def fit_transform(self, df: DataFrame) -> DataFrame:
         """Alias for fit (pipeline.rs:189-191)."""
         return self.fit(df)
+
+    def save_state(self, path: str) -> None:
+        """Persist every step's fitted state under directory ``path``
+        (``pipeline.json`` manifest + one entry per step). This is what
+        a scheduled incremental pipeline (run_incremental) needs across
+        driver restarts: fit once on a batch snapshot, save, and every
+        later invocation loads instead of re-fitting the corpus."""
+        os.makedirs(path, exist_ok=True)
+        manifest = {
+            "fitted": self._fitted,
+            "steps": [
+                {"name": name, "class": type(t).__name__}
+                for name, t in self.steps
+            ],
+        }
+        with open(os.path.join(path, "pipeline.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        for i, (name, t) in enumerate(self.steps):
+            try:
+                t.save_state(os.path.join(path, f"step_{i:02d}_{name}"))
+            except FeatureFactoryError as e:
+                self._reraise_with_step(e, name)
+
+    def load_state(self, path: str, spark=None) -> "Pipeline":
+        """Restore step states saved by save_state into THIS pipeline
+        (same steps, constructed with the same parameters). Validates
+        step names/classes against the manifest."""
+        with open(os.path.join(path, "pipeline.json")) as f:
+            manifest = json.load(f)
+        expected = [
+            {"name": name, "class": type(t).__name__} for name, t in self.steps
+        ]
+        if manifest["steps"] != expected:
+            raise StatePersistenceError(
+                f"pipeline state at '{path}' was saved from steps "
+                f"{manifest['steps']}, but this pipeline has {expected}"
+            )
+        for i, (name, t) in enumerate(self.steps):
+            try:
+                t.load_state(os.path.join(path, f"step_{i:02d}_{name}"), spark)
+            except FeatureFactoryError as e:
+                self._reraise_with_step(e, name)
+        self._fitted = bool(manifest.get("fitted", True))
+        return self
+
+    def release(self) -> None:
+        """unpersist() plus every step's fitted-frame release."""
+        self.unpersist()
+        for _, t in self.steps:
+            t.release()
 
 
 def make_pipeline(*steps: tuple[str, Transformer], **kwargs) -> Pipeline:

@@ -258,18 +258,30 @@ class TestVocabBuilder:
 
 
 class TestFrameStateGuards:
-    def test_load_state_without_frame_raises_fit_contract_error(self, spark, tmp_path):
+    def test_fitted_frame_state_roundtrips_through_save(self, spark, tmp_path):
+        # r5: frame-held state persists to parquet — save/load/transform
+        # now WORKS (full round-trip equality in tests/test_persistence.py)
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         for make in (
             lambda: ff.VocabBuilder("text", "doc_id"),
             lambda: ff.UnigramLogProbScorer("text", "doc_id"),
         ):
             op = make().fit(df)
-            p = str(tmp_path / f"{type(op).__name__}.json")
+            p = str(tmp_path / f"{type(op).__name__}_state")
             op.save_state(p)
-            restored = make().load_state(p)
-            with pytest.raises(ff.FitNotCalledError, match="DataFrame"):
-                restored.transform(df)
+            restored = make().load_state(p, spark)
+            assert restored.transform(df).count() == 1
+            op.release()
+            restored.release()
+
+    def test_scalar_only_state_raises_fit_contract_error(self, spark):
+        # legacy scalar-only restores mark the instance fitted but carry
+        # no frame; transform must fail with the remedy, not AttributeError
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        op = ff.UnigramLogProbScorer("text", "doc_id")
+        op.set_fitted_state({"total_words_": 2.0})
+        with pytest.raises(ff.FitNotCalledError, match="freq_df_"):
+            op.transform(df)
 
 
 class TestVocabBuilderNullText:

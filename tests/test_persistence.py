@@ -1,0 +1,205 @@
+"""fit -> save_state -> load_state -> transform round-trips, including
+the parquet-backed persistence of DataFrame-held fitted state
+(VERDICT.md r4 next-round item 1).
+
+The bar: output of the restored instance is IDENTICAL (full row
+comparison, not just counts) to the in-session fit, and saving never
+silently drops fitted state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.exceptions import FitNotCalledError, StatePersistenceError
+from feature_factory_spark.pipeline import Transformer
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"the quick document {i} shares words with corpus slice {i % 5}")
+        for i in range(40)
+    ] + [(99, None)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# -- frame-held state: VocabBuilder ------------------------------------
+
+
+def test_vocab_builder_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "vocab_state")
+    vb = ff.VocabBuilder("text", "doc_id", vocab_size=10)
+    vb.fit(docs)
+    expected = _rows(vb.transform(docs))
+    vb.save_state(path)
+
+    restored = ff.VocabBuilder("text", "doc_id", vocab_size=10).load_state(
+        path, spark
+    )
+    assert _rows(restored.transform(docs)) == expected
+    # the vocabulary itself round-trips exactly too
+    assert _rows(restored.vocab_df_) == _rows(vb.vocab_df_)
+    vb.release()
+    restored.release()
+
+
+def test_vocab_state_is_a_directory_with_parquet(spark, docs, tmp_path):
+    import os
+
+    path = str(tmp_path / "vocab_dir")
+    vb = ff.VocabBuilder("text", "doc_id", vocab_size=10).fit(docs)
+    vb.save_state(path)
+    assert os.path.isfile(os.path.join(path, "state.json"))
+    assert os.path.isdir(os.path.join(path, "frame_vocab_df_"))
+    vb.release()
+
+
+# -- frame-held state: UnigramLogProbScorer ----------------------------
+
+
+def test_unigram_scorer_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "unigram_state")
+    sc = ff.UnigramLogProbScorer("text", "doc_id").fit(docs)
+    expected = _rows(sc.transform(docs))
+    sc.save_state(path)
+
+    restored = ff.UnigramLogProbScorer("text", "doc_id").load_state(path, spark)
+    assert restored.total_words_ == sc.total_words_
+    assert _rows(restored.transform(docs)) == expected
+    sc.release()
+    restored.release()
+
+
+# -- frame-held state: ContaminationChecker ----------------------------
+
+
+def test_contamination_checker_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "contam_state")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    cc = ff.ContaminationChecker("text", "doc_id", n=3).fit(bench)
+    expected = _rows(cc.transform(docs))
+    assert any(r[-1] for r in expected)  # some rows flagged
+
+    cc.save_state(path)
+    restored = ff.ContaminationChecker("text", "doc_id", n=3).load_state(
+        path, spark
+    )
+    # the restored checker probes from the persisted hash frame alone —
+    # the original benchmark text is not needed (nor available) here
+    assert _rows(restored.transform(docs)) == expected
+
+
+# -- scalar-state model-derived operator: DecisionTreeDiscretiser ------
+
+
+def test_tree_discretiser_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tree_state.json")
+    df = spark.createDataFrame(
+        [(float(i % 50), float(i % 7)) for i in range(300)], "x double, y double"
+    )
+    op = ff.DecisionTreeDiscretiser(["x"], "y", max_depth=2).fit(df)
+    expected = _rows(op.transform(df))
+    op.save_state(path)
+
+    restored = ff.DecisionTreeDiscretiser(["x"], "y", max_depth=2).load_state(path)
+    assert _rows(restored.transform(df)) == expected
+
+
+# -- fail-loud contract ------------------------------------------------
+
+
+class _BadState(Transformer):
+    def is_stateful(self):
+        return True
+
+    def _fit(self, df):
+        self.closure_ = lambda x: x  # not serializable, not declared
+
+    def _transform(self, df):
+        return df
+
+
+def test_save_state_fails_loud_on_undeclared_unserializable(docs, tmp_path):
+    bad = _BadState().fit(docs)
+    with pytest.raises(StatePersistenceError, match="closure_"):
+        bad.save_state(str(tmp_path / "bad.json"))
+
+
+def test_unfitted_frame_state_still_raises_fit_not_called(docs):
+    vb = ff.VocabBuilder("text", "doc_id")
+    # scalar-only restore (legacy format) must NOT mark the frame usable
+    vb.set_fitted_state({"vocab_size": 10})
+    with pytest.raises(FitNotCalledError, match="vocab_df_"):
+        vb.transform(docs)
+
+
+def test_load_state_rejects_wrong_class(spark, docs, tmp_path):
+    path = str(tmp_path / "vb_state")
+    ff.VocabBuilder("text", "doc_id", vocab_size=5).fit(docs).save_state(path)
+    with pytest.raises(StatePersistenceError, match="VocabBuilder"):
+        ff.UnigramLogProbScorer("text", "doc_id").load_state(path, spark)
+
+
+# -- pipeline-level persistence ----------------------------------------
+
+
+def _li(spark):
+    rows = [
+        (i, float(i % 13) if i % 9 else None, "ABCDE"[i % 5]) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "id bigint, q double, flag string")
+
+
+def test_pipeline_roundtrip_scalar_steps(spark, tmp_path):
+    path = str(tmp_path / "pipe_state")
+    df = _li(spark)
+    pipe = ff.make_pipeline(
+        ("impute", ff.MeanMedianImputer(["q"])),
+        ("encode", ff.CountFrequencyEncoder(["flag"])),
+    )
+    pipe.fit(df)
+    expected = _rows(pipe.transform(df))
+    pipe.save_state(path)
+
+    fresh = ff.make_pipeline(
+        ("impute", ff.MeanMedianImputer(["q"])),
+        ("encode", ff.CountFrequencyEncoder(["flag"])),
+    )
+    fresh.load_state(path, spark)
+    assert _rows(fresh.transform(df)) == expected
+
+
+def test_pipeline_roundtrip_with_frame_step(spark, docs, tmp_path):
+    path = str(tmp_path / "pipe_frame_state")
+    pipe = ff.make_pipeline(
+        ("fp", ff.DocumentFingerprint(["text"])),
+        ("vocab", ff.VocabBuilder("text", "doc_id", vocab_size=10)),
+    )
+    pipe.fit(docs)
+    expected = _rows(pipe.transform(docs))
+    pipe.save_state(path)
+
+    fresh = ff.make_pipeline(
+        ("fp", ff.DocumentFingerprint(["text"])),
+        ("vocab", ff.VocabBuilder("text", "doc_id", vocab_size=10)),
+    )
+    fresh.load_state(path, spark)
+    assert _rows(fresh.transform(docs)) == expected
+    pipe.release()
+    fresh.release()
+
+
+def test_pipeline_load_rejects_mismatched_steps(spark, tmp_path):
+    path = str(tmp_path / "pipe_mismatch")
+    df = _li(spark)
+    pipe = ff.make_pipeline(("impute", ff.MeanMedianImputer(["q"])))
+    pipe.fit(df)
+    pipe.save_state(path)
+
+    other = ff.make_pipeline(("impute", ff.ArbitraryNumberImputer(["q"], 0.0)))
+    with pytest.raises(StatePersistenceError, match="saved from steps"):
+        other.load_state(path, spark)
