@@ -67,7 +67,7 @@ the op is a member slice of that family query):
   Pipeline                    pipeline_flagship (also entry())
   — LLM extensions (standalone): cosine/ivf/bucketed topk, text_features,
   token_count, lang_id, text_clean, repetition_features, pii_redact,
-  doc_fingerprint, tfidf_topk, multimodal_extract, frame_sample,
+  doc_fingerprint, tfidf_topk,
   json_extract, events_window, session_window, line_dedup,
   kmeans_cluster, oof_mean_encode, tree_discretize,
   running_stats, asof_join, interval_join, grouped_topk, column_profile,
@@ -80,7 +80,9 @@ the op is a member slice of that family query):
   (sequence_pack + doc_chunk context-window chunking), scale_family,
   embed_transform (l2 + random projection), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
-  build and vocab_oov coverage audit).
+  build and vocab_oov coverage audit), multimodal_family
+  (multimodal_extract byte plumbing + frame_sample + image_decode with
+  the REAL stdlib PNG decoder, operators/imagecodec.py).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
   embedding_dedup_lsh return eagerly-computed INVARIANT frames
   (recall floors, argmax consistency, disjoint bin ranges, no LSH false
@@ -1796,6 +1798,70 @@ def q_frame_sample(spark, sf_dir):
 
 
 @_reg(
+    "image_decode",
+    # REAL image decoding (operators/imagecodec.py: pure-stdlib PNG
+    # inflate + de-filter): each document gets a deterministic solid-gray
+    # PNG whose dims/gray derive from doc_id, encoded with filter type
+    # doc_id % 5 — so the timed query exercises every PNG filter branch
+    # and the oracle can state the decoded features in closed form
+    # (solid image: mean == gray, std == 0, entropy == 0).
+    """WITH m AS (SELECT doc_id, CAST(doc_id % 7 + 2 AS DOUBLE) w,
+  CAST(doc_id % 5 + 2 AS DOUBLE) h, CAST(doc_id % 256 AS DOUBLE) g
+FROM documents)
+SELECT doc_id, 'width' AS feat, w AS v FROM m
+UNION ALL SELECT doc_id, 'height', h FROM m
+UNION ALL SELECT doc_id, 'channels', 1.0 FROM m
+UNION ALL SELECT doc_id, 'bit_depth', 8.0 FROM m
+UNION ALL SELECT doc_id, 'n_pixels', w * h FROM m
+UNION ALL SELECT doc_id, 'mean', g FROM m
+UNION ALL SELECT doc_id, 'std', 0.0 FROM m
+UNION ALL SELECT doc_id, 'entropy', 0.0 FROM m
+UNION ALL SELECT doc_id, 'is_png', 1.0 FROM m""",
+)
+def q_image_decode(spark, sf_dir):
+    from feature_factory_spark.operators.imagecodec import (
+        image_decoder,
+        image_schema,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # fixture generation INSIDE the distributed plan (narrow map):
+        # deterministic per-row PNG bytes, no driver materialization
+        from feature_factory_spark.operators.imagecodec import solid_png
+
+        for pdf in batches:
+            pdf["img"] = [
+                solid_png(
+                    int(i) % 7 + 2, int(i) % 5 + 2, int(i) % 256,
+                    filter_type=int(i) % 5,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_img = docs.mapInPandas(synth, "doc_id bigint, img binary")
+    feats = ff.BinaryFeatureExtractor(
+        "img", decoder=image_decoder, feature_schema=image_schema()
+    ).transform(with_img)
+    return feats.selectExpr(
+        "doc_id",
+        "stack(9, "
+        "'width', cast(img_width AS double), "
+        "'height', cast(img_height AS double), "
+        "'channels', cast(img_channels AS double), "
+        "'bit_depth', cast(img_bit_depth AS double), "
+        "'n_pixels', cast(img_n_pixels AS double), "
+        "'mean', img_mean, "
+        "'std', img_std, "
+        "'entropy', img_entropy, "
+        "'is_png', cast(img_format = 'png' AS double)"
+        ") AS (feat, v)",
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -2930,6 +2996,28 @@ _merge("lm_family", [
     ("vocab_oov",
      ["doc_id AS k", "cast(NULL AS string) AS tok", "oov_rate AS val"],
      "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, oov_rate AS val"),
+])
+
+# multimodal surface: byte-level plumbing + frame sampling + REAL image
+# decoding (the r4 "weak pair" upgraded: imagecodec.py decodes actual
+# PNG/BMP/PPM bytes, and this family's oracle hash pins the decoded
+# dims/statistics every round)
+_merge("multimodal_family", [
+    ("multimodal_extract",
+     ["doc_id", "cast(payload_payload_len AS bigint) AS k",
+      "cast(NULL AS double) AS v",
+      "concat(payload_payload_md5, ':', payload_header_hex) AS s"],
+     "doc_id, CAST(payload_payload_len AS BIGINT) AS k, "
+     "CAST(NULL AS DOUBLE) AS v, "
+     "payload_payload_md5 || ':' || payload_header_hex AS s"),
+    ("frame_sample",
+     ["doc_id", "cast(frame_index AS bigint) AS k",
+      "cast(frame_len AS double) AS v", "frame_hex AS s"],
+     "doc_id, CAST(frame_index AS BIGINT) AS k, "
+     "CAST(frame_len AS DOUBLE) AS v, frame_hex AS s"),
+    ("image_decode",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
 ])
 
 _merge("pack_family", [

@@ -71,6 +71,14 @@ from .dedup import (
     SimHashDeduplicator,
 )
 from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK, KMeansClusterer
+from .imagecodec import (
+    decode_image,
+    encode_png,
+    image_decoder,
+    image_schema,
+    pillow_decoder,
+    solid_png,
+)
 from .multimodal import BinaryFeatureExtractor, FrameSampler
 from .embeddings import L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
@@ -117,6 +125,8 @@ __all__ = [
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
+    "decode_image", "encode_png", "image_decoder", "image_schema",
+    "pillow_decoder", "solid_png",
     "DocumentChunker", "HashSampler", "HashSplitter", "SequencePacker",
     "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",

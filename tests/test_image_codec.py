@@ -1,0 +1,156 @@
+"""Real image decoding (operators/imagecodec.py): pixel-exact PNG
+round-trips across every filter type and color layout, BMP/PPM parsing,
+the lenient decoder seam, and the Spark-side BinaryFeatureExtractor
+integration (VERDICT.md r4 next-round item 3)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import feature_factory_spark as ff
+from feature_factory_spark.exceptions import NotImplementedFeatureError
+from feature_factory_spark.operators import imagecodec as ic
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(7)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (6, 4)])
+def test_png_roundtrip_pixel_exact(rng, color_type, channels, filter_type):
+    px = rng.randint(0, 256, size=(5, 7, channels)).astype(np.uint8)
+    data = ic.encode_png(
+        px if channels > 1 else px[:, :, 0], color_type, filter_type
+    )
+    out, bit_depth = ic.decode_png(data)
+    assert bit_depth == 8
+    assert out.shape == (5, 7, channels)
+    assert (out == px).all()
+
+
+def test_png_palette_expands_through_plte(rng):
+    # handmade palette PNG: 2x2 indices into a 3-color palette
+    palette = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    import zlib
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out, _ = ic.decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 1]) == (200, 100, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+
+
+def test_solid_png_stats_closed_form():
+    d = ic.decode_image(ic.solid_png(4, 3, 200, filter_type=4))
+    assert d == {
+        "format": "png", "width": 4, "height": 3, "channels": 1,
+        "bit_depth": 8, "n_pixels": 12, "mean": 200.0, "std": 0.0,
+        "entropy": 0.0,
+    }
+
+
+def test_uniform_noise_entropy_sane(rng):
+    px = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+    d = ic.decode_image(ic.encode_png(px, 0, 2))
+    assert 7.0 < d["entropy"] <= 8.0  # ~8 bits for uniform bytes
+    assert abs(d["mean"] - float(px.mean())) < 1e-9
+    assert abs(d["std"] - float(px.std())) < 1e-9
+
+
+def test_bmp_24bit_bottom_up_with_padding(rng):
+    w, h = 3, 2
+    src = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    rowpad = (w * 3 + 3) & ~3
+    pxdata = b""
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR on disk
+        row = src[y][:, [2, 1, 0]].tobytes()
+        pxdata += row + b"\x00" * (rowpad - len(row))
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pxdata), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pxdata),
+                      2835, 2835, 0, 0)
+        + pxdata
+    )
+    out, _ = ic.decode_bmp(bmp)
+    assert (out == src).all()
+    assert ic.decode_image(bmp)["format"] == "bmp"
+
+
+def test_ppm_p6_and_pgm_p5(rng):
+    px = rng.randint(0, 256, size=(2, 3, 3)).astype(np.uint8)
+    ppm = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    out, _ = ic.decode_ppm(ppm)
+    assert (out == px).all()
+
+    gray = rng.randint(0, 256, size=(4, 5, 1)).astype(np.uint8)
+    pgm = b"P5 5 4 255\n" + gray.tobytes()
+    out, _ = ic.decode_ppm(pgm)
+    assert (out == gray).all()
+
+
+def test_lenient_decoder_returns_empty_on_junk():
+    assert ic.image_decoder(b"\x00\x01 not an image") == {}
+    assert ic.image_decoder(b"\x89PNG\r\n\x1a\n truncated") == {}
+    assert ic.image_decoder(b"") == {}
+
+
+def test_strict_decoder_raises_on_junk():
+    with pytest.raises(ValueError, match="unrecognized"):
+        ic.decode_image(b"\x00junk")
+    with pytest.raises(ValueError, match="interlaced"):
+        ic.decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+            + b"\x00\x00\x00\x00"
+        )
+
+
+def test_pillow_decoder_fails_gracefully_when_absent():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedFeatureError, match="Pillow"):
+        ic.pillow_decoder(ic.solid_png(2, 2, 5))
+
+
+def test_spark_binary_feature_extractor_with_real_decoder(spark, rng):
+    rows = [
+        (1, ic.solid_png(6, 4, 120, filter_type=1)),
+        (2, ic.encode_png(rng.randint(0, 256, (3, 3, 3)).astype(np.uint8), 2, 4)),
+        (3, b"not an image"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, img binary")
+    out = ff.BinaryFeatureExtractor(
+        "img", decoder=ic.image_decoder, feature_schema=ic.image_schema()
+    ).transform(df)
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    assert got[1]["img_format"] == "png"
+    assert (got[1]["img_width"], got[1]["img_height"]) == (6, 4)
+    assert got[1]["img_mean"] == 120.0 and got[1]["img_std"] == 0.0
+    assert got[2]["img_channels"] == 3 and got[2]["img_n_pixels"] == 9
+    assert got[3]["img_format"] is None  # junk -> NULL features
+    assert got[4]["img_format"] is None  # missing payload -> NULL features
