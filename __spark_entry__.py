@@ -622,6 +622,55 @@ def q_geometric_discretize(spark, sf_dir):
 
 
 @_reg(
+    "approx_divergence",
+    # approx-vs-exact quantile agreement, IN the correctness gate: bench
+    # runs the t-digest scale path (FF_APPROX_QUANTILES=1) while the
+    # oracle pins exact percentiles — this member closes that loop by
+    # computing BOTH inside one verified query and hashing the bound
+    # |rank error| <= 1/accuracy (0.001) against a +-0.005 exact-rank
+    # envelope: exact(p-0.005) <= approx(p) <= exact(p+0.005). The
+    # hashed string carries the exact percentile (scaled to int — no
+    # cross-engine float formatting) plus the bound verdict, so a
+    # t-digest regression flips the value hash.
+    """WITH q AS (SELECT quantile_cont(l_extendedprice,
+  [0.2, 0.4, 0.6, 0.8]) e FROM lineitem)
+SELECT CAST(20 AS BIGINT) AS l_orderkey, 0 AS l_linenumber,
+  CAST(CAST(floor(e[1]*1000000 + 0.5) AS BIGINT) AS VARCHAR) || ':true' AS bin FROM q
+UNION ALL SELECT 40, 0,
+  CAST(CAST(floor(e[2]*1000000 + 0.5) AS BIGINT) AS VARCHAR) || ':true' FROM q
+UNION ALL SELECT 60, 0,
+  CAST(CAST(floor(e[3]*1000000 + 0.5) AS BIGINT) AS VARCHAR) || ':true' FROM q
+UNION ALL SELECT 80, 0,
+  CAST(CAST(floor(e[4]*1000000 + 0.5) AS BIGINT) AS VARCHAR) || ':true' FROM q""",
+)
+def q_approx_divergence(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    probs = [0.2, 0.4, 0.6, 0.8]
+    delta = 0.005
+    env = sorted({p + s * delta for p in probs for s in (-1, 0, 1)})
+    col = F.col("l_extendedprice").cast("double")
+    # ONE aggregate job computes the exact envelope AND the t-digest
+    # estimates (accuracy=1000 -> rank error <= 0.001 < delta). Exact
+    # percentile is called directly (not via column_quantiles) so the
+    # bench env flag cannot silently degrade the reference side.
+    row = li.agg(
+        F.percentile(col, F.array(*[F.lit(p) for p in env])).alias("exact"),
+        F.percentile_approx(
+            col, F.array(*[F.lit(p) for p in probs]), 1000
+        ).alias("approx"),
+    ).first()
+    exact = dict(zip(env, row["exact"]))
+    rows = []
+    for p, a in zip(probs, row["approx"]):
+        ok = exact[p - delta] <= a <= exact[p + delta]
+        scaled = int(math.floor(exact[p] * 1e6 + 0.5))
+        rows.append((int(p * 100), 0, f"{scaled}:{str(ok).lower()}"))
+    return spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber int, bin string"
+    )
+
+
+@_reg(
     "arbitrary_cap",
     f"""SELECT {KEYS},
 CASE WHEN l_quantity < 5.0 THEN 5.0 WHEN l_quantity > 45.0 THEN 45.0
@@ -2824,6 +2873,8 @@ _merge("discretize_family", [
      "l_orderkey, l_linenumber, l_discount AS bin"),
     ("geometric_discretize", [*_KEYS2, "l_quantity AS bin"],
      "l_orderkey, l_linenumber, l_quantity AS bin"),
+    ("approx_divergence", ["l_orderkey", "l_linenumber", "bin"],
+     "l_orderkey, l_linenumber, bin"),
 ])
 
 _merge("outlier_family", [
@@ -3030,7 +3081,31 @@ _merge("pack_family", [
      "CAST(chunk_n_words AS VARCHAR) || ':' || chunk_md5 AS val"),
 ])
 
-assert len(_REGISTRY) <= 50, f"registry exceeds driver's 50-row cap: {len(_REGISTRY)}"
+# Registry cap + member-assignment rule (VERDICT r4 item 6). The
+# driver's correctness artifact records rows for only the FIRST 50
+# registered queries; r3 silently lost half the surface to a reorder.
+# RULE: a NEW operator/member query must JOIN AN EXISTING FAMILY via
+# _merge (pick the family whose tables and output grain it shares;
+# adapters may only rename/cast/concat member columns) — register a new
+# standalone/family slot only while len(_REGISTRY) < _REGISTRY_CAP
+# post-merge. _check_registry_cap raises AT IMPORT, so an over-cap
+# registration fails the whole round loudly instead of silently falling
+# out of the verification window.
+_REGISTRY_CAP = 50
+
+
+def _check_registry_cap(registry=None) -> None:
+    n = len(_REGISTRY if registry is None else registry)
+    if n > _REGISTRY_CAP:
+        raise RuntimeError(
+            f"registry has {n} queries, over the driver's "
+            f"{_REGISTRY_CAP}-row correctness cap: fold the new member "
+            "into an existing family with _merge (see the assignment "
+            "rule above) instead of registering it standalone"
+        )
+
+
+_check_registry_cap()
 
 
 # ---------------------------------------------------------------------------
