@@ -3,7 +3,10 @@
 Demonstrates the pattern a production training-data pipeline runs on a
 growing corpus directory:
 
-  1. fit the stateful pipeline steps once on a batch snapshot;
+  1. fit the stateful pipeline steps once on a batch snapshot, then
+     `Pipeline.save_state` the fitted parameters (frame-held state goes
+     to parquet) so later invocations — including after a driver
+     restart — `load_state` instead of re-fitting the corpus;
   2. each scheduled run, `run_incremental` processes ONLY files that
      arrived since the last run (Structured Streaming availableNow +
      checkpoint) and appends exactly-once to the sink;
@@ -50,14 +53,24 @@ def main() -> None:
         ("scale", ff.MinMaxScaler(["n_chars"])),  # stateful: fit on batch
     )
     pipe.fit(day0)
+    # persist the fitted state: every later scheduled invocation (or a
+    # restarted driver) restores it instead of re-fitting the corpus
+    state_dir = os.path.join(work, "pipeline_state")
+    pipe.save_state(state_dir)
 
     run_incremental(pipe, spark, src, sink, ckpt, docs.schema)
     print(f"run 1 (day 0 files): sink rows = {spark.read.parquet(sink).count()}")
 
-    # day 1: new files arrive; the next run reads ONLY them
+    # day 1: new files arrive. Simulate a fresh driver: reconstruct the
+    # pipeline and load the fitted state from disk — no re-fit.
     docs.where("doc_id % 2 = 1").write.mode("append").parquet(src)
+    pipe = ff.make_pipeline(
+        ("feat", ff.TextFeatures(["text"])),
+        ("lang", ff.LanguageIdentifier(["text"])),
+        ("scale", ff.MinMaxScaler(["n_chars"])),
+    ).load_state(state_dir, spark)
     run_incremental(pipe, spark, src, sink, ckpt, docs.schema)
-    print(f"run 2 (delta only):  sink rows = {spark.read.parquet(sink).count()}")
+    print(f"run 2 (delta only, restored state): sink rows = {spark.read.parquet(sink).count()}")
 
     # no new input -> nothing appended (exactly-once)
     run_incremental(pipe, spark, src, sink, ckpt, docs.schema)

@@ -1,13 +1,21 @@
-"""Scale sanity: grow the documents corpus 10x (distinct per-copy suffix
-so copies of one base doc form a near-dup cluster) and check MinHash
-dedup wall time grows ~linearly, not quadratically.
+"""Scale sanity: grow the input 10x and check wall time grows ~linearly,
+not quadratically, for the operators whose scale story depends on plan
+shape rather than constants:
 
-Observed on local[32] at sf0.1 (2026-08, round 3): 5,000 docs / 256
-pairs in 7.8 s -> 50,000 docs / ~250k pairs in 12.6 s — 1.6x time for
-10x docs and ~1000x verified pairs. The banded bucket join is what keeps
-the pair explosion off the critical path.
+- minhash:  banded-LSH candidate generation over a near-dup-heavy corpus
+  (copies of one base doc form a near-dup cluster).
+- asof:     AsOfJoiner's time-bucketed hot-key mode — 90% of all events
+  on ONE user key, so the default per-key window would serialize onto a
+  single reducer; the bucketed carry-in plan must stay ~linear.
+- contamination: ContaminationChecker's broadcast gram-hash probe — the
+  benchmark side is fixed, the corpus grows 10x; the probe must scale
+  with the corpus scan (no corpus shuffle).
 
-Usage: python scripts/scale_sanity.py [copies]
+Observed on local[32] at sf0.1 (see BASELINE.md §'Scale sanity' for the
+per-round recorded numbers).
+
+Usage: python scripts/scale_sanity.py [copies] [check ...]
+       (checks default to: minhash asof contamination)
 """
 
 import os
@@ -21,21 +29,10 @@ from pyspark.sql import functions as F
 
 import feature_factory_spark as ff
 
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    n = docs.count()
 
+def grow_docs(docs, copies: int):
     big = docs
     for i in range(1, copies):
         big = big.unionByName(
@@ -51,7 +48,13 @@ def main() -> None:
         )
     big = big.repartition(64).persist()
     big.count()
+    return big
 
+
+def check_minhash(spark, copies: int) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    big = grow_docs(docs, copies)
     dd = ff.MinHashDeduplicator("text", "doc_id", threshold=0.5)
     t0 = time.perf_counter()
     c1 = dd.candidate_pairs(docs).count()
@@ -59,11 +62,111 @@ def main() -> None:
     t0 = time.perf_counter()
     cN = dd.candidate_pairs(big).count()
     tN = time.perf_counter() - t0
-    print(f"1x:  {n} docs, {c1} pairs, {t1:.1f}s")
+    print(f"[minhash] 1x:  {n} docs, {c1} pairs, {t1:.1f}s")
     print(
-        f"{copies}x: {n * copies} docs, {cN} pairs, {tN:.1f}s "
+        f"[minhash] {copies}x: {n * copies} docs, {cN} pairs, {tN:.1f}s "
         f"(time ratio {tN / t1:.1f}x for {copies}x data)"
     )
+    big.unpersist()
+
+
+def _hot_events(spark, copies: int):
+    """events with 90% of rows forced onto ONE user key, replicated
+    ``copies`` times with distinct event ids (same time range, so the
+    per-(key, bucket) row count — the skew driver — grows ~copies x)."""
+    from feature_factory_spark.sources.io import load_events
+
+    ev = load_events(spark, SF_DIR).select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+    )
+    out = ev
+    for i in range(1, copies):
+        out = out.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + i * 10_000_000)
+        )
+    out = out.repartition(64).persist()
+    out.count()
+    return out
+
+
+def check_asof(spark, copies: int) -> None:
+    one = _hot_events(spark, 1)
+    big = _hot_events(spark, copies)
+
+    def run(ev):
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        j = ff.AsOfJoiner(
+            right, on=["user_id"], ts_col="ts", time_bucket_seconds=3600
+        )
+        t0 = time.perf_counter()
+        n = j.transform(left).count()
+        return n, time.perf_counter() - t0
+
+    n1, t1 = run(one)
+    nN, tN = run(big)
+    print(f"[asof-hotkey] 1x:  {n1} joined rows, {t1:.1f}s")
+    print(
+        f"[asof-hotkey] {copies}x: {nN} joined rows, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x data)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
+def check_contamination(spark, copies: int) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 200)
+    big = grow_docs(docs, copies)
+    cc = ff.ContaminationChecker("text", "doc_id", n=3).fit(bench)
+
+    t0 = time.perf_counter()
+    c1 = cc.transform(docs).where(F.col("contaminated")).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = cc.transform(big).where(F.col("contaminated")).count()
+    tN = time.perf_counter() - t0
+    print(f"[contamination] 1x:  {c1} flagged, {t1:.1f}s")
+    print(
+        f"[contamination] {copies}x: {cN} flagged, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus, fixed benchmark)"
+    )
+    big.unpersist()
+
+
+CHECKS = {
+    "minhash": check_minhash,
+    "asof": check_asof,
+    "contamination": check_contamination,
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    copies = int(args[0]) if args and args[0].isdigit() else 10
+    names = [a for a in args if not a.isdigit()] or list(CHECKS)
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        CHECKS[name](spark, copies)
     spark.stop()
 
 
