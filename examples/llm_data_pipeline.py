@@ -84,6 +84,28 @@ def main() -> None:
         default_fraction=0.25,
     ).transform(clustered.withColumn("cluster_str", F.col("cluster").cast("string")))
     print(f"mixed corpus rows: {mixed.count()}")
+
+    # 6. multimodal: decode image payloads (REAL pure-stdlib PNG/BMP/PPM
+    #    decoding) and filter on the decoded features — blank/low-entropy
+    #    screenshots are the image-side analogue of boilerplate text
+    from feature_factory_spark.operators import image_decoder, image_schema, solid_png
+
+    def synth(batches):
+        for pdf in batches:
+            pdf["img"] = [
+                solid_png(int(i) % 7 + 2, int(i) % 5 + 2, int(i) % 256)
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_img = docs.select("doc_id").limit(200).mapInPandas(
+        synth, "doc_id bigint, img binary"
+    )
+    decoded = ff.BinaryFeatureExtractor(
+        "img", decoder=image_decoder, feature_schema=image_schema()
+    ).transform(with_img)
+    low_info = decoded.where(F.col("img_entropy") < 0.5)
+    print(f"low-entropy images: {low_info.count()} / {decoded.count()}")
     spark.stop()
 
 

@@ -154,3 +154,32 @@ def test_spark_binary_feature_extractor_with_real_decoder(spark, rng):
     assert got[2]["img_channels"] == 3 and got[2]["img_n_pixels"] == 9
     assert got[3]["img_format"] is None  # junk -> NULL features
     assert got[4]["img_format"] is None  # missing payload -> NULL features
+
+
+# -- property tests: arbitrary images round-trip pixel-exact ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    channels=st.sampled_from([1, 3, 4]),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_png_roundtrip_property(w, h, channels, filter_type, seed):
+    r = np.random.RandomState(seed)
+    px = r.randint(0, 256, size=(h, w, channels)).astype(np.uint8)
+    ct = {1: 0, 3: 2, 4: 6}[channels]
+    data = ic.encode_png(px if channels > 1 else px[:, :, 0], ct, filter_type)
+    out, _ = ic.decode_png(data)
+    assert out.shape == (h, w, channels)
+    assert (out == px).all()
+    stats = ic.decode_image(data)
+    assert stats["n_pixels"] == w * h
+    assert abs(stats["mean"] - float(px.mean())) < 1e-9
+    assert stats["entropy"] >= 0.0
