@@ -81,8 +81,9 @@ the op is a member slice of that family query):
   embed_transform (l2 + random projection), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit), multimodal_family
-  (multimodal_extract byte plumbing + frame_sample + image_decode with
-  the REAL stdlib PNG decoder, operators/imagecodec.py).
+  (multimodal_extract byte plumbing + frame_sample + image_decode +
+  audio_decode with the REAL stdlib PNG/WAV decoders,
+  operators/imagecodec.py, operators/audiocodec.py).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
   embedding_dedup_lsh return eagerly-computed INVARIANT frames
   (recall floors, argmax consistency, disjoint bin ranges, no LSH false
@@ -1911,6 +1912,69 @@ def q_image_decode(spark, sf_dir):
 
 
 @_reg(
+    "audio_decode",
+    # REAL audio decoding (operators/audiocodec.py: RIFF/WAVE PCM parse):
+    # each document gets a deterministic constant-amplitude 16-bit WAV
+    # whose frame count / channels / amplitude derive from doc_id, so the
+    # decoded features are closed-form: rms == peak ==
+    # floor(a*32767+0.5)/32767, zcr == 0, duration == n_frames/8000.
+    f"""WITH m AS (SELECT doc_id,
+  CAST(100 + doc_id % 50 AS DOUBLE) nf,
+  CAST(1 + doc_id % 2 AS DOUBLE) ch,
+  floor((doc_id % 100) / 100.0 * 32767 + 0.5) / 32767 a
+FROM documents)
+SELECT doc_id, 'a_channels' AS feat, ch AS v FROM m
+UNION ALL SELECT doc_id, 'a_sample_rate', 8000.0 FROM m
+UNION ALL SELECT doc_id, 'a_bit_depth', 16.0 FROM m
+UNION ALL SELECT doc_id, 'a_n_frames', nf FROM m
+UNION ALL SELECT doc_id, 'a_duration', {R6('nf / 8000.0')} FROM m
+UNION ALL SELECT doc_id, 'a_rms', {R6('a')} FROM m
+UNION ALL SELECT doc_id, 'a_peak', {R6('a')} FROM m
+UNION ALL SELECT doc_id, 'a_zcr', 0.0 FROM m
+UNION ALL SELECT doc_id, 'a_is_wav', 1.0 FROM m""",
+)
+def q_audio_decode(spark, sf_dir):
+    from feature_factory_spark.operators.audiocodec import (
+        audio_schema,
+        wav_decoder,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from feature_factory_spark.operators.audiocodec import constant_wav
+
+        for pdf in batches:
+            pdf["wav"] = [
+                constant_wav(
+                    100 + int(i) % 50, (int(i) % 100) / 100.0,
+                    channels=1 + int(i) % 2,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_wav = docs.mapInPandas(synth, "doc_id bigint, wav binary")
+    feats = ff.BinaryFeatureExtractor(
+        "wav", decoder=wav_decoder, feature_schema=audio_schema()
+    ).transform(with_wav)
+    return feats.selectExpr(
+        "doc_id",
+        "stack(9, "
+        "'a_channels', cast(wav_channels AS double), "
+        "'a_sample_rate', cast(wav_sample_rate AS double), "
+        "'a_bit_depth', cast(wav_bit_depth AS double), "
+        "'a_n_frames', cast(wav_n_frames AS double), "
+        f"'a_duration', {R6('wav_duration_s')}, "
+        f"'a_rms', {R6('wav_rms')}, "
+        f"'a_peak', {R6('wav_peak')}, "
+        f"'a_zcr', {R6('wav_zero_crossing_rate')}, "
+        "'a_is_wav', cast(wav_format = 'wav' AS double)"
+        ") AS (feat, v)",
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -3067,6 +3131,9 @@ _merge("multimodal_family", [
      "doc_id, CAST(frame_index AS BIGINT) AS k, "
      "CAST(frame_len AS DOUBLE) AS v, frame_hex AS s"),
     ("image_decode",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
+    ("audio_decode",
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
 ])

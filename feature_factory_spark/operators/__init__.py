@@ -71,6 +71,13 @@ from .dedup import (
     SimHashDeduplicator,
 )
 from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK, KMeansClusterer
+from .audiocodec import (
+    audio_schema,
+    constant_wav,
+    decode_wav,
+    encode_wav,
+    wav_decoder,
+)
 from .imagecodec import (
     decode_image,
     encode_png,
@@ -127,6 +134,7 @@ __all__ = [
     "BinaryFeatureExtractor", "FrameSampler",
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",
+    "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",
     "DocumentChunker", "HashSampler", "HashSplitter", "SequencePacker",
     "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",

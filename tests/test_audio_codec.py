@@ -1,0 +1,105 @@
+"""Real audio decoding (operators/audiocodec.py): RIFF/WAVE PCM parsing
+with sample-exact statistics, the lenient decoder seam, and the
+Spark-side BinaryFeatureExtractor integration — the audio counterpart
+of tests/test_image_codec.py."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import feature_factory_spark as ff
+from feature_factory_spark.operators import audiocodec as ac
+
+
+def test_roundtrip_16bit_stereo():
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-0.9, 0.9, 400)
+    d = ac.decode_wav(ac.encode_wav(x, 16000, channels=2, bits=16))
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (2, 16000, 200)
+    q = np.floor(x * 32767 + 0.5) / 32767.0
+    assert abs(d["rms"] - float(np.sqrt(np.mean(q * q)))) < 1e-12
+    assert abs(d["peak"] - float(np.max(np.abs(q)))) < 1e-12
+    assert d["duration_s"] == 200 / 16000
+
+
+def test_constant_fixture_closed_form():
+    d = ac.decode_wav(ac.constant_wav(150, 0.25))
+    a = np.floor(0.25 * 32767 + 0.5) / 32767.0
+    assert d["rms"] == a == d["peak"]
+    assert d["zero_crossing_rate"] == 0.0
+    assert d["duration_s"] == 150 / 8000
+
+
+def test_bit_depths_and_zcr():
+    d8 = ac.decode_wav(ac.encode_wav(np.array([0.0, 0.5, -0.5, 1.0]), 8000, 1, 8))
+    assert d8["bit_depth"] == 8 and d8["n_frames"] == 4
+    d32 = ac.decode_wav(ac.encode_wav(np.array([0.1, -0.1]), 8000, 1, 32))
+    assert d32["bit_depth"] == 32
+    alt = np.tile([0.5, -0.5], 50)
+    assert ac.decode_wav(ac.encode_wav(alt, 8000))["zero_crossing_rate"] == 1.0
+
+
+def test_float_format_and_word_alignment():
+    # IEEE-float WAV (format 3) with an odd-sized extra chunk before data
+    x = np.array([0.5, -0.25, 0.125], dtype="<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # word-aligned
+    data = x.tobytes()
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + extra + b"data" + struct.pack("<I", len(data)) + data)
+    d = ac.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert d["bit_depth"] == 32 and d["n_frames"] == 3
+    assert abs(d["peak"] - 0.5) < 1e-12
+
+
+def test_strict_and_lenient_failure_paths():
+    with pytest.raises(ValueError, match="RIFF"):
+        ac.decode_wav(b"not audio at all")
+    assert ac.wav_decoder(b"junk") == {}
+    assert ac.wav_decoder(b"RIFF\x00\x00\x00\x00WAVEfmt ") == {}
+    # compressed formats rejected loudly, not mis-decoded
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # MP3-in-WAV
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    with pytest.raises(ValueError, match="format 85"):
+        ac.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+@given(
+    n=st.integers(1, 200),
+    channels=st.integers(1, 2),
+    bits=st.sampled_from([8, 16, 32]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wav_roundtrip_property(n, channels, bits, seed):
+    r = np.random.RandomState(seed)
+    x = r.uniform(-1.0, 1.0, n * channels)
+    d = ac.decode_wav(ac.encode_wav(x, 22050, channels, bits))
+    assert d["n_frames"] == n
+    assert d["channels"] == channels
+    assert d["bit_depth"] == bits
+    assert 0.0 <= d["rms"] <= d["peak"] + 1e-12 <= 1.0 + 1e-9
+    assert 0.0 <= d["zero_crossing_rate"] <= 1.0
+
+
+def test_spark_binary_feature_extractor_with_wav_decoder(spark):
+    rows = [
+        (1, ac.constant_wav(100, 0.5)),
+        (2, ac.encode_wav(np.tile([0.4, -0.4], 80), 16000)),
+        (3, b"not audio"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, wav binary")
+    out = ff.BinaryFeatureExtractor(
+        "wav", decoder=ac.wav_decoder, feature_schema=ac.audio_schema()
+    ).transform(df)
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    assert got[1]["wav_format"] == "wav" and got[1]["wav_zero_crossing_rate"] == 0.0
+    assert got[2]["wav_sample_rate"] == 16000 and got[2]["wav_n_frames"] == 160
+    assert got[3]["wav_format"] is None
+    assert got[4]["wav_format"] is None
