@@ -105,3 +105,26 @@ def test_vocab_oov_join_never_cartesian(docs):
     plan = _phys(vb.transform(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binary_decode_paths_are_narrow_maps(spark):
+    """Image/audio decoding is mapInPandas over the scan — appending
+    decoded features must introduce NO exchange (r5: real codecs must
+    not change the narrow plumbing the r4 audit signed off on)."""
+    from feature_factory_spark.operators import (
+        audio_schema, image_decoder, image_schema, solid_png, wav_decoder,
+        constant_wav,
+    )
+
+    rows = [(i, solid_png(4, 3, i % 256), constant_wav(50, (i % 10) / 10))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, img binary, wav binary")
+    out = ff.BinaryFeatureExtractor(
+        "img", decoder=image_decoder, feature_schema=image_schema()
+    ).transform(df)
+    out = ff.BinaryFeatureExtractor(
+        "wav", decoder=wav_decoder, feature_schema=audio_schema()
+    ).transform(out)
+    plan = _phys(out.select("id", "img_mean", "wav_rms"))
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 2
