@@ -156,6 +156,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # already have many splits.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         par = spark.sparkContext.defaultParallelism
+        # df.rdd here is plan conversion only (no job); paid once per
+        # cached table, not per query
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
         df = df.cache()
@@ -173,6 +175,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # poisoned member cannot strand its siblings' fitted frames.
 _FITTED_OPS: list = []
 _TEMP_STATE_DIRS: list[str] = []
+
+# harnesses that never call release_fitted_frames (the driver's
+# correctness gate) would otherwise leave the round-trip state dirs in
+# /tmp; frames die with the session, but files need the sweep
+import atexit as _atexit
+
+
+@_atexit.register
+def _cleanup_state_dirs() -> None:
+    import shutil
+
+    while _TEMP_STATE_DIRS:
+        shutil.rmtree(_TEMP_STATE_DIRS.pop(), ignore_errors=True)
 
 
 def _track(op):

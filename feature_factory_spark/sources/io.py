@@ -99,6 +99,9 @@ def read(
                     f"(supported: {', '.join(_READERS)})"
                 )
     if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        # df.rdd instantiates the RDD lineage for this plan — a
+        # plan-conversion cost only (no job runs); paid once per read()
+        # call, acceptable for a count probe
         df = df.repartition(min_partitions)
     return df
 

@@ -500,3 +500,48 @@ def test_run_incremental_rejects_unknown_sink_format(spark, tmp_path):
             str(tmp_path / "c"), "doc_id bigint, text string",
             sink_fmt="avro",
         )
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """Multimodal batch==stream duality: BinaryFeatureExtractor with the
+    REAL image/audio decoders runs unchanged on a file stream (media
+    ingestion pipelines decode at the streaming edge), and the streamed
+    features equal the batch features."""
+    import feature_factory_spark as ff
+    from feature_factory_spark.operators import (
+        audio_schema, constant_wav, image_decoder, image_schema,
+        solid_png, wav_decoder,
+    )
+
+    rows = [
+        (i, solid_png(i % 5 + 1, i % 3 + 1, (i * 37) % 256),
+         constant_wav(40 + i, (i % 10) / 10.0))
+        for i in range(30)
+    ]
+    batch = spark.createDataFrame(rows, "id bigint, img binary, wav binary")
+    src = str(tmp_path / "media_src")
+    batch.write.parquet(src)
+
+    def decoded(df):
+        out = ff.BinaryFeatureExtractor(
+            "img", decoder=image_decoder, feature_schema=image_schema()
+        ).transform(df)
+        out = ff.BinaryFeatureExtractor(
+            "wav", decoder=wav_decoder, feature_schema=audio_schema()
+        ).transform(out)
+        return out.select("id", "img_width", "img_mean", "wav_n_frames", "wav_rms")
+
+    expected = sorted(map(tuple, decoded(batch).collect()))
+
+    stream = read_stream(spark, src, batch.schema)
+    q = (
+        decoded(stream)
+        .writeStream.format("memory")
+        .queryName("media_decoded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM media_decoded").collect()))
+    assert got == expected
