@@ -125,6 +125,14 @@ class Transformer(ABC):
         silently dropping it would let load_state mark the instance
         fitted while transform raises (or no-ops) later.
         """
+        if self.is_stateful() and not self._fitted:
+            # an unfitted save would round-trip into an instance MARKED
+            # fitted whose transform silently uses empty learned state
+            raise StatePersistenceError(
+                f"{type(self).__name__}.save_state called before fit(): "
+                "the state file would restore an unfitted instance as "
+                "fitted"
+            )
         frame_attrs = self._frame_state_attrs()
         dropped = [
             k

@@ -203,3 +203,10 @@ def test_pipeline_load_rejects_mismatched_steps(spark, tmp_path):
     other = ff.make_pipeline(("impute", ff.ArbitraryNumberImputer(["q"], 0.0)))
     with pytest.raises(StatePersistenceError, match="saved from steps"):
         other.load_state(path, spark)
+
+
+def test_save_state_before_fit_raises(tmp_path):
+    with pytest.raises(StatePersistenceError, match="before fit"):
+        ff.MeanMedianImputer(["x"]).save_state(str(tmp_path / "unfitted.json"))
+    with pytest.raises(StatePersistenceError, match="before fit"):
+        ff.VocabBuilder("text", "doc_id").save_state(str(tmp_path / "vb"))
