@@ -82,8 +82,8 @@ the op is a member slice of that family query):
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit), multimodal_family
   (multimodal_extract byte plumbing + frame_sample + image_decode +
-  audio_decode with the REAL stdlib PNG/WAV decoders,
-  operators/imagecodec.py, operators/audiocodec.py).
+  audio_decode + video_probe with the REAL stdlib PNG/WAV/MP4 parsers,
+  operators/{image,audio,video}codec.py).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
   embedding_dedup_lsh return eagerly-computed INVARIANT frames
   (recall floors, argmax consistency, disjoint bin ranges, no LSH false
@@ -1990,6 +1990,68 @@ def q_audio_decode(spark, sf_dir):
 
 
 @_reg(
+    "video_probe",
+    # REAL video-container probing (operators/videocodec.py: ISO BMFF
+    # box walking): each document gets a deterministic minimal MP4 whose
+    # movie duration / dims / track shape derive from doc_id; the probe
+    # must recover them exactly (duration ticks are integral at
+    # timescale 1000, so duration_s is exact).
+    """WITH m AS (SELECT doc_id,
+  CAST((doc_id % 40 + 1) * 250 AS DOUBLE) / 1000 dur,
+  CAST(160 * (doc_id % 4 + 1) AS DOUBLE) w,
+  CAST(90 * (doc_id % 4 + 1) AS DOUBLE) h,
+  CAST(doc_id % 2 AS DOUBLE) au
+FROM documents)
+SELECT doc_id, 'v_duration' AS feat, dur AS v FROM m
+UNION ALL SELECT doc_id, 'v_width', w FROM m
+UNION ALL SELECT doc_id, 'v_height', h FROM m
+UNION ALL SELECT doc_id, 'v_n_tracks', 1 + au FROM m
+UNION ALL SELECT doc_id, 'v_has_video', 1.0 FROM m
+UNION ALL SELECT doc_id, 'v_has_audio', au FROM m
+UNION ALL SELECT doc_id, 'v_is_mp4', 1.0 FROM m""",
+)
+def q_video_probe(spark, sf_dir):
+    from feature_factory_spark.operators.videocodec import (
+        mp4_decoder,
+        video_schema,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from feature_factory_spark.operators.videocodec import synth_mp4
+
+        for pdf in batches:
+            pdf["mp4"] = [
+                synth_mp4(
+                    (int(i) % 40 + 1) * 0.25,
+                    160 * (int(i) % 4 + 1),
+                    90 * (int(i) % 4 + 1),
+                    n_audio_tracks=int(i) % 2,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_mp4 = docs.mapInPandas(synth, "doc_id bigint, mp4 binary")
+    feats = ff.BinaryFeatureExtractor(
+        "mp4", decoder=mp4_decoder, feature_schema=video_schema()
+    ).transform(with_mp4)
+    return feats.selectExpr(
+        "doc_id",
+        "stack(7, "
+        "'v_duration', mp4_duration_s, "
+        "'v_width', mp4_width, "
+        "'v_height', mp4_height, "
+        "'v_n_tracks', cast(mp4_n_tracks AS double), "
+        "'v_has_video', cast(mp4_has_video AS double), "
+        "'v_has_audio', cast(mp4_has_audio AS double), "
+        "'v_is_mp4', cast(mp4_format = 'mp4' AS double)"
+        ") AS (feat, v)",
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -3149,6 +3211,9 @@ _merge("multimodal_family", [
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
     ("audio_decode",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
+    ("video_probe",
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
 ])

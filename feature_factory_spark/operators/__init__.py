@@ -78,6 +78,12 @@ from .audiocodec import (
     encode_wav,
     wav_decoder,
 )
+from .videocodec import (
+    mp4_decoder,
+    probe_mp4,
+    synth_mp4,
+    video_schema,
+)
 from .imagecodec import (
     decode_image,
     encode_png,
@@ -135,6 +141,7 @@ __all__ = [
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",
     "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",
+    "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",
     "DocumentChunker", "HashSampler", "HashSplitter", "SequencePacker",
     "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
