@@ -271,13 +271,65 @@ class IVFCosineTopK(CosineTopK):
         self._guard_query_side(query_df)
         if not self.centroids_:
             self.fit_index(corpus_df)
-        c = corpus_df.select(
+        return self._search_assigned(self._assign(corpus_df), query_df)
+
+    def _assign(self, corpus_df: DataFrame) -> DataFrame:
+        """(neighbor_id, c_vec, cluster) — each corpus row labeled with
+        its nearest centroid."""
+        return corpus_df.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("c_vec"),
             F.element_at(self._nearest_expr(F.col(self.vec_col), 1), 1).alias(
                 "cluster"
             ),
         )
+
+    def write_index(self, corpus_df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the IVF index at ``path``: the assigned corpus
+        written PARTITIONED BY cluster id (``<path>/corpus``) plus the
+        centroid table (``<path>/centroids``, one row per centroid).
+
+        This is the 100 TB shape the class docstring promises: once the
+        corpus is laid out by cluster, a probe reads only the n_probe
+        partitions each query maps to — a pruned scan of ~n_probe/k of
+        the data — instead of re-assigning the full corpus per search.
+        Fits centroids first if ``fit_index`` was not called."""
+        import os
+
+        if not self.centroids_:
+            self.fit_index(corpus_df)
+        spark = corpus_df.sparkSession
+        self._assign(corpus_df).write.mode(mode).partitionBy("cluster").parquet(
+            os.path.join(path, "corpus")
+        )
+        centroids = spark.createDataFrame(
+            [(i, list(v)) for i, v in enumerate(self.centroids_)],
+            "cluster int, centroid array<double>",
+        )
+        centroids.coalesce(1).write.mode(mode).parquet(
+            os.path.join(path, "centroids")
+        )
+
+    def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
+        """Probe an index written by ``write_index``. Loads centroids
+        (k x dim — tiny), then joins the broadcast probe set against the
+        cluster-partitioned corpus: Spark's dynamic partition pruning
+        limits the scan to the clusters the queries actually probe."""
+        import os
+
+        rows = (
+            spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("cluster")
+            .collect()
+        )
+        ensure(bool(rows), f"no centroids found at {path}")
+        self.centroids_ = [list(r["centroid"]) for r in rows]
+        self._fitted = True
+        c = spark.read.parquet(os.path.join(path, "corpus"))
+        self._guard_query_side(query_df)
+        return self._search_assigned(c, query_df)
+
+    def _search_assigned(self, c: DataFrame, query_df: DataFrame) -> DataFrame:
         q = query_df.select(
             F.col(self.id_col).alias("query_id"),
             F.col(self.vec_col).alias("q_vec"),

@@ -210,3 +210,34 @@ def test_save_state_before_fit_raises(tmp_path):
         ff.MeanMedianImputer(["x"]).save_state(str(tmp_path / "unfitted.json"))
     with pytest.raises(StatePersistenceError, match="before fit"):
         ff.VocabBuilder("text", "doc_id").save_state(str(tmp_path / "vb"))
+
+
+# -- IVF index persistence (the cluster-scale layout) ------------------
+
+
+def test_ivf_write_search_index_matches_in_memory(spark, tmp_path):
+    path = str(tmp_path / "ivf_index")
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 11) - 5.0 for j in range(16)])
+         for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = vecs.where(F.col("vec_id") < 4)
+    op = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=5, n_centroids=6, n_probe=2, iterations=2
+    ).fit_index(vecs)
+    expected = _rows(op.search(vecs, queries))
+    op.write_index(vecs, path)
+
+    fresh = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=5, n_centroids=6, n_probe=2, iterations=2
+    )
+    got = fresh.search_index(spark, path, queries)
+    assert _rows(got) == expected
+    assert fresh.centroids_ == op.centroids_
+
+    # the probe scans the cluster-partitioned corpus with partition
+    # pruning available (partition column in the scan's PartitionFilters
+    # slot or a dynamic pruning subquery)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
