@@ -25,7 +25,12 @@ _SUPPORTED_BITS = {8, 16, 32}
 def decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE bytes -> decoded features. PCM (format 1: 8-bit
     unsigned / 16-bit / 32-bit signed LE) and IEEE float (format 3:
-    32-bit). Raises ValueError on malformed or non-PCM payloads."""
+    32-bit). Raises ValueError on malformed or non-PCM payloads.
+
+    >>> d = decode_wav(constant_wav(160, 0.0, sample_rate=8000))
+    >>> (d["format"], d["channels"], d["duration_s"], d["rms"])
+    ('wav', 1, 0.02, 0.0)
+    """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("WAV: bad RIFF/WAVE signature")
     pos = 12

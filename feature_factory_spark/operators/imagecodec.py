@@ -217,7 +217,12 @@ _DECODERS = [
 
 def decode_image(payload: bytes) -> dict:
     """Decode by magic-byte dispatch; raises ValueError when no decoder
-    matches or the payload is malformed."""
+    matches or the payload is malformed.
+
+    >>> d = decode_image(solid_png(4, 3, 200))
+    >>> (d["format"], d["width"], d["height"], d["mean"], d["entropy"])
+    ('png', 4, 3, 200.0, 0.0)
+    """
     for magic, fmt, fn in _DECODERS:
         if payload[: len(magic)] == magic:
             px, bit_depth = fn(payload)

@@ -51,7 +51,12 @@ def _walk(payload: bytes, start: int, end: int, depth: int = 0):
 
 def probe_mp4(payload: bytes) -> dict:
     """ISO BMFF (MP4/MOV/M4A) container metadata. Raises ValueError on
-    anything that is not a well-formed box structure with ftyp+moov."""
+    anything that is not a well-formed box structure with ftyp+moov.
+
+    >>> d = probe_mp4(synth_mp4(12.5, 640, 360, n_audio_tracks=1))
+    >>> (d["duration_s"], d["width"], d["height"], d["n_tracks"])
+    (12.5, 640.0, 360.0, 2)
+    """
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("MP4: no ftyp box at start")
     brand = None

@@ -15,6 +15,9 @@ MODULES = [
     "feature_factory_spark.operators.timeseries",
     "feature_factory_spark.operators.dedup",
     "feature_factory_spark.operators.embeddings",
+    "feature_factory_spark.operators.imagecodec",
+    "feature_factory_spark.operators.audiocodec",
+    "feature_factory_spark.operators.videocodec",
 ]
 
 
