@@ -77,13 +77,26 @@ def main() -> int:
         else:
             entry._t(spark, SF_DIR, t).count()
 
-    # warm the Python worker pool + Arrow path once: the first
+    # warm the Python worker pool + Arrow path: the first
     # mapInPandas/pandas-UDF stage otherwise pays worker fork + Arrow
     # init — per-executor provisioning a long-lived cluster amortizes
     # away, not plan cost of whichever query happens to run it first.
-    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
+    # Three stages run CONCURRENTLY because that is how family queries
+    # submit their members (InheritableThread builders): concurrent
+    # Arrow stages provision more simultaneous workers than one
+    # sequential stage ever does.
+    from pyspark import InheritableThread
+
+    def _warm():
+        spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+    warmers = [InheritableThread(target=_warm) for _ in range(3)]
+    for t in warmers:
+        t.start()
+    for t in warmers:
+        t.join()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
