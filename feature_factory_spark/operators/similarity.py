@@ -433,7 +433,56 @@ class BucketedCosineTopK(CosineTopK):
         validate_columns(corpus_df, [self.vec_col, self.id_col])
         validate_columns(query_df, [self.vec_col, self.id_col])
         self._guard_query_side(query_df)
-        c = self._chunked(corpus_df, "neighbor_id", "c_vec")
+        return self._search_chunked(
+            self._chunked(corpus_df, "neighbor_id", "c_vec"), query_df
+        )
+
+    def write_index(self, corpus_df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the LSH index at ``path``: the chunked corpus
+        signature frame written PARTITIONED BY (ci, cv) plus the LSH
+        parameters (``<path>/meta``). A probe then reads only the chunk
+        partitions the queries hash into (dynamic partition pruning) —
+        the 'bucketed-by-chunk pruned scan' the class docstring
+        promises, without recomputing corpus signatures per search."""
+        import os
+
+        width = self.n_planes // self.n_chunks
+        ensure(
+            width <= 10,
+            f"chunk width {width} bits would create "
+            f"{self.n_chunks} x 2^{width} partition values; lower "
+            "n_planes (or raise n_chunks) before writing an index",
+        )
+        self._chunked(corpus_df, "neighbor_id", "c_vec").write.mode(
+            mode
+        ).partitionBy("ci", "cv").parquet(os.path.join(path, "corpus"))
+        meta = corpus_df.sparkSession.createDataFrame(
+            [(self.dim, self.n_planes, self.n_chunks, self.seed)],
+            "dim int, n_planes int, n_chunks int, seed int",
+        )
+        meta.coalesce(1).write.mode(mode).parquet(os.path.join(path, "meta"))
+
+    def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
+        """Probe an index written by ``write_index``. Validates the
+        stored LSH parameters match this instance (a mismatched seed or
+        plane count would silently hash queries into the wrong buckets),
+        then probes the chunk-partitioned corpus."""
+        import os
+
+        m = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+        stored = (m["dim"], m["n_planes"], m["n_chunks"], m["seed"])
+        mine = (self.dim, self.n_planes, self.n_chunks, self.seed)
+        ensure(
+            stored == mine,
+            f"index at '{path}' was written with LSH parameters "
+            f"(dim, n_planes, n_chunks, seed)={stored}, this instance "
+            f"has {mine} — queries would hash into the wrong buckets",
+        )
+        c = spark.read.parquet(os.path.join(path, "corpus"))
+        self._guard_query_side(query_df)
+        return self._search_chunked(c, query_df)
+
+    def _search_chunked(self, c: DataFrame, query_df: DataFrame) -> DataFrame:
         q = self._chunked(query_df, "query_id", "q_vec")
         cand = (
             c.join(F.broadcast(q), on=["ci", "cv"])

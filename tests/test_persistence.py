@@ -241,3 +241,25 @@ def test_ivf_write_search_index_matches_in_memory(spark, tmp_path):
     # slot or a dynamic pruning subquery)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_write_search_index_matches_in_memory(spark, tmp_path):
+    path = str(tmp_path / "lsh_index")
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 11) - 5.0 for j in range(16)])
+         for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = vecs.where(F.col("vec_id") < 4)
+    op = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16)
+    expected = _rows(op.search(vecs, queries))
+    op.write_index(vecs, path)
+
+    fresh = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16)
+    got = fresh.search_index(spark, path, queries)
+    assert _rows(got) == expected
+
+    # mismatched LSH parameters must be rejected, not silently mis-probed
+    other = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16, seed=7)
+    with pytest.raises(ff.InvalidParameterError, match="wrong buckets"):
+        other.search_index(spark, path, queries)
