@@ -1,1 +1,9 @@
-from .io import compact_to, load_events, load_tables, read, write, write_bucketed
+from .io import (
+    compact_to,
+    load_events,
+    load_tables,
+    read,
+    read_media,
+    write,
+    write_bucketed,
+)

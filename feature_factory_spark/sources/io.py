@@ -106,6 +106,48 @@ def read(
     return df
 
 
+def read_media(
+    spark: SparkSession,
+    path: str,
+    media: str = "image",
+    prefix: str = "media_",
+    **options,
+) -> DataFrame:
+    """Raw media ingestion in one call: binaryFile scan + real decode.
+
+    Reads whole files as (path, modificationTime, length, content) rows
+    and appends decoded features from the matching pure-stdlib codec —
+    ``media='image'`` (PNG/BMP/PPM: dims, channels, mean/std/entropy),
+    ``'audio'`` (WAV PCM: channels, rate, duration, RMS, peak, zcr), or
+    ``'video'`` (MP4/MOV container probe: brand, duration, dims, track
+    shape, codecs). Undecodable files get NULL features, not task
+    failures. Pass ``pathGlobFilter='*.png'`` (etc.) through options to
+    select one media type from a mixed directory.
+
+    The decode is a narrow Arrow-batched map over the scan — the plan
+    parallelizes with the file listing, no shuffle."""
+    from ..operators.audiocodec import audio_schema, wav_decoder
+    from ..operators.imagecodec import image_decoder, image_schema
+    from ..operators.multimodal import BinaryFeatureExtractor
+    from ..operators.videocodec import mp4_decoder, video_schema
+
+    table = {
+        "image": (image_decoder, image_schema),
+        "audio": (wav_decoder, audio_schema),
+        "video": (mp4_decoder, video_schema),
+    }
+    if media not in table:
+        raise UnsupportedFormatError(
+            f"unsupported media kind '{media}' (supported: "
+            f"{', '.join(table)})"
+        )
+    decoder, schema = table[media]
+    df = read(spark, path, fmt="binaryFile", **options)
+    return BinaryFeatureExtractor(
+        "content", decoder=decoder, feature_schema=schema(), prefix=prefix
+    ).transform(df)
+
+
 def write(
     df: DataFrame,
     path: str,

@@ -256,3 +256,39 @@ def test_read_binary_files_feed_multimodal_extractor(spark, tmp_path):
     out = ff.BinaryFeatureExtractor("content").transform(df)
     feats = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
     assert feats["a.png"]["content_payload_len"] == 23
+
+
+class TestReadMedia:
+    def test_image_audio_video_ingestion(self, spark, tmp_path):
+        from feature_factory_spark.operators import constant_wav, solid_png, synth_mp4
+        from feature_factory_spark.sources import read_media
+
+        d = tmp_path / "media"
+        d.mkdir()
+        (d / "a.png").write_bytes(solid_png(4, 3, 77))
+        (d / "b.png").write_bytes(solid_png(2, 2, 200))
+        (d / "c.wav").write_bytes(constant_wav(80, 0.5))
+        (d / "d.mp4").write_bytes(synth_mp4(2.0, 320, 240))
+
+        imgs = read_media(spark, str(d), media="image", pathGlobFilter="*.png")
+        got = {r["media_width"]: r["media_mean"] for r in imgs.collect()}
+        assert got == {4: 77.0, 2: 200.0}
+
+        wavs = read_media(spark, str(d), media="audio", pathGlobFilter="*.wav")
+        row = wavs.collect()[0]
+        assert row["media_n_frames"] == 80 and row["media_zero_crossing_rate"] == 0.0
+
+        vids = read_media(spark, str(d), media="video", pathGlobFilter="*.mp4")
+        row = vids.collect()[0]
+        assert row["media_duration_s"] == 2.0 and row["media_width"] == 320.0
+
+        # mixed directory without a glob: wrong-format files -> NULLs
+        all_as_img = read_media(spark, str(d), media="image")
+        assert all_as_img.where("media_format IS NULL").count() == 2
+
+    def test_unknown_media_kind_rejected(self, spark, tmp_path):
+        from feature_factory_spark.exceptions import UnsupportedFormatError
+        from feature_factory_spark.sources import read_media
+
+        with pytest.raises(UnsupportedFormatError, match="media kind"):
+            read_media(spark, str(tmp_path), media="hologram")
