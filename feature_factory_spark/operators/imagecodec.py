@@ -145,7 +145,8 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
 
 def decode_bmp(payload: bytes) -> tuple[np.ndarray, int]:
     """Uncompressed BITMAPINFOHEADER BMP -> (pixels (h, w, c), bit_depth).
-    8-bit (palette) / 24-bit BGR / 32-bit BGRA; bottom-up or top-down."""
+    8-bit (palette indices expanded through the color table) / 24-bit
+    BGR / 32-bit BGRA; bottom-up or top-down."""
     if payload[:2] != b"BM":
         raise ValueError("BMP: bad signature")
     data_offset = struct.unpack("<I", payload[10:14])[0]
@@ -159,6 +160,19 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("BMP: compressed BMP not supported")
     if bpp not in (8, 24, 32):
         raise ValueError(f"BMP: {bpp}-bit not supported")
+    palette = None
+    if bpp == 8:
+        # color table (BGRA quads) sits right after the DIB header;
+        # statistics over raw palette INDICES would be meaningless
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        n_colors = clr_used or 256
+        table = np.frombuffer(
+            payload[14 + hdr_size : 14 + hdr_size + 4 * n_colors],
+            dtype=np.uint8,
+        )
+        if table.size < 4 * n_colors:
+            raise ValueError("BMP: truncated color table")
+        palette = table.reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRA -> RGB
     top_down = height < 0
     height = abs(height)
     channels = {8: 1, 24: 3, 32: 4}[bpp]
@@ -172,7 +186,11 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("BMP: truncated pixel data")
         rows.append(row.reshape(width, channels))
     px = np.stack(rows if top_down else rows[::-1])
-    if channels >= 3:  # BGR(A) -> RGB(A)
+    if palette is not None:
+        if int(px.max()) >= palette.shape[0]:
+            raise ValueError("BMP: pixel index outside the color table")
+        px = palette[px[:, :, 0]]
+    elif channels >= 3:  # BGR(A) -> RGB(A)
         px = px[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
     return px, 8
 
@@ -274,10 +292,16 @@ def pillow_decoder(payload: bytes) -> dict:
             "PNG/BMP/PPM support"
         ) from exc
     with Image.open(io.BytesIO(payload)) as im:
+        if im.mode == "P":
+            im = im.convert("RGB")  # indices -> colors, like the PLTE path
         px = np.asarray(im)
     if px.ndim == 2:
         px = px[:, :, None]
-    return _stats(px.astype(np.uint8), (im.format or "").lower(), 8)
+    if px.dtype != np.uint8:
+        # 16-bit ('I;16') / 32-bit ('I') samples: SCALE to 8-bit — a
+        # plain astype would wrap values modulo 256 and poison the stats
+        px = (np.clip(px.astype(np.int64), 0, 65535) >> 8).astype(np.uint8)
+    return _stats(px, (im.format or "").lower(), 8)
 
 
 def _sql_type(name: str):

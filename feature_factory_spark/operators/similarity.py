@@ -162,6 +162,12 @@ class CosineTopK(Transformer):
     def is_stateful(self) -> bool:
         return True
 
+    def _frame_state_attrs(self) -> list[str]:
+        # the fitted state IS the query frame: declared so save_state
+        # persists it to parquet instead of silently dropping it (the
+        # restored instance would otherwise crash at transform)
+        return ["query_df"]
+
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, [self.vec_col, self.id_col])
 
@@ -324,7 +330,9 @@ class IVFCosineTopK(CosineTopK):
         )
         ensure(bool(rows), f"no centroids found at {path}")
         self.centroids_ = [list(r["centroid"]) for r in rows]
-        self._fitted = True
+        # deliberately NOT marking fitted: no query frame was pinned, so
+        # a later transform() must still raise FitNotCalledError instead
+        # of crashing on query_df=None inside the plan builder
         c = spark.read.parquet(os.path.join(path, "corpus"))
         self._guard_query_side(query_df)
         return self._search_assigned(c, query_df)

@@ -80,7 +80,17 @@ def read(
         # reader can open) both raise UnsupportedFormatError instead of
         # handing a gzip stream to the parquet fallback.
         last = path.rstrip("/").rsplit("/", 1)[-1]
-        for codec in (".gz", ".bz2", ".zst", ".zstd", ".lz4", ".snappy", ".deflate"):
+        if last.endswith(".zstd"):
+            # Hadoop's ZStandardCodec registers ONLY the '.zst' extension
+            # (verified in hadoop-client bytecode), so a '.zstd'-named
+            # file would be read UNCOMPRESSED -> silent garbage rows.
+            # Refuse loudly with the remedy instead.
+            raise UnsupportedFormatError(
+                f"'{path}': Spark/Hadoop decompress zstd only for the "
+                "'.zst' extension — rename the file (or pass fmt= after "
+                "decompressing out of band)"
+            )
+        for codec in (".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"):
             if last.endswith(codec):
                 inner = last[: -len(codec)]
                 if inner.endswith((".txt", ".json", ".jsonl", ".csv")):

@@ -183,3 +183,29 @@ def test_png_roundtrip_property(w, h, channels, filter_type, seed):
     assert stats["n_pixels"] == w * h
     assert abs(stats["mean"] - float(px.mean())) < 1e-9
     assert stats["entropy"] >= 0.0
+
+
+def test_bmp_8bit_palette_expands_through_color_table():
+    # 2x2 8-bit BMP, palette: 0 -> white, 1 -> red; stats must reflect
+    # COLORS, not indices (review finding r5)
+    import struct as _s
+
+    palette = bytes([255, 255, 255, 0]) + bytes([0, 0, 255, 0])  # BGRA
+    rows = [bytes([0, 1]) + b"\x00\x00", bytes([1, 0]) + b"\x00\x00"]
+    pxdata = rows[1] + rows[0]  # bottom-up
+    hdr = (b"BM" + _s.pack("<IHHI", 54 + 8 + len(pxdata), 0, 0, 54 + 8)
+           + _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(pxdata),
+                     2835, 2835, 2, 0))
+    bmp = hdr + palette + pxdata
+    out, _ = ic.decode_bmp(bmp)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 255, 255)  # index 0 -> white
+    assert tuple(out[0, 1]) == (255, 0, 0)      # index 1 -> red (RGB)
+    d = ic.decode_image(bmp)
+    # 2 white px (3x255) + 2 red px (255,0,0) over 12 channel-bytes
+    assert d["channels"] == 3 and d["mean"] == 170.0  # colors, not 0/1 indices
+
+    # index outside the color table fails clean
+    bad = hdr + palette + bytes([7, 1]) + b"\x00\x00" + rows[0]
+    with pytest.raises(ValueError, match="color table"):
+        ic.decode_bmp(bad)

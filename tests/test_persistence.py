@@ -263,3 +263,38 @@ def test_bucketed_write_search_index_matches_in_memory(spark, tmp_path):
     other = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16, seed=7)
     with pytest.raises(ff.InvalidParameterError, match="wrong buckets"):
         other.search_index(spark, path, queries)
+
+
+def test_cosine_topk_query_frame_roundtrips(spark, tmp_path):
+    # review finding r5: the fitted query frame is frame state too
+    path = str(tmp_path / "topk_state")
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) + 1.0 for j in range(8)])
+         for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = vecs.where(F.col("vec_id") < 3)
+    op = ff.CosineTopK("embedding", "vec_id", k=4).fit(queries)
+    expected = _rows(op.transform(vecs))
+    op.save_state(path)
+
+    restored = ff.CosineTopK("embedding", "vec_id", k=4).load_state(path, spark)
+    assert _rows(restored.transform(vecs)) == expected
+    restored.release()
+
+
+def test_ivf_search_index_does_not_mark_fitted(spark, tmp_path):
+    # review finding r5: transform() after search_index must still give
+    # the fit-contract error, not an AttributeError inside the planner
+    path = str(tmp_path / "ivf_unfitted")
+    vecs = spark.createDataFrame(
+        [(i, [float((i + j) % 7) for j in range(8)]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    op = ff.IVFCosineTopK("embedding", "vec_id", k=3, n_centroids=4)
+    op.fit_index(vecs)
+    op.write_index(vecs, path)
+    fresh = ff.IVFCosineTopK("embedding", "vec_id", k=3, n_centroids=4)
+    assert fresh.search_index(spark, path, vecs.limit(2)).count() > 0
+    with pytest.raises(FitNotCalledError):
+        fresh.transform(vecs)

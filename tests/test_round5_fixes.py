@@ -105,17 +105,26 @@ def test_run_incremental_csv_sink_roundtrips_with_header(spark, tmp_path):
     assert set(back.columns) == {"doc_id", "text", "text_fingerprint"}
 
 
-# -- .zstd compression-suffix dispatch (ADVICE item 3) ------------------
+# -- .zstd suffix handling (ADVICE item 3, corrected in review) ---------
+# Hadoop's ZStandardCodec registers ONLY '.zst', so dispatching a
+# '.zstd'-named file to a line reader would scan it UNCOMPRESSED and
+# yield silent garbage. The correct behavior is a loud error with the
+# rename remedy; '.zst' keeps decompressing transparently.
 
 
-def test_zstd_suffix_dispatches_to_json_reader(spark, tmp_path):
-    # the file does not exist: dispatch success means we get Spark's
-    # path-not-found, NOT UnsupportedFormatError from suffix rejection
+def test_zstd_suffix_rejected_with_remedy(spark, tmp_path):
+    with pytest.raises(UnsupportedFormatError, match="zst"):
+        ffio.read(spark, str(tmp_path / "corpus.jsonl.zstd"))
+
+
+def test_zst_suffix_still_dispatches(spark, tmp_path):
+    # nonexistent file: dispatch success -> Spark path error, not
+    # UnsupportedFormatError
     with pytest.raises(Exception) as exc:
-        ffio.read(spark, str(tmp_path / "corpus.jsonl.zstd")).collect()
+        ffio.read(spark, str(tmp_path / "corpus.jsonl.zst")).collect()
     assert not isinstance(exc.value, UnsupportedFormatError)
 
 
 def test_whole_file_compressed_columnar_still_rejected(spark, tmp_path):
     with pytest.raises(UnsupportedFormatError):
-        ffio.read(spark, str(tmp_path / "data.parquet.zstd"))
+        ffio.read(spark, str(tmp_path / "data.parquet.zst"))
