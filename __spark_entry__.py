@@ -77,7 +77,8 @@ the op is a member slice of that family query):
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
   sample_family (hash_sample/hash_split/weighted_sample), pack_family
-  (sequence_pack + doc_chunk context-window chunking), scale_family,
+  (sequence_pack + doc_chunk context-window chunking +
+  substring_spans exact-substring dedup), scale_family,
   embed_transform (l2 + random projection), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit), multimodal_family
@@ -2187,6 +2188,45 @@ def q_contamination(spark, sf_dir):
     return cc.transform(docs).select("doc_id", "contaminated")
 
 
+@_reg(
+    "substring_spans",
+    # ExactSubstringDeduplicator (Lee et al. 2021 ExactSubstr pass):
+    # maximal word spans occurring verbatim in >= 2 documents. The
+    # oracle replays the full pipeline — window hashes, duplicated-hash
+    # table, gaps-and-islands span merge — in DuckDB; tokenization is
+    # the proven words_expr twin (doc_chunk oracle).
+    """WITH w AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') wd
+  FROM documents WHERE text IS NOT NULL),
+e AS (SELECT doc_id, wd,
+  CAST(UNNEST(generate_series(0, len(wd) - 8)) AS INT) pos
+  FROM w WHERE len(wd) >= 8),
+g AS (SELECT doc_id, pos,
+  md5(array_to_string(wd[pos+1 : pos+8], ' ')) h FROM e),
+d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+s AS (SELECT doc_id, pos,
+  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+  THEN 1 ELSE 0 END brk FROM f),
+i AS (SELECT doc_id, pos,
+  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) island FROM s)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+  CAST(max(pos) + 8 AS INT) AS span_end,
+  CAST(count(*) AS BIGINT) AS n_windows
+FROM i GROUP BY doc_id, island""",
+)
+def q_substring_spans(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+    return op.spans(docs).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 11. windowed aggregation over the events stream table (streaming module;
 #     batch plan == stream plan modulo watermark, so the batch oracle
@@ -3226,6 +3266,11 @@ _merge("pack_family", [
       "concat(cast(chunk_n_words AS string), ':', chunk_md5) AS val"],
      "doc_id, CAST(chunk_id AS BIGINT) AS k, "
      "CAST(chunk_n_words AS VARCHAR) || ':' || chunk_md5 AS val"),
+    ("substring_spans",
+     ["doc_id", "cast(span_start AS bigint) AS k",
+      "concat(cast(span_end AS string), ':', cast(n_windows AS string)) AS val"],
+     "doc_id, CAST(span_start AS BIGINT) AS k, "
+     "CAST(span_end AS VARCHAR) || ':' || CAST(n_windows AS VARCHAR) AS val"),
 ])
 
 # Registry cap + member-assignment rule (VERDICT r4 item 6). The

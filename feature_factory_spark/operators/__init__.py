@@ -64,6 +64,7 @@ from .text import (
 )
 from .dedup import (
     EmbeddingDeduplicator,
+    ExactSubstringDeduplicator,
     LineDeduplicator,
     ExactDeduplicator,
     MinHashDeduplicator,
@@ -135,6 +136,7 @@ __all__ = [
     "VocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
+    "ExactSubstringDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",

@@ -722,3 +722,157 @@ class LineDeduplicator(Transformer):
                 ),
             )
         )
+
+
+class ExactSubstringDeduplicator(Transformer):
+    """Exact-substring (span-level) deduplication: find the word spans
+    that occur VERBATIM in at least ``min_docs`` distinct documents —
+    the ExactSubstr pass of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2021), which removes memorization-prone
+    repeated passages that document- and segment-level dedup both miss
+    (licenses quoted mid-document, syndicated paragraphs, templated
+    spans that do not align to line boundaries).
+
+    ``spans(df)`` returns one row per maximal duplicated span:
+    (id, span_start, span_end, n_windows) in WORD offsets (end
+    exclusive). ``transform`` appends ``{text_col}_dup_ratio`` — the
+    fraction of each document's words covered by duplicated spans (0.0
+    for clean documents).
+
+    Algorithm (the distributed equivalent of the paper's single-node
+    suffix array): every k-word sliding window is hashed (md5 of the
+    joined words — engine-portable); a window hash seen in >= min_docs
+    distinct documents marks its [pos, pos+k) span; per document,
+    overlapping/adjacent spans merge into maximal spans via the
+    gaps-and-islands pattern (equal-length windows sorted by position
+    merge exactly when the position gap <= k).
+
+    Scale shape — linear passes only, no all-pairs anywhere:
+    - window construction is a narrow projection (slice + md5 over the
+      word array; one explode);
+    - the duplicated-hash table is ONE map-side-combined groupBy on a
+      uniform md5 key (the corpus-token-count-sized shuffle is the
+      honest cost of exact-substring dedup at any scale — the paper
+      pays it as a suffix-array sort);
+    - flagged windows join the (much smaller) duplicated-hash table —
+      AQE broadcasts it when it fits;
+    - span merging is a per-document window over flagged positions
+      (reducer state bounded by the most-duplicated document).
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        k: int = 8,
+        min_docs: int = 2,
+        lowercase: bool = True,
+    ):
+        ensure(k >= 2, "k (window length in words) must be >= 2")
+        ensure(min_docs >= 2, "min_docs must be >= 2")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.min_docs = min_docs
+        self.lowercase = lowercase
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+
+    def _windows(self, df: DataFrame) -> DataFrame:
+        """(__ff_id, pos, __ff_h): every k-word window's md5, with its
+        word offset. Documents shorter than k words contribute none."""
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        words = F.coalesce(words_expr(text), F.array().cast("array<string>"))
+        k = self.k
+        # built against __ff_words (the SECOND projection's column) —
+        # documents shorter than k words contribute no windows; the
+        # empty branch needs the explicit struct-array cast so CASE
+        # type-unification succeeds
+        structs = F.expr(
+            f"CASE WHEN size(__ff_words) < {k} "
+            f"THEN cast(array() AS array<struct<pos:int,h:string>>) "
+            f"ELSE transform(sequence(0, size(__ff_words) - {k}), i -> "
+            f"struct(cast(i AS int) AS pos, "
+            f"md5(concat_ws(' ', slice(__ff_words, i + 1, {k}))) AS h)) END"
+        )
+        return (
+            df.select(
+                F.col(self.id_col).alias("__ff_id"), words.alias("__ff_words")
+            )
+            .select("__ff_id", F.explode(structs).alias("__ff_wdw"))
+            .select("__ff_id", "__ff_wdw.pos", F.col("__ff_wdw.h").alias("__ff_h"))
+        )
+
+    def spans(self, df: DataFrame) -> DataFrame:
+        """Maximal duplicated spans: (id, span_start, span_end,
+        n_windows), end exclusive, in word offsets."""
+        self._check_input(df)
+        wdw = self._windows(df)
+        dup = (
+            wdw.groupBy("__ff_h")
+            .agg(F.count_distinct("__ff_id").alias("__ff_nd"))
+            .where(F.col("__ff_nd") >= self.min_docs)
+            .select("__ff_h")
+        )
+        flagged = wdw.join(dup, on="__ff_h", how="left_semi")
+        w = Window.partitionBy("__ff_id").orderBy("pos")
+        islands = flagged.select(
+            "__ff_id",
+            "pos",
+            # equal-length windows: a new maximal span starts when the
+            # gap to the previous flagged window exceeds k
+            F.sum(
+                F.when(
+                    F.coalesce(
+                        F.col("pos") - F.lag("pos").over(w), F.lit(self.k + 1)
+                    )
+                    > self.k,
+                    1,
+                ).otherwise(0)
+            )
+            .over(w)
+            .alias("__ff_island"),
+        )
+        return (
+            islands.groupBy("__ff_id", "__ff_island")
+            .agg(
+                F.min("pos").alias("span_start"),
+                (F.max("pos") + self.k).alias("span_end"),
+                F.count("*").alias("n_windows"),
+            )
+            .select(
+                F.col("__ff_id").alias(self.id_col),
+                "span_start",
+                "span_end",
+                "n_windows",
+            )
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        spans = self.spans(df)
+        covered = spans.groupBy(self.id_col).agg(
+            F.sum(F.col("span_end") - F.col("span_start")).alias("__ff_dup_words")
+        )
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        n_words = F.size(
+            F.coalesce(words_expr(text), F.array().cast("array<string>"))
+        )
+        out_col = f"{self.text_col}_dup_ratio"
+        joined = df.join(
+            covered.withColumnRenamed(self.id_col, "__ff_cid"),
+            on=df[self.id_col] == F.col("__ff_cid"),
+            how="left",
+        )
+        return joined.select(
+            *[F.col(c) for c in df.columns],
+            F.when(n_words > 0,
+                   F.coalesce(F.col("__ff_dup_words"), F.lit(0)) / n_words)
+            .otherwise(F.lit(None).cast("double"))
+            .alias(out_col),
+        )

@@ -56,3 +56,53 @@ def test_components_policy_invalid(spark):
         ff.MinHashDeduplicator("t", "id", policy="bogus").transform(
             spark.createDataFrame([(1, "a b c")], "id bigint, t string")
         )
+
+
+class TestExactSubstringDeduplicator:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, "intro one " + shared + " outro alpha"),
+            (2, "different opening " + shared + " closing text here"),
+            (3, "totally unique document with no repeated passage at all ok"),
+            (4, None),
+            (5, "short"),
+            (6, "AAA " + shared.upper() + " bbb"),  # case-folded match
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_spans_find_the_shared_passage(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        spans = {r["doc_id"]: (r["span_start"], r["span_end"])
+                 for r in op.spans(corpus).collect()}
+        # the 13-word shared passage merges into ONE maximal span per doc
+        assert spans[1] == (2, 15)
+        assert spans[2] == (2, 15)
+        assert spans[6] == (1, 14)  # lowercase folding matches the caps copy
+        assert 3 not in spans and 4 not in spans and 5 not in spans
+
+    def test_dup_ratio_and_nulls(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        got = {r["doc_id"]: r["text_dup_ratio"]
+               for r in op.transform(corpus).collect()}
+        assert abs(got[1] - 13 / 17) < 1e-12
+        assert got[3] == 0.0 and got[5] == 0.0
+        assert got[4] is None  # NULL text stays NULL, not 0
+
+    def test_below_k_words_contribute_nothing(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
+        )
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        assert op.spans(df).count() == 0
+
+    def test_min_docs_threshold(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=4)
+        assert op.spans(corpus).count() == 0  # only 3 docs share it
+
+    def test_plan_has_no_cartesian(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        plan = op.spans(corpus)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
