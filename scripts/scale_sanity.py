@@ -144,10 +144,34 @@ def check_contamination(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_substring(spark, copies: int) -> None:
+    """ExactSubstringDeduplicator: the duplicated-window groupBy is the
+    corpus-token-sized shuffle exact-substring dedup inherently pays;
+    the check pins that it stays LINEAR (the near-dup suffix per copy
+    keeps window hashes mostly distinct, like real corpora)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = grow_docs(docs, copies)
+    op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+
+    t0 = time.perf_counter()
+    s1 = op.spans(docs).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sN = op.spans(big).count()
+    tN = time.perf_counter() - t0
+    print(f"[substring] 1x:  {s1} spans, {t1:.1f}s")
+    print(
+        f"[substring] {copies}x: {sN} spans, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
+    )
+    big.unpersist()
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
     "contamination": check_contamination,
+    "substring": check_substring,
 }
 
 
