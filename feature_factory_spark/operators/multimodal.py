@@ -3,9 +3,14 @@
 Images/audio/video are carried as opaque ``binary`` columns plus typed
 metadata, the standard lakehouse layout for multimodal training data.
 The Spark-side plumbing — schema contract, Arrow-batched ``mapInPandas``,
-partition-preserving projection — is real and tested; the actual media
-decoding is pluggable and STUBBED here because media libraries are not
-available in this environment (clearly marked; see ``decoder=``).
+partition-preserving projection — is real and tested, and so is the
+default decoding: REAL pure-stdlib codecs live in
+``operators/imagecodec.py`` (PNG/BMP/PPM pixels), ``audiocodec.py``
+(WAV-PCM samples), and ``videocodec.py`` (ISO-BMFF container probe),
+wired in by ``sources.io.read_media``. The ``decoder=`` seam stays
+pluggable so a native decoder (PIL / torchaudio / decord ...) can slot
+into the identical contract; ``stub_decoder`` remains as the byte-level
+fallback for formats none of the built-in codecs recognize.
 
 This is the one place in the engine where Python executes per batch: by
 design it uses ``mapInPandas`` (Arrow columnar transfer, vectorized
@@ -58,9 +63,10 @@ class BinaryFeatureExtractor(Transformer):
 
     ``decoder(payload: bytes) -> dict`` supplies the features;
     ``feature_schema`` declares their Spark types (list of (name,
-    DataType)). The default is the byte-level stub — real image/audio
-    decoding is NOT implemented in this environment (the decoder seam is
-    where it plugs in).
+    DataType)). The default is the byte-level stub; REAL image/audio/
+    video decoders from ``imagecodec.py`` / ``audiocodec.py`` /
+    ``videocodec.py`` plug into this same seam (see
+    ``sources.io.read_media``, which wires them in by default).
 
     Output schema = input columns + prefixed feature columns. The
     operation is a narrow map — no shuffle, partitioning preserved."""

@@ -477,7 +477,13 @@ class BucketedCosineTopK(CosineTopK):
         then probes the chunk-partitioned corpus."""
         import os
 
-        m = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+        rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+        ensure(
+            bool(rows),
+            f"no LSH meta found at '{path}' — the index is empty or "
+            "partially written; re-run write_index",
+        )
+        m = rows[0]
         stored = (m["dim"], m["n_planes"], m["n_chunks"], m["seed"])
         mine = (self.dim, self.n_planes, self.n_chunks, self.seed)
         ensure(

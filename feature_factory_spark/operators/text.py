@@ -441,10 +441,22 @@ class ContaminationChecker(Transformer):
         return grams.select(*id_cols, h.alias("__ff_g"))
 
     def _fit(self, df: DataFrame) -> None:
+        from pyspark import StorageLevel
+
         validate_string_columns(df, [self.benchmark_text_col])
-        self.bench_hashes_ = self._gram_hashes(
-            df, self.benchmark_text_col, []
-        ).distinct()
+        if self.bench_hashes_ is not None:
+            # refit: release the previous fit's persisted frame
+            self.bench_hashes_.unpersist()
+        # persisted so every transform() probes the cached hash set
+        # instead of re-deriving the benchmark gram hashing from source
+        # (and for symmetry with load_state, which persists the restored
+        # frame MEMORY_AND_DISK)
+        self.bench_hashes_ = (
+            self._gram_hashes(df, self.benchmark_text_col, [])
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._own_frame("bench_hashes_")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         bench = _require_frame_state(
@@ -651,6 +663,7 @@ class UnigramLogProbScorer(Transformer):
             self.freq_df_.unpersist()
         self.total_words_ = total
         self.freq_df_ = freq
+        self._own_frame("freq_df_")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         freq_df = _require_frame_state(
@@ -785,6 +798,7 @@ class VocabBuilder(Transformer):
             # refit: release the previous vocabulary's persisted frame
             self.vocab_df_.unpersist()
         self.vocab_df_ = self.build(df).persist(StorageLevel.MEMORY_AND_DISK)
+        self._own_frame("vocab_df_")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         vocab_df = _require_frame_state(self.vocab_df_, "VocabBuilder", "vocab_df_")

@@ -95,7 +95,10 @@ class Transformer(ABC):
         while transform() becomes a silent no-op."""
         out = {}
         for k, v in vars(self).items():
-            if k.startswith("__"):
+            if k.startswith("__") or k == "_ff_owned_frames":
+                # frame-ownership bookkeeping is per-instance, not fitted
+                # state: a restored instance owns exactly the frames
+                # load_state itself persists
                 continue
             converted = _to_json_value(v)
             if converted is not _UNSERIALIZABLE:
@@ -156,9 +159,29 @@ class Transformer(ABC):
             if getattr(self, a, None) is not None
         }
         if not frames:
+            if os.path.isdir(path):
+                # layout migration: a frame-holding save previously wrote
+                # a DIRECTORY here; open() would raise a bare
+                # IsADirectoryError that escapes the package's error
+                # contract (Pipeline.save_state only wraps
+                # FeatureFactoryError with the step name)
+                raise StatePersistenceError(
+                    f"'{path}' is a directory (written by a frame-holding "
+                    f"operator) but {type(self).__name__} saves a single "
+                    "JSON file; remove the stale directory or save to a "
+                    "different path"
+                )
             with open(path, "w") as f:
                 json.dump(state, f, indent=2, default=str)
             return
+        if os.path.isfile(path):
+            # inverse migration: a frameless save previously wrote a JSON
+            # FILE here; os.makedirs would raise a bare FileExistsError
+            raise StatePersistenceError(
+                f"'{path}' is a file (written by a frameless operator) but "
+                f"{type(self).__name__} saves a directory of parquet "
+                "frames; remove the stale file or save to a different path"
+            )
         os.makedirs(path, exist_ok=True)
         for attr, frame in frames.items():
             frame.write.mode("overwrite").parquet(
@@ -227,16 +250,34 @@ class Transformer(ABC):
                     os.path.join(path, f"frame_{attr}")
                 ).persist(StorageLevel.MEMORY_AND_DISK)
                 setattr(self, attr, frame)
+                self._own_frame(attr)
         return self
 
+    def _own_frame(self, attr: str) -> None:
+        """Record that THIS operator persisted the frame held by ``attr``
+        (called from the fit/load paths that persist). release() only
+        unpersists owned frames: a declared frame the operator merely
+        references (e.g. CosineTopK's fitted query frame, which is the
+        CALLER's DataFrame) must never be evicted out from under the
+        caller's own cache."""
+        if not hasattr(self, "_ff_owned_frames"):
+            self._ff_owned_frames: set[str] = set()
+        self._ff_owned_frames.add(attr)
+
     def release(self) -> None:
-        """Unpersist every declared fitted frame (no-op for frameless
-        operators). Call when a fitted instance is retired; otherwise
-        each fit/load pins a cache entry for the session's lifetime."""
+        """Unpersist every fitted frame THIS operator persisted (no-op
+        for frameless operators and for declared frames it doesn't own —
+        see _own_frame). Call when a fitted instance is retired;
+        otherwise each fit/load pins a cache entry for the session's
+        lifetime."""
+        owned = getattr(self, "_ff_owned_frames", set())
         for attr in self._frame_state_attrs():
+            if attr not in owned:
+                continue
             frame = getattr(self, attr, None)
             if isinstance(frame, DataFrame):
                 frame.unpersist()
+        owned.clear()
 
 
 _UNSERIALIZABLE = object()
