@@ -6,9 +6,9 @@ a single-batch, single-node pattern we deliberately do NOT copy
 (SURVEY.md §2.4-F). Every statistic here is a distributed Spark aggregate:
 
 - variances / distinct counts: one multi-column agg job.
-- correlation matrices: one agg job with pairwise F.corr expressions
-  (d <= ~40 features), else pyspark.ml.stat.Correlation over an assembled
-  vector (single job, scales to hundreds of features).
+- correlation matrices: pairwise-complete Pearson aggregate expressions,
+  batched into bounded-size agg jobs (same semantics at every feature
+  count — see _corr_matrix).
 - PSI / IV bin counts: conditional-sum aggregation, one job per frame.
 - duplicate detection: two-phase — per-column fingerprint agg to find
   candidate groups, then ONE exact pairwise-equality agg job on candidates
@@ -77,36 +77,46 @@ def _corr_expr(a: str, b: str):
     )
 
 
-def _corr_matrix(df: DataFrame, cols: list[str]) -> dict[tuple[str, str], float]:
-    """Pairwise Pearson correlations, symmetric, one Spark job.
+def _corr_matrix(
+    df: DataFrame, cols: list[str], batch_pairs: int = 400
+) -> dict[tuple[str, str], float]:
+    """Pairwise Pearson correlations, symmetric, pairwise-complete at
+    EVERY width.
 
-    <= 40 columns: a single agg with C(d,2) correlation expressions (all
-    inside one partial+final hash aggregate — one pass over the data).
-    > 40 columns: pyspark.ml.stat.Correlation over a vector column (one
-    job, matrix math JVM-side)."""
+    C(d,2) `_corr_expr` aggregate expressions, batched into jobs of
+    ``batch_pairs`` pairs so codegen and the aggregation buffer stay
+    bounded; each batch is one partial+final hash aggregate — one pass
+    over the data. When more than one batch is needed the projected
+    input is persisted across batches so the scan isn't repeated.
+
+    Earlier rounds routed d > 40 through pyspark.ml.stat.Correlation
+    over a VectorAssembler(handleInvalid="skip") vector — that is
+    LISTWISE deletion (a NULL in any feature drops the whole row), so
+    with asymmetric NULLs the matrix silently changed semantics with
+    feature count. Now both regimes share the pairwise-complete
+    `_corr_expr` formula (tests/test_feature_selection.py pins a
+    45-column asymmetric-NULL fixture against a driver-side reference)."""
     out: dict[tuple[str, str], float] = {}
     pairs = list(combinations(cols, 2))
     if not pairs:
         return out
-    if len(cols) <= 40:
-        exprs = [_corr_expr(a, b).alias(f"{i}") for i, (a, b) in enumerate(pairs)]
-        row = df.agg(*exprs).collect()[0]
-        for i, (a, b) in enumerate(pairs):
-            r = row[f"{i}"]
-            out[(a, b)] = out[(b, a)] = float(r) if r is not None else 0.0
-        return out
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.stat import Correlation
-
-    assembled = VectorAssembler(
-        inputCols=cols, outputCol="__ff_vec", handleInvalid="skip"
-    ).transform(df.select(cols))
-    mat = Correlation.corr(assembled, "__ff_vec").collect()[0][0].toArray()
-    for i, a in enumerate(cols):
-        for j, b in enumerate(cols):
-            if i != j:
-                v = mat[i][j]
-                out[(a, b)] = float(v) if v == v else 0.0
+    sub = df.select(*cols)
+    persisted = len(pairs) > batch_pairs
+    if persisted:
+        sub = sub.persist()
+    try:
+        for start in range(0, len(pairs), batch_pairs):
+            chunk = pairs[start:start + batch_pairs]
+            exprs = [
+                _corr_expr(a, b).alias(f"{i}") for i, (a, b) in enumerate(chunk)
+            ]
+            row = sub.agg(*exprs).collect()[0]
+            for i, (a, b) in enumerate(chunk):
+                r = row[f"{i}"]
+                out[(a, b)] = out[(b, a)] = float(r) if r is not None else 0.0
+    finally:
+        if persisted:
+            sub.unpersist()
     return out
 
 
