@@ -1662,11 +1662,85 @@ WHEN CAST(cjk AS DOUBLE) > 0.05 * length(text) THEN 'zh'
 ELSE 'und' END AS text_lang FROM t"""
 
 
-@_reg("lang_id", _sql_lang_id())
-def q_lang_id(spark, sf_dir):
+@_reg("stopword_lang", _sql_lang_id())
+def q_stopword_lang(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = ff.LanguageIdentifier(["text"]).transform(docs)
     return out.select("doc_id", "text_lang")
+
+
+@_reg(
+    "ngram_lang",
+    # the char-n-gram naive-Bayes model itself is not SQL-expressible;
+    # the invariants are (bucketed_topk precedent): fixture sizes and
+    # eagerly-asserted floors as literals, plus one real cross-engine
+    # term — every document with at least one letter gets a non-'und'
+    # label, which DuckDB recomputes from the raw corpus.
+    r"""SELECT 'langs_learned' AS invariant, CAST(30 AS BIGINT) AS n
+UNION ALL SELECT 'holdout_docs', CAST(60 AS BIGINT)
+UNION ALL SELECT 'holdout_floor_met', CAST(1 AS BIGINT)
+UNION ALL SELECT 'empty_und', CAST(1 AS BIGINT)
+UNION ALL SELECT 'roundtrip_stable', CAST(1 AS BIGINT)
+UNION ALL SELECT 'corpus_docs_labeled',
+  (SELECT count(*) FROM documents WHERE regexp_matches(text, '\p{L}'))""",
+)
+def q_ngram_lang(spark, sf_dir):
+    """NgramLanguageIdentifier (operators/text.py): fit on the built-in
+    30-language fixture, assert holdout accuracy >= 0.9 and the
+    save/load round-trip, then label the documents corpus — non-'und'
+    count must equal DuckDB's has-a-letter count."""
+    from feature_factory_spark.functions.langdata import fixture_df
+
+    op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+    langs_learned = len(op.langs_)
+
+    hold = fixture_df(spark, "holdout").select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("lang").alias("expected"),
+        "text",
+    )
+    pred = op.transform(hold).select("expected", "text_lang").collect()
+    holdout_docs = len(pred)
+    correct = sum(1 for r in pred if r["expected"] == r["text_lang"])
+    floor_met = int(correct >= 0.9 * holdout_docs)
+    assert floor_met, f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "12345 !!!"), (3, None)], "doc_id bigint, text string"
+    )
+    labels = [
+        r["text_lang"] for r in op.transform(empty).select("text_lang").collect()
+    ]
+    empty_und = int(all(v == "und" for v in labels))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "lang_state")
+        op.save_state(path)
+        restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
+            path, spark
+        )
+        pred2 = restored.transform(hold).select("expected", "text_lang").collect()
+        roundtrip = int(
+            sorted((r["expected"], r["text_lang"]) for r in pred)
+            == sorted((r["expected"], r["text_lang"]) for r in pred2)
+        )
+        restored.release()
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = (
+        op.transform(docs)
+        .where(F.col("text_lang") != F.lit("und"))
+        .count()
+    )
+    op.release()
+    return _inv_df(spark, [
+        ("langs_learned", langs_learned),
+        ("holdout_docs", holdout_docs),
+        ("holdout_floor_met", floor_met),
+        ("empty_und", empty_und),
+        ("roundtrip_stable", roundtrip),
+        ("corpus_docs_labeled", labeled),
+    ])
 
 
 @_reg(
@@ -3214,6 +3288,19 @@ _merge("quality_filter", [
      "doc_id, CAST(NULL AS BOOLEAN) AS flag"),
     ("contamination", ["doc_id", "contaminated AS flag"],
      "doc_id, contaminated AS flag"),
+])
+
+# language identification: the SQL-twin stopword heuristic (per-doc
+# labels hash-pinned) + the 30-language char-n-gram model (invariant
+# member: fixture accuracy floors, state round-trip, and the
+# cross-engine docs-with-letters == docs-labeled term)
+_merge("lang_id", [
+    ("stopword_lang",
+     ["cast(doc_id AS string) AS k", "text_lang AS v"],
+     "CAST(doc_id AS VARCHAR) AS k, text_lang AS v"),
+    ("ngram_lang",
+     ["invariant AS k", "cast(n AS string) AS v"],
+     "invariant AS k, CAST(n AS VARCHAR) AS v"),
 ])
 
 # corpus language-model surface: unigram quality score + tokenizer-prep

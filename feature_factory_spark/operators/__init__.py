@@ -54,6 +54,7 @@ from .text import (
     DocumentFingerprint,
     GopherQualityFilter,
     LanguageIdentifier,
+    NgramLanguageIdentifier,
     PIIRedactor,
     RepetitionFeatures,
     TextCleaner,
@@ -130,7 +131,8 @@ __all__ = [
     "SelectBySingleFeaturePerformance", "SelectByTargetMeanPerformance",
     "MRMR",
     # LLM-data-pipeline extensions (beyond the reference inventory)
-    "TextFeatures", "TokenCount", "LanguageIdentifier", "DocumentFingerprint",
+    "TextFeatures", "TokenCount", "LanguageIdentifier",
+    "NgramLanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "VocabBuilder",

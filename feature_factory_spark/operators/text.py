@@ -9,6 +9,8 @@ ANSI-SQL correctness oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -823,4 +825,223 @@ class VocabBuilder(Transformer):
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(
             *[F.col(c) for c in df.columns], F.col("__ff_oov").alias(out_col)
+        )
+
+
+class NgramLanguageIdentifier(Transformer):
+    """Model-grade language identification: ``fit`` learns per-language
+    character-n-gram log-probability profiles from a labeled
+    ``(lang, text)`` corpus; ``transform`` scores each document under
+    every profile (naive-Bayes over character n-grams — the same model
+    family as textcat/fasttext's char-gram features) and appends
+    ``{text_col}_lang`` = argmax language, 'und' for documents with no
+    letters.
+
+    Built-in default corpus: 30 languages from
+    ``functions.langdata`` (fit with ``fit_default(spark)``), so
+    language ID works out of the box; fitting on a real labeled corpus
+    (Tatoeba/OSCAR slices) uses the identical distributed path. This
+    replaces the shallow 4-language stopword heuristic
+    (``LanguageIdentifier``) as the recommended identifier; the
+    heuristic stays for SQL-twin-reproducible pipelines.
+
+    Model: per language, keep the ``top_k`` most frequent n-grams of
+    the space-padded, letter-only, lowercased text;
+    logp(g|lang) = ln((count+1)/(total+kept+1)), with
+    ln(1/(total+kept+1)) as the unseen-gram fallback. score(doc, lang)
+    = sum over the doc's first ``sample_chars`` characters' n-grams.
+    Ties break to the alphabetically first language (deterministic).
+
+    Scale shape: fit is one explode + groupBy(lang, gram) aggregate and
+    a per-lang top-k window over the AGGREGATED counts (|langs| x
+    |grams| rows, tiny) — only the |langs| totals reach the driver.
+    transform is explode -> broadcast hash join against the profile
+    (<= |langs| * top_k rows, always broadcastable) -> one
+    groupBy(doc) partial-aggregated sum per language; the per-doc
+    ``sample_chars`` cap bounds the explode factor, so cost is linear
+    in documents, not document length. No shuffle other than the final
+    per-doc aggregate; no Python anywhere.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        top_k: int = 300,
+        sample_chars: int = 2000,
+        lang_col: str = "lang",
+        fit_text_col: str = "text",
+    ):
+        ensure(n >= 1, "n must be >= 1")
+        ensure(top_k >= 1, "top_k must be >= 1")
+        ensure(sample_chars >= n, "sample_chars must be >= n")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.top_k = top_k
+        self.sample_chars = sample_chars
+        self.lang_col = lang_col
+        self.fit_text_col = fit_text_col
+        self.profile_df_: DataFrame | None = None  # (gram, lang, logp)
+        self.langs_: list[str] | None = None
+        self.fallback_: dict[str, float] | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["profile_df_"]
+
+    def _check_input(self, df: DataFrame) -> None:
+        # fit() receives the labeled profile corpus and transform() the
+        # document corpus — different schemas; each path validates its
+        # own columns (same pattern as ContaminationChecker)
+        pass
+
+    def _grams_expr(self, col: Column) -> Column:
+        """Space-padded letter-only lowercase char n-grams; empty array
+        for text with no letters."""
+        t = F.lower(col)
+        t = F.regexp_replace(t, r"[^\p{L}\s]", " ")
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+        padded = F.concat(F.lit(" "), t, F.lit(" "))
+        grams = F.when(
+            F.length(t) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - F.lit(self.n - 1)),
+                lambda i: padded.substr(i, F.lit(self.n)),
+            ),
+        )
+        return F.coalesce(grams, F.array().cast("array<string>"))
+
+    def fit_default(self, spark) -> "NgramLanguageIdentifier":
+        """Fit on the built-in 30-language fixture corpus."""
+        from ..functions.langdata import fixture_df
+
+        return self.fit(fixture_df(spark, "train"))
+
+    def _fit(self, df: DataFrame) -> None:
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+
+        validate_columns(df, [self.lang_col])
+        validate_string_columns(df, [self.fit_text_col])
+        grams = df.select(
+            F.col(self.lang_col).alias("lang"),
+            F.explode(self._grams_expr(F.col(self.fit_text_col))).alias("gram"),
+        )
+        counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+        top = counts.withColumn("__rk", F.row_number().over(w)).where(
+            F.col("__rk") <= self.top_k
+        )
+        # smoothing denominators share ONE vocabulary scale V (distinct
+        # kept grams across all languages): per-language denominators
+        # (tot_lang + kept_lang + 1) make a small-profile language's
+        # UNSEEN-gram fallback beat a large-profile language's SEEN-gram
+        # scores, mislabeling everything as the smallest profile. With
+        # denom(lang) = tot_lang + V + 1 a seen gram (cnt+1 >= 2) always
+        # outscores that language's own fallback, and fallbacks differ
+        # across languages only by ln((tot_a+V+1)/(tot_b+V+1)) — small.
+        totals = top.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+        rows = totals.collect()  # |langs| rows — tiny, driver-safe
+        ensure(bool(rows), "fit corpus produced no n-grams")
+        vocab_v = top.select("gram").distinct().count()
+        denom = {r["lang"]: float(r["tot"] + vocab_v + 1) for r in rows}
+        langs = sorted(denom)
+        profile = top.join(totals, "lang").select(
+            "gram",
+            "lang",
+            F.log(
+                (F.col("cnt") + F.lit(1)).cast("double")
+                / (F.col("tot") + F.lit(vocab_v) + F.lit(1)).cast("double")
+            ).alias("logp"),
+        )
+        if self.profile_df_ is not None:
+            # refit: release the previous fit's persisted frame
+            self.profile_df_.unpersist()
+        self.profile_df_ = profile.persist(StorageLevel.MEMORY_AND_DISK)
+        self._own_frame("profile_df_")
+        self.langs_ = langs
+        self.fallback_ = {
+            lang: math.log(1.0 / denom[lang]) for lang in langs
+        }
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        profile = _require_frame_state(
+            self.profile_df_, "NgramLanguageIdentifier", "profile_df_"
+        )
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+        langs = list(self.langs_)
+        fb = [float(self.fallback_[lang]) for lang in langs]
+        # wide profile: one row per gram, logp array in langs_ order
+        # (missing (gram, lang) entries take that language's fallback)
+        wide = (
+            profile.groupBy("gram")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("lang", "logp"))
+                ).alias("m")
+            )
+            .select(
+                "gram",
+                F.array(
+                    *[
+                        F.coalesce(F.col("m")[lang], F.lit(fb[i]))
+                        for i, lang in enumerate(langs)
+                    ]
+                ).alias("lps"),
+            )
+        )
+        sampled = F.substring(F.col(self.text_col), 1, self.sample_chars)
+        # one NULL sentinel gram per document, so EVERY doc (even one
+        # with no letters) reaches the per-doc aggregate and the 'und'
+        # decision is made THERE on never-null inputs. Relying on
+        # outer-join NULLs here is unsafe: the aggregate's array(...) is
+        # non-nullable, and the optimizer eliminates the null-guard on
+        # the join output, leaving garbage labels for unmatched docs.
+        doc_grams = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.explode(
+                F.concat(
+                    self._grams_expr(sampled),
+                    F.array(F.lit(None).cast("string")),
+                )
+            ).alias("gram"),
+        )
+        fb_arr = F.array(*[F.lit(v) for v in fb])
+        zero_arr = F.array(*[F.lit(0.0) for _ in langs])
+        scored = doc_grams.join(F.broadcast(wide), "gram", "left").select(
+            "__ff_id",
+            F.when(
+                F.col("gram").isNotNull(), F.coalesce("lps", fb_arr)
+            ).otherwise(zero_arr).alias("lps"),
+            F.col("gram").isNotNull().cast("long").alias("__real"),
+        )
+        langs_arr = F.array(*[F.lit(lang) for lang in langs])
+        best = F.element_at(
+            langs_arr,
+            F.array_position(
+                F.col("scores"), F.array_max(F.col("scores"))
+            ).cast("int"),
+        )
+        per_doc = scored.groupBy("__ff_id").agg(
+            F.array(
+                *[F.sum(F.col("lps")[i]) for i in range(len(langs))]
+            ).alias("scores"),
+            F.sum("__real").alias("__n"),
+        ).select(
+            "__ff_id",
+            F.when(F.col("__n") > 0, best)
+            .otherwise(F.lit("und"))
+            .alias("__ff_lang"),
+        )
+        out_col = f"{self.text_col}_lang"
+        return df.join(
+            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
+            F.col("__ff_lang").alias(out_col),
         )

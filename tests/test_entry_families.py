@@ -50,7 +50,7 @@ def test_family_members_cover_every_operator_query(entry):
         "outlier_family", "numeric_transform", "feature_create",
         "datetime_family", "select_stats", "scale_family",
         "embed_transform", "ts_features", "dedup_ids", "sample_family",
-        "quality_filter", "pack_family", "lm_family",
+        "quality_filter", "pack_family", "lm_family", "lang_id",
     ],
 )
 def test_family_slices_all_non_empty(entry, spark, family):

@@ -118,3 +118,65 @@ def test_bucketed_search_index_empty_meta_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no LSH meta"):
         op.search_index(spark, path, queries)
+
+
+# -- NgramLanguageIdentifier (VERDICT r5 item 2) ------------------------
+
+
+class TestNgramLanguageIdentifier:
+    def test_holdout_accuracy(self, spark):
+        from pyspark.sql import functions as F
+
+        from feature_factory_spark.functions.langdata import HOLDOUT, fixture_df
+
+        op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+        assert len(op.langs_) == len(HOLDOUT) == 30
+        hold = fixture_df(spark, "holdout").select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("lang").alias("expected"),
+            "text",
+        )
+        pred = op.transform(hold).select("expected", "text_lang").collect()
+        correct = sum(1 for r in pred if r["expected"] == r["text_lang"])
+        assert correct >= 0.9 * len(pred), (correct, len(pred))
+        op.release()
+
+    def test_und_for_letterless_and_null_text(self, spark):
+        op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+        e = spark.createDataFrame(
+            [(1, ""), (2, "123 456 !!!"), (3, None), (4, "   ")],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r["text_lang"]
+               for r in op.transform(e).collect()}
+        assert got == {1: "und", 2: "und", 3: "und", 4: "und"}
+        op.release()
+
+    def test_state_roundtrip(self, spark, tmp_path):
+        op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+        path = str(tmp_path / "lid")
+        op.save_state(path)
+        restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
+            path, spark
+        )
+        e = spark.createDataFrame(
+            [(1, "the cat sat on the mat with the dog and we went home"),
+             (2, "der hund und die katze sind nicht mit uns nach hause gegangen")],
+            "doc_id bigint, text string",
+        )
+        a = sorted((r["doc_id"], r["text_lang"]) for r in op.transform(e).collect())
+        b = sorted((r["doc_id"], r["text_lang"]) for r in restored.transform(e).collect())
+        assert a == b == [(1, "en"), (2, "de")]
+        op.release()
+        restored.release()
+
+    def test_plan_is_broadcast_join_no_python(self, spark):
+        op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+        e = spark.createDataFrame(
+            [(1, "hello world")], "doc_id bigint, text string"
+        )
+        plan = op.transform(e)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        op.release()
