@@ -66,7 +66,7 @@ the op is a member slice of that family query):
                               target_mean_performance,mrmr_relevance}
   Pipeline                    pipeline_flagship (also entry())
   — LLM extensions (standalone): cosine/ivf/bucketed topk, text_features,
-  token_count, lang_id, text_clean, repetition_features, pii_redact,
+  token_count, text_clean, repetition_features, pii_redact,
   doc_fingerprint, tfidf_topk,
   json_extract, events_window, session_window, line_dedup,
   kmeans_cluster, oof_mean_encode, tree_discretize,
@@ -76,7 +76,10 @@ the op is a member slice of that family query):
   — LLM extensions (families): dedup_pairs (minhash+simhash),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
-  sample_family (hash_sample/hash_split/weighted_sample), pack_family
+  lang_id (stopword heuristic, hash-pinned, + the 30-language
+  char-n-gram model's invariant member), sample_family
+  (hash_sample/hash_split/weighted_sample/url_ops — the web-operator
+  domain|path|blocked|kept tuple per doc), pack_family
   (sequence_pack + doc_chunk context-window chunking +
   substring_spans exact-substring dedup), scale_family,
   embed_transform (l2 + random projection), ts_features (lag/window/
@@ -1744,6 +1747,85 @@ def q_ngram_lang(spark, sf_dir):
 
 
 @_reg(
+    "url_ops",
+    # deterministic URLs constructed from documents fields in BOTH
+    # engines (the corpus has no url column); the oracle recomputes
+    # host/path extraction, blocklist membership, and the md5-ranked
+    # per-domain cap with plain SQL
+    r"""WITH u AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+      || source || '.example.org'
+      || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+      || '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '?ref=abc' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_extract(url, '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1),
+      '^www\.', '') AS domain,
+    regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path
+  FROM u
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY domain
+      ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM parts
+)
+SELECT doc_id, domain || '|' || path || '|'
+  || CASE WHEN domain IN ('src3.example.org', 'src7.example.org')
+     THEN 'true' ELSE 'false' END
+  || '|' || CASE WHEN rk <= 5 THEN '1' ELSE '0' END AS val
+FROM ranked""",
+)
+def q_url_ops(spark, sf_dir):
+    """DomainExtractor + DomainBlocklistFilter + DomainCapSampler
+    (operators/web.py) over URLs deterministically constructed from
+    documents fields (the synthetic corpus has no url column; varied
+    shapes — www prefixes, ports, query strings — exercise the parse).
+    val = domain|path|blocked|kept, every component oracle-recomputed."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.org"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/"), F.col("lang"), F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=abc")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    ext = ff.DomainExtractor(["url"]).transform(base)
+    flagged = ff.DomainBlocklistFilter(
+        "url", ["src3.example.org", "src7.example.org"]
+    ).transform(ext)
+    capped = ff.DomainCapSampler(
+        "url", "doc_id", max_per_domain=5
+    ).transform(base).select("doc_id")
+    # membership via semi/anti + union, NOT a left join + null-flag:
+    # the cap subset's columns are non-nullable, and the optimizer
+    # eliminates null-guards on outer-join output for non-nullable
+    # inputs (see NgramLanguageIdentifier._transform)
+    kept = flagged.join(capped, "doc_id", "left_semi").withColumn(
+        "__kept", F.lit("1")
+    )
+    dropped = flagged.join(capped, "doc_id", "left_anti").withColumn(
+        "__kept", F.lit("0")
+    )
+    return kept.unionByName(dropped).select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.col("url_domain"),
+            F.col("url_path"),
+            F.col("domain_blocked").cast("string"),
+            F.col("__kept"),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "text_clean",
     f"""WITH c AS (SELECT doc_id,
 regexp_replace(trim(array_to_string(list_filter(
@@ -3281,6 +3363,7 @@ _merge("sample_family", [
     ("hash_split", ["doc_id", "split AS val"], "doc_id, split AS val"),
     ("weighted_sample", ["doc_id", "cast(NULL AS string) AS val"],
      "doc_id, CAST(NULL AS VARCHAR) AS val"),
+    ("url_ops", ["doc_id", "val"], "doc_id, val"),
 ])
 
 _merge("quality_filter", [

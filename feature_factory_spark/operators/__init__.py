@@ -48,6 +48,7 @@ from .numerical import (
     YeoJohnsonTransformer,
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
+from .web import DomainBlocklistFilter, DomainCapSampler, DomainExtractor
 from .text import (
     ContaminationChecker,
     UnigramLogProbScorer,
@@ -140,6 +141,7 @@ __all__ = [
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "ExactSubstringDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
+    "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "decode_image", "encode_png", "image_decoder", "image_schema",

@@ -1,0 +1,230 @@
+"""URL / domain operators for web-corpus curation.
+
+The reference has no web operators (SURVEY.md §2.3); these are part of
+the beyond-reference LLM-pipeline surface: domain extraction for
+provenance columns, blocklist filtering, and per-domain caps (the
+standard anti-SEO-spam measure — no single domain should dominate a
+training mix).
+
+Design rules match the text operators: pure JVM expressions
+(``parse_url`` + regexps) for extraction, broadcast joins for
+frame-held blocklists, and the salted two-phase top-k (GroupedTopK)
+for per-domain caps — domain frequency is zipfian at corpus scale, so
+the cap path defaults to skew_safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline import Transformer
+from ..validation import ensure, validate_columns, validate_string_columns
+from .joins import GroupedTopK
+
+
+def host_expr(url: Column) -> Column:
+    """Hostname (no scheme, userinfo, port, path). try_parse_url, not
+    parse_url: ANSI mode (Spark 4 default) makes parse_url RAISE on the
+    malformed URLs a crawled corpus is full of — the operator contract
+    is NULL components instead."""
+    return F.try_parse_url(url, F.lit("HOST"))
+
+
+def registered_domain_expr(url: Column) -> Column:
+    """Host with a leading ``www.`` stripped — the grouping key for
+    caps/blocklists. (A full public-suffix-list reduction needs the PSL
+    data file; ``www.``-stripping is the deterministic, dependency-free
+    default and the seam where a PSL join would slot in.)"""
+    return F.regexp_replace(host_expr(url), r"^www\.", "")
+
+
+def path_expr(url: Column) -> Column:
+    return F.try_parse_url(url, F.lit("PATH"))
+
+
+class DomainExtractor(Transformer):
+    """Append URL components per url column:
+
+    - ``{c}_host``    hostname (userinfo/port stripped)
+    - ``{c}_domain``  host minus a leading ``www.``
+    - ``{c}_path``    path component ('' when absent)
+
+    Stateless projection, pure JVM ``parse_url`` expressions; malformed
+    URLs yield NULL components rather than errors."""
+
+    def __init__(self, columns: list[str]):
+        ensure(bool(columns), "at least one url column is required")
+        self.columns = list(columns)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        new_cols = []
+        for c in self.columns:
+            u = F.col(c)
+            new_cols += [
+                host_expr(u).alias(f"{c}_host"),
+                registered_domain_expr(u).alias(f"{c}_domain"),
+                path_expr(u).alias(f"{c}_path"),
+            ]
+        return df.select("*", *new_cols)
+
+
+class DomainBlocklistFilter(Transformer):
+    """Flag (or drop) rows whose URL's domain is on a blocklist.
+
+    A domain matches when it EQUALS a blocked entry or is a subdomain
+    of one (``ads.tracker.example`` matches blocked ``tracker.example``)
+    — suffix matching on dot boundaries, never substring matching
+    (``nottracker.example`` does not match).
+
+    ``blocked``: a Python list (inlined as a literal array — fine for
+    curated lists of up to a few thousand entries) or a single-column
+    DataFrame (scale path: the corpus left-joins the broadcast
+    blocklist on the candidate-suffix key — a URL has at most
+    ``label-count`` candidate suffixes, so the explode factor is ~3-5).
+
+    ``mode='flag'`` appends boolean ``output_col``; ``mode='filter'``
+    drops matching rows. NULL/malformed URLs are never flagged."""
+
+    def __init__(
+        self,
+        url_col: str,
+        blocked: list[str] | DataFrame,
+        mode: str = "flag",
+        output_col: str = "domain_blocked",
+    ):
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        if isinstance(blocked, list):
+            ensure(bool(blocked), "blocklist is empty")
+        self.url_col = url_col
+        self.blocked = blocked
+        self.mode = mode
+        self.output_col = output_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.url_col])
+
+    @staticmethod
+    def _suffixes_expr(domain: Column) -> Column:
+        """All dot-boundary suffixes of a domain:
+        'a.b.example.org' -> ['a.b.example.org', 'b.example.org',
+        'example.org', 'org']."""
+        parts = F.split(domain, r"\.")
+        n = F.size(parts)
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        )
+
+    def _flag_expr_or_frame(self, df: DataFrame):
+        domain = registered_domain_expr(F.col(self.url_col))
+        suffixes = self._suffixes_expr(domain)
+        if isinstance(self.blocked, list):
+            blocked_arr = F.array(*[F.lit(d) for d in sorted(set(self.blocked))])
+            return F.coalesce(
+                F.arrays_overlap(suffixes, blocked_arr), F.lit(False)
+            )
+        # frame blocklist: explode candidate suffixes, broadcast-join the
+        # blocklist, flag docs with any hit (left-semi would lose the
+        # non-matching rows; aggregate the hit flag instead)
+        return None
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if isinstance(self.blocked, list):
+            flag = self._flag_expr_or_frame(df)
+            out = df.select("*", flag.alias(self.output_col))
+        else:
+            bl_col = self.blocked.columns[0]
+            blocklist = self.blocked.select(
+                F.col(bl_col).alias("__ff_blocked_domain")
+            ).distinct()
+            domain = registered_domain_expr(F.col(self.url_col))
+            keyed = df.select(
+                "*",
+                F.coalesce(
+                    self._suffixes_expr(domain),
+                    F.array().cast("array<string>"),
+                ).alias("__ff_sfx"),
+            )
+            exploded = keyed.select(
+                "*", F.explode_outer("__ff_sfx").alias("__ff_one_sfx")
+            )
+            hit = exploded.join(
+                F.broadcast(blocklist),
+                exploded["__ff_one_sfx"] == blocklist["__ff_blocked_domain"],
+                "left",
+            )
+            out = (
+                hit.groupBy(*[F.col(c) for c in df.columns])
+                .agg(
+                    (F.count("__ff_blocked_domain") > 0).alias(self.output_col)
+                )
+            )
+        if self.mode == "filter":
+            return out.where(~F.col(self.output_col)).drop(self.output_col)
+        return out
+
+
+class DomainCapSampler(Transformer):
+    """Keep at most ``max_per_domain`` rows per registered domain —
+    deterministic (hash-ordered) per-domain downsampling, the standard
+    guard against any one domain dominating a training mix.
+
+    Within a domain, survivors are the ``max_per_domain`` smallest
+    md5(id) values (seeded) — a reproducible uniform choice independent
+    of input order/partitioning. The cap itself is GroupedTopK's salted
+    two-phase top-k (``skew_safe=True`` by default): domain frequency
+    is zipfian, so the biggest domain would otherwise serialize onto
+    one reducer."""
+
+    def __init__(
+        self,
+        url_col: str,
+        id_col: str,
+        max_per_domain: int,
+        seed: int = 0,
+        skew_safe: bool = True,
+        domain_col: str | None = None,
+    ):
+        ensure(max_per_domain >= 1, "max_per_domain must be >= 1")
+        self.url_col = url_col
+        self.id_col = id_col
+        self.max_per_domain = max_per_domain
+        self.seed = seed
+        self.skew_safe = skew_safe
+        # pre-extracted domain column (skips parse_url when the pipeline
+        # already ran DomainExtractor)
+        self.domain_col = domain_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        cols = [self.id_col]
+        if self.domain_col is None:
+            cols.append(self.url_col)
+        else:
+            cols.append(self.domain_col)
+        validate_columns(df, cols)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        domain = (
+            F.col(self.domain_col)
+            if self.domain_col is not None
+            else registered_domain_expr(F.col(self.url_col))
+        )
+        rank_key = F.md5(
+            F.concat_ws("|", F.lit(str(self.seed)), F.col(self.id_col).cast("string"))
+        )
+        keyed = df.select(
+            "*", domain.alias("__ff_domain"), rank_key.alias("__ff_rk")
+        )
+        capped = GroupedTopK(
+            ["__ff_domain"],
+            "__ff_rk",
+            self.max_per_domain,
+            ascending=True,
+            tiebreak_cols=[self.id_col],
+            skew_safe=self.skew_safe,
+        ).transform(keyed)
+        return capped.drop("__ff_domain", "__ff_rk")

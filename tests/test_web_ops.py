@@ -1,0 +1,123 @@
+"""URL/domain operators (operators/web.py): extraction semantics,
+blocklist suffix matching, deterministic per-domain caps."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (1, "https://www.example.org/en/doc-1"),
+        (2, "https://example.org/fr/doc-2?ref=abc"),
+        (3, "http://user:pw@sub.tracker.example:8080/x/y?q=1"),
+        (4, "https://nottracker.example/path"),
+        (5, None),
+        (6, "not a url at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+
+def test_domain_extractor_components(urls):
+    out = ff.DomainExtractor(["url"]).transform(urls)
+    got = {r["doc_id"]: (r["url_host"], r["url_domain"], r["url_path"])
+           for r in out.collect()}
+    assert got[1] == ("www.example.org", "example.org", "/en/doc-1")
+    # query stripped from path; port and userinfo stripped from host
+    assert got[2] == ("example.org", "example.org", "/fr/doc-2")
+    assert got[3] == ("sub.tracker.example", "sub.tracker.example", "/x/y")
+    assert got[5] == (None, None, None)
+
+
+def test_blocklist_suffix_matching_list(urls):
+    op = ff.DomainBlocklistFilter("url", ["tracker.example"])
+    got = {r["doc_id"]: r["domain_blocked"]
+           for r in op.transform(urls).collect()}
+    # subdomain matches on dot boundary; 'nottracker.example' must NOT
+    assert got[3] is True
+    assert got[4] is False
+    assert got[1] is False and got[2] is False
+    # NULL / malformed URLs are never flagged
+    assert got[5] is False and got[6] is False
+
+
+def test_blocklist_frame_matches_list(spark, urls):
+    bl = spark.createDataFrame([("tracker.example",), ("example.org",)],
+                               "domain string")
+    frame_out = {
+        r["doc_id"]: r["domain_blocked"]
+        for r in ff.DomainBlocklistFilter("url", bl).transform(urls).collect()
+    }
+    list_out = {
+        r["doc_id"]: r["domain_blocked"]
+        for r in ff.DomainBlocklistFilter(
+            "url", ["tracker.example", "example.org"]
+        ).transform(urls).collect()
+    }
+    assert frame_out == list_out
+    assert frame_out[1] is True and frame_out[2] is True
+    assert frame_out[4] is False
+
+
+def test_blocklist_filter_mode(urls):
+    op = ff.DomainBlocklistFilter("url", ["example.org"], mode="filter")
+    kept = sorted(r["doc_id"] for r in op.transform(urls).collect())
+    assert kept == [3, 4, 5, 6]
+
+
+def test_blocklist_frame_is_broadcast(spark, urls):
+    bl = spark.createDataFrame([("tracker.example",)], "domain string")
+    plan = (
+        ff.DomainBlocklistFilter("url", bl)
+        .transform(urls)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.fixture(scope="module")
+def many_urls(spark):
+    # 3 domains x 20 docs, one domain via www
+    rows = [
+        (i, f"https://{'www.' if d == 0 else ''}d{d}.example.org/doc/{i}")
+        for i in range(60)
+        for d in [i % 3]
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+
+def test_domain_cap_counts_and_determinism(many_urls):
+    op = ff.DomainCapSampler("url", "doc_id", max_per_domain=5)
+    out1 = sorted(r["doc_id"] for r in op.transform(many_urls).collect())
+    out2 = sorted(
+        r["doc_id"]
+        for r in op.transform(many_urls.repartition(7)).collect()
+    )
+    assert out1 == out2  # partitioning-independent
+    assert len(out1) == 15
+    per_domain = (
+        ff.DomainExtractor(["url"]).transform(many_urls)
+        .where(F.col("doc_id").isin(out1))
+        .groupBy("url_domain").count().collect()
+    )
+    assert {r["count"] for r in per_domain} == {5}
+
+
+def test_domain_cap_seed_changes_sample(many_urls):
+    a = sorted(r["doc_id"] for r in ff.DomainCapSampler(
+        "url", "doc_id", 5, seed=0).transform(many_urls).collect())
+    b = sorted(r["doc_id"] for r in ff.DomainCapSampler(
+        "url", "doc_id", 5, seed=1).transform(many_urls).collect())
+    assert a != b
+
+
+def test_domain_cap_precomputed_domain_col(many_urls):
+    with_dom = ff.DomainExtractor(["url"]).transform(many_urls)
+    via_url = sorted(r["doc_id"] for r in ff.DomainCapSampler(
+        "url", "doc_id", 5).transform(many_urls).collect())
+    via_col = sorted(r["doc_id"] for r in ff.DomainCapSampler(
+        "url", "doc_id", 5, domain_col="url_domain"
+    ).transform(with_dom).collect())
+    assert via_url == via_col
