@@ -1328,6 +1328,53 @@ def q_embedding_dedup(spark, sf_dir):
     return pairs.select("a_id", "b_id", r6(F.col("cosine")).alias("cosine"))
 
 
+@_reg(
+    "semantic_dedup",
+    # SemDeDup composition (cluster -> within-cluster LSH -> exact
+    # cosine). The corpus's own >=0.45 pairs are weak correlations that
+    # don't co-cluster, so the query PLANTS true near-dups (a corpus
+    # vector with one nudged coordinate, cosine ~0.9999): at
+    # threshold 0.9 the full pair set is exactly the planted pairs, and
+    # the oracle recomputes both the set and the cosines from the raw
+    # table — the background corpus is exercised but contributes no
+    # pair (its max cosine is ~0.51).
+    f"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IN (0, 2, 4)),
+p AS (SELECT vec_id AS a_id, CAST(vec_id + 1000000 AS BIGINT) AS b_id,
+  {SQL_COS.format(a='embedding', b='([embedding[1] + 0.01] || embedding[2:])')} c
+FROM base)
+SELECT a_id, b_id, {R6('c')} AS score FROM p""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemanticDeduplicator (operators/similarity.py): k-means cluster
+    blocking + within-cluster hyperplane-LSH + exact-cosine verify."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2000)
+    )
+    planted = emb.where(F.col("vec_id").isin(0, 2, 4)).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.01)),
+            F.slice(F.col("embedding"), 2, 63).cast("array<double>"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    with _interpreted_eval(spark):
+        op = ff.SemanticDeduplicator(
+            "embedding", "vec_id", threshold=0.9, k=8, dim=64
+        )
+        op.fit(corpus)
+        pairs = op.candidate_pairs(corpus)
+        found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    expected = {(0, 1000000), (2, 1000002), (4, 1000004)}
+    assert found == expected, (
+        f"semantic dedup planted-pair recall/precision broke: {found}"
+    )
+    return pairs.select("a_id", "b_id", r6(F.col("cosine")).alias("score"))
+
+
 def _inv_df(spark, rows: list[tuple[str, int]]) -> DataFrame:
     """Invariant frames are computed EAGERLY (the aggregates run while
     the query function builds, mirroring the fitted-statistics queries)
@@ -3344,6 +3391,7 @@ _merge("dedup_pairs", [
      "a_id, b_id, jaccard AS score"),
     ("simhash_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
      "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
+    ("semantic_dedup", ["a_id", "b_id", "score"], "a_id, b_id, score"),
 ])
 
 _merge("dedup_pairs_baseline", [

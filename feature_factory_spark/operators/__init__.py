@@ -73,7 +73,13 @@ from .dedup import (
     NGramJaccardDeduplicator,
     SimHashDeduplicator,
 )
-from .similarity import BucketedCosineTopK, CosineTopK, IVFCosineTopK, KMeansClusterer
+from .similarity import (
+    BucketedCosineTopK,
+    CosineTopK,
+    IVFCosineTopK,
+    KMeansClusterer,
+    SemanticDeduplicator,
+)
 from .audiocodec import (
     audio_schema,
     constant_wav,
@@ -141,6 +147,7 @@ __all__ = [
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "ExactSubstringDeduplicator",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
+    "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",

@@ -572,3 +572,136 @@ class KMeansClusterer(Transformer):
                 nearest_centroids_expr(F.col(self.vec_col), self.centroids_, 1), 1
             ).alias(self.out_col),
         )
+
+
+class SemanticDeduplicator(Transformer):
+    """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
+    'SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication' — public paper): cluster the embedding space with
+    k-means, then find cosine-threshold near-dup pairs WITHIN each
+    cluster only, never across the whole corpus.
+
+    Composition of two existing primitives, packaged as one operator:
+    :class:`KMeansClusterer` (the coarse quantizer; ``fit`` learns the
+    centroids) and the hyperplane-LSH blocking of
+    :class:`~.dedup.EmbeddingDeduplicator`. Candidates must share BOTH
+    the cluster id and an LSH signature half, so the pair join is
+    bucketed twice: cluster membership bounds the candidate space to
+    ~|corpus|/k per cluster (the paper's semantics), and the LSH chunk
+    keeps even a giant cluster from going all-pairs. Exact cosine
+    verifies every candidate; ``transform`` drops by the shared policy
+    ('greedy' = larger id of each pair, 'components' = connected
+    components keep-smallest).
+
+    Scale shape: fit = ``iterations`` aggregate jobs (k x dim floats to
+    the driver); pair generation = one narrow projection (cluster id +
+    signature are centroid/hyperplane literals — no UDF, no shuffle) +
+    one self-join on (cluster, chunk id, chunk value) + exact-cosine
+    filter. No all-pairs term anywhere.
+    """
+
+    def __init__(
+        self,
+        vec_col: str,
+        id_col: str,
+        threshold: float = 0.95,
+        k: int = 8,
+        iterations: int = 2,
+        dim: int | None = None,
+        n_planes: int = 16,
+        seed: int = 42,
+        policy: str = "greedy",
+    ):
+        ensure(-1.0 <= threshold <= 1.0, "threshold must be in [-1,1]")
+        ensure(dim is not None, "dim is required (hyperplane literals)")
+        ensure(n_planes % 2 == 0, "n_planes must be even")
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.k = k
+        self.iterations = iterations
+        self.dim = dim
+        self.n_planes = n_planes
+        self.seed = seed
+        self.policy = policy
+        self.centroids_: list[list[float]] = []
+        self.clusterer = KMeansClusterer(
+            vec_col, id_col, k=k, iterations=iterations, out_col="__ff_sem_c"
+        )
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col, self.id_col])
+
+    def _fit(self, df: DataFrame) -> None:
+        self.clusterer.fit(df)
+        self.centroids_ = self.clusterer.centroids_
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """Verified within-cluster pairs (a_id, b_id, cluster, cosine),
+        a_id < b_id."""
+        self._check_input(df)
+        # restore the composed clusterer on a load_state()d instance
+        # (scalar centroid lists round-trip through JSON)
+        self.clusterer.centroids_ = self.centroids_
+        self.clusterer._fitted = True
+        planes = _hyperplanes(self.n_planes, self.dim, self.seed)
+        half = self.n_planes // 2
+        base = self.clusterer.transform(df).select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vec_col).alias("vec"),
+            F.col("__ff_sem_c").alias("c"),
+            hyperplane_sig_expr(F.col(self.vec_col), planes).alias("sig"),
+        )
+        chunks = base.select(
+            "id", "vec", "c",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("ci"),
+                        F.col("sig").bitwiseAND(F.lit((1 << half) - 1)).alias("cv"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("ci"),
+                        F.shiftrightunsigned(
+                            F.col("sig").cast("bigint"), half
+                        ).alias("cv"),
+                    ),
+                )
+            ).alias("ch"),
+        ).select("id", "vec", "c", "ch.ci", "ch.cv")
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.c") == F.col("b.c"),
+                    F.col("a.ci") == F.col("b.ci"),
+                    F.col("a.cv") == F.col("b.cv"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("a.vec").alias("a_vec"),
+                F.col("b.id").alias("b_id"),
+                F.col("b.vec").alias("b_vec"),
+                F.col("a.c").alias("cluster"),
+            )
+            .distinct()
+        )
+        return cand.select(
+            "a_id",
+            "b_id",
+            "cluster",
+            cosine_expr(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+        ).where(F.col("cosine") >= F.lit(self.threshold))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import _drop_by_policy
+
+        return _drop_by_policy(
+            df, self.id_col, self.candidate_pairs(df), self.policy
+        )

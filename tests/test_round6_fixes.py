@@ -180,3 +180,70 @@ class TestNgramLanguageIdentifier:
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
         op.release()
+
+
+# -- SemanticDeduplicator (VERDICT r5 item 4) ---------------------------
+
+
+class TestSemanticDeduplicator:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(40):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(8)]))
+        # plant 3 near-dup partners of vectors 0, 1, 2
+        for i in range(3):
+            v = list(rows[i][1])
+            v[0] += 0.01
+            rows.append((100 + i, v))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_finds_planted_pairs_only(self, corpus):
+        op = ff.SemanticDeduplicator(
+            "embedding", "vec_id", threshold=0.99, k=4, dim=8
+        )
+        op.fit(corpus)
+        pairs = op.candidate_pairs(corpus).collect()
+        assert {(r["a_id"], r["b_id"]) for r in pairs} == {
+            (0, 100), (1, 101), (2, 102)
+        }
+        for r in pairs:
+            assert r["cosine"] >= 0.99
+
+    def test_transform_drops_larger_ids(self, corpus):
+        op = ff.SemanticDeduplicator(
+            "embedding", "vec_id", threshold=0.99, k=4, dim=8
+        )
+        kept = sorted(
+            r["vec_id"] for r in op.fit(corpus).transform(corpus).collect()
+        )
+        assert kept == sorted(set(range(40)))
+
+    def test_pairs_share_cluster(self, corpus):
+        op = ff.SemanticDeduplicator(
+            "embedding", "vec_id", threshold=0.99, k=4, dim=8
+        )
+        op.fit(corpus)
+        clusters = {r["cluster"] for r in op.candidate_pairs(corpus).collect()}
+        assert clusters  # pair frame carries the shared cluster id
+        # cluster ids are valid
+        assert all(0 <= c < 4 for c in clusters)
+
+    def test_state_roundtrip(self, corpus, spark, tmp_path):
+        op = ff.SemanticDeduplicator(
+            "embedding", "vec_id", threshold=0.99, k=4, dim=8
+        )
+        op.fit(corpus)
+        path = str(tmp_path / "sem.json")
+        op.save_state(path)
+        restored = ff.SemanticDeduplicator(
+            "embedding", "vec_id", threshold=0.99, k=4, dim=8
+        ).load_state(path)
+        a = sorted((r["a_id"], r["b_id"])
+                   for r in op.candidate_pairs(corpus).collect())
+        b = sorted((r["a_id"], r["b_id"])
+                   for r in restored.candidate_pairs(corpus).collect())
+        assert a == b == [(0, 100), (1, 101), (2, 102)]
