@@ -1936,6 +1936,72 @@ def q_gopher_quality_filter(spark, sf_dir):
 
 
 @_reg(
+    "quality_model",
+    # the LBFGS-fitted coefficients are not SQL-recomputable; the
+    # oracle pins eagerly-asserted invariants (negative sentinel ids so
+    # the member unions cleanly into the per-doc quality family)
+    """SELECT CAST(-1 AS BIGINT) AS doc_id, TRUE AS flag
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+UNION ALL SELECT CAST(-3 AS BIGINT), TRUE
+UNION ALL SELECT CAST(-4 AS BIGINT), TRUE""",
+)
+def q_quality_model(spark, sf_dir):
+    """QualityScorer (operators/text.py): logistic regression over the
+    text-statistics features, weak-labeled by GopherQualityFilter.
+    Invariants: training AUC >= 0.85 against the weak labels, mean
+    P(quality | keep) > mean P(quality | drop), all probabilities in
+    [0, 1] with none NULL, and the scalar-coefficient state round-trips
+    through save/load bit-exactly."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.QualityScorer("text")
+    op.fit(docs)
+    label = ff.GopherQualityFilter(
+        "text", min_words=40, min_stopword_hits=1
+    ).keep_expr()
+    scored = op.transform(docs).select(
+        F.col("text_quality_prob").alias("p"), label.cast("int").alias("y")
+    )
+    w = Window.orderBy("p", "y")
+    agg = (
+        scored.select("p", "y", F.row_number().over(w).alias("rk"))
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("rk"))).alias("rsum"),
+            F.sum("y").alias("pos"),
+            F.count("*").alias("n"),
+            F.min("p").alias("pmin"),
+            F.max("p").alias("pmax"),
+            F.sum(F.col("p").isNull().cast("int")).alias("nulls"),
+            F.avg(F.when(F.col("y") == 1, F.col("p"))).alias("p_keep"),
+            F.avg(F.when(F.col("y") == 0, F.col("p"))).alias("p_drop"),
+        )
+        .first()
+    )
+    pos, neg = agg["pos"], agg["n"] - agg["pos"]
+    auc = (agg["rsum"] - pos * (pos + 1) / 2) / (pos * neg)
+    auc_ok = auc >= 0.85
+    assert auc_ok, f"quality model training AUC {auc:.3f} below 0.85 floor"
+    sep_ok = agg["p_keep"] > agg["p_drop"]
+    range_ok = (
+        agg["nulls"] == 0 and 0.0 <= agg["pmin"] <= agg["pmax"] <= 1.0
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "quality.json")
+        op.save_state(path)
+        restored = ff.QualityScorer("text").load_state(path)
+        rt_ok = (
+            restored.coefficients_ == op.coefficients_
+            and restored.intercept_ == op.intercept_
+        )
+    return spark.createDataFrame(
+        [(-1, bool(auc_ok)), (-2, bool(sep_ok)), (-3, bool(range_ok)),
+         (-4, bool(rt_ok))],
+        "doc_id bigint, flag boolean",
+    )
+
+
+@_reg(
     "pii_redact",
     # synthesize deterministic PII per row so the redaction regexes are
     # actually exercised, then verify the same patterns redact in RE2
@@ -3419,6 +3485,7 @@ _merge("quality_filter", [
      "doc_id, CAST(NULL AS BOOLEAN) AS flag"),
     ("contamination", ["doc_id", "contaminated AS flag"],
      "doc_id, contaminated AS flag"),
+    ("quality_model", ["doc_id", "flag"], "doc_id, flag"),
 ])
 
 # language identification: the SQL-twin stopword heuristic (per-doc

@@ -54,6 +54,7 @@ from .text import (
     UnigramLogProbScorer,
     DocumentFingerprint,
     GopherQualityFilter,
+    QualityScorer,
     LanguageIdentifier,
     NgramLanguageIdentifier,
     PIIRedactor,
@@ -142,6 +143,7 @@ __all__ = [
     "NgramLanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
+    "QualityScorer",
     "VocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",

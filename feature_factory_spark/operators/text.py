@@ -1045,3 +1045,143 @@ class NgramLanguageIdentifier(Transformer):
             *[F.col(c) for c in df.columns],
             F.col("__ff_lang").alias(out_col),
         )
+
+
+class QualityScorer(Transformer):
+    """Model-based document quality scoring: ``fit`` trains a logistic
+    regression of a weak-supervision quality label on the package's
+    text statistics; ``transform`` appends ``{text_col}_quality_prob``
+    = P(quality) in [0, 1]. This is the classifier stage that follows
+    rules-only filtering in CCNet/Gopher-style pipelines — rules give
+    cheap labels, the model gives a continuous score that ranks the
+    gray zone and transfers to corpora where the rule thresholds were
+    never tuned.
+
+    Default weak labeler: :class:`GopherQualityFilter` (its
+    ``keep_expr`` becomes the 0/1 training label); pass any operator
+    with a ``keep_expr()`` to change the supervision, or a higher-
+    quality hand-labeled frame by fitting on it directly.
+
+    Features (all JVM expressions, NULL-free by construction): word
+    count, char count, mean word length, punctuation/digit/stopword
+    ratios, duplicate-word / top-bigram / duplicate-line repetition
+    ratios — the TextFeatures + RepetitionFeatures signal set.
+
+    Scale shape: fit assembles features as expressions (one pass) and
+    runs ``pyspark.ml`` LogisticRegression — Spark's distributed LBFGS,
+    no driver materialization. The MODEL is then reduced to its scalar
+    coefficients (DecisionTreeDiscretiser precedent), so the fitted
+    state is a plain JSON dict, save/load needs no ml writer, and
+    ``transform`` is a pure sigmoid(dot) projection — no vector
+    assembly, no ml dependency, shuffle-free, SQL-expressible given the
+    coefficients.
+    """
+
+    FEATURES = (
+        "n_words", "n_chars", "avg_word_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "dup_word_ratio",
+        "top_bigram_ratio", "dup_line_ratio",
+    )
+
+    def __init__(
+        self,
+        text_col: str,
+        labeler=None,
+        max_iter: int = 50,
+        reg_param: float = 0.0,
+        output_col: str | None = None,
+    ):
+        ensure(max_iter >= 1, "max_iter must be >= 1")
+        self.text_col = text_col
+        self.labeler = labeler
+        self.max_iter = max_iter
+        self.reg_param = reg_param
+        self.output_col = output_col or f"{text_col}_quality_prob"
+        self.coefficients_: dict[str, float] = {}
+        self.intercept_: float = 0.0
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+
+    def _feature_exprs(self) -> dict[str, Column]:
+        text = F.col(self.text_col)
+        words = words_expr(text)
+        n_words = F.size(words).cast("double")
+        n_chars = F.length(text).cast("double")
+        non_space = F.length(F.regexp_replace(text, r"\s", "")).cast("double")
+        punct = n_chars - F.length(
+            F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+        ).cast("double")
+        digits = n_chars - F.length(
+            F.regexp_replace(text, r"[0-9]", "")
+        ).cast("double")
+        bigrams = ngrams_expr(words, 2)
+        top = max_run_expr(F.array_sort(bigrams)).cast("double")
+        lines = F.split(text, r"\n")
+
+        def ratio(num, den):
+            return F.coalesce(F.try_divide(num, den), F.lit(0.0))
+
+        def dup_ratio(arr):
+            n = F.size(arr).cast("double")
+            d = F.size(F.array_distinct(arr)).cast("double")
+            return F.coalesce(F.try_divide(n - d, n), F.lit(0.0))
+
+        return {
+            "n_words": F.coalesce(n_words, F.lit(0.0)),
+            "n_chars": F.coalesce(n_chars, F.lit(0.0)),
+            "avg_word_len": ratio(non_space, n_words),
+            "punct_ratio": ratio(punct, n_chars),
+            "digit_ratio": ratio(digits, n_chars),
+            "stopword_ratio": ratio(
+                stopword_hits_expr(words, STOPWORDS["en"]).cast("double"),
+                n_words,
+            ),
+            "dup_word_ratio": dup_ratio(words),
+            "top_bigram_ratio": ratio(top, F.size(bigrams).cast("double")),
+            "dup_line_ratio": dup_ratio(lines),
+        }
+
+    def _fit(self, df: DataFrame) -> None:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+
+        labeler = self.labeler or GopherQualityFilter(
+            self.text_col, min_words=40, min_stopword_hits=1
+        )
+        feats = self._feature_exprs()
+        train = df.where(F.col(self.text_col).isNotNull()).select(
+            *[expr.alias(name) for name, expr in feats.items()],
+            labeler.keep_expr().cast("double").alias("__ff_label"),
+        )
+        assembled = VectorAssembler(
+            inputCols=list(self.FEATURES), outputCol="__ff_vec"
+        ).transform(train)
+        model = LogisticRegression(
+            featuresCol="__ff_vec",
+            labelCol="__ff_label",
+            maxIter=self.max_iter,
+            regParam=self.reg_param,
+        ).fit(assembled)
+        coef = model.coefficients.toArray()
+        self.coefficients_ = {
+            name: float(coef[i]) for i, name in enumerate(self.FEATURES)
+        }
+        self.intercept_ = float(model.intercept)
+
+    def score_expr(self) -> Column:
+        """sigmoid(intercept + dot(coefficients, features)) — NULL for
+        NULL text."""
+        ensure(bool(self.coefficients_), "QualityScorer is not fitted")
+        feats = self._feature_exprs()
+        z = F.lit(float(self.intercept_))
+        for name in self.FEATURES:
+            z = z + F.lit(float(self.coefficients_[name])) * feats[name]
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return F.when(F.col(self.text_col).isNotNull(), prob)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.select("*", self.score_expr().alias(self.output_col))
