@@ -2647,6 +2647,69 @@ def q_vocab_topk(spark, sf_dir):
 
 
 @_reg(
+    "bpe_vocab",
+    # the merge-pair induction is iterative argmax — not one-statement
+    # SQL; the oracle pins invariants asserted eagerly against the
+    # driver-side reference implementation (operators/bpe.py
+    # reference_bpe / reference_tokenize) on the SAME capped word table
+    """SELECT 'merges_match_reference' AS invariant, CAST(1 AS BIGINT) AS n
+UNION ALL SELECT 'n_merges', CAST(16 AS BIGINT)
+UNION ALL SELECT 'token_counts_match_reference', CAST(1 AS BIGINT)
+UNION ALL SELECT 'packer_rows_match', CAST(1 AS BIGINT)""",
+)
+def q_bpe_vocab(spark, sf_dir):
+    """BpeVocabBuilder (operators/bpe.py): distributed merge-pair
+    induction vs the pure-Python reference on the same word counts,
+    transform token counts vs per-word reference tokenization on a
+    40-doc sample, and SequencePacker packing by the learned counts."""
+    from feature_factory_spark.operators.bpe import (
+        reference_bpe,
+        reference_tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.BpeVocabBuilder(
+        "text", "doc_id", num_merges=16, max_words=2000
+    )
+    op.fit(docs)
+    wc = [(r["word"], r["cnt"]) for r in op.word_counts(docs).collect()]
+    ref = reference_bpe(wc, 16)
+    merges_ok = [tuple(m) for m in op.merges_] == ref
+    assert merges_ok, (
+        f"distributed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
+    )
+
+    sample = docs.where(F.col("doc_id") < 80)
+    got = {
+        r["doc_id"]: r["text_bpe_token_count"]
+        for r in op.transform(sample)
+        .select("doc_id", "text_bpe_token_count")
+        .collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
+    expect = {
+        i: sum(len(reference_tokenize(w, ref)) for w in (t or "").lower().split())
+        for i, t in texts.items()
+    }
+    tokens_ok = got == expect
+    assert tokens_ok, "BPE transform token counts diverged from reference"
+
+    counted = op.transform(sample)
+    packed = ff.SequencePacker(
+        "text_bpe_token_count", budget=512, order_col="doc_id",
+        partition_cols=["source"],
+    ).transform(counted)
+    packer_ok = packed.count() == sample.count()
+    op.release()
+    return _inv_df(spark, [
+        ("merges_match_reference", int(merges_ok)),
+        ("n_merges", len(op.merges_)),
+        ("token_counts_match_reference", int(tokens_ok)),
+        ("packer_rows_match", int(packer_ok)),
+    ])
+
+
+@_reg(
     "vocab_oov",
     # per-document OOV fraction under the same top-100 vocabulary (the
     # coverage audit VocabBuilder.transform runs); token-less documents
@@ -3513,6 +3576,9 @@ _merge("lm_family", [
     ("vocab_oov",
      ["doc_id AS k", "cast(NULL AS string) AS tok", "oov_rate AS val"],
      "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, oov_rate AS val"),
+    ("bpe_vocab",
+     ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
+     "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
 ])
 
 # multimodal surface: byte-level plumbing + frame sampling + REAL image

@@ -48,6 +48,7 @@ from .numerical import (
     YeoJohnsonTransformer,
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
+from .bpe import BpeVocabBuilder
 from .web import DomainBlocklistFilter, DomainCapSampler, DomainExtractor
 from .text import (
     ContaminationChecker,
@@ -144,7 +145,7 @@ __all__ = [
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "QualityScorer",
-    "VocabBuilder",
+    "VocabBuilder", "BpeVocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "ExactSubstringDeduplicator",

@@ -1,0 +1,133 @@
+"""Distributed BPE induction (operators/bpe.py) vs the pure-Python
+reference implementation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.operators.bpe import (
+    END_MARK,
+    reference_bpe,
+    reference_tokenize,
+)
+
+TEXTS = [
+    "the lowest lower low lowering lowered",
+    "newer newest new news newly",
+    "the widest wider wide widely the",
+    "slower slowest slow slowly the lowest newest",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(docs):
+    op = ff.BpeVocabBuilder("text", "doc_id", num_merges=20)
+    op.fit(docs)
+    yield op
+    op.release()
+
+
+def test_merges_match_reference(fitted, docs):
+    wc = [(r["word"], r["cnt"]) for r in fitted.word_counts(docs).collect()]
+    ref = reference_bpe(wc, 20)
+    assert [tuple(m) for m in fitted.merges_] == ref
+    assert len(ref) == 20  # corpus supports all requested merges
+
+
+def test_token_counts_match_reference(fitted, docs):
+    ref = [tuple(m) for m in fitted.merges_]
+    got = {
+        r["doc_id"]: r["text_bpe_token_count"]
+        for r in fitted.transform(docs).collect()
+    }
+    expect = {
+        i: sum(len(reference_tokenize(w, ref)) for w in t.lower().split())
+        for i, t in enumerate(TEXTS)
+    }
+    assert got == expect
+
+
+def test_unseen_words_tokenized_exactly(fitted, spark):
+    ref = [tuple(m) for m in fitted.merges_]
+    u = spark.createDataFrame(
+        [(20, "unseen lowering zebra")], "doc_id bigint, text string"
+    )
+    expected = sum(
+        len(reference_tokenize(w, ref)) for w in "unseen lowering zebra".split()
+    )
+    assert fitted.transform(u).collect()[0]["text_bpe_token_count"] == expected
+
+
+def test_empty_and_null_text_count_zero(fitted, spark):
+    e = spark.createDataFrame(
+        [(10, ""), (11, None), (12, "   ")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["text_bpe_token_count"]
+           for r in fitted.transform(e).collect()}
+    assert got == {10: 0, 11: 0, 12: 0}
+
+
+def test_greedy_overlap_semantics():
+    # 'aaa' + (a,a) -> [aa, a]; 'aaaa' -> [aa, aa]
+    assert reference_tokenize("aaa", [("a", "a")]) == ["aa", "a", END_MARK]
+    assert reference_tokenize("aaaa", [("a", "a")]) == ["aa", "aa", END_MARK]
+
+
+def test_deterministic_across_partitionings(docs):
+    a = ff.BpeVocabBuilder("text", "doc_id", num_merges=8)
+    a.fit(docs)
+    b = ff.BpeVocabBuilder("text", "doc_id", num_merges=8)
+    b.fit(docs.repartition(7))
+    assert a.merges_ == b.merges_
+    a.release()
+    b.release()
+
+
+def test_min_pair_count_stops_induction(spark):
+    # every word unique, every pair count 1 -> no merges at the default
+    # min_pair_count=2
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id bigint, text string")
+    op = ff.BpeVocabBuilder("text", "doc_id", num_merges=5)
+    op.fit(df)
+    assert op.merges_ == []
+    op.release()
+
+
+def test_state_roundtrip(fitted, docs, spark, tmp_path):
+    path = str(tmp_path / "bpe_state")
+    fitted.save_state(path)
+    restored = ff.BpeVocabBuilder("text", "doc_id", num_merges=20).load_state(
+        path, spark
+    )
+    assert [tuple(m) for m in restored.merges_] == [
+        tuple(m) for m in fitted.merges_
+    ]
+    a = {r["doc_id"]: r["text_bpe_token_count"]
+         for r in fitted.transform(docs).collect()}
+    b = {r["doc_id"]: r["text_bpe_token_count"]
+         for r in restored.transform(docs).collect()}
+    assert a == b
+    restored.release()
+
+
+def test_packs_by_true_token_length(fitted, docs):
+    counted = fitted.transform(docs)
+    packed = ff.SequencePacker(
+        "text_bpe_token_count", budget=20, order_col="doc_id",
+        partition_cols=[],
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = packed.transform(counted).orderBy("doc_id").collect()
+    # doc token counts are 14, 11, 11, 14 -> exclusive running sums
+    # 0, 14, 25, 36 -> packs 0, 0, 1, 1 at budget 20
+    assert [r["pack_id"] for r in out] == [0, 0, 1, 1]
