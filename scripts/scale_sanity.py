@@ -10,12 +10,20 @@ shape rather than constants:
 - contamination: ContaminationChecker's broadcast gram-hash probe — the
   benchmark side is fixed, the corpus grows 10x; the probe must scale
   with the corpus scan (no corpus shuffle).
+- substring: ExactSubstringDeduplicator's duplicated-window groupBy —
+  the corpus-token-sized shuffle exact-substring dedup inherently pays
+  must stay ~linear in the corpus.
+- ivfprune: IVFCosineTopK.search_index physical partition pruning — the
+  files actually read from the cluster-partitioned index must SHRINK
+  with n_probe (fixed corpus; this is a plan-shape check, not a growth
+  check).
 
 Observed on local[32] at sf0.1 (see BASELINE.md §'Scale sanity' for the
 per-round recorded numbers).
 
 Usage: python scripts/scale_sanity.py [copies] [check ...]
-       (checks default to: minhash asof contamination)
+       (ALL checks run by default: minhash asof contamination
+        substring ivfprune)
 """
 
 import os
@@ -167,11 +175,66 @@ def check_substring(spark, copies: int) -> None:
     big.unpersist()
 
 
+def _scanned_files(df) -> int:
+    """Files actually read by the (executed) frame's parquet scans —
+    collect() first so the AQE final plan exists, then walk the final
+    plan (descending through AdaptiveSparkPlan / QueryStage wrappers,
+    which hide the scans from collectLeaves) and sum the scan nodes'
+    numFiles metric."""
+    total = [0]
+
+    def walk(node):
+        name = node.nodeName()
+        if "QueryStage" in name or name == "AdaptiveSparkPlan":
+            walk(node.plan() if "QueryStage" in name else node.executedPlan())
+            return
+        if name.startswith("Scan parquet"):
+            m = node.metrics()
+            if m.contains("numFiles"):
+                total[0] += int(m.apply("numFiles").value())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total[0]
+
+
+def check_ivfprune(spark, copies: int) -> None:
+    import tempfile
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ivf")
+        ff.IVFCosineTopK(
+            "embedding", "vec_id", k=5, n_centroids=16, n_probe=2
+        ).write_index(emb, path)
+        results = {}
+        for n_probe in (2, 16):
+            op = ff.IVFCosineTopK(
+                "embedding", "vec_id", k=5, n_centroids=16, n_probe=n_probe
+            )
+            out = op.search_index(spark, path, queries)
+            out.collect()  # executes; AQE final plan now inspectable
+            results[n_probe] = _scanned_files(out)
+        print(
+            f"[ivfprune] files read: n_probe=2 -> {results[2]}, "
+            f"n_probe=16 -> {results[16]} "
+            f"({'PRUNED' if results[2] < results[16] else 'NOT PRUNED'})"
+        )
+        assert results[2] < results[16], (
+            "partition pruning regressed: low-n_probe search read as "
+            "many index files as the full probe"
+        )
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
     "contamination": check_contamination,
     "substring": check_substring,
+    "ivfprune": check_ivfprune,
 }
 
 
