@@ -71,9 +71,11 @@ the op is a member slice of that family query):
   json_extract, events_window, session_window, line_dedup,
   kmeans_cluster, oof_mean_encode, tree_discretize,
   running_stats, asof_join, interval_join, grouped_topk, column_profile,
-  frequent_items, quality_filter (gopher + contamination),
+  frequent_items, quality_filter (gopher + contamination + the
+  logistic-regression quality_model invariant member),
   embedding_dedup_lsh.
-  — LLM extensions (families): dedup_pairs (minhash+simhash),
+  — LLM extensions (families): dedup_pairs (minhash + simhash +
+  semantic_dedup, the SemDeDup cluster-bucketed member),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
   lang_id (stopword heuristic, hash-pinned, + the 30-language
@@ -84,7 +86,8 @@ the op is a member slice of that family query):
   substring_spans exact-substring dedup), scale_family,
   embed_transform (l2 + random projection), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
-  build and vocab_oov coverage audit), multimodal_family
+  build and vocab_oov coverage audit + bpe_vocab, the distributed BPE
+  induction pinned against its pure-Python reference), multimodal_family
   (multimodal_extract byte plumbing + frame_sample + image_decode +
   audio_decode + video_probe with the REAL stdlib PNG/WAV/MP4 parsers,
   operators/{image,audio,video}codec.py).
