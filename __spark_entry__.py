@@ -1744,40 +1744,50 @@ def q_ngram_lang(spark, sf_dir):
     count must equal DuckDB's has-a-letter count."""
     from feature_factory_spark.functions.langdata import fixture_df
 
-    op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
-    langs_learned = len(op.langs_)
+    # fixture-sized one-shot plans (120-row fit corpus, 60-row holdout):
+    # interpreted eval skips per-plan Janino compiles that a single
+    # sub-second execution never amortizes (_interpreted_eval rationale);
+    # the corpus labeling below keeps codegen on.
+    with _interpreted_eval(spark):
+        op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+        langs_learned = len(op.langs_)
 
-    hold = fixture_df(spark, "holdout").select(
-        F.monotonically_increasing_id().alias("doc_id"),
-        F.col("lang").alias("expected"),
-        "text",
-    )
-    pred = op.transform(hold).select("expected", "text_lang").collect()
-    holdout_docs = len(pred)
-    correct = sum(1 for r in pred if r["expected"] == r["text_lang"])
-    floor_met = int(correct >= 0.9 * holdout_docs)
-    assert floor_met, f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
-
-    empty = spark.createDataFrame(
-        [(1, ""), (2, "12345 !!!"), (3, None)], "doc_id bigint, text string"
-    )
-    labels = [
-        r["text_lang"] for r in op.transform(empty).select("text_lang").collect()
-    ]
-    empty_und = int(all(v == "und" for v in labels))
-
-    with tempfile.TemporaryDirectory() as tmp:
-        path = os.path.join(tmp, "lang_state")
-        op.save_state(path)
-        restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
-            path, spark
+        hold = fixture_df(spark, "holdout").select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("lang").alias("expected"),
+            "text",
         )
-        pred2 = restored.transform(hold).select("expected", "text_lang").collect()
-        roundtrip = int(
-            sorted((r["expected"], r["text_lang"]) for r in pred)
-            == sorted((r["expected"], r["text_lang"]) for r in pred2)
+        pred = op.transform(hold).select("expected", "text_lang").collect()
+        holdout_docs = len(pred)
+        correct = sum(1 for r in pred if r["expected"] == r["text_lang"])
+        floor_met = int(correct >= 0.9 * holdout_docs)
+        assert floor_met, (
+            f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
         )
-        restored.release()
+
+        empty = spark.createDataFrame(
+            [(1, ""), (2, "12345 !!!"), (3, None)], "doc_id bigint, text string"
+        )
+        labels = [
+            r["text_lang"]
+            for r in op.transform(empty).select("text_lang").collect()
+        ]
+        empty_und = int(all(v == "und" for v in labels))
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "lang_state")
+            op.save_state(path)
+            restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
+                path, spark
+            )
+            pred2 = restored.transform(hold).select(
+                "expected", "text_lang"
+            ).collect()
+            roundtrip = int(
+                sorted((r["expected"], r["text_lang"]) for r in pred)
+                == sorted((r["expected"], r["text_lang"]) for r in pred2)
+            )
+            restored.release()
 
     docs = _t(spark, sf_dir, "documents")
     labeled = (
@@ -2657,14 +2667,18 @@ def q_vocab_topk(spark, sf_dir):
     # reference_bpe / reference_tokenize) on the SAME capped word table
     """SELECT 'merges_match_reference' AS invariant, CAST(1 AS BIGINT) AS n
 UNION ALL SELECT 'n_merges', CAST(16 AS BIGINT)
+UNION ALL SELECT 'distributed_prefix_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'token_counts_match_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'packer_rows_match', CAST(1 AS BIGINT)""",
 )
 def q_bpe_vocab(spark, sf_dir):
-    """BpeVocabBuilder (operators/bpe.py): distributed merge-pair
-    induction vs the pure-Python reference on the same word counts,
-    transform token counts vs per-word reference tokenization on a
-    40-doc sample, and SequencePacker packing by the learned counts."""
+    """BpeVocabBuilder (operators/bpe.py): default (driver-mode) 16-merge
+    induction vs the naive pure-Python recount reference on the same
+    word counts, the distributed merge-loop's 6-merge prefix vs the same
+    reference (the scale path, capped because each distributed merge is
+    a full cluster job), transform token counts vs per-word reference
+    tokenization on a 40-doc sample, and SequencePacker packing by the
+    learned counts."""
     from feature_factory_spark.operators.bpe import (
         reference_bpe,
         reference_tokenize,
@@ -2679,7 +2693,18 @@ def q_bpe_vocab(spark, sf_dir):
     ref = reference_bpe(wc, 16)
     merges_ok = [tuple(m) for m in op.merges_] == ref
     assert merges_ok, (
-        f"distributed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
+        f"indexed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
+    )
+    dist = ff.BpeVocabBuilder(
+        "text", "doc_id", num_merges=6, max_words=2000,
+        fit_mode="distributed",
+    )
+    dist.fit(docs)
+    dist_ok = [tuple(m) for m in dist.merges_] == ref[:6]
+    dist.release()
+    assert dist_ok, (
+        f"distributed BPE loop diverged from reference: "
+        f"{dist.merges_} vs {ref[:6]}"
     )
 
     sample = docs.where(F.col("doc_id") < 80)
@@ -2707,6 +2732,7 @@ def q_bpe_vocab(spark, sf_dir):
     return _inv_df(spark, [
         ("merges_match_reference", int(merges_ok)),
         ("n_merges", len(op.merges_)),
+        ("distributed_prefix_match", int(dist_ok)),
         ("token_counts_match_reference", int(tokens_ok)),
         ("packer_rows_match", int(packer_ok)),
     ])

@@ -105,7 +105,15 @@ def lloyd_fit(
     centroids = [[float(x) for x in r["vec"]] for r in seeds]
     ensure(len(centroids) >= 2, "corpus has fewer rows than 2 seeds")
     dim = len(centroids[0])
+    prev: list[list[float]] | None = None
     for _ in range(iterations):
+        if prev == centroids:
+            # exact fixed point: identical centroids reproduce identical
+            # assignments, cells and means bit-for-bit, so every
+            # remaining iteration would be one full no-op aggregate job.
+            # `iterations` becomes an upper bound; results are unchanged.
+            break
+        prev = centroids
         # NULL vectors carry no position cells and must not participate;
         # the mean divisor is PER CELL (cluster, pos) so ragged vectors
         # (longer or shorter than the seed dim) cannot skew other

