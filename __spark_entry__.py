@@ -1886,6 +1886,58 @@ def q_url_ops(spark, sf_dir):
 
 
 @_reg(
+    "source_mix",
+    # SourceMixer with weights 5:3:1 over src0/src1/src2 and a budget of
+    # 4x count(src0), forcing whole-copy + fractional oversampling on
+    # src0/src1 and downsampling on src2. The oracle recomputes per-source
+    # counts, the rounded rates ((w/9.0)*budget/cnt — same op order, same
+    # floor(x*1e6+0.5)/1e6 rule), the md5-bucket fractional-copy rule,
+    # and expands copies with generate_series.
+    r"""WITH cnts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS cnt FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+), budget AS (
+  SELECT CAST(4 * CAST(cnt AS BIGINT) AS DOUBLE) AS b
+  FROM cnts WHERE source = 'src0'
+), rates AS (
+  SELECT source,
+    floor((((CASE source WHEN 'src0' THEN 5.0 WHEN 'src1' THEN 3.0
+             ELSE 1.0 END) / 9.0) * (SELECT b FROM budget) / cnt)
+          * 1000000 + 0.5) / 1000000 AS rate
+  FROM cnts
+), marked AS (
+  SELECT d.doc_id, d.source,
+    CAST(floor(r.rate) AS INT)
+      + CASE WHEN (('0x' || substr(md5('ff' || CAST(d.doc_id AS VARCHAR)),
+                    1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)
+                  < r.rate - floor(r.rate)
+             THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT doc_id,
+  source || ':' || CAST(unnest(generate_series(0, n - 1)) AS VARCHAR) AS val
+FROM marked WHERE n > 0""",
+)
+def q_source_mix(spark, sf_dir):
+    """SourceMixer (operators/sampling.py): mixture weights + measured
+    availability -> deterministic per-source rates; oversampled sources
+    replicate whole copies plus an md5-sampled fractional copy.
+    val = source:copy_index, the full realized mixture oracle-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.where(F.col("source") == "src0").count()
+    op = ff.SourceMixer(
+        "doc_id", "source", {"src0": 5.0, "src1": 3.0, "src2": 1.0},
+        budget_rows=4 * c, allow_oversample=True,
+    ).fit(docs)
+    return op.transform(docs).select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit(":"), F.col("mix_copy").cast("string")
+        ).alias("val"),
+    )
+
+
+@_reg(
     "text_clean",
     f"""WITH c AS (SELECT doc_id,
 regexp_replace(trim(array_to_string(list_filter(
@@ -3570,6 +3622,7 @@ _merge("sample_family", [
     ("weighted_sample", ["doc_id", "cast(NULL AS string) AS val"],
      "doc_id, CAST(NULL AS VARCHAR) AS val"),
     ("url_ops", ["doc_id", "val"], "doc_id, val"),
+    ("source_mix", ["doc_id", "val"], "doc_id, val"),
 ])
 
 _merge("quality_filter", [

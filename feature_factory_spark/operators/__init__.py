@@ -112,6 +112,7 @@ from .sampling import (
     HashSampler,
     HashSplitter,
     SequencePacker,
+    SourceMixer,
     WeightedSampler,
 )
 from .joins import AsOfJoiner, GroupedTopK, IntervalJoiner
@@ -159,7 +160,7 @@ __all__ = [
     "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",
     "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",
     "DocumentChunker", "HashSampler", "HashSplitter", "SequencePacker",
-    "WeightedSampler",
+    "SourceMixer", "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems",
 ]

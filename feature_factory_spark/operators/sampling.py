@@ -12,6 +12,8 @@ warehouses).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,6 +110,139 @@ class WeightedSampler(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         return df.filter(
             hash_fraction_expr(F.col(self.id_col), self.salt) < self.fraction_expr()
+        )
+
+
+class SourceMixer(Transformer):
+    """Assemble a training-corpus MIXTURE: ``fit`` measures per-source
+    availability and derives the per-source sampling rates that realize
+    target mixture ``weights``; ``transform`` materializes the mixture
+    deterministically (md5-bucket downsampling; whole-copy replication +
+    a hash-sampled fractional copy for oversampled sources).
+
+    This is the data-mixing stage of an LLM pretraining pipeline (the
+    GPT-3/LLaMA-style "webtext x%, books y%, code z%" table):
+    WeightedSampler applies KNOWN per-source rates; SourceMixer computes
+    the rates FROM the desired mixture and what is actually available.
+
+    Semantics: weights are normalized to proportions w_s. With
+    ``budget_rows=None`` the mixture is the largest achievable without
+    repeating data: N = min_s(count_s / w_s) rows, i.e. the scarcest
+    source is kept whole. With an explicit budget, target_s = w_s * N
+    and rate_s = target_s / count_s may exceed 1; that repeats data
+    (epochs over small high-weight sources — standard practice), which
+    must be opted into with ``allow_oversample=True``. Rates are rounded
+    with the package's floor(x*1e6+0.5)/1e6 rule so the SQL oracle twin
+    reproduces them bit-for-bit. Sources absent from ``weights`` are
+    dropped (weight 0); weighted sources absent from the corpus fail
+    loud.
+
+    Output = input columns + ``copy_col`` (0 for the original, 1..k for
+    replicas, so downstream ids stay unique via (id, copy)). Realized
+    counts are binomial around the targets (same tolerance as every
+    hash-sampling operator here); a row's fate is stable under corpus
+    growth, repartitioning, and engine moves.
+
+    Scale shape: fit is ONE groupBy(source).count() aggregate
+    (|sources| rows to the driver); transform is a stateless projection
+    — per-row copy count from the rate CASE chain, then one
+    ``explode(sequence)``. No shuffle, no UDF; predicate-pushdown-
+    friendly for the pure-downsample case."""
+
+    def __init__(
+        self,
+        id_col: str,
+        source_col: str,
+        weights: dict[str, float],
+        budget_rows: int | None = None,
+        allow_oversample: bool = False,
+        salt: str = "ff",
+        copy_col: str = "mix_copy",
+    ):
+        ensure(bool(weights), "at least one source weight is required")
+        for s, w in weights.items():
+            ensure(w > 0, f"weight for source '{s}' must be > 0")
+        ensure(
+            budget_rows is None or budget_rows >= 1,
+            "budget_rows must be >= 1 when set",
+        )
+        self.id_col = id_col
+        self.source_col = source_col
+        self.weights = dict(weights)
+        self.budget_rows = budget_rows
+        self.allow_oversample = allow_oversample
+        self.salt = salt
+        self.copy_col = copy_col
+        self.rates_: dict[str, float] = {}
+        self.counts_: dict[str, int] = {}
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col, self.source_col])
+
+    def _fit(self, df: DataFrame) -> None:
+        rows = (
+            df.where(
+                F.col(self.source_col).isin(list(self.weights))
+            )
+            .groupBy(self.source_col)
+            .count()
+            .collect()
+        )
+        counts = {r[self.source_col]: int(r["count"]) for r in rows}
+        missing = sorted(set(self.weights) - set(counts))
+        ensure(
+            not missing,
+            f"weighted sources absent from the corpus: {missing}; drop "
+            "them from weights or fix the source column",
+        )
+        wsum = float(sum(self.weights.values()))
+        props = {s: w / wsum for s, w in self.weights.items()}
+        if self.budget_rows is None:
+            n_total = min(counts[s] / props[s] for s in props)
+        else:
+            n_total = float(self.budget_rows)
+        rates = {s: (props[s] * n_total) / counts[s] for s in props}
+        over = sorted(s for s, r in rates.items() if r > 1.0)
+        if over and not self.allow_oversample:
+            raise_rates = {s: round(rates[s], 3) for s in over}
+            ensure(
+                False,
+                f"budget_rows={self.budget_rows} needs oversampling "
+                f"{raise_rates} but allow_oversample=False; lower the "
+                "budget, lower those weights, or opt in",
+            )
+        # package rounding rule (module header of __spark_entry__): the
+        # SQL twin recomputes these rates and must land on the same ulp
+        self.rates_ = {
+            s: math.floor(r * 1e6 + 0.5) / 1e6 for s, r in rates.items()
+        }
+        self.counts_ = counts
+
+    def rate_expr(self) -> Column:
+        ensure(bool(self.rates_), "SourceMixer is not fitted")
+        expr = None
+        for s in sorted(self.rates_):
+            cond = F.col(self.source_col) == F.lit(s)
+            val = F.lit(self.rates_[s])
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return expr.otherwise(F.lit(0.0))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        rate = self.rate_expr()
+        whole = F.floor(rate).cast("int")
+        frac = rate - F.floor(rate)
+        extra = (
+            hash_fraction_expr(F.col(self.id_col), self.salt) < frac
+        ).cast("int")
+        n_copies = whole + extra
+        copies = F.when(
+            n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            "*", F.explode(copies).alias(self.copy_col)
         )
 
 

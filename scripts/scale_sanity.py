@@ -17,13 +17,21 @@ shape rather than constants:
   files actually read from the cluster-partitioned index must SHRINK
   with n_probe (fixed corpus; this is a plan-shape check, not a growth
   check).
+- langid: NgramLanguageIdentifier.transform — the explode -> broadcast
+  profile join -> per-doc aggregate must stay ~linear in the corpus
+  (the profile side is fixed at |langs| x top_k).
+- quality: QualityScorer.fit at 10x the corpus — the feature pass is
+  corpus-sized but the collected design matrix is capped at
+  max_fit_rows, so fit wall time must grow FAR slower than the corpus
+  (the capped-collect scale story: at 100 TB the fit costs one scan +
+  a constant-size solve).
 
 Observed on local[32] at sf0.1 (see BASELINE.md §'Scale sanity' for the
 per-round recorded numbers).
 
 Usage: python scripts/scale_sanity.py [copies] [check ...]
-       (ALL checks run by default: minhash asof contamination
-        substring ivfprune)
+       (ALL checks in CHECKS run by default: minhash asof contamination
+        substring ivfprune langid quality)
 """
 
 import os
@@ -229,12 +237,53 @@ def check_ivfprune(spark, copies: int) -> None:
         )
 
 
+def check_langid(spark, copies: int) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = grow_docs(docs, copies)
+    op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+
+    t0 = time.perf_counter()
+    c1 = op.transform(docs).where(F.col("text_lang") != "und").count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = op.transform(big).where(F.col("text_lang") != "und").count()
+    tN = time.perf_counter() - t0
+    print(f"[langid] 1x:  {c1} labeled, {t1:.1f}s")
+    print(
+        f"[langid] {copies}x: {cN} labeled, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
+    )
+    op.release()
+    big.unpersist()
+
+
+def check_quality(spark, copies: int) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = grow_docs(docs, copies)
+
+    t0 = time.perf_counter()
+    ff.QualityScorer("text").fit(docs)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ff.QualityScorer("text").fit(big)
+    tN = time.perf_counter() - t0
+    print(f"[quality] 1x:  fit {t1:.1f}s")
+    print(
+        f"[quality] {copies}x: fit {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus; design matrix "
+        f"capped at max_fit_rows, so the growth is the feature scan only)"
+    )
+    big.unpersist()
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
     "contamination": check_contamination,
     "substring": check_substring,
     "ivfprune": check_ivfprune,
+    "langid": check_langid,
+    "quality": check_quality,
 }
 
 

@@ -149,3 +149,99 @@ class TestDocumentChunker:
             ff.DocumentChunker("text", chunk_size=0)
         with _pytest.raises(InvalidParameterError):
             ff.DocumentChunker("text", chunk_size=4, overlap=4)
+
+
+class TestSourceMixer:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # 3 sources with unequal availability: a=100, b=50, c=200
+        rows = (
+            [(i, "a") for i in range(100)]
+            + [(100 + i, "b") for i in range(50)]
+            + [(150 + i, "c") for i in range(200)]
+        )
+        return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def test_default_budget_keeps_scarcest_source_whole(self, corpus):
+        # equal weights -> N = 3 * min(count) = 150; b is kept whole
+        op = ff.SourceMixer(
+            "doc_id", "source", {"a": 1.0, "b": 1.0, "c": 1.0}
+        ).fit(corpus)
+        assert op.rates_["b"] == 1.0
+        assert op.rates_["a"] == 0.5
+        assert op.rates_["c"] == 0.25
+        out = op.transform(corpus)
+        got = {r["source"]: r["count"]
+               for r in out.groupBy("source").count().collect()}
+        assert got["b"] == 50  # rate 1.0 is exact, not binomial
+        assert 30 <= got["a"] <= 70 and 30 <= got["c"] <= 70
+
+    def test_oversample_replicates_whole_copies(self, corpus):
+        # budget 600 with equal weights -> target 200 each: a rate 2.0,
+        # b rate 4.0, c rate 1.0 — all exact whole-copy replication
+        op = ff.SourceMixer(
+            "doc_id", "source", {"a": 1.0, "b": 1.0, "c": 1.0},
+            budget_rows=600, allow_oversample=True,
+        ).fit(corpus)
+        out = op.transform(corpus)
+        got = {r["source"]: r["count"]
+               for r in out.groupBy("source").count().collect()}
+        assert got == {"a": 200, "b": 200, "c": 200}
+        copies = {r["source"]: r["m"] for r in out.groupBy("source")
+                  .agg(F.max("mix_copy").alias("m")).collect()}
+        assert copies == {"a": 1, "b": 3, "c": 0}
+
+    def test_oversample_requires_opt_in(self, corpus):
+        from feature_factory_spark.exceptions import InvalidParameterError
+
+        with pytest.raises(InvalidParameterError):
+            ff.SourceMixer(
+                "doc_id", "source", {"a": 1.0, "b": 1.0, "c": 1.0},
+                budget_rows=600,
+            ).fit(corpus)
+
+    def test_unweighted_sources_dropped_missing_weighted_fail(self, corpus):
+        from feature_factory_spark.exceptions import InvalidParameterError
+
+        op = ff.SourceMixer("doc_id", "source", {"a": 1.0, "b": 1.0}).fit(
+            corpus
+        )
+        assert set(op.rates_) == {"a", "b"}
+        srcs = {r["source"] for r in op.transform(corpus)
+                .select("source").distinct().collect()}
+        assert srcs == {"a", "b"}
+        with pytest.raises(InvalidParameterError):
+            ff.SourceMixer(
+                "doc_id", "source", {"a": 1.0, "zz": 1.0}
+            ).fit(corpus)
+
+    def test_deterministic_across_partitionings(self, corpus):
+        op = ff.SourceMixer(
+            "doc_id", "source", {"a": 2.0, "b": 1.0, "c": 1.0},
+            budget_rows=300, allow_oversample=True,
+        ).fit(corpus)
+        a = sorted((r["doc_id"], r["mix_copy"])
+                   for r in op.transform(corpus).collect())
+        op2 = ff.SourceMixer(
+            "doc_id", "source", {"a": 2.0, "b": 1.0, "c": 1.0},
+            budget_rows=300, allow_oversample=True,
+        ).fit(corpus.repartition(13))
+        b = sorted((r["doc_id"], r["mix_copy"])
+                   for r in op2.transform(corpus.repartition(7)).collect())
+        assert a == b
+
+    def test_state_roundtrip(self, corpus, tmp_path):
+        op = ff.SourceMixer(
+            "doc_id", "source", {"a": 1.0, "b": 1.0, "c": 1.0}
+        ).fit(corpus)
+        path = str(tmp_path / "mixer.json")
+        op.save_state(path)
+        restored = ff.SourceMixer(
+            "doc_id", "source", {"a": 1.0, "b": 1.0, "c": 1.0}
+        ).load_state(path)
+        assert restored.rates_ == op.rates_
+        a = sorted((r["doc_id"], r["mix_copy"])
+                   for r in op.transform(corpus).collect())
+        b = sorted((r["doc_id"], r["mix_copy"])
+                   for r in restored.transform(corpus).collect())
+        assert a == b
