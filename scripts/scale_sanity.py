@@ -239,11 +239,19 @@ def check_ivfprune(spark, copies: int) -> None:
 
 def check_langid(spark, copies: int) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # grow_docs(_, 1) so BOTH sides run repartitioned(64)+persisted —
+    # the raw one-file parquet read would run the 1x explode on a
+    # single partition and fake a sublinear ratio
+    one = grow_docs(docs, 1)
     big = grow_docs(docs, copies)
     op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
 
+    # warm the plan once untimed: at this corpus size a first run is
+    # dominated by codegen compilation, which would land entirely on
+    # the 1x measurement
+    op.transform(one).where(F.col("text_lang") != "und").count()
     t0 = time.perf_counter()
-    c1 = op.transform(docs).where(F.col("text_lang") != "und").count()
+    c1 = op.transform(one).where(F.col("text_lang") != "und").count()
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     cN = op.transform(big).where(F.col("text_lang") != "und").count()
@@ -254,25 +262,34 @@ def check_langid(spark, copies: int) -> None:
         f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
     )
     op.release()
+    one.unpersist()
     big.unpersist()
 
 
 def check_quality(spark, copies: int) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
     big = grow_docs(docs, copies)
+    n = docs.count()
+    # size the cap between 1x and copies-x so the capped-collect branch
+    # is actually exercised at copies-x (sf0.1 docs alone sit far below
+    # the 250k default)
+    cap = max(100, 4 * n)
 
+    ff.QualityScorer("text", max_fit_rows=cap).fit(one)  # warm plans
     t0 = time.perf_counter()
-    ff.QualityScorer("text").fit(docs)
+    ff.QualityScorer("text", max_fit_rows=cap).fit(one)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    ff.QualityScorer("text").fit(big)
+    ff.QualityScorer("text", max_fit_rows=cap).fit(big)
     tN = time.perf_counter() - t0
-    print(f"[quality] 1x:  fit {t1:.1f}s")
+    print(f"[quality] 1x:  fit {t1:.1f}s (n={n}, cap={cap})")
     print(
         f"[quality] {copies}x: fit {tN:.1f}s "
         f"(time ratio {tN / t1:.1f}x for {copies}x corpus; design matrix "
         f"capped at max_fit_rows, so the growth is the feature scan only)"
     )
+    one.unpersist()
     big.unpersist()
 
 
