@@ -2685,6 +2685,52 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+@_reg(
+    "bigram_logprob",
+    # interpolated bigram LM: mean ln(0.75*P(w2|w1) + 0.25*P(w2)) per
+    # doc. P(w2|w1) = pair/max(count(w1),1) (0 unseen), P(w2) the same
+    # add-epsilon unigram floor as unigram_logprob. Bigram keys follow
+    # the ngrams clamp (a <2-word doc contributes its whole text as one
+    # degenerate gram). avg + the fit-time division are
+    # reduction/op-order-stable doubles; avg is r6 both sides.
+    f"""WITH d AS (SELECT doc_id,
+  list_transform(string_split(text, ' '), x -> lower(x)) w FROM documents),
+words AS (SELECT doc_id, unnest(w) word FROM d),
+freq AS (SELECT word, count(*) cnt FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) t FROM freq),
+g AS (SELECT doc_id, list_transform(
+  generate_series(1, greatest(len(w) - 1, 1)),
+  i -> array_to_string(w[i:i+1], ' ')) bg FROM d),
+pairs AS (SELECT doc_id, unnest(bg) pair FROM g),
+pcnt AS (SELECT pair, count(*) c2 FROM pairs GROUP BY pair),
+pc AS (SELECT pair,
+  CAST(c2 AS DOUBLE) / CAST(greatest(coalesce(f1.cnt, 0), 1) AS DOUBLE)
+    AS p_cond
+FROM pcnt LEFT JOIN freq f1 ON string_split(pcnt.pair, ' ')[1] = f1.word),
+s AS (SELECT p.doc_id,
+  ln(0.75 * coalesce(pc.p_cond, 0.0)
+     + 0.25 * (CAST(greatest(coalesce(f2.cnt, 0), 1) AS DOUBLE) / t)) lp
+FROM pairs p
+LEFT JOIN pc USING (pair)
+LEFT JOIN freq f2 ON string_split(p.pair, ' ')[-1] = f2.word, tot),
+agg AS (SELECT doc_id, avg(lp) s FROM s GROUP BY doc_id)
+SELECT d2.doc_id, {R6('a.s')} AS bigram_logprob
+FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""",
+)
+def q_bigram_logprob(spark, sf_dir):
+    """BigramLogProbScorer (operators/text.py): interpolated bigram LM
+    score, model restored from disk inside the verified query
+    (unigram_logprob precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.BigramLogProbScorer("text", "doc_id").fit(docs)
+    op = _state_roundtrip(
+        op, lambda: ff.BigramLogProbScorer("text", "doc_id"), spark
+    )
+    return op.transform(docs).select(
+        "doc_id", r6(F.col("text_bigram_logprob")).alias("bigram_logprob")
+    )
+
+
 # shared by the two VocabBuilder oracles: lowered whitespace words and
 # the top-100 (count DESC, token ASC) vocabulary — the tie order is
 # total because tokens are unique, so the cap boundary is deterministic
@@ -3652,6 +3698,9 @@ _merge("lm_family", [
     ("unigram_logprob",
      ["doc_id AS k", "cast(NULL AS string) AS tok", "unigram_logprob AS val"],
      "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, unigram_logprob AS val"),
+    ("bigram_logprob",
+     ["doc_id AS k", "cast(NULL AS string) AS tok", "bigram_logprob AS val"],
+     "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, bigram_logprob AS val"),
     ("vocab_topk",
      ["cast(rank AS bigint) AS k", "token AS tok", "cast(count AS double) AS val"],
      "CAST(rank AS BIGINT) AS k, token AS tok, CAST(count AS DOUBLE) AS val"),

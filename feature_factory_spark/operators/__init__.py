@@ -52,6 +52,7 @@ from .bpe import BpeVocabBuilder
 from .web import DomainBlocklistFilter, DomainCapSampler, DomainExtractor
 from .text import (
     ContaminationChecker,
+    BigramLogProbScorer,
     UnigramLogProbScorer,
     DocumentFingerprint,
     GopherQualityFilter,
@@ -145,6 +146,7 @@ __all__ = [
     "NgramLanguageIdentifier", "DocumentFingerprint",
     "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
+    "BigramLogProbScorer",
     "QualityScorer",
     "VocabBuilder", "BpeVocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",

@@ -695,6 +695,168 @@ class UnigramLogProbScorer(Transformer):
         )
 
 
+class BigramLogProbScorer(Transformer):
+    """Interpolated bigram language-model quality score — the next rung
+    above :class:`UnigramLogProbScorer` toward the KenLM-class
+    perplexity filters CCNet-style pipelines rank corpora with (word
+    order now matters: shuffled or templated text scores low even when
+    its word frequencies look natural).
+
+    score(doc) = avg over the document's word bigrams of
+    ``ln(lam * P(w2|w1) + (1-lam) * P(w2))`` where P(w2|w1) =
+    count(w1 w2)/max(count(w1), 1) from the fit corpus (0 for unseen
+    pairs) and P(w2) = max(count(w2), 1)/total is the same add-epsilon
+    unigram floor the unigram scorer uses, so the interpolation is
+    always positive. Bigrams follow the package's ``ngrams_expr``
+    clamp: a document with fewer than 2 words contributes its whole
+    text as one degenerate gram (deterministic and mirrored by the SQL
+    oracle, like shingling).
+
+    Scale shape: fit is two explode + map-side-combined groupBy
+    aggregates (words, pairs) whose outputs are vocabulary-sized, kept
+    as persisted DATAFRAMES (a 100 TB corpus's bigram table exceeds
+    driver memory — never a driver dict); the conditional probability
+    is attached to the pair table at fit time, so transform is one
+    explode + two key joins (pair, last word) + one groupBy(doc)
+    average. AQE broadcasts the model sides when they fit.
+    ``min_pair_count`` prunes singleton pairs to bound the pair table
+    (pruned pairs fall back to the unigram floor, exactly like unseen
+    pairs).
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        lam: float = 0.75,
+        min_pair_count: int = 1,
+        lowercase: bool = True,
+    ):
+        ensure(0.0 <= lam <= 1.0, "lam must be in [0, 1]")
+        ensure(min_pair_count >= 1, "min_pair_count must be >= 1")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lam = lam
+        self.min_pair_count = min_pair_count
+        self.lowercase = lowercase
+        self.pair_df_: DataFrame | None = None  # (pair, p_cond)
+        self.freq_df_: DataFrame | None = None  # (__ff_word, __ff_cnt)
+        self.total_words_: float = 0.0
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["pair_df_", "freq_df_"]
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+
+    def _word_expr(self) -> Column:
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        return words_expr(text)
+
+    def _pairs_expr(self) -> Column:
+        return ngrams_expr(self._word_expr(), 2)
+
+    def _fit(self, df: DataFrame) -> None:
+        from pyspark import StorageLevel
+
+        freq = (
+            df.select(F.explode(self._word_expr()).alias("__ff_word"))
+            .groupBy("__ff_word")
+            .agg(F.count("*").alias("__ff_cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row = freq.agg(F.sum("__ff_cnt").alias("t")).collect()[0]
+        total = float(row["t"] or 0.0)
+        ensure(total > 0, "fit corpus contains no words")
+        pairs = (
+            df.select(F.explode(self._pairs_expr()).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("__ff_c2"))
+        )
+        if self.min_pair_count > 1:
+            pairs = pairs.where(F.col("__ff_c2") >= self.min_pair_count)
+        pair_probs = (
+            pairs.join(
+                freq,
+                F.element_at(F.split(F.col("pair"), " "), 1)
+                == F.col("__ff_word"),
+                "left",
+            )
+            .select(
+                "pair",
+                (
+                    F.col("__ff_c2").cast("double")
+                    / F.greatest(
+                        F.coalesce(F.col("__ff_cnt"), F.lit(0)), F.lit(1)
+                    ).cast("double")
+                ).alias("__ff_p_cond"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self.release()  # refit: drop the previous fit/load's frames
+        self.pair_df_ = pair_probs
+        self.freq_df_ = freq
+        self.total_words_ = total
+        self._own_frame("pair_df_")
+        self._own_frame("freq_df_")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        pair_df = _require_frame_state(
+            self.pair_df_, "BigramLogProbScorer", "pair_df_"
+        )
+        freq_df = _require_frame_state(
+            self.freq_df_, "BigramLogProbScorer", "freq_df_"
+        )
+        grams = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.explode(self._pairs_expr()).alias("pair"),
+        )
+        uni = freq_df.select(
+            F.col("__ff_word").alias("__ff_w2"),
+            F.col("__ff_cnt").alias("__ff_w2_cnt"),
+        )
+        scored = (
+            grams.join(pair_df, "pair", "left")
+            .join(
+                uni,
+                F.element_at(F.split(F.col("pair"), " "), -1)
+                == F.col("__ff_w2"),
+                "left",
+            )
+            .select(
+                "__ff_id",
+                F.log(
+                    F.lit(self.lam)
+                    * F.coalesce(F.col("__ff_p_cond"), F.lit(0.0))
+                    + F.lit(1.0 - self.lam)
+                    * (
+                        F.greatest(
+                            F.coalesce(F.col("__ff_w2_cnt"), F.lit(0)),
+                            F.lit(1),
+                        ).cast("double")
+                        / F.lit(self.total_words_)
+                    )
+                ).alias("__ff_lp"),
+            )
+        )
+        per_doc = scored.groupBy("__ff_id").agg(
+            F.avg("__ff_lp").alias("__ff_logprob")
+        )
+        out_col = f"{self.text_col}_bigram_logprob"
+        return df.join(
+            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
+            F.col("__ff_logprob").alias(out_col),
+        )
+
+
 class VocabBuilder(Transformer):
     """Top-k token-vocabulary construction with an OOV-rate audit —
     the corpus pass that sizes a tokenizer's vocabulary before training

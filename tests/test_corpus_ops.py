@@ -136,6 +136,98 @@ class TestUnigramLogProbScorer:
             ff.UnigramLogProbScorer("text", "doc_id").transform(df)
 
 
+class TestBigramLogProbScorer:
+    def test_scores_match_hand_computation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b a")], ["doc_id", "text"]
+        )
+        op = ff.BigramLogProbScorer("text", "doc_id").fit(df)
+        rows = {
+            r["doc_id"]: r["text_bigram_logprob"]
+            for r in op.transform(df).collect()
+        }
+        # unigrams: a=3 b=2 total=5; pairs: 'a b'=1, 'b a'=2
+        # P(b|a)=1/3, P(a|b)=2/2=1; uni floor P(a)=3/5, P(b)=2/5
+        lp_ab = math.log(0.75 * (1 / 3) + 0.25 * (2 / 5))
+        lp_ba = math.log(0.75 * 1.0 + 0.25 * (3 / 5))
+        assert rows[1] == pytest.approx((lp_ab + lp_ba) / 2)
+        assert rows[2] == pytest.approx(lp_ba)
+
+    def test_word_order_matters(self, spark):
+        # natural order scores high, the same words reversed score low
+        fit_df = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        probe = spark.createDataFrame(
+            [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")],
+            ["doc_id", "text"],
+        )
+        op = ff.BigramLogProbScorer("text", "doc_id").fit(fit_df)
+        rows = {
+            r["doc_id"]: r["text_bigram_logprob"]
+            for r in op.transform(probe).collect()
+        }
+        assert rows[100] > rows[101]
+
+    def test_unseen_pairs_fall_back_to_unigram_floor(self, spark):
+        fit_df = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+        probe = spark.createDataFrame([(9, "zz qq")], ["doc_id", "text"])
+        op = ff.BigramLogProbScorer("text", "doc_id").fit(fit_df)
+        row = op.transform(probe).collect()[0]
+        # pair unseen -> 0.75*0 + 0.25*ln-floor(1/3)
+        assert row["text_bigram_logprob"] == pytest.approx(
+            math.log(0.25 * (1 / 3))
+        )
+
+    def test_min_pair_count_prunes_to_floor(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c d")], ["doc_id", "text"]
+        )
+        op = ff.BigramLogProbScorer(
+            "text", "doc_id", min_pair_count=2
+        ).fit(df)
+        rows = {
+            r["doc_id"]: r["text_bigram_logprob"]
+            for r in op.transform(df).collect()
+        }
+        # 'c d' pruned (count 1): scores as unseen; 'a b' kept (count 2)
+        # unigrams: a=2 b=2 c=1 d=1 total=6
+        assert rows[3] == pytest.approx(math.log(0.25 * (1 / 6)))
+        assert rows[1] == pytest.approx(
+            math.log(0.75 * 1.0 + 0.25 * (2 / 6))
+        )
+
+    def test_state_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a b c a b"), (2, "c a b")], ["doc_id", "text"]
+        )
+        op = ff.BigramLogProbScorer("text", "doc_id").fit(df)
+        path = str(tmp_path / "bigram_state")
+        op.save_state(path)
+        restored = ff.BigramLogProbScorer("text", "doc_id").load_state(
+            path, spark
+        )
+        a = sorted(
+            (r["doc_id"], r["text_bigram_logprob"])
+            for r in op.transform(df).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["text_bigram_logprob"])
+            for r in restored.transform(df).collect()
+        )
+        assert a == b
+        restored.release()
+        op.release()
+
+    def test_requires_fit(self, spark):
+        from feature_factory_spark.exceptions import FitNotCalledError
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(FitNotCalledError):
+            ff.BigramLogProbScorer("text", "doc_id").transform(df)
+
+
 class TestKMeansClusterer:
     def test_separated_clusters_recovered(self, spark):
         # two tight blobs far apart (cosine): e1-ish and e2-ish vectors
