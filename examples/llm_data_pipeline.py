@@ -1,10 +1,13 @@
-"""LLM training-data pipeline — dedup, quality filtering, similarity.
+"""LLM training-data pipeline — curation end to end.
 
-Shows the beyond-reference surface end to end on the synthetic documents
-and embeddings tables:
+Shows the beyond-reference surface on the synthetic documents and
+embeddings tables, in the order a real corpus-curation run executes:
 
-  quality-score -> language ID -> exact dedup -> MinHash near-dedup
-  (transitive clustering) -> embedding similarity search
+  language ID (char-n-gram model) -> model-based quality scoring ->
+  exact dedup -> MinHash near-dedup (transitive clustering) ->
+  boilerplate removal -> bigram-LM junk scoring -> semantic dedup over
+  embeddings -> BPE token counting + sequence packing -> source
+  mixture assembly -> similarity search -> multimodal decode
 
 Run: python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -26,7 +29,7 @@ def main() -> None:
         SparkSession.builder.master("local[*]")
         .config("spark.sql.shuffle.partitions", "8")
         # the walkthrough caches several corpus frames (dedup state,
-        # unigram vocab, topic clusters); the 1g default heap is tight
+        # LM vocab, topic clusters); the 1g default heap is tight
         .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
@@ -35,10 +38,15 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     print(f"documents: {docs.count()}")
 
-    # 1. quality + language features (pure JVM expressions)
-    scored = ff.TextFeatures(["text"]).transform(docs)
-    scored = ff.LanguageIdentifier(["text"]).transform(scored)
-    kept = scored.where(F.col("text_quality_score") > 0.3)
+    # 1. language ID with the fitted 30-language char-n-gram model,
+    #    then model-based quality scoring: GopherQualityFilter's rules
+    #    weak-label a logistic regression over the text statistics, and
+    #    the continuous P(quality) ranks the gray zone the rules can't
+    lang = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+    scored = lang.transform(docs)
+    qs = ff.QualityScorer("text").fit(scored)
+    scored = qs.transform(scored)
+    kept = scored.where(F.col("text_quality_prob") > 0.5)
     print(f"pass quality gate: {kept.count()}")
 
     # 2. exact dedup, then MinHash near-dedup with transitive clustering
@@ -51,24 +59,38 @@ def main() -> None:
     print(f"after dedup: {final.count()}")
 
     # 3. corpus-level cleaning + scoring: boilerplate segment removal
-    #    and a unigram-LM junk score fitted on the surviving corpus
+    #    and an interpolated bigram-LM junk score fitted on the
+    #    surviving corpus (word order matters: templated/shuffled text
+    #    scores low even with natural word frequencies)
     cleaned = ff.LineDeduplicator(
         "doc_id", "text", sep=" ", min_doc_fraction=0.8
     ).transform(final)
-    lm = ff.UnigramLogProbScorer("text", "doc_id").fit(cleaned)
+    lm = ff.BigramLogProbScorer("text", "doc_id").fit(cleaned)
     cleaned = lm.transform(cleaned)
-    cleaned.select("doc_id", "text_removed_segments", "text_unigram_logprob") \
-        .orderBy("text_unigram_logprob").show(5)
+    cleaned.select("doc_id", "text_removed_segments", "text_bigram_logprob") \
+        .orderBy("text_bigram_logprob").show(5)
 
-    # 3b. tokenizer prep: top-k vocabulary over the cleaned corpus and
-    #     the OOV coverage each document would see under it
-    vb = ff.VocabBuilder("text", "doc_id", vocab_size=512).fit(cleaned)
-    print(f"vocab size: {vb.vocab_df_.count()}")
-    cleaned = vb.transform(cleaned)
-    cleaned.selectExpr("avg(text_oov_rate) AS mean_oov").show()
+    # 3b. tokenizer prep: BPE merges over the cleaned corpus, true
+    #     subword token counts, and context-window packing by them
+    bpe = ff.BpeVocabBuilder(
+        "text", "doc_id", num_merges=32, max_words=5000
+    ).fit(cleaned)
+    counted = bpe.transform(cleaned)
+    packed = ff.SequencePacker(
+        "text_bpe_token_count", budget=512, order_col="doc_id",
+        partition_cols=["source"],
+    ).transform(counted)
+    packed.groupBy("pack_id").count().orderBy("pack_id").show(5)
 
-    # 4. similarity search + topic bucketing over embeddings
+    # 4. semantic dedup + similarity search + topic bucketing over
+    #    embeddings (SemDeDup: k-means blocking, within-cluster LSH,
+    #    exact-cosine verify — never all-pairs)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = ff.SemanticDeduplicator(
+        "embedding", "vec_id", threshold=0.95, k=4, dim=64
+    ).fit(emb)
+    sem_kept = sem.transform(emb)
+    print(f"after semantic dedup: {sem_kept.count()} / {emb.count()}")
     queries = emb.where(F.col("vec_id") < 3)
     topk = ff.CosineTopK("embedding", "vec_id", k=3).search(emb, queries)
     topk.show()
@@ -78,12 +100,16 @@ def main() -> None:
     )
     clustered.groupBy("cluster").count().orderBy("cluster").show()
 
-    # 5. mix sources using the cluster id as the mixing key
-    mixed = ff.WeightedSampler(
-        "vec_id", "cluster_str", fractions={"0": 1.0, "1": 0.5},
-        default_fraction=0.25,
-    ).transform(clustered.withColumn("cluster_str", F.col("cluster").cast("string")))
-    print(f"mixed corpus rows: {mixed.count()}")
+    # 5. assemble the final mixture: target weights over sources,
+    #    rates derived from measured availability (scarce high-weight
+    #    sources replicate whole copies + a hash-sampled fraction)
+    mixer = ff.SourceMixer(
+        "doc_id", "source",
+        weights={"src0": 3.0, "src1": 1.0, "src2": 1.0},
+        budget_rows=200, allow_oversample=True,
+    ).fit(counted)
+    mixture = mixer.transform(counted)
+    mixture.groupBy("source").count().orderBy("source").show()
 
     # 6. multimodal: decode image payloads (REAL pure-stdlib PNG/BMP/PPM
     #    decoding) and filter on the decoded features — blank/low-entropy
