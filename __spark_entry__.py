@@ -1744,57 +1744,76 @@ def q_ngram_lang(spark, sf_dir):
     count must equal DuckDB's has-a-letter count."""
     from feature_factory_spark.functions.langdata import fixture_df
 
-    # fixture-sized one-shot plans (120-row fit corpus, 60-row holdout):
-    # interpreted eval skips per-plan Janino compiles that a single
-    # sub-second execution never amortizes (_interpreted_eval rationale);
-    # the corpus labeling below keeps codegen on.
-    with _interpreted_eval(spark):
-        op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
-        langs_learned = len(op.langs_)
+    # NOT under _interpreted_eval: the model literals are identical
+    # across this query's five transforms, so codegen classes cache and
+    # amortize — measured interpreted runs are slower AND unstable here
+    # (the switch pays off only for plans whose fitted literals change
+    # per run, like the LSH invariants). Holdout + edge-case probes ride
+    # ONE union + ONE collect per model instance to cut per-action
+    # scheduling overhead.
+    op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+    langs_learned = len(op.langs_)
 
-        hold = fixture_df(spark, "holdout").select(
-            F.monotonically_increasing_id().alias("doc_id"),
-            F.col("lang").alias("expected"),
-            "text",
-        )
-        pred = op.transform(hold).select("expected", "text_lang").collect()
-        holdout_docs = len(pred)
-        correct = sum(1 for r in pred if r["expected"] == r["text_lang"])
-        floor_met = int(correct >= 0.9 * holdout_docs)
-        assert floor_met, (
-            f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
+    hold = fixture_df(spark, "holdout").select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("lang").alias("expected"),
+        "text",
+    )
+    edge = spark.createDataFrame(
+        [(-1, "edge", ""), (-2, "edge", "12345 !!!"), (-3, "edge", None)],
+        "doc_id bigint, expected string, text string",
+    )
+    probe = hold.unionByName(edge)
+
+    def score(model):
+        return sorted(
+            (r["doc_id"], r["expected"], r["text_lang"])
+            for r in model.transform(probe)
+            .select("doc_id", "expected", "text_lang")
+            .collect()
         )
 
-        empty = spark.createDataFrame(
-            [(1, ""), (2, "12345 !!!"), (3, None)], "doc_id bigint, text string"
-        )
-        labels = [
-            r["text_lang"]
-            for r in op.transform(empty).select("text_lang").collect()
-        ]
-        empty_und = int(all(v == "und" for v in labels))
-
-        with tempfile.TemporaryDirectory() as tmp:
-            path = os.path.join(tmp, "lang_state")
-            op.save_state(path)
-            restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
-                path, spark
-            )
-            pred2 = restored.transform(hold).select(
-                "expected", "text_lang"
-            ).collect()
-            roundtrip = int(
-                sorted((r["expected"], r["text_lang"]) for r in pred)
-                == sorted((r["expected"], r["text_lang"]) for r in pred2)
-            )
-            restored.release()
+    # overlap the corpus-labeling count (independent of the probe /
+    # round-trip checks) with them on a thread — the select_stats
+    # pattern; job submission overlaps, results stay deterministic
+    from pyspark import InheritableThread
 
     docs = _t(spark, sf_dir, "documents")
-    labeled = (
-        op.transform(docs)
-        .where(F.col("text_lang") != F.lit("und"))
-        .count()
+    labeled_box: list[int] = []
+
+    def _label_corpus():
+        labeled_box.append(
+            op.transform(docs)
+            .where(F.col("text_lang") != F.lit("und"))
+            .count()
+        )
+
+    corpus_t = InheritableThread(target=_label_corpus)
+    corpus_t.start()
+
+    pred = score(op)
+    hold_rows = [(e, lang) for i, e, lang in pred if i >= 0]
+    holdout_docs = len(hold_rows)
+    correct = sum(1 for e, lang in hold_rows if e == lang)
+    floor_met = int(correct >= 0.9 * holdout_docs)
+    assert floor_met, (
+        f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
     )
+    empty_und = int(
+        all(lang == "und" for i, _, lang in pred if i < 0)
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "lang_state")
+        op.save_state(path)
+        restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
+            path, spark
+        )
+        roundtrip = int(score(restored) == pred)
+        restored.release()
+
+    corpus_t.join()
+    labeled = labeled_box[0]
     op.release()
     return _inv_df(spark, [
         ("langs_learned", langs_learned),
