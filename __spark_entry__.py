@@ -2786,6 +2786,7 @@ def q_vocab_topk(spark, sf_dir):
 UNION ALL SELECT 'n_merges', CAST(16 AS BIGINT)
 UNION ALL SELECT 'distributed_prefix_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'token_counts_match_reference', CAST(1 AS BIGINT)
+UNION ALL SELECT 'token_seqs_match_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'packer_rows_match', CAST(1 AS BIGINT)""",
 )
 def q_bpe_vocab(spark, sf_dir):
@@ -2839,6 +2840,18 @@ def q_bpe_vocab(spark, sf_dir):
     tokens_ok = got == expect
     assert tokens_ok, "BPE transform token counts diverged from reference"
 
+    seqs = {
+        r["doc_id"]: r["text_bpe_tokens"]
+        for r in op.encode(sample).select("doc_id", "text_bpe_tokens").collect()
+    }
+    seq_expect = {
+        i: [s for w in (t or "").lower().split()
+            for s in reference_tokenize(w, ref)]
+        for i, t in texts.items()
+    }
+    seqs_ok = seqs == seq_expect
+    assert seqs_ok, "BPE encode token sequences diverged from reference"
+
     counted = op.transform(sample)
     packed = ff.SequencePacker(
         "text_bpe_token_count", budget=512, order_col="doc_id",
@@ -2851,6 +2864,7 @@ def q_bpe_vocab(spark, sf_dir):
         ("n_merges", len(op.merges_)),
         ("distributed_prefix_match", int(dist_ok)),
         ("token_counts_match_reference", int(tokens_ok)),
+        ("token_seqs_match_reference", int(seqs_ok)),
         ("packer_rows_match", int(packer_ok)),
     ])
 

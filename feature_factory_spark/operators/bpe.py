@@ -142,7 +142,7 @@ def induce_bpe(
     of reference_bpe's full O(V) recount, with the IDENTICAL merge
     sequence (same integer counts, same count-desc/pair-asc tie-break;
     pinned against reference_bpe in tests). Returns (merges,
-    {word: n_tokens after all merges})."""
+    {word: n_tokens after all merges}, {word: final symbol list})."""
     syms_l = [list(w) + [END_MARK] for w, _ in word_counts]
     cnts = [c for _, c in word_counts]
     pair_counts: dict[tuple[str, str], int] = {}
@@ -184,9 +184,11 @@ def induce_bpe(
                     acc.append(x)
             syms_l[i] = acc
             _account(i, 1)
-    return merges, {
-        w: len(syms_l[i]) for i, (w, _) in enumerate(word_counts)
-    }
+    return (
+        merges,
+        {w: len(syms_l[i]) for i, (w, _) in enumerate(word_counts)},
+        {w: list(syms_l[i]) for i, (w, _) in enumerate(word_counts)},
+    )
 
 
 def reference_tokenize(word: str, merges: list[tuple[str, str]]) -> list[str]:
@@ -305,12 +307,13 @@ class BpeVocabBuilder(Transformer):
         wc = [
             (r["word"], r["cnt"]) for r in self.word_counts(df).collect()
         ]
-        merges, tok = induce_bpe(
+        merges, tok, syms = induce_bpe(
             wc, self.num_merges, self.min_pair_count
         )
         self.release()  # refit: drop a previous fit/load's persisted frame
         self.word_tokens_ = df.sparkSession.createDataFrame(
-            sorted(tok.items()), "word string, n_tokens int"
+            [(w, n, syms[w]) for w, n in sorted(tok.items())],
+            "word string, n_tokens int, syms array<string>",
         )
         self.merges_ = [list(m) for m in merges]
 
@@ -355,7 +358,7 @@ class BpeVocabBuilder(Transformer):
         if self.word_tokens_ is not None:
             self.word_tokens_.unpersist()
         self.word_tokens_ = words.select(
-            "word", F.size("syms").alias("n_tokens")
+            "word", F.size("syms").alias("n_tokens"), "syms"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         self.word_tokens_.count()  # materialize off the checkpoint chain
         self._own_frame("word_tokens_")
@@ -374,15 +377,109 @@ class BpeVocabBuilder(Transformer):
         return frame
 
     def tokenize_words(self, words: DataFrame, word_col: str = "word") -> DataFrame:
-        """(word, n_tokens) for an arbitrary word frame via the exact
-        merge chain (used for unseen words; corpus words should join
-        the fitted table instead)."""
+        """(word, n_tokens, syms) for an arbitrary word frame via the
+        exact merge chain (used for unseen words; corpus words should
+        join the fitted table instead)."""
         base = words.select(
             F.col(word_col).alias("word"),
             chars_expr(F.col(word_col)).alias("syms"),
         )
         return self._apply_merges(base, "syms").select(
-            "word", F.size("syms").alias("n_tokens")
+            "word", F.size("syms").alias("n_tokens"), "syms"
+        )
+
+    def vocabulary(self) -> DataFrame:
+        """The learned vocabulary as (token, id): the base alphabet
+        (every character symbol in the fitted word table + the
+        end-of-word mark, id'd in sorted order — deterministic) followed
+        by one token per merge in merge order — the standard BPE id
+        layout, exportable to any tokenizer runtime. One distinct
+        aggregate over the (vocabulary-sized) fitted table; the alphabet
+        is bounded by the character set, so the collect is tiny."""
+        from .text import _require_frame_state
+
+        table = _require_frame_state(
+            self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
+        )
+        chars = sorted(
+            {END_MARK}
+            | {
+                r["c"]
+                for r in table.select(
+                    F.explode(chars_expr(F.col("word"))).alias("c")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        rows = [(tok, i) for i, tok in enumerate(chars)] + [
+            (m[0] + m[1], len(chars) + i)
+            for i, m in enumerate(self.merges_)
+        ]
+        return table.sparkSession.createDataFrame(
+            rows, "token string, id int"
+        )
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """Append ``{text_col}_bpe_tokens``: the document's full subword
+        token sequence (array<string>, in document order) under the
+        learned merges — ``transform`` counts, ``encode`` materializes.
+
+        Plan: posexplode the words (position kept so the sequence
+        reassembles in order), join the fitted word->syms table, exact
+        merge-chain tokenization for the DISTINCT unseen words only,
+        then one groupBy(doc) that sorts the (pos, syms) structs and
+        flattens. Same join shape as transform plus the ordered
+        re-assembly shuffle — at scale prefer transform (counts) unless
+        the sequences themselves are the product."""
+        from .text import _require_frame_state
+
+        self._check_input(df)
+        table = _require_frame_state(
+            self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
+        )
+        doc_words = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.posexplode(
+                F.concat(
+                    self._word_expr(), F.array(F.lit(None).cast("string"))
+                )
+            ).alias("__ff_pos", "word"),
+        )
+        joined = doc_words.join(
+            table.select("word", "syms"), "word", "left"
+        ).select("__ff_id", "__ff_pos", "word", "syms")
+        unseen = (
+            joined.where(F.col("word").isNotNull() & F.col("syms").isNull())
+            .select("word")
+            .distinct()
+        )
+        unseen_syms = self.tokenize_words(unseen).select(
+            "word", F.col("syms").alias("__ff_syms_unseen")
+        )
+        resolved = joined.join(unseen_syms, "word", "left").select(
+            "__ff_id",
+            "__ff_pos",
+            F.when(F.col("word").isNull(), F.array().cast("array<string>"))
+            .otherwise(F.coalesce("syms", "__ff_syms_unseen"))
+            .alias("__ff_syms"),
+        )
+        per_doc = resolved.groupBy("__ff_id").agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ff_pos", "__ff_syms"))
+                    ),
+                    lambda s: s["__ff_syms"],
+                )
+            ).alias("__ff_tokens")
+        )
+        out_col = f"{self.text_col}_bpe_tokens"
+        return df.join(
+            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
+            F.col("__ff_tokens").alias(out_col),
         )
 
     def _transform(self, df: DataFrame) -> DataFrame:

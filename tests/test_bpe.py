@@ -117,10 +117,13 @@ def test_indexed_trainer_matches_naive_recount():
     ]
     for wc in fixtures:
         for n in (1, 3, 8, 40):
-            merges, tok = induce_bpe(wc, n)
+            merges, tok, syms = induce_bpe(wc, n)
             assert merges == reference_bpe(wc, n), (wc, n)
             assert tok == {
                 w: len(reference_tokenize(w, merges)) for w, _ in wc
+            }, (wc, n)
+            assert syms == {
+                w: reference_tokenize(w, merges) for w, _ in wc
             }, (wc, n)
 
 
@@ -154,6 +157,43 @@ def test_state_roundtrip(fitted, docs, spark, tmp_path):
          for r in restored.transform(docs).collect()}
     assert a == b
     restored.release()
+
+
+def test_vocabulary_layout(fitted):
+    vocab = {r["token"]: r["id"] for r in fitted.vocabulary().collect()}
+    # base alphabet ids first (sorted), then merges in merge order
+    chars = sorted(t for t in vocab if t == END_MARK or len(t) == 1)
+    assert [vocab[c] for c in chars] == list(range(len(chars)))
+    for i, m in enumerate(fitted.merges_):
+        assert vocab[m[0] + m[1]] == len(chars) + i
+    # every fitted word's tokens are in the vocabulary
+    for r in fitted.word_tokens_.collect():
+        for s in r["syms"]:
+            assert s in vocab, s
+
+
+def test_encode_matches_reference_sequences(fitted, docs, spark):
+    ref = [tuple(m) for m in fitted.merges_]
+    got = {
+        r["doc_id"]: r["text_bpe_tokens"]
+        for r in fitted.encode(docs).collect()
+    }
+    expect = {
+        i: [s for w in t.lower().split() for s in reference_tokenize(w, ref)]
+        for i, t in enumerate(TEXTS)
+    }
+    assert got == expect
+    # unseen words tokenize exactly; empty/NULL text -> empty sequence
+    probe = spark.createDataFrame(
+        [(50, "zebra unseen"), (51, ""), (52, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["text_bpe_tokens"]
+            for r in fitted.encode(probe).collect()}
+    assert rows[50] == [
+        s for w in "zebra unseen".split() for s in reference_tokenize(w, ref)
+    ]
+    assert rows[51] == [] and rows[52] == []
 
 
 def test_packs_by_true_token_length(fitted, docs):
