@@ -1779,14 +1779,20 @@ def q_ngram_lang(spark, sf_dir):
     from pyspark import InheritableThread
 
     docs = _t(spark, sf_dir, "documents")
-    labeled_box: list[int] = []
+    labeled_box: list = []
 
     def _label_corpus():
-        labeled_box.append(
-            op.transform(docs)
-            .where(F.col("text_lang") != F.lit("und"))
-            .count()
-        )
+        # capture failures too: InheritableThread swallows exceptions,
+        # and an empty box would surface as a bare IndexError masking
+        # the real Spark error
+        try:
+            labeled_box.append(
+                op.transform(docs)
+                .where(F.col("text_lang") != F.lit("und"))
+                .count()
+            )
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            labeled_box.append(exc)
 
     corpus_t = InheritableThread(target=_label_corpus)
     corpus_t.start()

@@ -135,7 +135,7 @@ def reference_bpe(
 
 def induce_bpe(
     word_counts: list[tuple[str, int]], num_merges: int, min_pair_count: int = 2
-) -> tuple[list[tuple[str, str]], dict[str, int]]:
+) -> tuple[list[tuple[str, str]], dict[str, int], dict[str, list[str]]]:
     """Indexed BPE trainer over an aggregated word-count table: exact
     incremental pair-count maintenance (the HuggingFace-trainer
     algorithm) — O(words containing the merged pair) per merge instead
@@ -412,10 +412,20 @@ class BpeVocabBuilder(Transformer):
                 .collect()
             }
         )
-        rows = [(tok, i) for i, tok in enumerate(chars)] + [
-            (m[0] + m[1], len(chars) + i)
-            for i, m in enumerate(self.merges_)
-        ]
+        rows = [(tok, i) for i, tok in enumerate(chars)]
+        seen = set(chars)
+        next_id = len(chars)
+        for m in self.merges_:
+            tok = m[0] + m[1]
+            # distinct merges can concatenate to the same string (e.g.
+            # ('a','bc') and ('ab','c')): the vocabulary keeps the
+            # first occurrence so token strings stay unique — the
+            # contract every token->id consumer assumes
+            if tok in seen:
+                continue
+            seen.add(tok)
+            rows.append((tok, next_id))
+            next_id += 1
         return table.sparkSession.createDataFrame(
             rows, "token string, id int"
         )
@@ -438,6 +448,11 @@ class BpeVocabBuilder(Transformer):
         table = _require_frame_state(
             self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
         )
+        if "syms" not in table.columns:
+            # state saved before the fitted table carried symbol
+            # sequences: rebuild them exactly via the merge chain (the
+            # merges are scalar state, so old state dirs keep working)
+            table = self.tokenize_words(table.select("word"))
         doc_words = df.select(
             F.col(self.id_col).alias("__ff_id"),
             F.posexplode(

@@ -204,7 +204,17 @@ class SourceMixer(Transformer):
             n_total = min(counts[s] / props[s] for s in props)
         else:
             n_total = float(self.budget_rows)
-        rates = {s: (props[s] * n_total) / counts[s] for s in props}
+        # package rounding rule (module header of __spark_entry__): the
+        # SQL twin recomputes these rates and must land on the same
+        # ulp. Rounding BEFORE the oversample check also matters for
+        # correctness: with budget_rows=None the scarcest source's rate
+        # is exactly 1 by construction, but the min/divide round-trip
+        # can land one ulp above 1.0 and would spuriously demand the
+        # oversampling opt-in (fuzzed: ~3% of weight/count combos).
+        rates = {
+            s: math.floor((props[s] * n_total) / counts[s] * 1e6 + 0.5) / 1e6
+            for s in props
+        }
         over = sorted(s for s, r in rates.items() if r > 1.0)
         if over and not self.allow_oversample:
             raise_rates = {s: round(rates[s], 3) for s in over}
@@ -214,11 +224,7 @@ class SourceMixer(Transformer):
                 f"{raise_rates} but allow_oversample=False; lower the "
                 "budget, lower those weights, or opt in",
             )
-        # package rounding rule (module header of __spark_entry__): the
-        # SQL twin recomputes these rates and must land on the same ulp
-        self.rates_ = {
-            s: math.floor(r * 1e6 + 0.5) / 1e6 for s, r in rates.items()
-        }
+        self.rates_ = rates
         self.counts_ = counts
 
     def rate_expr(self) -> Column:

@@ -771,9 +771,15 @@ class BigramLogProbScorer(Transformer):
             .agg(F.count("*").alias("__ff_cnt"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        row = freq.agg(F.sum("__ff_cnt").alias("t")).collect()[0]
-        total = float(row["t"] or 0.0)
-        ensure(total > 0, "fit corpus contains no words")
+        try:
+            row = freq.agg(F.sum("__ff_cnt").alias("t")).collect()[0]
+            total = float(row["t"] or 0.0)
+            ensure(total > 0, "fit corpus contains no words")
+        except BaseException:
+            # the ensure fires after freq is persisted: unpin it or a
+            # failed fit leaks a cache entry release() will never own
+            freq.unpersist()
+            raise
         pairs = (
             df.select(F.explode(self._pairs_expr()).alias("pair"))
             .groupBy("pair")
@@ -1018,7 +1024,8 @@ class NgramLanguageIdentifier(Transformer):
     per-lang top-k window over the AGGREGATED counts (|langs| x
     |grams| rows, tiny) — only the |langs| totals reach the driver —
     and one pivot of the profile into its wide broadcast form (gram ->
-    logp array), persisted as fitted state so no transform ever re-does
+    logp array), held as derived state (rebuilt lazily from the saved
+    long-form profile after load_state) so no transform ever re-does
     it. transform is explode -> broadcast hash join against that wide
     profile (<= |langs| * top_k rows, always broadcastable) -> one
     groupBy(doc) partial-aggregated sum per language; the per-doc
@@ -1051,9 +1058,12 @@ class NgramLanguageIdentifier(Transformer):
         self.fit_text_col = fit_text_col
         self.profile_df_: DataFrame | None = None  # (gram, lang, logp)
         # (gram, lps array<double> in langs_ order) — the broadcast-join
-        # probe side, pivoted ONCE at fit/load instead of per transform
-        # (the per-transform groupBy(gram) pivot was ~2 s of pure rework
-        # on every call; the wide table is <= |langs| * top_k rows)
+        # probe side, pivoted ONCE at fit (or lazily after load_state)
+        # instead of per transform (the per-transform groupBy(gram)
+        # pivot was ~2 s of pure rework on every call; the wide table
+        # is <= |langs| * top_k rows). DERIVED state: not saved —
+        # profile_df_ is the canonical on-disk frame, so state dirs
+        # stay one parquet frame and pre-pivot saves keep loading.
         self.wide_df_: DataFrame | None = None
         self.langs_: list[str] | None = None
         self.fallback_: dict[str, float] | None = None
@@ -1062,7 +1072,10 @@ class NgramLanguageIdentifier(Transformer):
         return True
 
     def _frame_state_attrs(self) -> list[str]:
-        return ["profile_df_", "wide_df_"]
+        return ["profile_df_"]
+
+    def _derived_state_attrs(self) -> list[str]:
+        return ["wide_df_"]
 
     def _check_input(self, df: DataFrame) -> None:
         # fit() receives the labeled profile corpus and transform() the
@@ -1144,26 +1157,52 @@ class NgramLanguageIdentifier(Transformer):
             )
             for r in top_rows
         )
-        # wide pivot: one row per gram, logp array in langs_ order
-        # (missing (gram, lang) entries take that language's fallback)
-        wide: dict[str, list[float]] = {}
-        for gram, lang, logp in profile_rows:
-            wide.setdefault(gram, list(fb))[lang_ix[lang]] = logp
         self.release()  # refit: drop frames a previous load persisted
         spark = df.sparkSession
         self.profile_df_ = spark.createDataFrame(
             profile_rows, "gram string, lang string, logp double"
         )
-        self.wide_df_ = spark.createDataFrame(
-            sorted(wide.items()), "gram string, lps array<double>"
-        )
         self.langs_ = langs
         self.fallback_ = {lang: fb[lang_ix[lang]] for lang in langs}
+        self.wide_df_ = self._pivot_wide(spark, profile_rows)
+
+    def set_fitted_state(self, state):
+        # wide_df_ is DERIVED from profile_df_; any state restore must
+        # invalidate it or a reused instance would keep scoring with
+        # the previous model's pivot
+        self.wide_df_ = None
+        return super().set_fitted_state(state)
+
+    def _pivot_wide(self, spark, profile_rows) -> DataFrame:
+        """(gram, lps array in langs_ order) LocalRelation from the
+        long-form profile rows; missing (gram, lang) entries take that
+        language's fallback."""
+        langs = list(self.langs_)
+        lang_ix = {lang: i for i, lang in enumerate(langs)}
+        fb = [float(self.fallback_[lang]) for lang in langs]
+        wide: dict[str, list[float]] = {}
+        for gram, lang, logp in profile_rows:
+            wide.setdefault(gram, list(fb))[lang_ix[lang]] = logp
+        return spark.createDataFrame(
+            sorted(wide.items()), "gram string, lps array<double>"
+        )
+
+    def _wide(self) -> DataFrame:
+        """The pivoted probe side, rebuilt lazily when absent (e.g.
+        after load_state — including state dirs saved before the pivot
+        existed): one bounded collect of the canonical profile frame."""
+        if self.wide_df_ is None:
+            profile = _require_frame_state(
+                self.profile_df_, "NgramLanguageIdentifier", "profile_df_"
+            )
+            rows = [
+                (r["gram"], r["lang"], r["logp"]) for r in profile.collect()
+            ]
+            self.wide_df_ = self._pivot_wide(profile.sparkSession, rows)
+        return self.wide_df_
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        wide = _require_frame_state(
-            self.wide_df_, "NgramLanguageIdentifier", "wide_df_"
-        )
+        wide = self._wide()
         validate_columns(df, [self.id_col])
         validate_string_columns(df, [self.text_col])
         langs = list(self.langs_)
@@ -1343,21 +1382,42 @@ class QualityScorer(Transformer):
         ensure(n_total > 0, "QualityScorer fit frame has no non-null text")
         if n_total > self.max_fit_rows:
             # deterministic content-hash cap: the kept set depends only
-            # on the text bytes, never on partitioning or cluster size
+            # on the text bytes, never on partitioning or cluster size.
+            # 2^31 buckets so the threshold never floors to zero at any
+            # realistic corpus/cap ratio. Duplicate texts share a bucket
+            # (all kept or all dropped), so the pre-collect bound is
+            # approximate under heavy duplication — run the fit after
+            # dedup, or on a pre-sampled frame, for boilerplate-dominated
+            # corpora; the stride below restores the exact bound after
+            # collect either way.
             frac = min(1.0, 1.05 * self.max_fit_rows / n_total)
+            buckets = 1 << 31
             base = base.where(
-                F.pmod(F.xxhash64(F.col(self.text_col)), F.lit(1_000_000))
-                < F.lit(int(frac * 1_000_000))
+                F.pmod(F.xxhash64(F.col(self.text_col)), F.lit(buckets))
+                < F.lit(max(1, int(frac * buckets)))
             )
         feats = self._feature_exprs()
         rows = base.select(
             *[expr.alias(name) for name, expr in feats.items()],
             labeler.keep_expr().cast("double").alias("__ff_label"),
         ).collect()
+        ensure(
+            bool(rows),
+            "the content-hash cap kept no rows; raise max_fit_rows or "
+            "fit on a pre-sampled frame",
+        )
         mat = np.array([[r[i] for i in range(len(self.FEATURES) + 1)]
                         for r in rows], dtype=np.float64)
         # sort rows so every float sum below is collect-order independent
         mat = mat[np.lexsort(mat.T[::-1])]
+        if mat.shape[0] > self.max_fit_rows:
+            # exact post-collect bound, deterministic on the sorted
+            # matrix: stride-subsample down to the cap
+            idx = (
+                np.arange(self.max_fit_rows)
+                * (mat.shape[0] / self.max_fit_rows)
+            ).astype(np.int64)
+            mat = mat[idx]
         x_raw, y = mat[:, :-1], mat[:, -1]
         n = x_raw.shape[0]
         pos = float(y.sum())

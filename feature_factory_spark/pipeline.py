@@ -112,6 +112,14 @@ class Transformer(ABC):
         them to parquet instead of silently dropping them."""
         return []
 
+    def _derived_state_attrs(self) -> list[str]:
+        """Names of fitted attributes that are DERIVED from other fitted
+        state (rebuilt lazily on first use, e.g. a broadcast-side pivot
+        of a saved frame). Intentionally excluded from persistence AND
+        exempt from save_state's drop guard — the canonical state they
+        derive from is what round-trips."""
+        return []
+
     def save_state(self, path: str) -> None:
         """Persist fitted state.
 
@@ -137,12 +145,14 @@ class Transformer(ABC):
                 "fitted"
             )
         frame_attrs = self._frame_state_attrs()
+        derived_attrs = self._derived_state_attrs()
         dropped = [
             k
             for k, v in vars(self).items()
             if k.endswith("_")
             and not k.startswith("__")
             and k not in frame_attrs
+            and k not in derived_attrs
             and _to_json_value(v) is _UNSERIALIZABLE
         ]
         if dropped:

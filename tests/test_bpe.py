@@ -160,16 +160,44 @@ def test_state_roundtrip(fitted, docs, spark, tmp_path):
 
 
 def test_vocabulary_layout(fitted):
-    vocab = {r["token"]: r["id"] for r in fitted.vocabulary().collect()}
+    rows = fitted.vocabulary().collect()
+    vocab = {r["token"]: r["id"] for r in rows}
+    assert len(vocab) == len(rows)  # token strings are unique
+    assert sorted(vocab.values()) == list(range(len(rows)))  # dense ids
     # base alphabet ids first (sorted), then merges in merge order
+    # (first occurrence wins when merges concatenate to the same string)
     chars = sorted(t for t in vocab if t == END_MARK or len(t) == 1)
     assert [vocab[c] for c in chars] == list(range(len(chars)))
-    for i, m in enumerate(fitted.merges_):
-        assert vocab[m[0] + m[1]] == len(chars) + i
+    merge_toks = []
+    for m in fitted.merges_:
+        t = m[0] + m[1]
+        if t not in merge_toks and t not in chars:
+            merge_toks.append(t)
+    assert [vocab[t] for t in merge_toks] == [
+        len(chars) + i for i in range(len(merge_toks))
+    ]
     # every fitted word's tokens are in the vocabulary
     for r in fitted.word_tokens_.collect():
         for s in r["syms"]:
             assert s in vocab, s
+
+
+def test_vocabulary_dedupes_colliding_merge_strings(spark):
+    # distinct merges can concatenate to the same string — ('a','bc')
+    # vs ('ab','c') — and a merge can equal a base char; vocabulary()
+    # must keep first occurrence so token strings stay unique
+    op = ff.BpeVocabBuilder("text", "doc_id")
+    op.merges_ = [["a", "b"], ["b", "c"], ["a", "bc"], ["ab", "c"]]
+    op.word_tokens_ = spark.createDataFrame(
+        [("abc", 1, ["abc"])], "word string, n_tokens int, syms array<string>"
+    )
+    op._fitted = True
+    rows = op.vocabulary().collect()
+    toks = [r["token"] for r in rows]
+    assert len(toks) == len(set(toks))
+    vocab = {r["token"]: r["id"] for r in rows}
+    assert sorted(vocab.values()) == list(range(len(rows)))
+    assert "abc" in vocab  # first occurrence kept, second skipped
 
 
 def test_encode_matches_reference_sequences(fitted, docs, spark):

@@ -230,6 +230,20 @@ class TestSourceMixer:
                    for r in op2.transform(corpus.repartition(7)).collect())
         assert a == b
 
+    def test_default_budget_never_demands_oversample_opt_in(self, spark):
+        # counts/weights whose min/divide round-trip lands one ulp
+        # above 1.0 — the un-rounded check used to raise spuriously
+        rows = (
+            [(i, "a") for i in range(70)]
+            + [(1000 + i, "b") for i in range(93)]
+            + [(2000 + i, "c") for i in range(118)]
+        )
+        corpus = spark.createDataFrame(rows, "doc_id bigint, source string")
+        op = ff.SourceMixer(
+            "doc_id", "source", {"a": 2.0, "b": 2.0, "c": 7.0}
+        ).fit(corpus)  # must not raise
+        assert op.rates_["c"] == 1.0
+
     def test_state_roundtrip(self, corpus, tmp_path):
         op = ff.SourceMixer(
             "doc_id", "source", {"a": 1.0, "b": 1.0, "c": 1.0}
