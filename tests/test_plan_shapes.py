@@ -128,3 +128,69 @@ def test_binary_decode_paths_are_narrow_maps(spark):
     plan = _phys(out.select("id", "img_mean", "wav_rms"))
     assert "Exchange" not in plan, plan[:2000]
     assert plan.count("MapInPandas") == 2
+
+
+# -- round-6 LLM-curation operators ------------------------------------
+
+
+def test_semantic_dedup_pairs_never_cartesian(vecs):
+    op = ff.SemanticDeduplicator(
+        "embedding", "vec_id", threshold=0.8, k=4, dim=16
+    ).fit(vecs)
+    plan = _phys(op.candidate_pairs(vecs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_langid_probe_is_broadcast_hash_join(spark, docs):
+    op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+    plan = _phys(op.transform(docs))
+    # the wide profile (<= |langs| * top_k rows) must ride a broadcast
+    # hash join; a shuffled probe would move the whole corpus instead
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_transform_and_encode_never_cartesian(docs):
+    op = ff.BpeVocabBuilder("text", "doc_id", num_merges=8).fit(docs)
+    for frame in (op.transform(docs), op.encode(docs)):
+        plan = _phys(frame)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_scorer_transform_never_cartesian(docs):
+    op = ff.BigramLogProbScorer("text", "doc_id").fit(docs)
+    plan = _phys(op.transform(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_scorer_transform_is_narrow(spark):
+    # scoring is a pure projection over the learned weights: any join or
+    # shuffle here would be a regression at corpus scale
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the cat "
+        "and the dog walk home together to have a long dinner with all "
+        "of their friends in the warm house near the lake while the sun "
+        "goes down over the quiet hills"
+    )
+    rows = [(i, f"{good} {i}") for i in range(30)] + [
+        (100 + i, "$$$ %% @@ ## !! ?? ^^ && ** (( )) %d" % i)
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    op = ff.QualityScorer("text").fit(corpus)
+    plan = _phys(op.transform(corpus))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_source_mixer_transform_is_narrow(spark):
+    rows = [(i, "a" if i % 2 else "b", f"text {i}") for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    op = ff.SourceMixer("doc_id", "source", {"a": 1.0, "b": 1.0}).fit(corpus)
+    plan = _phys(op.transform(corpus))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
