@@ -66,7 +66,7 @@ the op is a member slice of that family query):
                               target_mean_performance,mrmr_relevance}
   Pipeline                    pipeline_flagship (also entry())
   — LLM extensions (standalone): cosine/ivf/bucketed topk, text_features,
-  token_count, text_clean, repetition_features, pii_redact,
+  token_count, repetition_features, pii_redact,
   doc_fingerprint, tfidf_topk,
   json_extract, events_window, session_window, line_dedup,
   kmeans_cluster, oof_mean_encode, tree_discretize,
@@ -79,7 +79,9 @@ the op is a member slice of that family query):
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
   lang_id (stopword heuristic, hash-pinned, + the 30-language
-  char-n-gram model's invariant member), sample_family
+  char-n-gram model's invariant member), text_clean (stopword-removal
+  normalization + html_strip, the HtmlTextExtractor HTML->text chain
+  over synthesized pages), sample_family
   (hash_sample/hash_split/weighted_sample/url_ops — the web-operator
   domain|path|blocked|kept tuple per doc), pack_family
   (sequence_pack + doc_chunk context-window chunking +
@@ -1977,6 +1979,96 @@ def q_text_clean(spark, sf_dir):
     return t.transform(docs).select("doc_id", F.col("text").alias("cleaned"))
 
 
+# Deterministic page synthesis for the html_strip member: every document
+# wrapped in markup that exercises each extraction rule (script with
+# embedded '<'/'&&', style, comment, entities incl. the &amp;lt;
+# single-pass trap, paragraph breaks from the text's own newlines).
+_HTML_PRE = (
+    "<html><head><title>Doc</title><style>p{color:red}</style>"
+    "<script>var x = 1 && 2<3;</script></head><body><h1>Doc "
+)
+_HTML_MID = '</h1><p>'
+_HTML_LINK = '</p><a href="http://ex.com/'
+_HTML_POST = '">link &amp; more &amp;lt; ok</a><!-- c --></body></html>'
+# the operator's whitespace classes, spelled with chr() so the SQL twin
+# and the Java regexes mean the same bytes
+_SQL_WSP = "[ '||chr(9)||chr(13)||chr(12)||']"
+
+
+@_reg(
+    "html_strip",
+    r"""WITH h AS (SELECT doc_id,
+ '"""
+    + _HTML_PRE.replace("'", "''")
+    + r"""' || CAST(doc_id AS VARCHAR) || '"""
+    + _HTML_MID
+    + r"""' || replace(text, chr(10), '</p><p>') || '"""
+    + _HTML_LINK
+    + r"""' || CAST(doc_id AS VARCHAR) || '"""
+    + _HTML_POST.replace("'", "''")
+    + r"""' AS page FROM documents),
+x AS (SELECT doc_id, page, trim(
+ regexp_replace(
+  regexp_replace(
+   regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        regexp_replace(
+         regexp_replace(page, '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+         '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+       '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table|/blockquote)[^>]*>', chr(10), 'g'),
+      '<[^>]*>', ' ', 'g'),
+     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+    '"""
+    + _SQL_WSP
+    + r"""+', ' ', 'g'),
+   '"""
+    + _SQL_WSP
+    + r"""*'||chr(10)||'"""
+    + _SQL_WSP
+    + r"""*', chr(10), 'g'),
+  chr(10)||'{2,}', chr(10), 'g')
+ ) AS t FROM h)
+SELECT doc_id, t || '|' ||
+ CAST(len(regexp_extract_all(page, '<[^>]*>')) AS VARCHAR) || '|' ||
+ CAST(len(regexp_extract_all(page, '(?i)<a[ '||chr(9)||chr(13)||chr(10)||'>]')) AS VARCHAR) || '|' ||
+ CAST(floor(len(t)::DOUBLE / len(page) * 1000000) AS BIGINT) AS val
+FROM x""",
+)
+def q_html_strip(spark, sf_dir):
+    """HtmlTextExtractor (operators/web.py): HTML -> text extraction
+    over deterministically synthesized pages — script/style/comment
+    removal, block-break folding, single-pass entity decoding — plus
+    the tag/link/length boilerplate metrics, all SQL-recomputed
+    end-to-end by the DuckDB twin (same RE2-compatible patterns)."""
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+        F.lit(_HTML_LINK),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_POST),
+    )
+    out = ff.HtmlTextExtractor(["page"]).transform(
+        docs.select("doc_id", page.alias("page"))
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.col("page_html_text"),
+            F.col("page_tag_count").cast("string"),
+            F.col("page_link_count").cast("string"),
+            F.floor(F.col("page_text_ratio") * 1e6).cast("bigint").cast("string"),
+        ).alias("val"),
+    )
+
+
 @_reg(
     "repetition_features",
     f"""WITH d AS (SELECT doc_id, text, {SQL_WORDS} w FROM documents),
@@ -3716,6 +3808,13 @@ _merge("quality_filter", [
     ("contamination", ["doc_id", "contaminated AS flag"],
      "doc_id, contaminated AS flag"),
     ("quality_model", ["doc_id", "flag"], "doc_id, flag"),
+])
+
+# text cleaning surface: stopword-removal normalization + the HTML ->
+# text extraction chain (both hash-pinned, SQL-recomputed end-to-end)
+_merge("text_clean", [
+    ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
+    ("html_strip", ["doc_id", "val"], "doc_id, val"),
 ])
 
 # language identification: the SQL-twin stopword heuristic (per-doc

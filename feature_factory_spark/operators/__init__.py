@@ -49,7 +49,10 @@ from .numerical import (
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .bpe import BpeVocabBuilder
-from .web import DomainBlocklistFilter, DomainCapSampler, DomainExtractor
+from .web import (
+    DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
+    HtmlTextExtractor,
+)
 from .text import (
     ContaminationChecker,
     BigramLogProbScorer,
@@ -155,6 +158,7 @@ __all__ = [
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
+    "HtmlTextExtractor",
     "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "decode_image", "encode_png", "image_decoder", "image_schema",

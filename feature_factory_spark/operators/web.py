@@ -228,3 +228,95 @@ class DomainCapSampler(Transformer):
             skew_safe=self.skew_safe,
         ).transform(keyed)
         return capped.drop("__ff_domain", "__ff_rk")
+
+
+class HtmlTextExtractor(Transformer):
+    """HTML -> text extraction for crawled web pages — the step between
+    a raw crawl and every text operator in this package (the reference
+    has no web surface at all, SURVEY.md §2.3).
+
+    Appends per column:
+
+    - ``{c}_html_text``   extracted visible text: script/style blocks
+      and comments removed, block-level closers folded to newlines, all
+      remaining tags stripped, the six ubiquitous named entities
+      (``&nbsp; &lt; &gt; &quot; &#39; &amp;``) decoded, whitespace
+      runs collapsed
+    - ``{c}_tag_count``   markup tag count in the raw HTML
+    - ``{c}_link_count``  anchor (``<a``) tag count — with tag_count
+      and the length ratio these are the standard boilerplate /
+      link-farm signals
+    - ``{c}_text_ratio``  extracted-to-raw length ratio (0 for empty
+      input)
+
+    Stateless pure-JVM regexp chain — no parser object, no UDF, no
+    shuffle; one narrow projection at any corpus size. A DOM-accurate
+    extractor (trafilatura-class) would slot in behind the same output
+    columns as a mapInPandas seam, but the regexp chain is the
+    dependency-free default and is exactly SQL-expressible, so the
+    correctness oracle recomputes it end-to-end.
+
+    Determinism notes: entity decoding runs ``&amp;`` LAST so
+    ``&amp;lt;`` decodes to the literal ``&lt;`` (single pass, the
+    HTML5 reference behavior), and the whitespace classes are spelled
+    ``[ \\t\\r\\f]`` explicitly because Java's ``\\s`` and RE2's
+    ``\\s`` disagree on vertical tab — the patterns must mean the same
+    thing in Spark and in the DuckDB twin."""
+
+    def __init__(self, columns: list[str], keep_newlines: bool = True):
+        ensure(bool(columns), "at least one html column is required")
+        self.columns = list(columns)
+        self.keep_newlines = keep_newlines
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    @staticmethod
+    def text_expr(html: Column, keep_newlines: bool = True) -> Column:
+        """The extraction chain as a composable expression."""
+        x = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script[^>]*>", " ")
+        x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style[^>]*>", " ")
+        x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+        # block-level closers/voids become line breaks so paragraphs
+        # survive tag stripping
+        x = F.regexp_replace(
+            x, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table|/blockquote)[^>]*>",
+            "\n",
+        )
+        x = F.regexp_replace(x, r"<[^>]*>", " ")
+        for ent, rep in [
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+        ]:
+            x = F.replace(x, F.lit(ent), F.lit(rep))
+        x = F.regexp_replace(x, r"[ \t\r\f]+", " ")
+        if keep_newlines:
+            x = F.regexp_replace(x, r"[ \t\r\f]*\n[ \t\r\f]*", "\n")
+            x = F.regexp_replace(x, r"\n{2,}", "\n")
+        else:
+            x = F.regexp_replace(x, r"[ \t\r\f]*\n[ \t\r\f]*", " ")
+        return F.trim(x)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c in self.columns:
+            raw = F.col(c)
+            text = self.text_expr(raw, self.keep_newlines)
+            out = (
+                out.withColumn(f"{c}_html_text", text)
+                .withColumn(
+                    f"{c}_tag_count", F.regexp_count(raw, F.lit(r"<[^>]*>"))
+                )
+                .withColumn(
+                    f"{c}_link_count",
+                    F.regexp_count(raw, F.lit(r"(?i)<a[ \t\r\n>]")),
+                )
+                .withColumn(
+                    f"{c}_text_ratio",
+                    F.when(F.length(raw) > 0,
+                           F.length(F.col(f"{c}_html_text"))
+                           / F.length(raw).cast("double"))
+                    .otherwise(F.lit(0.0)),
+                )
+            )
+        return out

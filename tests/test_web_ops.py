@@ -121,3 +121,65 @@ def test_domain_cap_precomputed_domain_col(many_urls):
         "url", "doc_id", 5, domain_col="url_domain"
     ).transform(with_dom).collect())
     assert via_url == via_col
+
+
+# -- HtmlTextExtractor --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    html = (
+        '<html><head><title>T</title><style>p{color:red}</style>'
+        '<script>if (a < b && c > d) { alert("x"); }</script></head>'
+        '<body><h1>Header One</h1><p>First para with &amp; and '
+        '&lt;tag&gt; text.</p><p>Second&nbsp;para &amp;lt; stays '
+        'literal.</p><!-- hidden --><ul><li>item one</li>'
+        '<li>item two</li></ul><a href="/x">a link</a> end</body></html>'
+    )
+    return spark.createDataFrame(
+        [(1, html), (2, "plain text, no markup"), (3, None), (4, "")],
+        "doc_id bigint, page string",
+    )
+
+
+def test_html_extraction_rules(pages):
+    rows = {r["doc_id"]: r for r in
+            ff.HtmlTextExtractor(["page"]).transform(pages).collect()}
+    t = rows[1]["page_html_text"]
+    # script/style/comment content gone, including the embedded < and &&
+    assert "alert" not in t and "color:red" not in t and "hidden" not in t
+    # block closers became line breaks; inline tags became spaces
+    assert "Header One\nFirst para" in t
+    assert "item one\nitem two" in t
+    # entities decode in ONE pass: &amp; -> &, but &amp;lt; -> literal &lt;
+    assert "with & and <tag> text." in t
+    assert "&lt; stays literal." in t
+    assert rows[1]["page_tag_count"] > 20
+    assert rows[1]["page_link_count"] == 1
+    assert 0.0 < rows[1]["page_text_ratio"] < 1.0
+
+
+def test_html_plain_text_passthrough(pages):
+    rows = {r["doc_id"]: r for r in
+            ff.HtmlTextExtractor(["page"]).transform(pages).collect()}
+    assert rows[2]["page_html_text"] == "plain text, no markup"
+    assert rows[2]["page_tag_count"] == 0
+    assert rows[2]["page_text_ratio"] == 1.0
+    # NULL html -> NULL outputs; empty html -> empty text, ratio 0
+    assert rows[3]["page_html_text"] is None
+    assert rows[4]["page_html_text"] == ""
+    assert rows[4]["page_text_ratio"] == 0.0
+
+
+def test_html_keep_newlines_off(pages):
+    rows = {r["doc_id"]: r for r in
+            ff.HtmlTextExtractor(["page"], keep_newlines=False)
+            .transform(pages).collect()}
+    assert "\n" not in rows[1]["page_html_text"]
+
+
+def test_html_transform_is_narrow(pages):
+    out = ff.HtmlTextExtractor(["page"]).transform(pages)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
