@@ -19,6 +19,12 @@ def _read_csv(s, p, o):
     return s.read.options(**o).csv(p)
 
 
+def _read_warc(s, p, o):
+    from .warc import read_warc
+
+    return read_warc(s, p, **o)
+
+
 _READERS = {
     ".parquet": lambda s, p, o: s.read.options(**o).parquet(p),
     ".csv": _read_csv,
@@ -37,6 +43,11 @@ _READERS = {
     # reachable via fmt="binaryFile" (media extensions are too varied
     # for suffix dispatch).
     ".binaryFile": lambda s, p, o: s.read.options(**o).format("binaryFile").load(p),
+    # raw web crawls (CommonCrawl layout): one row per WARC record —
+    # .warc.gz dispatches here too (NOT via the line-codec suffix strip)
+    # because gunzip happens inside the per-file record parser
+    ".warc": _read_warc,
+    ".warc.gz": _read_warc,
 }
 
 

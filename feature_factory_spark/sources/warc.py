@@ -1,0 +1,232 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the raw-crawl entry point
+of the curation pipeline (``read_warc`` -> HtmlTextExtractor ->
+language ID / quality / dedup). CommonCrawl — the de-facto LLM corpus
+source — ships as WARC, so a training-data engine that cannot open it
+starts one ETL step too late.
+
+The reference has no web/source surface at all (SURVEY.md §2.3); this
+is beyond-reference, built from the public WARC 1.1 spec and the
+CommonCrawl layout: a WARC file is a concatenation of records, each a
+``WARC/x.y`` version line + CRLF headers + blank line + Content-Length
+payload bytes + two CRLFs; *.warc.gz files are per-record (or
+whole-file) concatenated gzip members.
+
+Scale shape: WARC is stream-parsed and (gzipped) non-splittable, so the
+unit of parallelism is the FILE — exactly what ``binaryFile`` gives us.
+``read_warc`` is a binaryFile scan + one Arrow-batched ``mapInPandas``
+that explodes each archive into its records: a narrow map, no shuffle,
+and a 1000-executor cluster chews one archive per task. CommonCrawl
+crawls are ~90k files of ~1 GB — a natural 90k-task scan. Records
+stream out in batches of ``batch_rows`` so a million-record archive
+never materializes as one Python list.
+
+Pure stdlib (gzip via zlib); no warcio dependency. ``make_warc`` is the
+deterministic encoder twin (same pattern as imagecodec's solid_png) so
+tests and fixtures round-trip without external data.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CRLF2 = b"\r\n\r\n"
+
+# (name, spark sql type) of the exploded record schema
+WARC_FIELDS = [
+    ("source_file", "string"),
+    ("record_id", "string"),
+    ("warc_type", "string"),
+    ("target_uri", "string"),
+    ("warc_date", "string"),
+    ("content_type", "string"),
+    ("http_status", "int"),
+    ("http_content_type", "string"),
+    ("payload", "binary"),
+    ("payload_length", "bigint"),
+]
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the *.warc.gz
+    layout: one member per record). Plain input passes through."""
+    if not data.startswith(_GZIP_MAGIC):
+        return data
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+        if data and not data.startswith(_GZIP_MAGIC):
+            break  # trailing garbage: keep what decompressed cleanly
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return headers
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) of an HTTP-response payload; a
+    non-HTTP payload comes back unsplit with NULL status/type."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(_CRLF2)
+    if not sep:
+        return None, None, payload
+    first, _, rest = head.partition(b"\r\n")
+    parts = first.split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = _parse_headers(rest).get("content-type")
+    return status, ctype, body
+
+
+def parse_warc(data: bytes, parse_http: bool = True) -> Iterator[dict]:
+    """Yield one dict per WARC record (keys = WARC_FIELDS minus
+    source_file). Gzip (multi-member) input is handled; malformed
+    trailing bytes end the stream instead of raising — a truncated
+    archive yields its intact prefix, the crawl-scale contract."""
+    data = gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not data[pos : pos + 5] == b"WARC/":
+            return  # not a record boundary: stop at the intact prefix
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            return
+        headers = _parse_headers(data[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return  # unrecoverable: record length unknown
+        body_start = head_end + len(_CRLF2)
+        payload = data[body_start : body_start + length]
+        if len(payload) < length:
+            return  # truncated final record
+        pos = body_start + length
+        warc_type = headers.get("warc-type")
+        status, http_ctype, body = (None, None, payload)
+        if parse_http and warc_type == "response":
+            status, http_ctype, body = split_http_payload(payload)
+        yield {
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": warc_type,
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": status,
+            "http_content_type": http_ctype,
+            "payload": body,
+            "payload_length": len(body),
+        }
+
+
+def make_warc(
+    records: list[dict],
+    gzip_per_record: bool = False,
+) -> bytes:
+    """Deterministic WARC encoder for fixtures/tests: each record dict
+    takes ``payload`` (bytes) plus optional ``warc_type``,
+    ``target_uri``, ``record_id``, ``warc_date``, ``content_type``.
+    With ``gzip_per_record`` every record becomes its own gzip member
+    (the *.warc.gz layout)."""
+    out = []
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        headers = [
+            ("WARC-Type", rec.get("warc_type", "response")),
+            ("WARC-Record-ID", rec.get("record_id", f"<urn:uuid:rec-{i}>")),
+            ("WARC-Date", rec.get("warc_date", "2026-01-01T00:00:00Z")),
+            ("Content-Length", str(len(payload))),
+        ]
+        if rec.get("target_uri"):
+            headers.insert(2, ("WARC-Target-URI", rec["target_uri"]))
+        if rec.get("content_type"):
+            headers.append(("Content-Type", rec["content_type"]))
+        raw = (
+            b"WARC/1.0\r\n"
+            + b"\r\n".join(
+                f"{k}: {v}".encode("latin-1") for k, v in headers
+            )
+            + _CRLF2
+            + payload
+            + _CRLF2
+        )
+        if gzip_per_record:
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)
+            raw = co.compress(raw) + co.flush()
+        out.append(raw)
+    return b"".join(out)
+
+
+def make_http_response(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+) -> bytes:
+    """An HTTP response payload for `make_warc` response records."""
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode("latin-1")
+        + body
+    )
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    parse_http: bool = True,
+    batch_rows: int = 1024,
+    **options,
+) -> DataFrame:
+    """One-call WARC ingestion: binaryFile scan + per-file record
+    explosion. Returns one row per WARC record with the HTTP envelope
+    split off response payloads (status, content-type, body) when
+    ``parse_http``; unparseable files yield zero rows rather than task
+    failures. Narrow map over the scan — parallelism = file count, no
+    shuffle."""
+    import pandas as pd
+
+    from .io import read
+
+    df = read(spark, path, fmt="binaryFile", **options).select(
+        "path", "content"
+    )
+    schema = ", ".join(f"{name} {typ}" for name, typ in WARC_FIELDS)
+    cols = [name for name, _ in WARC_FIELDS]
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[tuple] = []
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                if content is None:
+                    continue
+                for rec in parse_warc(bytes(content), parse_http=parse_http):
+                    buf.append((p, *(rec[c] for c in cols[1:])))
+                    if len(buf) >= batch_rows:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    return df.mapInPandas(explode, schema=schema)

@@ -1,0 +1,116 @@
+"""WARC source: pure-stdlib parser/encoder round-trips and the
+binaryFile -> mapInPandas explosion (sources/warc.py)."""
+
+import gzip
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feature_factory_spark.sources import (
+    make_http_response, make_warc, parse_warc, read_warc,
+)
+from feature_factory_spark.sources.warc import gunzip_members
+
+
+def _records():
+    return [
+        {"payload": make_http_response(b"<html><body>page one</body></html>"),
+         "target_uri": "http://a.example/one", "warc_type": "response",
+         "content_type": "application/http; msgtype=response"},
+        {"payload": b"warcinfo text", "warc_type": "warcinfo"},
+        {"payload": make_http_response(b"{}", status=404,
+                                       content_type="application/json"),
+         "target_uri": "http://b.example/two", "warc_type": "response"},
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        data = make_warc(_records(), gzip_per_record=gz)
+        recs = list(parse_warc(data))
+        assert [r["warc_type"] for r in recs] == [
+            "response", "warcinfo", "response"
+        ]
+        assert recs[0]["target_uri"] == "http://a.example/one"
+        assert recs[0]["http_status"] == 200
+        assert recs[0]["http_content_type"] == "text/html"
+        assert recs[0]["payload"] == b"<html><body>page one</body></html>"
+        assert recs[1]["http_status"] is None  # non-response: unsplit
+        assert recs[1]["payload"] == b"warcinfo text"
+        assert recs[2]["http_status"] == 404
+        assert recs[2]["http_content_type"] == "application/json"
+
+
+def test_parse_http_off_keeps_envelope():
+    data = make_warc(_records())
+    recs = list(parse_warc(data, parse_http=False))
+    assert recs[0]["payload"].startswith(b"HTTP/1.1 200")
+    assert recs[0]["http_status"] is None
+
+
+def test_truncated_archive_yields_intact_prefix():
+    data = make_warc(_records())
+    # cut inside the LAST record's payload: first two still parse
+    recs = list(parse_warc(data[:-10]))
+    assert len(recs) == 2
+    # garbage tail after a clean record boundary: same contract
+    assert len(list(parse_warc(make_warc(_records()[:1]) + b"junk"))) == 1
+    # not a WARC at all
+    assert list(parse_warc(b"PK\x03\x04 definitely a zip")) == []
+
+
+def test_gunzip_members_concatenated():
+    a, b = gzip.compress(b"hello "), gzip.compress(b"world")
+    assert gunzip_members(a + b) == b"hello world"
+    assert gunzip_members(b"plain") == b"plain"
+
+
+def test_read_warc_explodes_files(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(make_warc(_records()))
+    (d / "b.warc.gz").write_bytes(make_warc(_records()[:1], gzip_per_record=True))
+    (d / "junk.warc").write_bytes(b"not a warc")
+    out = read_warc(spark, str(d))
+    rows = out.collect()
+    assert len(rows) == 4  # 3 + 1 + 0
+    by_file = {r["source_file"].rsplit("/", 1)[-1] for r in rows}
+    assert by_file == {"a.warc", "b.warc.gz"}
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert all(r["http_status"] in (200, 404) for r in resp)
+    assert all(r["payload_length"] == len(r["payload"]) for r in rows)
+
+
+def test_read_warc_plan_is_narrow(spark, tmp_path):
+    p = tmp_path / "one.warc"
+    p.write_bytes(make_warc(_records()))
+    out = read_warc(spark, str(p))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_read_warc_feeds_html_extractor(spark, tmp_path):
+    import feature_factory_spark as ff
+
+    p = tmp_path / "one.warc"
+    p.write_bytes(make_warc(_records()))
+    pages = (
+        read_warc(spark, str(p))
+        .where(F.col("http_status") == 200)
+        .select("target_uri", F.col("payload").cast("string").alias("page"))
+    )
+    out = ff.HtmlTextExtractor(["page"]).transform(pages).collect()
+    assert out[0]["page_html_text"] == "page one"
+
+
+def test_read_dispatches_warc_extension(spark, tmp_path):
+    from feature_factory_spark.sources import read
+
+    p1 = tmp_path / "crawl.warc"
+    p1.write_bytes(make_warc(_records()))
+    p2 = tmp_path / "crawl2.warc.gz"
+    p2.write_bytes(make_warc(_records()[:2], gzip_per_record=True))
+    assert read(spark, str(p1)).count() == 3
+    assert read(spark, str(p2)).count() == 2
