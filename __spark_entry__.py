@@ -2900,7 +2900,30 @@ def q_bpe_vocab(spark, sf_dir):
         reference_tokenize,
     )
 
+    from pyspark import InheritableThread
+
     docs = _t(spark, sf_dir, "documents")
+    # the distributed-mode pin is ~6 serial cluster jobs (one groupBy
+    # per merge — its honest scale shape); run it CONCURRENTLY with the
+    # driver-mode induction + sample checks below, which are mostly
+    # driver CPU + small collects, so the member's wall is
+    # max(dist pin, driver checks) instead of the sum
+    dist = ff.BpeVocabBuilder(
+        "text", "doc_id", num_merges=6, max_words=2000,
+        fit_mode="distributed",
+    )
+    dist_box: list = []
+
+    def _dist_fit():
+        try:
+            dist.fit(docs)
+            dist_box.append([tuple(m) for m in dist.merges_])
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            dist_box.append(exc)
+
+    dist_t = InheritableThread(target=_dist_fit)
+    dist_t.start()
+
     op = ff.BpeVocabBuilder(
         "text", "doc_id", num_merges=16, max_words=2000
     )
@@ -2910,17 +2933,6 @@ def q_bpe_vocab(spark, sf_dir):
     merges_ok = [tuple(m) for m in op.merges_] == ref
     assert merges_ok, (
         f"indexed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
-    )
-    dist = ff.BpeVocabBuilder(
-        "text", "doc_id", num_merges=6, max_words=2000,
-        fit_mode="distributed",
-    )
-    dist.fit(docs)
-    dist_ok = [tuple(m) for m in dist.merges_] == ref[:6]
-    dist.release()
-    assert dist_ok, (
-        f"distributed BPE loop diverged from reference: "
-        f"{dist.merges_} vs {ref[:6]}"
     )
 
     sample = docs.where(F.col("doc_id") < 80)
@@ -2957,6 +2969,17 @@ def q_bpe_vocab(spark, sf_dir):
     ).transform(counted)
     packer_ok = packed.count() == sample.count()
     op.release()
+
+    dist_t.join()
+    assert dist_box, "distributed BPE fit thread produced no result"
+    if isinstance(dist_box[0], BaseException):
+        raise dist_box[0]
+    dist_ok = dist_box[0] == ref[:6]
+    dist.release()
+    assert dist_ok, (
+        f"distributed BPE loop diverged from reference: "
+        f"{dist_box[0]} vs {ref[:6]}"
+    )
     return _inv_df(spark, [
         ("merges_match_reference", int(merges_ok)),
         ("n_merges", len(op.merges_)),

@@ -3,6 +3,7 @@
 Shows the beyond-reference surface on the synthetic documents and
 embeddings tables, in the order a real corpus-curation run executes:
 
+  raw-crawl ingestion (WARC records -> HTML -> text) ->
   language ID (char-n-gram model) -> model-based quality scoring ->
   exact dedup -> MinHash near-dedup (transitive clustering) ->
   boilerplate removal -> bigram-LM junk scoring -> semantic dedup over
@@ -37,6 +38,41 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     print(f"documents: {docs.count()}")
+
+    # 0. raw-crawl entry point: a real run starts from WARC archives
+    #    (CommonCrawl layout), not a parquet table — read_warc explodes
+    #    each archive into records (narrow per-file map), and
+    #    HtmlTextExtractor turns 200/text-html payloads into text with
+    #    boilerplate metrics. Demonstrated on a synthesized crawl.
+    import tempfile
+
+    from feature_factory_spark.sources import (
+        make_http_response, make_warc, read_warc,
+    )
+
+    crawl_dir = tempfile.mkdtemp(prefix="crawl_")
+    sample_rows = docs.select("doc_id", "text").limit(50).collect()
+    recs = [
+        {"payload": make_http_response(
+            b"<html><body><h1>Page</h1><p>"
+            + r["text"].encode()[:400]
+            + b'</p><a href="/next">next</a></body></html>'),
+         "target_uri": f"http://example.org/{r['doc_id']}",
+         "warc_type": "response"}
+        for r in sample_rows
+    ]
+    with open(os.path.join(crawl_dir, "crawl.warc.gz"), "wb") as f:
+        f.write(make_warc(recs, gzip_per_record=True))
+    pages = (
+        read_warc(spark, crawl_dir)
+        .where((F.col("http_status") == 200)
+               & F.col("http_content_type").startswith("text/html"))
+        .select("target_uri", F.col("payload").cast("string").alias("page"))
+    )
+    extracted = ff.HtmlTextExtractor(["page"]).transform(pages)
+    n_pages = extracted.count()
+    n_texty = extracted.where(F.col("page_text_ratio") > 0.3).count()
+    print(f"crawl records -> pages: {n_pages}, past boilerplate gate: {n_texty}")
 
     # 1. language ID with the fitted 30-language char-n-gram model,
     #    then model-based quality scoring: GopherQualityFilter's rules
