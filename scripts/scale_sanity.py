@@ -31,7 +31,7 @@ per-round recorded numbers).
 
 Usage: python scripts/scale_sanity.py [copies] [check ...]
        (ALL checks in CHECKS run by default: minhash asof contamination
-        substring ivfprune langid quality)
+        substring ivfprune langid quality warc)
 """
 
 import os
@@ -293,6 +293,56 @@ def check_quality(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_warc(spark, copies: int) -> None:
+    """read_warc + HtmlTextExtractor over 10x the archive count: the
+    unit of parallelism is the FILE (non-splittable gzip members), so
+    wall time must scale with file count / cores — per-file narrow map,
+    no shuffle, nothing super-linear."""
+    import tempfile
+
+    from feature_factory_spark.sources import (
+        make_http_response, make_warc, read_warc,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r["text"] for r in docs.limit(40).collect()]
+    recs = [
+        {"payload": make_http_response(
+            b"<html><head><style>a{x:y}</style></head><body><p>"
+            + t.encode()[:800] + b"</p><a href=\"/n\">n</a></body></html>"),
+         "target_uri": f"http://e.org/{i}", "warc_type": "response"}
+        for i, t in enumerate(texts)
+    ]
+    blob = make_warc(recs, gzip_per_record=True)
+    base = 32  # one file per core at 1x so BOTH sides are parallel
+
+    def build(n_files: int) -> str:
+        d = tempfile.mkdtemp(prefix=f"warcscale{n_files}_")
+        for i in range(n_files):
+            with open(os.path.join(d, f"part-{i:05d}.warc.gz"), "wb") as f:
+                f.write(blob)
+        return d
+
+    def run(path: str) -> tuple[int, float]:
+        pages = read_warc(spark, path).where(
+            F.col("http_status") == 200
+        ).select(F.col("payload").cast("string").alias("page"))
+        out = ff.HtmlTextExtractor(["page"]).transform(pages)
+        t0 = time.perf_counter()
+        n = out.where(F.col("page_text_ratio") > 0.1).count()
+        return n, time.perf_counter() - t0
+
+    d1, dN = build(base), build(base * copies)
+    run(d1)  # warm the mapInPandas worker pool + codegen untimed
+    c1, t1 = run(d1)
+    cN, tN = run(dN)
+    print(f"[warc] 1x:  {base} files, {c1} pages, {t1:.1f}s")
+    print(
+        f"[warc] {copies}x: {base * copies} files, {cN} pages, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x archives)"
+    )
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
@@ -301,6 +351,7 @@ CHECKS = {
     "ivfprune": check_ivfprune,
     "langid": check_langid,
     "quality": check_quality,
+    "warc": check_warc,
 }
 
 
