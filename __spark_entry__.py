@@ -1736,6 +1736,7 @@ UNION ALL SELECT 'holdout_docs', CAST(60 AS BIGINT)
 UNION ALL SELECT 'holdout_floor_met', CAST(1 AS BIGINT)
 UNION ALL SELECT 'empty_und', CAST(1 AS BIGINT)
 UNION ALL SELECT 'roundtrip_stable', CAST(1 AS BIGINT)
+UNION ALL SELECT 'margins_nonnegative', CAST(1 AS BIGINT)
 UNION ALL SELECT 'corpus_docs_labeled',
   (SELECT count(*) FROM documents WHERE regexp_matches(text, '\p{L}'))""",
 )
@@ -1820,7 +1821,26 @@ def q_ngram_lang(spark, sf_dir):
         roundtrip = int(score(restored) == pred)
         restored.release()
 
+    # reliability margin: flipping emit_margin on the fitted instance
+    # reuses the same profile — margins must be finite and >= 0, and
+    # every non-'und' holdout call must carry a positive margin
+    op.emit_margin = True
+    margin_rows = op.transform(probe).select(
+        "doc_id", "text_lang", "text_lang_margin"
+    ).collect()
+    op.emit_margin = False
+    margins_ok = int(all(
+        r["text_lang_margin"] is not None
+        and r["text_lang_margin"] >= 0.0
+        and (r["text_lang"] == "und" or r["text_lang_margin"] > 0.0)
+        for r in margin_rows
+    ))
+    assert margins_ok, "ngram lang-id margins violated the >= 0 contract"
+
     corpus_t.join()
+    assert labeled_box, "corpus labeling thread produced no result"
+    if isinstance(labeled_box[0], BaseException):
+        raise labeled_box[0]
     labeled = labeled_box[0]
     op.release()
     return _inv_df(spark, [
@@ -1829,6 +1849,7 @@ def q_ngram_lang(spark, sf_dir):
         ("holdout_floor_met", floor_met),
         ("empty_und", empty_und),
         ("roundtrip_stable", roundtrip),
+        ("margins_nonnegative", margins_ok),
         ("corpus_docs_labeled", labeled),
     ])
 

@@ -1003,7 +1003,11 @@ class NgramLanguageIdentifier(Transformer):
     every profile (naive-Bayes over character n-grams — the same model
     family as textcat/fasttext's char-gram features) and appends
     ``{text_col}_lang`` = argmax language, 'und' for documents with no
-    letters.
+    letters. ``min_margin`` demotes unreliable calls to 'und' by the
+    per-gram (best - runner-up) log-score margin — the fasttext/CLD2
+    reliability knob for mixed-language or out-of-model text;
+    ``emit_margin`` appends ``{text_col}_lang_margin`` so pipelines can
+    threshold downstream instead.
 
     Built-in default corpus: 30 languages from
     ``functions.langdata`` (fit with ``fit_default(spark)``), so
@@ -1045,10 +1049,13 @@ class NgramLanguageIdentifier(Transformer):
         sample_chars: int = 512,
         lang_col: str = "lang",
         fit_text_col: str = "text",
+        min_margin: float = 0.0,
+        emit_margin: bool = False,
     ):
         ensure(n >= 1, "n must be >= 1")
         ensure(top_k >= 1, "top_k must be >= 1")
         ensure(sample_chars >= n, "sample_chars must be >= n")
+        ensure(min_margin >= 0.0, "min_margin must be >= 0")
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
@@ -1056,6 +1063,8 @@ class NgramLanguageIdentifier(Transformer):
         self.sample_chars = sample_chars
         self.lang_col = lang_col
         self.fit_text_col = fit_text_col
+        self.min_margin = min_margin
+        self.emit_margin = emit_margin
         self.profile_df_: DataFrame | None = None  # (gram, lang, logp)
         # (gram, lps array<double> in langs_ order) — the broadcast-join
         # probe side, pivoted ONCE at fit (or lazily after load_state)
@@ -1239,23 +1248,47 @@ class NgramLanguageIdentifier(Transformer):
                 F.col("scores"), F.array_max(F.col("scores"))
             ).cast("int"),
         )
+        # reliability margin (the fasttext/CLD2 'is this call solid'
+        # knob): (best - runner-up) naive-Bayes log-score, normalized
+        # per REAL gram so short and long documents are comparable.
+        # min_margin demotes low-margin calls (mixed-language or
+        # out-of-model text) to 'und'; single-language models have no
+        # runner-up and keep margin 0 (never demoted by default).
+        if len(langs) >= 2:
+            srt = F.array_sort(F.col("scores"))
+            margin = (
+                F.element_at(srt, -1) - F.element_at(srt, -2)
+            ) / F.greatest(F.col("__n"), F.lit(1)).cast("double")
+        else:
+            margin = F.lit(0.0)
+        lang_call = F.when(
+            (F.col("__n") > 0) & (F.col("__margin") >= F.lit(self.min_margin)),
+            best,
+        ).otherwise(F.lit("und"))
         per_doc = scored.groupBy("__ff_id").agg(
             F.array(
                 *[F.sum(F.col("lps")[i]) for i in range(len(langs))]
             ).alias("scores"),
             F.sum("__real").alias("__n"),
-        ).select(
+        ).withColumn("__margin", margin).select(
             "__ff_id",
-            F.when(F.col("__n") > 0, best)
-            .otherwise(F.lit("und"))
-            .alias("__ff_lang"),
+            lang_call.alias("__ff_lang"),
+            F.when(F.col("__n") > 0, F.col("__margin"))
+            .otherwise(F.lit(0.0))
+            .alias("__ff_margin"),
         )
         out_col = f"{self.text_col}_lang"
+        extra = (
+            [F.col("__ff_margin").alias(f"{out_col}_margin")]
+            if self.emit_margin
+            else []
+        )
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(
             *[F.col(c) for c in df.columns],
             F.col("__ff_lang").alias(out_col),
+            *extra,
         )
 
 

@@ -305,3 +305,54 @@ class TestQualityScorer:
         )
         for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
             assert marker not in plan
+
+
+class TestNgramLangMargin:
+    @pytest.fixture(scope="class")
+    def lid(self, spark):
+        return ff.NgramLanguageIdentifier(
+            "text", "doc_id", emit_margin=True
+        ).fit_default(spark)
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "the cat sat on the mat and the dog went home with them"),
+             (2, "der hund und die katze gingen zusammen nach hause heute"),
+             # mixed en/de: a real call either way is unreliable
+             (3, "the cat sat der hund und on the mat die katze gingen"),
+             (4, "12345 67890 ...")],
+            "doc_id bigint, text string",
+        )
+
+    def test_margin_column_and_ordering(self, lid, frame):
+        rows = {r["doc_id"]: r for r in lid.transform(frame).collect()}
+        assert rows[1]["text_lang"] == "en"
+        assert rows[2]["text_lang"] == "de"
+        assert rows[4]["text_lang"] == "und"
+        assert rows[4]["text_lang_margin"] == 0.0
+        # clean monolingual text calls are more confident than mixed
+        assert rows[1]["text_lang_margin"] > rows[3]["text_lang_margin"]
+        assert rows[2]["text_lang_margin"] > rows[3]["text_lang_margin"]
+        assert all(rows[i]["text_lang_margin"] >= 0 for i in rows)
+
+    def test_min_margin_demotes_mixed(self, spark, lid, frame):
+        margins = {
+            r["doc_id"]: r["text_lang_margin"]
+            for r in lid.transform(frame).collect()
+        }
+        cut = (margins[3] + min(margins[1], margins[2])) / 2
+        strict = ff.NgramLanguageIdentifier(
+            "text", "doc_id", min_margin=cut
+        ).fit_default(spark)
+        rows = {r["doc_id"]: r for r in strict.transform(frame).collect()}
+        assert rows[1]["text_lang"] == "en"
+        assert rows[2]["text_lang"] == "de"
+        assert rows[3]["text_lang"] == "und"  # demoted
+        assert "text_lang_margin" not in rows[1].asDict()  # emit off
+
+    def test_default_margin_keeps_labels(self, spark, frame, lid):
+        plain = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+        a = {r["doc_id"]: r["text_lang"] for r in plain.transform(frame).collect()}
+        b = {r["doc_id"]: r["text_lang"] for r in lid.transform(frame).collect()}
+        assert a == b
