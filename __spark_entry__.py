@@ -86,7 +86,7 @@ the op is a member slice of that family query):
   domain|path|blocked|kept tuple per doc), pack_family
   (sequence_pack + doc_chunk context-window chunking +
   substring_spans exact-substring dedup), scale_family,
-  embed_transform (l2 + random projection), ts_features (lag/window/
+  embed_transform (l2 + random projection + int8 quantize), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit + bpe_vocab, the distributed BPE
   induction pinned against its pure-Python reference), multimodal_family
@@ -3193,6 +3193,45 @@ SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
 FROM (SELECT vec_id, unnest(poss) pos, unnest(rvals) val FROM r) t"""
 
 
+@_reg(
+    "quantize",
+    # int8 symmetric quantization: codes at pos 1..dim, the per-vector
+    # scale at pos 0 — floor(x+0.5) rounding on BOTH sides so halfway
+    # points agree across engines
+    """WITH s AS (SELECT vec_id, embedding,
+  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 scale
+FROM embeddings),
+c AS (SELECT vec_id, scale, generate_series(1, len(embedding)) poss,
+  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0.0
+    ELSE floor(x::DOUBLE / scale + 0.5) END) codes
+FROM s)
+SELECT vec_id, CAST(0 AS INTEGER) AS pos,
+  floor(scale * 1000000 + 0.5) / 1000000 AS val FROM s
+UNION ALL
+SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
+FROM (SELECT vec_id, unnest(poss) pos, unnest(codes) val FROM c) t""",
+)
+def q_quantize(spark, sf_dir):
+    """EmbeddingQuantizer (operators/embeddings.py): int8 codes +
+    per-vector scale, both SQL-recomputed (codes exploded at pos>=1,
+    the scale pinned as the pos=0 row)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ff.EmbeddingQuantizer("embedding").transform(emb)
+    codes = out.select(
+        "vec_id", F.posexplode("embedding_q8").alias("pos0", "code")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("code").cast("double").alias("val"),
+    )
+    scale = out.select(
+        "vec_id",
+        F.lit(0).cast("int").alias("pos"),
+        r6(F.col("embedding_q8_scale")).alias("val"),
+    )
+    return scale.unionByName(codes)
+
+
 @_reg("random_projection", _sql_random_projection())
 def q_random_projection(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -3794,7 +3833,7 @@ _merge("scale_family", [
 
 _merge("embed_transform", [
     (op, ["vec_id", "pos", "val"], "vec_id, pos, val")
-    for op in ("l2_normalize", "random_projection")
+    for op in ("l2_normalize", "random_projection", "quantize")
 ])
 
 _merge("ts_features", [

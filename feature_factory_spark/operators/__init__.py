@@ -108,7 +108,7 @@ from .imagecodec import (
     solid_png,
 )
 from .multimodal import BinaryFeatureExtractor, FrameSampler
-from .embeddings import L2Normalizer, RandomProjection
+from .embeddings import EmbeddingQuantizer, L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import (
@@ -159,7 +159,7 @@ __all__ = [
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor",
-    "L2Normalizer", "RandomProjection",
+    "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",

@@ -107,3 +107,60 @@ class RandomProjection(Transformer):
             ]
             return df.select(*cols)
         return df.select("*", projected.alias(self.out_col))
+
+
+class EmbeddingQuantizer(Transformer):
+    """Symmetric per-vector int8 quantization: appends
+
+    - ``{c}_q8``        array<tinyint> codes, code = floor(x/scale + 0.5)
+    - ``{c}_q8_scale``  double, scale = max(|x|)/127 (0 for a zero
+      vector, whose codes are all 0)
+
+    and ``dequantize_expr(codes, scale)`` reconstructs array<double>
+    (max elementwise error = scale/2). This is the standard 4x memory /
+    IO lever for embedding tables and ANN indexes at corpus scale: a
+    100 TB float32 embedding column becomes ~25 TB of codes + one
+    double per vector, and cosine on dequantized vectors stays within
+    ~1e-3 of exact for typical embedding distributions (pinned by unit
+    test). Write the codes with ``write_index``-style partitioning and
+    dequantize inside the probe — the scan reads a quarter of the
+    bytes.
+
+    Stateless pure-expression projection (floor/abs/array_max inside
+    whole-stage codegen — no UDF, no shuffle); floor(x + 0.5) rather
+    than a round() call so Spark and the SQL oracle round identically
+    at halfway points."""
+
+    def __init__(self, vec_col: str, prefix: str | None = None):
+        self.vec_col = vec_col
+        self.prefix = prefix if prefix is not None else vec_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col])
+
+    @staticmethod
+    def dequantize_expr(codes: Column, scale: Column) -> Column:
+        return F.transform(codes, lambda c: c.cast("double") * scale)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        vec = F.col(self.vec_col)
+        scale = (
+            F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+            / F.lit(127.0)
+        )
+        codes = F.when(
+            scale == 0.0,
+            F.transform(vec, lambda x: F.lit(0).cast("tinyint")),
+        ).otherwise(
+            F.transform(
+                vec,
+                lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                    "tinyint"
+                ),
+            )
+        )
+        return df.select(
+            "*",
+            codes.alias(f"{self.prefix}_q8"),
+            scale.alias(f"{self.prefix}_q8_scale"),
+        )

@@ -5,6 +5,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import feature_factory_spark as ff
 from feature_factory_spark.exceptions import FitNotCalledError, InvalidParameterError
 
@@ -145,3 +147,61 @@ class TestRandomProjection:
         assert [list(r["embedding"]) for r in a.collect()] != [
             list(r["embedding"]) for r in b.collect()
         ]
+
+
+class TestEmbeddingQuantizer:
+    def test_codes_and_scale(self, spark):
+        df = spark.createDataFrame(
+            [(1, [12.7, -6.35, 0.0, 1.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "id bigint, embedding array<double>",
+        )
+        out = {r["id"]: r for r in
+               ff.EmbeddingQuantizer("embedding").transform(df).collect()}
+        assert out[1]["embedding_q8_scale"] == pytest.approx(0.1)
+        assert list(out[1]["embedding_q8"]) == [127, -63, 0, 10]
+        # zero vector: scale 0, codes all 0 (no NaN / division error)
+        assert out[2]["embedding_q8_scale"] == 0.0
+        assert list(out[2]["embedding_q8"]) == [0, 0, 0, 0]
+        # tinyint storage type
+        assert dict(out[1].asDict())  # schema materialized
+        typ = dict(ff.EmbeddingQuantizer("embedding").transform(df).dtypes)
+        assert typ["embedding_q8"] == "array<tinyint>"
+
+    def test_dequantize_preserves_cosine(self, spark):
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+        q = ff.EmbeddingQuantizer("embedding")
+        out = q.transform(df).withColumn(
+            "deq",
+            q.dequantize_expr(F.col("embedding_q8"), F.col("embedding_q8_scale")),
+        ).collect()
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        for r in out:
+            c = cos(r["embedding"], r["deq"])
+            assert c >= 0.999, c
+            # elementwise error bound: scale/2
+            s = r["embedding_q8_scale"]
+            assert all(
+                abs(x - y) <= s / 2 + 1e-12
+                for x, y in zip(r["embedding"], r["deq"])
+            )
+
+    def test_quantize_plan_is_narrow(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "id bigint, embedding array<double>"
+        )
+        out = ff.EmbeddingQuantizer("embedding").transform(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Exchange" not in plan
