@@ -298,7 +298,13 @@ class IVFCosineTopK(CosineTopK):
             ),
         )
 
-    def write_index(self, corpus_df: DataFrame, path: str, mode: str = "error") -> None:
+    def write_index(
+        self,
+        corpus_df: DataFrame,
+        path: str,
+        mode: str = "error",
+        quantize: bool = False,
+    ) -> None:
         """Materialize the IVF index at ``path``: the assigned corpus
         written PARTITIONED BY cluster id (``<path>/corpus``) plus the
         centroid table (``<path>/centroids``, one row per centroid).
@@ -307,13 +313,29 @@ class IVFCosineTopK(CosineTopK):
         corpus is laid out by cluster, a probe reads only the n_probe
         partitions each query maps to — a pruned scan of ~n_probe/k of
         the data — instead of re-assigning the full corpus per search.
-        Fits centroids first if ``fit_index`` was not called."""
+        Fits centroids first if ``fit_index`` was not called.
+
+        ``quantize=True`` stores int8 codes + a per-vector scale
+        (:class:`~.embeddings.EmbeddingQuantizer`) instead of the raw
+        doubles — ~4-8x less index IO; ``search_index`` detects the
+        layout and dequantizes inside the pruned scan, ranking by
+        cosine over the reconstructed vectors (approximation bounded by
+        scale/2 per element)."""
         import os
+
+        from .embeddings import EmbeddingQuantizer
 
         if not self.centroids_:
             self.fit_index(corpus_df)
         spark = corpus_df.sparkSession
-        self._assign(corpus_df).write.mode(mode).partitionBy("cluster").parquet(
+        assigned = self._assign(corpus_df)
+        if quantize:
+            assigned = (
+                EmbeddingQuantizer("c_vec", prefix="c")
+                .transform(assigned)
+                .drop("c_vec")
+            )
+        assigned.write.mode(mode).partitionBy("cluster").parquet(
             os.path.join(path, "corpus")
         )
         centroids = spark.createDataFrame(
@@ -342,6 +364,18 @@ class IVFCosineTopK(CosineTopK):
         # a later transform() must still raise FitNotCalledError instead
         # of crashing on query_df=None inside the plan builder
         c = spark.read.parquet(os.path.join(path, "corpus"))
+        if "c_q8" in c.columns:
+            # quantized layout: dequantize INSIDE the pruned scan, so
+            # the scoring path below is identical while the scan reads
+            # int8 codes instead of doubles
+            from .embeddings import EmbeddingQuantizer
+
+            c = c.withColumn(
+                "c_vec",
+                EmbeddingQuantizer.dequantize_expr(
+                    F.col("c_q8"), F.col("c_q8_scale")
+                ),
+            ).drop("c_q8", "c_q8_scale")
         self._guard_query_side(query_df)
         return self._search_assigned(c, query_df)
 

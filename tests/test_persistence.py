@@ -298,3 +298,36 @@ def test_ivf_search_index_does_not_mark_fitted(spark, tmp_path):
     assert fresh.search_index(spark, path, vecs.limit(2)).count() > 0
     with pytest.raises(FitNotCalledError):
         fresh.transform(vecs)
+
+
+def test_ivf_quantized_index_search(spark, tmp_path):
+    path = str(tmp_path / "ivf_q8")
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 11) - 5.0 for j in range(16)])
+         for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = vecs.where(F.col("vec_id") < 4)
+    op = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=5, n_centroids=6, n_probe=2, iterations=2
+    ).fit_index(vecs)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in op.search(vecs, queries).collect()}
+    op.write_index(vecs, path, quantize=True)
+
+    fresh = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=5, n_centroids=6, n_probe=2, iterations=2
+    )
+    got = fresh.search_index(spark, path, queries)
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    # int8 reconstruction may swap near-tied ranks but must keep high
+    # agreement with the exact-double probe
+    recall = len(pairs & exact) / len(exact)
+    assert recall >= 0.9, recall
+    # quantized layout actually stored codes, not doubles
+    corpus = spark.read.parquet(str(tmp_path / "ivf_q8" / "corpus"))
+    assert "c_q8" in corpus.columns and "c_vec" not in corpus.columns
+    assert dict(corpus.dtypes)["c_q8"] == "array<tinyint>"
+    # pruning survives the quantized layout
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
