@@ -216,6 +216,60 @@ def release_fitted_frames() -> None:
         shutil.rmtree(_TEMP_STATE_DIRS.pop(), ignore_errors=True)
 
 
+class _Overlap:
+    """Run ``fn`` on an InheritableThread so its Spark jobs overlap the
+    caller's (the select_stats pattern). InheritableThread swallows
+    exceptions into stderr, so the thread boxes success/failure and
+
+    - ``result()`` joins and re-raises the thread's error (or returns
+      its value) — the success-path consumer;
+    - ``join_quietly()`` joins and swallows — for the caller's OWN
+      failure path, so a primary error is never masked and the thread
+      is never left submitting cluster jobs while cleanup runs.
+    """
+
+    def __init__(self, fn):
+        from pyspark import InheritableThread
+
+        self._box: list = []
+
+        def _run():
+            try:
+                self._box.append((True, fn()))
+            except BaseException as exc:  # noqa: BLE001 — re-raised in result()
+                self._box.append((False, exc))
+
+        self._t = InheritableThread(target=_run)
+        self._t.start()
+
+    def result(self):
+        self._t.join()
+        if not self._box:
+            raise RuntimeError("overlapped thread produced no result")
+        ok, val = self._box[0]
+        if not ok:
+            raise val
+        return val
+
+    def join_quietly(self) -> None:
+        self._t.join()
+
+    @contextlib.contextmanager
+    def guard(self, release=None):
+        """Protect the caller's concurrent work: if the guarded block
+        raises, JOIN the overlapped thread (so cleanup never races its
+        cluster jobs) and run ``release`` suppressed (so the primary
+        error is never masked), then re-raise."""
+        try:
+            yield
+        except BaseException:
+            self.join_quietly()
+            if release is not None:
+                with contextlib.suppress(BaseException):
+                    release()
+            raise
+
+
 def _state_roundtrip(op, make_fresh, spark):
     """fit -> save_state -> load_state round-trip INSIDE a verified
     query: the query's oracle hash then pins that an operator restored
@@ -1777,72 +1831,59 @@ def q_ngram_lang(spark, sf_dir):
         )
 
     # overlap the corpus-labeling count (independent of the probe /
-    # round-trip checks) with them on a thread — the select_stats
-    # pattern; job submission overlaps, results stay deterministic
-    from pyspark import InheritableThread
-
+    # round-trip checks) with them via _Overlap — job submission
+    # overlaps, results stay deterministic, thread errors re-raise
     docs = _t(spark, sf_dir, "documents")
-    labeled_box: list = []
-
-    def _label_corpus():
-        # capture failures too: InheritableThread swallows exceptions,
-        # and an empty box would surface as a bare IndexError masking
-        # the real Spark error
-        try:
-            labeled_box.append(
-                op.transform(docs)
-                .where(F.col("text_lang") != F.lit("und"))
-                .count()
-            )
-        except BaseException as exc:  # noqa: BLE001 — re-raised below
-            labeled_box.append(exc)
-
-    corpus_t = InheritableThread(target=_label_corpus)
-    corpus_t.start()
-
-    pred = score(op)
-    hold_rows = [(e, lang) for i, e, lang in pred if i >= 0]
-    holdout_docs = len(hold_rows)
-    correct = sum(1 for e, lang in hold_rows if e == lang)
-    floor_met = int(correct >= 0.9 * holdout_docs)
-    assert floor_met, (
-        f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
-    )
-    empty_und = int(
-        all(lang == "und" for i, _, lang in pred if i < 0)
+    labeled_res = _Overlap(
+        lambda: op.transform(docs)
+        .where(F.col("text_lang") != F.lit("und"))
+        .count()
     )
 
-    with tempfile.TemporaryDirectory() as tmp:
-        path = os.path.join(tmp, "lang_state")
-        op.save_state(path)
-        restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
-            path, spark
+    with labeled_res.guard(op.release):
+        pred = score(op)
+        hold_rows = [(e, lang) for i, e, lang in pred if i >= 0]
+        holdout_docs = len(hold_rows)
+        correct = sum(1 for e, lang in hold_rows if e == lang)
+        floor_met = int(correct >= 0.9 * holdout_docs)
+        assert floor_met, (
+            f"ngram lang-id holdout accuracy {correct}/{holdout_docs}"
         )
-        roundtrip = int(score(restored) == pred)
-        restored.release()
+        empty_und = int(
+            all(lang == "und" for i, _, lang in pred if i < 0)
+        )
 
-    # reliability margin: flipping emit_margin on the fitted instance
-    # reuses the same profile — margins must be finite and >= 0, and
-    # every non-'und' holdout call must carry a positive margin
-    op.emit_margin = True
-    margin_rows = op.transform(probe).select(
-        "doc_id", "text_lang", "text_lang_margin"
-    ).collect()
-    op.emit_margin = False
-    margins_ok = int(all(
-        r["text_lang_margin"] is not None
-        and r["text_lang_margin"] >= 0.0
-        and (r["text_lang"] == "und" or r["text_lang_margin"] > 0.0)
-        for r in margin_rows
-    ))
-    assert margins_ok, "ngram lang-id margins violated the >= 0 contract"
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "lang_state")
+            op.save_state(path)
+            restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
+                path, spark
+            )
+            roundtrip = int(score(restored) == pred)
+            restored.release()
 
-    corpus_t.join()
-    assert labeled_box, "corpus labeling thread produced no result"
-    if isinstance(labeled_box[0], BaseException):
-        raise labeled_box[0]
-    labeled = labeled_box[0]
-    op.release()
+        # reliability margin: flipping emit_margin on the fitted instance
+        # reuses the same profile — margins must be finite and >= 0, and
+        # every non-'und' holdout call must carry a positive margin
+        op.emit_margin = True
+        margin_rows = op.transform(probe).select(
+            "doc_id", "text_lang", "text_lang_margin"
+        ).collect()
+        op.emit_margin = False
+        # >= 0 (not > 0) for non-'und' calls: an exact top-two score tie is
+        # a legal margin-0 call under the default min_margin=0
+        margins_ok = int(all(
+            r["text_lang_margin"] is not None
+            and math.isfinite(r["text_lang_margin"])
+            and r["text_lang_margin"] >= 0.0
+            for r in margin_rows
+        ))
+        assert margins_ok, "ngram lang-id margins violated the >= 0 contract"
+
+    try:
+        labeled = labeled_res.result()
+    finally:
+        op.release()
     return _inv_df(spark, [
         ("langs_learned", langs_learned),
         ("holdout_docs", holdout_docs),
@@ -2078,13 +2119,18 @@ def q_html_strip(spark, sf_dir):
     out = ff.HtmlTextExtractor(["page"]).transform(
         docs.select("doc_id", page.alias("page"))
     )
+    # concat, NOT concat_ws: the SQL twin's || propagates NULL, and
+    # concat_ws would skip NULL pieces — a NULL text row must yield a
+    # NULL val on BOTH sides or the value hash diverges
     return out.select(
         "doc_id",
-        F.concat_ws(
-            "|",
+        F.concat(
             F.col("page_html_text"),
+            F.lit("|"),
             F.col("page_tag_count").cast("string"),
+            F.lit("|"),
             F.col("page_link_count").cast("string"),
+            F.lit("|"),
             F.floor(F.col("page_text_ratio") * 1e6).cast("bigint").cast("string"),
         ).alias("val"),
     )
@@ -2921,8 +2967,6 @@ def q_bpe_vocab(spark, sf_dir):
         reference_tokenize,
     )
 
-    from pyspark import InheritableThread
-
     docs = _t(spark, sf_dir, "documents")
     # the distributed-mode pin is ~6 serial cluster jobs (one groupBy
     # per merge — its honest scale shape); run it CONCURRENTLY with the
@@ -2933,73 +2977,68 @@ def q_bpe_vocab(spark, sf_dir):
         "text", "doc_id", num_merges=6, max_words=2000,
         fit_mode="distributed",
     )
-    dist_box: list = []
 
     def _dist_fit():
-        try:
-            dist.fit(docs)
-            dist_box.append([tuple(m) for m in dist.merges_])
-        except BaseException as exc:  # noqa: BLE001 — re-raised below
-            dist_box.append(exc)
+        dist.fit(docs)
+        return [tuple(m) for m in dist.merges_]
 
-    dist_t = InheritableThread(target=_dist_fit)
-    dist_t.start()
+    dist_res = _Overlap(_dist_fit)
 
-    op = ff.BpeVocabBuilder(
-        "text", "doc_id", num_merges=16, max_words=2000
-    )
-    op.fit(docs)
-    wc = [(r["word"], r["cnt"]) for r in op.word_counts(docs).collect()]
-    ref = reference_bpe(wc, 16)
-    merges_ok = [tuple(m) for m in op.merges_] == ref
-    assert merges_ok, (
-        f"indexed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
-    )
+    with dist_res.guard(dist.release):
+        op = ff.BpeVocabBuilder(
+            "text", "doc_id", num_merges=16, max_words=2000
+        )
+        op.fit(docs)
+        wc = [(r["word"], r["cnt"]) for r in op.word_counts(docs).collect()]
+        ref = reference_bpe(wc, 16)
+        merges_ok = [tuple(m) for m in op.merges_] == ref
+        assert merges_ok, (
+            f"indexed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
+        )
 
-    sample = docs.where(F.col("doc_id") < 80)
-    got = {
-        r["doc_id"]: r["text_bpe_token_count"]
-        for r in op.transform(sample)
-        .select("doc_id", "text_bpe_token_count")
-        .collect()
-    }
-    texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
-    expect = {
-        i: sum(len(reference_tokenize(w, ref)) for w in (t or "").lower().split())
-        for i, t in texts.items()
-    }
-    tokens_ok = got == expect
-    assert tokens_ok, "BPE transform token counts diverged from reference"
+        sample = docs.where(F.col("doc_id") < 80)
+        got = {
+            r["doc_id"]: r["text_bpe_token_count"]
+            for r in op.transform(sample)
+            .select("doc_id", "text_bpe_token_count")
+            .collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
+        expect = {
+            i: sum(len(reference_tokenize(w, ref)) for w in (t or "").lower().split())
+            for i, t in texts.items()
+        }
+        tokens_ok = got == expect
+        assert tokens_ok, "BPE transform token counts diverged from reference"
 
-    seqs = {
-        r["doc_id"]: r["text_bpe_tokens"]
-        for r in op.encode(sample).select("doc_id", "text_bpe_tokens").collect()
-    }
-    seq_expect = {
-        i: [s for w in (t or "").lower().split()
-            for s in reference_tokenize(w, ref)]
-        for i, t in texts.items()
-    }
-    seqs_ok = seqs == seq_expect
-    assert seqs_ok, "BPE encode token sequences diverged from reference"
+        seqs = {
+            r["doc_id"]: r["text_bpe_tokens"]
+            for r in op.encode(sample).select("doc_id", "text_bpe_tokens").collect()
+        }
+        seq_expect = {
+            i: [s for w in (t or "").lower().split()
+                for s in reference_tokenize(w, ref)]
+            for i, t in texts.items()
+        }
+        seqs_ok = seqs == seq_expect
+        assert seqs_ok, "BPE encode token sequences diverged from reference"
 
-    counted = op.transform(sample)
-    packed = ff.SequencePacker(
-        "text_bpe_token_count", budget=512, order_col="doc_id",
-        partition_cols=["source"],
-    ).transform(counted)
-    packer_ok = packed.count() == sample.count()
-    op.release()
+        counted = op.transform(sample)
+        packed = ff.SequencePacker(
+            "text_bpe_token_count", budget=512, order_col="doc_id",
+            partition_cols=["source"],
+        ).transform(counted)
+        packer_ok = packed.count() == sample.count()
+        op.release()
 
-    dist_t.join()
-    assert dist_box, "distributed BPE fit thread produced no result"
-    if isinstance(dist_box[0], BaseException):
-        raise dist_box[0]
-    dist_ok = dist_box[0] == ref[:6]
-    dist.release()
+    try:
+        dist_merges = dist_res.result()
+    finally:
+        dist.release()
+    dist_ok = dist_merges == ref[:6]
     assert dist_ok, (
         f"distributed BPE loop diverged from reference: "
-        f"{dist_box[0]} vs {ref[:6]}"
+        f"{dist_merges} vs {ref[:6]}"
     )
     return _inv_df(spark, [
         ("merges_match_reference", int(merges_ok)),

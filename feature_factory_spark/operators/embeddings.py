@@ -144,23 +144,31 @@ class EmbeddingQuantizer(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         vec = F.col(self.vec_col)
+        scale_col = f"{self.prefix}_q8_scale"
+        # two projections, NOT one: higher-order-function lambdas
+        # re-evaluate embedded row-level subtrees per ELEMENT, so an
+        # array_max(...) scale inside the transform lambda makes codes
+        # O(d^2) per row (measured 4.3-4.8x per dim doubling). Computing
+        # the scale as its own column first keeps the whole thing O(d).
         scale = (
             F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
             / F.lit(127.0)
         )
+        with_scale = df.select("*", scale.alias(scale_col))
+        s = F.col(scale_col)
         codes = F.when(
-            scale == 0.0,
+            s == 0.0,
             F.transform(vec, lambda x: F.lit(0).cast("tinyint")),
         ).otherwise(
             F.transform(
                 vec,
-                lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast(
                     "tinyint"
                 ),
             )
         )
-        return df.select(
-            "*",
-            codes.alias(f"{self.prefix}_q8"),
-            scale.alias(f"{self.prefix}_q8_scale"),
+        out = with_scale.select("*", codes.alias(f"{self.prefix}_q8"))
+        # keep the documented column order (codes, then scale)
+        return out.select(
+            *df.columns, f"{self.prefix}_q8", scale_col
         )

@@ -281,9 +281,12 @@ class Transformer(ABC):
         otherwise each fit/load pins a cache entry for the session's
         lifetime."""
         owned = getattr(self, "_ff_owned_frames", set())
-        for attr in self._frame_state_attrs():
-            if attr not in owned:
-                continue
+        # iterate the OWNED set, not _frame_state_attrs(): a state dir
+        # saved by an older version may list frames the current code no
+        # longer declares (e.g. a since-derived pivot) — load_state
+        # still restores and owns them, so release() must still
+        # unpersist them or they pin cache entries forever
+        for attr in list(owned):
             frame = getattr(self, attr, None)
             if isinstance(frame, DataFrame):
                 frame.unpersist()

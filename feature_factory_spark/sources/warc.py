@@ -50,20 +50,33 @@ WARC_FIELDS = [
 ]
 
 
-def gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the *.warc.gz
-    layout: one member per record). Plain input passes through."""
+def _member_chunks(data: bytes) -> Iterator[bytes]:
+    """Yield decompressed gzip members one at a time (the *.warc.gz
+    layout: one member per record — so peak memory is one member, not
+    the whole decompressed archive). Plain input is one chunk. A
+    corrupted member (bad CRC / deflate stream) ends the iteration
+    instead of raising: the crawl-scale contract is 'keep the intact
+    prefix', never 'fail the task'."""
     if not data.startswith(_GZIP_MAGIC):
-        return data
-    out = []
+        yield data
+        return
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            chunk = d.decompress(data) + d.flush()
+        except zlib.error:
+            return
+        yield chunk
         data = d.unused_data
         if data and not data.startswith(_GZIP_MAGIC):
-            break  # trailing garbage: keep what decompressed cleanly
-    return b"".join(out)
+            return  # trailing garbage after a clean member boundary
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members fully. Prefer the
+    streaming ``_member_chunks`` (what ``parse_warc`` uses); this
+    materializing form exists for small-payload callers and tests."""
+    return b"".join(_member_chunks(data))
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -95,35 +108,64 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+_MALFORMED = object()
+
+
+def _try_parse_one(buf: bytearray) -> tuple:
+    """Parse one complete record off the FRONT of ``buf``.
+
+    Returns ``((headers, payload), consumed)`` for a complete record,
+    ``(None, skipped)`` when more bytes are needed (``skipped`` = the
+    inter-record CRLFs safe to drop now), or ``(_MALFORMED, 0)`` when
+    the front can never be a record boundary."""
+    pos, n = 0, len(buf)
+    while pos + 2 <= n and buf[pos : pos + 2] == b"\r\n":
+        pos += 2  # inter-record CRLFs
+    if n - pos < 5:
+        return None, pos
+    if bytes(buf[pos : pos + 5]) != b"WARC/":
+        return _MALFORMED, 0
+    head_end = buf.find(_CRLF2, pos)
+    if head_end < 0:
+        return None, pos
+    headers = _parse_headers(bytes(buf[pos:head_end]))
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return _MALFORMED, 0  # record length unknown: unrecoverable
+    body_start = head_end + len(_CRLF2)
+    if n - body_start < length:
+        return None, pos  # payload not fully buffered yet
+    payload = bytes(buf[body_start : body_start + length])
+    return (headers, payload), body_start + length
+
+
 def parse_warc(data: bytes, parse_http: bool = True) -> Iterator[dict]:
     """Yield one dict per WARC record (keys = WARC_FIELDS minus
-    source_file). Gzip (multi-member) input is handled; malformed
-    trailing bytes end the stream instead of raising — a truncated
-    archive yields its intact prefix, the crawl-scale contract."""
-    data = gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
+    source_file). Per-record gzip members (the CommonCrawl layout)
+    decompress INCREMENTALLY — peak memory is the compressed input
+    (already in hand from binaryFile) plus one member and the current
+    record, never the whole decompressed archive. Malformed or
+    truncated bytes — including a corrupted gzip member mid-file — end
+    the stream after the intact prefix instead of raising: one
+    bit-flipped archive must never fail a crawl-scale read job.
+    (A whole-file-gzip WARC is a single member, so it still
+    materializes fully — re-pack per-record for the streaming bound.)"""
+    buf = bytearray()
+    chunks = _member_chunks(data)
+    while True:
+        rec, consumed = _try_parse_one(buf)
+        if rec is _MALFORMED:
             return
-        if not data[pos : pos + 5] == b"WARC/":
-            return  # not a record boundary: stop at the intact prefix
-        head_end = data.find(_CRLF2, pos)
-        if head_end < 0:
-            return
-        headers = _parse_headers(data[pos:head_end])
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return  # unrecoverable: record length unknown
-        body_start = head_end + len(_CRLF2)
-        payload = data[body_start : body_start + length]
-        if len(payload) < length:
-            return  # truncated final record
-        pos = body_start + length
+        if rec is None:
+            del buf[:consumed]
+            chunk = next(chunks, None)
+            if chunk is None:
+                return  # truncated final record / end of stream
+            buf += chunk
+            continue
+        del buf[:consumed]
+        headers, payload = rec
         warc_type = headers.get("warc-type")
         status, http_ctype, body = (None, None, payload)
         if parse_http and warc_type == "response":

@@ -356,3 +356,35 @@ class TestNgramLangMargin:
         a = {r["doc_id"]: r["text_lang"] for r in plain.transform(frame).collect()}
         b = {r["doc_id"]: r["text_lang"] for r in lid.transform(frame).collect()}
         assert a == b
+
+
+def test_release_unpersists_frames_from_legacy_state_dirs(spark, tmp_path):
+    # a pre-r6 NgramLanguageIdentifier state dir also persisted the
+    # derived wide pivot; load_state restores + owns it, and release()
+    # must unpersist OWNED frames even when the current code no longer
+    # declares them in _frame_state_attrs()
+    import json
+    import os
+
+    op = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+    path = str(tmp_path / "legacy")
+    op.save_state(path)
+    op.release()
+    # forge the legacy layout: add the wide frame + list it in the json
+    op2 = ff.NgramLanguageIdentifier("text", "doc_id").fit_default(spark)
+    op2.wide_df_.write.parquet(os.path.join(path, "frame_wide_df_"))
+    op2.release()
+    meta = json.load(open(os.path.join(path, "state.json")))
+    meta["frames"] = ["profile_df_", "wide_df_"]
+    json.dump(meta, open(os.path.join(path, "state.json"), "w"))
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    restored = ff.NgramLanguageIdentifier("text", "doc_id").load_state(
+        path, spark
+    )
+    restored.profile_df_.count()
+    restored.wide_df_.count() if restored.wide_df_ is not None else None
+    assert len(sc._jsc.getPersistentRDDs()) > before  # frames pinned
+    restored.release()
+    assert len(sc._jsc.getPersistentRDDs()) == before  # ALL released

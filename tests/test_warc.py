@@ -114,3 +114,24 @@ def test_read_dispatches_warc_extension(spark, tmp_path):
     p2.write_bytes(make_warc(_records()[:2], gzip_per_record=True))
     assert read(spark, str(p1)).count() == 3
     assert read(spark, str(p2)).count() == 2
+
+
+def test_corrupted_gzip_member_keeps_intact_prefix():
+    data = bytearray(make_warc(_records(), gzip_per_record=True))
+    # flip a byte inside the LAST member's deflate stream
+    data[-8] ^= 0xFF
+    recs = list(parse_warc(bytes(data)))
+    assert 1 <= len(recs) <= 2  # intact prefix only, no zlib.error
+    assert recs[0]["http_status"] == 200
+
+
+def test_streaming_drain_keeps_buffer_bounded():
+    # records arrive member-by-member; after parsing, consumed bytes
+    # must be dropped from the working buffer (regression guard for the
+    # whole-archive materialization the first implementation did)
+    from feature_factory_spark.sources.warc import _member_chunks
+
+    data = make_warc(_records() * 20, gzip_per_record=True)
+    chunks = list(_member_chunks(data))
+    assert len(chunks) == 60  # one member per record
+    assert len(list(parse_warc(data))) == 60
