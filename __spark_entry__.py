@@ -81,7 +81,8 @@ the op is a member slice of that family query):
   lang_id (stopword heuristic, hash-pinned, + the 30-language
   char-n-gram model's invariant member), text_clean (stopword-removal
   normalization + html_strip, the HtmlTextExtractor HTML->text chain
-  over synthesized pages), sample_family
+  over synthesized pages, + fix_encoding, the EncodingFixer mojibake
+  repair chain), sample_family
   (hash_sample/hash_split/weighted_sample/url_ops — the web-operator
   domain|path|blocked|kept tuple per doc), pack_family
   (sequence_pack + doc_chunk context-window chunking +
@@ -2057,6 +2058,67 @@ _HTML_POST = '">link &amp; more &amp;lt; ok</a><!-- c --></body></html>'
 _SQL_WSP = "[ '||chr(9)||chr(13)||chr(12)||']"
 
 
+
+
+def _sqllit(s: str) -> str:
+    """A DuckDB string expression for ``s``, chr()-composing the
+    control/non-printable chars a SQL literal can't carry verbatim."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        o = ord(ch)
+        if 32 <= o < 127 or o > 159:
+            buf += ch.replace("'", "''")
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({o})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts) if parts else "''"
+
+
+# deterministic corruption suffix exercising the fixer end-to-end:
+# cp1252 letter + punctuation forms, the latin-1 raw-byte form of a
+# right quote, the dropped-byte orphan, NBSP mojibake, and a control
+_MOJI_SUFFIX = (
+    " CafÃ© â€” â€œquotedâ€\x9d â€¦ naÃ¯ve Â° 5â‚¬ nbspÂ\xa0end â€ bell\x07x"
+)
+
+
+def _sql_fix_encoding() -> str:
+    from feature_factory_spark.operators.text import _mojibake_table
+
+    expr = "page"
+    for moji, fixed in _mojibake_table():
+        expr = f"replace({expr}, {_sqllit(moji)}, {_sqllit(fixed)})"
+    expr = f"replace({expr}, chr(160), ' ')"
+    expr = (
+        "regexp_replace(" + expr +
+        ", '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')"
+    )
+    return (
+        "WITH h AS (SELECT doc_id, text || " + _sqllit(_MOJI_SUFFIX)
+        + " AS page FROM documents)\n"
+        + f"SELECT doc_id, {expr} AS val FROM h"
+    )
+
+
+@_reg("fix_encoding", _sql_fix_encoding())
+def q_fix_encoding(spark, sf_dir):
+    """EncodingFixer (operators/text.py): mojibake repair + NBSP +
+    control-strip over documents with a deterministic corruption
+    suffix; the DuckDB twin recomputes the identical generated
+    replace chain (same table, same longest-first order)."""
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    fixed = ff.EncodingFixer(["page"]).transform(
+        docs.select("doc_id", page.alias("page"))
+    )
+    return fixed.select("doc_id", F.col("page").alias("val"))
+
+
 @_reg(
     "html_strip",
     r"""WITH h AS (SELECT doc_id,
@@ -3937,6 +3999,7 @@ _merge("quality_filter", [
 _merge("text_clean", [
     ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
+    ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
 ])
 
 # language identification: the SQL-twin stopword heuristic (per-doc

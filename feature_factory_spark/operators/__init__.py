@@ -55,6 +55,7 @@ from .web import (
 )
 from .text import (
     ContaminationChecker,
+    EncodingFixer,
     BigramLogProbScorer,
     UnigramLogProbScorer,
     DocumentFingerprint,
@@ -147,7 +148,8 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier",
     "NgramLanguageIdentifier", "DocumentFingerprint",
-    "TextCleaner", "RepetitionFeatures", "GopherQualityFilter", "PIIRedactor",
+    "TextCleaner", "EncodingFixer", "RepetitionFeatures",
+    "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "BigramLogProbScorer",
     "QualityScorer",

@@ -1500,3 +1500,84 @@ class QualityScorer(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return df.select("*", self.score_expr().alias(self.output_col))
+
+
+def _mojibake_table() -> list[tuple[str, str]]:
+    """(mojibake, fixed) pairs for the common UTF-8-bytes-read-as-
+    CP1252/Latin-1 corruption, GENERATED from the true byte round-trip
+    (never hand-typed): for each target char, its UTF-8 bytes decoded
+    with each legacy codec give the corrupted form a crawler actually
+    shipped. Longest-first so multi-byte punctuation ('â€™') wins over
+    its own prefix ('Â'/'â') and ordering is deterministic."""
+    chars = (
+        "áéíóúñäöüÄÖÜßèàâêîôûçëïÿœæÉÈÀÇ"  # Latin letters (2-byte UTF-8)
+        "’‘“”–—…«»°·€"                      # punctuation (2-3-byte UTF-8)
+        " "                             # NBSP -> mojibake 'Â\xa0'
+    )
+    table: list[tuple[str, str]] = []
+    for ch in chars:
+        b = ch.encode("utf-8")
+        for codec in ("cp1252", "latin-1"):
+            try:
+                moji = b.decode(codec)
+            except UnicodeDecodeError:
+                continue
+            if moji != ch and (moji, ch) not in table:
+                table.append((moji, ch))
+    # orphaned 'â€': a CP1252 decoder that DROPPED the unmappable third
+    # byte (0x9D/0x90/...) leaves just these two chars. By longest-first
+    # ordering every intact 3-char 'â€x' form is already fixed, so a
+    # remaining orphan is genuine loss — map it to the right double
+    # quote, by far its most frequent source (the ftfy convention).
+    table.append(("â€", "”"))
+    table.sort(key=lambda kv: (-len(kv[0]), kv[0]))
+    return table
+
+
+class EncodingFixer(Transformer):
+    """Repair the most common real-world text-encoding damage in place:
+
+    - mojibake from UTF-8 bytes decoded as CP1252 or Latin-1
+      ('CafÃ©' -> 'Café', 'â€™' -> ’), via a generated
+      longest-first literal-replace table (`_mojibake_table`);
+    - NBSP normalized to a plain space;
+    - C0/C1 control characters stripped (tab/newline kept) when
+      ``strip_controls``.
+
+    The crawl-corpus hygiene pass that runs right after HTML extraction
+    and before tokenization — double-encoded text otherwise fragments
+    tokens and poisons n-gram statistics. Stateless pure-JVM chain of
+    literal ``replace`` + one regexp: narrow projection, SQL-twin
+    reproducible. Deliberately NOT a general ftfy: only the
+    deterministic byte-round-trip forms are fixed, so text that
+    legitimately contains a sequence like 'Ã©' is altered — run on
+    corpora where that tradeoff is right (it almost always is for web
+    crawls)."""
+
+    def __init__(self, columns: list[str], strip_controls: bool = True):
+        ensure(bool(columns), "at least one text column is required")
+        self.columns = list(columns)
+        self.strip_controls = strip_controls
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    @classmethod
+    def fix_expr(cls, c: Column, strip_controls: bool = True) -> Column:
+        out = c
+        for moji, fixed in _mojibake_table():
+            out = F.replace(out, F.lit(moji), F.lit(fixed))
+        out = F.replace(out, F.lit(" "), F.lit(" "))
+        if strip_controls:
+            out = F.regexp_replace(
+                out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
+            )
+        return out
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c in self.columns:
+            out = out.withColumn(
+                c, self.fix_expr(F.col(c), self.strip_controls)
+            )
+        return out

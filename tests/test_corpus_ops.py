@@ -407,3 +407,48 @@ class TestVocabBuilderNullText:
         f1 = lm.freq_df_
         lm.fit(df2)
         assert f1.storageLevel.useMemory is False
+
+
+class TestEncodingFixer:
+    def test_repairs_byte_roundtrip_mojibake(self, spark):
+        clean = "Caf\u00e9 \u2014 \u201cquoted\u201d \u2026 na\u00efve \u0153uvre \u00df 10\u00b0 f\u00fcr 5\u20ac \u00c0 bient\u00f4t"
+        moji_cp = clean.encode("utf-8").decode("cp1252", errors="ignore")
+        moji_l1 = clean.encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame(
+            [(1, moji_cp), (2, moji_l1), (3, "plain ascii text"), (4, None)],
+            "doc_id bigint, text string",
+        )
+        rows = {r["doc_id"]: r["text"]
+                for r in ff.EncodingFixer(["text"]).transform(df).collect()}
+        # cp1252 decode drops the bytes it can't map ('ignore'), so only
+        # the latin-1 corruption round-trips every char exactly
+        assert rows[2] == clean
+        assert "Caf\u00e9" in rows[1] and "\u201cquoted\u201d" in rows[1]
+        assert "\u00c3" not in rows[1] and "\u00e2\u20ac" not in rows[1]
+        assert rows[3] == "plain ascii text"
+        assert rows[4] is None
+
+    def test_nbsp_and_controls(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\u00a0b\x07cd\x9de"), (2, "keep\ttabs\nand newlines")],
+            "doc_id bigint, text string",
+        )
+        rows = {r["doc_id"]: r["text"]
+                for r in ff.EncodingFixer(["text"]).transform(df).collect()}
+        assert rows[1] == "a bcde"
+        assert rows[2] == "keep\ttabs\nand newlines"
+
+    def test_idempotent(self, spark):
+        clean = "Caf\u00e9 \u2014 \u201cquoted\u201d f\u00fcr na\u00efve"
+        moji = clean.encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame([(1, moji)], "doc_id bigint, text string")
+        op = ff.EncodingFixer(["text"])
+        once = op.transform(df)
+        twice = op.transform(once)
+        assert once.collect() == twice.collect()
+
+    def test_plan_is_narrow(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        plan = (ff.EncodingFixer(["text"]).transform(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Join" not in plan and "Exchange" not in plan
