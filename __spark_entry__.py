@@ -2775,7 +2775,7 @@ def q_contamination(spark, sf_dir):
     # oracle replays the full pipeline — window hashes, duplicated-hash
     # table, gaps-and-islands span merge — in DuckDB; tokenization is
     # the proven words_expr twin (doc_chunk oracle).
-    """WITH w AS (SELECT doc_id,
+    r"""WITH w AS (SELECT doc_id,
   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') wd
   FROM documents WHERE text IS NOT NULL),
 e AS (SELECT doc_id, wd,

@@ -70,6 +70,9 @@ def main() -> None:
         .select("target_uri", F.col("payload").cast("string").alias("page"))
     )
     extracted = ff.HtmlTextExtractor(["page"]).transform(pages)
+    # encoding hygiene straight after extraction: mojibake repair, NBSP,
+    # control-char strip — before any tokenization sees the text
+    extracted = ff.EncodingFixer(["page_html_text"]).transform(extracted)
     n_pages = extracted.count()
     n_texty = extracted.where(F.col("page_text_ratio") > 0.3).count()
     print(f"crawl records -> pages: {n_pages}, past boilerplate gate: {n_texty}")
