@@ -545,3 +545,54 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM media_decoded").collect()))
     assert got == expected
+
+
+def test_crawl_curation_ops_stream(spark, tmp_path):
+    # the r6 curation projections (HTML extraction, encoding repair,
+    # quantization) are stateless narrow maps, so a crawl-curation
+    # stage runs unchanged as a structured stream: stream == batch
+    import feature_factory_spark as ff
+
+    rows = [
+        (i,
+         "<html><body><p>Line one &amp; two.</p>"
+         "<a href='/x'>l</a></body></html>",
+         [float(j + i) for j in range(4)])
+        for i in range(30)
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id bigint, page string, embedding array<double>"
+    )
+    src = str(tmp_path / "crawl_src")
+    batch.write.parquet(src)
+    stream = read_stream(spark, src, batch.schema)
+    assert stream.isStreaming
+
+    def curate(df):
+        out = ff.HtmlTextExtractor(["page"]).transform(df)
+        out = ff.EncodingFixer(["page_html_text"]).transform(out)
+        return ff.EmbeddingQuantizer("embedding").transform(out).select(
+            "doc_id", "page_html_text", "page_link_count",
+            "embedding_q8", "embedding_q8_scale",
+        )
+
+    q = (
+        curate(stream).writeStream.format("memory")
+        .queryName("curated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["page_html_text"], r["page_link_count"],
+                      tuple(r["embedding_q8"]), r["embedding_q8_scale"])
+        for r in spark.sql("SELECT * FROM curated").collect()
+    }
+    want = {
+        r["doc_id"]: (r["page_html_text"], r["page_link_count"],
+                      tuple(r["embedding_q8"]), r["embedding_q8_scale"])
+        for r in curate(batch).collect()
+    }
+    assert got == want
+    assert got[0][0] == "Line one & two.\nl"
