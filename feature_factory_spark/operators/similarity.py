@@ -487,14 +487,24 @@ class BucketedCosineTopK(CosineTopK):
             self._chunked(corpus_df, "neighbor_id", "c_vec"), query_df
         )
 
-    def write_index(self, corpus_df: DataFrame, path: str, mode: str = "error") -> None:
+    def write_index(
+        self,
+        corpus_df: DataFrame,
+        path: str,
+        mode: str = "error",
+        quantize: bool = False,
+    ) -> None:
         """Materialize the LSH index at ``path``: the chunked corpus
         signature frame written PARTITIONED BY (ci, cv) plus the LSH
         parameters (``<path>/meta``). A probe then reads only the chunk
         partitions the queries hash into (dynamic partition pruning) —
         the 'bucketed-by-chunk pruned scan' the class docstring
-        promises, without recomputing corpus signatures per search."""
+        promises, without recomputing corpus signatures per search.
+        ``quantize=True`` stores int8 codes + a per-vector scale (same
+        tradeoff as :meth:`IVFCosineTopK.write_index`)."""
         import os
+
+        from .embeddings import EmbeddingQuantizer
 
         width = self.n_planes // self.n_chunks
         ensure(
@@ -503,7 +513,14 @@ class BucketedCosineTopK(CosineTopK):
             f"{self.n_chunks} x 2^{width} partition values; lower "
             "n_planes (or raise n_chunks) before writing an index",
         )
-        self._chunked(corpus_df, "neighbor_id", "c_vec").write.mode(
+        chunked = self._chunked(corpus_df, "neighbor_id", "c_vec")
+        if quantize:
+            chunked = (
+                EmbeddingQuantizer("c_vec", prefix="c")
+                .transform(chunked)
+                .drop("c_vec")
+            )
+        chunked.write.mode(
             mode
         ).partitionBy("ci", "cv").parquet(os.path.join(path, "corpus"))
         meta = corpus_df.sparkSession.createDataFrame(
@@ -535,6 +552,15 @@ class BucketedCosineTopK(CosineTopK):
             f"has {mine} — queries would hash into the wrong buckets",
         )
         c = spark.read.parquet(os.path.join(path, "corpus"))
+        if "c_q8" in c.columns:
+            from .embeddings import EmbeddingQuantizer
+
+            c = c.withColumn(
+                "c_vec",
+                EmbeddingQuantizer.dequantize_expr(
+                    F.col("c_q8"), F.col("c_q8_scale")
+                ),
+            ).drop("c_q8", "c_q8_scale")
         self._guard_query_side(query_df)
         return self._search_chunked(c, query_df)
 

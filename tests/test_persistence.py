@@ -331,3 +331,25 @@ def test_ivf_quantized_index_search(spark, tmp_path):
     # pruning survives the quantized layout
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_quantized_index_search(spark, tmp_path):
+    path = str(tmp_path / "lsh_q8")
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 11) - 5.0 for j in range(16)])
+         for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = vecs.where(F.col("vec_id") < 4)
+    op = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in op.search(vecs, queries).collect()}
+    op.write_index(vecs, path, quantize=True)
+
+    fresh = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=16)
+    pairs = {(r["query_id"], r["neighbor_id"])
+             for r in fresh.search_index(spark, path, queries).collect()}
+    recall = len(pairs & exact) / len(exact)
+    assert recall >= 0.9, recall
+    corpus = spark.read.parquet(str(tmp_path / "lsh_q8" / "corpus"))
+    assert "c_q8" in corpus.columns and "c_vec" not in corpus.columns
