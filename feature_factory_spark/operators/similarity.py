@@ -29,6 +29,36 @@ from ..validation import ensure, validate_columns
 from .dedup import _hyperplanes, hyperplane_sig_expr
 
 
+def _quantize_vec_col(frame: DataFrame, vec_alias: str) -> DataFrame:
+    """The shared quantized-index write layout: replace ``vec_alias``
+    with int8 codes + per-vector scale columns ``c_q8``/``c_q8_scale``
+    (the names ``_dequantize_if_needed`` detects on read). ONE place
+    defines the layout for both index families."""
+    from .embeddings import EmbeddingQuantizer
+
+    return (
+        EmbeddingQuantizer(vec_alias, prefix="c")
+        .transform(frame)
+        .drop(vec_alias)
+    )
+
+
+def _dequantize_if_needed(frame: DataFrame) -> DataFrame:
+    """Inverse of ``_quantize_vec_col`` on the index-read path: when the
+    stored corpus carries codes, reconstruct ``c_vec`` inside the
+    (pruned) scan so the scoring path is identical either way."""
+    if "c_q8" not in frame.columns:
+        return frame
+    from .embeddings import EmbeddingQuantizer
+
+    return frame.withColumn(
+        "c_vec",
+        EmbeddingQuantizer.dequantize_expr(
+            F.col("c_q8"), F.col("c_q8_scale")
+        ),
+    ).drop("c_q8", "c_q8_scale")
+
+
 def nearest_centroids_expr(
     vec: Column, centroids: list[list[float]], n: int = 1
 ) -> Column:
@@ -323,18 +353,12 @@ class IVFCosineTopK(CosineTopK):
         scale/2 per element)."""
         import os
 
-        from .embeddings import EmbeddingQuantizer
-
         if not self.centroids_:
             self.fit_index(corpus_df)
         spark = corpus_df.sparkSession
         assigned = self._assign(corpus_df)
         if quantize:
-            assigned = (
-                EmbeddingQuantizer("c_vec", prefix="c")
-                .transform(assigned)
-                .drop("c_vec")
-            )
+            assigned = _quantize_vec_col(assigned, "c_vec")
         assigned.write.mode(mode).partitionBy("cluster").parquet(
             os.path.join(path, "corpus")
         )
@@ -363,19 +387,9 @@ class IVFCosineTopK(CosineTopK):
         # deliberately NOT marking fitted: no query frame was pinned, so
         # a later transform() must still raise FitNotCalledError instead
         # of crashing on query_df=None inside the plan builder
-        c = spark.read.parquet(os.path.join(path, "corpus"))
-        if "c_q8" in c.columns:
-            # quantized layout: dequantize INSIDE the pruned scan, so
-            # the scoring path below is identical while the scan reads
-            # int8 codes instead of doubles
-            from .embeddings import EmbeddingQuantizer
-
-            c = c.withColumn(
-                "c_vec",
-                EmbeddingQuantizer.dequantize_expr(
-                    F.col("c_q8"), F.col("c_q8_scale")
-                ),
-            ).drop("c_q8", "c_q8_scale")
+        c = _dequantize_if_needed(
+            spark.read.parquet(os.path.join(path, "corpus"))
+        )
         self._guard_query_side(query_df)
         return self._search_assigned(c, query_df)
 
@@ -461,22 +475,32 @@ class BucketedCosineTopK(CosineTopK):
     def _chunks_expr(self, vec: Column) -> Column:
         return self._chunks_from_sig(self._sig_expr(vec))
 
-    def _chunked(self, df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def _chunked(
+        self,
+        df: DataFrame,
+        id_alias: str,
+        vec_alias: str,
+        quantize: bool = False,
+    ) -> DataFrame:
         # materialize the signature in its own projection so the chunk
         # extractors reference ONE sig computation instead of inlining
-        # the hyperplane fold n_chunks times
+        # the hyperplane fold n_chunks times; quantization likewise runs
+        # BEFORE the chunk explode, once per vector instead of once per
+        # (ci, cv) replica
+        base = df.select(
+            F.col(self.id_col).alias(id_alias),
+            F.col(self.vec_col).alias(vec_alias),
+            self._sig_expr(F.col(self.vec_col)).alias("__sig"),
+        )
+        if quantize:
+            base = _quantize_vec_col(base, vec_alias)
+        payload = [c for c in base.columns if c != "__sig"]
         return (
-            df.select(
-                F.col(self.id_col).alias(id_alias),
-                F.col(self.vec_col).alias(vec_alias),
-                self._sig_expr(F.col(self.vec_col)).alias("__sig"),
-            )
-            .select(
-                id_alias,
-                vec_alias,
+            base.select(
+                *payload,
                 F.explode(self._chunks_from_sig(F.col("__sig"))).alias("ch"),
             )
-            .select(id_alias, vec_alias, "ch.ci", "ch.cv")
+            .select(*payload, "ch.ci", "ch.cv")
         )
 
     def search(self, corpus_df: DataFrame, query_df: DataFrame) -> DataFrame:
@@ -504,8 +528,6 @@ class BucketedCosineTopK(CosineTopK):
         tradeoff as :meth:`IVFCosineTopK.write_index`)."""
         import os
 
-        from .embeddings import EmbeddingQuantizer
-
         width = self.n_planes // self.n_chunks
         ensure(
             width <= 10,
@@ -513,14 +535,9 @@ class BucketedCosineTopK(CosineTopK):
             f"{self.n_chunks} x 2^{width} partition values; lower "
             "n_planes (or raise n_chunks) before writing an index",
         )
-        chunked = self._chunked(corpus_df, "neighbor_id", "c_vec")
-        if quantize:
-            chunked = (
-                EmbeddingQuantizer("c_vec", prefix="c")
-                .transform(chunked)
-                .drop("c_vec")
-            )
-        chunked.write.mode(
+        self._chunked(
+            corpus_df, "neighbor_id", "c_vec", quantize=quantize
+        ).write.mode(
             mode
         ).partitionBy("ci", "cv").parquet(os.path.join(path, "corpus"))
         meta = corpus_df.sparkSession.createDataFrame(
@@ -551,16 +568,9 @@ class BucketedCosineTopK(CosineTopK):
             f"(dim, n_planes, n_chunks, seed)={stored}, this instance "
             f"has {mine} — queries would hash into the wrong buckets",
         )
-        c = spark.read.parquet(os.path.join(path, "corpus"))
-        if "c_q8" in c.columns:
-            from .embeddings import EmbeddingQuantizer
-
-            c = c.withColumn(
-                "c_vec",
-                EmbeddingQuantizer.dequantize_expr(
-                    F.col("c_q8"), F.col("c_q8_scale")
-                ),
-            ).drop("c_q8", "c_q8_scale")
+        c = _dequantize_if_needed(
+            spark.read.parquet(os.path.join(path, "corpus"))
+        )
         self._guard_query_side(query_df)
         return self._search_chunked(c, query_df)
 
