@@ -127,9 +127,7 @@ class DomainBlocklistFilter(Transformer):
             return F.coalesce(
                 F.arrays_overlap(suffixes, blocked_arr), F.lit(False)
             )
-        # frame blocklist: explode candidate suffixes, broadcast-join the
-        # blocklist, flag docs with any hit (left-semi would lose the
-        # non-matching rows; aggregate the hit flag instead)
+        # frame blocklist handled in _transform (needs a join)
         return None
 
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -137,6 +135,15 @@ class DomainBlocklistFilter(Transformer):
             flag = self._flag_expr_or_frame(df)
             out = df.select("*", flag.alias(self.output_col))
         else:
+            # Row-multiplicity-preserving flag: key every row by a
+            # unique surrogate id, explode the candidate suffixes,
+            # broadcast-left-join the blocklist, and re-aggregate BY THE
+            # ID ONLY (first() per payload column). Unique ids mean
+            # fully-duplicate rows survive, and map-typed payload
+            # columns are fine as first() inputs though they are not
+            # groupable keys. One linear plan — the id is evaluated in
+            # a single subtree, so monotonically_increasing_id's
+            # per-evaluation nondeterminism cannot desynchronize.
             bl_col = self.blocked.columns[0]
             blocklist = self.blocked.select(
                 F.col(bl_col).alias("__ff_blocked_domain")
@@ -144,13 +151,16 @@ class DomainBlocklistFilter(Transformer):
             domain = registered_domain_expr(F.col(self.url_col))
             keyed = df.select(
                 "*",
+                F.monotonically_increasing_id().alias("__ff_rid"),
                 F.coalesce(
                     self._suffixes_expr(domain),
                     F.array().cast("array<string>"),
                 ).alias("__ff_sfx"),
             )
             exploded = keyed.select(
-                "*", F.explode_outer("__ff_sfx").alias("__ff_one_sfx")
+                *df.columns,
+                "__ff_rid",
+                F.explode_outer("__ff_sfx").alias("__ff_one_sfx"),
             )
             hit = exploded.join(
                 F.broadcast(blocklist),
@@ -158,10 +168,13 @@ class DomainBlocklistFilter(Transformer):
                 "left",
             )
             out = (
-                hit.groupBy(*[F.col(c) for c in df.columns])
+                hit.groupBy("__ff_rid")
                 .agg(
-                    (F.count("__ff_blocked_domain") > 0).alias(self.output_col)
+                    *[F.first(c).alias(c) for c in df.columns],
+                    (F.count("__ff_blocked_domain") > 0).alias(self.output_col),
                 )
+                .drop("__ff_rid")
+                .select(*df.columns, self.output_col)
             )
         if self.mode == "filter":
             return out.where(~F.col(self.output_col)).drop(self.output_col)
@@ -178,7 +191,12 @@ class DomainCapSampler(Transformer):
     of input order/partitioning. The cap itself is GroupedTopK's salted
     two-phase top-k (``skew_safe=True`` by default): domain frequency
     is zipfian, so the biggest domain would otherwise serialize onto
-    one reducer."""
+    one reducer.
+
+    Rows whose URL yields a NULL domain (malformed/NULL URLs) belong to
+    no real domain, so they are EXEMPT from the cap and pass through
+    unchanged — pooling them into one NULL group and capping it would
+    silently drop unrelated rows."""
 
     def __init__(
         self,
@@ -219,6 +237,8 @@ class DomainCapSampler(Transformer):
         keyed = df.select(
             "*", domain.alias("__ff_domain"), rank_key.alias("__ff_rk")
         )
+        # NULL domains are exempt from the cap (see class docstring)
+        exempt = keyed.where(F.col("__ff_domain").isNull())
         capped = GroupedTopK(
             ["__ff_domain"],
             "__ff_rk",
@@ -226,8 +246,8 @@ class DomainCapSampler(Transformer):
             ascending=True,
             tiebreak_cols=[self.id_col],
             skew_safe=self.skew_safe,
-        ).transform(keyed)
-        return capped.drop("__ff_domain", "__ff_rk")
+        ).transform(keyed.where(F.col("__ff_domain").isNotNull()))
+        return capped.unionByName(exempt).drop("__ff_domain", "__ff_rk")
 
 
 class HtmlTextExtractor(Transformer):

@@ -61,6 +61,24 @@ def test_blocklist_frame_matches_list(spark, urls):
     assert frame_out[4] is False
 
 
+def test_blocklist_frame_preserves_duplicates_and_map_columns(spark):
+    # r7 ADVICE fix: the frame-blocklist path must not collapse
+    # fully-duplicate rows and must tolerate non-groupable (map-typed)
+    # payload columns.
+    bl = spark.createDataFrame([("blocked.example",)], "domain string")
+    rows = [
+        ("https://blocked.example/a", {"k": "v"}),
+        ("https://blocked.example/a", {"k": "v"}),   # exact duplicate
+        ("https://blocked.example/a", {"k": "v"}),   # exact duplicate
+        ("https://ok.example/b", {"k": "w"}),
+    ]
+    df = spark.createDataFrame(rows, "url string, meta map<string,string>")
+    out = ff.DomainBlocklistFilter("url", bl).transform(df).collect()
+    assert len(out) == 4
+    assert sum(r["domain_blocked"] for r in out) == 3
+    assert all(r["meta"] is not None for r in out)
+
+
 def test_blocklist_filter_mode(urls):
     op = ff.DomainBlocklistFilter("url", ["example.org"], mode="filter")
     kept = sorted(r["doc_id"] for r in op.transform(urls).collect())
@@ -111,6 +129,20 @@ def test_domain_cap_seed_changes_sample(many_urls):
     b = sorted(r["doc_id"] for r in ff.DomainCapSampler(
         "url", "doc_id", 5, seed=1).transform(many_urls).collect())
     assert a != b
+
+
+def test_domain_cap_null_domains_exempt(spark):
+    # r7 ADVICE fix: rows with NULL/unparseable URLs belong to no
+    # domain and must pass through uncapped, not pool into one NULL
+    # group that silently drops everything beyond the cap.
+    rows = [(i, None) for i in range(10)] + [
+        (100 + i, f"https://big.example/doc/{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = ff.DomainCapSampler("url", "doc_id", max_per_domain=3).transform(df)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert len([d for d in kept if d < 100]) == 10   # all NULL-url rows kept
+    assert len([d for d in kept if d >= 100]) == 3   # real domain capped
 
 
 def test_domain_cap_precomputed_domain_col(many_urls):
