@@ -2445,24 +2445,32 @@ def q_frame_sample(spark, sf_dir):
 
 @_reg(
     "image_decode",
-    # REAL image decoding (operators/imagecodec.py: pure-stdlib PNG
-    # inflate + de-filter): each document gets a deterministic solid-gray
-    # PNG whose dims/gray derive from doc_id, encoded with filter type
-    # doc_id % 5 — so the timed query exercises every PNG filter branch
-    # and the oracle can state the decoded features in closed form
-    # (solid image: mean == gray, std == 0, entropy == 0).
+    # REAL image decoding (operators/imagecodec.py + jpegcodec.py):
+    # even doc_ids get a deterministic solid-gray PNG (filter type
+    # doc_id % 5 — every de-filter branch exercised); odd doc_ids get a
+    # solid-gray baseline JPEG (r7: full stdlib T.81 Huffman+IDCT
+    # decode). Both decode to closed-form features the oracle states:
+    # PNG mean == g; JPEG mean == clip(floor(qdc/8 + 128.5)) where
+    # qdc = round_half_away(8*(g-128)/16)*16 (Q00 = 16 at quality 50,
+    # jpegcodec.solid_jpeg docstring); std == entropy == 0 for both.
     """WITH m AS (SELECT doc_id, CAST(doc_id % 7 + 2 AS DOUBLE) w,
-  CAST(doc_id % 5 + 2 AS DOUBLE) h, CAST(doc_id % 256 AS DOUBLE) g
-FROM documents)
-SELECT doc_id, 'width' AS feat, w AS v FROM m
-UNION ALL SELECT doc_id, 'height', h FROM m
-UNION ALL SELECT doc_id, 'channels', 1.0 FROM m
-UNION ALL SELECT doc_id, 'bit_depth', 8.0 FROM m
-UNION ALL SELECT doc_id, 'n_pixels', w * h FROM m
-UNION ALL SELECT doc_id, 'mean', g FROM m
-UNION ALL SELECT doc_id, 'std', 0.0 FROM m
-UNION ALL SELECT doc_id, 'entropy', 0.0 FROM m
-UNION ALL SELECT doc_id, 'is_png', 1.0 FROM m""",
+  CAST(doc_id % 5 + 2 AS DOUBLE) h, CAST(doc_id % 256 AS DOUBLE) g,
+  doc_id % 2 = 0 AS is_png
+FROM documents),
+d AS (SELECT *, CASE WHEN is_png THEN g ELSE
+  LEAST(255.0, GREATEST(0.0, FLOOR(
+    SIGN(g - 128) * FLOOR(ABS(8*(g - 128)) / 16.0 + 0.5) * 16 / 8.0
+    + 128.5))) END AS mean_v FROM m)
+SELECT doc_id, 'width' AS feat, w AS v FROM d
+UNION ALL SELECT doc_id, 'height', h FROM d
+UNION ALL SELECT doc_id, 'channels', 1.0 FROM d
+UNION ALL SELECT doc_id, 'bit_depth', 8.0 FROM d
+UNION ALL SELECT doc_id, 'n_pixels', w * h FROM d
+UNION ALL SELECT doc_id, 'mean', mean_v FROM d
+UNION ALL SELECT doc_id, 'std', 0.0 FROM d
+UNION ALL SELECT doc_id, 'entropy', 0.0 FROM d
+UNION ALL SELECT doc_id, 'fmt_ok', 1.0 FROM d
+UNION ALL SELECT doc_id, 'progressive', 0.0 FROM d""",
 )
 def q_image_decode(spark, sf_dir):
     from feature_factory_spark.operators.imagecodec import (
@@ -2474,8 +2482,10 @@ def q_image_decode(spark, sf_dir):
 
     def synth(batches):
         # fixture generation INSIDE the distributed plan (narrow map):
-        # deterministic per-row PNG bytes, no driver materialization
+        # deterministic per-row PNG/JPEG bytes, no driver
+        # materialization
         from feature_factory_spark.operators.imagecodec import solid_png
+        from feature_factory_spark.operators.jpegcodec import solid_jpeg
 
         for pdf in batches:
             pdf["img"] = [
@@ -2483,6 +2493,8 @@ def q_image_decode(spark, sf_dir):
                     int(i) % 7 + 2, int(i) % 5 + 2, int(i) % 256,
                     filter_type=int(i) % 5,
                 )
+                if int(i) % 2 == 0
+                else solid_jpeg(int(i) % 7 + 2, int(i) % 5 + 2, int(i) % 256)
                 for i in pdf["doc_id"]
             ]
             yield pdf
@@ -2493,7 +2505,7 @@ def q_image_decode(spark, sf_dir):
     ).transform(with_img)
     return feats.selectExpr(
         "doc_id",
-        "stack(9, "
+        "stack(10, "
         "'width', cast(img_width AS double), "
         "'height', cast(img_height AS double), "
         "'channels', cast(img_channels AS double), "
@@ -2502,7 +2514,9 @@ def q_image_decode(spark, sf_dir):
         "'mean', img_mean, "
         "'std', img_std, "
         "'entropy', img_entropy, "
-        "'is_png', cast(img_format = 'png' AS double)"
+        "'fmt_ok', cast(img_format = (CASE WHEN doc_id % 2 = 0 "
+        "THEN 'png' ELSE 'jpeg' END) AS double), "
+        "'progressive', cast(img_progressive AS double)"
         ") AS (feat, v)",
     )
 

@@ -3,11 +3,13 @@
 The r4 review graded BinaryFeatureExtractor weak because its default
 decoder only read byte-level features. This module makes image decoding
 REAL without any external library: PNG (zlib inflate + full de-filtering
-of all five filter types), BMP (uncompressed 8/24/32-bit), and PPM/PGM
-(binary P5/P6) are parsed from bytes to pixels with stdlib ``zlib`` /
-``struct`` plus numpy for the pixel statistics. A Pillow-backed decoder
-is provided as an optional extra for formats outside this set (JPEG,
-WebP, ...) and degrades gracefully when the library is absent.
+of all five filter types), BMP (uncompressed 8/24/32-bit), PPM/PGM
+(binary P5/P6), and baseline JPEG (full Huffman+IDCT decode in
+jpegcodec.py; progressive streams probe to metadata) are parsed from
+bytes to pixels with stdlib ``zlib`` / ``struct`` plus numpy for the
+pixel statistics. A Pillow-backed decoder is provided as an optional
+extra for formats outside this set (WebP, progressive-JPEG pixels, ...)
+and degrades gracefully when the library is absent.
 
 Decoded features (``IMAGE_SCHEMA``): format, width, height, channels,
 bit_depth, n_pixels, mean, std, entropy — the dims/mode/statistics
@@ -235,12 +237,26 @@ _DECODERS = [
 
 def decode_image(payload: bytes) -> dict:
     """Decode by magic-byte dispatch; raises ValueError when no decoder
-    matches or the payload is malformed.
+    matches or the payload is malformed. JPEG (the dominant web image
+    format) dispatches to the stdlib baseline decoder in jpegcodec.py:
+    SOF0/SOF1 streams decode to pixels, progressive (SOF2) streams
+    yield a metadata probe (dims/channels real, pixel stats NULL,
+    ``progressive`` = 1).
 
     >>> d = decode_image(solid_png(4, 3, 200))
     >>> (d["format"], d["width"], d["height"], d["mean"], d["entropy"])
     ('png', 4, 3, 200.0, 0.0)
+    >>> from .jpegcodec import solid_jpeg, expected_solid_gray
+    >>> j = decode_image(solid_jpeg(16, 8, 200))
+    >>> (j["format"], j["width"], j["height"], j["std"], j["progressive"])
+    ('jpeg', 16, 8, 0.0, 0)
+    >>> j["mean"] == expected_solid_gray(200)
+    True
     """
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     for magic, fmt, fn in _DECODERS:
         if payload[: len(magic)] == magic:
             px, bit_depth = fn(payload)
@@ -264,6 +280,8 @@ def _stats(px: np.ndarray, fmt: str, bit_depth: int) -> dict:
         "std": float(flat.std()),  # population std, ddof=0
         # max() also normalizes the -0.0 a single-value histogram yields
         "entropy": max(0.0, float(-np.sum(probs * np.log2(probs)))),
+        # JPEG SOF2 probe sets 1; every fully-decoded image is 0
+        "progressive": 0,
     }
 
 
@@ -317,6 +335,7 @@ def _sql_type(name: str):
         "mean": T.DoubleType(),
         "std": T.DoubleType(),
         "entropy": T.DoubleType(),
+        "progressive": T.IntegerType(),
     }[name]
 
 
@@ -326,7 +345,7 @@ def image_schema() -> list:
         (n, _sql_type(n))
         for n in (
             "format", "width", "height", "channels", "bit_depth",
-            "n_pixels", "mean", "std", "entropy",
+            "n_pixels", "mean", "std", "entropy", "progressive",
         )
     ]
 

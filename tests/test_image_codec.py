@@ -63,7 +63,7 @@ def test_solid_png_stats_closed_form():
     assert d == {
         "format": "png", "width": 4, "height": 3, "channels": 1,
         "bit_depth": 8, "n_pixels": 12, "mean": 200.0, "std": 0.0,
-        "entropy": 0.0,
+        "entropy": 0.0, "progressive": 0,
     }
 
 
@@ -209,3 +209,100 @@ def test_bmp_8bit_palette_expands_through_color_table():
     bad = hdr + palette + bytes([7, 1]) + b"\x00\x00" + rows[0]
     with pytest.raises(ValueError, match="color table"):
         ic.decode_bmp(bad)
+
+
+# -- JPEG (jpegcodec.py, r7): stdlib baseline T.81 codec ----------------
+
+from feature_factory_spark.operators import jpegcodec as jc
+
+
+def test_jpeg_solid_gray_closed_form_all_values():
+    # decoded constant must equal the closed form the oracle SQL states
+    for g in range(0, 256, 17):
+        d = ic.decode_image(jc.solid_jpeg(9, 7, g))
+        assert d["format"] == "jpeg" and d["width"] == 9 and d["height"] == 7
+        assert d["std"] == 0.0 and d["entropy"] == 0.0
+        assert d["mean"] == jc.expected_solid_gray(g), g
+        assert d["progressive"] == 0
+
+
+@pytest.mark.parametrize("quality", [10, 50, 90])
+def test_jpeg_solid_quality_sweep(quality):
+    assert (jc.decode_jpeg(jc.solid_jpeg(8, 8, 200, quality=quality))["mean"]
+            == jc.expected_solid_gray(200, quality))
+
+
+def test_jpeg_gray_gradient_roundtrip_close():
+    img = np.clip(np.add.outer(np.arange(24) * 5, np.arange(40) * 3),
+                  0, 255).astype(np.uint8)
+    d = jc.decode_jpeg(jc.encode_jpeg(img, quality=90))
+    assert (d["width"], d["height"], d["channels"]) == (40, 24, 1)
+    assert abs(d["mean"] - img.mean()) < 3.0
+    assert d["std"] > 0 and d["entropy"] > 0
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_rgb_roundtrip_close(subsampling):
+    base = np.zeros((21, 35, 3))
+    for c in range(3):
+        base[:, :, c] = np.clip(
+            np.add.outer(np.arange(21) * 4, np.arange(35) * 2) + 40 * c,
+            0, 255)
+    rgb = base.astype(np.uint8)
+    d = jc.decode_jpeg(jc.encode_jpeg(rgb, quality=90, subsampling=subsampling))
+    assert (d["width"], d["height"], d["channels"]) == (35, 21, 3)
+    assert abs(d["mean"] - rgb.mean()) < 5.0
+
+
+def test_jpeg_restart_markers_do_not_change_decode():
+    img = np.clip(np.add.outer(np.arange(40) * 3, np.arange(56) * 2),
+                  0, 255).astype(np.uint8)
+    plain = jc.decode_jpeg(jc.encode_jpeg(img, quality=80))
+    rst = jc.decode_jpeg(jc.encode_jpeg(img, quality=80, restart_interval=3))
+    assert plain == rst
+    base = np.zeros((21, 35, 3))
+    for c in range(3):
+        base[:, :, c] = np.clip(
+            np.add.outer(np.arange(21) * 4, np.arange(35) * 2) + 40 * c,
+            0, 255)
+    rgb = base.astype(np.uint8)
+    d420 = jc.decode_jpeg(jc.encode_jpeg(rgb, quality=90, subsampling="420"))
+    d420r = jc.decode_jpeg(
+        jc.encode_jpeg(rgb, quality=90, subsampling="420", restart_interval=2))
+    assert d420 == d420r
+
+
+def test_jpeg_progressive_probe_metadata_only():
+    # flip SOF0 -> SOF2: a progressive stream probes (real dims,
+    # progressive=1, NULL pixel stats) instead of failing
+    b = bytearray(jc.solid_jpeg(10, 6, 100))
+    b[b.find(b"\xff\xc0") + 1] = 0xC2
+    p = ic.decode_image(bytes(b))
+    assert p["format"] == "jpeg" and p["progressive"] == 1
+    assert (p["width"], p["height"], p["channels"]) == (10, 6, 1)
+    assert p["mean"] is None and p["std"] is None and p["entropy"] is None
+    assert jc.probe_jpeg(bytes(b)) == p
+
+
+def test_jpeg_truncated_raises_and_lenient_seam_nulls():
+    data = jc.solid_jpeg(8, 8, 50)
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(data[: len(data) // 2])
+    assert ic.image_decoder(data[: len(data) // 2]) == {}
+    with pytest.raises(ValueError, match="signature"):
+        jc.decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_jpeg_spark_extractor_slice(spark):
+    # Spark-side plumbing: JPEG bytes through BinaryFeatureExtractor
+    rows = [(i, jc.solid_jpeg(4 + i % 3, 5, (i * 40) % 256)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, img binary")
+    out = ff.BinaryFeatureExtractor(
+        "img", decoder=ic.image_decoder, feature_schema=ic.image_schema()
+    ).transform(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i in range(8):
+        assert got[i]["img_format"] == "jpeg"
+        assert got[i]["img_width"] == 4 + i % 3
+        assert got[i]["img_mean"] == jc.expected_solid_gray((i * 40) % 256)
+        assert got[i]["img_progressive"] == 0
