@@ -46,9 +46,28 @@ def word_count_expr(text: Column) -> Column:
 def ngrams_expr(words: Column, n: int) -> Column:
     """All n-word grams (multiset, order preserved) joined with spaces.
     Documents with fewer than n words contribute the whole text as one
-    gram (index sequence clamps at 1)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    gram (matching the previous index-clamp behavior, including the
+    single empty-string gram for an empty word array).
+
+    Extraction is ONE ``regexp_extract_all`` over the space-joined
+    words: ``(?<!\\S)`` anchors each match at a word start and the
+    zero-width lookahead captures the next n words, so every
+    overlapping gram comes out of a single regex pass. The previous
+    formulation (``transform(idx, i -> array_join(slice(words, i, n)))``)
+    referenced ``words`` from inside the lambda, and Catalyst inlines
+    outer expressions at every lambda evaluation site — callers passing
+    ``words_expr(text)`` re-ran the trim+split chain once PER GRAM
+    (the same plan pathology fixed in NgramLanguageIdentifier, r7)."""
+    joined = F.array_join(words, " ")
+    pattern = r"(?<!\S)(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    return F.when(
+        # NULL words: the index-clamp form yielded one NULL gram; keep
+        # that contract (downstream hash/explode behavior depends on a
+        # row surviving)
+        words.isNull(), F.array(F.lit(None).cast("string"))
+    ).when(
+        F.size(words) < n, F.array(joined)
+    ).otherwise(F.regexp_extract_all(joined, F.lit(pattern), 1))
 
 
 def shingles_expr(words: Column, n: int) -> Column:

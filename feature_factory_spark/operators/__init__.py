@@ -51,7 +51,7 @@ from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .bpe import BpeVocabBuilder
 from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
-    HtmlTextExtractor,
+    HtmlTextExtractor, UrlCanonicalizer, UrlDeduplicator,
 )
 from .text import (
     ContaminationChecker,
@@ -160,7 +160,7 @@ __all__ = [
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
-    "HtmlTextExtractor",
+    "HtmlTextExtractor", "UrlCanonicalizer", "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "decode_image", "encode_png", "image_decoder", "image_schema",

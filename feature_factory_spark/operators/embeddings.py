@@ -48,8 +48,18 @@ class L2Normalizer(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         vec = F.col(self.vec_col)
         nrm = norm_expr(vec)
-        normalized = F.when(nrm == 0.0, F.transform(vec, lambda x: F.lit(0.0))).otherwise(
-            F.transform(vec, lambda x: x.cast("double") / nrm)
+        # nrm must NOT appear inside a transform lambda: Catalyst
+        # inlines outer expressions at every lambda evaluation site, so
+        # `x / nrm` would recompute the O(d) norm fold per ELEMENT —
+        # O(d^2) per row. array_repeat evaluates nrm ONCE as an operand
+        # and the zip_with lambda touches only its own variables; the
+        # zero-vector guard rides along element-wise for free.
+        normalized = F.zip_with(
+            vec,
+            F.array_repeat(nrm, F.size(vec)),
+            lambda x, m: F.when(m == 0.0, F.lit(0.0)).otherwise(
+                x.cast("double") / m
+            ),
         )
         if self.out_col == self.vec_col:
             cols = [

@@ -250,6 +250,170 @@ class DomainCapSampler(Transformer):
         return capped.unionByName(exempt).drop("__ff_domain", "__ff_rk")
 
 
+# tracking-parameter keys stripped by canonicalization: the
+# ubiquitous cross-site analytics/click identifiers (utm_* plus the
+# Google/Facebook/Microsoft/Mailchimp/Instagram click ids and bare
+# ref tags). Keys only — a key=value is dropped whole.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid"
+    r"|ref|ref_src)="
+)
+
+
+def canonical_url_expr(
+    url: Column,
+    sort_query: bool = True,
+    tracking_re: str = TRACKING_PARAM_RE,
+) -> Column:
+    """Canonical form of a URL, NULL when the URL has no parseable
+    scheme+host:
+
+    - scheme and host lowercased; userinfo and fragment stripped
+    - default ports dropped (``:80`` for http, ``:443`` for https)
+    - tracking parameters (``tracking_re``, matched against the
+      lowercased ``key=`` prefix) removed; remaining query params
+      sorted when ``sort_query`` (byte order — canonical keys compare
+      stably) and rejoined; an emptied query drops its ``?``
+    - trailing slashes folded (``/a/`` -> ``/a``, root ``/`` -> '')
+
+    Pure JVM expressions (try_parse_url + regexps + array HOFs); path
+    and query VALUE case, percent-encoding, and IDN/punycode are
+    preserved as-is (normalizing those needs per-site knowledge a
+    generic canonicalizer should not guess at)."""
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    auth = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    canon_path = F.regexp_replace(path, r"/+$", "")
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(tracking_re),
+    )
+    if sort_query:
+        kept = F.array_sort(kept)
+    qs = F.array_join(kept, "&")
+    return F.when(
+        proto.isNotNull() & host.isNotNull(),
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            canon_path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
+    )
+
+
+class UrlCanonicalizer(Transformer):
+    """Append ``{c}_canonical`` per url column — the canonical form
+    (``canonical_url_expr``): lowercased scheme/host, userinfo /
+    fragment / default-port / tracking-param stripping, sorted query,
+    folded trailing slash; NULL for unparseable URLs.
+
+    Crawls carry heavy URL-level duplication (session ids, tracking
+    params, scheme/case variants of the same page) BEFORE any content
+    dedup; this is the key extractor for ``UrlDeduplicator`` and any
+    per-URL provenance join. Stateless narrow projection — no shuffle,
+    no UDF, at any corpus size."""
+
+    def __init__(self, columns: list[str], sort_query: bool = True):
+        ensure(bool(columns), "at least one url column is required")
+        self.columns = list(columns)
+        self.sort_query = sort_query
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            *[
+                canonical_url_expr(F.col(c), self.sort_query).alias(
+                    f"{c}_canonical"
+                )
+                for c in self.columns
+            ],
+        )
+
+
+class UrlDeduplicator(Transformer):
+    """Keep one row per canonical URL — crawl-level dedup that runs
+    BEFORE content dedup (the same page fetched under tracking-param /
+    case / port variants collapses to one candidate).
+
+    The survivor per canonical URL is either the highest ``score_col``
+    (ties -> smallest ``id_col``) or, without a score, the smallest
+    seeded md5(id) — the same reproducible uniform choice as
+    DomainCapSampler. Rows whose URL does not canonicalize (NULL) have
+    no URL identity and pass through unchanged.
+
+    Scale shape: canonicalization is a narrow projection; the keep-one
+    is GroupedTopK's salted two-phase top-k (``skew_safe`` default on —
+    a crawl's hottest URL is exactly the skewed key case)."""
+
+    def __init__(
+        self,
+        url_col: str,
+        id_col: str,
+        score_col: str | None = None,
+        seed: int = 0,
+        skew_safe: bool = True,
+        canonicalize: bool = True,
+    ):
+        self.url_col = url_col
+        self.id_col = id_col
+        self.score_col = score_col
+        self.seed = seed
+        self.skew_safe = skew_safe
+        self.canonicalize = canonicalize
+
+    def _check_input(self, df: DataFrame) -> None:
+        cols = [self.url_col, self.id_col]
+        if self.score_col is not None:
+            cols.append(self.score_col)
+        validate_columns(df, cols)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        key = (
+            canonical_url_expr(F.col(self.url_col))
+            if self.canonicalize
+            else F.col(self.url_col)
+        )
+        if self.score_col is not None:
+            rank_col, ascending = self.score_col, False
+            keyed = df.select("*", key.alias("__ff_curl"))
+        else:
+            rank = F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(self.seed)),
+                    F.col(self.id_col).cast("string"),
+                )
+            )
+            rank_col, ascending = "__ff_rk", True
+            keyed = df.select(
+                "*", key.alias("__ff_curl"), rank.alias("__ff_rk")
+            )
+        exempt = keyed.where(F.col("__ff_curl").isNull())
+        deduped = GroupedTopK(
+            ["__ff_curl"],
+            rank_col,
+            1,
+            ascending=ascending,
+            tiebreak_cols=[self.id_col],
+            skew_safe=self.skew_safe,
+        ).transform(keyed.where(F.col("__ff_curl").isNotNull()))
+        out = deduped.unionByName(exempt)
+        drop = ["__ff_curl"] + ([] if self.score_col else ["__ff_rk"])
+        return out.drop(*drop)
+
+
 class HtmlTextExtractor(Transformer):
     """HTML -> text extraction for crawled web pages — the step between
     a raw crawl and every text operator in this package (the reference

@@ -78,6 +78,48 @@ def test_contamination_checker_flags_overlap(spark):
     assert "contaminated" not in out.columns
 
 
+def test_contamination_overlap_criterion(spark):
+    # r7: fuzzy decontamination — the FRACTION of a doc's distinct
+    # grams present in the benchmark must reach threshold
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # 4/4 bench grams -> ratio 1.0
+            (2, "a b c x y z w q"),    # 1 of 6 grams in bench
+            (3, "no shared text at all here"),  # ratio 0
+            (4, "ab"),                 # too short for any 3-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    cc = ff.ContaminationChecker(
+        "text", "doc_id", n=3, criterion="overlap", threshold=0.5
+    ).fit(bench)
+    got = {r["doc_id"]: (r["contaminated"], r["contaminated_ratio"])
+           for r in cc.transform(corpus).collect()}
+    assert got[1] == (True, 1.0)
+    assert got[2][0] is False and abs(got[2][1] - 1 / 6) < 1e-9
+    assert got[3] == (False, 0.0)
+    assert got[4] == (False, 0.0)
+    # any-hit would flag doc 2; overlap at 0.5 must not
+    any_got = {
+        r["doc_id"]: r["contaminated"]
+        for r in ff.ContaminationChecker("text", "doc_id", n=3)
+        .fit(bench).transform(corpus).collect()
+    }
+    assert any_got[2] is True
+    # filter mode drops only threshold-reaching docs, adds no columns
+    filt = ff.ContaminationChecker(
+        "text", "doc_id", n=3, criterion="overlap", threshold=0.5,
+        mode="filter",
+    ).fit(bench)
+    out = filt.transform(corpus)
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 4}
+    assert "contaminated" not in out.columns
+    assert "contaminated_ratio" not in out.columns
+
+
 def test_contamination_checker_requires_fit(spark):
     corpus = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
     with pytest.raises(ff.FitNotCalledError):

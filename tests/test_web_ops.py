@@ -215,3 +215,72 @@ def test_html_transform_is_narrow(pages):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+# -- UrlCanonicalizer / UrlDeduplicator (r7) ----------------------------
+
+
+def test_canonicalizer_rules(spark):
+    rows = [
+        (1, "HTTPS://User:Pw@WWW.Example.ORG:443/A/B/?utm_source=x&b=2&a=1&fbclid=z#frag"),
+        (2, "http://example.org:80/"),
+        (3, "http://example.org:8080/x/"),
+        (4, "https://example.org/a?ref=abc"),
+        (5, "https://example.org/a?Z=1&a=2"),
+        (6, None),
+        (7, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r["doc_id"]: r["url_canonical"]
+           for r in ff.UrlCanonicalizer(["url"]).transform(df).collect()}
+    # scheme/host lowercased, userinfo+fragment+default port+tracking
+    # params stripped, query sorted, trailing slash folded
+    assert got[1] == "https://www.example.org/A/B?a=1&b=2"
+    assert got[2] == "http://example.org"
+    assert got[3] == "http://example.org:8080/x"   # non-default port kept
+    assert got[4] == "https://example.org/a"       # ref is tracking
+    assert got[5] == "https://example.org/a?Z=1&a=2"  # byte-order sort
+    assert got[6] is None and got[7] is None
+
+
+def test_url_dedup_keeps_one_per_canonical(spark):
+    # same page under tracking/case/port variants -> one survivor;
+    # unparseable URLs pass through
+    rows = [
+        (1, "https://example.org/page?utm_source=a"),
+        (2, "HTTPS://EXAMPLE.ORG:443/page"),
+        (3, "https://example.org/page/"),
+        (4, "https://example.org/other"),
+        (5, "junk"),
+        (6, "junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    kept = sorted(r["doc_id"] for r in
+                  ff.UrlDeduplicator("url", "doc_id").transform(df).collect())
+    assert len([k for k in kept if k <= 3]) == 1   # variants collapsed
+    assert 4 in kept and 5 in kept and 6 in kept   # junk exempt
+    # deterministic across partitionings
+    kept2 = sorted(r["doc_id"] for r in ff.UrlDeduplicator("url", "doc_id")
+                   .transform(df.repartition(5)).collect())
+    assert kept == kept2
+
+
+def test_url_dedup_score_col_keeps_best(spark):
+    rows = [
+        (1, "https://example.org/p", 0.2),
+        (2, "https://example.org/p?utm_source=x", 0.9),
+        (3, "https://example.org/p/", 0.9),   # tie -> smallest doc_id
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, score double")
+    kept = [r["doc_id"] for r in
+            ff.UrlDeduplicator("url", "doc_id", score_col="score")
+            .transform(df).collect()]
+    assert kept == [2]
+
+
+def test_canonicalizer_is_narrow(spark):
+    df = spark.createDataFrame([(1, "https://a.example/x")],
+                               "doc_id bigint, url string")
+    plan = (ff.UrlCanonicalizer(["url"]).transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
