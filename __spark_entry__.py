@@ -1900,10 +1900,12 @@ def q_ngram_lang(spark, sf_dir):
     "url_ops",
     # deterministic URLs constructed from documents fields in BOTH
     # engines (the corpus has no url column); the oracle recomputes
-    # host/path extraction, blocklist membership, and the md5-ranked
-    # per-domain cap with plain SQL
+    # host/path extraction, blocklist membership, the md5-ranked
+    # per-domain cap, URL canonicalization (r7: scheme/host case,
+    # userinfo, default port, tracking params, fragment, trailing
+    # slash), and keep-one-per-canonical-URL dedup with plain SQL
     r"""WITH u AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, source,
     'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
       || source || '.example.org'
       || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
@@ -1911,30 +1913,48 @@ def q_ngram_lang(spark, sf_dir):
       || CASE WHEN doc_id % 3 = 0 THEN '?ref=abc' ELSE '' END AS url
   FROM documents
 ), parts AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, source,
     regexp_replace(
       regexp_extract(url, '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1),
       '^www\.', '') AS domain,
     regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path
   FROM u
-), ranked AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY domain
-      ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+), canon AS (
+  SELECT doc_id, lang, source, domain, path,
+    'https://' || lower(source) || '.example.org/' || lang || '/Doc-'
+      || CAST(doc_id % 50 AS VARCHAR)
+      || CASE doc_id % 3 WHEN 0 THEN '?a=1&b=2' WHEN 1 THEN '?a=1'
+         ELSE '' END AS curl
   FROM parts
+), ranked AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY domain
+      ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+    row_number() OVER (
+      PARTITION BY curl
+      ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS urk
+  FROM canon
 )
 SELECT doc_id, domain || '|' || path || '|'
   || CASE WHEN domain IN ('src3.example.org', 'src7.example.org')
      THEN 'true' ELSE 'false' END
-  || '|' || CASE WHEN rk <= 5 THEN '1' ELSE '0' END AS val
+  || '|' || CASE WHEN rk <= 5 THEN '1' ELSE '0' END
+  || '|' || curl
+  || '|' || CASE WHEN urk = 1 THEN '1' ELSE '0' END AS val
 FROM ranked""",
 )
 def q_url_ops(spark, sf_dir):
-    """DomainExtractor + DomainBlocklistFilter + DomainCapSampler
-    (operators/web.py) over URLs deterministically constructed from
-    documents fields (the synthetic corpus has no url column; varied
-    shapes — www prefixes, ports, query strings — exercise the parse).
-    val = domain|path|blocked|kept, every component oracle-recomputed."""
+    """DomainExtractor + DomainBlocklistFilter + DomainCapSampler +
+    UrlCanonicalizer + UrlDeduplicator (operators/web.py) over URLs
+    deterministically constructed from documents fields (the synthetic
+    corpus has no url column; varied shapes — www prefixes, ports,
+    query strings, and for the canonical slice scheme/host case noise,
+    userinfo, default ports, tracking params, fragments, trailing
+    slashes — exercise the parse). val =
+    domain|path|blocked|kept|canonical|urlkept, every component
+    oracle-recomputed; the canonical slice's messy URL buckets doc_id
+    mod 50 so canonical URLs genuinely collide for the dedup check."""
     docs = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),
@@ -1945,14 +1965,36 @@ def q_url_ops(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=abc")).otherwise(F.lit("")),
     )
-    base = docs.select("doc_id", url.alias("url"))
+    # the messy variant the canonicalizer must clean: scheme/host case,
+    # userinfo, default :443, bucketed path with trailing slash,
+    # tracking params out of order, fragment
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 < 2, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".Example.ORG"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"), F.col("lang"), F.lit("/Doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1&fbclid=z"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", url.alias("url"), messy.alias("m_url"))
     ext = ff.DomainExtractor(["url"]).transform(base)
     flagged = ff.DomainBlocklistFilter(
         "url", ["src3.example.org", "src7.example.org"]
     ).transform(ext)
+    flagged = ff.UrlCanonicalizer(["m_url"]).transform(flagged)
     capped = ff.DomainCapSampler(
         "url", "doc_id", max_per_domain=5
     ).transform(base).select("doc_id")
+    url_kept = ff.UrlDeduplicator("m_url", "doc_id").transform(
+        base
+    ).select("doc_id")
     # membership via semi/anti + union, NOT a left join + null-flag:
     # the cap subset's columns are non-nullable, and the optimizer
     # eliminates null-guards on outer-join output for non-nullable
@@ -1963,7 +2005,14 @@ def q_url_ops(spark, sf_dir):
     dropped = flagged.join(capped, "doc_id", "left_anti").withColumn(
         "__kept", F.lit("0")
     )
-    return kept.unionByName(dropped).select(
+    both = kept.unionByName(dropped)
+    ukept = both.join(url_kept, "doc_id", "left_semi").withColumn(
+        "__ukept", F.lit("1")
+    )
+    udropped = both.join(url_kept, "doc_id", "left_anti").withColumn(
+        "__ukept", F.lit("0")
+    )
+    return ukept.unionByName(udropped).select(
         "doc_id",
         F.concat_ws(
             "|",
@@ -1971,6 +2020,8 @@ def q_url_ops(spark, sf_dir):
             F.col("url_path"),
             F.col("domain_blocked").cast("string"),
             F.col("__kept"),
+            F.col("m_url_canonical"),
+            F.col("__ukept"),
         ).alias("val"),
     )
 
@@ -2780,6 +2831,40 @@ def q_contamination(spark, sf_dir):
         cc, lambda: ff.ContaminationChecker("text", "doc_id", n=3), spark
     )
     return cc.transform(docs).select("doc_id", "contaminated")
+
+
+@_reg(
+    "contamination_overlap",
+    # r7: fuzzy decontamination — flag = fraction of a doc's DISTINCT
+    # 3-grams present in the first-25-docs benchmark reaches 0.5; the
+    # ratio itself is hash-pinned (rounded 1e-6). Same gram pipeline as
+    # the any-hit member; per-doc aggregate instead of semi-join.
+    f"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM w),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+r AS (SELECT dg.doc_id,
+             CAST(count(b.gram) AS DOUBLE) / count(*) AS ratio
+      FROM dg LEFT JOIN b USING (gram) GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       coalesce(r.ratio, 0) >= 0.5 AS flag,
+       {R6('coalesce(r.ratio, 0)')} AS ratio
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""",
+)
+def q_contamination_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cc = ff.ContaminationChecker(
+        "text", "doc_id", n=3, criterion="overlap", threshold=0.5
+    )
+    cc.fit(docs.where(F.col("doc_id") < 25))
+    return cc.transform(docs).select(
+        "doc_id",
+        F.col("contaminated").alias("flag"),
+        F.expr(R6("contaminated_ratio")).alias("ratio"),
+    )
 
 
 @_reg(
@@ -4001,11 +4086,17 @@ _merge("sample_family", [
 ])
 
 _merge("quality_filter", [
-    ("gopher_quality_filter", ["doc_id", "cast(NULL AS boolean) AS flag"],
-     "doc_id, CAST(NULL AS BOOLEAN) AS flag"),
-    ("contamination", ["doc_id", "contaminated AS flag"],
-     "doc_id, contaminated AS flag"),
-    ("quality_model", ["doc_id", "flag"], "doc_id, flag"),
+    ("gopher_quality_filter",
+     ["doc_id", "cast(NULL AS boolean) AS flag", "cast(NULL AS double) AS ratio"],
+     "doc_id, CAST(NULL AS BOOLEAN) AS flag, CAST(NULL AS DOUBLE) AS ratio"),
+    ("contamination",
+     ["doc_id", "contaminated AS flag", "cast(NULL AS double) AS ratio"],
+     "doc_id, contaminated AS flag, CAST(NULL AS DOUBLE) AS ratio"),
+    ("contamination_overlap",
+     ["doc_id", "flag", "ratio"], "doc_id, flag, ratio"),
+    ("quality_model",
+     ["doc_id", "flag", "cast(NULL AS double) AS ratio"],
+     "doc_id, flag, CAST(NULL AS DOUBLE) AS ratio"),
 ])
 
 # text cleaning surface: stopword-removal normalization + the HTML ->

@@ -10,6 +10,19 @@ The two deliberately brute-force oracle baselines (all-pairs Jaccard /
 all-pairs cosine) are excluded: the banded/bucketed scale paths
 (minhash_dedup, simhash_dedup, embedding_dedup_lsh, bucketed_topk) are
 what runs at scale, and they ARE benchmarked.
+
+FF_BENCH_LITE=1 (r7, VERDICT r6 item 5) times each query's
+MATERIALIZATION only: the query function runs UNTIMED first — which
+executes every eager fit and driver-side invariant audit (model fits,
+holdout checks, state round-trips, dual-mode pins) — and the clock
+covers just the noop write of the returned frame. This separates
+operator cost from verification-harness growth: a new verified member
+inflates the full-mode number but not the lite number unless the
+member's TRANSFORM itself got slower. The driver's per-round protocol
+records full mode; lite numbers go to BASELINE.md §3 for round-over-
+round operator-regression comparison. (Lazy invariant frames that
+compute inside the returned plan remain timed — lite excludes eager
+fit/audit work, which is where verification growth concentrates.)
 """
 
 from __future__ import annotations
@@ -102,6 +115,7 @@ def main() -> int:
         t.join()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    lite = os.environ.get("FF_BENCH_LITE") == "1"
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():
@@ -109,8 +123,14 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            if lite:
+                # build untimed: fits + eager invariant audits excluded
+                df = fn(spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
@@ -146,6 +166,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(CPUS),
                 "approx_quantiles": os.environ.get("FF_APPROX_QUANTILES") == "1",
+                "mode": "lite" if lite else "full",
             }
         )
     )
