@@ -2574,36 +2574,53 @@ def q_image_decode(spark, sf_dir):
 
 @_reg(
     "audio_decode",
-    # REAL audio decoding (operators/audiocodec.py: RIFF/WAVE PCM parse):
-    # each document gets a deterministic constant-amplitude 16-bit WAV
-    # whose frame count / channels / amplitude derive from doc_id, so the
-    # decoded features are closed-form: rms == peak ==
-    # floor(a*32767+0.5)/32767, zcr == 0, duration == n_frames/8000.
+    # REAL audio decoding (operators/audiocodec.py): even doc_ids get a
+    # deterministic constant-amplitude 16-bit WAV (full PCM decode;
+    # rms == peak == floor(a*32767+0.5)/32767, zcr == 0, duration ==
+    # n_frames/8000); odd doc_ids get an MPEG1-Layer-III fixture whose
+    # ID3v2-skipping frame-header PROBE (r7) yields closed-form sample
+    # rate / channels / 1152-samples-per-frame counts with NULL PCM
+    # statistics.
     f"""WITH m AS (SELECT doc_id,
+  doc_id % 2 = 0 AS is_wav,
   CAST(100 + doc_id % 50 AS DOUBLE) nf,
   CAST(1 + doc_id % 2 AS DOUBLE) ch,
-  floor((doc_id % 100) / 100.0 * 32767 + 0.5) / 32767 a
-FROM documents)
-SELECT doc_id, 'a_channels' AS feat, ch AS v FROM m
-UNION ALL SELECT doc_id, 'a_sample_rate', 8000.0 FROM m
-UNION ALL SELECT doc_id, 'a_bit_depth', 16.0 FROM m
-UNION ALL SELECT doc_id, 'a_n_frames', nf FROM m
-UNION ALL SELECT doc_id, 'a_duration', {R6('nf / 8000.0')} FROM m
-UNION ALL SELECT doc_id, 'a_rms', {R6('a')} FROM m
-UNION ALL SELECT doc_id, 'a_peak', {R6('a')} FROM m
-UNION ALL SELECT doc_id, 'a_zcr', 0.0 FROM m
-UNION ALL SELECT doc_id, 'a_is_wav', 1.0 FROM m""",
+  floor((doc_id % 100) / 100.0 * 32767 + 0.5) / 32767 a,
+  CAST(1 + (doc_id % 7) AS DOUBLE) mf,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       ELSE 32000 END AS DOUBLE) msr
+FROM documents),
+d AS (SELECT doc_id,
+  CASE WHEN is_wav THEN ch ELSE CAST(1 + ((doc_id + 1) % 2) AS DOUBLE) END AS channels,
+  CASE WHEN is_wav THEN 8000.0 ELSE msr END AS sample_rate,
+  CASE WHEN is_wav THEN 16.0 ELSE NULL END AS bit_depth,
+  CASE WHEN is_wav THEN nf ELSE mf * 1152 END AS n_frames,
+  CASE WHEN is_wav THEN nf / 8000.0 ELSE mf * 1152 / msr END AS dur,
+  CASE WHEN is_wav THEN a ELSE NULL END AS amp
+FROM m)
+SELECT doc_id, 'a_channels' AS feat, channels AS v FROM d
+UNION ALL SELECT doc_id, 'a_sample_rate', sample_rate FROM d
+UNION ALL SELECT doc_id, 'a_bit_depth', bit_depth FROM d
+UNION ALL SELECT doc_id, 'a_n_frames', n_frames FROM d
+UNION ALL SELECT doc_id, 'a_duration', {R6('dur')} FROM d
+UNION ALL SELECT doc_id, 'a_rms', {R6('amp')} FROM d
+UNION ALL SELECT doc_id, 'a_peak', {R6('amp')} FROM d
+UNION ALL SELECT doc_id, 'a_zcr', CASE WHEN amp IS NULL THEN NULL ELSE 0.0 END FROM d
+UNION ALL SELECT doc_id, 'a_fmt_ok', 1.0 FROM d""",
 )
 def q_audio_decode(spark, sf_dir):
     from feature_factory_spark.operators.audiocodec import (
+        audio_decoder,
         audio_schema,
-        wav_decoder,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
-        from feature_factory_spark.operators.audiocodec import constant_wav
+        from feature_factory_spark.operators.audiocodec import (
+            constant_wav,
+            make_mp3,
+        )
 
         for pdf in batches:
             pdf["wav"] = [
@@ -2611,13 +2628,20 @@ def q_audio_decode(spark, sf_dir):
                     100 + int(i) % 50, (int(i) % 100) / 100.0,
                     channels=1 + int(i) % 2,
                 )
+                if int(i) % 2 == 0
+                else make_mp3(
+                    1 + int(i) % 7,
+                    sample_rate=[44100, 48000, 32000][int(i) % 3],
+                    channels=1 + (int(i) + 1) % 2,
+                    id3_size=(int(i) % 4) * 64,
+                )
                 for i in pdf["doc_id"]
             ]
             yield pdf
 
     with_wav = docs.mapInPandas(synth, "doc_id bigint, wav binary")
     feats = ff.BinaryFeatureExtractor(
-        "wav", decoder=wav_decoder, feature_schema=audio_schema()
+        "wav", decoder=audio_decoder, feature_schema=audio_schema()
     ).transform(with_wav)
     return feats.selectExpr(
         "doc_id",
@@ -2630,7 +2654,8 @@ def q_audio_decode(spark, sf_dir):
         f"'a_rms', {R6('wav_rms')}, "
         f"'a_peak', {R6('wav_peak')}, "
         f"'a_zcr', {R6('wav_zero_crossing_rate')}, "
-        "'a_is_wav', cast(wav_format = 'wav' AS double)"
+        "'a_fmt_ok', cast(wav_format = (CASE WHEN doc_id % 2 = 0 "
+        "THEN 'wav' ELSE 'mp3' END) AS double)"
         ") AS (feat, v)",
     )
 
@@ -2865,6 +2890,91 @@ def q_contamination_overlap(spark, sf_dir):
         F.col("contaminated").alias("flag"),
         F.expr(R6("contaminated_ratio")).alias("ratio"),
     )
+
+
+@_reg(
+    "packed_ids",
+    # r7: the end-to-end tokenize->pack export. BPE id sequences are
+    # iterative-merge output — not one-statement SQL — so the oracle
+    # pins invariants asserted eagerly against the pure-Python
+    # reference (bpe.py reference_bpe/reference_tokenize + the
+    # vocabulary() id layout recomputed independently) and the greedy
+    # packing law recomputed in Python.
+    """SELECT 'ids_match_reference' AS invariant, CAST(1 AS BIGINT) AS n
+UNION ALL SELECT 'packs_match_reference', CAST(1 AS BIGINT)
+UNION ALL SELECT 'pack_budget', CAST(512 AS BIGINT)
+UNION ALL SELECT 'unk_free', CAST(1 AS BIGINT)""",
+)
+def q_packed_ids(spark, sf_dir):
+    """BpeVocabBuilder.encode_ids + SequencePacker (operators/bpe.py,
+    sampling.py): documents' token-ID sequences under the learned
+    16-merge vocabulary, packed to 512-token shards per source. Every
+    doc's id sequence is pinned against reference_tokenize mapped
+    through an independently recomputed vocabulary layout; pack ids are
+    pinned against the greedy running-sum law."""
+    from feature_factory_spark.operators.bpe import (
+        END_MARK,
+        reference_bpe,
+        reference_tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = docs.where(F.col("doc_id") < 80)
+    op = ff.BpeVocabBuilder("text", "doc_id", num_merges=16, max_words=2000)
+    op.fit(docs)
+    try:
+        wc = [(r["word"], r["cnt"]) for r in op.word_counts(docs).collect()]
+        ref = reference_bpe(wc, 16)
+        # vocabulary layout recomputed independently of vocabulary():
+        # sorted fitted-table alphabet + END_MARK, then merges in order
+        chars = sorted({END_MARK} | {c for w, _ in wc for c in w})
+        vmap = {t: i for i, t in enumerate(chars)}
+        for left, right in ref:
+            tok = left + right
+            if tok not in vmap:
+                vmap[tok] = len(vmap)
+        with_ids = op.encode_ids(sample).select(
+            "doc_id", "source", "text", "text_bpe_ids"
+        )
+        packed = ff.SequencePacker(
+            "n_tokens", budget=512, order_col="doc_id",
+            partition_cols=["source"],
+        ).transform(
+            with_ids.withColumn(
+                "n_tokens", F.size("text_bpe_ids").cast("bigint")
+            )
+        )
+        rows = packed.select(
+            "doc_id", "source", "text", "text_bpe_ids", "pack_id"
+        ).collect()
+    finally:
+        op.release()
+    exp_ids = {
+        r["doc_id"]: [
+            vmap.get(s, -1)
+            for w in (r["text"] or "").lower().split()
+            for s in reference_tokenize(w, ref)
+        ]
+        for r in rows
+    }
+    ids_ok = all(r["text_bpe_ids"] == exp_ids[r["doc_id"]] for r in rows)
+    assert ids_ok, "packed token ids diverged from reference tokenization"
+    unk_free = all(-1 not in r["text_bpe_ids"] for r in rows)
+    # greedy running-sum packing law, recomputed per source partition
+    by_source: dict = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        prior = by_source.get(r["source"], 0)
+        expect_pack = prior // 512
+        assert r["pack_id"] == expect_pack, (
+            f"pack_id law broken at doc {r['doc_id']}"
+        )
+        by_source[r["source"]] = prior + len(exp_ids[r["doc_id"]])
+    return _inv_df(spark, [
+        ("ids_match_reference", int(ids_ok)),
+        ("packs_match_reference", 1),
+        ("pack_budget", 512),
+        ("unk_free", int(unk_free)),
+    ])
 
 
 @_reg(
@@ -4181,6 +4291,11 @@ _merge("pack_family", [
       "concat(cast(span_end AS string), ':', cast(n_windows AS string)) AS val"],
      "doc_id, CAST(span_start AS BIGINT) AS k, "
      "CAST(span_end AS VARCHAR) || ':' || CAST(n_windows AS VARCHAR) AS val"),
+    ("packed_ids",
+     ["cast(NULL AS bigint) AS doc_id", "cast(n AS bigint) AS k",
+      "invariant AS val"],
+     "CAST(NULL AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS k, "
+     "invariant AS val"),
 ])
 
 # Registry cap + member-assignment rule (VERDICT r4 item 6). The

@@ -6,7 +6,10 @@ PCM is the interchange format audio training corpora actually carry
 (compressed formats are transcoded to PCM at ingestion); decoding it for
 real makes the audio features (duration, channels, sample rate, RMS
 energy, peak, zero-crossing rate) curation-grade rather than byte-level
-stand-ins.
+stand-ins. MP3 — the format raw web crawls actually carry — gets an
+ID3v2-aware frame-header PROBE (r7): sample rate, channels, sample
+count, duration from the ISO 11172-3 header tables, PCM statistics
+NULL, mirroring the JPEG-progressive probe contract.
 
 Runs inside the same Arrow-batched ``mapInPandas`` seam as the image
 decoder: ``BinaryFeatureExtractor(decoder=wav_decoder,
@@ -100,6 +103,173 @@ def wav_decoder(payload: bytes) -> dict:
         return decode_wav(payload)
     except (ValueError, struct.error, IndexError):
         return {}
+
+
+# -- MP3 (r7): ID3v2 skip + MPEG audio frame-header walk -----------------
+#
+# All tables are the public ISO/IEC 11172-3 / 13818-3 header constants.
+# Indexed [version_group][layer]: version_group 0 = MPEG1, 1 = MPEG2/2.5.
+
+_MP3_BITRATES = {
+    (0, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (0, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (0, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (1, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (1, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {
+    3: [44100, 48000, 32000],   # MPEG1
+    2: [22050, 24000, 16000],   # MPEG2
+    0: [11025, 12000, 8000],    # MPEG2.5
+}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    b = payload[6:10]
+    if any(x & 0x80 for x in b):  # syncsafe bytes must have bit 7 clear
+        raise ValueError("MP3: malformed ID3v2 syncsafe size")
+    size = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+    footer = 10 if (payload[5] & 0x10) else 0
+    return 10 + size + footer
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """MPEG audio (MP3) header probe: skip a leading ID3v2 tag, walk
+    the frame headers (sync, version, layer, bitrate/sample-rate
+    indices, padding, channel mode), and derive sample rate, channels,
+    total sample-frame count and duration — the metadata features a
+    curation filter needs, without a PCM decode (the JPEG-progressive
+    precedent: rms/peak/zcr stay NULL). Raises ValueError when no
+    valid frame sequence is found."""
+    pos = _id3v2_size(payload)
+    n = len(payload)
+    frames = 0
+    samples = 0
+    sample_rate = None
+    channels = None
+    audio_bytes = 0
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if frames:
+                break  # trailing garbage / APEv2 tag after last frame
+            raise ValueError("MP3: no frame sync where expected")
+        version_bits = (b1 >> 3) & 0x03   # 0=2.5, 2=MPEG2, 3=MPEG1
+        layer_bits = (b1 >> 1) & 0x03     # 3=Layer I, 2=II, 1=III
+        if version_bits == 1 or layer_bits == 0:
+            raise ValueError("MP3: reserved version/layer bits")
+        layer = 4 - layer_bits            # 1, 2, 3
+        vgroup = 0 if version_bits == 3 else 1
+        br_ix = (b2 >> 4) & 0x0F
+        sr_ix = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_ix in (0, 15) or sr_ix == 3:
+            raise ValueError("MP3: free/bad bitrate or bad sample rate")
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_ix] * 1000
+        rate = _MP3_RATES[version_bits][sr_ix]
+        mode = (b3 >> 6) & 0x03
+        ch = 1 if mode == 3 else 2
+        if sample_rate is None:
+            sample_rate, channels = rate, ch
+        if layer == 1:
+            frame_len = (12 * bitrate // rate + padding) * 4
+            spf = 384
+        else:
+            if layer == 3 and vgroup == 1:
+                frame_len = 72 * bitrate // rate + padding
+                spf = 576
+            else:
+                frame_len = 144 * bitrate // rate + padding
+                spf = 1152
+        if frame_len <= 4:
+            raise ValueError("MP3: degenerate frame length")
+        frames += 1
+        samples += spf
+        audio_bytes += frame_len
+        pos += frame_len
+    if not frames or sample_rate is None:
+        raise ValueError("MP3: no audio frames found")
+    duration = samples / sample_rate
+    return {
+        "format": "mp3",
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "bit_depth": None,            # no PCM depth without a decode
+        "n_frames": int(samples),     # sample frames, same unit as WAV
+        "duration_s": float(duration),
+        "rms": None,
+        "peak": None,
+        "zero_crossing_rate": None,
+    }
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Magic-byte dispatch: RIFF/WAVE -> full PCM decode, ID3v2 or bare
+    MPEG sync -> MP3 header probe. Raises ValueError on anything else."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return probe_mp3(payload)
+    raise ValueError(
+        f"unrecognized audio format (header {payload[:8].hex()})"
+    )
+
+
+def audio_decoder(payload: bytes) -> dict:
+    """Lenient multi-format seam for BinaryFeatureExtractor (WAV decode
+    + MP3 probe); NULL features on undecodable blobs."""
+    try:
+        return decode_audio(payload)
+    except (ValueError, struct.error, IndexError):
+        return {}
+
+
+def make_mp3(
+    n_mpeg_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    id3_size: int = 0,
+) -> bytes:
+    """Deterministic MP3 fixture: a valid ID3v2 tag (optional) followed
+    by ``n_mpeg_frames`` MPEG1 Layer III frame headers with zeroed
+    payloads — exactly the structure ``probe_mp3`` parses, the
+    ``make_warc``/``solid_jpeg`` fixture precedent (the probe reads
+    headers, so fixtures need valid headers, not valid audio)."""
+    br_table = _MP3_BITRATES[(0, 3)]
+    if bitrate_kbps not in br_table:
+        raise ValueError(f"bitrate {bitrate_kbps} not in the MPEG1-III table")
+    if sample_rate not in _MP3_RATES[3]:
+        raise ValueError(f"sample rate {sample_rate} not valid for MPEG1")
+    br_ix = br_table.index(bitrate_kbps)
+    sr_ix = _MP3_RATES[3].index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1) | 1,          # MPEG1, Layer III, no CRC
+        (br_ix << 4) | (sr_ix << 2),             # no padding
+        (mode << 6),
+    ])
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = bytearray()
+    if id3_size:
+        body = bytes(id3_size)
+        ss = [
+            (id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+            (id3_size >> 7) & 0x7F, id3_size & 0x7F,
+        ]
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(ss) + body
+    out += frame * n_mpeg_frames
+    return bytes(out)
 
 
 def audio_schema() -> list:

@@ -442,6 +442,48 @@ class BpeVocabBuilder(Transformer):
         flattens. Same join shape as transform plus the ordered
         re-assembly shuffle — at scale prefer transform (counts) unless
         the sequences themselves are the product."""
+        return self._encode(df, as_ids=False)
+
+    def encode_ids(self, df: DataFrame) -> DataFrame:
+        """Append ``{text_col}_bpe_ids``: the document's token-ID
+        sequence (array<int>) under ``vocabulary()``'s id layout —
+        the training-ready form a SequencePacker shard export feeds to
+        a data loader (r7, closing the tokenize->pack loop).
+
+        Token->id mapping happens at the DISTINCT-WORD grain (the
+        fitted table plus any unseen words), never corpus-wide: each
+        word's symbol sequence joins the broadcast vocabulary once, so
+        the corpus-sized part of the plan is identical to ``encode``.
+        Symbols outside the vocabulary (characters absent from the
+        fitted word table) map to ``-1`` — the conventional unk
+        sentinel, NULL-free so downstream packing math stays simple."""
+        return self._encode(df, as_ids=True)
+
+    def _word_seq_table(self, frame: DataFrame, as_ids: bool) -> DataFrame:
+        """(word, __ff_seq): per-word token sequence — symbol strings,
+        or vocabulary ids via one broadcast join at the word grain."""
+        if not as_ids:
+            return frame.select("word", F.col("syms").alias("__ff_seq"))
+        vocab = self.vocabulary().select(
+            F.col("token").alias("__ff_tok"), F.col("id").alias("__ff_tid")
+        )
+        return (
+            frame.select(
+                "word", F.posexplode("syms").alias("__ff_p", "__ff_tok")
+            )
+            .join(F.broadcast(vocab), "__ff_tok", "left")
+            .groupBy("word")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ff_p", "__ff_tid"))
+                    ),
+                    lambda s: F.coalesce(s["__ff_tid"], F.lit(-1)),
+                ).alias("__ff_seq")
+            )
+        )
+
+    def _encode(self, df: DataFrame, as_ids: bool) -> DataFrame:
         from .text import _require_frame_state
 
         self._check_input(df)
@@ -453,6 +495,8 @@ class BpeVocabBuilder(Transformer):
             # sequences: rebuild them exactly via the merge chain (the
             # merges are scalar state, so old state dirs keep working)
             table = self.tokenize_words(table.select("word"))
+        elem = "int" if as_ids else "string"
+        seq_table = self._word_seq_table(table, as_ids)
         doc_words = df.select(
             F.col(self.id_col).alias("__ff_id"),
             F.posexplode(
@@ -461,35 +505,40 @@ class BpeVocabBuilder(Transformer):
                 )
             ).alias("__ff_pos", "word"),
         )
-        joined = doc_words.join(
-            table.select("word", "syms"), "word", "left"
-        ).select("__ff_id", "__ff_pos", "word", "syms")
+        joined = doc_words.join(seq_table, "word", "left").select(
+            "__ff_id", "__ff_pos", "word", "__ff_seq"
+        )
         unseen = (
-            joined.where(F.col("word").isNotNull() & F.col("syms").isNull())
+            joined.where(
+                F.col("word").isNotNull() & F.col("__ff_seq").isNull()
+            )
             .select("word")
             .distinct()
         )
-        unseen_syms = self.tokenize_words(unseen).select(
-            "word", F.col("syms").alias("__ff_syms_unseen")
-        )
-        resolved = joined.join(unseen_syms, "word", "left").select(
+        unseen_seq = self._word_seq_table(
+            self.tokenize_words(unseen), as_ids
+        ).select("word", F.col("__ff_seq").alias("__ff_seq_unseen"))
+        resolved = joined.join(unseen_seq, "word", "left").select(
             "__ff_id",
             "__ff_pos",
-            F.when(F.col("word").isNull(), F.array().cast("array<string>"))
-            .otherwise(F.coalesce("syms", "__ff_syms_unseen"))
-            .alias("__ff_syms"),
+            F.when(
+                F.col("word").isNull(),
+                F.array().cast(f"array<{elem}>"),
+            )
+            .otherwise(F.coalesce("__ff_seq", "__ff_seq_unseen"))
+            .alias("__ff_seq"),
         )
         per_doc = resolved.groupBy("__ff_id").agg(
             F.flatten(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("__ff_pos", "__ff_syms"))
+                        F.collect_list(F.struct("__ff_pos", "__ff_seq"))
                     ),
-                    lambda s: s["__ff_syms"],
+                    lambda s: s["__ff_seq"],
                 )
             ).alias("__ff_tokens")
         )
-        out_col = f"{self.text_col}_bpe_tokens"
+        out_col = f"{self.text_col}_bpe_{'ids' if as_ids else 'tokens'}"
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(

@@ -103,3 +103,48 @@ def test_spark_binary_feature_extractor_with_wav_decoder(spark):
     assert got[2]["wav_sample_rate"] == 16000 and got[2]["wav_n_frames"] == 160
     assert got[3]["wav_format"] is None
     assert got[4]["wav_format"] is None
+
+
+# -- MP3 probe (r7): ID3v2 skip + frame-header walk ---------------------
+
+from feature_factory_spark.operators.audiocodec import (
+    audio_decoder, decode_audio, make_mp3, probe_mp3,
+)
+
+
+def test_mp3_probe_basic_fields():
+    d = probe_mp3(make_mp3(38, 128, 44100, 2))
+    assert d["format"] == "mp3"
+    assert d["channels"] == 2 and d["sample_rate"] == 44100
+    assert d["n_frames"] == 38 * 1152
+    assert abs(d["duration_s"] - 38 * 1152 / 44100) < 1e-12
+    # probe contract: PCM statistics NULL without a decode
+    assert d["rms"] is None and d["peak"] is None
+    assert d["zero_crossing_rate"] is None and d["bit_depth"] is None
+
+
+@pytest.mark.parametrize("nf,br,sr,ch,id3", [
+    (5, 320, 48000, 1, 0),
+    (12, 32, 32000, 2, 777),
+    (1, 128, 44100, 1, 130000),   # ID3 size crossing the 7-bit boundary
+])
+def test_mp3_probe_variants(nf, br, sr, ch, id3):
+    d = probe_mp3(make_mp3(nf, br, sr, ch, id3_size=id3))
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (sr, ch, nf * 1152)
+
+
+def test_mp3_trailing_tag_and_errors():
+    # APEv2-style trailing bytes after the last frame are tolerated
+    assert probe_mp3(make_mp3(4) + b"APETAGEX" + b"\x00" * 24)["n_frames"] == 4 * 1152
+    with pytest.raises(ValueError):
+        probe_mp3(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + bytes(10))  # tag only
+    with pytest.raises(ValueError):
+        probe_mp3(b"\xff\xe0garbage")
+    assert audio_decoder(b"\x00junk") == {}
+
+
+def test_decode_audio_dispatch():
+    assert decode_audio(make_mp3(3))["format"] == "mp3"
+    assert decode_audio(ac.constant_wav(10, 0.5))["format"] == "wav"
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_audio(b"OggS\x00\x00")

@@ -238,3 +238,48 @@ def test_packs_by_true_token_length(fitted, docs):
     # doc token counts are 14, 11, 11, 14 -> exclusive running sums
     # 0, 14, 25, 36 -> packs 0, 0, 1, 1 at budget 20
     assert [r["pack_id"] for r in out] == [0, 0, 1, 1]
+
+
+def test_encode_ids_matches_reference_through_vocabulary(fitted, docs, spark):
+    # r7: the token-ID export — reference tokenization mapped through
+    # the vocabulary() id layout, unseen/empty/NULL docs included
+    ref = [tuple(m) for m in fitted.merges_]
+    vmap = {r["token"]: r["id"] for r in fitted.vocabulary().collect()}
+    got = {r["doc_id"]: r["text_bpe_ids"]
+           for r in fitted.encode_ids(docs).collect()}
+    expect = {
+        i: [vmap[s] for w in t.lower().split()
+            for s in reference_tokenize(w, ref)]
+        for i, t in enumerate(TEXTS)
+    }
+    assert got == expect
+    probe = spark.createDataFrame(
+        [(50, "zebra unseen"), (51, ""), (52, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["text_bpe_ids"]
+            for r in fitted.encode_ids(probe).collect()}
+    # unseen words: known symbols get real ids, out-of-alphabet
+    # characters ('z'/'b'/'a' never appear in TEXTS) get the -1 unk
+    assert rows[50] == [
+        vmap.get(s, -1) for w in "zebra unseen".split()
+        for s in reference_tokenize(w, ref)
+    ]
+    assert -1 in rows[50] and any(i >= 0 for i in rows[50])
+    assert rows[51] == [] and rows[52] == []
+    # a character absent from the alphabet maps to the -1 unk sentinel
+    odd = spark.createDataFrame([(60, "café")], "doc_id bigint, text string")
+    ids = fitted.encode_ids(odd).collect()[0]["text_bpe_ids"]
+    assert -1 in ids
+    assert all(i == -1 or i in vmap.values() for i in ids)
+
+
+def test_encode_ids_pack_roundtrip(fitted, docs):
+    # packing by size(ids) reproduces the token-count packing
+    with_ids = fitted.encode_ids(docs).withColumn(
+        "n", F.size("text_bpe_ids").cast("bigint")
+    )
+    counted = fitted.transform(docs)
+    a = {r["doc_id"]: r["n"] for r in with_ids.collect()}
+    b = {r["doc_id"]: r["text_bpe_token_count"] for r in counted.collect()}
+    assert a == b
