@@ -25,13 +25,20 @@ shape rather than constants:
   max_fit_rows, so fit wall time must grow FAR slower than the corpus
   (the capped-collect scale story: at 100 TB the fit costs one scan +
   a constant-size solve).
+- semdedup: SemanticDeduplicator.candidate_pairs at 10x embeddings —
+  the pair join is double-bucketed (k-means cluster AND LSH chunk);
+  rotation copies keep the pair OUTPUT flat so the ratio isolates the
+  join/scan cost (never an all-pairs term).
+- bigram: BigramLogProbScorer.transform at 10x docs — fit once, the
+  transform's two model-side key joins are fixed frames, so wall must
+  track the corpus scan.
 
 Observed on local[32] at sf0.1 (see BASELINE.md §'Scale sanity' for the
 per-round recorded numbers).
 
 Usage: python scripts/scale_sanity.py [copies] [check ...]
        (ALL checks in CHECKS run by default: minhash asof contamination
-        substring ivfprune langid quality warc)
+        substring ivfprune langid quality warc semdedup bigram)
 """
 
 import os
@@ -343,6 +350,86 @@ def check_warc(spark, copies: int) -> None:
     )
 
 
+def _grow_embeddings(spark, copies: int, dim: int = 64):
+    """embeddings replicated ``copies`` times; copy i is the original
+    CIRCULARLY ROTATED by i components — far from every other copy in
+    cosine, so the candidate-pair OUTPUT stays ~flat while the corpus
+    grows 10x and the ratio isolates the bucketed join's scan cost.
+    (A nudge-perturbed near-dup variant grows pairs C(copies,2)-fold by
+    construction — that measures output volume, not join linearity.)"""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = emb.select("vec_id", "embedding")
+    for i in range(1, copies):
+        rot = 1 + (i % (dim - 1))
+        out = out.unionByName(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                ).alias("embedding"),
+            )
+        )
+    out = out.repartition(64).persist()
+    out.count()
+    return out
+
+
+def check_semdedup(spark, copies: int) -> None:
+    """SemanticDeduplicator.candidate_pairs at 10x the embedding corpus
+    (rotation copies — pair output ~flat): the pair join is
+    double-bucketed (k-means cluster AND LSH chunk) — wall must track
+    the corpus scan ~linearly, never an all-pairs term."""
+    one = _grow_embeddings(spark, 1)
+    big = _grow_embeddings(spark, copies)
+    op = ff.SemanticDeduplicator(
+        "embedding", "vec_id", threshold=0.9, k=8, dim=64
+    )
+    op.fit(one)
+    # warm plans untimed (codegen compilation lands on the 1x otherwise)
+    op.candidate_pairs(one).count()
+    t0 = time.perf_counter()
+    c1 = op.candidate_pairs(one).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = op.candidate_pairs(big).count()
+    tN = time.perf_counter() - t0
+    print(f"[semdedup] 1x:  {c1} pairs, {t1:.1f}s")
+    print(
+        f"[semdedup] {copies}x: {cN} pairs, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x embeddings, flat output)"
+    )
+    op.release()
+    one.unpersist()
+    big.unpersist()
+
+
+def check_bigram(spark, copies: int) -> None:
+    """BigramLogProbScorer.transform at 10x docs: fit once, then the
+    transform (explode + two model-side key joins + per-doc avg) must
+    stay ~linear — the model sides are fixed frames."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    op = ff.BigramLogProbScorer("text", "doc_id")
+    op.fit(one)
+    op.transform(one).select(F.sum("text_bigram_logprob")).collect()  # warm
+    t0 = time.perf_counter()
+    op.transform(one).select(F.sum("text_bigram_logprob")).collect()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    op.transform(big).select(F.sum("text_bigram_logprob")).collect()
+    tN = time.perf_counter() - t0
+    print(f"[bigram] 1x:  {t1:.1f}s")
+    print(
+        f"[bigram] {copies}x: {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x docs)"
+    )
+    op.release()
+    one.unpersist()
+    big.unpersist()
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
@@ -352,6 +439,8 @@ CHECKS = {
     "langid": check_langid,
     "quality": check_quality,
     "warc": check_warc,
+    "semdedup": check_semdedup,
+    "bigram": check_bigram,
 }
 
 
