@@ -207,11 +207,44 @@ def probe_mp3(payload: bytes) -> dict:
     }
 
 
+def probe_flac(payload: bytes) -> dict:
+    """FLAC metadata probe from the mandatory STREAMINFO block (public
+    bitstream spec): sample rate (20 bits), channels (3 bits + 1), bits
+    per sample (5 bits + 1), total samples (36 bits) at fixed offsets.
+    PCM statistics NULL — no frame decode."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("FLAC: bad signature")
+    # first metadata block must be STREAMINFO (type 0), 34 bytes
+    if len(payload) < 8 + 34 or (payload[4] & 0x7F) != 0:
+        raise ValueError("FLAC: missing STREAMINFO block")
+    si = payload[8 : 8 + 34]
+    sample_rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x07) + 1
+    bits = (((si[12] & 0x01) << 4) | (si[13] >> 4)) + 1
+    total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+    if sample_rate < 1:
+        raise ValueError("FLAC: invalid sample rate")
+    return {
+        "format": "flac",
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "bit_depth": int(bits),
+        "n_frames": int(total),
+        "duration_s": float(total / sample_rate) if total else None,
+        "rms": None,
+        "peak": None,
+        "zero_crossing_rate": None,
+    }
+
+
 def decode_audio(payload: bytes) -> dict:
-    """Magic-byte dispatch: RIFF/WAVE -> full PCM decode, ID3v2 or bare
-    MPEG sync -> MP3 header probe. Raises ValueError on anything else."""
+    """Magic-byte dispatch: RIFF/WAVE -> full PCM decode, fLaC ->
+    STREAMINFO probe, ID3v2 or bare MPEG sync -> MP3 header probe.
+    Raises ValueError on anything else."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return probe_flac(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF

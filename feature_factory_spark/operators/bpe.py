@@ -430,6 +430,31 @@ class BpeVocabBuilder(Transformer):
             rows, "token string, id int"
         )
 
+    def save_tokenizer(self, path: str) -> None:
+        """Export the learned tokenizer in the GPT-2 file layout —
+        ``vocab.json`` (token -> id, the ``vocabulary()`` ids) and
+        ``merges.txt`` (one ``left right`` pair per line, merge order,
+        ``#version`` header) — so any external BPE runtime that reads
+        that interchange format (the de-facto standard) can load the
+        model without this package. Local-filesystem path (driver-side
+        JSON/text, like scalar state)."""
+        import json
+        import os
+
+        from .text import _require_frame_state
+
+        _require_frame_state(
+            self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
+        )
+        os.makedirs(path, exist_ok=True)
+        vocab = {r["token"]: r["id"] for r in self.vocabulary().collect()}
+        with open(os.path.join(path, "vocab.json"), "w") as f:
+            json.dump(vocab, f, ensure_ascii=False, indent=0)
+        with open(os.path.join(path, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\n")
+            for left, right in self.merges_:
+                f.write(f"{left} {right}\n")
+
     def encode(self, df: DataFrame) -> DataFrame:
         """Append ``{text_col}_bpe_tokens``: the document's full subword
         token sequence (array<string>, in document order) under the

@@ -227,6 +227,66 @@ def decode_ppm(payload: bytes) -> tuple[np.ndarray, int]:
     return px.reshape(height, width, channels), 8
 
 
+def probe_gif(payload: bytes) -> dict:
+    """GIF87a/GIF89a metadata probe: dimensions and palette depth from
+    the logical screen descriptor (fixed offsets — no LZW decode, so
+    pixel statistics stay NULL, the progressive-JPEG probe contract)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated header")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    if w < 1 or h < 1:
+        raise ValueError("GIF: bad dimensions")
+    return {
+        "format": "gif", "width": w, "height": h,
+        "channels": 3, "bit_depth": 8, "n_pixels": w * h,
+        "mean": None, "std": None, "entropy": None, "progressive": 0,
+    }
+
+
+def probe_webp(payload: bytes) -> dict:
+    """WebP metadata probe (RIFF container): dimensions and alpha from
+    the VP8 (lossy), VP8L (lossless), or VP8X (extended) chunk headers
+    — the public container/bitstream layouts. Pixel statistics NULL
+    (VP8 entropy decode is out of scope for a stdlib probe)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("WebP: bad RIFF/WEBP signature")
+    fourcc = payload[12:16]
+    data = payload[20:]
+    if fourcc == b"VP8 ":
+        # key-frame start code then 14-bit width/height
+        if len(data) < 10 or data[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("WebP: bad VP8 key-frame header")
+        w = int.from_bytes(data[6:8], "little") & 0x3FFF
+        h = int.from_bytes(data[8:10], "little") & 0x3FFF
+        channels = 3
+    elif fourcc == b"VP8L":
+        if len(data) < 5 or data[0] != 0x2F:
+            raise ValueError("WebP: bad VP8L signature")
+        bits = int.from_bytes(data[1:5], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        channels = 4 if (bits >> 28) & 1 else 3
+    elif fourcc == b"VP8X":
+        if len(data) < 10:
+            raise ValueError("WebP: truncated VP8X chunk")
+        flags = data[0]
+        w = int.from_bytes(data[4:7], "little") + 1
+        h = int.from_bytes(data[7:10], "little") + 1
+        channels = 4 if flags & 0x10 else 3
+    else:
+        raise ValueError(f"WebP: unknown chunk {fourcc!r}")
+    if w < 1 or h < 1:
+        raise ValueError("WebP: bad dimensions")
+    return {
+        "format": "webp", "width": int(w), "height": int(h),
+        "channels": channels, "bit_depth": 8, "n_pixels": int(w * h),
+        "mean": None, "std": None, "entropy": None, "progressive": 0,
+    }
+
+
 _DECODERS = [
     (_PNG_SIG[:4], "png", decode_png),
     (b"BM", "bmp", decode_bmp),
@@ -257,6 +317,10 @@ def decode_image(payload: bytes) -> dict:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:3] == b"GIF":
+        return probe_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return probe_webp(payload)
     for magic, fmt, fn in _DECODERS:
         if payload[: len(magic)] == magic:
             px, bit_depth = fn(payload)

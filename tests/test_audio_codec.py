@@ -148,3 +148,23 @@ def test_decode_audio_dispatch():
     assert decode_audio(ac.constant_wav(10, 0.5))["format"] == "wav"
     with pytest.raises(ValueError, match="unrecognized"):
         decode_audio(b"OggS\x00\x00")
+
+
+def test_flac_probe():
+    sr, ch, bps, tot = 44100, 2, 16, 44100 * 7
+    si = bytearray(34)
+    si[10] = (sr >> 12) & 0xFF
+    si[11] = (sr >> 4) & 0xFF
+    si[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | (((bps - 1) >> 4) & 1)
+    si[13] = (((bps - 1) & 0xF) << 4) | ((tot >> 32) & 0xF)
+    si[14:18] = (tot & 0xFFFFFFFF).to_bytes(4, "big")
+    flac = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+    d = decode_audio(flac)
+    assert (d["format"], d["sample_rate"], d["channels"],
+            d["bit_depth"], d["n_frames"]) == ("flac", sr, ch, bps, tot)
+    assert abs(d["duration_s"] - 7.0) < 1e-12
+    assert d["rms"] is None and d["peak"] is None
+    with pytest.raises(ValueError):
+        from feature_factory_spark.operators.audiocodec import probe_flac
+        probe_flac(b"fLaC" + bytes([0x84, 0, 0, 10]) + bytes(10))  # wrong first block
+    assert audio_decoder(b"fLaC") == {}   # truncated -> NULL features

@@ -283,3 +283,18 @@ def test_encode_ids_pack_roundtrip(fitted, docs):
     a = {r["doc_id"]: r["n"] for r in with_ids.collect()}
     b = {r["doc_id"]: r["text_bpe_token_count"] for r in counted.collect()}
     assert a == b
+
+
+def test_save_tokenizer_gpt2_layout(fitted, tmp_path):
+    # r7: vocab.json + merges.txt interchange export
+    import json
+    out = str(tmp_path / "tok")
+    fitted.save_tokenizer(out)
+    vocab = json.load(open(f"{out}/vocab.json"))
+    assert vocab == {r["token"]: r["id"]
+                     for r in fitted.vocabulary().collect()}
+    lines = open(f"{out}/merges.txt").read().splitlines()
+    assert lines[0].startswith("#version")
+    assert [tuple(ln.split(" ")) for ln in lines[1:]] == [
+        tuple(m) for m in fitted.merges_
+    ]

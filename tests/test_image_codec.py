@@ -306,3 +306,38 @@ def test_jpeg_spark_extractor_slice(spark):
         assert got[i]["img_width"] == 4 + i % 3
         assert got[i]["img_mean"] == jc.expected_solid_gray((i * 40) % 256)
         assert got[i]["img_progressive"] == 0
+
+
+# -- GIF / WebP probes (r7) ---------------------------------------------
+
+
+def test_gif_probe():
+    gif = (b"GIF89a" + (320).to_bytes(2, "little")
+           + (200).to_bytes(2, "little") + bytes([0xF7, 0, 0]))
+    d = ic.decode_image(gif)
+    assert (d["format"], d["width"], d["height"]) == ("gif", 320, 200)
+    assert d["n_pixels"] == 64000 and d["mean"] is None
+    with pytest.raises(ValueError):
+        ic.probe_gif(b"GIF89a" + bytes(4))  # zero dims
+
+
+def _webp(fourcc, data):
+    chunk = fourcc + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_webp_probe_all_chunk_kinds():
+    vp8 = (bytes(3) + b"\x9d\x01\x2a" + (640).to_bytes(2, "little")
+           + (480).to_bytes(2, "little") + bytes(8))
+    d = ic.decode_image(_webp(b"VP8 ", vp8))
+    assert (d["format"], d["width"], d["height"], d["channels"]) == ("webp", 640, 480, 3)
+    bits = 99 | (49 << 14) | (1 << 28)      # 100x50 lossless + alpha
+    d = ic.decode_image(_webp(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little")))
+    assert (d["width"], d["height"], d["channels"]) == (100, 50, 4)
+    vp8x = bytes([0x10, 0, 0, 0]) + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+    d = ic.decode_image(_webp(b"VP8X", vp8x))
+    assert (d["width"], d["height"], d["channels"]) == (800, 600, 4)
+    with pytest.raises(ValueError):
+        ic.probe_webp(_webp(b"ANIM", bytes(10)))
+    # lenient seam: corrupt VP8 payload -> NULL features
+    assert ic.image_decoder(_webp(b"VP8 ", bytes(4))) == {}
