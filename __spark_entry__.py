@@ -2920,10 +2920,15 @@ def q_packed_ids(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sample = docs.where(F.col("doc_id") < 80)
+    # fit on a deterministic 1-in-5 corpus slice: this member pins the
+    # encode_ids/pack CONTRACT against the reference (the full-corpus
+    # fit itself is already pinned by lm_family:bpe_vocab), so the fit
+    # corpus only needs to be distributed and deterministic, not big
+    fit_docs = docs.where(F.col("doc_id") % 5 == 0)
     op = ff.BpeVocabBuilder("text", "doc_id", num_merges=16, max_words=2000)
-    op.fit(docs)
+    op.fit(fit_docs)
     try:
-        wc = [(r["word"], r["cnt"]) for r in op.word_counts(docs).collect()]
+        wc = [(r["word"], r["cnt"]) for r in op.word_counts(fit_docs).collect()]
         ref = reference_bpe(wc, 16)
         # vocabulary layout recomputed independently of vocabulary():
         # sorted fitted-table alphabet + END_MARK, then merges in order
