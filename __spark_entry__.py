@@ -2171,6 +2171,68 @@ def q_fix_encoding(spark, sf_dir):
 
 
 @_reg(
+    "c4_clean",
+    # C4Filter (r7): the public C4 line/page heuristics, recomputed
+    # end-to-end in DuckDB (list_filter line rules + page verdicts)
+    # over multi-line pages deterministically synthesized from text —
+    # line survival, javascript/lorem/brace drops, and the sentence
+    # floor all vary by doc_id so every rule branch is hash-pinned.
+    r"""WITH p AS (SELECT doc_id,
+  text || chr(10) ||
+  'A good second sentence with words.' || chr(10) ||
+  'tiny.' || chr(10) ||
+  'no terminal punctuation line' || chr(10) ||
+  CASE WHEN doc_id % 4 = 0 THEN 'This javascript line is removed.'
+       ELSE 'Another valid sentence is right here!' END || chr(10) ||
+  CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum appears now.'
+       ELSE 'Closing words make a final sentence.' END || chr(10) ||
+  CASE WHEN doc_id % 7 = 0 THEN 'brace { here.'
+       ELSE 'No brace in this line at all.' END AS page
+FROM documents),
+c AS (SELECT doc_id, page,
+  array_to_string(list_filter(string_split(page, chr(10)),
+    l -> regexp_matches(trim(l), '[.!?"]\s*$')
+         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+         AND NOT contains(lower(l), 'javascript')), chr(10)) AS cleaned
+FROM p)
+SELECT doc_id,
+  CAST(NOT contains(lower(page), 'lorem ipsum')
+       AND NOT contains(page, '{')
+       AND len(regexp_extract_all(cleaned, '[.!?"]')) >= 5
+       AS VARCHAR) || ':' || md5(coalesce(cleaned, '')) AS val
+FROM c""",
+)
+def q_c4_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    page = F.concat(
+        F.col("text"), nl,
+        F.lit("A good second sentence with words."), nl,
+        F.lit("tiny."), nl,
+        F.lit("no terminal punctuation line"), nl,
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("This javascript line is removed."))
+        .otherwise(F.lit("Another valid sentence is right here!")), nl,
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("lorem ipsum appears now."))
+        .otherwise(F.lit("Closing words make a final sentence.")), nl,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("brace { here."))
+        .otherwise(F.lit("No brace in this line at all.")),
+    )
+    out = ff.C4Filter("page").transform(
+        docs.select("doc_id", page.alias("page"))
+    )
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.col("page_c4_keep").cast("string"),
+            F.lit(":"),
+            F.md5(F.coalesce(F.col("page_c4"), F.lit(""))),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "html_strip",
     r"""WITH h AS (SELECT doc_id,
  '"""
@@ -4220,6 +4282,7 @@ _merge("text_clean", [
     ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
+    ("c4_clean", ["doc_id", "val"], "doc_id, val"),
 ])
 
 # language identification: the SQL-twin stopword heuristic (per-doc

@@ -65,6 +65,7 @@ from .text import (
     NgramLanguageIdentifier,
     PIIRedactor,
     RepetitionFeatures,
+    C4Filter,
     TextCleaner,
     TextFeatures,
     TfIdfScorer,
@@ -148,7 +149,7 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier",
     "NgramLanguageIdentifier", "DocumentFingerprint",
-    "TextCleaner", "EncodingFixer", "RepetitionFeatures",
+    "TextCleaner", "C4Filter", "EncodingFixer", "RepetitionFeatures",
     "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "BigramLogProbScorer",

@@ -320,6 +320,90 @@ class PIIRedactor(Transformer):
         return out
 
 
+class C4Filter(Transformer):
+    """The C4 cleaning heuristics (Raffel et al. 2020, 'Exploring the
+    Limits of Transfer Learning', appendix — the public rule set behind
+    the C4 corpus), as one expression-only operator:
+
+    line rules (applied first; survivors rejoin with ``\\n``):
+      - keep only lines whose trimmed text ends in terminal punctuation
+        (``. ! ? "``)
+      - keep only lines with at least ``min_words_per_line`` words (3)
+      - drop any line containing the word "javascript" (case-insensitive)
+
+    page rules (on the line-filtered text):
+      - drop pages mentioning "lorem ipsum" (case-insensitive)
+      - drop pages containing a curly brace (``{``)
+      - drop pages with fewer than ``min_sentences`` sentences (5),
+        counted as terminal-punctuation marks in the kept lines
+
+    Appends ``{text_col}_c4`` (the line-filtered text) and
+    ``{text_col}_c4_keep`` (the page verdict); ``mode='filter'`` keeps
+    only passing pages (cleaned text still appended). NULL text yields
+    NULL cleaned / False keep.
+
+    Stateless pure-JVM expressions; the line-filter lambda touches only
+    its lambda variable and literals (the HOF-inlining rule, see
+    NgramLanguageIdentifier._grams_expr), so cost is one linear pass.
+    """
+
+    TERMINAL_RE = r'[.!?"]\s*$'
+
+    def __init__(
+        self,
+        text_col: str,
+        min_words_per_line: int = 3,
+        min_sentences: int = 5,
+        mode: str = "flag",
+    ):
+        ensure(min_words_per_line >= 1, "min_words_per_line must be >= 1")
+        ensure(min_sentences >= 0, "min_sentences must be >= 0")
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        self.text_col = text_col
+        self.min_words_per_line = min_words_per_line
+        self.min_sentences = min_sentences
+        self.mode = mode
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+
+    def cleaned_expr(self, text: Column) -> Column:
+        kept = F.filter(
+            F.split(text, r"\n"),
+            lambda l: F.trim(l).rlike(self.TERMINAL_RE)
+            & (
+                F.size(F.split(F.trim(l), r"\s+"))
+                >= F.lit(self.min_words_per_line)
+            )
+            & ~F.lower(l).contains("javascript"),
+        )
+        return F.array_join(kept, "\n")
+
+    def keep_expr(self, cleaned: Column, raw: Column) -> Column:
+        return (
+            ~F.lower(raw).contains("lorem ipsum")
+            & ~raw.contains("{")
+            & (
+                F.regexp_count(cleaned, F.lit(r'[.!?"]'))
+                >= F.lit(self.min_sentences)
+            )
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        raw = F.col(self.text_col)
+        out_col = f"{self.text_col}_c4"
+        keep_col = f"{self.text_col}_c4_keep"
+        out = df.select(
+            "*", self.cleaned_expr(raw).alias(out_col)
+        ).withColumn(
+            keep_col,
+            F.coalesce(self.keep_expr(F.col(out_col), raw), F.lit(False)),
+        )
+        if self.mode == "filter":
+            return out.where(F.col(keep_col)).drop(keep_col)
+        return out
+
+
 class TextCleaner(Transformer):
     """Normalize a text column in place: optionally lowercase, strip
     punctuation (non-alphanumeric-non-space), collapse whitespace runs,

@@ -427,3 +427,43 @@ def test_json_features(spark):
     assert out[1]["k"] == 7 and out[1]["tag"] == "x"
     assert out[2]["k"] is None and out[2]["tag"] == "y"
     assert out[3]["k"] is None
+
+
+def test_c4_filter_rules(spark):
+    # r7: the public C4 cleaning heuristics (Raffel et al. 2020)
+    page_good = "\n".join([
+        "This is a proper sentence with enough words.",
+        "Another good line follows right here!",
+        "too short.",                     # < 3 words
+        "No terminal punctuation here",   # dropped
+        "Is this a question with words?",
+        'He said "quoted ending works fine."',
+        "A javascript line should be removed.",
+        "Final sentence to cross the five mark.",
+    ])
+    rows = [
+        (1, page_good),
+        (2, "Lorem ipsum dolor sit amet filler text here."),
+        (3, "function f() { return 1; } This page has braces here."),
+        (4, "One sentence only here today."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["text_c4"], r["text_c4_keep"])
+           for r in ff.C4Filter("text").transform(df).collect()}
+    lines = out[1][0].split("\n")
+    assert "too short." not in lines
+    assert "No terminal punctuation here" not in lines
+    assert all("javascript" not in ln.lower() for ln in lines)
+    assert len(lines) == 5 and out[1][1] is True
+    assert out[2][1] is False   # lorem ipsum page drop
+    assert out[3][1] is False   # curly-brace page drop
+    assert out[4][1] is False   # under the 5-sentence floor
+    assert out[5] == (None, False)
+    filt = ff.C4Filter("text", mode="filter").transform(df)
+    assert [r["doc_id"] for r in filt.collect()] == [1]
+    assert "text_c4_keep" not in filt.columns
+    # narrow plan: no shuffle, no join
+    plan = (ff.C4Filter("text").transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
