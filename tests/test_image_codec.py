@@ -341,3 +341,41 @@ def test_webp_probe_all_chunk_kinds():
         ic.probe_webp(_webp(b"ANIM", bytes(10)))
     # lenient seam: corrupt VP8 payload -> NULL features
     assert ic.image_decoder(_webp(b"VP8 ", bytes(4))) == {}
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    channels=st.sampled_from([1, 3]),
+    quality=st.sampled_from([30, 60, 90]),
+    subsampling=st.sampled_from(["444", "420"]),
+    rst=st.sampled_from([0, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jpeg_roundtrip_property(w, h, channels, quality, subsampling, rst, seed):
+    # every (dims x layout x quality x restart) combination decodes
+    # without error, reports exact metadata, and — being DCT-lossy —
+    # keeps the mean near the source for a smooth image
+    if channels == 1 and subsampling == "420":
+        subsampling = "444"  # subsampling is a color-only concept
+    r = np.random.RandomState(seed)
+    base = r.randint(0, 64)
+    if channels == 1:
+        px = np.clip(
+            base + np.add.outer(np.arange(h) * 2, np.arange(w)), 0, 255
+        ).astype(np.uint8)
+    else:
+        px = np.stack([
+            np.clip(base + c * 30
+                    + np.add.outer(np.arange(h) * 2, np.arange(w)), 0, 255)
+            for c in range(3)
+        ], axis=-1).astype(np.uint8)
+    data = jc.encode_jpeg(px, quality=quality, subsampling=subsampling,
+                          restart_interval=rst)
+    d = jc.decode_jpeg(data)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert d["n_pixels"] == w * h and d["progressive"] == 0
+    tol = 20.0 if quality == 30 else 8.0
+    assert abs(d["mean"] - float(px.mean())) < tol, (d["mean"], px.mean())

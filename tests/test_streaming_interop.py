@@ -596,3 +596,47 @@ def test_crawl_curation_ops_stream(spark, tmp_path):
     }
     assert got == want
     assert got[0][0] == "Line one & two.\nl"
+
+
+def test_r7_curation_ops_stream(spark, tmp_path):
+    # r7's stateless curation projections (URL canonicalization, C4
+    # line/page cleaning) are narrow maps too: stream == batch
+    import feature_factory_spark as ff
+
+    rows = [
+        (i,
+         f"HTTPS://User@Example.ORG:443/p{i % 5}/?utm_source=x&a={i % 3}#f",
+         "A full sentence with enough words here.\nshort.\n"
+         + ("lorem ipsum hides here." if i % 4 == 0
+            else "Another proper closing sentence arrives now!")
+         + "\nMore words make more sentences appear, truly.\n"
+           "Sentence four is also quite real.\n"
+           "Sentence five closes the page properly.")
+        for i in range(24)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    src = str(tmp_path / "r7_src")
+    batch.write.parquet(src)
+    stream = read_stream(spark, src, batch.schema)
+
+    def curate(df):
+        out = ff.UrlCanonicalizer(["url"]).transform(df)
+        return ff.C4Filter("text").transform(out).select(
+            "doc_id", "url_canonical", "text_c4", "text_c4_keep"
+        )
+
+    q = (
+        curate(stream).writeStream.format("memory")
+        .queryName("r7curated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["url_canonical"], r["text_c4"], r["text_c4_keep"])
+           for r in spark.sql("SELECT * FROM r7curated").collect()}
+    want = {r["doc_id"]: (r["url_canonical"], r["text_c4"], r["text_c4_keep"])
+            for r in curate(batch).collect()}
+    assert got == want
+    assert got[1][0] == "https://example.org/p1?a=1"
+    assert got[0][2] is False and got[1][2] is True
