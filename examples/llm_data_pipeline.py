@@ -3,12 +3,14 @@
 Shows the beyond-reference surface on the synthetic documents and
 embeddings tables, in the order a real corpus-curation run executes:
 
-  raw-crawl ingestion (WARC records -> HTML -> text) ->
-  language ID (char-n-gram model) -> model-based quality scoring ->
+  raw-crawl ingestion (WARC records -> URL dedup -> HTML -> text) ->
+  C4 line/page cleaning -> language ID (char-n-gram model) ->
+  model-based quality scoring + fuzzy benchmark decontamination ->
   exact dedup -> MinHash near-dedup (transitive clustering) ->
   boilerplate removal -> bigram-LM junk scoring -> semantic dedup over
-  embeddings -> BPE token counting + sequence packing -> source
-  mixture assembly -> similarity search -> multimodal decode
+  embeddings -> BPE tokenization (token-ID export + tokenizer files) +
+  sequence packing -> source mixture assembly -> similarity search ->
+  multimodal decode (PNG/JPEG, WAV/MP3 probes)
 
 Run: python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -56,7 +58,7 @@ def main() -> None:
         {"payload": make_http_response(
             b"<html><body><h1>Page</h1><p>"
             + r["text"].encode()[:400]
-            + b'</p><a href="/next">next</a></body></html>'),
+            + b'.</p><a href="/next">next</a></body></html>'),
          "target_uri": f"http://example.org/{r['doc_id']}",
          "warc_type": "response"}
         for r in sample_rows
@@ -69,13 +71,22 @@ def main() -> None:
                & F.col("http_content_type").startswith("text/html"))
         .select("target_uri", F.col("payload").cast("string").alias("page"))
     )
+    # URL-level dedup BEFORE content work: the same page fetched under
+    # tracking-param / case / port variants collapses to one candidate
+    pages = ff.UrlDeduplicator("target_uri", "target_uri").transform(pages)
     extracted = ff.HtmlTextExtractor(["page"]).transform(pages)
     # encoding hygiene straight after extraction: mojibake repair, NBSP,
     # control-char strip — before any tokenization sees the text
     extracted = ff.EncodingFixer(["page_html_text"]).transform(extracted)
+    # C4 line/page heuristics straight after extraction: terminal-
+    # punctuation + min-words line filter, lorem-ipsum / brace /
+    # sentence-floor page drops (min_sentences=1 on these short pages)
+    extracted = ff.C4Filter("page_html_text", min_sentences=1).transform(extracted)
     n_pages = extracted.count()
-    n_texty = extracted.where(F.col("page_text_ratio") > 0.3).count()
-    print(f"crawl records -> pages: {n_pages}, past boilerplate gate: {n_texty}")
+    n_texty = extracted.where(
+        (F.col("page_text_ratio") > 0.3) & F.col("page_html_text_c4_keep")
+    ).count()
+    print(f"crawl records -> pages: {n_pages}, past boilerplate+C4 gate: {n_texty}")
 
     # 1. language ID with the fitted 30-language char-n-gram model,
     #    then model-based quality scoring: GopherQualityFilter's rules
@@ -85,8 +96,17 @@ def main() -> None:
     scored = lang.transform(docs)
     qs = ff.QualityScorer("text").fit(scored)
     scored = qs.transform(scored)
+    # fuzzy benchmark decontamination: drop docs whose distinct-gram
+    # overlap with the eval set reaches 80% (criterion='overlap' is
+    # robust to a single coincidental phrase; 'any' is the strict rule)
+    bench = docs.where(F.col("doc_id") < 20)
+    decon = ff.ContaminationChecker(
+        "text", "doc_id", n=5, criterion="overlap", threshold=0.8,
+        mode="filter",
+    ).fit(bench)
+    scored = decon.transform(scored)
     kept = scored.where(F.col("text_quality_prob") > 0.5)
-    print(f"pass quality gate: {kept.count()}")
+    print(f"pass quality+decontamination gate: {kept.count()}")
 
     # 2. exact dedup, then MinHash near-dedup with transitive clustering
     exact = ff.ExactDeduplicator(["text"], "doc_id", normalize=True)
@@ -95,6 +115,11 @@ def main() -> None:
         "text", "doc_id", threshold=0.5, policy="components"
     )
     final = near.transform(deduped)
+    # materialize between major stages: six fitted operators deep, the
+    # accumulated plan is large; a real run writes intermediate parquet
+    # here (localCheckpoint is the in-session equivalent) so downstream
+    # stages plan against a flat scan instead of the whole lineage
+    final = final.localCheckpoint()
     print(f"after dedup: {final.count()}")
 
     # 3. corpus-level cleaning + scoring: boilerplate segment removal
@@ -111,10 +136,20 @@ def main() -> None:
 
     # 3b. tokenizer prep: BPE merges over the cleaned corpus, true
     #     subword token counts, and context-window packing by them
+    # tokenize the deduped corpus (at this toy SF the boilerplate
+    # pass above strips nearly everything — the templated synthetic
+    # docs ARE boilerplate — so the tokenizer stage reads the
+    # pre-line-dedup frame)
     bpe = ff.BpeVocabBuilder(
         "text", "doc_id", num_merges=32, max_words=5000
-    ).fit(cleaned)
-    counted = bpe.transform(cleaned)
+    ).fit(final)
+    counted = bpe.transform(final)
+    # training-ready ids + the standard interchange export
+    with_ids = bpe.encode_ids(final.select("doc_id", "text").limit(5))
+    with_ids.select("doc_id", F.slice("text_bpe_ids", 1, 12)).show(3, False)
+    tok_dir = tempfile.mkdtemp(prefix="tokenizer_")
+    bpe.save_tokenizer(tok_dir)
+    print(f"tokenizer exported: {sorted(os.listdir(tok_dir))}")
     packed = ff.SequencePacker(
         "text_bpe_token_count", budget=512, order_col="doc_id",
         partition_cols=["source"],
