@@ -385,7 +385,11 @@ def check_semdedup(spark, copies: int) -> None:
     op = ff.SemanticDeduplicator(
         "embedding", "vec_id", threshold=0.9, k=8, dim=64
     )
-    op.fit(one)
+    # fit the coarse quantizer on the GROWN population: centroids fit
+    # on the 1x originals put every rotated copy into 1-2 clusters,
+    # and the 10x run then measures that fabricated bucket skew (wildly
+    # unstable 8-23 s readings) instead of scan linearity
+    op.fit(big)
     # warm plans untimed (codegen compilation lands on the 1x otherwise)
     op.candidate_pairs(one).count()
     t0 = time.perf_counter()
@@ -460,6 +464,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         CHECKS[name](spark, copies)
+        # full GC between checks, for the same reason bench.py collects
+        # between queries: a quiet single-JVM session defers collection
+        # debt (broadcast blocks, shuffle buffers) from earlier checks
+        # into whichever later check first hits allocation pressure —
+        # measured as minhash reading 43.8 s inside a 10-check sweep vs
+        # 17.3 s standalone on the same host, same code (r7)
+        spark.sparkContext._jvm.System.gc()
     spark.stop()
 
 
