@@ -237,14 +237,70 @@ def probe_flac(payload: bytes) -> dict:
     }
 
 
+def probe_ogg(payload: bytes) -> dict:
+    """Ogg container probe (RFC 3533 page layout): identifies an Opus
+    (RFC 7845 OpusHead) or Vorbis identification header in the first
+    page, then walks page headers to the final granule position for
+    duration. PCM statistics NULL."""
+    if payload[:4] != b"OggS":
+        raise ValueError("Ogg: bad capture pattern")
+    # first page: header 27 bytes + segment table, then the id header
+    if len(payload) < 28:
+        raise ValueError("Ogg: truncated first page")
+    nseg0 = payload[26]
+    body0 = 27 + nseg0
+    ident = payload[body0 : body0 + 64]
+    if ident[:8] == b"OpusHead":
+        codec = "opus"
+        channels = ident[9]
+        pre_skip = int.from_bytes(ident[10:12], "little")
+        sample_rate = 48000  # Opus granules are always 48 kHz
+    elif ident[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        channels = ident[11]
+        sample_rate = int.from_bytes(ident[12:16], "little")
+        pre_skip = 0
+    else:
+        raise ValueError("Ogg: not an Opus/Vorbis stream")
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("Ogg: invalid id header")
+    # walk pages for the last granule position
+    pos = 0
+    last_granule = 0
+    n = len(payload)
+    while pos + 27 <= n and payload[pos : pos + 4] == b"OggS":
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little")
+        if granule not in (0xFFFFFFFFFFFFFFFF,):  # -1 = no packet ends here
+            last_granule = max(last_granule, granule)
+        nseg = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            break
+        pos += 27 + nseg + sum(seg_table)
+    samples = max(0, last_granule - pre_skip)
+    return {
+        "format": codec,
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "bit_depth": None,
+        "n_frames": int(samples),
+        "duration_s": float(samples / sample_rate) if samples else None,
+        "rms": None,
+        "peak": None,
+        "zero_crossing_rate": None,
+    }
+
+
 def decode_audio(payload: bytes) -> dict:
     """Magic-byte dispatch: RIFF/WAVE -> full PCM decode, fLaC ->
-    STREAMINFO probe, ID3v2 or bare MPEG sync -> MP3 header probe.
-    Raises ValueError on anything else."""
+    STREAMINFO probe, OggS -> Opus/Vorbis probe, ID3v2 or bare MPEG
+    sync -> MP3 header probe. Raises ValueError on anything else."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     if payload[:4] == b"fLaC":
         return probe_flac(payload)
+    if payload[:4] == b"OggS":
+        return probe_ogg(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF

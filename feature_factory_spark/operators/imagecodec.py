@@ -287,6 +287,54 @@ def probe_webp(payload: bytes) -> dict:
     }
 
 
+def probe_tiff(payload: bytes) -> dict:
+    """TIFF metadata probe: endianness from the header, then the first
+    IFD's ImageWidth/ImageLength/BitsPerSample/SamplesPerPixel tags
+    (TIFF 6.0 spec). Pixel statistics NULL — strip/compression decode
+    is out of scope for a stdlib probe."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("TIFF: bad signature")
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    ifd_off = u(payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: truncated IFD offset")
+    n = u(payload[ifd_off : ifd_off + 2])
+    w = h = None
+    bits = 8
+    spp = 1
+    for i in range(n):
+        e = payload[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        if len(e) < 12:
+            raise ValueError("TIFF: truncated IFD entry")
+        tag, typ = u(e[0:2]), u(e[2:4])
+        # SHORT (3) values sit in the first 2 bytes of the value field,
+        # LONG (4) in all 4; larger/offset values are skipped
+        val = u(e[8:10]) if typ == 3 else u(e[8:12])
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+        elif tag == 258:
+            bits = val if typ == 3 and u(e[4:8]) == 1 else bits
+        elif tag == 277:
+            spp = val
+    if not w or not h:
+        raise ValueError("TIFF: missing dimensions")
+    return {
+        "format": "tiff", "width": int(w), "height": int(h),
+        "channels": int(spp), "bit_depth": int(bits),
+        "n_pixels": int(w * h), "mean": None, "std": None,
+        "entropy": None, "progressive": 0,
+    }
+
+
 _DECODERS = [
     (_PNG_SIG[:4], "png", decode_png),
     (b"BM", "bmp", decode_bmp),
@@ -321,6 +369,8 @@ def decode_image(payload: bytes) -> dict:
         return probe_gif(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return probe_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return probe_tiff(payload)
     for magic, fmt, fn in _DECODERS:
         if payload[: len(magic)] == magic:
             px, bit_depth = fn(payload)

@@ -147,6 +147,9 @@ def test_decode_audio_dispatch():
     assert decode_audio(make_mp3(3))["format"] == "mp3"
     assert decode_audio(ac.constant_wav(10, 0.5))["format"] == "wav"
     with pytest.raises(ValueError, match="unrecognized"):
+        decode_audio(b"MThd\x00\x00")  # MIDI: genuinely undispatched
+    # OggS now dispatches to the probe (r7); truncated -> ValueError too
+    with pytest.raises(ValueError, match="truncated"):
         decode_audio(b"OggS\x00\x00")
 
 
@@ -168,3 +171,39 @@ def test_flac_probe():
         from feature_factory_spark.operators.audiocodec import probe_flac
         probe_flac(b"fLaC" + bytes([0x84, 0, 0, 10]) + bytes(10))  # wrong first block
     assert audio_decoder(b"fLaC") == {}   # truncated -> NULL features
+
+
+def _ogg_page(body, granule, first=False):
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b"OggS" + bytes([0, 2 if first else 0])
+            + granule.to_bytes(8, "little") + bytes(12)
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def test_ogg_opus_probe():
+    head = (b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little") + bytes(3))
+    data = (_ogg_page(head, 0, first=True)
+            + _ogg_page(b"\x00" * 100, 48000 * 3 + 312))
+    d = decode_audio(data)
+    assert (d["format"], d["channels"], d["sample_rate"]) == ("opus", 2, 48000)
+    assert d["n_frames"] == 48000 * 3 and abs(d["duration_s"] - 3.0) < 1e-9
+    assert d["rms"] is None
+
+
+def test_ogg_vorbis_probe_and_errors():
+    vorb = (b"\x01vorbis" + bytes(4) + bytes([1])
+            + (44100).to_bytes(4, "little") + bytes(8))
+    data = _ogg_page(vorb, 0, first=True) + _ogg_page(b"\x00" * 60, 88200)
+    d = decode_audio(data)
+    assert (d["format"], d["channels"], d["sample_rate"],
+            d["n_frames"]) == ("vorbis", 1, 44100, 88200)
+    with pytest.raises(ValueError):
+        from feature_factory_spark.operators.audiocodec import probe_ogg
+        probe_ogg(_ogg_page(b"FLACBODY", 0, first=True))  # unknown codec
+    assert audio_decoder(b"OggS\x00") == {}

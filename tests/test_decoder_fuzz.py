@@ -1,0 +1,55 @@
+"""Fuzz the lenient decoder seams: random, truncated, and
+magic-prefixed garbage must yield NULL features ({}), never an
+exception — one corrupt blob cannot be allowed to fail a 100 TB scan
+task (the contract every BinaryFeatureExtractor decoder relies on)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from feature_factory_spark.operators.audiocodec import audio_decoder, wav_decoder
+from feature_factory_spark.operators.imagecodec import image_decoder
+from feature_factory_spark.operators.videocodec import mp4_decoder
+
+MAGICS = [
+    b"", b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"P6", b"\xff\xd8\xff",
+    b"GIF89a", b"GIF87a", b"RIFF", b"RIFF\x00\x00\x00\x00WEBP",
+    b"RIFF\x00\x00\x00\x00WAVE", b"fLaC", b"ID3", b"\xff\xfb",
+    b"\x00\x00\x00\x18ftyp",
+]
+
+
+@given(
+    prefix=st.sampled_from(MAGICS),
+    body=st.binary(min_size=0, max_size=200),
+)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lenient_seams_never_raise(prefix, body):
+    payload = prefix + body
+    for seam in (image_decoder, audio_decoder, wav_decoder, mp4_decoder):
+        out = seam(payload)
+        assert isinstance(out, dict)
+
+
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(0, 400))
+@settings(max_examples=100, deadline=None)
+def test_truncations_of_valid_payloads_never_raise(seed, n):
+    # every prefix of a VALID artifact must degrade to {} or a dict,
+    # never an exception (truncated uploads are the common corruption)
+    from feature_factory_spark.operators.audiocodec import constant_wav, make_mp3
+    from feature_factory_spark.operators.imagecodec import solid_png
+    from feature_factory_spark.operators.jpegcodec import solid_jpeg
+
+    r = np.random.RandomState(seed)
+    artifacts = [
+        solid_png(6, 4, int(r.randint(256))),
+        solid_jpeg(9, 7, int(r.randint(256))),
+        constant_wav(50, float(r.rand())),
+        make_mp3(3, id3_size=int(r.randint(0, 200))),
+    ]
+    for a in artifacts:
+        cut = a[: min(n, len(a))]
+        for seam in (image_decoder, audio_decoder):
+            assert isinstance(seam(cut), dict)

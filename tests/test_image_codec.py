@@ -379,3 +379,30 @@ def test_jpeg_roundtrip_property(w, h, channels, quality, subsampling, rst, seed
     assert d["n_pixels"] == w * h and d["progressive"] == 0
     tol = 20.0 if quality == 30 else 8.0
     assert abs(d["mean"] - float(px.mean())) < tol, (d["mean"], px.mean())
+
+
+def test_tiff_probe_both_endians():
+    def tiff_le(w, h, bits=8, spp=3):
+        entries = [(256, 3, 1, w), (257, 3, 1, h),
+                   (258, 3, 1, bits), (277, 3, 1, spp)]
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<HH", val, 0)
+        return b"II*\x00" + struct.pack("<I", 8) + ifd + b"\x00" * 4
+
+    d = ic.decode_image(tiff_le(1024, 768, 16, 1))
+    assert (d["format"], d["width"], d["height"], d["channels"],
+            d["bit_depth"]) == ("tiff", 1024, 768, 1, 16)
+    assert d["mean"] is None
+
+    def tiff_be(w, h):
+        entries = [(256, 4, 1, w), (257, 4, 1, h)]
+        ifd = struct.pack(">H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack(">HHII", tag, typ, cnt, val)
+        return b"MM\x00*" + struct.pack(">I", 8) + ifd + b"\x00" * 4
+
+    assert ic.decode_image(tiff_be(30, 20))["n_pixels"] == 600
+    with pytest.raises(ValueError):
+        ic.probe_tiff(b"II*\x00" + struct.pack("<I", 8) + b"\x00\x00" + b"\x00" * 4)
+    assert ic.image_decoder(b"II*\x00trunc") == {}
