@@ -2990,7 +2990,9 @@ def q_packed_ids(spark, sf_dir):
     op = ff.BpeVocabBuilder("text", "doc_id", num_merges=16, max_words=2000)
     op.fit(fit_docs)
     try:
-        wc = [(r["word"], r["cnt"]) for r in op.word_counts(fit_docs).collect()]
+        # the driver-mode fit already collected the capped word table;
+        # reuse it instead of re-running the corpus aggregation
+        wc = op.fit_word_counts_
         ref = reference_bpe(wc, 16)
         # vocabulary layout recomputed independently of vocabulary():
         # sorted fitted-table alphabet + END_MARK, then merges in order

@@ -307,6 +307,11 @@ class BpeVocabBuilder(Transformer):
         wc = [
             (r["word"], r["cnt"]) for r in self.word_counts(df).collect()
         ]
+        # derived diagnostics (driver mode only, not persisted state):
+        # the capped word table the merges were induced from — audits
+        # that re-derive the reference merges can reuse it instead of
+        # re-running the corpus aggregation
+        self.fit_word_counts_ = wc
         merges, tok, syms = induce_bpe(
             wc, self.num_merges, self.min_pair_count
         )
