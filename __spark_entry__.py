@@ -1989,39 +1989,32 @@ def q_url_ops(spark, sf_dir):
         "url", ["src3.example.org", "src7.example.org"]
     ).transform(ext)
     flagged = ff.UrlCanonicalizer(["m_url"]).transform(flagged)
+    # membership flags via ONE left join per subset + an explicit
+    # coalesce over a marker column (never .isNotNull() on the
+    # subset's own non-nullable columns — the optimizer elides that guard;
+    # the marker coalesce is the same join-null pattern the lang-id
+    # final join uses). The previous semi+anti union pairs evaluated
+    # each GroupedTopK pipeline TWICE (executed plan: 128 exchanges,
+    # zero reuse).
     capped = ff.DomainCapSampler(
         "url", "doc_id", max_per_domain=5
-    ).transform(base).select("doc_id")
+    ).transform(base).select("doc_id", F.lit(1).alias("__kept_m"))
     url_kept = ff.UrlDeduplicator("m_url", "doc_id").transform(
         base
-    ).select("doc_id")
-    # membership via semi/anti + union, NOT a left join + null-flag:
-    # the cap subset's columns are non-nullable, and the optimizer
-    # eliminates null-guards on outer-join output for non-nullable
-    # inputs (see NgramLanguageIdentifier._transform)
-    kept = flagged.join(capped, "doc_id", "left_semi").withColumn(
-        "__kept", F.lit("1")
+    ).select("doc_id", F.lit(1).alias("__ukept_m"))
+    joined = flagged.join(capped, "doc_id", "left").join(
+        url_kept, "doc_id", "left"
     )
-    dropped = flagged.join(capped, "doc_id", "left_anti").withColumn(
-        "__kept", F.lit("0")
-    )
-    both = kept.unionByName(dropped)
-    ukept = both.join(url_kept, "doc_id", "left_semi").withColumn(
-        "__ukept", F.lit("1")
-    )
-    udropped = both.join(url_kept, "doc_id", "left_anti").withColumn(
-        "__ukept", F.lit("0")
-    )
-    return ukept.unionByName(udropped).select(
+    return joined.select(
         "doc_id",
         F.concat_ws(
             "|",
             F.col("url_domain"),
             F.col("url_path"),
             F.col("domain_blocked").cast("string"),
-            F.col("__kept"),
+            F.coalesce(F.col("__kept_m"), F.lit(0)).cast("string"),
             F.col("m_url_canonical"),
-            F.col("__ukept"),
+            F.coalesce(F.col("__ukept_m"), F.lit(0)).cast("string"),
         ).alias("val"),
     )
 
