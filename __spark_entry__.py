@@ -2191,7 +2191,7 @@ FROM p)
 SELECT doc_id,
   CAST(NOT contains(lower(page), 'lorem ipsum')
        AND NOT contains(page, '{')
-       AND len(regexp_extract_all(cleaned, '[.!?"]')) >= 5
+       AND len(regexp_extract_all(cleaned || chr(10), '[.!?"]\s*'||chr(10))) >= 5
        AS VARCHAR) || ':' || md5(coalesce(cleaned, '')) AS val
 FROM c""",
 )

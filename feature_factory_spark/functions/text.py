@@ -57,7 +57,17 @@ def ngrams_expr(words: Column, n: int) -> Column:
     referenced ``words`` from inside the lambda, and Catalyst inlines
     outer expressions at every lambda evaluation site — callers passing
     ``words_expr(text)`` re-ran the trim+split chain once PER GRAM
-    (the same plan pathology fixed in NgramLanguageIdentifier, r7)."""
+    (the same plan pathology fixed in NgramLanguageIdentifier, r7).
+
+    The single-space join assumes array elements contain no whitespace.
+    Empty-string elements (which would collapse into double delimiters
+    and silently drop grams) are filtered out first — a no-op for
+    ``words_expr`` output, which never yields them. Tokens with INTERNAL
+    whitespace remain unsupported: they would split into multiple words
+    at the join, so pre-tokenize such input before calling."""
+    words = F.when(
+        words.isNotNull(), F.filter(words, lambda w: w != "")
+    )
     joined = F.array_join(words, " ")
     pattern = r"(?<!\S)(?=((?:\S+ ){%d}\S+))" % (n - 1)
     return F.when(

@@ -161,6 +161,8 @@ def probe_mp3(payload: bytes) -> dict:
         version_bits = (b1 >> 3) & 0x03   # 0=2.5, 2=MPEG2, 3=MPEG1
         layer_bits = (b1 >> 1) & 0x03     # 3=Layer I, 2=II, 1=III
         if version_bits == 1 or layer_bits == 0:
+            if frames:
+                break  # sync-looking garbage (0xFF 0xEx) after last frame
             raise ValueError("MP3: reserved version/layer bits")
         layer = 4 - layer_bits            # 1, 2, 3
         vgroup = 0 if version_bits == 3 else 1
@@ -168,6 +170,12 @@ def probe_mp3(payload: bytes) -> dict:
         sr_ix = (b2 >> 2) & 0x03
         padding = (b2 >> 1) & 0x01
         if br_ix in (0, 15) or sr_ix == 3:
+            # mid-stream free-format frame or trailing bytes that begin
+            # 0xFF 0xEx: once real frames were accumulated, stop the walk
+            # (as the sync-mismatch branch does) instead of raising —
+            # the lenient seam would otherwise lose the whole probe
+            if frames:
+                break
             raise ValueError("MP3: free/bad bitrate or bad sample rate")
         bitrate = _MP3_BITRATES[(vgroup, layer)][br_ix] * 1000
         rate = _MP3_RATES[version_bits][sr_ix]
@@ -186,6 +194,8 @@ def probe_mp3(payload: bytes) -> dict:
                 frame_len = 144 * bitrate // rate + padding
                 spf = 1152
         if frame_len <= 4:
+            if frames:
+                break
             raise ValueError("MP3: degenerate frame length")
         frames += 1
         samples += spf

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import InvalidParameterError
 from ..functions.text import words_expr
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_string_columns
@@ -220,6 +221,19 @@ class BpeVocabBuilder(Transformer):
     over the aggregated word table ('auto'/'driver': collected, indexed
     in-memory trainer; 'distributed': one aggregate job per merge —
     see module docstring).
+
+    ``max_unseen_words`` (opt-in) guards the unseen-word path of
+    ``transform``/``encode``/``encode_ids``: words absent from the
+    fitted table are re-tokenized through the full merge chain — a
+    DISTRIBUTED chunked expression pass (``tokenize_words``), never a
+    driver loop, but each distinct unseen word pays O(num_merges)
+    expression evaluations, so a pathological corpus (e.g. a unique
+    alphanumeric ID per document) silently turns the cheap table join
+    into a corpus-distinct merge-chain job. With the cap set, those
+    entry points count distinct unseen words first (one extra bounded
+    job — ``limit(cap+1)``, never a full count) and fail loudly when
+    over, the same contract as QualityScorer's capped collect. Default
+    ``None`` keeps the plan fully lazy.
     """
 
     def __init__(
@@ -233,6 +247,7 @@ class BpeVocabBuilder(Transformer):
         lowercase: bool = True,
         chunk: int = 8,
         fit_mode: str = "auto",
+        max_unseen_words: int | None = None,
     ):
         ensure(num_merges >= 1, "num_merges must be >= 1")
         ensure(min_count >= 1, "min_count must be >= 1")
@@ -241,6 +256,10 @@ class BpeVocabBuilder(Transformer):
         ensure(
             fit_mode in ("auto", "driver", "distributed"),
             "fit_mode must be 'auto', 'driver' or 'distributed'",
+        )
+        ensure(
+            max_unseen_words is None or max_unseen_words >= 0,
+            "max_unseen_words must be None or >= 0",
         )
         self.text_col = text_col
         self.id_col = id_col
@@ -251,6 +270,7 @@ class BpeVocabBuilder(Transformer):
         self.lowercase = lowercase
         self.chunk = chunk
         self.fit_mode = fit_mode
+        self.max_unseen_words = max_unseen_words
         self.merges_: list[list[str]] = []
         self.word_tokens_: DataFrame | None = None  # (word, n_tokens)
 
@@ -380,6 +400,23 @@ class BpeVocabBuilder(Transformer):
                 cur = merge_pair_expr(cur, l, r)
             frame = frame.withColumn(syms_col, cur)
         return frame
+
+    def _guard_unseen(self, unseen: DataFrame) -> None:
+        """Fail-loud cap on the distinct-unseen-word merge-chain job
+        (see class docstring). ``limit(cap+1)`` bounds the check job —
+        it never counts the full distinct set."""
+        if self.max_unseen_words is None:
+            return
+        cap = self.max_unseen_words
+        n = unseen.limit(cap + 1).count()
+        if n > cap:
+            raise InvalidParameterError(
+                f"more than max_unseen_words={cap} distinct words are "
+                "absent from the fitted word table; the corpus being "
+                "encoded diverges from the fit corpus (e.g. unique IDs "
+                "per document). Refit with a larger max_words, pre-clean "
+                "the unique tokens, or raise max_unseen_words"
+            )
 
     def tokenize_words(self, words: DataFrame, word_col: str = "word") -> DataFrame:
         """(word, n_tokens, syms) for an arbitrary word frame via the
@@ -545,6 +582,7 @@ class BpeVocabBuilder(Transformer):
             .select("word")
             .distinct()
         )
+        self._guard_unseen(unseen)
         unseen_seq = self._word_seq_table(
             self.tokenize_words(unseen), as_ids
         ).select("word", F.col("__ff_seq").alias("__ff_seq_unseen"))
@@ -602,6 +640,7 @@ class BpeVocabBuilder(Transformer):
             .select("word")
             .distinct()
         )
+        self._guard_unseen(unseen)
         unseen_tok = self.tokenize_words(unseen).withColumnRenamed(
             "n_tokens", "__ff_nt_unseen"
         )

@@ -335,7 +335,12 @@ class C4Filter(Transformer):
       - drop pages mentioning "lorem ipsum" (case-insensitive)
       - drop pages containing a curly brace (``{``)
       - drop pages with fewer than ``min_sentences`` sentences (5),
-        counted as terminal-punctuation marks in the kept lines
+        counted as LINE-TERMINAL punctuation marks in the kept lines
+        (r8: abbreviation periods like 'e.g.' mid-line no longer
+        inflate the count toward the C4 paper's sentence-based floor;
+        counting is a consuming ``[.!?"]\\s*\\n`` match over the text
+        plus a newline sentinel, so the identical pattern runs under
+        Java regex and RE2 — no lookaround, engine-portable)
 
     Appends ``{text_col}_c4`` (the line-filtered text) and
     ``{text_col}_c4_keep`` (the page verdict); ``mode='filter'`` keeps
@@ -384,7 +389,13 @@ class C4Filter(Transformer):
             ~F.lower(raw).contains("lorem ipsum")
             & ~raw.contains("{")
             & (
-                F.regexp_count(cleaned, F.lit(r'[.!?"]'))
+                # newline sentinel: the final line's terminal mark is
+                # followed by the appended '\n', so one consuming
+                # pattern counts every line-terminal sentence end with
+                # no lookaround (RE2-portable for the SQL twin)
+                F.regexp_count(
+                    F.concat(cleaned, F.lit("\n")), F.lit(r'[.!?"]\s*\n')
+                )
                 >= F.lit(self.min_sentences)
             )
         )

@@ -144,6 +144,13 @@ class DomainBlocklistFilter(Transformer):
             # groupable keys. One linear plan — the id is evaluated in
             # a single subtree, so monotonically_increasing_id's
             # per-evaluation nondeterminism cannot desynchronize.
+            # STABLE-INPUT ASSUMPTION: on a stage retry / speculative
+            # recompute the surrogate id is correct only if upstream
+            # partitions replay identically, which holds for file scans
+            # and deterministic transforms (every in-repo source). If a
+            # nondeterministic frame (e.g. a fractional sample without a
+            # seed, or a shuffled stream) feeds this path, checkpoint or
+            # materialize it first so the ids are minted over stable rows.
             bl_col = self.blocked.columns[0]
             blocklist = self.blocked.select(
                 F.col(bl_col).alias("__ff_blocked_domain")
@@ -252,9 +259,19 @@ class DomainCapSampler(Transformer):
 
 # tracking-parameter keys stripped by canonicalization: the
 # ubiquitous cross-site analytics/click identifiers (utm_* plus the
-# Google/Facebook/Microsoft/Mailchimp/Instagram click ids and bare
-# ref tags). Keys only — a key=value is dropped whole.
+# Google/Facebook/Microsoft/Mailchimp click ids). Keys only — a
+# key=value is dropped whole. Bare 'ref'/'ref_src' are deliberately
+# NOT in the default list: 'ref' is a functional parameter on many
+# sites (e.g. GitHub ?ref=<branch> selects content), so stripping it
+# would merge genuinely distinct pages under UrlDeduplicator — opt in
+# with TRACKING_PARAM_RE_AGGRESSIVE when the corpus is known safe.
 TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)="
+)
+
+# opt-in variant that also strips the social-referrer tags; only for
+# corpora where '?ref=' is known to never select content
+TRACKING_PARAM_RE_AGGRESSIVE = (
     r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid"
     r"|ref|ref_src)="
 )

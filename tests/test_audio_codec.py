@@ -136,6 +136,14 @@ def test_mp3_probe_variants(nf, br, sr, ch, id3):
 def test_mp3_trailing_tag_and_errors():
     # APEv2-style trailing bytes after the last frame are tolerated
     assert probe_mp3(make_mp3(4) + b"APETAGEX" + b"\x00" * 24)["n_frames"] == 4 * 1152
+    # r8 (ADVICE): sync-looking trailing garbage (0xFF 0xEx) and a
+    # free-format/bad-index header after valid frames end the walk
+    # instead of raising — the accumulated metadata survives
+    # 0xFF 0xE8 = sync + RESERVED version bits: the reserved-branch
+    # leniency specifically
+    assert probe_mp3(make_mp3(4) + b"\xff\xe8junk")["n_frames"] == 4 * 1152
+    free_fmt = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1, 0x00, 0x00])
+    assert probe_mp3(make_mp3(2) + free_fmt + bytes(8))["n_frames"] == 2 * 1152
     with pytest.raises(ValueError):
         probe_mp3(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + bytes(10))  # tag only
     with pytest.raises(ValueError):

@@ -66,6 +66,38 @@ def test_unseen_words_tokenized_exactly(fitted, spark):
     assert fitted.transform(u).collect()[0]["text_bpe_token_count"] == expected
 
 
+def test_max_unseen_words_guard(docs, spark):
+    # r8 (VERDICT r7 item 6): a corpus with a unique token per document
+    # would silently turn the cheap table join into a corpus-distinct
+    # merge-chain job; the opt-in cap fails loudly instead.
+    from feature_factory_spark.exceptions import InvalidParameterError
+
+    op = ff.BpeVocabBuilder(
+        "text", "doc_id", num_merges=8, max_unseen_words=3
+    )
+    op.fit(docs)
+    try:
+        degenerate = spark.createDataFrame(
+            [(i, f"id{i}x{i * 7} the") for i in range(10)],
+            "doc_id bigint, text string",
+        )
+        with pytest.raises(InvalidParameterError, match="max_unseen_words"):
+            op.transform(degenerate).collect()
+        with pytest.raises(InvalidParameterError, match="max_unseen_words"):
+            op.encode_ids(degenerate).collect()
+        # at-or-under the cap passes and still tokenizes exactly
+        ok = spark.createDataFrame(
+            [(0, "zebra quartz the")], "doc_id bigint, text string"
+        )
+        ref = [tuple(m) for m in op.merges_]
+        expected = sum(
+            len(reference_tokenize(w, ref)) for w in "zebra quartz the".split()
+        )
+        assert op.transform(ok).collect()[0]["text_bpe_token_count"] == expected
+    finally:
+        op.release()
+
+
 def test_empty_and_null_text_count_zero(fitted, spark):
     e = spark.createDataFrame(
         [(10, ""), (11, None), (12, "   ")], "doc_id bigint, text string"

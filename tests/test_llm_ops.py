@@ -447,6 +447,15 @@ def test_c4_filter_rules(spark):
         (3, "function f() { return 1; } This page has braces here."),
         (4, "One sentence only here today."),
         (5, None),
+        # r8: abbreviation periods no longer inflate the sentence count
+        # (4 line-terminal sentence ends; the e.g./i.e. internal dots
+        # would have pushed the old raw-punctuation count over 5)
+        (6, "\n".join([
+            "We use e.g. and i.e. abbreviations here today.",
+            "The U.S.A. census e.g. reports figures annually.",
+            "Another solid sentence sits right here!",
+            "A final sentence closes the page today.",
+        ])),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r["doc_id"]: (r["text_c4"], r["text_c4_keep"])
@@ -460,6 +469,8 @@ def test_c4_filter_rules(spark):
     assert out[3][1] is False   # curly-brace page drop
     assert out[4][1] is False   # under the 5-sentence floor
     assert out[5] == (None, False)
+    # 4 true sentence ends < 5 even though raw terminal-char count is 10
+    assert out[6][1] is False
     filt = ff.C4Filter("text", mode="filter").transform(df)
     assert [r["doc_id"] for r in filt.collect()] == [1]
     assert "text_c4_keep" not in filt.columns
