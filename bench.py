@@ -117,21 +117,37 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     lite = os.environ.get("FF_BENCH_LITE") == "1"
     timings: dict[str, float] = {}
+    timings_lite: dict[str, float] = {}
     total = 0.0
+    total_lite = 0.0
     for name, fn in entry.queries().items():
         if name in SKIP:
             continue
         t0 = time.perf_counter()
+        dt_lite = float("nan")
         try:
             if lite:
                 # build untimed: fits + eager invariant audits excluded
                 df = fn(spark, SF_DIR)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                dt_lite = dt
             else:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                # r8 (VERDICT r7 item 8): the SAME artifact carries the
+                # lite pair — a second noop write of the already-built
+                # frame re-materializes the identical plan (a fresh
+                # QueryExecution; shuffles are not reused across
+                # actions) with every eager fit/audit already done, so
+                # this IS the lite protocol's timed window. The full
+                # number above is untouched; lite-vs-lite is the
+                # round-over-round operator-regression gate.
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt_lite = time.perf_counter() - t1
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             dt = float("nan")
@@ -153,8 +169,11 @@ def main() -> int:
             # deferred garbage.
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(dt, 3)
+        timings_lite[name] = round(dt_lite, 3)
         if dt == dt:
             total += dt
+        if dt_lite == dt_lite:
+            total_lite += dt_lite
 
     print(
         json.dumps(
@@ -167,6 +186,11 @@ def main() -> int:
                 "cpus": int(CPUS),
                 "approx_quantiles": os.environ.get("FF_APPROX_QUANTILES") == "1",
                 "mode": "lite" if lite else "full",
+                # materialization-only re-run of each returned frame
+                # (the lite protocol) recorded alongside the full
+                # numbers — see the module docstring
+                "value_lite": round(total_lite, 3),
+                "queries_lite": timings_lite,
             }
         )
     )
