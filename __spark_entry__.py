@@ -75,7 +75,9 @@ the op is a member slice of that family query):
   logistic-regression quality_model invariant member),
   embedding_dedup_lsh.
   — LLM extensions (families): dedup_pairs (minhash + simhash +
-  semantic_dedup, the SemDeDup cluster-bucketed member),
+  semantic_dedup, the SemDeDup cluster-bucketed member, + image_dedup,
+  the r8 perceptual-hash near-dup member: real PNG decode -> dHash ->
+  pigeonhole Hamming blocking over planted gradient-pattern fixtures),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
   lang_id (stopword heuristic, hash-pinned, + the 30-language
@@ -1364,6 +1366,64 @@ def q_simhash_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     pairs = dd.candidate_pairs(docs)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@_reg(
+    "image_dedup",
+    # Perceptual image dedup (r8, operators/imagehash.py): every doc_id
+    # gets a deterministic 18x16 gradient-pattern PNG whose dHash
+    # equals a planted 64-bit pattern EXACTLY (pattern_png). Groups of
+    # 4 docs share an md5-derived base pattern; members 0/1/2 flip
+    # nested bit sets (pairwise hamming = member distance), member 3
+    # flips ALL bits (hamming >= 62 from its group — never a pair).
+    # The Spark side runs the real pipeline (PNG decode -> area resize
+    # -> gradient signs -> pigeonhole chunk blocking -> bit_count
+    # verify); the oracle states the closed-form pair set. Cross-group
+    # chance pairs would need md5 patterns within hamming 2
+    # (P ~ 1e-9 over the corpus; absent for these fixed fixtures —
+    # any appearance would fail the hash gate loudly).
+    """WITH d AS (SELECT doc_id FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(b.doc_id % 4 - a.doc_id % 4 AS INTEGER) AS hamming
+FROM d a JOIN d b
+  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+ AND a.doc_id % 4 <= 2 AND b.doc_id % 4 <= 2""",
+)
+def q_image_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # fixture generation INSIDE the distributed plan (narrow map),
+        # the q_image_decode precedent
+        import hashlib as _hl
+
+        from feature_factory_spark.operators.imagehash import pattern_png
+
+        def pat(i):
+            hx = _hl.md5(f"ffimg-{i // 4}".encode()).hexdigest()
+            p = int(hx[:16], 16)
+            q0 = int(hx[16:18], 16) % 64
+            q1 = (q0 + 1 + int(hx[18:20], 16) % 63) % 64
+            m = i % 4
+            if m >= 1:
+                p ^= 1 << q0
+            if m >= 2:
+                p ^= 1 << q1
+            if m == 3:
+                # undo the nested flips, then invert everything
+                p ^= (1 << q0) | (1 << q1)
+                p ^= 0xFFFFFFFFFFFFFFFF
+            return p
+
+        for pdf in batches:
+            pdf["img"] = [pattern_png(pat(int(i))) for i in pdf["doc_id"]]
+            yield pdf
+
+    with_img = docs.mapInPandas(synth, "doc_id bigint, img binary")
+    op = ff.ImageDeduplicator("doc_id", binary_col="img", hamming_threshold=2)
+    return op.candidate_pairs(with_img).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 SQL_COS = (
@@ -4234,6 +4294,8 @@ _merge("dedup_pairs", [
     ("simhash_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
      "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
     ("semantic_dedup", ["a_id", "b_id", "score"], "a_id, b_id, score"),
+    ("image_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
+     "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
 ])
 
 _merge("dedup_pairs_baseline", [

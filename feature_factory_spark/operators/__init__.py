@@ -110,6 +110,13 @@ from .imagecodec import (
     solid_png,
 )
 from .multimodal import BinaryFeatureExtractor, FrameSampler
+from .imagehash import (
+    ImageDeduplicator,
+    ImageHasher,
+    dhash_bits,
+    pattern_png,
+    phash_bits,
+)
 from .embeddings import EmbeddingQuantizer, L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
@@ -164,6 +171,8 @@ __all__ = [
     "HtmlTextExtractor", "UrlCanonicalizer", "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
+    "ImageDeduplicator", "ImageHasher", "dhash_bits", "pattern_png",
+    "phash_bits",
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",
     "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",

@@ -259,6 +259,52 @@ class MinHashDeduplicator(Transformer):
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
 
 
+def hamming_blocked_pairs(
+    sig: DataFrame, n_bits: int, hamming_threshold: int
+) -> DataFrame:
+    """Verified near-dup pairs (a_id, b_id, hamming), a_id < b_id, for a
+    ``(id, sig)`` signature frame, via pigeonhole chunk blocking.
+
+    The signature is split into ``hamming_threshold + 1`` disjoint
+    chunks of ``n_bits // n_chunks`` bits: two signatures within the
+    threshold must agree on at least one chunk, so blocking on (chunk
+    index, chunk value) has exact recall at every threshold. (Bits past
+    ``width * n_chunks`` — possible when n_chunks does not divide
+    n_bits — are simply uncovered by any chunk, which can only ADD
+    candidates, never lose a pair.) Candidates are verified with the
+    exact ``bit_count(a XOR b)`` distance. Shared by
+    SimHashDeduplicator (text) and ImageDeduplicator (perceptual
+    hashes, operators/imagehash.py)."""
+    n_chunks = hamming_threshold + 1
+    width = n_bits // n_chunks
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftrightunsigned("sig", width * i)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("cv"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("ch"),
+    ).select("id", "sig", "ch.ci", "ch.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= F.lit(hamming_threshold))
+
+
 class SimHashDeduplicator(Transformer):
     """Near-duplicate removal via SimHash + chunk blocking.
 
@@ -363,33 +409,7 @@ class SimHashDeduplicator(Transformer):
         )
         sums = hashed.select("id", self.bit_sums_expr().alias("bsums"))
         sig = sums.select("id", self.sig_expr(F.col("bsums")).alias("sig"))
-        width = self.n_bits // self.n_chunks
-        chunks = sig.select(
-            "id",
-            "sig",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("sig", width * i)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(self.n_chunks)
-                ])
-            ).alias("ch"),
-        ).select("id", "sig", "ch.ci", "ch.cv")
-        a, b = chunks.alias("a"), chunks.alias("b")
-        cand = (
-            a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])
-            .select(
-                F.col("a.id").alias("a_id"),
-                F.col("b.id").alias("b_id"),
-                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
-            )
-            .distinct()
-        )
-        return cand.where(F.col("hamming") <= F.lit(self.hamming_threshold))
+        return hamming_blocked_pairs(sig, self.n_bits, self.hamming_threshold)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)

@@ -279,7 +279,7 @@ def _extend(v: int, t: int) -> int:
 # -- decoder ------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> dict:
+def decode_jpeg(payload: bytes, return_pixels: bool = False) -> dict:
     """JPEG bytes -> feature dict (imagecodec ``IMAGE_SCHEMA`` shape).
 
     Baseline / extended-sequential Huffman streams (SOF0/SOF1) are
@@ -287,7 +287,12 @@ def decode_jpeg(payload: bytes) -> dict:
     the other SOF variants are PROBED: real width/height/channels from
     the frame header, ``progressive`` flagged, pixel statistics NULL —
     a curation filter still gets the metadata features. Raises
-    ValueError on malformed streams."""
+    ValueError on malformed streams.
+
+    ``return_pixels=True`` returns the decoded HxWxC uint8 array
+    instead of the statistics dict (the perceptual-hash seam,
+    operators/imagehash.py); probe-only variants raise since they
+    carry no pixels."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("JPEG: bad signature")
     qt: dict[int, np.ndarray] = {}
@@ -355,6 +360,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 })
             frame = (marker == 0xC2, precision, h, w, comps)
             if marker not in (0xC0, 0xC1):
+                if return_pixels:
+                    raise ValueError(
+                        "JPEG: probe-only stream (progressive/arithmetic/"
+                        "lossless) has no decoded pixels"
+                    )
                 # progressive / arithmetic / lossless: probe only
                 return _probe_dict(h, w, nc, precision, marker == 0xC2)
         elif marker == 0xDD:  # DRI
@@ -366,6 +376,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 payload, body_start, seg, frame, qt, huff_dc, huff_ac,
                 restart_interval,
             )
+            if return_pixels:
+                return px
             from .imagecodec import _stats
 
             out = _stats(px, "jpeg", frame[1])
