@@ -79,7 +79,10 @@ the op is a member slice of that family query):
   the r8 perceptual-hash near-dup member: real PNG decode -> dHash ->
   pigeonhole Hamming blocking over planted gradient-pattern fixtures),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
-  O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming),
+  O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming
+  + incremental_dedup, the r8 persisted-index recrawl member:
+  write_index on the id-lower half, partition-pruned dedupe_against on
+  the upper half, survivors == greedy full-corpus recompute),
   lang_id (stopword heuristic, hash-pinned, + the 30-language
   char-n-gram model's invariant member), text_clean (stopword-removal
   normalization + html_strip, the HtmlTextExtractor HTML->text chain
@@ -1366,6 +1369,48 @@ def q_simhash_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     pairs = dd.candidate_pairs(docs)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_incremental_dedup() -> str:
+    # survivors of deduping the id-upper half (the "new snapshot")
+    # against a persisted index of the id-lower half plus within-batch
+    # greedy: with monotone ids this is exactly "no qualifying pair
+    # with ANY smaller id", which the oracle states all-pairs (fine at
+    # the sf0.01 gate; the Spark side runs the real pruned-index plan).
+    # AS MATERIALIZED: DuckDB would otherwise inline the 60-term
+    # signature expression into the correlated NOT EXISTS and recompute
+    # it per probe (measured 89.5s -> 0.5s at sf0.01, identical rows)
+    return f"""WITH d AS (SELECT doc_id, {SQL_WORDS} w FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {_sql_simhash_sig()} sig FROM d)
+SELECT b.doc_id FROM s b
+WHERE b.doc_id >= (SELECT count(*) // 2 FROM documents)
+  AND NOT EXISTS (SELECT 1 FROM s a WHERE a.doc_id < b.doc_id
+                  AND bit_count(xor(a.sig, b.sig)) <= 3)"""
+
+
+@_reg("incremental_dedup", _sql_incremental_dedup())
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a persisted corpus index (r8,
+    operators/dedup.py write_index/dedupe_against): the id-lower half
+    of documents is written as a partition-pruned simhash index to a
+    temp dir, then the id-upper half (the recrawl batch) is deduped
+    against it — corpus pairs via the pruned index scan, within-batch
+    pairs via the standard pigeonhole blocking. With monotone ids the
+    survivors equal a greedy full-corpus recompute restricted to the
+    batch, which the oracle recomputes all-pairs from the identical
+    md5 signatures."""
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.count() // 2
+    old = docs.where(F.col("doc_id") < split).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") >= split).select("doc_id", "text")
+    op = ff.SimHashDeduplicator(
+        "text", "doc_id", hamming_threshold=3, hash_fn="md5"
+    )
+    tmp = tempfile.mkdtemp(prefix="ff_incr_idx_")
+    _TEMP_STATE_DIRS.append(tmp)
+    path = os.path.join(tmp, "idx")
+    op.write_index(old, path)
+    return op.dedupe_against(new, path).select("doc_id")
 
 
 @_reg(
@@ -4306,7 +4351,8 @@ _merge("dedup_pairs_baseline", [
 ])
 
 _merge("dedup_ids", [
-    (op, ["doc_id"], "doc_id") for op in ("exact_dedup", "streaming_dedup")
+    (op, ["doc_id"], "doc_id")
+    for op in ("exact_dedup", "streaming_dedup", "incremental_dedup")
 ])
 
 _merge("sample_family", [

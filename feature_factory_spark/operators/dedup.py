@@ -109,6 +109,79 @@ def _drop_by_policy(
     return df.join(dups, on=df[id_col] == dups["dup_id"], how="left_anti")
 
 
+# --- persisted-index (incremental / recrawl) machinery ----------------
+#
+# write_index lays the corpus's blocking keys out PARTITIONED BY
+# (blocking unit, pmod(key, n_buckets)); dedupe_against then scans ONLY
+# the partitions the new batch's keys map to — the recrawl workflow
+# (dedupe snapshot N+1 against the accumulated corpus without
+# recomputing it), the IVFCosineTopK.write_index layout precedent.
+
+_INDEX_BUCKETS = 64  # pmod(key) sub-partitioning of each blocking unit
+
+
+def _write_index_meta(spark, path: str, meta: dict, mode: str) -> None:
+    import os
+
+    meta_path = os.path.join(path, "meta")
+    if mode == "append":
+        # appending a snapshot must not duplicate the meta row — pin
+        # the new rows against the parameters already on disk instead
+        try:
+            _check_index_meta(spark, path, meta)
+            return
+        except Exception as exc:  # noqa: BLE001 — re-raise param clashes
+            from ..exceptions import InvalidParameterError
+
+            if isinstance(exc, InvalidParameterError):
+                raise
+            # no readable meta yet (first write with mode='append')
+    spark.createDataFrame(
+        [tuple(str(v) for v in meta.values())],
+        ", ".join(f"{k} string" for k in meta),
+    ).coalesce(1).write.mode(
+        "overwrite" if mode == "append" else mode
+    ).parquet(meta_path)
+
+
+def _check_index_meta(spark, path: str, expect: dict) -> None:
+    """Fail-loud parameter pinning: an index probed with different
+    parameters than it was written with would silently miss pairs."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    ensure(len(rows) == 1, f"index at {path} has a malformed meta table")
+    got = rows[0].asDict()
+    for k, v in expect.items():
+        ensure(
+            got.get(k) == str(v),
+            f"index at {path} was written with {k}={got.get(k)!r}, "
+            f"but this operator is configured with {k}={v!r}; use a "
+            "matching operator or rewrite the index",
+        )
+
+
+def _prune_filter(keys: DataFrame, c1: str, c2: str):
+    """OR-of-partition-values filter from the new batch's DISTINCT
+    blocking keys — at most n_units x n_buckets rows (a bounded
+    collect), pushed as static predicates on the index's partition
+    columns so the scan is file-pruned."""
+    from collections import defaultdict
+
+    per: dict = defaultdict(list)
+    for r in keys.select(c1, c2).distinct().collect():
+        per[r[c1]].append(r[c2])
+    if not per:
+        return F.lit(False)
+    conds = [
+        (F.col(c1) == F.lit(k)) & F.col(c2).isin(v) for k, v in per.items()
+    ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 class MinHashDeduplicator(Transformer):
     """Near-duplicate removal via banded MinHash-LSH + exact Jaccard
     verification.
@@ -199,19 +272,13 @@ class MinHashDeduplicator(Transformer):
             for a, b in self._constants
         ])
 
-    def candidate_pairs(self, df: DataFrame) -> DataFrame:
-        """Verified near-dup pairs: (a_id, b_id, jaccard), a_id < b_id."""
-        self._check_input(df)
-        sh = self._shingled(df)
-        if self.persist_shingles and not df.isStreaming:
-            from pyspark import StorageLevel
-
-            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    def _banded(self, sh: DataFrame) -> DataFrame:
+        """(id, band, bkey) blocking keys from a shingled frame."""
         hashed = sh.select(
             "id", "sh", F.transform(F.col("sh"), base_hash_expr).alias("hs")
         )
         sig = hashed.select("id", "sh", self._signature_expr().alias("sig"))
-        bands = sig.select(
+        return sig.select(
             "id",
             F.explode(
                 F.array(*[
@@ -231,6 +298,16 @@ class MinHashDeduplicator(Transformer):
                 ])
             ).alias("bk"),
         ).select("id", "bk.band", "bk.bkey")
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """Verified near-dup pairs: (a_id, b_id, jaccard), a_id < b_id."""
+        self._check_input(df)
+        sh = self._shingled(df)
+        if self.persist_shingles and not df.isStreaming:
+            from pyspark import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        bands = self._banded(sh)
         if self.bucket_pairing == "star":
             mins = bands.groupBy("band", "bkey").agg(F.min("id").alias("min_id"))
             cand = (
@@ -257,6 +334,132 @@ class MinHashDeduplicator(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
+
+    # --- persisted corpus index (recrawl workflow, r8) ---------------
+
+    def _index_meta(self) -> dict:
+        return {
+            "kind": "minhash",
+            "num_perm": self.num_perm,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+            "threshold": self.threshold,
+            "seed": self.seed,
+            "n_buckets": _INDEX_BUCKETS,
+        }
+
+    def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the corpus's dedup index at ``path``:
+
+        - ``<path>/bands`` — (id, bkey) PARTITIONED BY (band,
+          bb=pmod(bkey, 64)): a probe scans only the partitions the new
+          batch's band keys map to.
+        - ``<path>/shingles`` — (id, sh), the shingle sets exact
+          Jaccard verification needs. This is the large half (roughly
+          corpus token volume); signature-only verification would
+          avoid it at the cost of approximate scores — exact-verify
+          MinHash inherently re-reads candidate shingle sets.
+        - ``<path>/meta`` — the operator parameters, pinned at probe
+          time so an index probed with mismatched parameters fails
+          loudly instead of silently missing pairs.
+
+        ``mode='append'`` accumulates snapshots: after
+        ``dedupe_against``, append the SURVIVORS so the index tracks
+        the deduped corpus."""
+        import os
+
+        self._check_input(df)
+        sh = self._shingled(df)
+        bands = self._banded(sh).withColumn(
+            "bb", F.pmod(F.col("bkey"), F.lit(_INDEX_BUCKETS))
+        )
+        # repartition on the partition columns first: partitionBy from N
+        # shuffle tasks otherwise writes up to N files per partition
+        # value (a small-file explosion at every scale); after the
+        # shuffle each (band, bb) dir gets as many files as tasks hold
+        # its rows — ~1 at fixture scale, rows/task-bounded at 100 TB
+        bands.repartition(F.col("band"), F.col("bb")).write.mode(
+            mode
+        ).partitionBy("band", "bb").parquet(os.path.join(path, "bands"))
+        sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
+        _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
+
+    def pairs_against(self, df: DataFrame, path: str) -> DataFrame:
+        """Verified pairs (a_id = indexed doc, b_id = new doc, jaccard)
+        between a new batch and the index at ``path``. The index band
+        scan is file-pruned to the new batch's (band, bucket) keys —
+        a bounded-collect static filter (at most bands x 64 values), so
+        a small recrawl batch touches a small fraction of the index."""
+        import os
+
+        self._check_input(df)
+        spark = df.sparkSession
+        _check_index_meta(spark, path, self._index_meta())
+        sh_new = self._shingled(df)
+        if self.persist_shingles and not df.isStreaming:
+            from pyspark import StorageLevel
+
+            sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+        bands_new = self._banded(sh_new).withColumn(
+            "bb", F.pmod(F.col("bkey"), F.lit(_INDEX_BUCKETS))
+        )
+        idx_bands = spark.read.parquet(os.path.join(path, "bands")).where(
+            _prune_filter(bands_new, "band", "bb")
+        )
+        cand = (
+            idx_bands.alias("a")
+            .join(
+                bands_new.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bkey") == F.col("b.bkey"),
+                    # a re-submitted id never pairs with itself
+                    F.col("a.id") != F.col("b.id"),
+                ],
+            )
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        idx_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
+            F.col("id").alias("a_id"), F.col("sh").alias("a_sh")
+        )
+        new_sh = sh_new.select(
+            F.col("id").alias("b_id"), F.col("sh").alias("b_sh")
+        )
+        return (
+            cand.join(idx_sh, "a_id")
+            .join(new_sh, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                jaccard_expr(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= F.lit(self.threshold))
+        )
+
+    def dedupe_against(
+        self, df: DataFrame, path: str, include_self: bool = True
+    ) -> DataFrame:
+        """Dedupe a new batch against the persisted corpus index: a new
+        row matching ANY indexed row is dropped regardless of id order
+        (the accumulated corpus is authoritative); within the batch the
+        configured ``policy`` applies (``include_self=False`` skips the
+        within-batch pass). When ids are monotone across snapshots
+        (index ids < new ids — the natural recrawl numbering) and the
+        index holds every prior doc, the survivors equal a greedy
+        full-corpus recompute restricted to the new batch."""
+        corpus_dups = self.pairs_against(df, path).select(
+            F.col("b_id").alias("dup_id")
+        ).distinct()
+        out = df.join(
+            corpus_dups, on=df[self.id_col] == corpus_dups["dup_id"],
+            how="left_anti",
+        )
+        if include_self:
+            out = _drop_by_policy(
+                out, self.id_col, self.candidate_pairs(df), self.policy
+            )
+        return out
 
 
 def hamming_blocked_pairs(
@@ -398,9 +601,8 @@ class SimHashDeduplicator(Transformer):
             ).otherwise(F.lit(0).cast("bigint")) * F.lit(weight).cast("bigint")
         return sig
 
-    def candidate_pairs(self, df: DataFrame) -> DataFrame:
-        """Verified pairs (a_id, b_id, hamming), a_id < b_id."""
-        self._check_input(df)
+    def _sig_frame(self, df: DataFrame) -> DataFrame:
+        """(id, sig) signature frame for the input documents."""
         hashed = df.select(
             F.col(self.id_col).alias("id"),
             F.transform(
@@ -408,11 +610,127 @@ class SimHashDeduplicator(Transformer):
             ).alias("hs"),
         )
         sums = hashed.select("id", self.bit_sums_expr().alias("bsums"))
-        sig = sums.select("id", self.sig_expr(F.col("bsums")).alias("sig"))
-        return hamming_blocked_pairs(sig, self.n_bits, self.hamming_threshold)
+        return sums.select("id", self.sig_expr(F.col("bsums")).alias("sig"))
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """Verified pairs (a_id, b_id, hamming), a_id < b_id."""
+        self._check_input(df)
+        return hamming_blocked_pairs(
+            self._sig_frame(df), self.n_bits, self.hamming_threshold
+        )
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
+
+    # --- persisted corpus index (recrawl workflow, r8) ---------------
+
+    def _chunked_sigs(self, sig: DataFrame) -> DataFrame:
+        """(id, sig, ci, cv, cb): one row per signature chunk, with the
+        pmod bucket column the index partitions on."""
+        width = self.n_bits // self.n_chunks
+        return (
+            sig.select(
+                "id",
+                "sig",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("ci"),
+                            F.shiftrightunsigned("sig", width * i)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("cv"),
+                        )
+                        for i in range(self.n_chunks)
+                    ])
+                ).alias("ch"),
+            )
+            .select("id", "sig", "ch.ci", "ch.cv")
+            .withColumn("cb", F.pmod(F.col("cv"), F.lit(_INDEX_BUCKETS)))
+        )
+
+    def _index_meta(self) -> dict:
+        return {
+            "kind": "simhash",
+            "n_bits": self.n_bits,
+            "hamming_threshold": self.hamming_threshold,
+            "hash_fn": self.hash_fn,
+            "n_buckets": _INDEX_BUCKETS,
+        }
+
+    def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the corpus's simhash index at ``path``:
+        ``<path>/chunks`` — (id, sig, cv) PARTITIONED BY (ci,
+        cb=pmod(cv, 64)) — plus the parameter-pinning ``<path>/meta``.
+        The full signature rides along on every chunk row (8 bytes), so
+        a probe verifies hamming distance without any second table —
+        unlike the MinHash index there is no heavy verification side.
+        ``mode='append'`` accumulates snapshots."""
+        import os
+
+        self._check_input(df)
+        chunks = self._chunked_sigs(self._sig_frame(df))
+        # see MinHashDeduplicator.write_index: pre-shuffle on the
+        # partition columns so each (ci, cb) dir gets ~1 file per
+        # holding task instead of one per upstream task
+        chunks.repartition(F.col("ci"), F.col("cb")).write.mode(
+            mode
+        ).partitionBy("ci", "cb").parquet(os.path.join(path, "chunks"))
+        _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
+
+    def pairs_against(self, df: DataFrame, path: str) -> DataFrame:
+        """Verified pairs (a_id = indexed doc, b_id = new doc, hamming)
+        between a new batch and the index at ``path``; the index scan
+        is file-pruned to the new batch's (chunk, bucket) keys."""
+        import os
+
+        self._check_input(df)
+        spark = df.sparkSession
+        _check_index_meta(spark, path, self._index_meta())
+        new_chunks = self._chunked_sigs(self._sig_frame(df))
+        idx = spark.read.parquet(os.path.join(path, "chunks")).where(
+            _prune_filter(new_chunks, "ci", "cb")
+        )
+        cand = (
+            idx.alias("a")
+            .join(
+                new_chunks.alias("b"),
+                on=[
+                    F.col("a.ci") == F.col("b.ci"),
+                    F.col("a.cv") == F.col("b.cv"),
+                    F.col("a.id") != F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.bit_count(
+                    F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+                ).alias("hamming"),
+            )
+            .distinct()
+        )
+        return cand.where(F.col("hamming") <= F.lit(self.hamming_threshold))
+
+    def dedupe_against(
+        self, df: DataFrame, path: str, include_self: bool = True
+    ) -> DataFrame:
+        """Dedupe a new batch against the persisted index — same
+        semantics as :meth:`MinHashDeduplicator.dedupe_against` (the
+        corpus is authoritative; within-batch the configured policy
+        applies; equals a greedy full-corpus recompute restricted to
+        the batch when ids are monotone across snapshots)."""
+        corpus_dups = self.pairs_against(df, path).select(
+            F.col("b_id").alias("dup_id")
+        ).distinct()
+        out = df.join(
+            corpus_dups, on=df[self.id_col] == corpus_dups["dup_id"],
+            how="left_anti",
+        )
+        if include_self:
+            out = _drop_by_policy(
+                out, self.id_col, self.candidate_pairs(df), self.policy
+            )
+        return out
 
 
 class NGramJaccardDeduplicator(Transformer):

@@ -1,0 +1,161 @@
+"""Incremental dedup against a persisted corpus index (r8, VERDICT r7
+item 2): MinHash/SimHash write_index + dedupe_against — survivor parity
+with a full-corpus recompute, parameter pinning, append accumulation,
+and the physical partition-pruning contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+
+BOILER = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def corpus_rows():
+    """Ids are monotone across the old/new split (the recrawl
+    numbering): 0-9 old, 10-19 new. New docs 10/11 duplicate old docs
+    0/3; 12 and 13 duplicate each other (within-batch); the rest are
+    unique."""
+    uniq = [
+        f"completely different sentence number {i} about topic {i * i} "
+        f"with distinct vocabulary item{i} token{i * 3} word{i * 7}"
+        for i in range(20)
+    ]
+    texts = {i: f"{BOILER} {uniq[i]}" for i in range(20)}
+    texts[10] = texts[0]
+    texts[11] = texts[3]
+    texts[13] = texts[12]
+    return [(i, texts[i]) for i in range(20)]
+
+
+@pytest.fixture(scope="module")
+def old_new(spark):
+    rows = corpus_rows()
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df.where("doc_id < 10"), df.where("doc_id >= 10"), df
+
+
+@pytest.mark.parametrize("make_op", [
+    lambda: ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3,
+                                   hash_fn="md5"),
+    lambda: ff.MinHashDeduplicator("text", "doc_id", threshold=0.9),
+], ids=["simhash", "minhash"])
+def test_dedupe_against_matches_full_recompute(old_new, tmp_path, make_op):
+    old, new, full = old_new
+    op = make_op()
+    path = str(tmp_path / "idx")
+    op.write_index(old, path)
+    incremental = {
+        r["doc_id"] for r in op.dedupe_against(new, path).collect()
+    }
+    full_survivors = {r["doc_id"] for r in op.transform(full).collect()}
+    assert incremental == full_survivors & {r[0] for r in new.collect()} \
+        == full_survivors - set(range(10))
+    # the planted duplicates are gone; doc 12 (the smaller member of
+    # the within-batch pair) survives
+    assert {10, 11, 13}.isdisjoint(incremental)
+    assert 12 in incremental
+
+
+def test_pairs_against_scores(old_new, tmp_path):
+    old, new, _ = old_new
+    op = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3,
+                                hash_fn="md5")
+    path = str(tmp_path / "idx")
+    op.write_index(old, path)
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in op.pairs_against(new, path).collect()}
+    assert pairs[(0, 10)] == 0 and pairs[(3, 11)] == 0
+    # within-batch pair (12,13) is NOT a corpus pair
+    assert all(a < 10 and b >= 10 for a, b in pairs)
+
+
+def test_parameter_pinning_fails_loudly(old_new, tmp_path):
+    old, new, _ = old_new
+    path = str(tmp_path / "idx")
+    ff.SimHashDeduplicator(
+        "text", "doc_id", hamming_threshold=3, hash_fn="md5"
+    ).write_index(old, path)
+    mismatched = ff.SimHashDeduplicator(
+        "text", "doc_id", hamming_threshold=2, hash_fn="md5"
+    )
+    with pytest.raises(Exception, match="hamming_threshold"):
+        mismatched.pairs_against(new, path).collect()
+    # a minhash operator cannot probe a simhash index
+    with pytest.raises(Exception, match="kind"):
+        ff.MinHashDeduplicator("text", "doc_id").pairs_against(
+            new, path
+        ).collect()
+
+
+def test_append_accumulates_snapshots(old_new, tmp_path):
+    old, new, full = old_new
+    op = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3,
+                                hash_fn="md5")
+    path = str(tmp_path / "idx")
+    op.write_index(old, path)
+    survivors = op.dedupe_against(new, path)
+    # append the SURVIVORS; a re-crawl of doc 12's content must now be
+    # recognized as a duplicate of the accumulated corpus
+    op.write_index(survivors, path, mode="append")
+    spark = old.sparkSession
+    recrawl = spark.createDataFrame(
+        [(30, [r["text"] for r in new.where("doc_id = 12").collect()][0]),
+         (31, "genuinely novel content about entirely new subject matter "
+              "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"] for r in op.dedupe_against(recrawl, path).collect()}
+    assert out == {31}
+
+
+def _scanned_files(df) -> int:
+    """Files read by the executed frame's parquet scans (the
+    scale_sanity.py ivfprune walker)."""
+    total = [0]
+
+    def walk(node):
+        name = node.nodeName()
+        if "QueryStage" in name or name == "AdaptiveSparkPlan":
+            walk(node.plan() if "QueryStage" in name else node.executedPlan())
+            return
+        if name.startswith("Scan parquet"):
+            m = node.metrics()
+            if m.contains("numFiles"):
+                total[0] += int(m.apply("numFiles").value())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total[0]
+
+
+def test_index_scan_is_partition_pruned(spark, tmp_path):
+    # a large indexed corpus, then a single-doc probe batch: the probe
+    # must read strictly fewer index files than the index holds (the
+    # ivfprune precedent — physical numFiles metric, not plan text)
+    rows = [
+        (i, f"{BOILER} item{i} token{i * 3} filler{i * 7} extra{i * 11}")
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    op = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3,
+                                hash_fn="md5")
+    path = str(tmp_path / "bigidx")
+    op.write_index(corpus, path)
+    import glob
+    import os
+
+    n_index_files = len(
+        glob.glob(os.path.join(path, "chunks", "**", "*.parquet"),
+                  recursive=True)
+    )
+    probe = spark.createDataFrame(
+        [(1000, rows[5][1])], "doc_id bigint, text string"
+    )
+    pairs = op.pairs_against(probe, path)
+    got = pairs.collect()
+    assert (5, 1000) in {(r["a_id"], r["b_id"]) for r in got}
+    scanned = _scanned_files(pairs)
+    assert 0 < scanned < n_index_files, (scanned, n_index_files)
