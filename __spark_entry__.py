@@ -91,7 +91,8 @@ the op is a member slice of that family query):
   (hash_sample/hash_split/weighted_sample/url_ops — the web-operator
   domain|path|blocked|kept tuple per doc), pack_family
   (sequence_pack + doc_chunk context-window chunking +
-  substring_spans exact-substring dedup), scale_family,
+  substring_spans exact-substring dedup + corpus_shuffle, the r8
+  seeded-global-shuffle/token-balanced-shard member), scale_family,
   embed_transform (l2 + random projection + int8 quantize), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit + bpe_vocab, the distributed BPE
@@ -2926,6 +2927,35 @@ def q_hash_split(spark, sf_dir):
 
 
 @_reg(
+    "corpus_shuffle",
+    # CorpusShuffler (r8): seeded md5 global order + greedy
+    # token-balanced shard cut, both recomputed with one global window
+    # in the oracle (the Spark side runs the distributed bucket
+    # prefix-sum — no global window — and must land on the identical
+    # (position, shard) law)
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) tok,
+  md5('ff|' || CAST(doc_id AS VARCHAR)) k FROM documents),
+r AS (SELECT doc_id,
+  row_number() OVER (ORDER BY k, doc_id) - 1 AS pos,
+  coalesce(sum(tok) OVER (ORDER BY k, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pt
+FROM t)
+SELECT doc_id, CAST(pt // 2000 AS BIGINT) AS shard_id,
+  CAST(pos AS VARCHAR) AS pos FROM r""",
+)
+def q_corpus_shuffle(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    op = ff.CorpusShuffler(
+        "doc_id", tokens_col="n_tokens", tokens_per_shard=2000
+    )
+    return op.transform(docs).select(
+        "doc_id", "shard_id", F.col("position").cast("string").alias("pos")
+    )
+
+
+@_reg(
     "sequence_pack",
     """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) tokens FROM documents)
 SELECT doc_id,
@@ -4467,6 +4497,8 @@ _merge("pack_family", [
       "invariant AS val"],
      "CAST(NULL AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS k, "
      "invariant AS val"),
+    ("corpus_shuffle", ["doc_id", "shard_id AS k", "pos AS val"],
+     "doc_id, shard_id AS k, pos AS val"),
 ])
 
 # Registry cap + member-assignment rule (VERDICT r4 item 6). The

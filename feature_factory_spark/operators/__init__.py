@@ -121,6 +121,7 @@ from .embeddings import EmbeddingQuantizer, L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import (
+    CorpusShuffler,
     DocumentChunker,
     HashSampler,
     HashSplitter,
@@ -177,7 +178,8 @@ __all__ = [
     "pillow_decoder", "solid_png",
     "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",
     "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",
-    "DocumentChunker", "HashSampler", "HashSplitter", "SequencePacker",
+    "CorpusShuffler", "DocumentChunker", "HashSampler", "HashSplitter",
+    "SequencePacker",
     "SourceMixer", "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems",
