@@ -3420,7 +3420,10 @@ UNION ALL SELECT 'n_merges', CAST(16 AS BIGINT)
 UNION ALL SELECT 'distributed_prefix_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'token_counts_match_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'token_seqs_match_reference', CAST(1 AS BIGINT)
-UNION ALL SELECT 'packer_rows_match', CAST(1 AS BIGINT)""",
+UNION ALL SELECT 'packer_rows_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'byte_merges_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'byte_ids_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'byte_files_roundtrip', CAST(1 AS BIGINT)""",
 )
 def q_bpe_vocab(spark, sf_dir):
     """BpeVocabBuilder (operators/bpe.py): default (driver-mode) 16-merge
@@ -3508,6 +3511,79 @@ def q_bpe_vocab(spark, sf_dir):
         f"distributed BPE loop diverged from reference: "
         f"{dist_merges} vs {ref[:6]}"
     )
+
+    # byte-level mode (r8): induction over the GPT-2 byte alphabet on
+    # a non-Latin + emoji fixture, pinned three ways — merges vs the
+    # byte-level reference, encode_ids vs reference tokenization mapped
+    # through the exported vocabulary, and the saved vocab.json/
+    # merges.txt files re-tokenizing every word with stdlib-only GPT-2
+    # file semantics (the external-runtime loadability contract)
+    from feature_factory_spark.operators.bpe import byte_symbols
+
+    byte_texts = [
+        "ein schöner Tag heute 🙂",
+        "日本語 テキスト 処理 heute",
+        "schöner text даже кириллица 🙂🙂",
+    ]
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(byte_texts)],
+        "doc_id bigint, text string",
+    )
+    bop = ff.BpeVocabBuilder("text", "doc_id", num_merges=12, byte_level=True)
+    bop.fit(bdf)
+    try:
+        bwc = [(r["word"], r["cnt"]) for r in bop.word_counts(bdf).collect()]
+        bref = reference_bpe(bwc, 12, byte_level=True)
+        byte_ok = [tuple(m) for m in bop.merges_] == bref
+        assert byte_ok, "byte-level BPE diverged from its reference"
+        vocab = {r["token"]: r["id"] for r in bop.vocabulary().collect()}
+        got_ids = {
+            r["doc_id"]: r["text_bpe_ids"]
+            for r in bop.encode_ids(bdf).collect()
+        }
+        exp_ids = {
+            i: [
+                vocab[t]
+                for w in t_.lower().split()
+                for t in reference_tokenize(w, bref, byte_level=True)
+            ]
+            for i, t_ in enumerate(byte_texts)
+        }
+        byte_ids_ok = got_ids == exp_ids
+        assert byte_ids_ok, "byte-level encode_ids diverged from reference"
+
+        btmp = tempfile.mkdtemp(prefix="ff_bytebpe_")
+        _TEMP_STATE_DIRS.append(btmp)
+        bop.save_tokenizer(btmp)
+        import json as _json
+
+        fvocab = _json.load(open(os.path.join(btmp, "vocab.json")))
+        flines = open(os.path.join(btmp, "merges.txt")).read().splitlines()
+        fmerges = [tuple(ln.split(" ")) for ln in flines[1:]]
+
+        def _file_tok(word):
+            syms = byte_symbols(word) + ["</w>"]
+            for l, r in fmerges:
+                acc = []
+                for x in syms:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                syms = acc
+            return syms
+
+        files_ok = all(
+            exp_ids[i]
+            == [vocab[t] for w in t_.lower().split() for t in _file_tok(w)]
+            and all(t in fvocab for w in t_.lower().split()
+                    for t in _file_tok(w))
+            for i, t_ in enumerate(byte_texts)
+        )
+        assert files_ok, "saved tokenizer files diverged from the fit"
+    finally:
+        bop.release()
+
     return _inv_df(spark, [
         ("merges_match_reference", int(merges_ok)),
         ("n_merges", len(op.merges_)),
@@ -3515,6 +3591,9 @@ def q_bpe_vocab(spark, sf_dir):
         ("token_counts_match_reference", int(tokens_ok)),
         ("token_seqs_match_reference", int(seqs_ok)),
         ("packer_rows_match", int(packer_ok)),
+        ("byte_merges_match", int(byte_ok)),
+        ("byte_ids_match", int(byte_ids_ok)),
+        ("byte_files_roundtrip", int(files_ok)),
     ])
 
 

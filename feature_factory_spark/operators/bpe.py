@@ -62,6 +62,61 @@ def chars_expr(word: Column) -> Column:
     return F.concat(F.split(word, ""), F.array(F.lit(END_MARK)))
 
 
+def gpt2_byte_encoder() -> dict[int, str]:
+    """The GPT-2 byte -> printable-unicode-char table (the public
+    bytes_to_unicode algorithm from the GPT-2 tokenizer release):
+    printable ASCII and two Latin-1 ranges map to themselves; the
+    remaining 68 byte values map to chr(256+n) so every byte gets a
+    VISIBLE single-character symbol that survives text-format
+    interchange files (merges.txt / vocab.json)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = gpt2_byte_encoder()
+# positional list for the Spark array literal: index = byte value
+_B2U_LIST = [_B2U[b] for b in range(256)]
+
+
+def byte_symbols(word: str) -> list[str]:
+    """Python twin of :func:`byte_syms_expr` (without the end mark)."""
+    return [_B2U[b] for b in word.encode("utf-8")]
+
+
+def byte_syms_expr(word: Column) -> Column:
+    """Byte-level initial symbol sequence: the word's UTF-8 bytes
+    mapped through the GPT-2 byte->unicode table, + the end-of-word
+    mark. Pure JVM: hex(encode(...)) -> 2-char groups -> one
+    element_at against a 256-entry array LITERAL (the lambda touches
+    only its variable and the foldable literal — the HOF-inlining
+    rule)."""
+    b2u = F.lit(_B2U_LIST)
+    pairs = F.regexp_extract_all(
+        F.hex(F.encode(word, "UTF-8")), F.lit("(..)"), 1
+    )
+    return F.concat(
+        F.transform(
+            pairs, lambda h: F.element_at(b2u, F.conv(h, 16, 10).cast("int") + 1)
+        ),
+        F.array(F.lit(END_MARK)),
+    )
+
+
+def _initial_syms(word: str, byte_level: bool) -> list[str]:
+    return (byte_symbols(word) if byte_level else list(word)) + [END_MARK]
+
+
 def adjacent_pairs_expr(syms: Column) -> Column:
     """array<struct<l,r>> of adjacent symbol pairs (overlapping, the
     standard BPE pair count). Guarded for fully-merged single-symbol
@@ -100,12 +155,15 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
 
 
 def reference_bpe(
-    word_counts: list[tuple[str, int]], num_merges: int, min_pair_count: int = 2
+    word_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_count: int = 2,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Driver-side reference implementation (same semantics, plain
     Python) — the independent twin the correctness invariants compare
     the distributed induction against on capped fixtures."""
-    words = {w: (list(w) + [END_MARK], c) for w, c in word_counts}
+    words = {w: (_initial_syms(w, byte_level), c) for w, c in word_counts}
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -135,7 +193,10 @@ def reference_bpe(
 
 
 def induce_bpe(
-    word_counts: list[tuple[str, int]], num_merges: int, min_pair_count: int = 2
+    word_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_count: int = 2,
+    byte_level: bool = False,
 ) -> tuple[list[tuple[str, str]], dict[str, int], dict[str, list[str]]]:
     """Indexed BPE trainer over an aggregated word-count table: exact
     incremental pair-count maintenance (the HuggingFace-trainer
@@ -144,7 +205,7 @@ def induce_bpe(
     sequence (same integer counts, same count-desc/pair-asc tie-break;
     pinned against reference_bpe in tests). Returns (merges,
     {word: n_tokens after all merges}, {word: final symbol list})."""
-    syms_l = [list(w) + [END_MARK] for w, _ in word_counts]
+    syms_l = [_initial_syms(w, byte_level) for w, _ in word_counts]
     cnts = [c for _, c in word_counts]
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
@@ -192,9 +253,11 @@ def induce_bpe(
     )
 
 
-def reference_tokenize(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def reference_tokenize(
+    word: str, merges: list[tuple[str, str]], byte_level: bool = False
+) -> list[str]:
     """Apply learned merges in order to one word (reference twin)."""
-    syms = list(word) + [END_MARK]
+    syms = _initial_syms(word, byte_level)
     for l, r in merges:
         merged = l + r
         acc: list[str] = []
@@ -222,6 +285,19 @@ class BpeVocabBuilder(Transformer):
     in-memory trainer; 'distributed': one aggregate job per merge —
     see module docstring).
 
+    ``byte_level=True`` (r8) switches the initial alphabet from
+    characters to the word's UTF-8 BYTES mapped through the GPT-2
+    byte->unicode table (``gpt2_byte_encoder`` — the public
+    bytes_to_unicode algorithm), the alphabet GPT-2-family runtimes
+    assume. The vocabulary then always contains all 256 byte symbols,
+    so ``save_tokenizer``'s vocab.json/merges.txt can tokenize ANY
+    string after loading — with the default character alphabet the
+    interchange files only round-trip for corpora whose characters all
+    appear in the fitted word table. Induction, transform, encode, and
+    the Python reference twins all honor the flag; merges/ids are
+    pinned against ``reference_bpe(byte_level=True)`` in tests on a
+    non-Latin + emoji fixture.
+
     ``max_unseen_words`` (opt-in) guards the unseen-word path of
     ``transform``/``encode``/``encode_ids``: words absent from the
     fitted table are re-tokenized through the full merge chain — a
@@ -248,6 +324,7 @@ class BpeVocabBuilder(Transformer):
         chunk: int = 8,
         fit_mode: str = "auto",
         max_unseen_words: int | None = None,
+        byte_level: bool = False,
     ):
         ensure(num_merges >= 1, "num_merges must be >= 1")
         ensure(min_count >= 1, "min_count must be >= 1")
@@ -271,6 +348,7 @@ class BpeVocabBuilder(Transformer):
         self.chunk = chunk
         self.fit_mode = fit_mode
         self.max_unseen_words = max_unseen_words
+        self.byte_level = byte_level
         self.merges_: list[list[str]] = []
         self.word_tokens_: DataFrame | None = None  # (word, n_tokens)
 
@@ -333,7 +411,8 @@ class BpeVocabBuilder(Transformer):
         # re-running the corpus aggregation
         self.fit_word_counts_ = wc
         merges, tok, syms = induce_bpe(
-            wc, self.num_merges, self.min_pair_count
+            wc, self.num_merges, self.min_pair_count,
+            byte_level=self.byte_level,
         )
         self.release()  # refit: drop a previous fit/load's persisted frame
         self.word_tokens_ = df.sparkSession.createDataFrame(
@@ -356,7 +435,7 @@ class BpeVocabBuilder(Transformer):
         # iterated is always the AGGREGATED word table, never the
         # corpus.)
         words = self.word_counts(df).select(
-            "word", "cnt", chars_expr(F.col("word")).alias("syms")
+            "word", "cnt", self._syms_expr(F.col("word")).alias("syms")
         ).localCheckpoint(eager=False)
         merges: list[list[str]] = []
         for _ in range(self.num_merges):
@@ -401,6 +480,10 @@ class BpeVocabBuilder(Transformer):
             frame = frame.withColumn(syms_col, cur)
         return frame
 
+    def _syms_expr(self, word: Column) -> Column:
+        """Initial symbol sequence per the configured alphabet."""
+        return byte_syms_expr(word) if self.byte_level else chars_expr(word)
+
     def _guard_unseen(self, unseen: DataFrame) -> None:
         """Fail-loud cap on the distinct-unseen-word merge-chain job
         (see class docstring). ``limit(cap+1)`` bounds the check job —
@@ -424,7 +507,7 @@ class BpeVocabBuilder(Transformer):
         join the fitted table instead)."""
         base = words.select(
             F.col(word_col).alias("word"),
-            chars_expr(F.col(word_col)).alias("syms"),
+            self._syms_expr(F.col(word_col)).alias("syms"),
         )
         return self._apply_merges(base, "syms").select(
             "word", F.size("syms").alias("n_tokens"), "syms"
@@ -443,17 +526,24 @@ class BpeVocabBuilder(Transformer):
         table = _require_frame_state(
             self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
         )
-        chars = sorted(
-            {END_MARK}
-            | {
-                r["c"]
-                for r in table.select(
-                    F.explode(chars_expr(F.col("word"))).alias("c")
-                )
-                .distinct()
-                .collect()
-            }
-        )
+        if self.byte_level:
+            # byte mode: ALWAYS the full 256-symbol byte alphabet (the
+            # GPT-2 layout), independent of which bytes the fit corpus
+            # happened to contain — the property that makes the
+            # exported files tokenize any string
+            chars = sorted({END_MARK} | set(_B2U_LIST))
+        else:
+            chars = sorted(
+                {END_MARK}
+                | {
+                    r["c"]
+                    for r in table.select(
+                        F.explode(chars_expr(F.col("word"))).alias("c")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
         rows = [(tok, i) for i, tok in enumerate(chars)]
         seen = set(chars)
         next_id = len(chars)
