@@ -88,6 +88,25 @@ def main() -> None:
     ).count()
     print(f"crawl records -> pages: {n_pages}, past boilerplate+C4 gate: {n_texty}")
 
+    # 0b. the CHEAPER entry point (r8): WET — CommonCrawl's
+    #     pre-extracted plain text. Skips the HTML-extraction stage
+    #     entirely; read_warc(kind='wet') yields (uri, text) straight
+    #     into dedup/quality. Most curation pipelines start here.
+    from feature_factory_spark.sources import make_wet
+
+    wet_dir = tempfile.mkdtemp(prefix="wet_")
+    with open(os.path.join(wet_dir, "crawl.warc.wet.gz"), "wb") as f:
+        f.write(make_wet(
+            [{"text": r["text"], "target_uri": f"http://example.org/{r['doc_id']}"}
+             for r in sample_rows],
+            gzip_per_record=True,
+        ))
+    wet_docs = read_warc(spark, wet_dir, kind="wet")
+    wet_ready = ff.ExactDeduplicator(["text"], "record_id").transform(
+        ff.EncodingFixer(["text"]).transform(wet_docs)
+    )
+    print(f"WET records ready for curation: {wet_ready.count()}")
+
     # 1. language ID with the fitted 30-language char-n-gram model,
     #    then model-based quality scoring: GopherQualityFilter's rules
     #    weak-label a logistic regression over the text statistics, and

@@ -135,3 +135,69 @@ def test_streaming_drain_keeps_buffer_bounded():
     chunks = list(_member_chunks(data))
     assert len(chunks) == 60  # one member per record
     assert len(list(parse_warc(data))) == 60
+
+
+# --- WET (pre-extracted text) variant (r8) ----------------------------
+
+def _wet_docs():
+    return [
+        {"text": "First extracted page text with several words.",
+         "target_uri": "https://a.example.org/1"},
+        {"text": "Zweite Seite: schöner Text mit Umlauten äöü.",
+         "target_uri": "https://b.example.org/2"},
+        {"text": "第三页的中文文本内容。",
+         "target_uri": "https://c.example.org/3"},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_read_wet_roundtrip(spark, tmp_path, gz):
+    from feature_factory_spark.sources import make_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    name = "a.warc.wet.gz" if gz else "a.warc.wet"
+    (d / name).write_bytes(make_wet(_wet_docs(), gzip_per_record=gz))
+    out = read_warc(spark, str(d), kind="wet")
+    rows = {r["target_uri"]: r for r in out.collect()}
+    # the warcinfo record is filtered out; text round-trips incl. UTF-8
+    assert len(rows) == 3
+    for i, doc in enumerate(_wet_docs()):
+        r = rows[doc["target_uri"]]
+        assert r["text"] == doc["text"]
+        assert r["content_length"] == len(doc["text"].encode("utf-8"))
+        assert r["record_id"] == f"<urn:uuid:wet-{i}>"
+    assert set(out.columns) == {
+        "source_file", "record_id", "target_uri", "warc_date", "text",
+        "content_length",
+    }
+
+
+def test_read_wet_is_narrow_and_pruned(spark, tmp_path):
+    from feature_factory_spark.sources import make_wet
+
+    d = tmp_path / "wet2"
+    d.mkdir()
+    (d / "x.warc.wet").write_bytes(make_wet(_wet_docs()))
+    out = read_warc(spark, str(d), kind="wet")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_wet_feeds_curation_pipeline(spark, tmp_path):
+    # the WET entry point composes with the standard curation chain
+    import feature_factory_spark as ff
+    from feature_factory_spark.sources import make_wet
+
+    d = tmp_path / "wet3"
+    d.mkdir()
+    docs = _wet_docs() + [_wet_docs()[0]]  # a duplicate page
+    (d / "x.warc.wet").write_bytes(make_wet(docs))
+    wet = read_warc(spark, str(d), kind="wet")
+    deduped = ff.ExactDeduplicator(["text"], "record_id").transform(wet)
+    assert deduped.count() == 3
+
+
+def test_read_warc_kind_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        read_warc(spark, str(tmp_path), kind="wat")
