@@ -434,6 +434,127 @@ def check_bigram(spark, copies: int) -> None:
     big.unpersist()
 
 
+def _synth_images(spark, n: int):
+    """n deterministic gradient-pattern PNGs in planted near-dup groups
+    of 4 (the image_dedup entry fixture), synthesized in-plan."""
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def synth(batches):
+        import hashlib as _hl
+
+        from feature_factory_spark.operators.imagehash import pattern_png
+
+        for pdf in batches:
+            imgs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                hx = _hl.md5(f"ffimg-{i // 4}".encode()).hexdigest()
+                p = int(hx[:16], 16)
+                q0 = int(hx[16:18], 16) % 64
+                q1 = (q0 + 1 + int(hx[18:20], 16) % 63) % 64
+                m = i % 4
+                if m == 1:
+                    p ^= 1 << q0
+                elif m == 2:
+                    p ^= (1 << q0) | (1 << q1)
+                elif m == 3:
+                    p ^= 0xFFFFFFFFFFFFFFFF
+                imgs.append(pattern_png(p))
+            pdf["img"] = imgs
+            yield pdf
+
+    out = ids.repartition(64).mapInPandas(
+        synth, "doc_id bigint, img binary"
+    ).persist()
+    out.count()
+    return out
+
+
+def check_imagedup(spark, copies: int) -> None:
+    """ImageDeduplicator: decode + dHash (narrow Arrow map) + pigeonhole
+    pair join must stay ~linear in image count; pair output grows
+    linearly too (groups of 4 are disjoint)."""
+    base = 4000
+    one = _synth_images(spark, base)
+    big = _synth_images(spark, base * copies)
+    op = ff.ImageDeduplicator("doc_id", binary_col="img", hamming_threshold=2)
+
+    # warm the Arrow/python-worker path untimed
+    op.candidate_pairs(one).count()
+    t0 = time.perf_counter()
+    c1 = op.candidate_pairs(one).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = op.candidate_pairs(big).count()
+    tN = time.perf_counter() - t0
+    print(f"[imagedup] 1x:  {base} images, {c1} pairs, {t1:.1f}s")
+    print(
+        f"[imagedup] {copies}x: {base * copies} images, {cN} pairs, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x images)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
+def check_incrdedup(spark, copies: int) -> None:
+    """SimHash dedupe_against: a FIXED 100-doc recrawl batch probed
+    against a 1x vs 10x persisted index. File pruning holds the probe
+    to the batch's (chunk, bucket) partitions, so probe wall must grow
+    far slower than the index (the index-vs-recompute win is the whole
+    point of the persisted layout)."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    batch = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    )
+    op = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3)
+    with tempfile.TemporaryDirectory() as tmp:
+        p1, pN = os.path.join(tmp, "i1"), os.path.join(tmp, "iN")
+        op.write_index(one.select("doc_id", "text"), p1)
+        op.write_index(big.select("doc_id", "text"), pN)
+        t0 = time.perf_counter()
+        s1 = op.dedupe_against(batch, p1).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sN = op.dedupe_against(batch, pN).count()
+        tN = time.perf_counter() - t0
+    print(f"[incrdedup] 1x index:  {s1} survivors, {t1:.1f}s")
+    print(
+        f"[incrdedup] {copies}x index: {sN} survivors, {tN:.1f}s "
+        f"(probe time ratio {tN / t1:.1f}x for {copies}x index)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
+def check_corpusshuffle(spark, copies: int) -> None:
+    """CorpusShuffler: one aggregate + bucket-partitioned windows — the
+    distributed prefix-sum must stay ~linear (no global single-task
+    window)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    op = ff.CorpusShuffler("doc_id", tokens_col="n_chars",
+                           tokens_per_shard=200_000)
+
+    t0 = time.perf_counter()
+    c1 = op.transform(one).groupBy("shard_id").count().count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = op.transform(big).groupBy("shard_id").count().count()
+    tN = time.perf_counter() - t0
+    print(f"[corpusshuffle] 1x:  {c1} shards, {t1:.1f}s")
+    print(
+        f"[corpusshuffle] {copies}x: {cN} shards, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
@@ -445,6 +566,9 @@ CHECKS = {
     "warc": check_warc,
     "semdedup": check_semdedup,
     "bigram": check_bigram,
+    "imagedup": check_imagedup,
+    "incrdedup": check_incrdedup,
+    "corpusshuffle": check_corpusshuffle,
 }
 
 

@@ -238,9 +238,24 @@ def test_canonicalizer_rules(spark):
     assert got[1] == "https://www.example.org/A/B?a=1&b=2"
     assert got[2] == "http://example.org"
     assert got[3] == "http://example.org:8080/x"   # non-default port kept
-    assert got[4] == "https://example.org/a"       # ref is tracking
+    # r8 (ADVICE): bare 'ref' is a FUNCTIONAL param on many sites and
+    # is no longer stripped by default...
+    assert got[4] == "https://example.org/a?ref=abc"
     assert got[5] == "https://example.org/a?Z=1&a=2"  # byte-order sort
     assert got[6] is None and got[7] is None
+    # ...but the aggressive list strips it on opt-in
+    from feature_factory_spark.operators.web import (
+        TRACKING_PARAM_RE_AGGRESSIVE,
+        canonical_url_expr,
+    )
+
+    agg = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id",
+        canonical_url_expr(
+            F.col("url"), tracking_re=TRACKING_PARAM_RE_AGGRESSIVE
+        ).alias("c"),
+    ).collect()}
+    assert agg[4] == "https://example.org/a"
 
 
 def test_url_dedup_keeps_one_per_canonical(spark):
