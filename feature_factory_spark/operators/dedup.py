@@ -117,7 +117,12 @@ def _drop_by_policy(
 # (dedupe snapshot N+1 against the accumulated corpus without
 # recomputing it), the IVFCosineTopK.write_index layout precedent.
 
-_INDEX_BUCKETS = 64  # pmod(key) sub-partitioning of each blocking unit
+_INDEX_BUCKETS = 64  # default pmod(key) sub-partitioning per blocking unit
+# (operators take index_buckets=: more buckets = finer probe pruning but
+# more partition dirs/files — at fixture scale the file-creation
+# overhead of units x buckets tiny dirs dominates the write, so tests
+# and the entry member use a small value; at corpus scale the default
+# 64 is cheap and prunes a small probe to ~1/buckets of each unit)
 
 
 def _write_index_meta(spark, path: str, meta: dict, mode: str) -> None:
@@ -215,7 +220,9 @@ class MinHashDeduplicator(Transformer):
         persist_shingles: bool = True,
         policy: str = "greedy",
         bucket_pairing: str = "star",
+        index_buckets: int = _INDEX_BUCKETS,
     ):
+        ensure(index_buckets >= 1, "index_buckets must be >= 1")
         ensure(num_perm % bands == 0, "num_perm must be divisible by bands")
         ensure(0.0 < threshold <= 1.0, "threshold must be in (0,1]")
         ensure(shingle_n >= 1, "shingle_n must be >= 1")
@@ -249,6 +256,7 @@ class MinHashDeduplicator(Transformer):
         # holding B near-identical docs yields B^2/2 pairs, which is
         # the scale-killer under mass duplication.
         self.bucket_pairing = bucket_pairing
+        self.index_buckets = index_buckets
         self._constants = _minhash_constants(num_perm, seed)
 
     def _check_input(self, df: DataFrame) -> None:
@@ -307,6 +315,11 @@ class MinHashDeduplicator(Transformer):
             from pyspark import StorageLevel
 
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        return self._pairs_from_shingled(sh)
+
+    def _pairs_from_shingled(self, sh: DataFrame) -> DataFrame:
+        """Banded blocking + exact Jaccard verification over an
+        (already persisted) shingled frame."""
         bands = self._banded(sh)
         if self.bucket_pairing == "star":
             mins = bands.groupBy("band", "bkey").agg(F.min("id").alias("min_id"))
@@ -345,15 +358,15 @@ class MinHashDeduplicator(Transformer):
             "shingle_n": self.shingle_n,
             "threshold": self.threshold,
             "seed": self.seed,
-            "n_buckets": _INDEX_BUCKETS,
+            "n_buckets": self.index_buckets,
         }
 
     def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
         """Materialize the corpus's dedup index at ``path``:
 
         - ``<path>/bands`` — (id, bkey) PARTITIONED BY (band,
-          bb=pmod(bkey, 64)): a probe scans only the partitions the new
-          batch's band keys map to.
+          bb=pmod(bkey, index_buckets)): a probe scans only the
+          partitions the new batch's band keys map to.
         - ``<path>/shingles`` — (id, sh), the shingle sets exact
           Jaccard verification needs. This is the large half (roughly
           corpus token volume); signature-only verification would
@@ -371,7 +384,7 @@ class MinHashDeduplicator(Transformer):
         self._check_input(df)
         sh = self._shingled(df)
         bands = self._banded(sh).withColumn(
-            "bb", F.pmod(F.col("bkey"), F.lit(_INDEX_BUCKETS))
+            "bb", F.pmod(F.col("bkey"), F.lit(self.index_buckets))
         )
         # repartition on the partition columns first: partitionBy from N
         # shuffle tasks otherwise writes up to N files per partition
@@ -384,24 +397,31 @@ class MinHashDeduplicator(Transformer):
         sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
         _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
 
-    def pairs_against(self, df: DataFrame, path: str) -> DataFrame:
+    def pairs_against(
+        self, df: DataFrame, path: str, _sh: DataFrame | None = None
+    ) -> DataFrame:
         """Verified pairs (a_id = indexed doc, b_id = new doc, jaccard)
         between a new batch and the index at ``path``. The index band
         scan is file-pruned to the new batch's (band, bucket) keys —
         a bounded-collect static filter (at most bands x 64 values), so
-        a small recrawl batch touches a small fraction of the index."""
+        a small recrawl batch touches a small fraction of the index.
+        ``_sh`` lets ``dedupe_against`` pass an already-persisted
+        shingled frame so the batch is shingled once, not per pass."""
         import os
 
         self._check_input(df)
         spark = df.sparkSession
         _check_index_meta(spark, path, self._index_meta())
-        sh_new = self._shingled(df)
-        if self.persist_shingles and not df.isStreaming:
-            from pyspark import StorageLevel
+        if _sh is not None:
+            sh_new = _sh
+        else:
+            sh_new = self._shingled(df)
+            if self.persist_shingles and not df.isStreaming:
+                from pyspark import StorageLevel
 
-            sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+                sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
         bands_new = self._banded(sh_new).withColumn(
-            "bb", F.pmod(F.col("bkey"), F.lit(_INDEX_BUCKETS))
+            "bb", F.pmod(F.col("bkey"), F.lit(self.index_buckets))
         )
         idx_bands = spark.read.parquet(os.path.join(path, "bands")).where(
             _prune_filter(bands_new, "band", "bb")
@@ -447,8 +467,18 @@ class MinHashDeduplicator(Transformer):
         within-batch pass). When ids are monotone across snapshots
         (index ids < new ids — the natural recrawl numbering) and the
         index holds every prior doc, the survivors equal a greedy
-        full-corpus recompute restricted to the new batch."""
-        corpus_dups = self.pairs_against(df, path).select(
+        full-corpus recompute restricted to the new batch.
+
+        The batch is shingled ONCE (persisted) — the prune-key collect,
+        the index probe, and the within-batch pass all read the same
+        frame."""
+        self._check_input(df)
+        sh = self._shingled(df)
+        if self.persist_shingles and not df.isStreaming:
+            from pyspark import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_dups = self.pairs_against(df, path, _sh=sh).select(
             F.col("b_id").alias("dup_id")
         ).distinct()
         out = df.join(
@@ -457,7 +487,7 @@ class MinHashDeduplicator(Transformer):
         )
         if include_self:
             out = _drop_by_policy(
-                out, self.id_col, self.candidate_pairs(df), self.policy
+                out, self.id_col, self._pairs_from_shingled(sh), self.policy
             )
         return out
 
@@ -533,14 +563,17 @@ class SimHashDeduplicator(Transformer):
         hamming_threshold: int = 3,
         hash_fn: str = "xxhash64",
         policy: str = "greedy",
+        index_buckets: int = _INDEX_BUCKETS,
     ):
         ensure(0 <= hamming_threshold <= 63, "hamming_threshold in [0,63]")
+        ensure(index_buckets >= 1, "index_buckets must be >= 1")
         ensure(hash_fn in ("xxhash64", "md5"), "hash_fn must be 'xxhash64' or 'md5'")
         self.text_col = text_col
         self.id_col = id_col
         self.hamming_threshold = hamming_threshold
         self.hash_fn = hash_fn
         self.policy = policy
+        self.index_buckets = index_buckets
         self.n_bits = 64 if hash_fn == "xxhash64" else 60
         # pigeonhole: with t+1 disjoint chunks, two signatures within
         # hamming distance t must agree on at least one chunk — recall is
@@ -645,7 +678,7 @@ class SimHashDeduplicator(Transformer):
                 ).alias("ch"),
             )
             .select("id", "sig", "ch.ci", "ch.cv")
-            .withColumn("cb", F.pmod(F.col("cv"), F.lit(_INDEX_BUCKETS)))
+            .withColumn("cb", F.pmod(F.col("cv"), F.lit(self.index_buckets)))
         )
 
     def _index_meta(self) -> dict:
@@ -654,7 +687,7 @@ class SimHashDeduplicator(Transformer):
             "n_bits": self.n_bits,
             "hamming_threshold": self.hamming_threshold,
             "hash_fn": self.hash_fn,
-            "n_buckets": _INDEX_BUCKETS,
+            "n_buckets": self.index_buckets,
         }
 
     def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
@@ -677,16 +710,22 @@ class SimHashDeduplicator(Transformer):
         ).partitionBy("ci", "cb").parquet(os.path.join(path, "chunks"))
         _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
 
-    def pairs_against(self, df: DataFrame, path: str) -> DataFrame:
+    def pairs_against(
+        self, df: DataFrame, path: str, _sig: DataFrame | None = None
+    ) -> DataFrame:
         """Verified pairs (a_id = indexed doc, b_id = new doc, hamming)
         between a new batch and the index at ``path``; the index scan
-        is file-pruned to the new batch's (chunk, bucket) keys."""
+        is file-pruned to the new batch's (chunk, bucket) keys.
+        ``_sig`` lets ``dedupe_against`` pass an already-persisted
+        signature frame so the batch is signed once, not per pass."""
         import os
 
         self._check_input(df)
         spark = df.sparkSession
         _check_index_meta(spark, path, self._index_meta())
-        new_chunks = self._chunked_sigs(self._sig_frame(df))
+        new_chunks = self._chunked_sigs(
+            self._sig_frame(df) if _sig is None else _sig
+        )
         idx = spark.read.parquet(os.path.join(path, "chunks")).where(
             _prune_filter(new_chunks, "ci", "cb")
         )
@@ -718,8 +757,18 @@ class SimHashDeduplicator(Transformer):
         semantics as :meth:`MinHashDeduplicator.dedupe_against` (the
         corpus is authoritative; within-batch the configured policy
         applies; equals a greedy full-corpus recompute restricted to
-        the batch when ids are monotone across snapshots)."""
-        corpus_dups = self.pairs_against(df, path).select(
+        the batch when ids are monotone across snapshots).
+
+        The batch's signature frame is computed ONCE and persisted —
+        the prune-key collect, the index probe, and the within-batch
+        pass all read it (unpersisted by Spark's ContextCleaner when
+        the result frame is released)."""
+        sig = self._sig_frame(df)
+        if not df.isStreaming:
+            from pyspark import StorageLevel
+
+            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_dups = self.pairs_against(df, path, _sig=sig).select(
             F.col("b_id").alias("dup_id")
         ).distinct()
         out = df.join(
@@ -727,9 +776,10 @@ class SimHashDeduplicator(Transformer):
             how="left_anti",
         )
         if include_self:
-            out = _drop_by_policy(
-                out, self.id_col, self.candidate_pairs(df), self.policy
+            self_pairs = hamming_blocked_pairs(
+                sig, self.n_bits, self.hamming_threshold
             )
+            out = _drop_by_policy(out, self.id_col, self_pairs, self.policy)
         return out
 
 
