@@ -145,6 +145,14 @@ def main() -> int:
                 # this IS the lite protocol's timed window. The full
                 # number above is untouched; lite-vs-lite is the
                 # round-over-round operator-regression gate.
+                #
+                # GC between the two writes, OUTSIDE both timed
+                # windows: the full write's deferred garbage (broadcast
+                # blocks, Arrow buffers) otherwise lands in the lite
+                # window — measured as dedup_pairs lite reading 22-26 s
+                # vs 3 s, the same mechanism as the between-query GC
+                # below.
+                spark.sparkContext._jvm.System.gc()
                 t1 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 dt_lite = time.perf_counter() - t1
