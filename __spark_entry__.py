@@ -80,9 +80,11 @@ the op is a member slice of that family query):
   pigeonhole Hamming blocking over planted gradient-pattern fixtures),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming
-  + incremental_dedup, the r8 persisted-index recrawl member:
-  write_index on the id-lower half, partition-pruned dedupe_against on
-  the upper half, survivors == greedy full-corpus recompute),
+  + incremental_dedup + incremental_exact, the r8 persisted-index
+  recrawl members: write_index on the id-lower half, partition-pruned
+  dedupe_against on the upper half, survivors == greedy full-corpus
+  recompute — the simhash near-dup tier and the exact content-hash
+  tier),
   lang_id (stopword heuristic, hash-pinned, + the 30-language
   char-n-gram model's invariant member), text_clean (stopword-removal
   normalization + html_strip, the HtmlTextExtractor HTML->text chain
@@ -1391,6 +1393,35 @@ SELECT b.doc_id FROM s b
 WHERE b.doc_id >= (SELECT count(*) // 2 FROM documents)
   AND NOT EXISTS (SELECT 1 FROM s a WHERE a.doc_id < b.doc_id
                   AND bit_count(xor(a.sig, b.sig)) <= 3)"""
+
+
+@_reg(
+    "incremental_exact",
+    # ExactDeduplicator's persisted hash index (r8): survivors of the
+    # id-upper half against the lower half's content hashes + a
+    # within-batch exact dedup == "no smaller-id doc anywhere shares
+    # the normalized hash"
+    r"""WITH h AS (SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) hh
+FROM documents)
+SELECT b.doc_id FROM h b
+WHERE b.doc_id >= (SELECT count(*) // 2 FROM documents)
+  AND NOT EXISTS (SELECT 1 FROM h a
+                  WHERE a.doc_id < b.doc_id AND a.hh = b.hh)""",
+)
+def q_incremental_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.count() // 2
+    old = docs.where(F.col("doc_id") < split).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") >= split).select("doc_id", "text")
+    op = ff.ExactDeduplicator(
+        ["text"], "doc_id", normalize=True, index_buckets=8
+    )
+    tmp = tempfile.mkdtemp(prefix="ff_exidx_")
+    _TEMP_STATE_DIRS.append(tmp)
+    path = os.path.join(tmp, "idx")
+    op.write_index(old, path)
+    return op.dedupe_against(new, path).select("doc_id")
 
 
 @_reg("incremental_dedup", _sql_incremental_dedup())
@@ -4470,7 +4501,8 @@ _merge("dedup_pairs_baseline", [
 
 _merge("dedup_ids", [
     (op, ["doc_id"], "doc_id")
-    for op in ("exact_dedup", "streaming_dedup", "incremental_dedup")
+    for op in ("exact_dedup", "streaming_dedup", "incremental_dedup",
+               "incremental_exact")
 ])
 
 _merge("sample_family", [

@@ -61,11 +61,19 @@ class ExactDeduplicator(Transformer):
     optionally normalized values). One shuffle, partitioned by the hash
     key — uniformly distributed, skew-free, AQE-coalescible."""
 
-    def __init__(self, columns: list[str], id_col: str, normalize: bool = False):
+    def __init__(
+        self,
+        columns: list[str],
+        id_col: str,
+        normalize: bool = False,
+        index_buckets: int = 64,
+    ):
         ensure(bool(columns), "at least one content column is required")
+        ensure(index_buckets >= 1, "index_buckets must be >= 1")
         self.columns = list(columns)
         self.id_col = id_col
         self.normalize = normalize
+        self.index_buckets = index_buckets
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, self.columns + [self.id_col])
@@ -86,6 +94,74 @@ class ExactDeduplicator(Transformer):
             .where(F.col("__ff_rn") == 1)
             .drop("__ff_rn")
         )
+
+    # --- persisted corpus index (recrawl workflow, r8) ---------------
+    #
+    # The exact tier of the incremental-dedup story (production
+    # recrawls run exact dedup BEFORE any near-dup pass): the index is
+    # just the corpus's distinct content hashes, partitioned by a pmod
+    # bucket of the hash so a batch probe is a file-pruned semi-join.
+
+    def _index_meta(self) -> dict:
+        return {
+            "kind": "exact",
+            "columns": "|".join(self.columns),
+            "normalize": self.normalize,
+            "n_buckets": self.index_buckets,
+        }
+
+    def _hashed(self, df: DataFrame) -> DataFrame:
+        return df.select(self._key_expr().alias("h")).distinct().withColumn(
+            "hb",
+            F.pmod(
+                F.conv(F.substring("h", 1, 6), 16, 10).cast("bigint"),
+                F.lit(self.index_buckets),
+            ),
+        )
+
+    def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the corpus's distinct content hashes at
+        ``<path>/hashes`` PARTITIONED BY a pmod bucket of the hash
+        (+ the parameter-pinning ``<path>/meta``); ``mode='append'``
+        accumulates snapshots (duplicate hash rows across appends are
+        harmless — probes are semi-joins)."""
+        import os
+
+        self._check_input(df)
+        hashed = self._hashed(df)
+        hashed.repartition(F.col("hb")).write.mode(mode).partitionBy(
+            "hb"
+        ).parquet(os.path.join(path, "hashes"))
+        _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
+
+    def dedupe_against(
+        self, df: DataFrame, path: str, include_self: bool = True
+    ) -> DataFrame:
+        """Drop every row of a new batch whose content hash exists in
+        the index at ``path`` (file-pruned anti-join: only the batch's
+        hash buckets are scanned), then exact-dedupe within the batch
+        (``include_self``). Survivors equal a full-corpus recompute
+        restricted to the batch whenever the index holds every prior
+        doc (hash membership has no id-order subtlety)."""
+        import os
+
+        self._check_input(df)
+        spark = df.sparkSession
+        _check_index_meta(spark, path, self._index_meta())
+        batch = self._hashed(df)
+        # one partition column -> a plain bounded-collect isin is the
+        # whole prune filter (at most _INDEX_BUCKETS values)
+        idx = spark.read.parquet(os.path.join(path, "hashes")).where(
+            F.col("hb").isin(
+                [r["hb"] for r in batch.select("hb").distinct().collect()]
+            )
+        )
+        out = df.join(
+            idx.select(F.col("h").alias("__ff_idx_h")),
+            on=self._key_expr() == F.col("__ff_idx_h"),
+            how="left_anti",
+        )
+        return self._transform(out) if include_self else out
 
 
 def _minhash_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:

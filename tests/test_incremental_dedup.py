@@ -159,3 +159,63 @@ def test_index_scan_is_partition_pruned(spark, tmp_path):
     assert (5, 1000) in {(r["a_id"], r["b_id"]) for r in got}
     scanned = _scanned_files(pairs)
     assert 0 < scanned < n_index_files, (scanned, n_index_files)
+
+
+# --- exact tier (r8): ExactDeduplicator index ------------------------
+
+def test_exact_dedupe_against_matches_full_recompute(old_new, tmp_path):
+    old, new, full = old_new
+    op = ff.ExactDeduplicator(["text"], "doc_id", normalize=True)
+    path = str(tmp_path / "exidx")
+    op.write_index(old, path)
+    incremental = {r["doc_id"]
+                   for r in op.dedupe_against(new, path).collect()}
+    full_survivors = {r["doc_id"] for r in op.transform(full).collect()}
+    assert incremental == full_survivors - set(range(10))
+    # exact duplicates of old docs (10, 11) and the within-batch
+    # duplicate 13 are gone
+    assert {10, 11, 13}.isdisjoint(incremental)
+    assert {12, 14, 15, 16, 17, 18, 19} <= incremental
+
+
+def test_exact_index_append_and_param_pinning(old_new, tmp_path):
+    old, new, _ = old_new
+    op = ff.ExactDeduplicator(["text"], "doc_id", normalize=True)
+    path = str(tmp_path / "exidx2")
+    op.write_index(old, path)
+    survivors = op.dedupe_against(new, path)
+    op.write_index(survivors, path, mode="append")
+    spark = old.sparkSession
+    recrawl = spark.createDataFrame(
+        [(40, [r["text"] for r in new.where("doc_id = 12").collect()][0]),
+         (41, "entirely new exact content never seen before")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"] for r in op.dedupe_against(recrawl, path).collect()}
+    assert out == {41}
+    # normalize mismatch fails loudly
+    with pytest.raises(Exception, match="normalize"):
+        ff.ExactDeduplicator(["text"], "doc_id").dedupe_against(
+            recrawl, path
+        ).collect()
+
+
+def test_exact_index_scan_is_pruned(spark, tmp_path):
+    rows = [(i, f"exact unique content number {i}") for i in range(3000)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    op = ff.ExactDeduplicator(["text"], "doc_id")
+    path = str(tmp_path / "exbig")
+    op.write_index(corpus, path)
+    import glob
+    import os
+
+    n_files = len(glob.glob(os.path.join(path, "hashes", "**", "*.parquet"),
+                            recursive=True))
+    probe = spark.createDataFrame(
+        [(9000, rows[7][1]), (9001, "novel probe content")],
+        "doc_id bigint, text string",
+    )
+    out = op.dedupe_against(probe, path)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {9001}
+    assert 0 < _scanned_files(out) < n_files
