@@ -2924,6 +2924,75 @@ def q_video_probe(spark, sf_dir):
 
 
 @_reg(
+    "pdf_probe",
+    # REAL PDF structure probing (r8, operators/pdfcodec.py): each doc
+    # gets a deterministic minimal PDF (make_pdf — catalog + page tree
+    # + pages + byte-correct xref) whose page count / version /
+    # encryption flag derive from doc_id; every third doc is TRUNCATED
+    # (the trailing 30 bytes cut) so has_eof exercises both branches
+    # while the object/page counts survive.
+    """WITH m AS (SELECT doc_id,
+  CAST(doc_id % 9 + 1 AS DOUBLE) np,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS DOUBLE) enc,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS DOUBLE) eof,
+  CASE doc_id % 2 WHEN 0 THEN '1.4' ELSE '1.7' END AS ver
+FROM documents)
+SELECT doc_id, 'p_pages' AS feat, np AS v FROM m
+UNION ALL SELECT doc_id, 'p_declared', np FROM m
+UNION ALL SELECT doc_id, 'p_objects', np + 2 FROM m
+UNION ALL SELECT doc_id, 'p_encrypted', enc FROM m
+UNION ALL SELECT doc_id, 'p_has_eof', eof FROM m
+UNION ALL SELECT doc_id, 'p_has_xref', 1.0 FROM m
+UNION ALL SELECT doc_id, 'p_version_ok', CAST(ver = ver AS DOUBLE) FROM m
+UNION ALL SELECT doc_id, 'p_is_pdf', 1.0 FROM m""",
+)
+def q_pdf_probe(spark, sf_dir):
+    from feature_factory_spark.operators.pdfcodec import (
+        pdf_decoder,
+        pdf_schema,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from feature_factory_spark.operators.pdfcodec import make_pdf
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = make_pdf(
+                    i % 9 + 1,
+                    version="1.4" if i % 2 == 0 else "1.7",
+                    encrypted=i % 4 == 0,
+                )
+                if i % 3 == 0:
+                    b = b[:-30]  # truncated download
+                payloads.append(b)
+            pdf["doc"] = payloads
+            yield pdf
+
+    with_pdf = docs.mapInPandas(synth, "doc_id bigint, doc binary")
+    feats = ff.BinaryFeatureExtractor(
+        "doc", decoder=pdf_decoder, feature_schema=pdf_schema()
+    ).transform(with_pdf)
+    return feats.selectExpr(
+        "doc_id",
+        "stack(8, "
+        "'p_pages', cast(doc_n_pages AS double), "
+        "'p_declared', cast(doc_declared_pages AS double), "
+        "'p_objects', cast(doc_n_objects AS double), "
+        "'p_encrypted', cast(doc_encrypted AS double), "
+        "'p_has_eof', cast(doc_has_eof AS double), "
+        "'p_has_xref', cast(doc_has_xref AS double), "
+        "'p_version_ok', cast(doc_version = (CASE WHEN doc_id % 2 = 0 "
+        "THEN '1.4' ELSE '1.7' END) AS double), "
+        "'p_is_pdf', cast(doc_format = 'pdf' AS double)"
+        ") AS (feat, v)",
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -4595,6 +4664,9 @@ _merge("multimodal_family", [
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
     ("video_probe",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
+    ("pdf_probe",
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
 ])

@@ -101,6 +101,7 @@ from .videocodec import (
     synth_mp4,
     video_schema,
 )
+from .pdfcodec import make_pdf, pdf_decoder, pdf_schema, probe_pdf
 from .imagecodec import (
     decode_image,
     encode_png,
@@ -178,6 +179,7 @@ __all__ = [
     "pillow_decoder", "solid_png",
     "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",
     "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",
+    "make_pdf", "pdf_decoder", "pdf_schema", "probe_pdf",
     "CorpusShuffler", "DocumentChunker", "HashSampler", "HashSplitter",
     "SequencePacker",
     "SourceMixer", "WeightedSampler",

@@ -141,8 +141,9 @@ def read_media(
     ``media='image'`` (PNG/BMP/PPM: dims, channels, mean/std/entropy),
     ``'audio'`` (WAV PCM: channels, rate, duration, RMS, peak, zcr), or
     ``'video'`` (MP4/MOV container probe: brand, duration, dims, track
-    shape, codecs). Undecodable files get NULL features, not task
-    failures. Pass ``pathGlobFilter='*.png'`` (etc.) through options to
+    shape, codecs), or ``'pdf'`` (document-structure probe: version,
+    page/object counts, encryption, truncation). Undecodable files get
+    NULL features, not task failures. Pass ``pathGlobFilter='*.png'`` (etc.) through options to
     select one media type from a mixed directory.
 
     The decode is a narrow Arrow-batched map over the scan — the plan
@@ -150,12 +151,14 @@ def read_media(
     from ..operators.audiocodec import audio_schema, wav_decoder
     from ..operators.imagecodec import image_decoder, image_schema
     from ..operators.multimodal import BinaryFeatureExtractor
+    from ..operators.pdfcodec import pdf_decoder, pdf_schema
     from ..operators.videocodec import mp4_decoder, video_schema
 
     table = {
         "image": (image_decoder, image_schema),
         "audio": (wav_decoder, audio_schema),
         "video": (mp4_decoder, video_schema),
+        "pdf": (pdf_decoder, pdf_schema),
     }
     if media not in table:
         raise UnsupportedFormatError(

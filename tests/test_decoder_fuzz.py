@@ -10,13 +10,14 @@ from hypothesis import strategies as st
 
 from feature_factory_spark.operators.audiocodec import audio_decoder, wav_decoder
 from feature_factory_spark.operators.imagecodec import image_decoder
+from feature_factory_spark.operators.pdfcodec import pdf_decoder
 from feature_factory_spark.operators.videocodec import mp4_decoder
 
 MAGICS = [
     b"", b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"P6", b"\xff\xd8\xff",
     b"GIF89a", b"GIF87a", b"RIFF", b"RIFF\x00\x00\x00\x00WEBP",
     b"RIFF\x00\x00\x00\x00WAVE", b"fLaC", b"ID3", b"\xff\xfb",
-    b"\x00\x00\x00\x18ftyp",
+    b"\x00\x00\x00\x18ftyp", b"%PDF-", b"%PDF-1.4\n",
 ]
 
 
@@ -28,7 +29,8 @@ MAGICS = [
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_lenient_seams_never_raise(prefix, body):
     payload = prefix + body
-    for seam in (image_decoder, audio_decoder, wav_decoder, mp4_decoder):
+    for seam in (image_decoder, audio_decoder, wav_decoder, mp4_decoder,
+                 pdf_decoder):
         out = seam(payload)
         assert isinstance(out, dict)
 
@@ -49,7 +51,10 @@ def test_truncations_of_valid_payloads_never_raise(seed, n):
         constant_wav(50, float(r.rand())),
         make_mp3(3, id3_size=int(r.randint(0, 200))),
     ]
+    from feature_factory_spark.operators.pdfcodec import make_pdf
+
+    artifacts.append(make_pdf(int(r.randint(1, 9))))
     for a in artifacts:
         cut = a[: min(n, len(a))]
-        for seam in (image_decoder, audio_decoder):
+        for seam in (image_decoder, audio_decoder, pdf_decoder):
             assert isinstance(seam(cut), dict)
