@@ -2371,6 +2371,96 @@ def q_c4_clean(spark, sf_dir):
     )
 
 
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression: quotes escaped,
+    newlines as chr(10) concatenation."""
+    parts = []
+    for piece in s.split("\n"):
+        parts.append("'" + piece.replace("'", "''") + "'")
+    return "||chr(10)||".join(parts)
+
+
+def _sql_md_chain(col: str) -> str:
+    """DuckDB twin of MarkdownTextExtractor.text_expr, GENERATED from
+    the same MD_RULES table ($n group refs -> RE2's \\n) — the two
+    engines cannot drift."""
+    from feature_factory_spark.operators.web import MD_RULES
+
+    x = col
+    for pat, rep in MD_RULES:
+        p = pat.replace("'", "''")
+        if rep == "\n":
+            x = f"regexp_replace({x}, '{p}', chr(10), 'g')"
+        else:
+            r = rep.replace("$1", r"\1")
+            x = f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    return f"trim({x})"
+
+
+# deterministic markdown page skeleton wrapped around documents.text:
+# headers, links, images, a fenced block, quotes, list markers
+# (incl. a numbered one), a table, emphasis, inline code, and an hr —
+# every MD_RULES branch exercised on every row
+_MD_PRE = "# Title "
+_MD_MID = (
+    "\n\nIntro with a [link](https://example.org/p?id="
+)
+_MD_MID2 = (
+    ") and ![pic alt](img.png) inline.\n\n```\ncode block\nline two\n```"
+    "\n\n> quoted wisdom\n> second line\n\n- item one\n- item *two*\n"
+    "12. third item\n\n| a | b |\n|---|---|\n| 1 | 2 |\n\n"
+)
+_MD_POST = "\n\n---\n\nEnd **strong** text and `inline code` here."
+
+
+@_reg(
+    "md_strip",
+    # MarkdownTextExtractor (r8): markdown -> text over synthesized
+    # pages, the extraction chain + all four boilerplate metrics
+    # recomputed end-to-end by the generated twin (_sql_md_chain)
+    f"""WITH m AS (SELECT doc_id,
+  {_sql_str(_MD_PRE)} || CAST(doc_id AS VARCHAR) || {_sql_str(_MD_MID)}
+  || CAST(doc_id AS VARCHAR) || {_sql_str(_MD_MID2)} || text
+  || {_sql_str(_MD_POST)} AS page
+FROM documents),
+x AS (SELECT doc_id, page, {_sql_md_chain('page')} AS t FROM m)
+SELECT doc_id, t || '|'
+  || CAST(len(regexp_extract_all(page, '(?s)```.*?```')) AS VARCHAR) || '|'
+  || CAST(len(regexp_extract_all(page, '\\[[^\\]]*\\]\\([^)]*\\)'))
+     - len(regexp_extract_all(page, '!\\[[^\\]]*\\]\\([^)]*\\)')) AS VARCHAR) || '|'
+  || CAST(len(regexp_extract_all(page, '!\\[[^\\]]*\\]\\([^)]*\\)')) AS VARCHAR) || '|'
+  || CAST(CAST(floor(len(t)::DOUBLE / len(page) * 1000000) AS BIGINT) AS VARCHAR)
+  AS val
+FROM x""",
+)
+def q_md_strip(spark, sf_dir):
+    """MarkdownTextExtractor (operators/web.py): markdown -> text over
+    deterministically synthesized pages (headers, links, images, fenced
+    code, quotes, lists, tables, emphasis around each document's text);
+    extraction + code-block/link/image counts + length ratio all
+    recomputed by the DuckDB twin generated from the SAME rule table."""
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_MD_PRE), F.col("doc_id").cast("string"),
+        F.lit(_MD_MID), F.col("doc_id").cast("string"),
+        F.lit(_MD_MID2), F.col("text"), F.lit(_MD_POST),
+    )
+    out = ff.MarkdownTextExtractor(["page"]).transform(
+        docs.select("doc_id", page.alias("page"))
+    )
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.col("page_md_text"), F.lit("|"),
+            F.col("page_code_blocks").cast("string"), F.lit("|"),
+            F.col("page_link_count").cast("string"), F.lit("|"),
+            F.col("page_image_count").cast("string"), F.lit("|"),
+            F.floor(F.col("page_text_ratio") * 1_000_000)
+            .cast("bigint").cast("string"),
+        ).alias("val"),
+    )
+
+
 @_reg(
     "html_strip",
     r"""WITH h AS (SELECT doc_id,
@@ -4605,6 +4695,7 @@ _merge("text_clean", [
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
     ("c4_clean", ["doc_id", "val"], "doc_id, val"),
+    ("md_strip", ["doc_id", "val"], "doc_id, val"),
 ])
 
 # language identification: the SQL-twin stopword heuristic (per-doc

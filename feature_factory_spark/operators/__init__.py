@@ -51,7 +51,8 @@ from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .bpe import BpeVocabBuilder
 from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
-    HtmlTextExtractor, UrlCanonicalizer, UrlDeduplicator,
+    HtmlTextExtractor, MarkdownTextExtractor, UrlCanonicalizer,
+    UrlDeduplicator,
 )
 from .text import (
     ContaminationChecker,
@@ -170,7 +171,8 @@ __all__ = [
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
-    "HtmlTextExtractor", "UrlCanonicalizer", "UrlDeduplicator",
+    "HtmlTextExtractor", "MarkdownTextExtractor", "UrlCanonicalizer",
+    "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "ImageDeduplicator", "ImageHasher", "dhash_bits", "pattern_png",

@@ -521,3 +521,105 @@ class HtmlTextExtractor(Transformer):
                 )
             )
         return out
+
+
+# Markdown -> text rules, applied IN ORDER. Each entry is
+# (pattern, replacement) with Java-style $1 group references; the
+# DuckDB oracle twin is GENERATED from this same table (with $n
+# translated to RE2's \n), so the two engines cannot drift. Patterns
+# use only syntax Java regex and RE2 agree on: embedded (?s)/(?m)
+# flags, non-greedy quantifiers, character classes — no lookbehind.
+MD_RULES: list[tuple[str, str]] = [
+    # fenced code blocks are code, not prose
+    (r"(?s)```.*?```", " "),
+    # images keep their alt text; links keep their anchor text
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),
+    (r"\[([^\]]*)\]\[[^\]]*\]", "$1"),
+    # inline code keeps its content
+    (r"`+([^`\n]*)`+", "$1"),
+    # ATX headers, setext underlines / horizontal rules
+    (r"(?m)^[ \t]{0,3}#{1,6}[ \t]+", ""),
+    (r"(?m)^[ \t]{0,3}(={3,}|-{3,}|\*{3,}|_{3,})[ \t]*$", ""),
+    # blockquote markers (nested) and list markers
+    (r"(?m)^[ \t]*(>[ \t]?)+", ""),
+    (r"(?m)^[ \t]*([-*+]|[0-9]{1,3}[.)])[ \t]+", ""),
+    # emphasis/table syntax: strip remaining asterisks, backticks and
+    # pipes (underscores survive — snake_case identifiers are content)
+    (r"[*`|]+", " "),
+    # whitespace normalization (explicit classes — Java \s and RE2 \s
+    # disagree on vertical tab, the HtmlTextExtractor rule)
+    (r"[ \t\r\f]+", " "),
+    (r"[ \t\r\f]*\n[ \t\r\f]*", "\n"),
+    (r"\n{2,}", "\n"),
+]
+
+# metric patterns, counted on the RAW markdown (before any stripping)
+MD_IMAGE_RE = r"!\[[^\]]*\]\([^)]*\)"
+MD_LINK_RE = r"\[[^\]]*\]\([^)]*\)"   # matches inside images too: subtract
+MD_FENCE_RE = r"(?s)```.*?```"
+
+
+class MarkdownTextExtractor(Transformer):
+    """Markdown -> text extraction — the README/docs/forum-dump twin of
+    :class:`HtmlTextExtractor` (GitHub, StackExchange, and wiki dumps
+    arrive as Markdown; the curation chain needs prose, not syntax).
+
+    Appends per column:
+
+    - ``{c}_md_text``      extracted prose: fenced code blocks removed,
+      image/link syntax reduced to alt/anchor text, inline-code
+      markers, headers, blockquote/list markers, emphasis asterisks,
+      backticks and table pipes stripped, whitespace collapsed
+      (``MD_RULES``, applied in order)
+    - ``{c}_code_blocks``  fenced-block count in the raw markdown
+    - ``{c}_link_count``   link count (images excluded)
+    - ``{c}_image_count``  image count
+    - ``{c}_text_ratio``   extracted-to-raw length ratio (0 for empty)
+
+    Stateless pure-JVM regexp chain, one narrow projection, no UDF —
+    and because the rule table drives BOTH engines, the DuckDB oracle
+    recomputes the extraction end-to-end (the EncodingFixer generated-
+    table pattern)."""
+
+    def __init__(self, columns: list[str]):
+        ensure(bool(columns), "at least one markdown column is required")
+        self.columns = list(columns)
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    @staticmethod
+    def text_expr(md: Column) -> Column:
+        """The extraction chain as a composable expression."""
+        x = md
+        for pat, rep in MD_RULES:
+            x = F.regexp_replace(x, pat, rep)
+        return F.trim(x)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c in self.columns:
+            raw = F.col(c)
+            n_img = F.regexp_count(raw, F.lit(MD_IMAGE_RE))
+            out = (
+                out.withColumn(f"{c}_md_text", self.text_expr(raw))
+                .withColumn(
+                    f"{c}_code_blocks",
+                    F.regexp_count(raw, F.lit(MD_FENCE_RE)),
+                )
+                .withColumn(
+                    f"{c}_link_count",
+                    F.regexp_count(raw, F.lit(MD_LINK_RE)) - n_img,
+                )
+                .withColumn(f"{c}_image_count", n_img)
+                .withColumn(
+                    f"{c}_text_ratio",
+                    F.when(
+                        F.length(raw) > 0,
+                        F.length(F.col(f"{c}_md_text")).cast("double")
+                        / F.length(raw).cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                )
+            )
+        return out

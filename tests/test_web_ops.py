@@ -299,3 +299,50 @@ def test_canonicalizer_is_narrow(spark):
     plan = (ff.UrlCanonicalizer(["url"]).transform(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# --- MarkdownTextExtractor (r8) --------------------------------------
+
+def test_markdown_extractor_rules(spark):
+    md = "\n".join([
+        "# Big Title",
+        "",
+        "Intro with a [link](https://x.org/a) and ![alt words](i.png).",
+        "",
+        "```",
+        "code must vanish",
+        "```",
+        "",
+        "> quoted line",
+        "",
+        "- item one",
+        "- item *two*",
+        "3. third",
+        "",
+        "| a | b |",
+        "|---|---|",
+        "",
+        "snake_case stays. **strong** and `inline kept`.",
+    ])
+    df = spark.createDataFrame([(1, md), (2, None), (3, "")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           ff.MarkdownTextExtractor(["text"]).transform(df).collect()}
+    t = out[1]["text_md_text"]
+    assert "code must vanish" not in t
+    assert "Big Title" in t and "#" not in t
+    assert "link" in t and "https://x.org" not in t
+    assert "alt words" in t and "i.png" not in t
+    assert "inline kept" in t and "`" not in t
+    assert "snake_case stays" in t and "*" not in t and "|" not in t
+    assert "quoted line" in t and ">" not in t
+    assert out[1]["text_code_blocks"] == 1
+    assert out[1]["text_link_count"] == 1
+    assert out[1]["text_image_count"] == 1
+    assert 0.0 < out[1]["text_text_ratio"] < 1.0
+    assert out[2]["text_md_text"] is None
+    assert out[3]["text_md_text"] == "" and out[3]["text_text_ratio"] == 0.0
+    # narrow plan
+    plan = (ff.MarkdownTextExtractor(["text"]).transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
