@@ -614,7 +614,133 @@ def hamming_blocked_pairs(
     return cand.where(F.col("hamming") <= F.lit(hamming_threshold))
 
 
-class SimHashDeduplicator(Transformer):
+class HammingIndexMixin:
+    """Persisted-index (recrawl) machinery shared by every operator
+    whose signature is a single 64/60-bit integer compared by Hamming
+    distance — SimHashDeduplicator (text) and ImageDeduplicator
+    (perceptual hashes). The host class provides ``_sig_frame(df) ->
+    (id, sig)``, ``_index_meta()``, ``_check_input``, and the
+    ``n_bits`` / ``n_chunks`` / ``hamming_threshold`` /
+    ``index_buckets`` / ``id_col`` / ``policy`` attributes."""
+
+    def _chunked_sigs(self, sig: DataFrame) -> DataFrame:
+        """(id, sig, ci, cv, cb): one row per signature chunk, with the
+        pmod bucket column the index partitions on."""
+        width = self.n_bits // self.n_chunks
+        return (
+            sig.select(
+                "id",
+                "sig",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("ci"),
+                            F.shiftrightunsigned("sig", width * i)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("cv"),
+                        )
+                        for i in range(self.n_chunks)
+                    ])
+                ).alias("ch"),
+            )
+            .select("id", "sig", "ch.ci", "ch.cv")
+            .withColumn("cb", F.pmod(F.col("cv"), F.lit(self.index_buckets)))
+        )
+
+    def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the corpus's signature index at ``path``:
+        ``<path>/chunks`` — (id, sig, cv) PARTITIONED BY (ci,
+        cb=pmod(cv, index_buckets)) — plus the parameter-pinning
+        ``<path>/meta``. The full signature rides along on every chunk
+        row (8 bytes), so a probe verifies Hamming distance without any
+        second table — unlike the MinHash index there is no heavy
+        verification side. ``mode='append'`` accumulates snapshots."""
+        import os
+
+        self._check_input(df)
+        chunks = self._chunked_sigs(self._sig_frame(df))
+        # see MinHashDeduplicator.write_index: pre-shuffle on the
+        # partition columns so each (ci, cb) dir gets ~1 file per
+        # holding task instead of one per upstream task
+        chunks.repartition(F.col("ci"), F.col("cb")).write.mode(
+            mode
+        ).partitionBy("ci", "cb").parquet(os.path.join(path, "chunks"))
+        _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
+
+    def pairs_against(
+        self, df: DataFrame, path: str, _sig: DataFrame | None = None
+    ) -> DataFrame:
+        """Verified pairs (a_id = indexed doc, b_id = new doc, hamming)
+        between a new batch and the index at ``path``; the index scan
+        is file-pruned to the new batch's (chunk, bucket) keys.
+        ``_sig`` lets ``dedupe_against`` pass an already-persisted
+        signature frame so the batch is signed once, not per pass."""
+        import os
+
+        self._check_input(df)
+        spark = df.sparkSession
+        _check_index_meta(spark, path, self._index_meta())
+        new_chunks = self._chunked_sigs(
+            self._sig_frame(df) if _sig is None else _sig
+        )
+        idx = spark.read.parquet(os.path.join(path, "chunks")).where(
+            _prune_filter(new_chunks, "ci", "cb")
+        )
+        cand = (
+            idx.alias("a")
+            .join(
+                new_chunks.alias("b"),
+                on=[
+                    F.col("a.ci") == F.col("b.ci"),
+                    F.col("a.cv") == F.col("b.cv"),
+                    F.col("a.id") != F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.bit_count(
+                    F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+                ).alias("hamming"),
+            )
+            .distinct()
+        )
+        return cand.where(F.col("hamming") <= F.lit(self.hamming_threshold))
+
+    def dedupe_against(
+        self, df: DataFrame, path: str, include_self: bool = True
+    ) -> DataFrame:
+        """Dedupe a new batch against the persisted index — same
+        semantics as :meth:`MinHashDeduplicator.dedupe_against` (the
+        corpus is authoritative; within-batch the configured policy
+        applies; equals a greedy full-corpus recompute restricted to
+        the batch when ids are monotone across snapshots).
+
+        The batch's signature frame is computed ONCE and persisted —
+        the prune-key collect, the index probe, and the within-batch
+        pass all read it (unpersisted by Spark's ContextCleaner when
+        the result frame is released)."""
+        sig = self._sig_frame(df)
+        if not df.isStreaming:
+            from pyspark import StorageLevel
+
+            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_dups = self.pairs_against(df, path, _sig=sig).select(
+            F.col("b_id").alias("dup_id")
+        ).distinct()
+        out = df.join(
+            corpus_dups, on=df[self.id_col] == corpus_dups["dup_id"],
+            how="left_anti",
+        )
+        if include_self:
+            self_pairs = hamming_blocked_pairs(
+                sig, self.n_bits, self.hamming_threshold
+            )
+            out = _drop_by_policy(out, self.id_col, self_pairs, self.policy)
+        return out
+
+
+class SimHashDeduplicator(HammingIndexMixin, Transformer):
     """Near-duplicate removal via SimHash + chunk blocking.
 
     simhash bit k = sign of sum over word hashes h of (2*bit_k(h) - 1).
@@ -731,32 +857,6 @@ class SimHashDeduplicator(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
 
-    # --- persisted corpus index (recrawl workflow, r8) ---------------
-
-    def _chunked_sigs(self, sig: DataFrame) -> DataFrame:
-        """(id, sig, ci, cv, cb): one row per signature chunk, with the
-        pmod bucket column the index partitions on."""
-        width = self.n_bits // self.n_chunks
-        return (
-            sig.select(
-                "id",
-                "sig",
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(i).alias("ci"),
-                            F.shiftrightunsigned("sig", width * i)
-                            .bitwiseAND(F.lit((1 << width) - 1))
-                            .alias("cv"),
-                        )
-                        for i in range(self.n_chunks)
-                    ])
-                ).alias("ch"),
-            )
-            .select("id", "sig", "ch.ci", "ch.cv")
-            .withColumn("cb", F.pmod(F.col("cv"), F.lit(self.index_buckets)))
-        )
-
     def _index_meta(self) -> dict:
         return {
             "kind": "simhash",
@@ -765,99 +865,6 @@ class SimHashDeduplicator(Transformer):
             "hash_fn": self.hash_fn,
             "n_buckets": self.index_buckets,
         }
-
-    def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
-        """Materialize the corpus's simhash index at ``path``:
-        ``<path>/chunks`` — (id, sig, cv) PARTITIONED BY (ci,
-        cb=pmod(cv, 64)) — plus the parameter-pinning ``<path>/meta``.
-        The full signature rides along on every chunk row (8 bytes), so
-        a probe verifies hamming distance without any second table —
-        unlike the MinHash index there is no heavy verification side.
-        ``mode='append'`` accumulates snapshots."""
-        import os
-
-        self._check_input(df)
-        chunks = self._chunked_sigs(self._sig_frame(df))
-        # see MinHashDeduplicator.write_index: pre-shuffle on the
-        # partition columns so each (ci, cb) dir gets ~1 file per
-        # holding task instead of one per upstream task
-        chunks.repartition(F.col("ci"), F.col("cb")).write.mode(
-            mode
-        ).partitionBy("ci", "cb").parquet(os.path.join(path, "chunks"))
-        _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
-
-    def pairs_against(
-        self, df: DataFrame, path: str, _sig: DataFrame | None = None
-    ) -> DataFrame:
-        """Verified pairs (a_id = indexed doc, b_id = new doc, hamming)
-        between a new batch and the index at ``path``; the index scan
-        is file-pruned to the new batch's (chunk, bucket) keys.
-        ``_sig`` lets ``dedupe_against`` pass an already-persisted
-        signature frame so the batch is signed once, not per pass."""
-        import os
-
-        self._check_input(df)
-        spark = df.sparkSession
-        _check_index_meta(spark, path, self._index_meta())
-        new_chunks = self._chunked_sigs(
-            self._sig_frame(df) if _sig is None else _sig
-        )
-        idx = spark.read.parquet(os.path.join(path, "chunks")).where(
-            _prune_filter(new_chunks, "ci", "cb")
-        )
-        cand = (
-            idx.alias("a")
-            .join(
-                new_chunks.alias("b"),
-                on=[
-                    F.col("a.ci") == F.col("b.ci"),
-                    F.col("a.cv") == F.col("b.cv"),
-                    F.col("a.id") != F.col("b.id"),
-                ],
-            )
-            .select(
-                F.col("a.id").alias("a_id"),
-                F.col("b.id").alias("b_id"),
-                F.bit_count(
-                    F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-                ).alias("hamming"),
-            )
-            .distinct()
-        )
-        return cand.where(F.col("hamming") <= F.lit(self.hamming_threshold))
-
-    def dedupe_against(
-        self, df: DataFrame, path: str, include_self: bool = True
-    ) -> DataFrame:
-        """Dedupe a new batch against the persisted index — same
-        semantics as :meth:`MinHashDeduplicator.dedupe_against` (the
-        corpus is authoritative; within-batch the configured policy
-        applies; equals a greedy full-corpus recompute restricted to
-        the batch when ids are monotone across snapshots).
-
-        The batch's signature frame is computed ONCE and persisted —
-        the prune-key collect, the index probe, and the within-batch
-        pass all read it (unpersisted by Spark's ContextCleaner when
-        the result frame is released)."""
-        sig = self._sig_frame(df)
-        if not df.isStreaming:
-            from pyspark import StorageLevel
-
-            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-        corpus_dups = self.pairs_against(df, path, _sig=sig).select(
-            F.col("b_id").alias("dup_id")
-        ).distinct()
-        out = df.join(
-            corpus_dups, on=df[self.id_col] == corpus_dups["dup_id"],
-            how="left_anti",
-        )
-        if include_self:
-            self_pairs = hamming_blocked_pairs(
-                sig, self.n_bits, self.hamming_threshold
-            )
-            out = _drop_by_policy(out, self.id_col, self_pairs, self.policy)
-        return out
-
 
 class NGramJaccardDeduplicator(Transformer):
     """Exact n-gram-shingle Jaccard dedup.

@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns
-from .dedup import _drop_by_policy, hamming_blocked_pairs
+from .dedup import HammingIndexMixin, _drop_by_policy, hamming_blocked_pairs
 
 # ITU-R BT.601 luma weights — the standard RGB->gray reduction every
 # perceptual-hash implementation documents
@@ -263,11 +263,17 @@ class ImageHasher(Transformer):
         return df.mapInPandas(hash_batches, schema=out_schema)
 
 
-class ImageDeduplicator(Transformer):
+class ImageDeduplicator(HammingIndexMixin, Transformer):
     """Near-duplicate image removal: perceptual hash + pigeonhole
     Hamming blocking + exact ``bit_count(XOR)`` verification — the
     image twin of SimHashDeduplicator, sharing its candidate machinery
     (dedup.hamming_blocked_pairs) and drop policies.
+
+    The recrawl surface comes with it (``HammingIndexMixin``):
+    ``write_index(df, path)`` persists the corpus's hash chunks
+    partitioned by (chunk, bucket); ``dedupe_against(new_df, path)``
+    dedups an image snapshot against the accumulated corpus with a
+    file-pruned probe — hash once, dedupe every snapshot.
 
     ``hash_col=None`` (default) decodes+hashes ``binary_col`` with
     :class:`ImageHasher` (``method``/``hash_size``/``decoder``);
@@ -293,6 +299,7 @@ class ImageDeduplicator(Transformer):
         hash_size: int = 8,
         decoder: Callable[[bytes], np.ndarray | None] | None = None,
         policy: str = "greedy",
+        index_buckets: int = 64,
     ):
         ensure(
             (binary_col is None) != (hash_col is None),
@@ -303,14 +310,30 @@ class ImageDeduplicator(Transformer):
             "hamming_threshold in [0,63]",
         )
         ensure(method in _HASHERS, f"method must be one of {sorted(_HASHERS)}")
+        ensure(index_buckets >= 1, "index_buckets must be >= 1")
         self.id_col = id_col
         self.binary_col = binary_col
         self.hash_col = hash_col
         self.hamming_threshold = hamming_threshold
+        self.n_chunks = hamming_threshold + 1
         self.method = method
         self.hash_size = hash_size
         self.decoder = decoder
         self.policy = policy
+        self.index_buckets = index_buckets
+
+    @property
+    def n_bits(self) -> int:
+        return self.N_BITS
+
+    def _index_meta(self) -> dict:
+        return {
+            "kind": "imagehash",
+            "method": self.method,
+            "hash_size": self.hash_size,
+            "hamming_threshold": self.hamming_threshold,
+            "n_buckets": self.index_buckets,
+        }
 
     def _check_input(self, df: DataFrame) -> None:
         cols = [self.id_col]

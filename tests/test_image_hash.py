@@ -180,3 +180,33 @@ def test_image_dedup_param_validation():
         ff.ImageDeduplicator("id", binary_col="b", hash_col="h")  # both
     with pytest.raises(Exception):
         ff.ImageHasher("img", methods=["nope"])
+
+
+def test_image_incremental_index(spark, tmp_path):
+    # images get the same recrawl surface as text (HammingIndexMixin):
+    # index the old snapshot's hashes, dedupe a new snapshot against it
+    old = spark.createDataFrame(planted_rows(8), "doc_id bigint, img binary")
+    # new snapshot: 100+101 re-encode old images 0 and 5 (same pattern
+    # -> hamming 0), 102 is a fresh group's image
+    new = spark.createDataFrame(
+        [(100, pattern_png(group_patterns(0)[0])),
+         (101, pattern_png(group_patterns(1)[1])),
+         (102, pattern_png(group_patterns(50)[0]))],
+        "doc_id bigint, img binary",
+    )
+    op = ff.ImageDeduplicator("doc_id", binary_col="img",
+                              hamming_threshold=2, index_buckets=4)
+    path = str(tmp_path / "imgidx")
+    op.write_index(old, path)
+    survivors = {r["doc_id"]
+                 for r in op.dedupe_against(new, path).collect()}
+    assert survivors == {102}
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in op.pairs_against(new, path).collect()}
+    assert pairs[(0, 100)] == 0 and pairs[(5, 101)] == 0
+    # param pinning across kinds: a simhash op cannot probe an image index
+    with pytest.raises(Exception, match="kind"):
+        ff.SimHashDeduplicator("t", "doc_id").pairs_against(
+            spark.createDataFrame([(1, "x")], "doc_id bigint, t string"),
+            path,
+        ).collect()
