@@ -640,3 +640,38 @@ def test_r7_curation_ops_stream(spark, tmp_path):
     assert got == want
     assert got[1][0] == "https://example.org/p1?a=1"
     assert got[0][2] is False and got[1][2] is True
+
+
+def test_r8_markdown_extractor_stream(spark, tmp_path):
+    # MarkdownTextExtractor is a stateless regexp chain: stream == batch
+    import feature_factory_spark as ff
+
+    rows = [
+        (i,
+         f"# Doc {i}\n\nA [link](https://x.org/{i}) and "
+         f"![img](p{i}.png).\n\n```\ncode {i}\n```\n\n- item\n\n"
+         f"Body text number {i} with *emphasis* here.")
+        for i in range(12)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id bigint, md string")
+    src = str(tmp_path / "r8md_src")
+    batch.write.parquet(src)
+    stream = read_stream(spark, src, batch.schema)
+
+    def extract(df):
+        return ff.MarkdownTextExtractor(["md"]).transform(df).select(
+            "doc_id", "md_md_text", "md_code_blocks", "md_link_count",
+            "md_image_count",
+        )
+
+    q = (
+        extract(stream).writeStream.format("memory")
+        .queryName("r8md")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM r8md").collect()}
+    want = {tuple(r) for r in extract(batch).collect()}
+    assert got == want and len(got) == 12
