@@ -77,7 +77,10 @@ the op is a member slice of that family query):
   — LLM extensions (families): dedup_pairs (minhash + simhash +
   semantic_dedup, the SemDeDup cluster-bucketed member, + image_dedup,
   the r8 perceptual-hash near-dup member: real PNG decode -> dHash ->
-  pigeonhole Hamming blocking over planted gradient-pattern fixtures),
+  pigeonhole Hamming blocking over planted gradient-pattern fixtures,
+  + audio_dedup, the r8 audio twin: real WAV PCM decode -> band-energy
+  fingerprint (Haitsma-Kalker-style) -> the same Hamming blocking over
+  planted tone-walk fixtures),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming
   + incremental_dedup + incremental_exact, the r8 persisted-index
@@ -1508,6 +1511,61 @@ def q_image_dedup(spark, sf_dir):
     with_img = docs.mapInPandas(synth, "doc_id bigint, img binary")
     op = ff.ImageDeduplicator("doc_id", binary_col="img", hamming_threshold=2)
     return op.candidate_pairs(with_img).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@_reg(
+    "audio_dedup",
+    # Perceptual audio dedup (r8, operators/audiohash.py): every doc_id
+    # gets a deterministic 17-frame tone-walk WAV whose 64-bit
+    # band-energy fingerprint equals a planted pattern EXACTLY
+    # (pattern_wav — the pattern_png twin). Same planted-group design
+    # as image_dedup (distinct md5 salt 'ffaud-'): groups of 4 docs,
+    # members 0/1/2 flip nested bit sets (pairwise hamming = member
+    # distance), member 3 flips ALL bits (never a pair). The Spark
+    # side runs the real pipeline (WAV PCM decode -> frame rFFT ->
+    # band energies -> difference signs -> pigeonhole chunk blocking
+    # -> bit_count verify); the oracle states the closed-form pair set.
+    """WITH d AS (SELECT doc_id FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(b.doc_id % 4 - a.doc_id % 4 AS INTEGER) AS hamming
+FROM d a JOIN d b
+  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+ AND a.doc_id % 4 <= 2 AND b.doc_id % 4 <= 2""",
+)
+def q_audio_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # fixture generation INSIDE the distributed plan (narrow map),
+        # the q_image_dedup precedent
+        import hashlib as _hl
+
+        from feature_factory_spark.operators.audiohash import pattern_wav
+
+        def pat(i):
+            hx = _hl.md5(f"ffaud-{i // 4}".encode()).hexdigest()
+            p = int(hx[:16], 16)
+            q0 = int(hx[16:18], 16) % 64
+            q1 = (q0 + 1 + int(hx[18:20], 16) % 63) % 64
+            m = i % 4
+            if m >= 1:
+                p ^= 1 << q0
+            if m >= 2:
+                p ^= 1 << q1
+            if m == 3:
+                p ^= (1 << q0) | (1 << q1)
+                p ^= 0xFFFFFFFFFFFFFFFF
+            return p
+
+        for pdf in batches:
+            pdf["wav"] = [pattern_wav(pat(int(i))) for i in pdf["doc_id"]]
+            yield pdf
+
+    with_wav = docs.mapInPandas(synth, "doc_id bigint, wav binary")
+    op = ff.AudioDeduplicator("doc_id", binary_col="wav", hamming_threshold=2)
+    return op.candidate_pairs(with_wav).select(
         "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -4648,6 +4706,8 @@ _merge("dedup_pairs", [
      "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
     ("semantic_dedup", ["a_id", "b_id", "score"], "a_id, b_id, score"),
     ("image_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
+     "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
+    ("audio_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
      "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
 ])
 

@@ -93,6 +93,7 @@ from .audiocodec import (
     audio_schema,
     constant_wav,
     decode_wav,
+    decode_wav_samples,
     encode_wav,
     wav_decoder,
 )
@@ -118,6 +119,12 @@ from .imagehash import (
     dhash_bits,
     pattern_png,
     phash_bits,
+)
+from .audiohash import (
+    AudioDeduplicator,
+    AudioHasher,
+    audio_fingerprint_bits,
+    pattern_wav,
 )
 from .embeddings import EmbeddingQuantizer, L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
@@ -175,11 +182,14 @@ __all__ = [
     "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
+    "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
+    "pattern_wav",
     "ImageDeduplicator", "ImageHasher", "dhash_bits", "pattern_png",
     "phash_bits",
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",
-    "audio_schema", "constant_wav", "decode_wav", "encode_wav", "wav_decoder",
+    "audio_schema", "constant_wav", "decode_wav", "decode_wav_samples",
+    "encode_wav", "wav_decoder",
     "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",
     "make_pdf", "pdf_decoder", "pdf_schema", "probe_pdf",
     "CorpusShuffler", "DocumentChunker", "HashSampler", "HashSplitter",

@@ -25,15 +25,12 @@ import numpy as np
 _SUPPORTED_BITS = {8, 16, 32}
 
 
-def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE bytes -> decoded features. PCM (format 1: 8-bit
-    unsigned / 16-bit / 32-bit signed LE) and IEEE float (format 3:
-    32-bit). Raises ValueError on malformed or non-PCM payloads.
-
-    >>> d = decode_wav(constant_wav(160, 0.0, sample_rate=8000))
-    >>> (d["format"], d["channels"], d["duration_s"], d["rms"])
-    ('wav', 1, 0.02, 0.0)
-    """
+def _parse_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """RIFF/WAVE bytes -> (interleaved float64 samples in [-1, 1],
+    channels, sample_rate, bit_depth). The shared parse under
+    :func:`decode_wav` (statistics) and :func:`decode_wav_samples`
+    (PCM for the fingerprint path). Raises ValueError on malformed or
+    non-PCM payloads."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("WAV: bad RIFF/WAVE signature")
     pos = 12
@@ -76,6 +73,29 @@ def decode_wav(payload: bytes) -> dict:
     x = x[: n_frames * channels]
     if n_frames == 0:
         raise ValueError("WAV: empty data chunk")
+    return x, int(channels), int(sample_rate), int(bits)
+
+
+def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes -> (mono float64 samples in [-1, 1],
+    sample_rate) — channel-mean downmix, the PCM entry point for
+    perceptual fingerprinting (operators/audiohash.py). Raises
+    ValueError on malformed or non-PCM payloads."""
+    x, channels, sample_rate, _bits = _parse_wav(payload)
+    return x.reshape(x.size // channels, channels).mean(axis=1), sample_rate
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE bytes -> decoded features. PCM (format 1: 8-bit
+    unsigned / 16-bit / 32-bit signed LE) and IEEE float (format 3:
+    32-bit). Raises ValueError on malformed or non-PCM payloads.
+
+    >>> d = decode_wav(constant_wav(160, 0.0, sample_rate=8000))
+    >>> (d["format"], d["channels"], d["duration_s"], d["rms"])
+    ('wav', 1, 0.02, 0.0)
+    """
+    x, channels, sample_rate, bits = _parse_wav(payload)
+    n_frames = x.size // channels
     mono = x.reshape(n_frames, channels).mean(axis=1)
     # zero-crossing rate over the channel-mean signal: fraction of
     # consecutive sample pairs whose signs differ (exact zeros break a

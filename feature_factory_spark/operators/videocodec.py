@@ -119,6 +119,94 @@ def probe_mp4(payload: bytes) -> dict:
     }
 
 
+def mp4_samples(payload: bytes, handler: bytes = b"vide") -> list[bytes]:
+    """Extract the raw sample (frame) payloads of the first track with
+    the given handler type, by walking the REAL ISO BMFF sample tables:
+    ``stsc`` (sample-to-chunk runs) x ``stsz`` (sample sizes) x
+    ``stco``/``co64`` (chunk offsets) locate each sample's byte range
+    inside ``mdat``. This is container-level demuxing — the sample
+    bytes themselves stay codec-opaque (for MJPEG/PNG-in-MP4 layouts
+    they are directly decodable images; for avc1 they are NAL units a
+    codec library would take over). Returns [] when the track carries
+    no sample tables (metadata-only fixtures). Raises ValueError on
+    malformed box structure."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("MP4: no ftyp box at start")
+    # trak body ranges, in file order
+    traks = [
+        (body, bend)
+        for btype, body, bend in _walk(payload, 0, len(payload))
+        if btype == b"trak"
+    ]
+    for t0, t1 in traks:
+        boxes = {
+            btype: (body, bend)
+            for btype, body, bend in _walk(payload, t0, t1)
+            if btype in (b"hdlr", b"stsz", b"stco", b"co64", b"stsc")
+        }
+        if b"hdlr" not in boxes:
+            continue
+        hb, _ = boxes[b"hdlr"]
+        if payload[hb + 8 : hb + 12] != handler:
+            continue
+        if not {b"stsz", b"stsc"} <= set(boxes) or not (
+            {b"stco", b"co64"} & set(boxes)
+        ):
+            return []
+        # stsz: uniform size or per-sample table
+        zb, _ = boxes[b"stsz"]
+        uniform, n_samples = struct.unpack(">II", payload[zb + 4 : zb + 12])
+        sizes = (
+            [uniform] * n_samples
+            if uniform
+            else list(
+                struct.unpack(
+                    f">{n_samples}I", payload[zb + 12 : zb + 12 + 4 * n_samples]
+                )
+            )
+        )
+        # chunk offsets (stco 32-bit / co64 64-bit)
+        if b"stco" in boxes:
+            cb, _ = boxes[b"stco"]
+            (n_chunks,) = struct.unpack(">I", payload[cb + 4 : cb + 8])
+            offsets = struct.unpack(
+                f">{n_chunks}I", payload[cb + 8 : cb + 8 + 4 * n_chunks]
+            )
+        else:
+            cb, _ = boxes[b"co64"]
+            (n_chunks,) = struct.unpack(">I", payload[cb + 4 : cb + 8])
+            offsets = struct.unpack(
+                f">{n_chunks}Q", payload[cb + 8 : cb + 8 + 8 * n_chunks]
+            )
+        # stsc runs: (first_chunk, samples_per_chunk, sample_desc_index)
+        sb, _ = boxes[b"stsc"]
+        (n_runs,) = struct.unpack(">I", payload[sb + 4 : sb + 8])
+        runs = [
+            struct.unpack(">III", payload[sb + 8 + 12 * i : sb + 20 + 12 * i])
+            for i in range(n_runs)
+        ]
+        # expand: samples_per_chunk for chunk c = the run covering it
+        out: list[bytes] = []
+        si = 0
+        for ci in range(n_chunks):
+            spc = 0
+            for first, per, _sdi in runs:
+                if first <= ci + 1:  # first_chunk is 1-based
+                    spc = per
+            pos = offsets[ci]
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                size = sizes[si]
+                if pos + size > len(payload):
+                    raise ValueError("MP4: sample range beyond payload")
+                out.append(payload[pos : pos + size])
+                pos += size
+                si += 1
+        return out
+    return []
+
+
 def mp4_decoder(payload: bytes) -> dict:
     """Lenient seam for BinaryFeatureExtractor: NULL features on
     non-MP4/corrupt payloads."""
@@ -162,9 +250,17 @@ def synth_mp4(
     n_audio_tracks: int = 0,
     timescale: int = 1000,
     video_codec: bytes = b"avc1",
+    frames: list[bytes] | None = None,
 ) -> bytes:
     """Minimal deterministic ISO BMFF fixture: ftyp + moov{mvhd,
-    trak{tkhd, mdia{hdlr, minf{stbl{stsd}}}} x (1 video + N audio)}."""
+    trak{tkhd, mdia{hdlr, minf{stbl{stsd ...}}}} x (1 video + N
+    audio)}. With ``frames``, the video track gains REAL sample tables
+    (stts/stsc/stsz/stco, one sample per chunk) and the payloads land
+    in a trailing ``mdat`` — an MJPEG/PNG-in-MP4-style layout that
+    :func:`mp4_samples` demuxes back byte-for-byte. stco offsets are
+    absolute, so the moov is built twice: once with zero offsets to fix
+    the layout, once with the real mdat positions (table sizes don't
+    change between passes)."""
     dur = int(round(duration_s * timescale))
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     mvhd = _full(
@@ -173,7 +269,10 @@ def synth_mp4(
         + b"\x00" * 80,
     )
 
-    def trak(handler: bytes, w: int, h: int, codec: bytes) -> bytes:
+    def trak(
+        handler: bytes, w: int, h: int, codec: bytes,
+        offsets: list[int] | None = None,
+    ) -> bytes:
         tkhd = _full(
             b"tkhd", 0,
             struct.pack(">III", 0, 0, 1) + b"\x00" * 4
@@ -181,17 +280,46 @@ def synth_mp4(
             + struct.pack(">II", w << 16, h << 16),
         )
         hdlr = _full(b"hdlr", 0, b"\x00" * 4 + handler + b"\x00" * 12)
-        stsd = _full(
+        stbl_body = _full(
             b"stsd", 0,
             struct.pack(">I", 1) + _box(codec, b"\x00" * 8),
         )
-        stbl = _box(b"stbl", stsd)
+        if offsets is not None:
+            n = len(offsets)
+            stbl_body += _full(  # stts: n samples, 1 tick each
+                b"stts", 0, struct.pack(">III", 1, n, 1)
+            )
+            stbl_body += _full(  # stsc: one sample per chunk throughout
+                b"stsc", 0, struct.pack(">IIII", 1, 1, 1, 1)
+            )
+            stbl_body += _full(  # stsz: per-sample size table
+                b"stsz", 0,
+                struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in frames),
+            )
+            stbl_body += _full(  # stco: absolute chunk offsets
+                b"stco", 0,
+                struct.pack(">I", n)
+                + b"".join(struct.pack(">I", o) for o in offsets),
+            )
+        stbl = _box(b"stbl", stbl_body)
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", hdlr + minf)
         return _box(b"trak", tkhd + mdia)
 
-    traks = trak(b"vide", width, height, video_codec)
-    for _ in range(n_audio_tracks):
-        traks += trak(b"soun", 0, 0, b"mp4a")
-    moov = _box(b"moov", mvhd + traks)
-    return ftyp + moov
+    def build(offsets: list[int] | None) -> bytes:
+        traks = trak(b"vide", width, height, video_codec, offsets)
+        for _ in range(n_audio_tracks):
+            traks += trak(b"soun", 0, 0, b"mp4a")
+        return _box(b"moov", mvhd + traks)
+
+    if frames is None:
+        return ftyp + build(None)
+    moov = build([0] * len(frames))
+    base = len(ftyp) + len(moov) + 8  # first sample starts after mdat hdr
+    offsets, pos = [], base
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    moov = build(offsets)
+    return ftyp + moov + _box(b"mdat", b"".join(frames))
