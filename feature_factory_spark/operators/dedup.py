@@ -973,12 +973,14 @@ class EmbeddingDeduplicator(Transformer):
         n_planes: int = 16,
         seed: int = 42,
         policy: str = "greedy",
+        index_buckets: int = 64,
     ):
         ensure(method in ("lsh", "brute"), "method must be 'lsh' or 'brute'")
         ensure(-1.0 <= threshold <= 1.0, "threshold must be in [-1,1]")
         if method == "lsh":
             ensure(dim is not None, "dim is required for method='lsh'")
             ensure(n_planes % 2 == 0, "n_planes must be even")
+        ensure(index_buckets >= 1, "index_buckets must be >= 1")
         self.vec_col = vec_col
         self.id_col = id_col
         self.threshold = threshold
@@ -987,6 +989,7 @@ class EmbeddingDeduplicator(Transformer):
         self.n_planes = n_planes
         self.seed = seed
         self.policy = policy
+        self.index_buckets = index_buckets
 
     def _check_input(self, df: DataFrame) -> None:
         validate_columns(df, [self.vec_col, self.id_col])
@@ -994,6 +997,161 @@ class EmbeddingDeduplicator(Transformer):
     def _signature_expr(self) -> Column:
         planes = _hyperplanes(self.n_planes, self.dim, self.seed)
         return hyperplane_sig_expr(F.col("vec"), planes)
+
+    def _chunked(self, df: DataFrame) -> DataFrame:
+        """(id, vec, ci, cv, cb): one row per signature half — the LSH
+        blocking keys, with the pmod bucket column the index partitions
+        on. Vectors ride along for the exact-cosine verify."""
+        half = self.n_planes // 2
+        base = df.select(
+            F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+        )
+        sig = base.select("id", "vec", self._signature_expr().alias("sig"))
+        return (
+            sig.select(
+                "id",
+                "vec",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("ci"),
+                            F.col("sig")
+                            .bitwiseAND(F.lit((1 << half) - 1))
+                            .alias("cv"),
+                        ),
+                        F.struct(
+                            F.lit(1).alias("ci"),
+                            F.shiftrightunsigned(
+                                F.col("sig").cast("bigint"), half
+                            ).alias("cv"),
+                        ),
+                    )
+                ).alias("ch"),
+            )
+            .select("id", "vec", "ch.ci", "ch.cv")
+            .withColumn("cb", F.pmod(F.col("cv"), F.lit(self.index_buckets)))
+        )
+
+    def _index_meta(self) -> dict:
+        return {
+            "kind": "embeddinglsh",
+            "n_planes": self.n_planes,
+            "dim": self.dim,
+            "seed": self.seed,
+            "threshold": self.threshold,
+            "n_buckets": self.index_buckets,
+        }
+
+    def write_index(self, df: DataFrame, path: str, mode: str = "error") -> None:
+        """Materialize the corpus's LSH index at ``path``:
+        ``<path>/chunks`` — (id, vec, cv) PARTITIONED BY (ci,
+        cb=pmod(cv, index_buckets)) — plus the parameter-pinning
+        ``<path>/meta``. The vector rides along on every chunk row so a
+        probe verifies exact cosine without a second table (the
+        HammingIndexMixin layout, with the embedding instead of an
+        8-byte signature as the verify payload). ``mode='append'``
+        accumulates snapshots. LSH only — the brute method has no
+        blocking keys to index."""
+        import os
+
+        ensure(self.method == "lsh", "write_index requires method='lsh'")
+        self._check_input(df)
+        chunks = self._chunked(df)
+        # pre-shuffle on the partition columns so each (ci, cb) dir gets
+        # ~1 file per holding task instead of one per upstream task
+        chunks.repartition(F.col("ci"), F.col("cb")).write.mode(
+            mode
+        ).partitionBy("ci", "cb").parquet(os.path.join(path, "chunks"))
+        _write_index_meta(df.sparkSession, path, self._index_meta(), mode)
+
+    def pairs_against(
+        self, df: DataFrame, path: str, _chunks: DataFrame | None = None
+    ) -> DataFrame:
+        """Verified pairs (a_id = indexed doc, b_id = new doc, cosine)
+        between a new batch and the index at ``path``; the index scan is
+        file-pruned to the new batch's (chunk, bucket) keys."""
+        import os
+
+        ensure(self.method == "lsh", "pairs_against requires method='lsh'")
+        self._check_input(df)
+        spark = df.sparkSession
+        _check_index_meta(spark, path, self._index_meta())
+        new_chunks = self._chunked(df) if _chunks is None else _chunks
+        idx = spark.read.parquet(os.path.join(path, "chunks")).where(
+            _prune_filter(new_chunks, "ci", "cb")
+        )
+        cand = (
+            idx.alias("a")
+            .join(
+                new_chunks.alias("b"),
+                on=[
+                    F.col("a.ci") == F.col("b.ci"),
+                    F.col("a.cv") == F.col("b.cv"),
+                    F.col("a.id") != F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("a.vec").alias("a_vec"),
+                F.col("b.id").alias("b_id"),
+                F.col("b.vec").alias("b_vec"),
+            )
+            .distinct()
+        )
+        return cand.select(
+            "a_id",
+            "b_id",
+            cosine_expr(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+        ).where(F.col("cosine") >= F.lit(self.threshold))
+
+    def dedupe_against(
+        self, df: DataFrame, path: str, include_self: bool = True
+    ) -> DataFrame:
+        """Dedupe a new batch against the persisted index — same
+        semantics as :meth:`MinHashDeduplicator.dedupe_against` (the
+        corpus is authoritative; within-batch the configured policy
+        applies). The batch's chunk frame is computed ONCE and
+        persisted — the prune-key collect, the index probe, and the
+        within-batch pass all read it."""
+        chunks = self._chunked(df)
+        if not df.isStreaming:
+            from pyspark import StorageLevel
+
+            chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_dups = self.pairs_against(df, path, _chunks=chunks).select(
+            F.col("b_id").alias("dup_id")
+        ).distinct()
+        out = df.join(
+            corpus_dups, on=df[self.id_col] == corpus_dups["dup_id"],
+            how="left_anti",
+        )
+        if include_self:
+            a, b = chunks.alias("a"), chunks.alias("b")
+            self_pairs = (
+                a.join(
+                    b,
+                    on=[
+                        F.col("a.ci") == F.col("b.ci"),
+                        F.col("a.cv") == F.col("b.cv"),
+                        F.col("a.id") < F.col("b.id"),
+                    ],
+                )
+                .select(
+                    F.col("a.id").alias("a_id"),
+                    F.col("a.vec").alias("a_vec"),
+                    F.col("b.id").alias("b_id"),
+                    F.col("b.vec").alias("b_vec"),
+                )
+                .distinct()
+                .select(
+                    "a_id",
+                    "b_id",
+                    cosine_expr(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+                )
+                .where(F.col("cosine") >= F.lit(self.threshold))
+            )
+            out = _drop_by_policy(out, self.id_col, self_pairs, self.policy)
+        return out
 
     def candidate_pairs(self, df: DataFrame) -> DataFrame:
         """Verified pairs (a_id, b_id, cosine), a_id < b_id."""
@@ -1006,18 +1164,7 @@ class EmbeddingDeduplicator(Transformer):
             b = base.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
             cand = a.join(b, on=F.col("a_id") < F.col("b_id"))
         else:
-            half = self.n_planes // 2
-            sig = base.select("id", "vec", self._signature_expr().alias("sig"))
-            chunks = sig.select(
-                "id",
-                "vec",
-                F.explode(
-                    F.array(
-                        F.struct(F.lit(0).alias("ci"), F.col("sig").bitwiseAND(F.lit((1 << half) - 1)).alias("cv")),
-                        F.struct(F.lit(1).alias("ci"), F.shiftrightunsigned(F.col("sig").cast("bigint"), half).alias("cv")),
-                    )
-                ).alias("ch"),
-            ).select("id", "vec", "ch.ci", "ch.cv")
+            chunks = self._chunked(df)
             a, b = chunks.alias("a"), chunks.alias("b")
             cand = (
                 a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])

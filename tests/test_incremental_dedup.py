@@ -219,3 +219,81 @@ def test_exact_index_scan_is_pruned(spark, tmp_path):
     got = {r["doc_id"] for r in out.collect()}
     assert got == {9001}
     assert 0 < _scanned_files(out) < n_files
+
+
+# --- embedding tier (r8): EmbeddingDeduplicator LSH index ------------
+
+def _emb_rows():
+    """12 old vectors (0-11), new batch: 100/101 perturb old 0/3
+    (cosine ~1), 102/103 perturb each other (within-batch pair), 104 is
+    fresh. numpy seeding keeps everything deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(12, 16)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((100, [float(x) for x in base[0] + rng.randn(16) * 0.01]))
+    rows.append((101, [float(x) for x in base[3] + rng.randn(16) * 0.01]))
+    pair = rng.randn(16)
+    rows.append((102, [float(x) for x in pair]))
+    rows.append((103, [float(x) for x in pair + rng.randn(16) * 0.01]))
+    rows.append((104, [float(x) for x in rng.randn(16)]))
+    return rows
+
+
+def _emb_op():
+    return ff.EmbeddingDeduplicator("embedding", "vec_id", threshold=0.95,
+                                    dim=16, index_buckets=4)
+
+
+def test_embedding_dedupe_against_matches_full_recompute(spark, tmp_path):
+    df = spark.createDataFrame(_emb_rows(), "vec_id bigint, embedding array<double>")
+    old, new = df.where("vec_id < 100"), df.where("vec_id >= 100")
+    op = _emb_op()
+    path = str(tmp_path / "embidx")
+    op.write_index(old, path)
+    incremental = {r["vec_id"] for r in op.dedupe_against(new, path).collect()}
+    full_survivors = {r["vec_id"] for r in op.transform(df).collect()}
+    assert incremental == full_survivors - set(range(12))
+    # 100/101 duplicate the corpus; 103 loses the within-batch pair
+    assert incremental == {102, 104}
+    # pairs carry exact cosines above the threshold
+    pairs = {(r["a_id"], r["b_id"]): r["cosine"]
+             for r in op.pairs_against(new, path).collect()}
+    assert {(0, 100), (3, 101)} <= set(pairs)
+    assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_embedding_index_param_pinning_and_brute_guard(spark, tmp_path):
+    df = spark.createDataFrame(_emb_rows(), "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "embpin")
+    _emb_op().write_index(df.where("vec_id < 100"), path)
+    other = ff.EmbeddingDeduplicator("embedding", "vec_id", threshold=0.95,
+                                     dim=16, seed=99, index_buckets=4)
+    with pytest.raises(Exception, match="seed"):
+        other.pairs_against(df.where("vec_id >= 100"), path).collect()
+    brute = ff.EmbeddingDeduplicator("embedding", "vec_id", method="brute")
+    with pytest.raises(Exception, match="lsh"):
+        brute.write_index(df, str(tmp_path / "nope"))
+
+
+def test_embedding_index_scan_is_partition_pruned(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    op = _emb_op()
+    path = str(tmp_path / "embbig")
+    op.write_index(corpus, path)
+    import glob
+    import os
+
+    n_index_files = len(glob.glob(os.path.join(path, "chunks", "**", "*.parquet"),
+                                  recursive=True))
+    probe = spark.createDataFrame([(1000, rows[5][1])],
+                                  "vec_id bigint, embedding array<double>")
+    pairs = op.pairs_against(probe, path)
+    assert (5, 1000) in {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    scanned = _scanned_files(pairs)
+    assert 0 < scanned < n_index_files, (scanned, n_index_files)
