@@ -80,7 +80,9 @@ the op is a member slice of that family query):
   pigeonhole Hamming blocking over planted gradient-pattern fixtures,
   + audio_dedup, the r8 audio twin: real WAV PCM decode -> band-energy
   fingerprint (Haitsma-Kalker-style) -> the same Hamming blocking over
-  planted tone-walk fixtures),
+  planted tone-walk fixtures, + video_dedup, the r8 video member:
+  ISO-BMFF sample-table demux -> per-frame dHash -> per-bit majority
+  fold -> the same Hamming blocking over planted frame-pattern MP4s),
   dedup_pairs_baseline (ngram_jaccard + embedding brute — the documented
   O(n^2) oracle baselines, bench-skipped), dedup_ids (exact + streaming
   + incremental_dedup + incremental_exact, the r8 persisted-index
@@ -101,7 +103,8 @@ the op is a member slice of that family query):
   embed_transform (l2 + random projection + int8 quantize), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit + bpe_vocab, the distributed BPE
-  induction pinned against its pure-Python reference), multimodal_family
+  induction pinned against its pure-Python reference, + perplexity_bucket,
+  the r8 CCNet head/middle/tail cutpoint bucketing), multimodal_family
   (multimodal_extract byte plumbing + frame_sample + image_decode +
   audio_decode + video_probe with the REAL stdlib PNG/WAV/MP4 parsers,
   operators/{image,audio,video}codec.py).
@@ -1566,6 +1569,60 @@ def q_audio_dedup(spark, sf_dir):
     with_wav = docs.mapInPandas(synth, "doc_id bigint, wav binary")
     op = ff.AudioDeduplicator("doc_id", binary_col="wav", hamming_threshold=2)
     return op.candidate_pairs(with_wav).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@_reg(
+    "video_dedup",
+    # Perceptual video dedup (r8, operators/videohash.py): every doc_id
+    # gets a deterministic MP4 with REAL sample tables (stsc/stsz/stco)
+    # carrying three gradient-pattern PNG frames whose temporally-pooled
+    # dHash equals a planted pattern EXACTLY (pattern_mp4). Same
+    # planted-group design as image/audio dedup (salt 'ffvid-'). The
+    # Spark side runs the real pipeline (ISO-BMFF demux -> per-frame
+    # PNG decode -> dHash -> per-bit majority fold -> pigeonhole chunk
+    # blocking -> bit_count verify); the oracle states the closed-form
+    # pair set.
+    """WITH d AS (SELECT doc_id FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(b.doc_id % 4 - a.doc_id % 4 AS INTEGER) AS hamming
+FROM d a JOIN d b
+  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+ AND a.doc_id % 4 <= 2 AND b.doc_id % 4 <= 2""",
+)
+def q_video_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # fixture generation INSIDE the distributed plan (narrow map),
+        # the q_image_dedup precedent
+        import hashlib as _hl
+
+        from feature_factory_spark.operators.videohash import pattern_mp4
+
+        def pat(i):
+            hx = _hl.md5(f"ffvid-{i // 4}".encode()).hexdigest()
+            p = int(hx[:16], 16)
+            q0 = int(hx[16:18], 16) % 64
+            q1 = (q0 + 1 + int(hx[18:20], 16) % 63) % 64
+            m = i % 4
+            if m >= 1:
+                p ^= 1 << q0
+            if m >= 2:
+                p ^= 1 << q1
+            if m == 3:
+                p ^= (1 << q0) | (1 << q1)
+                p ^= 0xFFFFFFFFFFFFFFFF
+            return p
+
+        for pdf in batches:
+            pdf["vid"] = [pattern_mp4(pat(int(i))) for i in pdf["doc_id"]]
+            yield pdf
+
+    with_vid = docs.mapInPandas(synth, "doc_id bigint, vid binary")
+    op = ff.VideoDeduplicator("doc_id", binary_col="vid", hamming_threshold=2)
+    return op.candidate_pairs(with_vid).select(
         "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -3595,6 +3652,49 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @_reg(
+    "perplexity_bucket",
+    # CCNet-style head/middle/tail bucketing (r8, PerplexityBucketer,
+    # operators/text.py): equal-mass cutpoints over the r6-rounded
+    # unigram log-prob, ties toward the worse bucket. Spark's exact
+    # `percentile` and DuckDB's `quantile_cont` both compute the
+    # linearly-interpolated continuous quantile — verified bit-equal on
+    # this data; comparisons stay on the r6 grid so an interpolated
+    # cutpoint strictly between grid values cannot flip a label.
+    # NULL-score (empty) docs get a NULL bucket.
+    f"""WITH d AS (SELECT doc_id,
+  list_transform(string_split(text, ' '), x -> lower(x)) w FROM documents),
+words AS (SELECT doc_id, unnest(w) word FROM d),
+freq AS (SELECT word, count(*) cnt FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) t FROM freq),
+scored AS (SELECT doc_id, ln(CAST(greatest(cnt, 1) AS DOUBLE) / t) lp
+FROM words JOIN freq USING (word), tot),
+agg AS (SELECT doc_id, {R6('avg(lp)')} s FROM scored GROUP BY doc_id),
+q AS (SELECT quantile_cont(s, 1.0/3) q1, quantile_cont(s, 2.0/3) q2
+FROM agg)
+SELECT d2.doc_id,
+  CASE WHEN a.s IS NULL THEN NULL
+       WHEN a.s <= q.q1 THEN 'tail'
+       WHEN a.s <= q.q2 THEN 'middle'
+       ELSE 'head' END AS bucket,
+  a.s AS score
+FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id, q""",
+)
+def q_perplexity_bucket(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scorer = ff.UnigramLogProbScorer("text", "doc_id").fit(docs)
+    scored = scorer.transform(docs).select(
+        "doc_id", r6(F.col("text_unigram_logprob")).alias("score")
+    )
+    op = ff.PerplexityBucketer("score").fit(scored)
+    # fitted-state round-trip inside the verified query: cutpoints come
+    # from a bucketer restored off disk (the unigram_logprob precedent)
+    op = _state_roundtrip(op, lambda: ff.PerplexityBucketer("score"), spark)
+    return op.transform(scored).select(
+        "doc_id", F.col("score_bucket").alias("bucket"), "score"
+    )
+
+
+@_reg(
     "bigram_logprob",
     # interpolated bigram LM: mean ln(0.75*P(w2|w1) + 0.25*P(w2)) per
     # doc. P(w2|w1) = pair/max(count(w1),1) (0 unseen), P(w2) the same
@@ -4709,6 +4809,8 @@ _merge("dedup_pairs", [
      "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
     ("audio_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
      "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
+    ("video_dedup", ["a_id", "b_id", "cast(hamming AS double) AS score"],
+     "a_id, b_id, CAST(hamming AS DOUBLE) AS score"),
 ])
 
 _merge("dedup_pairs_baseline", [
@@ -4789,6 +4891,9 @@ _merge("lm_family", [
     ("bpe_vocab",
      ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
      "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
+    ("perplexity_bucket",
+     ["doc_id AS k", "bucket AS tok", "score AS val"],
+     "doc_id AS k, bucket AS tok, score AS val"),
 ])
 
 # multimodal surface: byte-level plumbing + frame sampling + REAL image

@@ -64,6 +64,7 @@ from .text import (
     QualityScorer,
     LanguageIdentifier,
     NgramLanguageIdentifier,
+    PerplexityBucketer,
     PIIRedactor,
     RepetitionFeatures,
     C4Filter,
@@ -99,6 +100,7 @@ from .audiocodec import (
 )
 from .videocodec import (
     mp4_decoder,
+    mp4_samples,
     probe_mp4,
     synth_mp4,
     video_schema,
@@ -125,6 +127,12 @@ from .audiohash import (
     AudioHasher,
     audio_fingerprint_bits,
     pattern_wav,
+)
+from .videohash import (
+    VideoDeduplicator,
+    VideoHasher,
+    pattern_mp4,
+    video_fingerprint_bits,
 )
 from .embeddings import EmbeddingQuantizer, L2Normalizer, RandomProjection
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
@@ -166,6 +174,7 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier",
     "NgramLanguageIdentifier", "DocumentFingerprint",
+    "PerplexityBucketer",
     "TextCleaner", "C4Filter", "EncodingFixer", "RepetitionFeatures",
     "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
@@ -184,6 +193,9 @@ __all__ = [
     "BinaryFeatureExtractor", "FrameSampler",
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",
+    "VideoDeduplicator", "VideoHasher", "pattern_mp4",
+    "video_fingerprint_bits",
+    "mp4_samples",
     "ImageDeduplicator", "ImageHasher", "dhash_bits", "pattern_png",
     "phash_bits",
     "decode_image", "encode_png", "image_decoder", "image_schema",

@@ -1728,3 +1728,122 @@ class EncodingFixer(Transformer):
                 c, self.fix_expr(F.col(c), self.strip_controls)
             )
         return out
+
+
+class PerplexityBucketer(Transformer):
+    """CCNet-style corpus bucketing by LM-score percentiles (Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data": split the corpus into head/middle/tail by language-
+    model perplexity, per language, and sample training data bucket-
+    aware). ``fit`` learns the score cutpoints — equal-mass quantiles of
+    ``score_col`` (typically UnigramLogProbScorer / BigramLogProbScorer
+    output), optionally per ``group_col`` (language) — and ``transform``
+    appends the bucket label.
+
+    - ``labels`` are ordered BEST-first (default head/middle/tail);
+      ``higher_is_better=True`` (the log-prob convention) puts the
+      highest scores in ``labels[0]``. For a true perplexity column
+      (lower is better) pass ``higher_is_better=False``.
+    - Ties at a cutpoint fall toward the worse bucket in both engines
+      (label by ``score <= cut`` on ascending cutpoints).
+    - NULL scores (empty documents) get a NULL bucket.
+    - ``exact=True`` uses the exact ``percentile`` aggregate — its
+      per-group value buffer makes it the bounded-corpus / oracle path.
+      At 100 TB pass ``exact=False``: ``approx_percentile`` with
+      ``accuracy`` is a constant-memory sketch and the bucket boundary
+      shifts by at most 1/accuracy of the mass.
+
+    Scale shape: fit is ONE aggregate job (per-group quantiles);
+    the fitted state is a tiny (group, cutpoints) frame joined
+    broadcast in transform — no global sort, no window, no shuffle of
+    the corpus itself (the NTILE formulation would be a single-reducer
+    global sort; the cutpoint CASE is embarrassingly parallel)."""
+
+    def __init__(
+        self,
+        score_col: str,
+        labels: tuple[str, ...] = ("head", "middle", "tail"),
+        output_col: str | None = None,
+        group_col: str | None = None,
+        higher_is_better: bool = True,
+        exact: bool = True,
+        accuracy: int = 10000,
+    ):
+        ensure(len(labels) >= 2, "at least two bucket labels are required")
+        ensure(len(set(labels)) == len(labels), "bucket labels must be unique")
+        self.score_col = score_col
+        self.labels = tuple(labels)
+        self.output_col = output_col or f"{score_col}_bucket"
+        self.group_col = group_col
+        self.higher_is_better = higher_is_better
+        self.exact = exact
+        self.accuracy = accuracy
+        self.cuts_df_: DataFrame | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["cuts_df_"]
+
+    def _check_input(self, df: DataFrame) -> None:
+        cols = [self.score_col] + ([self.group_col] if self.group_col else [])
+        validate_columns(df, cols)
+
+    def _fit(self, df: DataFrame) -> None:
+        k = len(self.labels)
+        fracs = [i / k for i in range(1, k)]
+        score = F.col(self.score_col).cast("double")
+        if self.exact:
+            agg = F.percentile(score, F.lit(fracs)).alias("__ff_cuts")
+        else:
+            agg = F.approx_percentile(
+                score, F.lit(fracs), F.lit(self.accuracy)
+            ).alias("__ff_cuts")
+        if self.group_col:
+            cuts = df.groupBy(
+                F.col(self.group_col).alias("__ff_grp")
+            ).agg(agg)
+        else:
+            cuts = df.agg(agg).select(
+                F.lit(0).alias("__ff_grp"), "__ff_cuts"
+            )
+        # eager, tiny (one row per group), and owned by this operator:
+        # collect+parallelize releases the fit plan entirely
+        rows = cuts.collect()
+        ensure(
+            any(r["__ff_cuts"] is not None for r in rows),
+            "fit corpus has no non-NULL scores",
+        )
+        self.cuts_df_ = df.sparkSession.createDataFrame(
+            [(r["__ff_grp"], r["__ff_cuts"]) for r in rows],
+            cuts.schema,
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as _F
+
+        cuts = _require_frame_state(
+            self.cuts_df_, "PerplexityBucketer", "cuts_df_"
+        )
+        # ascending cutpoints label worst-first
+        order = (
+            tuple(reversed(self.labels))
+            if self.higher_is_better
+            else self.labels
+        )
+        score = F.col(self.score_col).cast("double")
+        expr = F.when(score.isNull() | F.col("__ff_cuts").isNull(), F.lit(None))
+        for j in range(len(self.labels) - 1):
+            expr = expr.when(
+                score <= F.element_at("__ff_cuts", j + 1), F.lit(order[j])
+            )
+        expr = expr.otherwise(F.lit(order[-1]))
+        if self.group_col:
+            on = df[self.group_col].eqNullSafe(cuts["__ff_grp"])
+        else:
+            on = F.lit(True)
+        out = df.join(_F.broadcast(cuts), on=on, how="left")
+        return out.withColumn(self.output_col, expr).drop(
+            "__ff_grp", "__ff_cuts"
+        )
