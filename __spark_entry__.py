@@ -96,7 +96,10 @@ the op is a member slice of that family query):
   over synthesized pages, + fix_encoding, the EncodingFixer mojibake
   repair chain), sample_family
   (hash_sample/hash_split/weighted_sample/url_ops — the web-operator
-  domain|path|blocked|kept tuple per doc), pack_family
+  domain|path|blocked|kept tuple per doc — + source_mix + code_meta,
+  the r8 code-curation member: LicenseDetector SPDX/phrase chain +
+  CodeLanguageIdentifier extension/shebang routing, closed-form
+  oracle), pack_family
   (sequence_pack + doc_chunk context-window chunking +
   substring_spans exact-substring dedup + corpus_shuffle, the r8
   seeded-global-shuffle/token-balanced-shard member), scale_family,
@@ -1529,8 +1532,11 @@ def q_image_dedup(spark, sf_dir):
     # distance), member 3 flips ALL bits (never a pair). The Spark
     # side runs the real pipeline (WAV PCM decode -> frame rFFT ->
     # band energies -> difference signs -> pigeonhole chunk blocking
-    # -> bit_count verify); the oracle states the closed-form pair set.
-    """WITH d AS (SELECT doc_id FROM documents)
+    # -> bit_count verify); the oracle states the closed-form pair
+    # set. A deterministic 1-in-4 GROUP slice (whole groups, pair
+    # structure intact) + 128-sample frames keep the member's bench
+    # share proportionate — the packed_ids fit-slice precedent.
+    """WITH d AS (SELECT doc_id FROM documents WHERE (doc_id // 4) % 4 = 0)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
   CAST(b.doc_id % 4 - a.doc_id % 4 AS INTEGER) AS hamming
 FROM d a JOIN d b
@@ -1538,7 +1544,9 @@ FROM d a JOIN d b
  AND a.doc_id % 4 <= 2 AND b.doc_id % 4 <= 2""",
 )
 def q_audio_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.floor(F.col("doc_id") / 4) % 4 == 0
+    )
 
     def synth(batches):
         # fixture generation INSIDE the distributed plan (narrow map),
@@ -1563,7 +1571,10 @@ def q_audio_dedup(spark, sf_dir):
             return p
 
         for pdf in batches:
-            pdf["wav"] = [pattern_wav(pat(int(i))) for i in pdf["doc_id"]]
+            pdf["wav"] = [
+                pattern_wav(pat(int(i)), frame_len=128)
+                for i in pdf["doc_id"]
+            ]
             yield pdf
 
     with_wav = docs.mapInPandas(synth, "doc_id bigint, wav binary")
@@ -1583,8 +1594,8 @@ def q_audio_dedup(spark, sf_dir):
     # Spark side runs the real pipeline (ISO-BMFF demux -> per-frame
     # PNG decode -> dHash -> per-bit majority fold -> pigeonhole chunk
     # blocking -> bit_count verify); the oracle states the closed-form
-    # pair set.
-    """WITH d AS (SELECT doc_id FROM documents)
+    # pair set. Sliced to the same 1-in-4 group grid as audio_dedup.
+    """WITH d AS (SELECT doc_id FROM documents WHERE (doc_id // 4) % 4 = 0)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
   CAST(b.doc_id % 4 - a.doc_id % 4 AS INTEGER) AS hamming
 FROM d a JOIN d b
@@ -1592,7 +1603,9 @@ FROM d a JOIN d b
  AND a.doc_id % 4 <= 2 AND b.doc_id % 4 <= 2""",
 )
 def q_video_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.floor(F.col("doc_id") / 4) % 4 == 0
+    )
 
     def synth(batches):
         # fixture generation INSIDE the distributed plan (narrow map),
@@ -2276,6 +2289,75 @@ def q_url_ops(spark, sf_dir):
             F.coalesce(F.col("__kept_m"), F.lit(0)).cast("string"),
             F.col("m_url_canonical"),
             F.coalesce(F.col("__ukept_m"), F.lit(0)).cast("string"),
+        ).alias("val"),
+    )
+
+
+@_reg(
+    "code_meta",
+    # Code-corpus curation (r8, operators/code.py): LicenseDetector +
+    # CodeLanguageIdentifier over deterministic in-plan fixtures —
+    # doc_id % 6 picks a license header prepended to the doc text
+    # (0 MIT / 1 Apache-2.0 / 2 GPL-3.0 / 3 an SPDX tag / 4 none but a
+    # python shebang / 5 Unlicense), doc_id % 5 picks a path. The Spark
+    # side runs the real expression chains (SPDX precedence, ordered
+    # phrase probes, extension map + shebang fallback); the oracle
+    # states the closed-form labels.
+    """SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'MIT:heuristic'
+    WHEN 1 THEN 'Apache-2.0:heuristic'
+    WHEN 2 THEN 'GPL-3.0:heuristic'
+    WHEN 3 THEN 'BSD-3-Clause:spdx'
+    WHEN 4 THEN '-:-'
+    ELSE 'Unlicense:heuristic' END
+  || ':' ||
+  CASE doc_id % 5
+    WHEN 0 THEN 'python'
+    WHEN 1 THEN 'rust'
+    WHEN 2 THEN 'typescript'
+    -- no known extension (bare path / unknown ext) -> shebang
+    -- fallback, which exists exactly when m6 = 4
+    ELSE CASE WHEN doc_id % 6 = 4 THEN 'python' ELSE '-' END
+    END AS val
+FROM documents""",
+)
+def q_code_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m6 = F.col("doc_id") % 6
+    m5 = F.col("doc_id") % 5
+    header = (
+        F.when(m6 == 0, F.lit(
+            "Permission is hereby granted, free of charge, to any person"))
+        .when(m6 == 1, F.lit("Licensed under the Apache License, Version 2.0"))
+        .when(m6 == 2, F.lit(
+            "under the GNU General Public License, version 3"))
+        .when(m6 == 3, F.lit("# SPDX-License-Identifier: BSD-3-Clause"))
+        .when(m6 == 4, F.lit("#!/usr/bin/env python3"))
+        .otherwise(F.lit("This is free and unencumbered software"))
+    )
+    path = (
+        F.when(m5 == 0, F.lit("src/mod.py"))
+        .when(m5 == 1, F.lit("lib/core.rs"))
+        .when(m5 == 2, F.lit("web/app.ts"))
+        .when(m5 == 3, F.lit("scripts/run"))
+        .otherwise(F.lit("README.nope"))
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(header, F.lit("\n"), F.col("text")).alias("body"),
+        path.alias("path"),
+    )
+    out = ff.CodeLanguageIdentifier("path", text_col="body").transform(
+        ff.LicenseDetector("body").transform(synth)
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("body_license"), F.lit("-")),
+            F.coalesce(F.col("body_license_source"), F.lit("-")),
+            F.coalesce(F.col("code_lang"), F.lit("-")),
         ).alias("val"),
     )
 
@@ -4834,6 +4916,7 @@ _merge("sample_family", [
      "doc_id, CAST(NULL AS VARCHAR) AS val"),
     ("url_ops", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
+    ("code_meta", ["doc_id", "val"], "doc_id, val"),
 ])
 
 _merge("quality_filter", [

@@ -128,6 +128,10 @@ from .audiohash import (
     audio_fingerprint_bits,
     pattern_wav,
 )
+from .code import (
+    CodeLanguageIdentifier,
+    LicenseDetector,
+)
 from .videohash import (
     VideoDeduplicator,
     VideoHasher,
@@ -193,6 +197,7 @@ __all__ = [
     "BinaryFeatureExtractor", "FrameSampler",
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",
+    "CodeLanguageIdentifier", "LicenseDetector",
     "VideoDeduplicator", "VideoHasher", "pattern_mp4",
     "video_fingerprint_bits",
     "mp4_samples",
