@@ -496,6 +496,157 @@ def check_imagedup(spark, copies: int) -> None:
     big.unpersist()
 
 
+def _planted_pattern(salt: str, i: int) -> int:
+    """The shared planted-group pattern (groups of 4, nested flips)."""
+    import hashlib as _hl
+
+    hx = _hl.md5(f"{salt}-{i // 4}".encode()).hexdigest()
+    p = int(hx[:16], 16)
+    q0 = int(hx[16:18], 16) % 64
+    q1 = (q0 + 1 + int(hx[18:20], 16) % 63) % 64
+    m = i % 4
+    if m == 1:
+        p ^= 1 << q0
+    elif m == 2:
+        p ^= (1 << q0) | (1 << q1)
+    elif m == 3:
+        p ^= 0xFFFFFFFFFFFFFFFF
+    return p
+
+
+def check_audiodup(spark, copies: int) -> None:
+    """AudioDeduplicator: WAV decode + rFFT fingerprint (narrow Arrow
+    map) + pigeonhole pair join must stay ~linear in clip count (groups
+    of 4 are disjoint, so pair output is linear too)."""
+    base = 1500
+
+    def synth_wavs(n: int):
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+
+        def synth(batches):
+            from feature_factory_spark.operators.audiohash import pattern_wav
+
+            for pdf in batches:
+                pdf["wav"] = [
+                    pattern_wav(_planted_pattern("ffaud", int(i)))
+                    for i in pdf["doc_id"]
+                ]
+                yield pdf
+
+        out = ids.repartition(64).mapInPandas(
+            synth, "doc_id bigint, wav binary"
+        ).persist()
+        out.count()
+        return out
+
+    one = synth_wavs(base)
+    big = synth_wavs(base * copies)
+    op = ff.AudioDeduplicator("doc_id", binary_col="wav", hamming_threshold=2)
+    op.candidate_pairs(one).count()  # warm the Arrow path untimed
+    t0 = time.perf_counter()
+    c1 = op.candidate_pairs(one).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = op.candidate_pairs(big).count()
+    tN = time.perf_counter() - t0
+    print(f"[audiodup] 1x:  {base} clips, {c1} pairs, {t1:.1f}s")
+    print(
+        f"[audiodup] {copies}x: {base * copies} clips, {cN} pairs, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x clips)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
+def check_videodup(spark, copies: int) -> None:
+    """VideoDeduplicator: ISO-BMFF demux + per-frame dHash + majority
+    fold (narrow Arrow map) + pigeonhole pair join, ~linear in video
+    count."""
+    base = 1500
+
+    def synth_vids(n: int):
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+
+        def synth(batches):
+            from feature_factory_spark.operators.videohash import pattern_mp4
+
+            for pdf in batches:
+                pdf["vid"] = [
+                    pattern_mp4(_planted_pattern("ffvid", int(i)))
+                    for i in pdf["doc_id"]
+                ]
+                yield pdf
+
+        out = ids.repartition(64).mapInPandas(
+            synth, "doc_id bigint, vid binary"
+        ).persist()
+        out.count()
+        return out
+
+    one = synth_vids(base)
+    big = synth_vids(base * copies)
+    op = ff.VideoDeduplicator("doc_id", binary_col="vid", hamming_threshold=2)
+    op.candidate_pairs(one).count()  # warm the Arrow path untimed
+    t0 = time.perf_counter()
+    c1 = op.candidate_pairs(one).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = op.candidate_pairs(big).count()
+    tN = time.perf_counter() - t0
+    print(f"[videodup] 1x:  {base} videos, {c1} pairs, {t1:.1f}s")
+    print(
+        f"[videodup] {copies}x: {base * copies} videos, {cN} pairs, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x videos)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
+def check_embincr(spark, copies: int) -> None:
+    """EmbeddingDeduplicator dedupe_against: a FIXED 100-vector recrawl
+    batch probed against a 1x vs 10x persisted LSH index. File pruning
+    holds the probe to the batch's (chunk, bucket) partitions, so probe
+    wall must grow far slower than the index."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    one = emb.persist()
+    one.count()
+    big = emb
+    for i in range(1, copies):
+        big = big.union(
+            emb.select((F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                       "embedding")
+        )
+    big = big.persist()
+    big.count()
+    batch = emb.limit(100).select(
+        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+    )
+    op = ff.EmbeddingDeduplicator("embedding", "vec_id", threshold=0.99,
+                                  dim=dim, index_buckets=64)
+    with tempfile.TemporaryDirectory() as tmp:
+        p1, pN = os.path.join(tmp, "e1"), os.path.join(tmp, "eN")
+        op.write_index(one, p1)
+        op.write_index(big, pN)
+        t0 = time.perf_counter()
+        s1 = op.dedupe_against(batch, p1).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sN = op.dedupe_against(batch, pN).count()
+        tN = time.perf_counter() - t0
+    print(f"[embincr] 1x index:  {s1} survivors, {t1:.1f}s")
+    print(
+        f"[embincr] {copies}x index: {sN} survivors, {tN:.1f}s "
+        f"(probe time ratio {tN / t1:.1f}x for {copies}x index)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 def check_incrdedup(spark, copies: int) -> None:
     """SimHash dedupe_against: a FIXED 100-doc recrawl batch probed
     against a 1x vs 10x persisted index. File pruning holds the probe
@@ -567,7 +718,10 @@ CHECKS = {
     "semdedup": check_semdedup,
     "bigram": check_bigram,
     "imagedup": check_imagedup,
+    "audiodup": check_audiodup,
+    "videodup": check_videodup,
     "incrdedup": check_incrdedup,
+    "embincr": check_embincr,
     "corpusshuffle": check_corpusshuffle,
 }
 
