@@ -675,3 +675,62 @@ def test_r8_markdown_extractor_stream(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM r8md").collect()}
     want = {tuple(r) for r in extract(batch).collect()}
     assert got == want and len(got) == 12
+
+
+def test_r8_hashers_and_code_ops_stream(spark, tmp_path):
+    """r8 batch==stream duality: the perceptual hashers (narrow Arrow
+    maps), the code-curation projections, and PerplexityBucketer's
+    broadcast-join transform (fit on batch, serve on stream) all run
+    unchanged on a file stream and match their batch outputs."""
+    import feature_factory_spark as ff
+    from feature_factory_spark.operators.audiohash import pattern_wav
+    from feature_factory_spark.operators.imagehash import pattern_png
+    from feature_factory_spark.operators.videohash import pattern_mp4
+    from feature_factory_spark.streaming import read_stream
+
+    rows = [
+        (i,
+         pattern_png(0x0F0F0F0F0F0F0F0F ^ i),
+         pattern_wav(0x00FF00FF00FF00FF ^ i),
+         pattern_mp4(0xAAAA5555AAAA5555 ^ i),
+         ("# SPDX-License-Identifier: MIT\ncode\n" if i % 2 == 0
+          else "#!/usr/bin/env python3\nprint()\n"),
+         "m.py" if i % 3 == 0 else "run",
+         float(i))
+        for i in range(12)
+    ]
+    schema = ("doc_id bigint, img binary, wav binary, vid binary, "
+              "body string, path string, s double")
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "r8_src")
+    batch.write.parquet(src)
+    stream = read_stream(spark, src, batch.schema)
+
+    bucketer = ff.PerplexityBucketer("s").fit(batch)  # fit on batch
+
+    def curate(df):
+        out = ff.ImageHasher("img").transform(df)
+        out = ff.AudioHasher("wav").transform(out)
+        out = ff.VideoHasher("vid").transform(out)
+        out = ff.LicenseDetector("body").transform(out)
+        out = ff.CodeLanguageIdentifier("path", text_col="body").transform(out)
+        out = bucketer.transform(out)  # broadcast-join CASE, stream-safe
+        return out.select(
+            "doc_id", "img_dhash", "wav_afp", "vid_vhash",
+            "body_license", "code_lang", "s_bucket",
+        )
+
+    q = (
+        curate(stream).writeStream.format("memory")
+        .queryName("r8curated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: tuple(r)[1:]
+           for r in spark.sql("SELECT * FROM r8curated").collect()}
+    want = {r["doc_id"]: tuple(r)[1:] for r in curate(batch).collect()}
+    assert got == want
+    assert got[0][3] == "MIT" and got[1][4] == "python"
+    assert {v[5] for v in got.values()} == {"head", "middle", "tail"}
