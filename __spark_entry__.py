@@ -2363,6 +2363,40 @@ def q_code_meta(spark, sf_dir):
 
 
 @_reg(
+    "corpus_diff",
+    # Snapshot diffing (r8, operators/diff.py): old = docs with
+    # doc_id % 3 != 0, new = docs with doc_id % 7 != 0 where docs with
+    # doc_id % 5 == 0 carry mutated text. The Spark side runs the real
+    # full-outer md5-fingerprint diff over (text, lang, source); the
+    # oracle states the closed-form status from the modular slices.
+    """SELECT doc_id,
+  CASE
+    WHEN doc_id % 3 = 0 THEN 'added'
+    WHEN doc_id % 7 = 0 THEN 'removed'
+    WHEN doc_id % 5 = 0 THEN 'changed'
+    ELSE 'unchanged' END AS val
+FROM documents
+WHERE doc_id % 3 != 0 OR doc_id % 7 != 0""",
+)
+def q_corpus_diff(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")),
+    )
+    from feature_factory_spark.operators.diff import corpus_diff
+
+    return corpus_diff(old, new, "doc_id", ["text", "lang", "source"]).select(
+        "doc_id", F.col("status").alias("val")
+    )
+
+
+@_reg(
     "source_mix",
     # SourceMixer with weights 5:3:1 over src0/src1/src2 and a budget of
     # 4x count(src0), forcing whole-copy + fractional oversampling on
@@ -4917,6 +4951,7 @@ _merge("sample_family", [
     ("url_ops", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
+    ("corpus_diff", ["doc_id", "val"], "doc_id, val"),
 ])
 
 _merge("quality_filter", [

@@ -225,6 +225,29 @@ def main() -> None:
     ).transform(with_img)
     low_info = decoded.where(F.col("img_entropy") < 0.5)
     print(f"low-entropy images: {low_info.count()} / {decoded.count()}")
+
+    # 6b. perceptual near-dup over the same images (hash once, dedup
+    #     cheap): the pair stage sees only 8-byte signatures
+    hashed = ff.ImageHasher("img").transform(with_img)
+    img_kept = ff.ImageDeduplicator(
+        "doc_id", hash_col="img_dhash", hamming_threshold=2
+    ).transform(hashed)
+    print(f"images after near-dup: {img_kept.count()} / {decoded.count()}")
+
+    # 7. CCNet-style perplexity bucketing: cutpoints over the bigram
+    #    score, head/middle/tail labels drive bucket-aware sampling
+    buckets = ff.PerplexityBucketer("text_bigram_logprob").fit(cleaned)
+    bucketed = buckets.transform(cleaned)
+    bucketed.groupBy("text_bigram_logprob_bucket").count().show()
+
+    # 8. snapshot bookkeeping for the NEXT crawl: diff this corpus
+    #    against a simulated recrawl — only added/changed rows need
+    #    re-decoding/re-scoring; removed ids leave the index
+    from feature_factory_spark.operators.diff import corpus_diff
+
+    recrawl = docs.where(F.col("doc_id") % 2 == 0)
+    diff = corpus_diff(docs, recrawl, "doc_id", ["text"])
+    diff.groupBy("status").count().orderBy("status").show()
     spark.stop()
 
 

@@ -132,6 +132,7 @@ from .code import (
     CodeLanguageIdentifier,
     LicenseDetector,
 )
+from .diff import content_fingerprint, corpus_diff
 from .videohash import (
     VideoDeduplicator,
     VideoHasher,
@@ -198,6 +199,7 @@ __all__ = [
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",
     "CodeLanguageIdentifier", "LicenseDetector",
+    "content_fingerprint", "corpus_diff",
     "VideoDeduplicator", "VideoHasher", "pattern_mp4",
     "video_fingerprint_bits",
     "mp4_samples",
