@@ -3523,7 +3523,8 @@ def q_contamination_overlap(spark, sf_dir):
     """SELECT 'ids_match_reference' AS invariant, CAST(1 AS BIGINT) AS n
 UNION ALL SELECT 'packs_match_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'pack_budget', CAST(512 AS BIGINT)
-UNION ALL SELECT 'unk_free', CAST(1 AS BIGINT)""",
+UNION ALL SELECT 'unk_free', CAST(1 AS BIGINT)
+UNION ALL SELECT 'decode_roundtrip', CAST(1 AS BIGINT)""",
 )
 def q_packed_ids(spark, sf_dir):
     """BpeVocabBuilder.encode_ids + SequencePacker (operators/bpe.py,
@@ -3574,6 +3575,15 @@ def q_packed_ids(spark, sf_dir):
         rows = packed.select(
             "doc_id", "source", "text", "text_bpe_ids", "pack_id"
         ).collect()
+        # r8: decode_ids closes the loop in the other direction — the
+        # decoded text must equal the reference ids mapped back through
+        # the inverse vocabulary (unk -1 -> U+FFFD, end mark -> space)
+        decoded = {
+            r["doc_id"]: r["text_bpe_ids_text"]
+            for r in op.decode_ids(with_ids).select(
+                "doc_id", "text_bpe_ids_text"
+            ).collect()
+        }
     finally:
         op.release()
     exp_ids = {
@@ -3596,11 +3606,22 @@ def q_packed_ids(spark, sf_dir):
             f"pack_id law broken at doc {r['doc_id']}"
         )
         by_source[r["source"]] = prior + len(exp_ids[r["doc_id"]])
+    inv_vmap = {i: t for t, i in vmap.items()}
+    dec_ok = True
+    for r in rows:
+        want = "".join(
+            inv_vmap.get(i, "�") for i in exp_ids[r["doc_id"]]
+        ).replace(END_MARK, " ").rstrip()
+        if decoded[r["doc_id"]] != want:
+            dec_ok = False
+            break
+    assert dec_ok, "decode_ids diverged from the inverse-vocabulary map"
     return _inv_df(spark, [
         ("ids_match_reference", int(ids_ok)),
         ("packs_match_reference", 1),
         ("pack_budget", 512),
         ("unk_free", int(unk_free)),
+        ("decode_roundtrip", int(dec_ok)),
     ])
 
 

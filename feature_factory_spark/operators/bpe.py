@@ -704,6 +704,71 @@ class BpeVocabBuilder(Transformer):
             F.col("__ff_tokens").alias(out_col),
         )
 
+    def decode_ids(
+        self,
+        df: DataFrame,
+        ids_col: str | None = None,
+        output_col: str | None = None,
+    ) -> DataFrame:
+        """Append ``{ids_col}_text``: the text decoded from a token-ID
+        array column — the inverse of :meth:`encode_ids`, closing the
+        loop in both directions (encode for training shards, decode for
+        shard audits and loss-example inspection).
+
+        Round-trips ``encode_ids`` output up to whitespace
+        normalization (``words_expr`` splits on whitespace runs, so
+        decoded words rejoin with single spaces) for any text that does
+        not itself contain the end-of-word mark literal. Unknown ids
+        (the -1 unk sentinel, or ids outside the vocabulary) decode to
+        U+FFFD. Pure JVM: one broadcast id->token join on the exploded
+        ids, per-doc ordered reassembly, and — in byte mode — the
+        inverse GPT-2 byte table applied as one ``translate`` followed
+        by ``encode(latin-1) -> decode(utf-8)``; no Python anywhere.
+        NULL or empty arrays decode to NULL / '' respectively."""
+        from ..validation import validate_columns as _vc
+
+        ids_col = ids_col or f"{self.text_col}_bpe_ids"
+        output_col = output_col or f"{ids_col}_text"
+        _vc(df, [self.id_col, ids_col])
+        ensure(output_col not in df.columns,
+               f"output column '{output_col}' already exists")
+        vocab = self.vocabulary().select(
+            F.col("id").alias("__ff_tid"), F.col("token").alias("__ff_tok")
+        )
+        toks = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.posexplode(F.col(ids_col)).alias("__ff_p", "__ff_tid"),
+        ).join(F.broadcast(vocab), "__ff_tid", "left")
+        assembled = toks.groupBy("__ff_id").agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__ff_p", "__ff_tok"))),
+                    lambda s: F.coalesce(s["__ff_tok"], F.lit("�")),
+                ),
+            ).alias("__ff_cat")
+        )
+        txt = F.regexp_replace(F.col("__ff_cat"), END_MARK, " ")
+        if self.byte_level:
+            # inverse byte table: each symbol char -> its byte as a
+            # latin-1 char, then one encode/decode pair re-reads the
+            # byte string as UTF-8 text
+            sym_str = "".join(_B2U_LIST)
+            byte_str = "".join(chr(b) for b in range(256))
+            txt = F.decode(
+                F.encode(F.translate(txt, sym_str, byte_str), "ISO-8859-1"),
+                "UTF-8",
+            )
+        decoded = assembled.select("__ff_id", F.rtrim(txt).alias("__ff_txt"))
+        return df.join(
+            decoded, on=df[self.id_col] == decoded["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
+            F.when(F.col(ids_col).isNull(), F.lit(None))
+            .otherwise(F.coalesce("__ff_txt", F.lit("")))
+            .alias(output_col),
+        )
+
     def _transform(self, df: DataFrame) -> DataFrame:
         from .text import _require_frame_state
 

@@ -459,3 +459,49 @@ def test_byte_save_tokenizer_external_runtime_semantics(
         file_toks = [t for w in words for t in file_tokenize(w)]
         assert r["text_bpe_tokens"] == file_toks
         assert ids[r["doc_id"]] == [vocab[t] for t in file_toks]
+
+
+# --- decode_ids: the inverse of encode_ids (r8) -----------------------
+
+def test_decode_ids_roundtrip_char_level(spark):
+    rows = [(1, "the cat sat on the mat"), (2, "cats    eat  fish"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bpe = ff.BpeVocabBuilder("text", "doc_id", num_merges=20).fit(
+        df.where("doc_id <= 2")
+    )
+    dec = bpe.decode_ids(bpe.encode_ids(df))
+    got = {r["doc_id"]: r["text_bpe_ids_text"] for r in dec.collect()}
+    # whitespace normalizes to single spaces; empty/NULL text -> ''
+    # (encode emits an empty id array for both, by the NULL-sentinel
+    # word design)
+    assert got == {1: "the cat sat on the mat", 2: "cats eat fish",
+                   3: "", 4: ""}
+
+
+def test_decode_ids_roundtrip_byte_level_full_unicode(spark):
+    rows = [(1, "héllo wörld émoji \U0001F40D bytes"), (2, "plain ascii")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # fit on DIFFERENT text: byte mode's full 256-symbol alphabet
+    # decodes anything, fitted or not
+    fit = spark.createDataFrame([(9, "unrelated corpus")],
+                                "doc_id bigint, text string")
+    bpe = ff.BpeVocabBuilder("text", "doc_id", num_merges=8,
+                             byte_level=True).fit(fit)
+    dec = bpe.decode_ids(bpe.encode_ids(df))
+    got = {r["doc_id"]: r["text_bpe_ids_text"] for r in dec.collect()}
+    assert got == {1: "héllo wörld émoji \U0001F40D bytes", 2: "plain ascii"}
+
+
+def test_decode_ids_unknown_id_and_custom_cols(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    bpe = ff.BpeVocabBuilder("text", "doc_id", num_merges=4).fit(df)
+    from pyspark.sql import functions as F
+
+    withids = bpe.encode_ids(df).withColumn(
+        "mangled", F.concat(F.col("text_bpe_ids"), F.array(F.lit(-1)))
+    )
+    dec = bpe.decode_ids(withids, ids_col="mangled", output_col="back")
+    assert dec.collect()[0]["back"].endswith("�")
+    with pytest.raises(Exception, match="already exists"):
+        bpe.decode_ids(withids, ids_col="mangled", output_col="mangled")
