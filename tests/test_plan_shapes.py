@@ -194,3 +194,52 @@ def test_source_mixer_transform_is_narrow(spark):
     plan = _phys(op.transform(corpus))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_media_hash_dedup_never_cartesian(spark):
+    # the r8 perceptual dedup family (image/audio/video) shares the
+    # pigeonhole blocking: equi-join on (chunk index, chunk value),
+    # never a cross product — pinned on the hash_col reuse path (no
+    # decode needed for a plan-shape check)
+    hashed = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 63)) for i in range(64)],
+        "doc_id bigint, h bigint",
+    )
+    for op in (
+        ff.ImageDeduplicator("doc_id", hash_col="h", hamming_threshold=2),
+        ff.AudioDeduplicator("doc_id", hash_col="h", hamming_threshold=2),
+        ff.VideoDeduplicator("doc_id", hash_col="h", hamming_threshold=2),
+    ):
+        plan = _phys(op.candidate_pairs(hashed))
+        assert "CartesianProduct" not in plan, type(op).__name__
+        assert "BroadcastNestedLoopJoin" not in plan, type(op).__name__
+
+
+def test_corpus_diff_single_equijoin(spark):
+    from feature_factory_spark.operators.diff import corpus_diff
+
+    old = spark.createDataFrame([(i, f"t{i}") for i in range(40)],
+                                "doc_id bigint, text string")
+    new = spark.createDataFrame([(i, f"t{i+1}") for i in range(40)],
+                                "doc_id bigint, text string")
+    plan = _phys(corpus_diff(old, new, "doc_id", ["text"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one join feeds the status projection
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") == 1
+
+
+def test_perplexity_bucketer_transform_no_corpus_shuffle(spark):
+    # the cutpoint CASE is a broadcast join: the corpus side must not
+    # exchange (no global sort/window formulation)
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "doc_id bigint, s double")
+    b = ff.PerplexityBucketer("s").fit(df)
+    plan = _phys(b.transform(df))
+    # the single-row cutpoint frame broadcasts (a 1-row broadcast
+    # nested-loop join is the correct physical shape for the ungrouped
+    # cross join); the corpus itself never hash-shuffles
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
