@@ -3386,6 +3386,44 @@ def q_corpus_shuffle(spark, sf_dir):
 
 
 @_reg(
+    "shard_manifest",
+    # CorpusShuffler.shard_manifest (r8): per-shard audit stats over
+    # the same seeded-shuffle law as corpus_shuffle, plus an
+    # order-insensitive id fingerprint (bit_xor over a 60-bit md5
+    # prefix — verified to compute identically in both engines).
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) tok,
+  md5('ff|' || CAST(doc_id AS VARCHAR)) k FROM documents),
+r AS (SELECT doc_id, tok,
+  row_number() OVER (ORDER BY k, doc_id) - 1 AS pos,
+  coalesce(sum(tok) OVER (ORDER BY k, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pt
+FROM t),
+s AS (SELECT doc_id, tok, pos, CAST(pt // 2000 AS BIGINT) AS shard_id FROM r)
+SELECT shard_id,
+  count(*) AS n_docs, sum(tok) AS n_tokens,
+  min(pos) AS first_position, max(pos) AS last_position,
+  bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+    AS id_fingerprint
+FROM s GROUP BY shard_id""",
+)
+def q_shard_manifest(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    op = ff.CorpusShuffler(
+        "doc_id", tokens_col="n_tokens", tokens_per_shard=2000
+    )
+    return op.shard_manifest(docs).select(
+        "shard_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("first_position").cast("bigint").alias("first_position"),
+        F.col("last_position").cast("bigint").alias("last_position"),
+        "id_fingerprint",
+    )
+
+
+@_reg(
     "sequence_pack",
     """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) tokens FROM documents)
 SELECT doc_id,
@@ -5086,6 +5124,15 @@ _merge("pack_family", [
      "invariant AS val"),
     ("corpus_shuffle", ["doc_id", "shard_id AS k", "pos AS val"],
      "doc_id, shard_id AS k, pos AS val"),
+    ("shard_manifest",
+     ["cast(NULL AS bigint) AS doc_id", "shard_id AS k",
+      "concat_ws(':', n_docs, n_tokens, first_position, last_position, "
+      "id_fingerprint) AS val"],
+     "CAST(NULL AS BIGINT) AS doc_id, shard_id AS k, "
+     "CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' || "
+     "CAST(first_position AS VARCHAR) || ':' || "
+     "CAST(last_position AS VARCHAR) || ':' || "
+     "CAST(id_fingerprint AS VARCHAR) AS val"),
 ])
 
 # Registry cap + member-assignment rule (VERDICT r4 item 6). The

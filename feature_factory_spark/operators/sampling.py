@@ -562,10 +562,44 @@ class CorpusShuffler(Transformer):
                   "__ff_pt")
         )
 
-    def write_shards(self, df: DataFrame, path: str, mode: str = "error") -> None:
+    def shard_manifest(self, df: DataFrame) -> DataFrame:
+        """Per-shard audit statistics: (shard_id, n_docs, n_tokens,
+        first_position, last_position, id_fingerprint) — what a data
+        loader checks before training and what a re-export is compared
+        against. ``n_tokens`` is NULL in docs_per_shard mode.
+        ``id_fingerprint`` is ``bit_xor`` over a 60-bit md5 prefix of
+        each id's string form: order-insensitive (the xor sees a SET of
+        ids), engine-portable, and any membership difference flips it
+        with probability 1 - 2^-60. One aggregate over the transformed
+        frame — no collect."""
+        out = self.transform(df)
+        fp = F.expr(
+            "bit_xor(cast(conv(substring(md5(cast("
+            f"{self.id_col} as string)), 1, 15), 16, 10) as bigint))"
+        )
+        toks = (
+            F.sum(F.col(self.tokens_col).cast("bigint"))
+            if self.tokens_col
+            else F.lit(None).cast("bigint")
+        )
+        return out.groupBy(self.shard_col).agg(
+            F.count("*").alias("n_docs"),
+            toks.alias("n_tokens"),
+            F.min(self.position_col).alias("first_position"),
+            F.max(self.position_col).alias("last_position"),
+            fp.alias("id_fingerprint"),
+        )
+
+    def write_shards(
+        self, df: DataFrame, path: str, mode: str = "error",
+        manifest: bool = True,
+    ) -> None:
         """Transform and write ``<path>/shard_id=N/`` parquet dirs, each
         sorted by position (the numbered-shard export a data loader
-        consumes)."""
+        consumes), plus ``<path>/_manifest.json`` (one JSON object per
+        line: the :meth:`shard_manifest` row) unless ``manifest=False``
+        — shard counts are small, so the manifest collect is bounded by
+        corpus_tokens / tokens_per_shard rows."""
         out = self.transform(df)
         (
             out.repartition(F.col(self.shard_col))
@@ -574,3 +608,24 @@ class CorpusShuffler(Transformer):
             .partitionBy(self.shard_col)
             .parquet(path)
         )
+        if manifest:
+            import json
+            import os
+
+            rows = self.shard_manifest(df).orderBy(self.shard_col).collect()
+            payload = "\n".join(
+                json.dumps(r.asDict(), sort_keys=True) for r in rows
+            )
+            jvm = df.sparkSession.sparkContext._jvm
+            # write through Hadoop's FileSystem so the manifest lands
+            # next to the shards on any storage scheme (local, HDFS, s3a)
+            conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, "_manifest.json")
+            )
+            fs = p.getFileSystem(conf)
+            stream = fs.create(p, True)
+            try:
+                stream.write(bytearray(payload.encode("utf-8")))
+            finally:
+                stream.close()

@@ -129,3 +129,51 @@ def test_output_clash_detected(docs):
                            position_col="source")
     with pytest.raises(Exception, match="already exist"):
         op.transform(docs)
+
+
+# --- shard manifest (r8): the loader-side audit surface --------------
+
+def test_shard_manifest_stats_and_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(300)], "doc_id bigint, n_tokens int"
+    )
+    op = ff.CorpusShuffler("doc_id", tokens_col="n_tokens",
+                           tokens_per_shard=100)
+    man = {r["shard_id"]: r.asDict()
+           for r in op.shard_manifest(docs).collect()}
+    assert sum(m["n_docs"] for m in man.values()) == 300
+    # shards are contiguous position ranges
+    for m in man.values():
+        assert m["last_position"] - m["first_position"] + 1 == m["n_docs"]
+    # removing one doc flips at least one shard's fingerprint
+    man2 = {r["shard_id"]: r["id_fingerprint"]
+            for r in op.shard_manifest(docs.where("doc_id != 5")).collect()}
+    assert any(man[s]["id_fingerprint"] != man2.get(s) for s in man)
+    # docs_per_shard mode reports NULL token mass
+    dp = ff.CorpusShuffler("doc_id", docs_per_shard=50)
+    row = dp.shard_manifest(docs.select("doc_id")).collect()[0]
+    assert row["n_tokens"] is None and row["n_docs"] == 50
+
+
+def test_write_shards_manifest_file(spark, tmp_path):
+    import json
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, 3) for i in range(120)], "doc_id bigint, n_tokens int"
+    )
+    op = ff.CorpusShuffler("doc_id", tokens_col="n_tokens",
+                           tokens_per_shard=90)
+    path = str(tmp_path / "shards")
+    op.write_shards(docs, path)
+    lines = open(os.path.join(path, "_manifest.json")).read().splitlines()
+    rows = [json.loads(ln) for ln in lines]
+    assert [r["shard_id"] for r in rows] == sorted(r["shard_id"] for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 120
+    # the manifest describes exactly the shard dirs on disk
+    dirs = {d for d in os.listdir(path) if d.startswith("shard_id=")}
+    assert dirs == {f"shard_id={r['shard_id']}" for r in rows}
+    # opt-out writes no manifest
+    p2 = str(tmp_path / "shards2")
+    op.write_shards(docs, p2, manifest=False)
+    assert not os.path.exists(os.path.join(p2, "_manifest.json"))
