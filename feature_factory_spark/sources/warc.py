@@ -258,6 +258,60 @@ def make_wet(docs: list[dict], gzip_per_record: bool = False) -> bytes:
     return make_warc(records, gzip_per_record=gzip_per_record)
 
 
+def make_wat(docs: list[dict], gzip_per_record: bool = False) -> bytes:
+    """Deterministic WAT encoder twin (the CommonCrawl per-page
+    metadata layout): a leading ``warcinfo`` record followed by one
+    ``metadata`` record per doc dict (optional ``target_uri`` /
+    ``title`` / ``links`` list / ``warc_date`` / ``record_id``), whose
+    JSON payload follows the public WAT envelope structure
+    (Envelope -> Payload-Metadata -> HTTP-Response-Metadata ->
+    HTML-Metadata -> {Head.Title, Links})."""
+    import json
+
+    records = [{
+        "warc_type": "warcinfo",
+        "content_type": "application/warc-fields",
+        "payload": b"software: feature-factory-spark make_wat\r\n",
+    }]
+    for i, d in enumerate(docs):
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": d.get(
+                        "target_uri", f"https://example.org/{i}"
+                    ),
+                    "WARC-Type": "response",
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": d.get("title", f"Page {i}")},
+                            "Links": [
+                                {"path": "A@/href", "url": u}
+                                for u in d.get("links", [])
+                            ],
+                        }
+                    }
+                },
+            }
+        }
+        records.append({
+            "warc_type": "metadata",
+            "content_type": "application/json",
+            "payload": json.dumps(env, sort_keys=True).encode("utf-8"),
+            "target_uri": d.get("target_uri", f"https://example.org/{i}"),
+            "warc_date": d.get("warc_date", "2026-01-01T00:00:00Z"),
+            "record_id": d.get("record_id", f"<urn:uuid:wat-{i}>"),
+        })
+    return make_warc(records, gzip_per_record=gzip_per_record)
+
+
+_WAT_HTML_META = (
+    "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+    "['HTML-Metadata']"
+)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -279,15 +333,24 @@ def read_warc(
     and returns (source_file, record_id, target_uri, warc_date, text,
     content_length) with the payload decoded as UTF-8 (malformed bytes
     become U+FFFD, the lenient crawl contract). Same scan + narrow
-    map; the filter and decode are plain JVM expressions on top."""
+    map; the filter and decode are plain JVM expressions on top.
+
+    ``kind='wat'`` (r8) reads the CommonCrawl WAT layout — per-page
+    METADATA (the link-graph / title / header sidecar): keeps only
+    ``metadata`` records and returns (source_file, record_id,
+    target_uri, warc_date, metadata_json, title, n_links) with title
+    and outlink count pre-extracted from the public WAT envelope paths
+    via ``get_json_object`` / ``json_array_length`` (NULL when the
+    envelope lacks them) and the full JSON kept for downstream
+    ``from_json`` schemas. Same scan + narrow map."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     from .io import read
 
-    if kind not in ("warc", "wet"):
-        raise ValueError("kind must be 'warc' or 'wet'")
+    if kind not in ("warc", "wet", "wat"):
+        raise ValueError("kind must be 'warc', 'wet', or 'wat'")
 
     df = read(spark, path, fmt="binaryFile", **options).select(
         "path", "content"
@@ -318,5 +381,21 @@ def read_warc(
             "warc_date",
             F.decode("payload", "UTF-8").alias("text"),
             F.col("payload_length").alias("content_length"),
+        )
+    if kind == "wat":
+        js = F.decode("payload", "UTF-8")
+        return records.where(F.col("warc_type") == "metadata").select(
+            "source_file",
+            "record_id",
+            "target_uri",
+            "warc_date",
+            js.alias("metadata_json"),
+            F.get_json_object(
+                js, _WAT_HTML_META + "['Head'].Title"
+            ).alias("title"),
+            F.expr(
+                "json_array_length(get_json_object(decode(payload, 'UTF-8'),"
+                f' "{_WAT_HTML_META}.Links"))'
+            ).alias("n_links"),
         )
     return records

@@ -201,3 +201,47 @@ def test_wet_feeds_curation_pipeline(spark, tmp_path):
 def test_read_warc_kind_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         read_warc(spark, str(tmp_path), kind="wat")
+
+
+# --- WAT ingestion (r8): the CommonCrawl metadata sidecar -------------
+
+def test_read_wat_round_trip(spark, tmp_path):
+    from feature_factory_spark.sources.warc import make_wat
+
+    docs = [
+        {"target_uri": "https://a.org/x", "title": "Alpha Page",
+         "links": ["https://b.org/1", "https://b.org/2"]},
+        {"target_uri": "https://b.org/y", "title": "Beta",
+         "links": []},
+        {"target_uri": "https://c.org/z"},  # defaults
+    ]
+    d = tmp_path / "wat"
+    d.mkdir()
+    (d / "part0.wat.gz").write_bytes(make_wat(docs, gzip_per_record=True))
+    from feature_factory_spark.sources import read_warc
+
+    out = read_warc(spark, str(d), kind="wat")
+    rows = {r["target_uri"]: r for r in out.collect()}
+    # the warcinfo record is filtered out; one row per metadata record
+    assert len(rows) == 3
+    assert rows["https://a.org/x"]["title"] == "Alpha Page"
+    assert rows["https://a.org/x"]["n_links"] == 2
+    assert rows["https://b.org/y"]["n_links"] == 0
+    assert rows["https://c.org/z"]["title"] == "Page 2"
+    # the raw envelope survives for downstream from_json schemas
+    import json
+
+    env = json.loads(rows["https://a.org/x"]["metadata_json"])
+    assert env["Envelope"]["WARC-Header-Metadata"]["WARC-Type"] == "response"
+    # narrow plan: no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_read_warc_kind_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="kind"):
+        from feature_factory_spark.sources import read_warc
+
+        read_warc(spark, str(tmp_path), kind="nope")
