@@ -107,7 +107,10 @@ the op is a member slice of that family query):
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit + bpe_vocab, the distributed BPE
   induction pinned against its pure-Python reference, + perplexity_bucket,
-  the r8 CCNet head/middle/tail cutpoint bucketing), multimodal_family
+  the r8 CCNet head/middle/tail cutpoint bucketing, + pagerank, the r8
+  fixed-iteration link-graph authority signal over a deterministic
+  synthetic doc-id graph, oracle = the power iteration unrolled as
+  chained CTEs), multimodal_family
   (multimodal_extract byte plumbing + frame_sample + image_decode +
   audio_decode + video_probe with the REAL stdlib PNG/WAV/MP4 parsers,
   operators/{image,audio,video}codec.py).
@@ -3870,6 +3873,61 @@ def q_perplexity_bucket(spark, sf_dir):
 
 
 @_reg(
+    "pagerank",
+    # Fixed-iteration PageRank (r8, functions/graph.py pagerank): the
+    # domain-authority curation signal, over a deterministic synthetic
+    # link graph on the document ids (contiguous 0..N-1): each node
+    # links to (id+1) % N and (id*7+3) % N. Every node has out-edges,
+    # so the dangling term is exactly 0 and the oracle is the power
+    # iteration unrolled as three chained CTEs. Per-node in-degree is
+    # tiny, so cross-engine float drift is ~1e-16 — far under r6.
+    f"""WITH n AS (SELECT count(*) c FROM documents),
+e AS (SELECT DISTINCT src, dst FROM (
+  SELECT doc_id AS src, (doc_id + 1) % c AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 3) % c FROM documents, n)),
+d AS (SELECT src, count(*) deg FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS node, 1.0 / c AS rank FROM documents, n),
+r1 AS (SELECT d2.doc_id AS node,
+  0.15 / c + 0.85 * coalesce(ct.s, 0) AS rank
+  FROM documents d2 CROSS JOIN n LEFT JOIN (
+    SELECT e.dst, sum(r0.rank / d.deg) s
+    FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst
+  ) ct ON d2.doc_id = ct.dst),
+r2 AS (SELECT d2.doc_id AS node,
+  0.15 / c + 0.85 * coalesce(ct.s, 0) AS rank
+  FROM documents d2 CROSS JOIN n LEFT JOIN (
+    SELECT e.dst, sum(r1.rank / d.deg) s
+    FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst
+  ) ct ON d2.doc_id = ct.dst),
+r3 AS (SELECT d2.doc_id AS node,
+  0.15 / c + 0.85 * coalesce(ct.s, 0) AS rank
+  FROM documents d2 CROSS JOIN n LEFT JOIN (
+    SELECT e.dst, sum(r2.rank / d.deg) s
+    FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst
+  ) ct ON d2.doc_id = ct.dst)
+SELECT node, {R6('rank')} AS rank FROM r3""",
+)
+def q_pagerank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % n).alias("dst"),
+    ).union(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+        )
+    )
+    from feature_factory_spark.functions.graph import pagerank
+
+    return pagerank(edges, iterations=3).select(
+        "node", r6(F.col("rank")).alias("rank")
+    )
+
+
+@_reg(
     "bigram_logprob",
     # interpolated bigram LM: mean ln(0.75*P(w2|w1) + 0.25*P(w2)) per
     # doc. P(w2|w1) = pair/max(count(w1),1) (0 unseen), P(w2) the same
@@ -5071,6 +5129,9 @@ _merge("lm_family", [
     ("perplexity_bucket",
      ["doc_id AS k", "bucket AS tok", "score AS val"],
      "doc_id AS k, bucket AS tok, score AS val"),
+    ("pagerank",
+     ["node AS k", "cast(NULL AS string) AS tok", "rank AS val"],
+     "node AS k, CAST(NULL AS VARCHAR) AS tok, rank AS val"),
 ])
 
 # multimodal surface: byte-level plumbing + frame sampling + REAL image

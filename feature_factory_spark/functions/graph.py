@@ -102,3 +102,84 @@ def duplicate_ids(
     return comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("dup_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge frame — the
+    domain-authority signal crawl-curation pipelines rank hosts by
+    (e.g. harmonic-centrality / rank filters in public web-corpus
+    builds). Returns (node, rank); ranks sum to 1.0 up to float
+    rounding.
+
+    Standard power iteration (Page et al. 1999): every node starts at
+    1/n; each round a node keeps (1-d)/n plus d times the rank mass its
+    in-neighbors spread over their out-degrees, plus its share of the
+    dangling-node mass (nodes with no out-edges redistribute
+    uniformly). ``iterations`` is FIXED rather than tolerance-driven so
+    results are deterministic and recomputable in plain SQL (an
+    unrolled-CTE oracle twin).
+
+    Scale shape: per iteration ONE join of the rank frame onto the
+    out-degree-annotated edge list + one groupBy(dst) aggregate — the
+    same two-shuffle round as connected_components; the rank frame is
+    (node, rank), never materialized on the driver (only the scalar
+    dangling mass is collected each round). Iterations are a fixed
+    small constant, so the total work is O(iterations x |E|) with
+    AQE-planned shuffles.
+    """
+    from ..validation import ensure
+
+    ensure(0.0 < damping < 1.0, "damping must be in (0,1)")
+    ensure(iterations >= 1, "iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    ensure(n > 0, "edge frame contains no nodes")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    links = e.join(outdeg, "src").persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass: rank held by nodes with no out-edges, spread
+        # uniformly — ONE scalar to the driver per round
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        share = damping * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base + share)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        # keep the lineage shallow: each round's frame feeds the next
+        ranks = ranks.localCheckpoint(eager=False)
+    nodes.unpersist()
+    links.unpersist()
+    return ranks

@@ -106,3 +106,60 @@ class TestExactSubstringDeduplicator:
         plan = op.spans(corpus)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- pagerank (r8): the link-graph authority signal -------------------
+
+def test_pagerank_classic_triangle(spark):
+    from feature_factory_spark.functions.graph import pagerank
+
+    # A->B, A->C, B->C, C->A — published ranks (d=0.85):
+    # A ~ 0.3877, B ~ 0.2148, C ~ 0.3975
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")],
+        "src string, dst string",
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(e, iterations=25).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert abs(r["A"] - 0.3877) < 2e-3
+    assert abs(r["B"] - 0.2148) < 2e-3
+    assert abs(r["C"] - 0.3975) < 2e-3
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    from feature_factory_spark.functions.graph import pagerank
+
+    # B has no out-edges: its rank must be redistributed, and the
+    # total must stay 1.0 (the probability-conservation contract)
+    e = spark.createDataFrame([("A", "B")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(e, iterations=10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r["B"] > r["A"]  # B receives A's mass on top of the base
+
+
+def test_pagerank_duplicate_and_null_edges_ignored(spark):
+    from feature_factory_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), (None, "B"), ("A", None), ("B", "A")],
+        "src string, dst string",
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(e, iterations=10).collect()}
+    # the deduped symmetric 2-cycle: equal ranks
+    assert set(r) == {"A", "B"}
+    assert abs(r["A"] - r["B"]) < 1e-12
+
+
+def test_pagerank_validation(spark):
+    import pytest
+
+    from feature_factory_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame([("A", "B")], "src string, dst string")
+    with pytest.raises(Exception):
+        pagerank(e, damping=1.5)
+    with pytest.raises(Exception):
+        pagerank(e, iterations=0)
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(Exception, match="no nodes"):
+        pagerank(empty)
