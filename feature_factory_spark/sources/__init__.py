@@ -7,5 +7,5 @@ from .io import (
     write,
     write_bucketed,
 )
-from .warc import (make_http_response, make_warc, make_wat,
-                   make_wet, parse_warc, read_warc)
+from .warc import (edges_from_wat, make_http_response, make_warc,
+                   make_wat, make_wet, parse_warc, read_warc)

@@ -399,3 +399,37 @@ def read_warc(
             ).alias("n_links"),
         )
     return records
+
+
+def edges_from_wat(wat: DataFrame) -> DataFrame:
+    """Host-level link edges from a ``read_warc(kind='wat')`` frame:
+    one (src_host, dst_host) row per outlink whose URL parses to a
+    host, self-loops dropped — the input :func:`...functions.graph.
+    pagerank` ranks for domain-authority filtering. Pure JVM:
+    ``from_json`` on the envelope's Links array + ``try_parse_url``;
+    a narrow map over the reader output (the explode multiplies rows
+    but shuffles nothing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    links_schema = T.ArrayType(
+        T.StructType([T.StructField("url", T.StringType(), True)])
+    )
+    links = F.from_json(
+        F.get_json_object(F.col("metadata_json"), _WAT_HTML_META + ".Links"),
+        links_schema,
+    )
+    src = F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
+    out = (
+        wat.select(src.alias("src_host"), F.explode(links).alias("l"))
+        .select(
+            "src_host",
+            F.try_parse_url(F.col("l.url"), F.lit("HOST")).alias("dst_host"),
+        )
+        .where(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+    )
+    return out

@@ -245,3 +245,33 @@ def test_read_warc_kind_validation(spark, tmp_path):
         from feature_factory_spark.sources import read_warc
 
         read_warc(spark, str(tmp_path), kind="nope")
+
+
+def test_edges_from_wat_feed_pagerank(spark, tmp_path):
+    from feature_factory_spark.functions.graph import pagerank
+    from feature_factory_spark.sources.warc import (
+        edges_from_wat, make_wat,
+    )
+
+    docs = [
+        {"target_uri": "https://a.org/x",
+         "links": ["https://b.org/1", "https://c.org/2",
+                   "https://a.org/self", "not a url"]},
+        {"target_uri": "https://b.org/y", "links": ["https://c.org/3"]},
+        {"target_uri": "https://c.org/z", "links": ["https://a.org/4"]},
+    ]
+    d = tmp_path / "watpr"
+    d.mkdir()
+    (d / "f.wat.gz").write_bytes(make_wat(docs, gzip_per_record=True))
+    from feature_factory_spark.sources import read_warc
+
+    edges = edges_from_wat(read_warc(spark, str(d), kind="wat"))
+    got = sorted((r["src_host"], r["dst_host"]) for r in edges.collect())
+    # self-loop and unparseable URLs dropped
+    assert got == [("a.org", "b.org"), ("a.org", "c.org"),
+                   ("b.org", "c.org"), ("c.org", "a.org")]
+    # the classic triangle+backlink graph: published d=0.85 ranks
+    r = {x["node"]: x["rank"]
+         for x in pagerank(edges, "src_host", "dst_host",
+                           iterations=25).collect()}
+    assert abs(r["a.org"] - 0.3877) < 2e-3
