@@ -3922,7 +3922,9 @@ def q_pagerank(spark, sf_dir):
     )
     from feature_factory_spark.functions.graph import pagerank
 
-    return pagerank(edges, iterations=3).select(
+    # every node links out by construction: skip the per-round
+    # dangling-mass collects (the oracle has no dangling term either)
+    return pagerank(edges, iterations=3, handle_dangling=False).select(
         "node", r6(F.col("rank")).alias("rank")
     )
 

@@ -110,6 +110,7 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    handle_dangling: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame — the
     domain-authority signal crawl-curation pipelines rank hosts by
@@ -160,14 +161,22 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         # dangling mass: rank held by nodes with no out-edges, spread
-        # uniformly — ONE scalar to the driver per round
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-        share = damping * dangling / n
+        # uniformly — ONE scalar to the driver per round.
+        # handle_dangling=False skips the per-round collect for graphs
+        # KNOWN to give every node an out-edge (rank mass silently
+        # leaks if that assumption is wrong — ranks then sum below 1)
+        if handle_dangling:
+            dangling = (
+                ranks.join(
+                    outdeg, ranks["node"] == outdeg["src"], "left_anti"
+                )
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            share = damping * dangling / n
+        else:
+            share = 0.0
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(

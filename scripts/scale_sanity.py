@@ -681,6 +681,39 @@ def check_incrdedup(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_pagerank(spark, copies: int) -> None:
+    """pagerank: fixed iterations x (one join + one aggregate) over the
+    edge list — wall must stay ~linear in |E| (no rank-frame collect,
+    no cross product)."""
+    base = 20_000
+
+    def graph(n: int):
+        ids = spark.range(n)
+        e = ids.selectExpr("id AS src", f"(id + 1) % {n} AS dst").union(
+            ids.selectExpr("id AS src", f"(id * 7 + 3) % {n} AS dst")
+        ).persist()
+        e.count()
+        return e
+
+    from feature_factory_spark.functions.graph import pagerank
+
+    one = graph(base)
+    big = graph(base * copies)
+    t0 = time.perf_counter()
+    c1 = pagerank(one, iterations=3).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = pagerank(big, iterations=3).count()
+    tN = time.perf_counter() - t0
+    print(f"[pagerank] 1x:  {base} nodes ranked ({c1}), {t1:.1f}s")
+    print(
+        f"[pagerank] {copies}x: {base * copies} nodes ranked ({cN}), "
+        f"{tN:.1f}s (time ratio {tN / t1:.1f}x for {copies}x edges)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 def check_corpusshuffle(spark, copies: int) -> None:
     """CorpusShuffler: one aggregate + bucket-partitioned windows — the
     distributed prefix-sum must stay ~linear (no global single-task
@@ -723,6 +756,7 @@ CHECKS = {
     "incrdedup": check_incrdedup,
     "embincr": check_embincr,
     "corpusshuffle": check_corpusshuffle,
+    "pagerank": check_pagerank,
 }
 
 

@@ -163,3 +163,23 @@ def test_pagerank_validation(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(Exception, match="no nodes"):
         pagerank(empty)
+
+
+def test_pagerank_handle_dangling_false_matches_on_dangling_free_graph(spark):
+    from feature_factory_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A")], "src string, dst string"
+    )
+    full = {r["node"]: r["rank"]
+            for r in pagerank(e, iterations=8).collect()}
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(e, iterations=8,
+                              handle_dangling=False).collect()}
+    assert full == fast
+    # on a graph WITH dangling nodes the fast path leaks mass (by
+    # documented contract) — ranks sum below 1
+    d = spark.createDataFrame([("A", "B")], "src string, dst string")
+    leaked = sum(r["rank"] for r in
+                 pagerank(d, iterations=5, handle_dangling=False).collect())
+    assert leaked < 1.0
