@@ -2529,6 +2529,30 @@ def _sql_fix_encoding() -> str:
     )
 
 
+@_reg(
+    "unicode_nfc",
+    # UnicodeNormalizer (r8, operators/text.py): NFC normalization of a
+    # deterministic decomposed-unicode suffix (e/o/a/n + combining
+    # acute/diaeresis/tilde — 2 codepoints each, 1 after NFC) appended
+    # per doc. DuckDB's nfc_normalize is the same Unicode NFC; the
+    # combining marks are written as explicit escapes in both engines.
+    """SELECT doc_id,
+  nfc_normalize(text ||
+    ' xe' || chr(769) || 'o' || chr(776) || 'a' || chr(771) ||
+    'n' || chr(771) || 'z') AS val
+FROM documents""",
+)
+def q_unicode_nfc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # DECOMPOSED on purpose (base + combining escapes): NFC composes it
+    suffix = " xe\u0301o\u0308a\u0303n\u0303z"
+    page = F.concat(F.col("text"), F.lit(suffix))
+    out = ff.UnicodeNormalizer(["page"]).transform(
+        docs.select("doc_id", page.alias("page"))
+    )
+    return out.select("doc_id", F.col("page").alias("val"))
+
+
 @_reg("fix_encoding", _sql_fix_encoding())
 def q_fix_encoding(spark, sf_dir):
     """EncodingFixer (operators/text.py): mojibake repair + NBSP +
@@ -5095,6 +5119,7 @@ _merge("text_clean", [
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
     ("c4_clean", ["doc_id", "val"], "doc_id, val"),
     ("md_strip", ["doc_id", "val"], "doc_id, val"),
+    ("unicode_nfc", ["doc_id", "val"], "doc_id, val"),
 ])
 
 # language identification: the SQL-twin stopword heuristic (per-doc

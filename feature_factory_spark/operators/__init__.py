@@ -72,6 +72,7 @@ from .text import (
     TextFeatures,
     TfIdfScorer,
     TokenCount,
+    UnicodeNormalizer,
     VocabBuilder,
 )
 from .dedup import (
@@ -179,7 +180,7 @@ __all__ = [
     # LLM-data-pipeline extensions (beyond the reference inventory)
     "TextFeatures", "TokenCount", "LanguageIdentifier",
     "NgramLanguageIdentifier", "DocumentFingerprint",
-    "PerplexityBucketer",
+    "PerplexityBucketer", "UnicodeNormalizer",
     "TextCleaner", "C4Filter", "EncodingFixer", "RepetitionFeatures",
     "GopherQualityFilter", "PIIRedactor",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",

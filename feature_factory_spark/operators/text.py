@@ -1847,3 +1847,45 @@ class PerplexityBucketer(Transformer):
         return out.withColumn(self.output_col, expr).drop(
             "__ff_grp", "__ff_cuts"
         )
+
+
+class UnicodeNormalizer(Transformer):
+    """Normalize text columns to a Unicode normal form (NFC by
+    default) in place — the canonical FIRST step of text curation:
+    without it, 'e' + COMBINING ACUTE and the precomposed 'é' hash,
+    shingle, and dedup as different strings, and width/compatibility
+    variants (NFKC) split token statistics.
+
+    The JVM has no built-in normalization expression, so this is an
+    Arrow-batched pandas UDF (``Series.str.normalize`` — C-level ICU
+    tables via CPython's unicodedata), the documented slow-path
+    exception: a per-row scalar transform with no JVM equivalent.
+    Still a narrow map — no shuffle, partitioning preserved; budget it
+    like the media-decode seam, not like an expression.
+
+    ``form`` is one of NFC / NFD / NFKC / NFKD. NULLs pass through.
+    NFC matches DuckDB's ``nfc_normalize`` (the oracle twin)."""
+
+    FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+    def __init__(self, columns: list[str], form: str = "NFC"):
+        ensure(bool(columns), "at least one text column is required")
+        ensure(form in self.FORMS, f"form must be one of {self.FORMS}")
+        self.columns = list(columns)
+        self.form = form
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, self.columns)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        form = self.form
+        # no annotations: `from __future__ import annotations` turns
+        # them into strings the UDF type-inferencer can't resolve here
+        _norm = pandas_udf(lambda s: s.str.normalize(form), "string")
+
+        out = df
+        for c in self.columns:
+            out = out.withColumn(c, _norm(F.col(c)))
+        return out

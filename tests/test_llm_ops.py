@@ -478,3 +478,36 @@ def test_c4_filter_rules(spark):
     plan = (ff.C4Filter("text").transform(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# --- UnicodeNormalizer (r8) -------------------------------------------
+
+def test_unicode_normalizer_forms_and_nulls(spark):
+    import unicodedata
+
+    decomposed = "école"  # e + combining acute
+    rows = [(1, decomposed), (2, "ﬁt"), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    nfc = {r["doc_id"]: r["text"]
+           for r in ff.UnicodeNormalizer(["text"]).transform(df).collect()}
+    assert nfc[1] == unicodedata.normalize("NFC", decomposed)
+    assert len(nfc[1]) == 5  # composed
+    assert nfc[2] == "ﬁt"  # NFC keeps compatibility chars
+    assert nfc[3] is None and nfc[4] == "plain"
+    nfkc = {r["doc_id"]: r["text"]
+            for r in ff.UnicodeNormalizer(["text"], form="NFKC")
+            .transform(df).collect()}
+    assert nfkc[2] == "fit"  # ligature folds under NFKC
+    import pytest
+
+    with pytest.raises(Exception):
+        ff.UnicodeNormalizer(["text"], form="NFX")
+    with pytest.raises(Exception):
+        ff.UnicodeNormalizer([])
+
+
+def test_unicode_normalizer_plan_is_narrow(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    out = ff.UnicodeNormalizer(["text"]).transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
