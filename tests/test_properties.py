@@ -229,3 +229,65 @@ def test_vocab_builder_rank_contiguous_counts_monotone(spark, docs, cap):
         assert a["count"] > b["count"] or (
             a["count"] == b["count"] and a["token"] < b["token"]
         )
+
+
+# --- r8 perceptual-hash / diff math (pure Python, no Spark round-trip:
+# max_examples can be generous) ----------------------------------------
+
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    gain=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=25, deadline=None)
+def test_audio_fingerprint_gain_invariant_property(sig, gain):
+    from feature_factory_spark.operators.audiohash import (
+        audio_fingerprint_bits, decode_samples, pattern_wav,
+    )
+
+    mono, sr = decode_samples(pattern_wav(sig, frame_len=128))
+    ref = audio_fingerprint_bits(mono, sr)
+    assert audio_fingerprint_bits(mono * gain, sr) == ref
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=1, max_size=9,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_video_majority_fold_properties(hashes):
+    from feature_factory_spark.operators.videohash import (
+        video_fingerprint_bits,
+    )
+
+    fold = video_fingerprint_bits(hashes)
+    # permutation-invariant
+    assert video_fingerprint_bits(list(reversed(hashes))) == fold
+    # duplicating the whole list never changes a strict majority
+    assert video_fingerprint_bits(hashes * 2) == fold
+    # unanimous input is a fixed point
+    assert video_fingerprint_bits([hashes[0]] * len(hashes)) == hashes[0]
+
+
+@given(
+    a=st.lists(st.one_of(st.none(), st.text(max_size=6)), min_size=1,
+               max_size=4),
+    b=st.lists(st.one_of(st.none(), st.text(max_size=6)), min_size=1,
+               max_size=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_content_fingerprint_separates_distinct_tuples(spark, a, b):
+    # the null-flagged fingerprint collides only for identical tuples
+    from feature_factory_spark.operators.diff import content_fingerprint
+    from pyspark.sql import functions as F
+
+    n = max(len(a), len(b))
+    a = a + [None] * (n - len(a))
+    b = b + [None] * (n - len(b))
+    cols = [f"c{i}" for i in range(n)]
+    schema = ", ".join(f"{c} string" for c in cols)
+    df = spark.createDataFrame([tuple(a), tuple(b)], schema)
+    fps = [r["fp"] for r in
+           df.select(content_fingerprint(cols).alias("fp")).collect()]
+    assert (fps[0] == fps[1]) == (a == b)
