@@ -115,3 +115,92 @@ class TestIntervalJoinerPartitioningInvariance:
             col = "wid_right" if "wid_right" in out.columns else "wid"
             outs.append(_rows(out, ["pid", col]))
         assert outs[0] == outs[1] == outs[2]
+
+
+class TestR8OpsPartitioningInvariance:
+    """The r8 additions whose plans shuffle or fold: perceptual dedup
+    pairs, pagerank, perplexity cutpoints, corpus_diff, the shard
+    manifest — all must be pure functions of the input relation."""
+
+    def test_audio_video_pairs_invariant(self, spark):
+        import hashlib
+
+        from feature_factory_spark.operators.audiohash import pattern_wav
+        from feature_factory_spark.operators.videohash import pattern_mp4
+
+        def pat(i):
+            p = int(hashlib.md5(f"pi-{i // 2}".encode()).hexdigest()[:16], 16)
+            return p if i % 2 == 0 else p ^ 1
+
+        rows = [(i, pattern_wav(pat(i), frame_len=128), pattern_mp4(pat(i)))
+                for i in range(12)]
+        base = spark.createDataFrame(
+            rows, "doc_id bigint, wav binary, vid binary"
+        )
+        for op, col in (
+            (ff.AudioDeduplicator("doc_id", binary_col="wav",
+                                  hamming_threshold=2), "wav"),
+            (ff.VideoDeduplicator("doc_id", binary_col="vid",
+                                  hamming_threshold=2), "vid"),
+        ):
+            outs = [
+                _rows(op.candidate_pairs(base.repartition(n)),
+                      ["a_id", "b_id", "hamming"])
+                for n in (1, 3, 16)
+            ]
+            assert outs[0] == outs[1] == outs[2] and outs[0]
+
+    def test_pagerank_invariant(self, spark):
+        from feature_factory_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3 + 1) % 20) for i in range(20)]
+            + [(i, (i + 1) % 20) for i in range(20)],
+            "src bigint, dst bigint",
+        )
+        outs = []
+        for n in (1, 3, 16):
+            r = pagerank(edges.repartition(n), iterations=4)
+            outs.append(sorted(
+                (x["node"], round(x["rank"], 12)) for x in r.collect()
+            ))
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_perplexity_cutpoints_invariant(self, spark):
+        rows = [(i, float((i * 37) % 101)) for i in range(90)]
+        base = spark.createDataFrame(rows, "doc_id bigint, s double")
+        outs = []
+        for n in (1, 3, 16):
+            b = ff.PerplexityBucketer("s").fit(base.repartition(n))
+            outs.append(_rows(b.transform(base), ["doc_id", "s_bucket"]))
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_corpus_diff_and_manifest_invariant(self, spark):
+        from feature_factory_spark.operators.diff import corpus_diff
+
+        old = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(40)], "doc_id bigint, text string"
+        )
+        new = spark.createDataFrame(
+            [(i, f"t{i + (i % 3 == 0)}") for i in range(5, 45)],
+            "doc_id bigint, text string",
+        )
+        outs = [
+            _rows(corpus_diff(old.repartition(a), new.repartition(b),
+                              "doc_id", ["text"]), ["doc_id", "status"])
+            for a, b in ((1, 1), (3, 16), (16, 3))
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        docs = spark.createDataFrame(
+            [(i, (i % 5) + 1) for i in range(200)],
+            "doc_id bigint, n_tokens int",
+        )
+        op = ff.CorpusShuffler("doc_id", tokens_col="n_tokens",
+                               tokens_per_shard=70)
+        mans = [
+            _rows(op.shard_manifest(docs.repartition(n)),
+                  ["shard_id", "n_docs", "n_tokens", "first_position",
+                   "last_position", "id_fingerprint"])
+            for n in (1, 3, 16)
+        ]
+        assert mans[0] == mans[1] == mans[2]
