@@ -58,3 +58,48 @@ def test_truncations_of_valid_payloads_never_raise(seed, n):
         cut = a[: min(n, len(a))]
         for seam in (image_decoder, audio_decoder, pdf_decoder):
             assert isinstance(seam(cut), dict)
+
+
+@given(
+    prefix=st.sampled_from(MAGICS),
+    body=st.binary(min_size=0, max_size=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_hash_seams_never_raise(prefix, body):
+    # the r8 perceptual-hash seams share the contract: garbage in ->
+    # None out (NULL signature), never an exception
+    from feature_factory_spark.operators.audiohash import decode_samples
+    from feature_factory_spark.operators.imagehash import decode_pixels
+    from feature_factory_spark.operators.videohash import extract_frames
+
+    payload = prefix + body
+    px = decode_pixels(payload)
+    assert px is None or px.ndim == 3
+    pcm = decode_samples(payload)
+    assert pcm is None or len(pcm) == 2
+    frames = extract_frames(payload)
+    assert isinstance(frames, list)
+
+
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(0, 600))
+@settings(max_examples=100, deadline=None)
+def test_truncated_fixture_media_never_raise_hash_seams(seed, n):
+    from feature_factory_spark.operators.audiohash import (
+        decode_samples, pattern_wav,
+    )
+    from feature_factory_spark.operators.imagehash import (
+        decode_pixels, pattern_png,
+    )
+    from feature_factory_spark.operators.videohash import (
+        extract_frames, pattern_mp4,
+    )
+
+    r = np.random.RandomState(seed)
+    pat = int(r.randint(0, 2**31))
+    for a, seam in (
+        (pattern_png(pat), decode_pixels),
+        (pattern_wav(pat, frame_len=128), decode_samples),
+        (pattern_mp4(pat), extract_frames),
+    ):
+        out = seam(a[: min(n, len(a))])
+        assert out is None or isinstance(out, (list, tuple, np.ndarray)) or out
