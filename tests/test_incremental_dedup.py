@@ -297,3 +297,67 @@ def test_embedding_index_scan_is_partition_pruned(spark, tmp_path):
     assert (5, 1000) in {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     scanned = _scanned_files(pairs)
     assert 0 < scanned < n_index_files, (scanned, n_index_files)
+
+
+# --- the continuous-recrawl recipe: streaming + persisted index -------
+
+def test_streaming_recrawl_via_foreachbatch(spark, tmp_path):
+    """dedupe_against's index probe collects pruning keys, so it cannot
+    run INSIDE a streaming plan — foreachBatch is the correct seam: each
+    micro-batch dedupes against the ACCUMULATED index, appends its
+    survivors to the sink AND to the index (write_index mode='append'),
+    so later snapshots dedupe against everything kept so far."""
+    import glob
+
+    op = ff.SimHashDeduplicator("text", "doc_id", hamming_threshold=3,
+                                hash_fn="md5")
+    # highly distinct texts (no shared boilerplate), so only the
+    # planted re-crawls are near-dups under simhash
+    rows = {
+        i: " ".join(
+            f"w{(i * 31 + j * 7) % 997}x{i}y{j}" for j in range(30)
+        )
+        for i in range(20)
+    }
+    idx = str(tmp_path / "recrawl_idx")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(i, rows[i]) for i in range(10)], "doc_id bigint, text string"
+    )
+    op.write_index(base, idx)
+
+    def handle(batch_df, _bid):
+        kept = batch_df.sparkSession.createDataFrame(
+            batch_df.collect(), batch_df.schema
+        )  # detach from the streaming plan inside the batch function
+        survivors = op.dedupe_against(kept, idx)
+        survivors.write.mode("append").parquet(sink)
+        op.write_index(survivors, idx, mode="append")
+
+    schema = "doc_id bigint, text string"
+
+    def run_round(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # round 1: 10/11 re-crawl base docs 0/3; 13 duplicates 12 in-batch
+    run_round([(10, rows[0]), (11, rows[3]), (12, rows[12]),
+               (13, rows[12]), (14, rows[14])])
+    # round 2: 15 re-crawls doc 12's text — 12 survived round 1 and was
+    # APPENDED to the index, so 15 must now be dropped; 16 is fresh
+    run_round([(15, rows[12]), (16, rows[16])])
+
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {12, 14, 16}
+    assert glob.glob(f"{idx}/chunks/**/*.parquet", recursive=True)
