@@ -4748,6 +4748,68 @@ def q_column_profile(spark, sf_dir):
 
 
 @_reg(
+    "expectations",
+    # ExpectationValidator (r8, operators/expectations.py): the
+    # stage-boundary data-quality gate, one aggregate job for the whole
+    # check list. The oracle recomputes each check's pass bit and
+    # observed value from the same aggregates; the l_orderkey
+    # uniqueness check deliberately FAILS (orders have multiple lines)
+    # so the report pins both outcomes.
+    f"""WITH a AS (SELECT count(*) n,
+  count(l_quantity) nn_q,
+  count(DISTINCT l_orderkey) d_ok, count(l_orderkey) c_ok,
+  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+       AND l_returnflag IS NOT NULL THEN 1 ELSE 0 END) bad_rf,
+  avg(l_quantity) avg_q
+FROM lineitem)
+SELECT 'rows' AS chk, 'passed' AS metric,
+  CAST(CAST(n BETWEEN 1 AND 1000000000 AS INT) AS DOUBLE) AS v FROM a
+UNION ALL SELECT 'rows', 'observed', CAST(n AS DOUBLE) FROM a
+UNION ALL SELECT 'orderkey_unique', 'passed',
+  CAST(CAST(d_ok = c_ok AS INT) AS DOUBLE) FROM a
+UNION ALL SELECT 'orderkey_unique', 'observed',
+  CAST(c_ok - d_ok AS DOUBLE) FROM a
+UNION ALL SELECT 'qty_not_null', 'passed',
+  CAST(CAST(CAST(nn_q AS DOUBLE) / n >= 0.5 AS INT) AS DOUBLE) FROM a
+UNION ALL SELECT 'qty_not_null', 'observed',
+  {R6('CAST(nn_q AS DOUBLE) / n')} FROM a
+UNION ALL SELECT 'returnflag_domain', 'passed',
+  CAST(CAST(bad_rf = 0 AS INT) AS DOUBLE) FROM a
+UNION ALL SELECT 'returnflag_domain', 'observed',
+  CAST(bad_rf AS DOUBLE) FROM a
+UNION ALL SELECT 'qty_mean', 'passed',
+  CAST(CAST(avg_q BETWEEN 0 AND 100 AS INT) AS DOUBLE) FROM a
+UNION ALL SELECT 'qty_mean', 'observed', {R6('avg_q')} FROM a""",
+)
+def q_expectations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = ff.ExpectationValidator([
+        ("row_count_between", "rows", 1, 1_000_000_000),
+        ("unique", "orderkey_unique", "l_orderkey"),
+        ("not_null_ratio_at_least", "qty_not_null", "l_quantity", 0.5),
+        ("values_in_set", "returnflag_domain", "l_returnflag",
+         ["A", "N", "R"]),
+        ("mean_between", "qty_mean", "l_quantity", 0.0, 100.0),
+    ])
+    rep = v.validate(li)
+    return rep.select(
+        F.col("check").alias("chk"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("passed").alias("metric"),
+                    F.col("passed").cast("int").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("observed").alias("metric"),
+                    r6(F.col("observed")).alias("v"),
+                ),
+            )
+        ).alias("m"),
+    ).select("chk", "m.metric", "m.v")
+
+
+@_reg(
     "frequent_items",
     # exact heavy hitters, melted (column, value, cnt), top-3 per column
     """WITH pairs AS (
@@ -5095,6 +5157,17 @@ _merge("sample_family", [
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
     ("corpus_diff", ["doc_id", "val"], "doc_id, val"),
+])
+
+_merge("column_profile", [
+    ("column_profile",
+     ["column", "metric", "value_num", "value_str"],
+     '"column", metric, value_num, value_str'),
+    ("expectations",
+     ["chk AS column", "metric", "v AS value_num",
+      "cast(NULL AS string) AS value_str"],
+     'chk AS "column", metric, v AS value_num, '
+     "CAST(NULL AS VARCHAR) AS value_str"),
 ])
 
 _merge("quality_filter", [

@@ -134,6 +134,7 @@ from .code import (
     LicenseDetector,
 )
 from .diff import content_fingerprint, corpus_diff
+from .expectations import ExpectationValidator, ValidationFailedError
 from .videohash import (
     VideoDeduplicator,
     VideoHasher,
@@ -201,6 +202,7 @@ __all__ = [
     "pattern_wav",
     "CodeLanguageIdentifier", "LicenseDetector",
     "content_fingerprint", "corpus_diff",
+    "ExpectationValidator", "ValidationFailedError",
     "VideoDeduplicator", "VideoHasher", "pattern_mp4",
     "video_fingerprint_bits",
     "mp4_samples",
