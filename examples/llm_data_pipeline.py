@@ -240,6 +240,17 @@ def main() -> None:
     bucketed = buckets.transform(cleaned)
     bucketed.groupBy("text_bigram_logprob_bucket").count().show()
 
+    # 7b. the stage-boundary gate: before anything ships, assert the
+    #     corpus still looks like a corpus — one aggregate job for the
+    #     whole check list, fail-loud on violation
+    gate = ff.ExpectationValidator([
+        ("row_count_between", "rows", 1, 10_000_000),
+        ("unique", "doc_id_unique", "doc_id"),
+        ("not_null_ratio_at_least", "text_not_null", "text", 0.99),
+    ])
+    gate.enforce(cleaned)
+    print("expectations gate: all checks passed")
+
     # 8. snapshot bookkeeping for the NEXT crawl: diff this corpus
     #    against a simulated recrawl — only added/changed rows need
     #    re-decoding/re-scoring; removed ids leave the index
