@@ -111,6 +111,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     handle_dangling: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame — the
     domain-authority signal crawl-curation pipelines rank hosts by
@@ -133,11 +134,23 @@ def pagerank(
     dangling mass is collected each round). Iterations are a fixed
     small constant, so the total work is O(iterations x |E|) with
     AQE-planned shuffles.
+
+    Lineage control: by default each round truncates lineage with a
+    LOCAL checkpoint — fast, but local checkpoints are not
+    fault-tolerant on a real cluster (losing an executor loses the
+    truncated blocks and the job must restart from the top of the
+    iteration loop). For long runs on preemptible nodes pass
+    ``checkpoint_dir`` (an HDFS/object-store path): the rank frame is
+    then reliably checkpointed there each round and iteration state
+    survives executor loss. Use ``rank_mass(ranks)`` after a
+    ``handle_dangling=False`` run to verify no mass leaked.
     """
     from ..validation import ensure
 
     ensure(0.0 < damping < 1.0, "damping must be in (0,1)")
     ensure(iterations >= 1, "iterations must be >= 1")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
@@ -187,8 +200,31 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # keep the lineage shallow: each round's frame feeds the next
-        ranks = ranks.localCheckpoint(eager=False)
+        # keep the lineage shallow: each round's frame feeds the next.
+        # Reliable checkpoint when a dir was given (survives executor
+        # loss); otherwise a local checkpoint (fast, not fault-tolerant).
+        if checkpoint_dir is not None:
+            ranks = ranks.checkpoint(eager=True)
+        else:
+            ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the final frame BEFORE dropping the cached inputs it
+    # was built from — otherwise the caller's first action recomputes
+    # the edge distinct + out-degree join once per iteration uncached.
+    # (When checkpoint_dir was given the last round already eagerly
+    # materialized to reliable storage.)
+    if checkpoint_dir is None:
+        ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     links.unpersist()
     return ranks
+
+
+def rank_mass(ranks: DataFrame, rank_col: str = "rank") -> float:
+    """Total rank mass of a ``pagerank`` result — ONE scalar aggregate.
+
+    A correct run sums to 1.0 up to float rounding; a
+    ``handle_dangling=False`` run over a graph that DOES have dangling
+    nodes sums below 1 (the mass those nodes held each round was
+    dropped). Cheap self-check for callers who skipped the per-round
+    dangling collect."""
+    return float(ranks.agg(F.sum(rank_col)).collect()[0][0] or 0.0)

@@ -752,13 +752,23 @@ class BpeVocabBuilder(Transformer):
         if self.byte_level:
             # inverse byte table: each symbol char -> its byte as a
             # latin-1 char, then one encode/decode pair re-reads the
-            # byte string as UTF-8 text
+            # byte string as UTF-8 text. The U+FFFD unknown-id sentinel
+            # is not latin-1-encodable (encode would silently turn it
+            # into '?'), so shield it through the inversion behind a
+            # \x01 placeholder — \x01 is latin-1-safe, survives the
+            # UTF-8 re-read, and is never a GPT-2 byte symbol. (A
+            # document whose raw bytes contain 0x01 would collide with
+            # the placeholder; control bytes below 0x09 do not survive
+            # text extraction upstream, so the trade is documented, not
+            # hit.)
             sym_str = "".join(_B2U_LIST)
             byte_str = "".join(chr(b) for b in range(256))
+            txt = F.translate(txt, "�", "\x01")
             txt = F.decode(
                 F.encode(F.translate(txt, sym_str, byte_str), "ISO-8859-1"),
                 "UTF-8",
             )
+            txt = F.translate(txt, "\x01", "�")
         decoded = assembled.select("__ff_id", F.rtrim(txt).alias("__ff_txt"))
         return df.join(
             decoded, on=df[self.id_col] == decoded["__ff_id"], how="left"

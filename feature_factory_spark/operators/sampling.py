@@ -572,7 +572,13 @@ class CorpusShuffler(Transformer):
         ids), engine-portable, and any membership difference flips it
         with probability 1 - 2^-60. One aggregate over the transformed
         frame — no collect."""
-        out = self.transform(df)
+        return self._manifest_from(self.transform(df))
+
+    def _manifest_from(self, out: DataFrame) -> DataFrame:
+        """Manifest aggregate over an ALREADY-transformed frame — lets
+        :meth:`write_shards` derive the export and its manifest from one
+        persisted transform instead of running the seeded shuffle
+        twice."""
         fp = F.expr(
             "bit_xor(cast(conv(substring(md5(cast("
             f"{self.id_col} as string)), 1, 15), 16, 10) as bigint))"
@@ -599,33 +605,99 @@ class CorpusShuffler(Transformer):
         consumes), plus ``<path>/_manifest.json`` (one JSON object per
         line: the :meth:`shard_manifest` row) unless ``manifest=False``
         — shard counts are small, so the manifest collect is bounded by
-        corpus_tokens / tokens_per_shard rows."""
-        out = self.transform(df)
-        (
-            out.repartition(F.col(self.shard_col))
-            .sortWithinPartitions(self.position_col)
-            .write.mode(mode)
-            .partitionBy(self.shard_col)
-            .parquet(path)
-        )
-        if manifest:
-            import json
-            import os
+        corpus_tokens / tokens_per_shard rows.
 
-            rows = self.shard_manifest(df).orderBy(self.shard_col).collect()
-            payload = "\n".join(
-                json.dumps(r.asDict(), sort_keys=True) for r in rows
+        The transform runs ONCE: the frame is persisted and both the
+        shard write and the manifest aggregate read it. On
+        ``mode='append'`` the existing ``_manifest.json`` (if any) is
+        merged per shard — n_docs/n_tokens summed, position bounds
+        widened, id fingerprints xor-combined — so the manifest keeps
+        describing the ACCUMULATED shard dirs, not just the last batch."""
+        out = self.transform(df).persist()
+        try:
+            (
+                out.repartition(F.col(self.shard_col))
+                .sortWithinPartitions(self.position_col)
+                .write.mode(mode)
+                .partitionBy(self.shard_col)
+                .parquet(path)
             )
-            jvm = df.sparkSession.sparkContext._jvm
-            # write through Hadoop's FileSystem so the manifest lands
-            # next to the shards on any storage scheme (local, HDFS, s3a)
-            conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
-            p = jvm.org.apache.hadoop.fs.Path(
-                os.path.join(path, "_manifest.json")
-            )
-            fs = p.getFileSystem(conf)
-            stream = fs.create(p, True)
-            try:
-                stream.write(bytearray(payload.encode("utf-8")))
-            finally:
-                stream.close()
+            if manifest:
+                self._write_manifest(out, path, merge=(mode == "append"))
+        finally:
+            out.unpersist()
+
+    def _write_manifest(
+        self, out: DataFrame, path: str, merge: bool = False
+    ) -> None:
+        import json
+        import os
+
+        rows = self._manifest_from(out).orderBy(self.shard_col).collect()
+        stats = {r[self.shard_col]: r.asDict() for r in rows}
+        if merge:
+            for prev in self._read_manifest(out.sparkSession, path):
+                sid = prev[self.shard_col]
+                cur = stats.get(sid)
+                if cur is None:
+                    stats[sid] = prev
+                    continue
+                cur["n_docs"] += prev["n_docs"]
+                if cur.get("n_tokens") is not None and prev.get(
+                    "n_tokens"
+                ) is not None:
+                    cur["n_tokens"] += prev["n_tokens"]
+                cur["first_position"] = min(
+                    cur["first_position"], prev["first_position"]
+                )
+                cur["last_position"] = max(
+                    cur["last_position"], prev["last_position"]
+                )
+                cur["id_fingerprint"] ^= prev["id_fingerprint"]
+        payload = "\n".join(
+            json.dumps(stats[k], sort_keys=True) for k in sorted(stats)
+        )
+        jvm = out.sparkSession.sparkContext._jvm
+        # write through Hadoop's FileSystem so the manifest lands
+        # next to the shards on any storage scheme (local, HDFS, s3a)
+        conf = out.sparkSession.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, "_manifest.json")
+        )
+        fs = p.getFileSystem(conf)
+        stream = fs.create(p, True)
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
+
+    @staticmethod
+    def _read_manifest(spark, path: str) -> list:
+        """Existing ``_manifest.json`` rows at ``path``, or [] — read
+        through Hadoop's FileSystem so append-merge works on any
+        storage scheme."""
+        import json
+        import os
+
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        mpath = os.path.join(path, "_manifest.json")
+        p = jvm.org.apache.hadoop.fs.Path(mpath)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return []
+        # NOT spark.read.text: Hadoop input formats skip _-prefixed
+        # files, so the manifest is invisible to a DataFrame scan
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+        )
+        lines = []
+        try:
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+        finally:
+            reader.close()
+        return [json.loads(line) for line in lines if line.strip()]

@@ -156,6 +156,14 @@ def mp4_samples(payload: bytes, handler: bytes = b"vide") -> list[bytes]:
         # stsz: uniform size or per-sample table
         zb, _ = boxes[b"stsz"]
         uniform, n_samples = struct.unpack(">II", payload[zb + 4 : zb + 12])
+        # A corrupt/hostile stsz can declare ~2^32 samples; bound the declared
+        # count against the payload before materializing the size list so a
+        # bad blob degrades to ValueError ([] upstream), never an executor OOM.
+        if n_samples > len(payload) or (uniform and uniform * n_samples > len(payload)):
+            raise ValueError(
+                f"MP4: stsz declares {n_samples} samples"
+                f" (uniform size {uniform}) exceeding payload {len(payload)}B"
+            )
         sizes = (
             [uniform] * n_samples
             if uniform
