@@ -113,7 +113,9 @@ the op is a member slice of that family query):
   chained CTEs), multimodal_family
   (multimodal_extract byte plumbing + frame_sample + image_decode +
   audio_decode + video_probe with the REAL stdlib PNG/WAV/MP4 parsers,
-  operators/{image,audio,video}codec.py).
+  operators/{image,audio,video}codec.py, + pdf_text, the r9 FlateDecode
+  + content-stream text-operator extraction with closed-form embedded
+  text, both show operators, and the truncated-download branch).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
   embedding_dedup_lsh return eagerly-computed INVARIANT frames
   (recall floors, argmax consistency, disjoint bin ranges, no LSH false
@@ -3341,6 +3343,76 @@ def q_pdf_probe(spark, sf_dir):
 
 
 @_reg(
+    "pdf_text",
+    # REAL PDF text extraction (r9, operators/pdfcodec.py
+    # extract_pdf_text): each doc gets a make_pdf fixture with KNOWN
+    # page texts (np = id%3+1 pages, text law below; every 7th doc has
+    # no content streams; even ids FlateDecode-compress every stream;
+    # every 5th doc is truncated 30 trailing bytes — xref damage the
+    # scan-based object walker must survive). The oracle restates the
+    # text in closed form; pages join with chr(10).
+    """WITH m AS (SELECT doc_id, doc_id % 3 + 1 AS np,
+  CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END AS ht FROM documents),
+t AS (SELECT doc_id, np, ht,
+  CASE WHEN ht = 0 THEN '' ELSE
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' page 0: alpha (beta) gamma'
+    || CASE WHEN np >= 2 THEN chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+         || ' page 1: alpha (beta) gamma' ELSE '' END
+    || CASE WHEN np >= 3 THEN chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+         || ' page 2: alpha (beta) gamma' ELSE '' END
+  END AS txt FROM m)
+SELECT doc_id, 't_text' AS feat, CAST(NULL AS DOUBLE) AS v, txt AS s FROM t
+UNION ALL SELECT doc_id, 't_pages', CAST(ht * np AS DOUBLE), NULL FROM t
+UNION ALL SELECT doc_id, 't_ops', CAST(ht * np AS DOUBLE), NULL FROM t
+UNION ALL SELECT doc_id, 't_chars', CAST(length(txt) AS DOUBLE), NULL
+  FROM t""",
+)
+def q_pdf_text(spark, sf_dir):
+    from feature_factory_spark.operators.pdfcodec import (
+        pdf_text_decoder,
+        pdf_text_schema,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from feature_factory_spark.operators.pdfcodec import make_pdf
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                np_ = i % 3 + 1
+                texts = (
+                    [f"Doc {i} page {p}: alpha (beta) gamma"
+                     for p in range(np_)]
+                    if i % 7 != 0
+                    else None
+                )
+                b = make_pdf(np_, page_texts=texts, compress=i % 2 == 0)
+                if i % 5 == 0:
+                    b = b[:-30]  # truncated download: xref/trailer gone
+                payloads.append(b)
+            pdf["doc"] = payloads
+            yield pdf
+
+    with_pdf = docs.mapInPandas(synth, "doc_id bigint, doc binary")
+    feats = ff.BinaryFeatureExtractor(
+        "doc", decoder=pdf_text_decoder, feature_schema=pdf_text_schema()
+    ).transform(with_pdf)
+    return feats.selectExpr(
+        "doc_id",
+        "stack(4, "
+        "'t_text', cast(NULL AS double), doc_text, "
+        "'t_pages', cast(doc_n_pages_with_text AS double), "
+        "cast(NULL AS string), "
+        "'t_ops', cast(doc_n_text_ops AS double), cast(NULL AS string), "
+        "'t_chars', cast(doc_n_chars AS double), cast(NULL AS string)"
+        ") AS (feat, v, s)",
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -5263,6 +5335,11 @@ _merge("multimodal_family", [
     ("pdf_probe",
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
+    ("pdf_text",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v",
+      "concat(feat, ':', coalesce(s, '')) AS s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, "
+     "feat || ':' || coalesce(s, '') AS s"),
 ])
 
 _merge("pack_family", [
