@@ -2800,6 +2800,111 @@ def q_html_strip(spark, sf_dir):
     )
 
 
+# main-content fixture: nav link farm + stopword-glued doc paragraphs
+# + a stopword-free keyword-spam block + footer links (operators/web.py
+# MainContentExtractor). The paragraph glue plants stopwords so the
+# density rule has signal over the synthetic word-salad corpus.
+_MC_PRE = (
+    '<html><head><title>d</title><script>var x = 1 && 2<3;</script>'
+    '</head><body>'
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a>'
+    '</li><li><a href="/c">Contact us</a></li></ul></nav>'
+    '<div><p>It is the case that '
+)
+_MC_MID = '</p><p>So it was the story that '
+_MC_POST = (
+    '</p></div><div>key0 key1 key2 key3 key4 key5 key6 key7</div>'
+    '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> '
+    'copyright 2024</footer></body></html>'
+)
+
+
+def _mc_sql() -> str:
+    """DuckDB twin of the main_content member: the page construction,
+    block segmentation, per-block metrics and classification, and the
+    per-doc aggregates — generated from the SAME constants the operator
+    uses (_BLOCK_TAGS, MAIN_CONTENT_STOPWORDS), so the two engines
+    cannot drift."""
+    from feature_factory_spark.operators.web import (
+        _BLOCK_TAGS,
+        MAIN_CONTENT_STOPWORDS,
+    )
+
+    stop_pat = r"\b(" + "|".join(MAIN_CONTENT_STOPWORDS) + r")\b"
+    wsp = "[ '||chr(9)||chr(13)||chr(12)||chr(10)||']"
+    strip = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(blk, '<[^>]*>', ' ', 'g'),"
+        "'&nbsp;',' '),'&lt;','<'),'&gt;','>'),'&quot;','\"'),"
+        "'&#39;',chr(39)),'&amp;','&'),"
+        f"'{wsp}+', ' ', 'g'))"
+    )
+    return f"""WITH h AS (SELECT doc_id,
+ '{_MC_PRE.replace("'", "''")}'
+ || replace(text, chr(10), '{_MC_MID.replace("'", "''")}')
+ || '{_MC_POST.replace("'", "''")}' AS page FROM documents),
+pre AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
+  '(?is)<script\\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+  '(?is)<style\\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+  '(?s)<!--.*?-->', ' ', 'g') AS ph FROM h),
+marked AS (SELECT doc_id, string_split(regexp_replace(ph,
+  '(?i)(</?({_BLOCK_TAGS})\\b)', chr(1)||'\\1', 'g'), chr(1)) AS bl
+ FROM pre),
+b AS (SELECT doc_id, unnest(bl) AS blk, generate_subscripts(bl, 1) AS i
+ FROM marked),
+t AS (SELECT doc_id, i, {strip} AS t,
+ len(regexp_extract_all(blk,
+   '(?i)<a[ '||chr(9)||chr(13)||chr(10)||'>]')) AS l FROM b),
+w AS (SELECT doc_id, i, t, l,
+ CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS w,
+ len(regexp_extract_all(lower(t), '{stop_pat}')) AS sw FROM t),
+g AS (SELECT *, (w >= 5 AND l <= 0.2*w AND sw >= 0.1*w) AS good FROM w),
+agg AS (SELECT doc_id,
+ coalesce(string_agg(CASE WHEN good THEN t END, chr(10) ORDER BY i), '')
+   AS main_text,
+ sum(CASE WHEN t <> '' THEN len(t) ELSE 0 END) AS total_chars,
+ sum(CASE WHEN good THEN len(t) ELSE 0 END) AS main_chars,
+ sum(CASE WHEN t <> '' THEN 1 ELSE 0 END) AS n_blocks,
+ sum(CASE WHEN good THEN 1 ELSE 0 END) AS n_main FROM g GROUP BY doc_id)
+SELECT doc_id, main_text || '|' ||
+ CAST(CAST(floor((CASE WHEN total_chars > 0
+   THEN 1.0 - main_chars::DOUBLE / total_chars ELSE 0.0 END)
+   * 1000000) AS BIGINT) AS VARCHAR) || '|' ||
+ CAST(n_blocks AS VARCHAR) || '|' || CAST(n_main AS VARCHAR) AS val
+FROM agg"""
+
+
+@_reg("main_content", _mc_sql())
+def q_main_content(spark, sf_dir):
+    """MainContentExtractor (operators/web.py, r9): jusText-style block
+    text-density segmentation over synthesized pages with planted
+    nav/footer/keyword-spam boilerplate — main_text, boilerplate_ratio
+    and block counts all SQL-recomputed end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_MC_PRE),
+        F.replace(F.col("text"), F.lit("\n"), F.lit(_MC_MID)),
+        F.lit(_MC_POST),
+    )
+    out = ff.MainContentExtractor(["page"]).transform(
+        docs.select("doc_id", page.alias("page"))
+    )
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.col("page_main_text"),
+            F.lit("|"),
+            F.floor(F.col("page_boilerplate_ratio") * 1e6)
+            .cast("bigint").cast("string"),
+            F.lit("|"),
+            F.col("page_n_blocks").cast("string"),
+            F.lit("|"),
+            F.col("page_n_main_blocks").cast("string"),
+        ).alias("val"),
+    )
+
+
 @_reg(
     "repetition_features",
     f"""WITH d AS (SELECT doc_id, text, {SQL_WORDS} w FROM documents),
@@ -5261,6 +5366,7 @@ _merge("quality_filter", [
 _merge("text_clean", [
     ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
+    ("main_content", ["doc_id", "val"], "doc_id, val"),
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
     ("c4_clean", ["doc_id", "val"], "doc_id, val"),
     ("md_strip", ["doc_id", "val"], "doc_id, val"),

@@ -51,7 +51,8 @@ from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .bpe import BpeVocabBuilder
 from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
-    HtmlTextExtractor, MarkdownTextExtractor, UrlCanonicalizer,
+    HtmlTextExtractor, MainContentExtractor, MarkdownTextExtractor,
+    UrlCanonicalizer,
     UrlDeduplicator,
 )
 from .text import (
@@ -194,7 +195,8 @@ __all__ = [
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
-    "HtmlTextExtractor", "MarkdownTextExtractor", "UrlCanonicalizer",
+    "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
+    "UrlCanonicalizer",
     "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",

@@ -273,6 +273,51 @@ def check_langid(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_maincontent(spark, copies: int) -> None:
+    # MainContentExtractor is one narrow projection (block split +
+    # higher-order array functions, no shuffle): wall must track the
+    # page bytes ~linearly
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    nav = (
+        '<nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></nav><div><p>It is the case that '
+    )
+    post = '</p></div><footer><a href="/p">Privacy</a> legal</footer>'
+    op = ff.MainContentExtractor(["page"])
+
+    def run(d):
+        pages = d.select(
+            "doc_id",
+            F.concat(
+                F.lit(nav),
+                F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+                F.lit(post),
+            ).alias("page"),
+        )
+        return (
+            op.transform(pages)
+            .agg(F.sum("page_n_main_blocks"), F.sum(F.length("page_main_text")))
+            .collect()[0]
+        )
+
+    run(one)  # warm codegen
+    t0 = time.perf_counter()
+    r1 = run(one)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rN = run(big)
+    tN = time.perf_counter() - t0
+    print(f"[maincontent] 1x:  main_blocks={r1[0]} chars={r1[1]}, {t1:.1f}s")
+    print(
+        f"[maincontent] {copies}x: main_blocks={rN[0]} chars={rN[1]}, "
+        f"{tN:.1f}s (time ratio {tN / t1:.1f}x for {copies}x pages)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 def check_quality(spark, copies: int) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     one = grow_docs(docs, 1)
@@ -746,6 +791,7 @@ CHECKS = {
     "substring": check_substring,
     "ivfprune": check_ivfprune,
     "langid": check_langid,
+    "maincontent": check_maincontent,
     "quality": check_quality,
     "warc": check_warc,
     "semdedup": check_semdedup,
