@@ -3906,6 +3906,58 @@ def q_substring_spans(spark, sf_dir):
     )
 
 
+@_reg(
+    "substring_clean",
+    # ExactSubstringDeduplicator.remove_spans (r9): the Lee et al. 2021
+    # REMEDY — duplicated spans cut out, corpus-wide first occurrence
+    # (min (id, pos) per window hash) kept. The oracle replays the full
+    # pipeline: window hashes, dup table, winner exemption, island
+    # merge, position cut, original-case rejoin; untouched docs pass
+    # through verbatim.
+    r"""WITH w AS (SELECT doc_id, text,
+  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') wd,
+  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') wo
+  FROM documents),
+e AS (SELECT doc_id, wd,
+  CAST(UNNEST(generate_series(0, len(wd) - 8)) AS INT) pos
+  FROM w WHERE text IS NOT NULL AND len(wd) >= 8),
+g AS (SELECT doc_id, pos,
+  md5(array_to_string(wd[pos+1 : pos+8], ' ')) h FROM e),
+d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN d USING (h)),
+win AS (SELECT h, min(doc_id * 1000000 + pos) wk FROM f GROUP BY h),
+f2 AS (SELECT f.doc_id, f.pos FROM f JOIN win USING (h)
+  WHERE f.doc_id * 1000000 + f.pos <> win.wk),
+s AS (SELECT doc_id, pos,
+  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+  THEN 1 ELSE 0 END brk FROM f2),
+i AS (SELECT doc_id, pos,
+  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) island FROM s),
+sp AS (SELECT doc_id, min(pos) st, max(pos) + 8 en
+  FROM i GROUP BY doc_id, island),
+cov AS (SELECT doc_id, UNNEST(generate_series(st, en - 1)) p FROM sp),
+wp AS (SELECT doc_id, UNNEST(wo) word, generate_subscripts(wo, 1) - 1 p
+  FROM w),
+kept AS (SELECT wp.doc_id, wp.word, wp.p FROM wp LEFT JOIN cov
+  ON wp.doc_id = cov.doc_id AND wp.p = cov.p WHERE cov.p IS NULL),
+cl AS (SELECT doc_id, coalesce(string_agg(word, ' ' ORDER BY p), '') t
+  FROM kept GROUP BY doc_id),
+hd AS (SELECT DISTINCT doc_id FROM sp)
+SELECT w.doc_id,
+  CASE WHEN hd.doc_id IS NOT NULL THEN coalesce(cl.t, '')
+       ELSE w.text END AS cleaned
+FROM w LEFT JOIN hd ON w.doc_id = hd.doc_id
+LEFT JOIN cl ON w.doc_id = cl.doc_id""",
+)
+def q_substring_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+    return op.remove_spans(docs, keep="first").select(
+        "doc_id", F.col("text").alias("cleaned")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 11. windowed aggregation over the events stream table (streaming module;
 #     batch plan == stream plan modulo watermark, so the batch oracle
@@ -5461,6 +5513,9 @@ _merge("pack_family", [
       "concat(cast(span_end AS string), ':', cast(n_windows AS string)) AS val"],
      "doc_id, CAST(span_start AS BIGINT) AS k, "
      "CAST(span_end AS VARCHAR) || ':' || CAST(n_windows AS VARCHAR) AS val"),
+    ("substring_clean",
+     ["doc_id", "cast(NULL AS bigint) AS k", "cleaned AS val"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, cleaned AS val"),
     ("packed_ids",
      ["cast(NULL AS bigint) AS doc_id", "cast(n AS bigint) AS k",
       "invariant AS val"],

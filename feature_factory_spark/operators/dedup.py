@@ -1425,10 +1425,11 @@ class ExactSubstringDeduplicator(Transformer):
             .select("__ff_id", "__ff_wdw.pos", F.col("__ff_wdw.h").alias("__ff_h"))
         )
 
-    def spans(self, df: DataFrame) -> DataFrame:
-        """Maximal duplicated spans: (id, span_start, span_end,
-        n_windows), end exclusive, in word offsets."""
-        self._check_input(df)
+    def _flagged(self, df: DataFrame, keep: str = "none") -> DataFrame:
+        """(__ff_id, pos[, __ff_h]) of every duplicated window. With
+        ``keep='first'`` the corpus-wide first occurrence of each
+        duplicated window — minimum (id, pos) — is exempted, so the
+        winner document keeps its copy."""
         wdw = self._windows(df)
         dup = (
             wdw.groupBy("__ff_h")
@@ -1437,6 +1438,24 @@ class ExactSubstringDeduplicator(Transformer):
             .select("__ff_h")
         )
         flagged = wdw.join(dup, on="__ff_h", how="left_semi")
+        if keep == "first":
+            winners = (
+                flagged.groupBy("__ff_h")
+                .agg(F.min(F.struct("__ff_id", "pos")).alias("__ff_w"))
+                .select(
+                    "__ff_h",
+                    F.col("__ff_w.__ff_id").alias("__ff_id"),
+                    F.col("__ff_w.pos").alias("pos"),
+                )
+            )
+            flagged = flagged.join(
+                winners, on=["__ff_h", "__ff_id", "pos"], how="left_anti"
+            )
+        return flagged
+
+    def _merge_spans(self, flagged: DataFrame) -> DataFrame:
+        """Gaps-and-islands merge of flagged window positions into
+        maximal spans: (id, span_start, span_end, n_windows)."""
         w = Window.partitionBy("__ff_id").orderBy("pos")
         islands = flagged.select(
             "__ff_id",
@@ -1468,6 +1487,79 @@ class ExactSubstringDeduplicator(Transformer):
                 "span_end",
                 "n_windows",
             )
+        )
+
+    def spans(self, df: DataFrame) -> DataFrame:
+        """Maximal duplicated spans: (id, span_start, span_end,
+        n_windows), end exclusive, in word offsets."""
+        self._check_input(df)
+        return self._merge_spans(self._flagged(df, keep="none"))
+
+    def remove_spans(
+        self,
+        df: DataFrame,
+        keep: str = "first",
+        output_col: str | None = None,
+    ) -> DataFrame:
+        """Rewrite documents with their duplicated spans CUT OUT — the
+        actual remedy of Lee et al. 2021 (ExactSubstr removes the
+        repeated passages, it doesn't just score them).
+
+        ``keep='first'`` (default) exempts the corpus-wide first
+        occurrence of each duplicated window — minimum (id, position) —
+        so exactly one copy of every duplicated passage survives the
+        corpus; ``keep='none'`` cuts every occurrence everywhere
+        (the conservative policy for license/boilerplate spans).
+
+        ``output_col`` defaults to ``text_col`` (in-place rewrite).
+        Documents with no duplicated spans pass through VERBATIM
+        (original whitespace intact); rewritten documents rejoin their
+        surviving words with single spaces, in original order and case
+        (hashing lowercases when ``lowercase=True``, but the rewrite
+        cuts from the original words — positions are identical because
+        case folding never moves a word boundary).
+
+        Scale shape: the same window/groupBy passes as :meth:`spans`
+        (plus, for ``keep='first'``, one more groupBy on the SAME hash
+        key and an anti-join), then spans collect per document (bounded
+        by the most-duplicated document) and the cut itself is a narrow
+        higher-order-function projection — index-aware ``filter`` with
+        an ``exists`` over the doc's span array, no shuffle, no UDF."""
+        ensure(keep in ("first", "none"), "keep must be 'first' or 'none'")
+        self._check_input(df)
+        out_col = output_col or self.text_col
+        spans = self._merge_spans(self._flagged(df, keep=keep))
+        per_doc = spans.groupBy(self.id_col).agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__ff_spans")
+        ).withColumnRenamed(self.id_col, "__ff_sid")
+        words = F.coalesce(
+            words_expr(F.col(self.text_col)),
+            F.array().cast("array<string>"),
+        )
+        kept = F.filter(
+            words,
+            lambda wd, i: ~F.exists(
+                F.col("__ff_spans"),
+                lambda s: (i >= s["s"]) & (i < s["e"]),
+            ),
+        )
+        cleaned = F.when(
+            F.col("__ff_spans").isNull(), F.col(self.text_col)
+        ).otherwise(F.array_join(kept, " "))
+        joined = df.join(
+            per_doc, on=df[self.id_col] == F.col("__ff_sid"), how="left"
+        )
+        return joined.select(
+            *[
+                cleaned.alias(out_col) if c == out_col else F.col(c)
+                for c in df.columns
+            ],
+            *([] if out_col in df.columns else [cleaned.alias(out_col)]),
         )
 
     def _transform(self, df: DataFrame) -> DataFrame:

@@ -107,6 +107,61 @@ class TestExactSubstringDeduplicator:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    # --- remove_spans (r9): the Lee et al. 2021 remedy, not just the score
+
+    def test_remove_spans_keep_first(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        got = {r["doc_id"]: r["text"]
+               for r in op.remove_spans(corpus).collect()}
+        # doc 1 holds the corpus-wide first occurrence: VERBATIM
+        assert got[1] == ("intro one the quick brown fox jumps over the "
+                          "lazy dog again and again today outro alpha")
+        # the other copies are cut, original case kept, single spaces
+        assert got[2] == "different opening closing text here"
+        assert got[6] == "AAA bbb"
+        # untouched docs pass through verbatim (incl. NULL)
+        assert got[3].startswith("totally unique")
+        assert got[4] is None and got[5] == "short"
+
+    def test_remove_spans_keep_none_cuts_everywhere(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        got = {r["doc_id"]: r["text"]
+               for r in op.remove_spans(corpus, keep="none").collect()}
+        assert got[1] == "intro one outro alpha"
+        assert got[2] == "different opening closing text here"
+        assert got[6] == "AAA bbb"
+
+    @pytest.mark.parametrize("keep", ["first", "none"])
+    def test_cleaned_corpus_has_zero_dup_ratio(self, spark, corpus, keep):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        cleaned = op.remove_spans(corpus, keep=keep)
+        ratios = {r["doc_id"]: r["text_dup_ratio"]
+                  for r in op.transform(cleaned).collect()}
+        assert all(v == 0.0 for k_, v in ratios.items() if v is not None), ratios
+
+    def test_remove_spans_output_col_and_validation(self, spark, corpus):
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        out = op.remove_spans(corpus, output_col="text_clean")
+        row = {r["doc_id"]: r for r in out.collect()}
+        assert row[2]["text"].startswith("different opening the quick")
+        assert row[2]["text_clean"] == "different opening closing text here"
+        with pytest.raises(Exception, match="keep"):
+            op.remove_spans(corpus, keep="bogus")
+
+    def test_remove_spans_within_doc_repeat_keeps_one(self, spark):
+        # the SAME passage twice in one doc + once in another: with
+        # keep='first' only the (min id, min pos) copy survives
+        passage = "one two three four five six seven eight"
+        rows = [
+            (1, f"{passage} middle words here {passage}"),
+            (2, f"pre {passage} post"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
+        got = {r["doc_id"]: r["text"] for r in op.remove_spans(df).collect()}
+        assert got[1] == f"{passage} middle words here"
+        assert got[2] == "pre post"
+
 
 # --- pagerank (r8): the link-graph authority signal -------------------
 
