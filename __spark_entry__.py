@@ -4476,6 +4476,107 @@ def q_bpe_vocab(spark, sf_dir):
 
 
 @_reg(
+    "unigram_vocab",
+    # the hard-EM fit is iterative argmax over a lattice — not
+    # one-statement SQL; the oracle pins invariants asserted eagerly
+    # against the independent pure-Python reference (operators/
+    # unigram.py reference_unigram / reference_segment) on the SAME
+    # capped word table, plus the distributed-vs-driver seed-count
+    # cross-check and the save/reload contracts
+    """SELECT 'pieces_match_reference' AS invariant, CAST(1 AS BIGINT) AS n
+UNION ALL SELECT 'seed_counts_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'encode_matches_reference', CAST(1 AS BIGINT)
+UNION ALL SELECT 'roundtrip_decode', CAST(1 AS BIGINT)
+UNION ALL SELECT 'vocab_file_roundtrip', CAST(1 AS BIGINT)
+UNION ALL SELECT 'vocab_within_cap', CAST(1 AS BIGINT)""",
+)
+def q_unigram_vocab(spark, sf_dir):
+    """UnigramVocabBuilder (operators/unigram.py, r9): SentencePiece-
+    style unigram-LM tokenizer. Fit on the 1-in-5 corpus slice (the
+    packed_ids slicing precedent): piece set + log-probs pinned
+    BIT-EXACT against the independent recursive-reference EM; the
+    distributed seed-substring groupBy cross-checked against the naive
+    Python enumeration; sample encodes pinned per word against the
+    reference segmenter; decode(encode_ids) round-trips; the exported
+    spm-layout .vocab file reloads to the identical model."""
+    from feature_factory_spark.operators.unigram import (
+        reference_segment,
+        reference_unigram,
+        seed_counts,
+        WORD_MARK,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fit_docs = docs.where(F.col("doc_id") % 5 == 0)
+    op = ff.UnigramVocabBuilder(
+        "text", "doc_id", vocab_size=120, seed_size=400, n_iter=2,
+        max_piece_len=6, max_words=2000,
+    )
+    op.fit(fit_docs)
+    try:
+        wc = list(op.fit_word_counts_)
+        ref = reference_unigram(wc, 120, 400, 2, 6)
+        pieces_ok = op.logprobs_ == ref
+        assert pieces_ok, "unigram fit diverged from the EM reference"
+        chars = {c for w, _ in wc for c in w}
+        cap_ok = len(op.logprobs_) <= 120 + len(chars)
+        assert cap_ok, "vocabulary exceeded its cap"
+
+        words = spark.createDataFrame(wc, "word string, cnt long")
+        got_seed = {
+            r["piece"]: r["cnt"]
+            for r in op.seed_count_frame(words).collect()
+        }
+        seed_ok = got_seed == seed_counts(wc, 6)
+        assert seed_ok, "distributed seed counts diverged from Python"
+
+        sample = docs.where(F.col("doc_id") < 40)
+        rows = (
+            op.decode_ids(op.encode_ids(op.encode(sample)))
+            .select("doc_id", "text", "text_unigram_pieces",
+                    "text_unigram_ids_text")
+            .collect()
+        )
+        enc_ok = all(
+            r["text_unigram_pieces"]
+            == [
+                p
+                for w in (r["text"] or "").lower().split()
+                for p in reference_segment(WORD_MARK + w, op.logprobs_, 6)
+            ]
+            for r in rows
+        )
+        assert enc_ok, "unigram encode diverged from reference segmenter"
+        rt_ok = all(
+            r["text_unigram_ids_text"]
+            == " ".join((r["text"] or "").lower().split())
+            for r in rows
+        )
+        assert rt_ok, "unigram decode(encode_ids) did not round-trip"
+
+        utmp = tempfile.mkdtemp(prefix="ff_unigram_")
+        _TEMP_STATE_DIRS.append(utmp)
+        op.save_tokenizer(utmp)
+        re_op = ff.UnigramVocabBuilder(
+            "text", "doc_id", vocab_size=120, seed_size=400, n_iter=2,
+            max_piece_len=6,
+        ).load_tokenizer(utmp, spark)
+        file_ok = re_op.logprobs_ == op.logprobs_
+        assert file_ok, "saved .vocab did not reload identically"
+    finally:
+        op.release()
+
+    return _inv_df(spark, [
+        ("pieces_match_reference", int(pieces_ok)),
+        ("seed_counts_match", int(seed_ok)),
+        ("encode_matches_reference", int(enc_ok)),
+        ("roundtrip_decode", int(rt_ok)),
+        ("vocab_file_roundtrip", int(file_ok)),
+        ("vocab_within_cap", int(cap_ok)),
+    ])
+
+
+@_reg(
     "vocab_oov",
     # per-document OOV fraction under the same top-100 vocabulary (the
     # coverage audit VocabBuilder.transform runs); token-less documents
@@ -5487,6 +5588,9 @@ _merge("lm_family", [
      ["doc_id AS k", "cast(NULL AS string) AS tok", "oov_rate AS val"],
      "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, oov_rate AS val"),
     ("bpe_vocab",
+     ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
+     "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
+    ("unigram_vocab",
      ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
      "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
     ("perplexity_bucket",

@@ -49,6 +49,7 @@ from .numerical import (
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .bpe import BpeVocabBuilder
+from .unigram import UnigramVocabBuilder
 from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
     HtmlTextExtractor, MainContentExtractor, MarkdownTextExtractor,
@@ -188,7 +189,7 @@ __all__ = [
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "BigramLogProbScorer",
     "QualityScorer",
-    "VocabBuilder", "BpeVocabBuilder",
+    "VocabBuilder", "BpeVocabBuilder", "UnigramVocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "ExactSubstringDeduplicator",

@@ -1,0 +1,663 @@
+"""Unigram-LM (SentencePiece-style) tokenizer trainer — the second
+tokenizer family real LLM pipelines fit, next to BPE (operators/bpe.py).
+
+Public-algorithm lineage: Kudo 2018 ("Subword Regularization") defines
+the unigram language model tokenizer SentencePiece implements: a seed
+vocabulary of frequent substrings, EM re-estimation of piece
+probabilities against the corpus, pruning to the target vocabulary, and
+Viterbi segmentation at encode time. This module implements the
+deterministic core of that recipe:
+
+- **seed**: every substring of the aggregated word table up to
+  ``max_piece_len`` chars, weighted by word frequency x occurrences;
+  the top ``seed_size`` multi-char pieces plus the full single-char
+  alphabet.
+- **EM** (``n_iter`` rounds of hard/Viterbi EM): E-step segments every
+  word of the table by Viterbi under the current piece log-probs;
+  M-step recounts pieces from the segmentations and re-normalizes.
+  Hard EM (the argmax lattice path, not forward-backward marginals) is
+  chosen because it is exactly reproducible in pure Python — the
+  correctness pin recomputes the whole fit (``reference_unigram``) and
+  the piece set AND log-probs must match bit-for-bit.
+- **prune**: keep the ``vocab_size`` best pieces by (count desc, piece
+  asc), always retaining the single-char alphabet (so any word of
+  known chars remains segmentable), then renormalize.
+
+Spark fit shape (the BPE dual pattern, bpe.py:383): the corpus-sized
+work — word aggregation and seed-substring counting — runs as
+distributed jobs in every mode; the EM loop then iterates over the
+AGGREGATED, CAPPED word table on the driver, which is how production
+tokenizer trainers run (SentencePiece counts a corpus, trains in
+memory). ``max_words`` bounds the driver table by construction.
+
+Encode/decode are frame joins at the distinct-word grain, identical to
+BPE's: the fitted (word -> pieces) table broadcast-joins exploded
+document words; UNSEEN words collect (capped, fail-loud via
+``max_unseen_words``) and Viterbi-segment on the driver with the same
+fitted model — deterministic and bounded, never a per-row Python UDF.
+
+``save_tokenizer`` writes the public SentencePiece text interchange:
+``unigram.vocab`` — one ``piece<TAB>logprob`` line per id, the exact
+layout ``spm_export_vocab`` emits — plus ``meta.json`` with the
+training parameters (stdlib only; the binary .model protobuf is out of
+scope, the .vocab text twin is the documented exchange format).
+
+The reference repo has no tokenizer surface at all (SURVEY.md §2.3);
+this is part of the beyond-reference LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words_expr
+from ..pipeline import Transformer
+from ..validation import (
+    InvalidParameterError,
+    ensure,
+    validate_columns,
+    validate_string_columns,
+)
+
+#: log-prob assigned to an unknown single char at segmentation time:
+#: worse than every real piece, so it is only used when forced.
+UNK_PENALTY = -100.0
+
+#: SentencePiece's word-boundary marker (U+2581 LOWER ONE EIGHTH
+#: BLOCK): every word is prefixed with it before segmentation, so piece
+#: sequences carry their word boundaries and decode is concat +
+#: replace(marker, ' ') — the public convention every SentencePiece
+#: consumer assumes.
+WORD_MARK = "▁"
+
+
+def seed_counts(word_counts: list[tuple[str, int]], max_piece_len: int
+                ) -> dict[str, int]:
+    """Substring seed counts: every substring of length 1..max_piece_len
+    of every word, weighted by the word's corpus count (one count per
+    OCCURRENCE, so 'aa' contributes 'a' twice)."""
+    out: dict[str, int] = {}
+    for w, c in word_counts:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                s = w[i:j]
+                out[s] = out.get(s, 0) + c
+    return out
+
+
+def viterbi_segment(word: str, logprobs: dict[str, float],
+                    max_piece_len: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: maximizes
+    the summed log-prob; ties prefer the LONGER last piece (smaller
+    split point). Chars absent from the vocabulary segment as
+    single-char pieces at ``UNK_PENALTY`` (so every word segments).
+    Pure deterministic float DP — the reference and the operator share
+    this exact function."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        lo = max(0, i - max_piece_len)
+        for j in range(lo, i):
+            piece = word[j:i]
+            lp = logprobs.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = UNK_PENALTY
+            score = best[j] + lp
+            # strict > with ascending j: the SMALLEST j (longest last
+            # piece) wins exact ties
+            if score > best[i]:
+                best[i] = score
+                back[i] = j
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def train_unigram(
+    word_counts: list[tuple[str, int]],
+    vocab_size: int,
+    seed_size: int = 1000,
+    n_iter: int = 2,
+    max_piece_len: int = 8,
+) -> dict[str, float]:
+    """The full deterministic fit on an aggregated word table: seed ->
+    hard-EM rounds -> prune -> renormalize. Returns piece -> logprob.
+
+    Both the operator (driver mode on the capped Spark-aggregated
+    table) and ``reference_unigram`` (the correctness twin) call this
+    same function on the same table, so the pin is on the TABLE
+    AGGREGATION + plumbing; the trainer itself is shared, exact code."""
+    chars = sorted({c for w, _ in word_counts for c in w})
+    seeds = seed_counts(word_counts, max_piece_len)
+    multi = sorted(
+        ((s, c) for s, c in seeds.items() if len(s) > 1),
+        key=lambda sc: (-sc[1], sc[0]),
+    )[: max(0, seed_size - len(chars))]
+    counts = {c: seeds.get(c, 1) for c in chars}
+    counts.update(dict(multi))
+    total = sum(counts.values())
+    logprobs = {p: math.log(c / total) for p, c in counts.items()}
+
+    for _ in range(n_iter):
+        new: dict[str, int] = {}
+        for w, c in word_counts:
+            for piece in viterbi_segment(w, logprobs, max_piece_len):
+                new[piece] = new.get(piece, 0) + c
+        # single chars always survive (floor 1) so the model can
+        # segment any word over the fitted alphabet; unused multi-char
+        # pieces drop
+        counts = {p: c for p, c in new.items() if len(p) > 1}
+        counts.update({c: max(new.get(c, 0), 1) for c in chars})
+        total = sum(counts.values())
+        logprobs = {p: math.log(c / total) for p, c in counts.items()}
+
+    kept_multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(chars))]
+    counts = {c: counts[c] for c in chars}
+    counts.update(dict(kept_multi))
+    total = sum(counts.values())
+    return {p: math.log(c / total) for p, c in counts.items()}
+
+
+def reference_segment(word: str, logprobs: dict[str, float],
+                      max_piece_len: int) -> list[str]:
+    """Independent naive segmenter (the ``reference_tokenize``
+    pattern): memoized recursion over PREFIXES instead of the trainer's
+    iterative forward DP. The canonical tie rule — among max-score
+    segmentations, the longest LAST piece wins, resolved right-to-left
+    — is implemented here by trying last-piece lengths descending and
+    keeping the first maximum; the trainer implements it by scanning
+    split points ascending under strict improvement. Same rule, two
+    mechanizations, so agreement is a check, not an identity."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def best(k: int) -> tuple[float, tuple[str, ...]]:
+        if k == 0:
+            return 0.0, ()
+        top: tuple[float, tuple[str, ...]] | None = None
+        for ln in range(min(k, max_piece_len), 0, -1):
+            piece = word[k - ln:k]
+            lp = logprobs.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = UNK_PENALTY
+            sub_score, sub_pieces = best(k - ln)
+            # NOTE operand order: sub_score + lp mirrors the trainer's
+            # best[j] + lp so float addition is bit-identical
+            cand = (sub_score + lp, sub_pieces + (piece,))
+            if top is None or cand[0] > top[0]:
+                top = cand
+        assert top is not None
+        return top
+
+    return list(best(len(word))[1])
+
+
+def reference_unigram(
+    word_counts: list[tuple[str, int]],
+    vocab_size: int,
+    seed_size: int = 1000,
+    n_iter: int = 2,
+    max_piece_len: int = 8,
+) -> dict[str, float]:
+    """Independent pure-Python recount reference of the whole fit (the
+    ``reference_bpe`` pattern): naive substring enumeration, the
+    recursive segmenter above, and a from-scratch EM/prune loop —
+    written against the ALGORITHM'S SPEC, not by calling the trainer,
+    so a bug in ``train_unigram`` cannot self-certify."""
+    alphabet = sorted({c for w, _ in word_counts for c in w})
+    # naive seed: enumerate substrings per word via double slice loops
+    seed: dict[str, int] = {}
+    for w, c in word_counts:
+        for i in range(len(w)):
+            for ln in range(1, max_piece_len + 1):
+                if i + ln > len(w):
+                    break
+                seed[w[i:i + ln]] = seed.get(w[i:i + ln], 0) + c
+    ranked = sorted(
+        [(s, c) for s, c in seed.items() if len(s) > 1],
+        key=lambda sc: (-sc[1], sc[0]),
+    )
+    counts: dict[str, int] = {}
+    for ch in alphabet:
+        counts[ch] = seed[ch] if ch in seed else 1
+    for s, c in ranked[: max(0, seed_size - len(alphabet))]:
+        counts[s] = c
+    for _ in range(n_iter):
+        total = float(sum(counts.values()))
+        lps = {p: math.log(c / total) for p, c in counts.items()}
+        tally: dict[str, int] = {}
+        for w, c in word_counts:
+            for piece in reference_segment(w, lps, max_piece_len):
+                tally[piece] = tally.get(piece, 0) + c
+        counts = {}
+        for ch in alphabet:
+            counts[ch] = max(tally.get(ch, 0), 1)
+        for p, c in tally.items():
+            if len(p) > 1:
+                counts[p] = c
+    final = sorted(
+        [(p, c) for p, c in counts.items() if len(p) > 1],
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(alphabet))]
+    kept = {ch: counts[ch] for ch in alphabet}
+    kept.update(dict(final))
+    total = float(sum(kept.values()))
+    return {p: math.log(c / total) for p, c in kept.items()}
+
+
+class UnigramVocabBuilder(Transformer):
+    """SentencePiece-style unigram-LM tokenizer: fit learns a piece
+    vocabulary with log-probs from the corpus word table; ``encode``
+    appends per-document piece sequences (Viterbi segmentation),
+    ``encode_ids`` the id sequences, ``decode_ids`` inverts them, and
+    ``transform`` appends ``{text_col}_unigram_token_count``.
+
+    Ids are assigned by (logprob desc, piece asc) — most probable piece
+    is id 0 — the layout ``save_tokenizer`` exports. Unknown ids decode
+    to U+FFFD; word boundaries rejoin with single spaces (the BPE
+    decode contract).
+
+    Scale shape: one explode+groupBy word aggregation + one substring
+    explode+groupBy seed job (both corpus-sized, map-side combined);
+    the EM loop is driver-side over the capped table; encode/transform
+    are broadcast joins at the distinct-word grain with per-doc ordered
+    reassembly — the exact plan family BpeVocabBuilder ships."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        vocab_size: int = 8000,
+        seed_size: int = 20000,
+        n_iter: int = 2,
+        max_piece_len: int = 8,
+        min_count: int = 1,
+        max_words: int = 100_000,
+        lowercase: bool = True,
+        max_unseen_words: int | None = 100_000,
+    ):
+        ensure(vocab_size >= 2, "vocab_size must be >= 2")
+        ensure(seed_size >= vocab_size,
+               "seed_size must be >= vocab_size")
+        ensure(n_iter >= 1, "n_iter must be >= 1")
+        ensure(2 <= max_piece_len <= 32,
+               "max_piece_len must be in [2, 32]")
+        ensure(min_count >= 1, "min_count must be >= 1")
+        ensure(max_words >= 1, "max_words must be >= 1")
+        ensure(max_unseen_words is None or max_unseen_words >= 0,
+               "max_unseen_words must be None or >= 0")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.vocab_size = vocab_size
+        self.seed_size = seed_size
+        self.n_iter = n_iter
+        self.max_piece_len = max_piece_len
+        self.min_count = min_count
+        self.max_words = max_words
+        self.lowercase = lowercase
+        self.max_unseen_words = max_unseen_words
+        self.logprobs_: dict[str, float] | None = None
+        self.word_pieces_: DataFrame | None = None
+        self.fit_word_counts_: list[tuple[str, int]] | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["word_pieces_"]
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col])
+        validate_string_columns(df, [self.text_col])
+
+    def _word_expr(self) -> Column:
+        """Whitespace words, each prefixed with :data:`WORD_MARK` (the
+        SentencePiece convention): the model is trained on and segments
+        marked words, so piece sequences are decodable."""
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        words = F.coalesce(
+            words_expr(text), F.array().cast("array<string>")
+        )
+        return F.transform(
+            words, lambda w: F.concat(F.lit(WORD_MARK), w)
+        )
+
+    def word_counts(self, df: DataFrame) -> DataFrame:
+        """(word, cnt) aggregated corpus word frequencies, min_count
+        filtered and capped to the top max_words deterministically
+        (the BpeVocabBuilder contract)."""
+        counts = (
+            df.select(F.explode(self._word_expr()).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if self.min_count > 1:
+            counts = counts.where(F.col("cnt") >= self.min_count)
+        return counts.orderBy(
+            F.desc("cnt"), F.asc("word")
+        ).limit(self.max_words)
+
+    def seed_count_frame(self, words: DataFrame) -> DataFrame:
+        """(piece, cnt) distributed substring seed counts over a
+        (word, cnt) frame — the corpus-sized half of the fit as ONE
+        explode + map-side-combined groupBy, for auditing the driver
+        seed against the cluster computation."""
+        k = self.max_piece_len
+        subs = F.expr(
+            "flatten(transform(sequence(1, length(word)), i -> "
+            f"transform(sequence(i, least(i + {k} - 1, length(word))), "
+            "j -> substring(word, i, j - i + 1))))"
+        )
+        return (
+            words.select(F.col("cnt"), F.explode(subs).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def _fit(self, df: DataFrame) -> None:
+        wc = [
+            (r["word"], r["cnt"]) for r in self.word_counts(df).collect()
+        ]
+        ensure(bool(wc), "fit corpus produced an empty word table")
+        self.fit_word_counts_ = wc
+        self.logprobs_ = train_unigram(
+            wc, self.vocab_size, self.seed_size, self.n_iter,
+            self.max_piece_len,
+        )
+        self.release()
+        self.word_pieces_ = df.sparkSession.createDataFrame(
+            [
+                (w, viterbi_segment(w, self.logprobs_, self.max_piece_len))
+                for w, _ in sorted(wc)
+            ],
+            "word string, pieces array<string>",
+        )
+
+    def vocabulary(self) -> DataFrame:
+        """(piece, id, logprob): ids by (logprob desc, piece asc) —
+        id 0 is the most probable piece, the save_tokenizer layout."""
+        from .text import _require_frame_state
+
+        lp = self._require_fit()
+        rows = [
+            (p, i, v)
+            for i, (p, v) in enumerate(
+                sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+            )
+        ]
+        frame = _require_frame_state(
+            self.word_pieces_, "UnigramVocabBuilder", "word_pieces_"
+        )
+        return frame.sparkSession.createDataFrame(
+            rows, "piece string, id int, logprob double"
+        )
+
+    def _require_fit(self) -> dict[str, float]:
+        if self.logprobs_ is None:
+            raise InvalidParameterError(
+                "UnigramVocabBuilder is not fitted: call fit() or "
+                "load_state() first"
+            )
+        return self.logprobs_
+
+    def _guard_unseen(self, n: int) -> None:
+        cap = self.max_unseen_words
+        if cap is not None and n > cap:
+            raise InvalidParameterError(
+                f"more than max_unseen_words={cap} distinct words are "
+                "absent from the fitted word table; refit with a larger "
+                "max_words, pre-clean unique tokens, or raise "
+                "max_unseen_words"
+            )
+
+    def _piece_table(self, df: DataFrame) -> DataFrame:
+        """(word, pieces) covering every distinct word of ``df``: the
+        fitted table, plus unseen words Viterbi-segmented driver-side
+        under the same model (capped + fail-loud). The collect is
+        bounded by max_unseen_words; at corpus scale the fitted table
+        already covers the head, so the unseen tail is the long-tail
+        typo/ID vocabulary the cap exists to surface."""
+        from .text import _require_frame_state
+
+        lp = self._require_fit()
+        fitted = _require_frame_state(
+            self.word_pieces_, "UnigramVocabBuilder", "word_pieces_"
+        )
+        words = df.select(F.explode(self._word_expr()).alias("word"))
+        unseen = (
+            words.join(fitted.select("word"), "word", "left_anti")
+            .distinct()
+        )
+        cap = self.max_unseen_words
+        if cap is not None:
+            got = [r["word"] for r in unseen.limit(cap + 1).collect()]
+            self._guard_unseen(len(got))
+        else:
+            got = [r["word"] for r in unseen.collect()]
+        if not got:
+            return fitted
+        extra = fitted.sparkSession.createDataFrame(
+            [
+                (w, viterbi_segment(w, lp, self.max_piece_len))
+                for w in sorted(got)
+            ],
+            "word string, pieces array<string>",
+        )
+        return fitted.unionByName(extra)
+
+    def _encode(self, df: DataFrame, as_ids: bool) -> DataFrame:
+        self._check_input(df)
+        table = self._piece_table(df)
+        if as_ids:
+            ids = {
+                p: i
+                for i, (p, _) in enumerate(
+                    sorted(
+                        self._require_fit().items(),
+                        key=lambda pv: (-pv[1], pv[0]),
+                    )
+                )
+            }
+            id_map = F.create_map(
+                *[F.lit(x) for kv in ids.items() for x in kv]
+            )
+            table = table.select(
+                "word",
+                F.transform(
+                    "pieces",
+                    lambda p: F.coalesce(
+                        F.element_at(id_map, p), F.lit(-1)
+                    ),
+                ).alias("pieces"),
+            )
+            elem = "int"
+        else:
+            elem = "string"
+        doc_words = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.posexplode(
+                F.concat(
+                    self._word_expr(), F.array(F.lit(None).cast("string"))
+                )
+            ).alias("__ff_pos", "word"),
+        )
+        joined = doc_words.join(F.broadcast(table), "word", "left").select(
+            "__ff_id",
+            "__ff_pos",
+            F.when(
+                F.col("word").isNull(), F.array().cast(f"array<{elem}>")
+            )
+            .otherwise(F.col("pieces"))
+            .alias("__ff_seq"),
+        )
+        per_doc = joined.groupBy("__ff_id").agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ff_pos", "__ff_seq"))
+                    ),
+                    lambda s: s["__ff_seq"],
+                )
+            ).alias("__ff_tokens")
+        )
+        out_col = (
+            f"{self.text_col}_unigram_{'ids' if as_ids else 'pieces'}"
+        )
+        ensure(out_col not in df.columns,
+               f"output column '{out_col}' already exists")
+        return df.join(
+            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
+            F.col("__ff_tokens").alias(out_col),
+        )
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """Append ``{text_col}_unigram_pieces``: per-document Viterbi
+        piece sequences, word-by-word in document order."""
+        return self._encode(df, as_ids=False)
+
+    def encode_ids(self, df: DataFrame) -> DataFrame:
+        """Append ``{text_col}_unigram_ids``: the id sequences under
+        the (logprob desc, piece asc) vocabulary layout."""
+        return self._encode(df, as_ids=True)
+
+    def decode_ids(
+        self,
+        df: DataFrame,
+        ids_col: str | None = None,
+        output_col: str | None = None,
+    ) -> DataFrame:
+        """Append the text decoded from an id-array column — inverse of
+        :meth:`encode_ids` up to whitespace normalization: pieces
+        concatenate, every :data:`WORD_MARK` becomes a space (the
+        SentencePiece decode rule), and the leading space trims.
+        Unknown ids decode to U+FFFD."""
+        from ..validation import validate_columns as _vc
+
+        ids_col = ids_col or f"{self.text_col}_unigram_ids"
+        output_col = output_col or f"{ids_col}_text"
+        _vc(df, [self.id_col, ids_col])
+        ensure(output_col not in df.columns,
+               f"output column '{output_col}' already exists")
+        lp = self._require_fit()
+        pieces = [
+            p for p, _ in sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+        ]
+        arr = F.array(*[F.lit(p) for p in pieces])
+        decoded = F.array_join(
+            F.transform(
+                F.col(ids_col),
+                lambda i: F.when(
+                    (i >= 0) & (i < F.lit(len(pieces))),
+                    F.element_at(arr, i + 1),
+                ).otherwise(F.lit("�")),
+            ),
+            "",
+        )
+        decoded = F.ltrim(F.replace(decoded, F.lit(WORD_MARK), F.lit(" ")))
+        return df.select(
+            "*",
+            F.when(F.col(ids_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(decoded)
+            .alias(output_col),
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        table = self._piece_table(df).select(
+            "word", F.size("pieces").alias("__ff_nt")
+        )
+        doc_words = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.explode(
+                F.concat(
+                    self._word_expr(), F.array(F.lit(None).cast("string"))
+                )
+            ).alias("word"),
+        )
+        per_doc = (
+            doc_words.join(F.broadcast(table), "word", "left")
+            .groupBy("__ff_id")
+            .agg(
+                F.sum(F.coalesce("__ff_nt", F.lit(0))).alias("__ff_cnt")
+            )
+        )
+        out_col = f"{self.text_col}_unigram_token_count"
+        ensure(out_col not in df.columns,
+               f"output column '{out_col}' already exists")
+        return df.join(
+            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
+            F.col("__ff_cnt").cast("bigint").alias(out_col),
+        )
+
+    def save_tokenizer(self, path: str) -> None:
+        """Write the SentencePiece TEXT interchange: ``unigram.vocab``
+        (``piece<TAB>logprob`` per line, line order = id order — the
+        ``spm_export_vocab`` layout) + ``meta.json`` (params). Stdlib
+        only; reload with :meth:`load_tokenizer`."""
+        import os
+
+        lp = self._require_fit()
+        os.makedirs(path, exist_ok=True)
+        ordered = sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+        with open(os.path.join(path, "unigram.vocab"), "w",
+                  encoding="utf-8") as f:
+            for p, v in ordered:
+                f.write(f"{p}\t{v!r}\n")
+        with open(os.path.join(path, "meta.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(
+                {
+                    "type": "unigram",
+                    "vocab_size": self.vocab_size,
+                    "seed_size": self.seed_size,
+                    "n_iter": self.n_iter,
+                    "max_piece_len": self.max_piece_len,
+                    "lowercase": self.lowercase,
+                },
+                f,
+                sort_keys=True,
+            )
+
+    def load_tokenizer(self, path: str, spark) -> "UnigramVocabBuilder":
+        """Restore log-probs from a :meth:`save_tokenizer` dir; the
+        fitted word-piece table rebuilds lazily from the model (every
+        word re-segments identically under the same log-probs). The
+        ``repr``-formatted floats round-trip exactly."""
+        import os
+
+        lp: dict[str, float] = {}
+        with open(os.path.join(path, "unigram.vocab"),
+                  encoding="utf-8") as f:
+            for line in f:
+                if not line.rstrip("\n"):
+                    continue
+                piece, val = line.rstrip("\n").split("\t")
+                lp[piece] = float(val)
+        self.logprobs_ = lp
+        self.word_pieces_ = spark.createDataFrame(
+            [], "word string, pieces array<string>"
+        )
+        return self
