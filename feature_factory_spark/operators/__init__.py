@@ -85,6 +85,9 @@ from .dedup import (
     MinHashDeduplicator,
     NGramJaccardDeduplicator,
     SimHashDeduplicator,
+    audit_index,
+    compact_index,
+    index_versions,
 )
 from .similarity import (
     BucketedCosineTopK,
@@ -108,7 +111,15 @@ from .videocodec import (
     synth_mp4,
     video_schema,
 )
-from .pdfcodec import make_pdf, pdf_decoder, pdf_schema, probe_pdf
+from .pdfcodec import (
+    extract_pdf_text,
+    make_pdf,
+    pdf_decoder,
+    pdf_schema,
+    pdf_text_decoder,
+    pdf_text_schema,
+    probe_pdf,
+)
 from .imagecodec import (
     decode_image,
     encode_png,
@@ -193,6 +204,7 @@ __all__ = [
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
     "ExactSubstringDeduplicator",
+    "audit_index", "compact_index", "index_versions",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
@@ -217,6 +229,7 @@ __all__ = [
     "encode_wav", "wav_decoder",
     "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",
     "make_pdf", "pdf_decoder", "pdf_schema", "probe_pdf",
+    "extract_pdf_text", "pdf_text_decoder", "pdf_text_schema",
     "CorpusShuffler", "DocumentChunker", "HashSampler", "HashSplitter",
     "SequencePacker",
     "SourceMixer", "WeightedSampler",

@@ -208,21 +208,188 @@ def _write_index_meta(spark, path: str, meta: dict, mode: str) -> None:
     if mode == "append":
         # appending a snapshot must not duplicate the meta row — pin
         # the new rows against the parameters already on disk instead
+        has_meta = False
         try:
             _check_index_meta(spark, path, meta)
-            return
+            has_meta = True
         except Exception as exc:  # noqa: BLE001 — re-raise param clashes
             from ..exceptions import InvalidParameterError
 
             if isinstance(exc, InvalidParameterError):
                 raise
             # no readable meta yet (first write with mode='append')
+        if has_meta:
+            _log_index_version(spark, path, "append")
+            return
     spark.createDataFrame(
         [tuple(str(v) for v in meta.values())],
         ", ".join(f"{k} string" for k in meta),
     ).coalesce(1).write.mode(
         "overwrite" if mode == "append" else mode
     ).parquet(meta_path)
+    _log_index_version(spark, path, "write")
+
+
+def _log_index_version(spark, path: str, op: str,
+                       n_rows: int | None = None) -> None:
+    """Append one row to the index's ``<path>/versions`` audit log:
+    (version, op, n_rows). Non-append ops RESET the log (the index was
+    rewritten). The log is the cheap answer to "how many recrawl
+    appends has this index accumulated since its last compaction" —
+    the signal that schedules :func:`compact_index`."""
+    import os
+
+    vpath = os.path.join(path, "versions")
+    prev = 0
+    reset = op in ("write", "compact")
+    if not reset:
+        try:
+            prev = (
+                spark.read.parquet(vpath)
+                .agg(F.max("version"))
+                .collect()[0][0]
+                or 0
+            )
+        except Exception:  # noqa: BLE001 — first append on a legacy index
+            prev = 0
+    spark.createDataFrame(
+        [(int(prev) + 1, op, n_rows)],
+        "version int, op string, n_rows bigint",
+    ).coalesce(1).write.mode("overwrite" if reset else "append").parquet(
+        vpath
+    )
+
+
+def index_versions(spark, path: str) -> list[dict]:
+    """The ``versions`` audit rows of an index, oldest first ([] for a
+    pre-r9 index that has no log)."""
+    import os
+
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(path, "versions"))
+            .orderBy("version")
+            .collect()
+        )
+    except Exception:  # noqa: BLE001 — legacy index without a log
+        return []
+    return [r.asDict() for r in rows]
+
+
+def _partition_cols(spark, dpath: str) -> list[str]:
+    """Partition columns of a parquet dataset dir, discovered from the
+    ``col=value`` directory chain via Hadoop's FileSystem (any storage
+    scheme)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    cur = jvm.org.apache.hadoop.fs.Path(dpath)
+    fs = cur.getFileSystem(conf)
+    cols: list[str] = []
+    while True:
+        nxt = None
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith("_"):
+                nxt = st.getPath()
+                break
+        if nxt is None:
+            return cols
+        cols.append(nxt.getName().split("=", 1)[0])
+        cur = nxt
+
+
+def _index_datasets(spark, path: str) -> list[str]:
+    """Names of the index's parquet dataset dirs (everything but the
+    ``meta`` pin and the ``versions`` log)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name not in ("meta", "versions") and not (
+            name.startswith("_") or name.startswith(".")
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+def compact_index(
+    spark,
+    source_path: str,
+    dest_path: str,
+    target_records_per_file: int = 5_000_000,
+) -> dict:
+    """Compact an accumulated dedup index: every ``mode='append'``
+    recrawl adds files per partition dir, and after N appends a probe
+    opens N small files per scanned bucket. This rewrites each dataset
+    PRESERVING its partition layout (discovered from the directory
+    chain) with balanced, bounded file sizes — the ``compact_to``
+    recipe per dataset — copies the parameter-pinning ``meta``
+    verbatim, and starts the new index's ``versions`` log with a
+    ``compact`` row.
+
+    Side-write, never in-place (the ``compact_to`` contract: an
+    in-place rewrite cannot be atomic on object stores): compact to a
+    NEW path, validate (``audit_index``/a probe), then repoint the
+    recrawl loop. Returns {dataset: rows_written}. Probes against the
+    compacted index return the same results — partitioning, bucketing
+    parameters, and content are unchanged, so the physical file
+    pruning keeps working."""
+    import os
+
+    from ..sources.io import compact_to
+
+    ensure(
+        bool(_index_datasets(spark, source_path)),
+        f"no index datasets found at {source_path}",
+    )
+    written: dict[str, int] = {}
+    for name in _index_datasets(spark, source_path):
+        src = os.path.join(source_path, name)
+        pcols = _partition_cols(spark, src)
+        written[name] = compact_to(
+            spark,
+            src,
+            os.path.join(dest_path, name),
+            target_records_per_file,
+            partition_by=pcols or None,
+        )
+    meta = spark.read.parquet(os.path.join(source_path, "meta"))
+    meta.coalesce(1).write.mode("error").parquet(
+        os.path.join(dest_path, "meta")
+    )
+    _log_index_version(
+        spark, dest_path, "compact", sum(written.values())
+    )
+    return written
+
+
+def audit_index(spark, path: str) -> dict:
+    """Physical audit of an index: per dataset the row count (parquet
+    footers — a metadata-only job) and the data-file count, plus the
+    ``versions`` log. The n_files growth across versions is the
+    compaction signal; n_rows before/after a compaction must match."""
+    import os
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    datasets: dict[str, dict] = {}
+    for name in _index_datasets(spark, path):
+        dpath = os.path.join(path, name)
+        n_rows = spark.read.parquet(dpath).count()
+        p = jvm.org.apache.hadoop.fs.Path(dpath)
+        fs = p.getFileSystem(conf)
+        it = fs.listFiles(p, True)
+        n_files = 0
+        while it.hasNext():
+            st = it.next()
+            fname = st.getPath().getName()
+            if not fname.startswith(("_", ".")):
+                n_files += 1
+        datasets[name] = {"n_rows": n_rows, "n_files": n_files}
+    return {"datasets": datasets, "versions": index_versions(spark, path)}
 
 
 def _check_index_meta(spark, path: str, expect: dict) -> None:
