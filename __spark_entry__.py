@@ -2432,25 +2432,80 @@ def q_corpus_diff(spark, sf_dir):
 )
 SELECT doc_id,
   source || ':' || CAST(unnest(generate_series(0, n - 1)) AS VARCHAR) AS val
-FROM marked WHERE n > 0""",
+FROM marked WHERE n > 0
+UNION ALL
+-- temperature slice (r9): alpha=0.5 rebalance over UNEQUAL synthetic
+-- groups (60/30/10% by doc_id decile): p_s ∝ sqrt(count_s), largest
+-- no-repeat mixture (budget NULL -> n_total = min count_s/p_s), rates
+-- r6-rounded with the IDENTICAL operand order as the operator
+-- (sqrt/least are correctly-rounded in both engines; the normalizer
+-- sums in sorted source order on both sides)
+SELECT doc_id, 'tmix|' || src || ':' ||
+  CAST(unnest(generate_series(0, n - 1)) AS VARCHAR) AS val
+FROM (
+  WITH g AS (SELECT doc_id,
+    CASE WHEN doc_id % 10 < 6 THEN 'big'
+         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS src
+   FROM documents),
+  c AS (SELECT
+    CAST((SELECT count(*) FROM g WHERE src = 'big') AS DOUBLE) cb,
+    CAST((SELECT count(*) FROM g WHERE src = 'mid') AS DOUBLE) cm,
+    CAST((SELECT count(*) FROM g WHERE src = 'small') AS DOUBLE) cs),
+  w AS (SELECT cb, cm, cs,
+    sqrt(cb) + sqrt(cm) + sqrt(cs) AS wsum FROM c),
+  n AS (SELECT *, least(cb / (sqrt(cb) / wsum),
+                        cm / (sqrt(cm) / wsum),
+                        cs / (sqrt(cs) / wsum)) AS ntot FROM w),
+  r AS (SELECT src, floor(((sqrt(cnt) / (SELECT wsum FROM n))
+          * (SELECT ntot FROM n)) / cnt * 1000000 + 0.5) / 1000000 AS rate
+        FROM (SELECT 'big' AS src, cb AS cnt FROM n
+              UNION ALL SELECT 'mid', cm FROM n
+              UNION ALL SELECT 'small', cs FROM n)),
+  m AS (SELECT g.doc_id, g.src,
+    CAST(floor(r.rate) AS INT)
+      + CASE WHEN (('0x' || substr(md5('ff' || CAST(g.doc_id AS VARCHAR)),
+                    1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)
+                  < r.rate - floor(r.rate)
+             THEN 1 ELSE 0 END AS n
+   FROM g JOIN r ON g.src = r.src)
+  SELECT doc_id, src, n FROM m WHERE n > 0
+)""",
 )
 def q_source_mix(spark, sf_dir):
     """SourceMixer (operators/sampling.py): mixture weights + measured
     availability -> deterministic per-source rates; oversampled sources
     replicate whole copies plus an md5-sampled fractional copy.
-    val = source:copy_index, the full realized mixture oracle-pinned."""
+    val = source:copy_index, the full realized mixture oracle-pinned.
+    The r9 'tmix|' slice pins the alpha=0.5 temperature-sampling law
+    (p_s ∝ sqrt(count_s)) over planted unequal groups, budget-free."""
     docs = _t(spark, sf_dir, "documents")
     c = docs.where(F.col("source") == "src0").count()
     op = ff.SourceMixer(
         "doc_id", "source", {"src0": 5.0, "src1": 3.0, "src2": 1.0},
         budget_rows=4 * c, allow_oversample=True,
     ).fit(docs)
-    return op.transform(docs).select(
+    part1 = op.transform(docs).select(
         "doc_id",
         F.concat(
             F.col("source"), F.lit(":"), F.col("mix_copy").cast("string")
         ).alias("val"),
     )
+    grouped = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 10 < 6 THEN 'big' "
+            "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END"
+        ).alias("src"),
+    )
+    tmix = ff.SourceMixer("doc_id", "src", alpha=0.5).fit(grouped)
+    part2 = tmix.transform(grouped).select(
+        "doc_id",
+        F.concat(
+            F.lit("tmix|"), F.col("src"), F.lit(":"),
+            F.col("mix_copy").cast("string"),
+        ).alias("val"),
+    )
+    return part1.unionByName(part2)
 
 
 @_reg(

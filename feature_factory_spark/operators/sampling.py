@@ -125,6 +125,17 @@ class SourceMixer(Transformer):
     WeightedSampler applies KNOWN per-source rates; SourceMixer computes
     the rates FROM the desired mixture and what is actually available.
 
+    Two ways to state the mixture:
+
+    - ``weights={'web': 6, 'books': 3, ...}`` — explicit proportions;
+    - ``alpha=0.5`` — TEMPERATURE sampling: target proportions
+      ``p_s ∝ count_s^alpha`` over every source present (the standard
+      multilingual/source rebalance — mBERT/XLM-R exponent smoothing;
+      alpha=1 keeps natural proportions, alpha->0 flattens toward
+      uniform). The alpha law costs nothing extra: the SAME one
+      groupBy(source) fit aggregate yields the counts the exponent is
+      applied to.
+
     Semantics: weights are normalized to proportions w_s. With
     ``budget_rows=None`` the mixture is the largest achievable without
     repeating data: N = min_s(count_s / w_s) rows, i.e. the scarcest
@@ -153,22 +164,36 @@ class SourceMixer(Transformer):
         self,
         id_col: str,
         source_col: str,
-        weights: dict[str, float],
+        weights: dict[str, float] | None = None,
         budget_rows: int | None = None,
         allow_oversample: bool = False,
         salt: str = "ff",
         copy_col: str = "mix_copy",
+        alpha: float | None = None,
     ):
-        ensure(bool(weights), "at least one source weight is required")
-        for s, w in weights.items():
-            ensure(w > 0, f"weight for source '{s}' must be > 0")
+        ensure(
+            (weights is not None) ^ (alpha is not None),
+            "exactly one of weights= (explicit mixture) or alpha= "
+            "(temperature rebalance) must be given",
+        )
+        if weights is not None:
+            ensure(bool(weights), "at least one source weight is required")
+            for s, w in weights.items():
+                ensure(w > 0, f"weight for source '{s}' must be > 0")
+        if alpha is not None:
+            # alpha=1 reproduces natural proportions; alpha->0 flattens
+            # toward uniform — the standard multilingual/source
+            # temperature-sampling law p_s ∝ size_s^alpha (the
+            # mBERT/XLM-R exponent-smoothing recipe)
+            ensure(0.0 < alpha <= 1.0, "alpha must be in (0, 1]")
         ensure(
             budget_rows is None or budget_rows >= 1,
             "budget_rows must be >= 1 when set",
         )
         self.id_col = id_col
         self.source_col = source_col
-        self.weights = dict(weights)
+        self.weights = dict(weights) if weights is not None else None
+        self.alpha = alpha
         self.budget_rows = budget_rows
         self.allow_oversample = allow_oversample
         self.salt = salt
@@ -183,23 +208,36 @@ class SourceMixer(Transformer):
         validate_columns(df, [self.id_col, self.source_col])
 
     def _fit(self, df: DataFrame) -> None:
+        scoped = (
+            df
+            if self.weights is None
+            else df.where(F.col(self.source_col).isin(list(self.weights)))
+        )
         rows = (
-            df.where(
-                F.col(self.source_col).isin(list(self.weights))
-            )
+            scoped.where(F.col(self.source_col).isNotNull())
             .groupBy(self.source_col)
             .count()
             .collect()
         )
         counts = {r[self.source_col]: int(r["count"]) for r in rows}
-        missing = sorted(set(self.weights) - set(counts))
-        ensure(
-            not missing,
-            f"weighted sources absent from the corpus: {missing}; drop "
-            "them from weights or fix the source column",
-        )
-        wsum = float(sum(self.weights.values()))
-        props = {s: w / wsum for s, w in self.weights.items()}
+        if self.weights is None:
+            # temperature mode: targets derive from what IS there, so
+            # only an empty corpus can fail. Sum in SORTED source order
+            # so the normalizer is reduction-order deterministic (the
+            # oracle twin adds the same terms in the same order).
+            ensure(bool(counts), "corpus has no non-NULL sources to mix")
+            raw = {s: float(c) ** self.alpha for s, c in counts.items()}
+            wsum = float(sum(raw[s] for s in sorted(raw)))
+        else:
+            missing = sorted(set(self.weights) - set(counts))
+            ensure(
+                not missing,
+                f"weighted sources absent from the corpus: {missing}; drop "
+                "them from weights or fix the source column",
+            )
+            raw = dict(self.weights)
+            wsum = float(sum(raw.values()))
+        props = {s: w / wsum for s, w in raw.items()}
         if self.budget_rows is None:
             n_total = min(counts[s] / props[s] for s in props)
         else:

@@ -191,6 +191,37 @@ class TestSourceMixer:
                   .agg(F.max("mix_copy").alias("m")).collect()}
         assert copies == {"a": 1, "b": 3, "c": 0}
 
+    def test_alpha_temperature_law(self, corpus):
+        # p_s ∝ sqrt(count_s): counts a=100 b=50 c=200 ->
+        # raw = 10, 7.071.., 14.142..; wsum sums sorted (a, b, c)
+        import math
+
+        op = ff.SourceMixer("doc_id", "source", alpha=0.5).fit(corpus)
+        raw = {"a": 100 ** 0.5, "b": 50 ** 0.5, "c": 200 ** 0.5}
+        wsum = raw["a"] + raw["b"] + raw["c"]
+        props = {s: raw[s] / wsum for s in raw}
+        ntot = min(100 / props["a"], 50 / props["b"], 200 / props["c"])
+        for s, cnt in (("a", 100), ("b", 50), ("c", 200)):
+            expect = math.floor(props[s] * ntot / cnt * 1e6 + 0.5) / 1e6
+            assert op.rates_[s] == expect, s
+        # alpha FLATTENS: the smallest source keeps a higher share than
+        # its natural proportion, the largest a lower one
+        assert op.rates_["b"] == 1.0  # scarcest stays whole
+        assert op.rates_["c"] < op.rates_["a"] < 1.0
+
+    def test_alpha_one_is_natural_proportions(self, corpus):
+        op = ff.SourceMixer("doc_id", "source", alpha=1.0).fit(corpus)
+        # p_s ∝ count_s -> every rate is exactly 1 (no-repeat identity)
+        assert set(op.rates_.values()) == {1.0}
+
+    def test_alpha_and_weights_are_exclusive(self, corpus):
+        with pytest.raises(Exception, match="exactly one"):
+            ff.SourceMixer("doc_id", "source", {"a": 1.0}, alpha=0.5)
+        with pytest.raises(Exception, match="exactly one"):
+            ff.SourceMixer("doc_id", "source")
+        with pytest.raises(Exception, match="alpha"):
+            ff.SourceMixer("doc_id", "source", alpha=1.5)
+
     def test_oversample_requires_opt_in(self, corpus):
         from feature_factory_spark.exceptions import InvalidParameterError
 
