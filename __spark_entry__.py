@@ -3573,6 +3573,84 @@ def q_pdf_text(spark, sf_dir):
 
 
 @_reg(
+    "audio_quality",
+    # AudioQualityFilter (r9, operators/audiocodec.py): each doc gets a
+    # deterministic block WAV — (100 + id%5*50) silent samples,
+    # (id%4*25) full-scale clipped samples, 200 at half scale (which
+    # the 16-bit quantizer stores as 16384/32767) — and every 9th doc
+    # gets non-audio bytes (NULL features, keep=false). Metrics and
+    # the keep rule are restated closed-form; float reductions land on
+    # the r6 grid.
+    f"""WITH m AS (SELECT doc_id,
+  CAST(100 + (doc_id % 5) * 50 AS DOUBLE) ns,
+  CAST((doc_id % 4) * 25 AS DOUBLE) nc,
+  CAST(200 AS DOUBLE) nm,
+  (doc_id % 9 = 0) bad
+ FROM documents),
+q AS (SELECT doc_id, bad, ns, nc, nm, ns + nc + nm AS n,
+  16384.0 / 32767.0 AS mid FROM m),
+f AS (SELECT doc_id, bad,
+  nc / n AS clip, ns / n AS sil,
+  sqrt((nc * 1.0 + nm * mid * mid) / n) AS rms,
+  CASE WHEN nc > 0 THEN 1.0 ELSE mid END AS peak,
+  n / 8000.0 AS dur FROM q)
+SELECT doc_id, 'aq_clip' AS feat,
+  CASE WHEN bad THEN NULL ELSE {R6('clip')} END AS v FROM f
+UNION ALL SELECT doc_id, 'aq_sil',
+  CASE WHEN bad THEN NULL ELSE {R6('sil')} END FROM f
+UNION ALL SELECT doc_id, 'aq_rms',
+  CASE WHEN bad THEN NULL ELSE {R6('rms')} END FROM f
+UNION ALL SELECT doc_id, 'aq_crest',
+  CASE WHEN bad THEN NULL ELSE {R6('peak / rms')} END FROM f
+UNION ALL SELECT doc_id, 'aq_dur',
+  CASE WHEN bad THEN NULL ELSE {R6('dur')} END FROM f
+UNION ALL SELECT doc_id, 'aq_keep',
+  CAST(NOT bad AND clip <= 0.05 AND sil <= 0.5 AND rms >= 0.001
+       AND dur >= 0.01 AS DOUBLE) FROM f""",
+)
+def q_audio_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as _np
+
+        from feature_factory_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 9 == 0:
+                    payloads.append(b"definitely not a wav")
+                    continue
+                s = _np.concatenate([
+                    _np.zeros(100 + (i % 5) * 50),
+                    _np.ones((i % 4) * 25),
+                    _np.full(200, 0.5),
+                ])
+                payloads.append(encode_wav(s, 8000, 1, 16))
+            pdf["wav"] = payloads
+            yield pdf
+
+    with_wav = docs.mapInPandas(synth, "doc_id bigint, wav binary")
+    out = ff.AudioQualityFilter(
+        "wav", max_clipping_ratio=0.05, max_silence_ratio=0.5,
+        min_rms=1e-3, min_duration_s=0.01,
+    ).transform(with_wav)
+    return out.selectExpr(
+        "doc_id",
+        "stack(6, "
+        f"'aq_clip', {R6('wav_aq_clipping_ratio')}, "
+        f"'aq_sil', {R6('wav_aq_silence_ratio')}, "
+        f"'aq_rms', {R6('wav_aq_rms')}, "
+        f"'aq_crest', {R6('wav_aq_crest_factor')}, "
+        f"'aq_dur', {R6('wav_aq_duration_s')}, "
+        "'aq_keep', cast(wav_keep AS double)"
+        ") AS (feat, v)",
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -5690,6 +5768,9 @@ _merge("multimodal_family", [
       "concat(feat, ':', coalesce(s, '')) AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, "
      "feat || ':' || coalesce(s, '') AS s"),
+    ("audio_quality",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
 ])
 
 _merge("pack_family", [

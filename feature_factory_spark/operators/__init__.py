@@ -97,6 +97,10 @@ from .similarity import (
     SemanticDeduplicator,
 )
 from .audiocodec import (
+    AudioQualityFilter,
+    audio_quality,
+    audio_quality_decoder,
+    audio_quality_schema,
     audio_schema,
     constant_wav,
     decode_wav,
@@ -225,6 +229,8 @@ __all__ = [
     "phash_bits",
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",
+    "AudioQualityFilter", "audio_quality", "audio_quality_decoder",
+    "audio_quality_schema",
     "audio_schema", "constant_wav", "decode_wav", "decode_wav_samples",
     "encode_wav", "wav_decoder",
     "mp4_decoder", "probe_mp4", "synth_mp4", "video_schema",

@@ -408,6 +408,154 @@ def audio_schema() -> list:
     ]
 
 
+def audio_quality(
+    payload: bytes,
+    clip_threshold: float = 0.99,
+    silence_threshold: float = 1e-3,
+) -> dict:
+    """Audio quality metrics from the channel-mean PCM signal — the
+    Gopher-analogue for speech/audio corpora. Public-heuristic lineage:
+    speech-corpus curation (e.g. the filtering described for public
+    ASR corpus builds) drops clipped recordings, near-silent segments,
+    and degenerate dynamics; these are the standard signal statistics
+    that decide that:
+
+    - ``clipping_ratio``: fraction of samples at or beyond
+      ``clip_threshold`` of full scale (hard-limited recordings)
+    - ``silence_ratio``: fraction below ``silence_threshold``
+      (dead air / failed capture)
+    - ``rms`` and ``peak`` of the mono signal
+    - ``crest_factor``: peak / rms (0.0 for all-silence) — low crest
+      means brickwalled/compressed audio, implausibly high means
+      isolated pops in silence
+    - ``duration_s``, ``n_samples``
+
+    Raises ValueError on malformed/non-PCM payloads (the decode_wav
+    contract); use :func:`audio_quality_decoder` for the lenient seam.
+    """
+    mono, sample_rate = decode_wav_samples(payload)
+    n = int(mono.size)
+    if n == 0:
+        raise ValueError("WAV: empty data chunk")
+    absx = np.abs(mono)
+    peak = float(absx.max())
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    return {
+        "clipping_ratio": float(np.mean(absx >= clip_threshold)),
+        "silence_ratio": float(np.mean(absx < silence_threshold)),
+        "rms": rms,
+        "peak": peak,
+        "crest_factor": peak / rms if rms > 0 else 0.0,
+        "duration_s": float(n / sample_rate),
+        "n_samples": n,
+    }
+
+
+def audio_quality_decoder(payload: bytes) -> dict:
+    """Lenient seam for BinaryFeatureExtractor: NULL features on
+    non-WAV/corrupt bytes."""
+    try:
+        return audio_quality(payload)
+    except (ValueError, struct.error, IndexError):
+        return {}
+
+
+def audio_quality_schema() -> list:
+    """feature_schema for BinaryFeatureExtractor(
+    decoder=audio_quality_decoder)."""
+    from pyspark.sql import types as T
+
+    return [
+        ("clipping_ratio", T.DoubleType()),
+        ("silence_ratio", T.DoubleType()),
+        ("rms", T.DoubleType()),
+        ("peak", T.DoubleType()),
+        ("crest_factor", T.DoubleType()),
+        ("duration_s", T.DoubleType()),
+        ("n_samples", T.IntegerType()),
+    ]
+
+
+class AudioQualityFilter:
+    """Quality gate for an audio-bytes column: decodes per blob (one
+    narrow Arrow-batched map — the BinaryFeatureExtractor seam),
+    appends the :func:`audio_quality` metrics as ``{c}_aq_*`` columns
+    plus a ``{c}_keep`` boolean:
+
+    keep = decodable
+         AND clipping_ratio <= max_clipping_ratio
+         AND silence_ratio  <= max_silence_ratio
+         AND rms            >= min_rms
+         AND min_duration_s <= duration_s <= max_duration_s
+
+    Undecodable blobs get NULL metrics and keep = false (a filter on
+    keep drops them, matching every lenient decoder here). Stateless:
+    thresholds are configuration, not fitted state — the keep rule is
+    a pure-JVM expression over the decoded metric columns, so 10x
+    audio is 10x task work with no shuffle and no plan change."""
+
+    def __init__(
+        self,
+        column: str,
+        max_clipping_ratio: float = 0.01,
+        max_silence_ratio: float = 0.5,
+        min_rms: float = 1e-3,
+        min_duration_s: float = 0.5,
+        max_duration_s: float = float("inf"),
+        clip_threshold: float = 0.99,
+        silence_threshold: float = 1e-3,
+    ):
+        from ..validation import ensure
+
+        ensure(0.0 <= max_clipping_ratio <= 1.0,
+               "max_clipping_ratio must be in [0,1]")
+        ensure(0.0 <= max_silence_ratio <= 1.0,
+               "max_silence_ratio must be in [0,1]")
+        ensure(min_duration_s >= 0.0, "min_duration_s must be >= 0")
+        ensure(max_duration_s >= min_duration_s,
+               "max_duration_s must be >= min_duration_s")
+        self.column = column
+        self.max_clipping_ratio = max_clipping_ratio
+        self.max_silence_ratio = max_silence_ratio
+        self.min_rms = min_rms
+        self.min_duration_s = min_duration_s
+        self.max_duration_s = max_duration_s
+        self.clip_threshold = clip_threshold
+        self.silence_threshold = silence_threshold
+
+    def transform(self, df):
+        from pyspark.sql import functions as F
+
+        from .multimodal import BinaryFeatureExtractor
+
+        clip_t, sil_t = self.clip_threshold, self.silence_threshold
+
+        def decoder(payload: bytes) -> dict:
+            try:
+                return audio_quality(payload, clip_t, sil_t)
+            except (ValueError, struct.error, IndexError):
+                return {}
+
+        c = self.column
+        out = BinaryFeatureExtractor(
+            c, decoder=decoder, feature_schema=audio_quality_schema(),
+            prefix=f"{c}_aq_",
+        ).transform(df)
+        keep = (
+            F.col(f"{c}_aq_clipping_ratio").isNotNull()
+            & (F.col(f"{c}_aq_clipping_ratio")
+               <= F.lit(self.max_clipping_ratio))
+            & (F.col(f"{c}_aq_silence_ratio")
+               <= F.lit(self.max_silence_ratio))
+            & (F.col(f"{c}_aq_rms") >= F.lit(self.min_rms))
+            & (F.col(f"{c}_aq_duration_s") >= F.lit(self.min_duration_s))
+            & (F.col(f"{c}_aq_duration_s") <= F.lit(self.max_duration_s))
+        )
+        return out.withColumn(
+            f"{c}_keep", F.coalesce(keep, F.lit(False))
+        )
+
+
 def encode_wav(
     samples, sample_rate: int, channels: int = 1, bits: int = 16
 ) -> bytes:
