@@ -75,6 +75,11 @@ def main() -> None:
     # tracking-param / case / port variants collapses to one candidate
     pages = ff.UrlDeduplicator("target_uri", "target_uri").transform(pages)
     extracted = ff.HtmlTextExtractor(["page"]).transform(pages)
+    # between tag-strip and C4 (r9): MAIN-CONTENT extraction — jusText-
+    # style block text-density segmentation cuts the nav/footer/link-
+    # farm boilerplate a plain tag strip keeps; page_main_text +
+    # page_boilerplate_ratio feed the gate below
+    extracted = ff.MainContentExtractor(["page"]).transform(extracted)
     # encoding hygiene straight after extraction: mojibake repair, NBSP,
     # control-char strip — before any tokenization sees the text
     extracted = ff.EncodingFixer(["page_html_text"]).transform(extracted)
@@ -134,6 +139,12 @@ def main() -> None:
         "text", "doc_id", threshold=0.5, policy="components"
     )
     final = near.transform(deduped)
+    # span-level (r9): cut duplicated PASSAGES (quoted licenses,
+    # syndicated paragraphs) that whole-document dedup misses, keeping
+    # the corpus-wide first occurrence — the Lee et al. 2021 remedy
+    final = ff.ExactSubstringDeduplicator(
+        "text", "doc_id"
+    ).remove_spans(final)
     # materialize between major stages: six fitted operators deep, the
     # accumulated plan is large; a real run writes intermediate parquet
     # here (localCheckpoint is the in-session equivalent) so downstream
@@ -174,6 +185,18 @@ def main() -> None:
         partition_cols=["source"],
     ).transform(counted)
     packed.groupBy("pack_id").count().orderBy("pack_id").show(5)
+
+    # 3c. the second tokenizer family (r9): a SentencePiece-style
+    #     unigram-LM model over the same corpus — Viterbi segmentation,
+    #     U+2581 word markers, spm .vocab text export
+    uni = ff.UnigramVocabBuilder(
+        "text", "doc_id", vocab_size=200, seed_size=800, max_words=5000
+    ).fit(final)
+    uni_ids = uni.encode_ids(final.select("doc_id", "text").limit(3))
+    uni.decode_ids(uni_ids).select(
+        "doc_id", F.slice("text_unigram_ids", 1, 8), "text_unigram_ids_text"
+    ).show(3, False)
+    uni.save_tokenizer(tempfile.mkdtemp(prefix="unigram_"))
 
     # 4. semantic dedup + similarity search + topic bucketing over
     #    embeddings (SemDeDup: k-means blocking, within-cluster LSH,

@@ -102,6 +102,28 @@ def main() -> None:
         ).dedupe_against(recrawl, idx)
         print("recrawl survivors (expect only the new group):",
               sorted(r["doc_id"] for r in fresh.collect()))
+        # index lifecycle (r9): append the survivors, watch the
+        # versions log, compact when the small files pile up
+        ff.ImageDeduplicator(
+            "doc_id", binary_col="img", hamming_threshold=2
+        ).write_index(fresh.select("doc_id", "img"), idx, mode="append")
+        print("index versions:",
+              [v["op"] for v in ff.index_versions(spark, idx)])
+        compacted = os.path.join(tmp, "imgidx_compact")
+        ff.compact_index(spark, idx, compacted)
+        audit = ff.audit_index(spark, compacted)
+        print("compacted:", audit["datasets"])
+
+    # 3b. audio quality gate (r9): before fingerprinting a real audio
+    #     corpus, drop clipped / near-silent / too-short clips — the
+    #     Gopher-analogue for speech (here: thresholds sized to the
+    #     synthetic 128-sample fixtures)
+    gated = ff.AudioQualityFilter(
+        "wav", max_clipping_ratio=1.0, max_silence_ratio=0.9,
+        min_rms=1e-6, min_duration_s=0.0,
+    ).transform(media.select("doc_id", "wav"))
+    print("audio passing the quality gate:",
+          gated.where("wav_keep").count(), "/", n)
 
     # 4. ship the survivors: seeded shuffle + token-balanced shards +
     #    the loader-side manifest

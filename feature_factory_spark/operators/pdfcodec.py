@@ -368,6 +368,22 @@ def pdf_text_schema() -> list:
     ]
 
 
+def pdf_full_decoder(payload: bytes) -> dict:
+    """Structure probe + text extraction in ONE decode pass seam —
+    what ``read_media(media='pdf_text')`` ingests: every probe feature
+    plus the extracted text and its metrics. Lenient ({} on non-PDF)."""
+    out = pdf_decoder(payload)
+    if not out:
+        return {}
+    out.update(pdf_text_decoder(payload))
+    return out
+
+
+def pdf_full_schema() -> list:
+    """feature_schema for BinaryFeatureExtractor(decoder=pdf_full_decoder)."""
+    return pdf_schema() + pdf_text_schema()
+
+
 def _escape_pdf_string(s: str) -> bytes:
     return (
         s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")

@@ -141,8 +141,11 @@ def read_media(
     ``media='image'`` (PNG/BMP/PPM: dims, channels, mean/std/entropy),
     ``'audio'`` (WAV PCM: channels, rate, duration, RMS, peak, zcr), or
     ``'video'`` (MP4/MOV container probe: brand, duration, dims, track
-    shape, codecs), or ``'pdf'`` (document-structure probe: version,
-    page/object counts, encryption, truncation). Undecodable files get
+    shape, codecs), ``'pdf'`` (document-structure probe: version,
+    page/object counts, encryption, truncation), or ``'pdf_text'``
+    (the probe PLUS real FlateDecode + content-stream text extraction —
+    text, pages-with-text, show-op and char counts — the document slice
+    of a curation chain in one read). Undecodable files get
     NULL features, not task failures. Pass ``pathGlobFilter='*.png'`` (etc.) through options to
     select one media type from a mixed directory.
 
@@ -151,7 +154,12 @@ def read_media(
     from ..operators.audiocodec import audio_schema, wav_decoder
     from ..operators.imagecodec import image_decoder, image_schema
     from ..operators.multimodal import BinaryFeatureExtractor
-    from ..operators.pdfcodec import pdf_decoder, pdf_schema
+    from ..operators.pdfcodec import (
+        pdf_decoder,
+        pdf_full_decoder,
+        pdf_full_schema,
+        pdf_schema,
+    )
     from ..operators.videocodec import mp4_decoder, video_schema
 
     table = {
@@ -159,6 +167,7 @@ def read_media(
         "audio": (wav_decoder, audio_schema),
         "video": (mp4_decoder, video_schema),
         "pdf": (pdf_decoder, pdf_schema),
+        "pdf_text": (pdf_full_decoder, pdf_full_schema),
     }
     if media not in table:
         raise UnsupportedFormatError(
