@@ -3009,6 +3009,35 @@ def q_gopher_quality_filter(spark, sf_dir):
 
 
 @_reg(
+    "badwords",
+    # BadWordsFilter (r9): the C4 blocklist gate generalized to a
+    # fraction threshold, planted over the corpus's own vocabulary
+    # ('dup'/'slow' occur naturally) so both branches fire. The oracle
+    # recomputes the whole-word count, the word total (the proven
+    # words_expr twin), the raw-fraction comparison, and the r6 ratio.
+    r"""WITH b AS (SELECT doc_id,
+  len(regexp_extract_all(lower(text), '\b(dup|slow)\b')) AS hits,
+  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      x -> x <> '')) AS w
+ FROM documents)
+SELECT doc_id,
+  (CAST(hits AS DOUBLE) / w) <= 0.02 AS flag,
+  floor((CAST(hits AS DOUBLE) / w) * 1000000 + 0.5) / 1000000 AS ratio
+FROM b""",
+)
+def q_badwords(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ff.BadWordsFilter(
+        "text", ["dup", "slow"], max_fraction=0.02
+    ).transform(docs)
+    return out.select(
+        "doc_id",
+        F.col("text_badwords_keep").alias("flag"),
+        r6(F.col("text_badword_fraction")).alias("ratio"),
+    )
+
+
+@_reg(
     "quality_model",
     # the LBFGS-fitted coefficients are not SQL-recomputable; the
     # oracle pins eagerly-asserted invariants (negative sentinel ids so
@@ -4930,6 +4959,90 @@ def q_quantize(spark, sf_dir):
     return scale.unionByName(codes)
 
 
+@_reg(
+    "pca_project",
+    # the covariance eigendecomposition is not SQL-recomputable; the
+    # oracle pins eagerly-asserted invariants (vec_id NULL so the
+    # member unions cleanly into the per-vector embed family; the pos
+    # column indexes the invariant, val is 0/1)
+    """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(0 AS INTEGER) AS pos,
+  CAST(1 AS DOUBLE) AS val
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS DOUBLE)
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(2 AS INTEGER), CAST(1 AS DOUBLE)
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(3 AS INTEGER), CAST(1 AS DOUBLE)
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(4 AS INTEGER), CAST(1 AS DOUBLE)""",
+)
+def q_pca_project(spark, sf_dir):
+    """PCAProjection (operators/embeddings.py, r9): distributed moment
+    fit (one narrow pass + one bounded groupBy) + driver eigh.
+    Invariants, each asserted eagerly: (0) mean/components/eigenvalues
+    match an independent numpy PCA on the collected vectors; (1) the
+    component rows are orthonormal; (2) the Spark-side projection of a
+    50-vector sample matches the numpy projection; (3) whitened
+    projections have unit variance per output dim; (4) the explained-
+    variance ratios are descending and sum <= 1."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    op = ff.PCAProjection("embedding", dim=64, k=8, out_col="proj")
+    op.fit(emb)
+
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding")
+         .orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    mean = x.mean(axis=0)
+    evals_all, evecs = np.linalg.eigh(np.cov(x.T, bias=True))
+    order = np.argsort(evals_all)[::-1][:8]
+    comps = evecs[:, order].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    fit_ok = (
+        np.allclose(op.mean_, mean, atol=1e-8)
+        and np.allclose(op.components_, comps, atol=1e-7)
+        and np.allclose(op.eigenvalues_, evals_all[order], atol=1e-7)
+    )
+    assert fit_ok, "distributed PCA fit diverged from the numpy reference"
+
+    c = np.array(op.components_)
+    ortho_ok = bool(np.allclose(c @ c.T, np.eye(8), atol=1e-9))
+    assert ortho_ok, "PCA components are not orthonormal"
+
+    sample = emb.where(F.col("vec_id") < 50)
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in op.transform(sample).select("vec_id", "proj").collect()
+    }
+    xs = {r["vec_id"]: np.array(r["embedding"])
+          for r in sample.select("vec_id", "embedding").collect()}
+    proj_ok = all(
+        np.allclose(got[i], (xs[i] - np.array(op.mean_)) @ c.T, atol=1e-9)
+        for i in xs
+    )
+    assert proj_ok, "Spark projection diverged from the numpy projection"
+
+    wop = ff.PCAProjection(
+        "embedding", dim=64, k=3, whiten=True, out_col="w"
+    ).fit(emb)
+    w = np.array([r["w"] for r in wop.transform(emb).select("w").collect()])
+    white_ok = bool(np.allclose(w.var(axis=0), 1.0, atol=1e-6))
+    assert white_ok, "whitened projection variance is not 1"
+
+    evr = op.explained_variance_ratio_
+    evr_ok = evr == sorted(evr, reverse=True) and sum(evr) <= 1.0 + 1e-12
+    assert evr_ok, "explained-variance ratios are not descending/normalized"
+
+    return spark.createDataFrame(
+        [(None, i, float(ok)) for i, ok in enumerate(
+            [fit_ok, ortho_ok, proj_ok, white_ok, evr_ok]
+        )],
+        "vec_id bigint, pos int, val double",
+    )
+
+
 @_reg("random_projection", _sql_random_projection())
 def q_random_projection(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -5593,7 +5706,8 @@ _merge("scale_family", [
 
 _merge("embed_transform", [
     (op, ["vec_id", "pos", "val"], "vec_id, pos, val")
-    for op in ("l2_normalize", "random_projection", "quantize")
+    for op in ("l2_normalize", "random_projection", "quantize",
+               "pca_project")
 ])
 
 _merge("ts_features", [
@@ -5678,6 +5792,7 @@ _merge("quality_filter", [
     ("quality_model",
      ["doc_id", "flag", "cast(NULL AS double) AS ratio"],
      "doc_id, flag, CAST(NULL AS DOUBLE) AS ratio"),
+    ("badwords", ["doc_id", "flag", "ratio"], "doc_id, flag, ratio"),
 ])
 
 # text cleaning surface: stopword-removal normalization + the HTML ->

@@ -72,6 +72,7 @@ from .text import (
     C4Filter,
     TextCleaner,
     TextFeatures,
+    BadWordsFilter,
     TfIdfScorer,
     TokenCount,
     UnicodeNormalizer,
@@ -158,7 +159,12 @@ from .videohash import (
     pattern_mp4,
     video_fingerprint_bits,
 )
-from .embeddings import EmbeddingQuantizer, L2Normalizer, RandomProjection
+from .embeddings import (
+    EmbeddingQuantizer,
+    L2Normalizer,
+    PCAProjection,
+    RandomProjection,
+)
 from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import (
@@ -201,6 +207,7 @@ __all__ = [
     "PerplexityBucketer", "UnicodeNormalizer",
     "TextCleaner", "C4Filter", "EncodingFixer", "RepetitionFeatures",
     "GopherQualityFilter", "PIIRedactor",
+    "BadWordsFilter",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "BigramLogProbScorer",
     "QualityScorer",
@@ -215,7 +222,8 @@ __all__ = [
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
     "UrlCanonicalizer",
     "UrlDeduplicator",
-    "EmbeddingQuantizer", "L2Normalizer", "RandomProjection",
+    "EmbeddingQuantizer", "L2Normalizer", "PCAProjection",
+    "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",

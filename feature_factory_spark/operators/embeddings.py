@@ -182,3 +182,207 @@ class EmbeddingQuantizer(Transformer):
         return out.select(
             *df.columns, f"{self.prefix}_q8", scale_col
         )
+
+
+class PCAProjection(Transformer):
+    """Distributed PCA for embedding columns: fit learns the corpus
+    mean and the top ``k`` principal components; transform projects
+    (optionally whitens) each vector — the standard decorrelate/
+    compress stage before semantic dedup, clustering, or an ANN index
+    (whitened embeddings make cosine thresholds comparable across
+    corpora; k < dim is the lossy-compression lever that composes with
+    EmbeddingQuantizer's int8 codes).
+
+    Fit shape (the tree-aggregate recipe at any scale): ONE narrow
+    Arrow-batched pass emits per-batch moment partials — count, sum
+    vector, flattened outer-product sum (dim + dim^2 doubles per
+    BATCH, not per row) — which one map-side-combined groupBy reduces
+    to exactly dim^2 + dim + 1 rows collected to the driver. The
+    covariance eigendecomposition is O(dim^3) driver work (dim is 64-4k
+    for real embedding tables — milliseconds). No shuffle of the data
+    itself, no per-row Python.
+
+    Determinism: eigenvector signs are canonicalized (largest-|coord|
+    component positive) so two fits of the same data produce identical
+    models; the moment reduction is floating-point, so models agree
+    across partitionings to reduction-order rounding (~1e-9 relative).
+
+    Transform is pure JVM: the (pre-scaled, pre-offset) component
+    matrix rides in as one nested-array literal (the RandomProjection
+    codegen-width trick) and ``zip_with`` emits
+    ``dot(vec, comp_j) - offset_j`` per output coordinate. With
+    ``whiten=True`` components are pre-divided by sqrt(eigenvalue), so
+    whitening costs nothing at transform time.
+
+    Fitted state: ``mean_``, ``components_`` (k x dim, row-major
+    lists), ``eigenvalues_`` — scalar JSON state, no frames.
+    ``explained_variance_ratio_`` reports the kept-variance fraction.
+    """
+
+    def __init__(
+        self,
+        vec_col: str,
+        dim: int,
+        k: int,
+        whiten: bool = False,
+        out_col: str | None = None,
+        eps: float = 1e-9,
+    ):
+        ensure(dim >= 1, "dim must be >= 1")
+        ensure(1 <= k <= dim, "k must be in [1, dim]")
+        ensure(eps > 0, "eps must be > 0")
+        self.vec_col = vec_col
+        self.dim = dim
+        self.k = k
+        self.whiten = whiten
+        self.out_col = out_col or vec_col
+        self.eps = eps
+        self.mean_: list[float] | None = None
+        self.components_: list[list[float]] | None = None
+        self.eigenvalues_: list[float] | None = None
+        self.total_variance_: float | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col])
+
+    def _fit(self, df: DataFrame) -> None:
+        import numpy as np
+
+        dim = self.dim
+        c = self.vec_col
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                vecs = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[c]]
+                ) if len(pdf) else np.zeros((0, dim))
+                if vecs.size and vecs.shape[1] != dim:
+                    raise ValueError(
+                        f"PCAProjection(dim={dim}) got vectors of dim "
+                        f"{vecs.shape[1]}"
+                    )
+                m = np.concatenate(
+                    [vecs.sum(axis=0), (vecs.T @ vecs).ravel()]
+                )
+                yield pd.DataFrame(
+                    {"n": [len(pdf)], "m": [m.tolist()]}
+                )
+
+        part = df.select(c).mapInPandas(
+            partials, f"n long, m array<double>"
+        )
+        # reduce: explode the (dim + dim^2)-long partial to (pos, val)
+        # rows, one map-side-combined groupBy; pos -1 carries the count
+        moments = (
+            part.select(
+                F.explode(
+                    F.concat(
+                        F.array(F.struct(
+                            F.lit(-1).alias("pos"),
+                            F.col("n").cast("double").alias("val"),
+                        )),
+                        F.transform(
+                            "m",
+                            lambda v, i: F.struct(
+                                i.alias("pos"), v.alias("val")
+                            ),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .groupBy("e.pos")
+            .agg(F.sum("e.val").alias("s"))
+            .collect()
+        )
+        got = {r["pos"]: r["s"] for r in moments}
+        n = int(got[-1])
+        ensure(n >= 2, "PCA fit needs at least 2 vectors")
+        s = np.array([got[i] for i in range(dim)])
+        o = np.array(
+            [got[dim + i] for i in range(dim * dim)]
+        ).reshape(dim, dim)
+        mean = s / n
+        # population covariance over n (not n-1): the convention numpy
+        # references reproduce with np.cov(..., bias=True)
+        cov = o / n - np.outer(mean, mean)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][: self.k]
+        evals = np.maximum(evals[order], 0.0)
+        comps = evecs[:, order].T  # k x dim
+        # sign canonicalization: the largest-|coord| entry positive
+        for row in comps:
+            j = int(np.argmax(np.abs(row)))
+            if row[j] < 0:
+                row *= -1.0
+        self.mean_ = [float(x) for x in mean]
+        self.components_ = [[float(x) for x in row] for row in comps]
+        self.eigenvalues_ = [float(x) for x in evals]
+        self.total_variance_ = float(np.trace(cov))
+
+    @property
+    def explained_variance_ratio_(self) -> list[float]:
+        ensure(self.eigenvalues_ is not None, "PCAProjection is not fitted")
+        t = self.total_variance_ or 0.0
+        if t <= 0:
+            return [0.0 for _ in self.eigenvalues_]
+        return [v / t for v in self.eigenvalues_]
+
+    def _scaled_model(self) -> tuple[list[list[float]], list[float]]:
+        """(component matrix, offsets) with whitening pre-baked:
+        out_j = dot(vec, comp_j) - offset_j."""
+        import math as _math
+
+        comps = [list(row) for row in self.components_]
+        if self.whiten:
+            comps = [
+                [x / _math.sqrt(ev + self.eps) for x in row]
+                for row, ev in zip(comps, self.eigenvalues_)
+            ]
+        offs = [
+            sum(m * x for m, x in zip(self.mean_, row)) for row in comps
+        ]
+        return comps, offs
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        ensure(self.components_ is not None, "PCAProjection is not fitted")
+        vec = F.col(self.vec_col)
+        comps, offs = self._scaled_model()
+        comps_lit = F.lit([[float(x) for x in row] for row in comps])
+        offs_lit = F.lit([float(x) for x in offs])
+        projected = F.zip_with(
+            comps_lit, offs_lit, lambda p, o: dot_expr(vec, p) - o
+        )
+        if self.out_col == self.vec_col:
+            return df.select(*[
+                projected.alias(c) if c == self.vec_col else F.col(c)
+                for c in df.columns
+            ])
+        return df.select("*", projected.alias(self.out_col))
+
+    def inverse_expr(self, proj_col: Column) -> Column:
+        """Reconstruction expression: mean + sum_j proj_j * comp_j
+        (un-whitened components when ``whiten=False``; with whitening
+        the projection is not isometric and reconstruction multiplies
+        back by sqrt(eigenvalue)). k == dim reconstructs exactly up to
+        float rounding — the lossless-rotation check."""
+        import math as _math
+
+        comps = [list(row) for row in self.components_]
+        if self.whiten:
+            comps = [
+                [x * _math.sqrt(ev + self.eps) for x in row]
+                for row, ev in zip(comps, self.eigenvalues_)
+            ]
+        # dim x k matrix (transposed components), one literal
+        back = [[comps[j][i] for j in range(len(comps))]
+                for i in range(self.dim)]
+        back_lit = F.lit([[float(x) for x in row] for row in back])
+        mean_lit = F.lit([float(x) for x in self.mean_])
+        return F.zip_with(
+            back_lit, mean_lit, lambda row, m: dot_expr(proj_col, row) + m
+        )

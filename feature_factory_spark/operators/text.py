@@ -415,6 +415,74 @@ class C4Filter(Transformer):
         return out
 
 
+class BadWordsFilter(Transformer):
+    """The C4 'bad words' page gate (Raffel et al. 2020 drop any page
+    containing a word from the public blocklist; production variants —
+    e.g. the RefinedWeb/UT1-style category lists — gate on the FRACTION
+    of flagged words instead, which this generalizes):
+
+    - ``{c}_badword_count``     whole-word, case-folded matches against
+      ``words`` on the text
+    - ``{c}_badword_fraction``  count / word count (NULL for word-less
+      text)
+    - ``{c}_badwords_keep``     fraction <= ``max_fraction`` (the C4
+      rule is the default ``max_fraction=0.0`` — any hit drops)
+
+    ``mode='filter'`` drops failing rows instead of flagging.
+
+    No default list ships: blocklists are policy and jurisdiction
+    dependent (the public choices are C4's list or a UT1 category);
+    pass yours in. Matching is ONE compiled alternation regex with
+    ``\\b`` anchors over the lowercased text — stateless pure-JVM
+    expression, no UDF, no shuffle; scales with the scan like every
+    gate here."""
+
+    def __init__(
+        self,
+        text_col: str,
+        words: list[str],
+        max_fraction: float = 0.0,
+        mode: str = "flag",
+    ):
+        import re as _re
+
+        ensure(bool(words), "at least one blocklist word is required")
+        ensure(all(isinstance(w, str) and w.strip() for w in words),
+               "blocklist words must be non-empty strings")
+        ensure(0.0 <= max_fraction <= 1.0,
+               "max_fraction must be in [0, 1]")
+        ensure(mode in ("flag", "filter"), "mode must be 'flag' or 'filter'")
+        self.text_col = text_col
+        self.words = sorted({w.lower() for w in words})
+        self.max_fraction = max_fraction
+        self.mode = mode
+        self._pattern = (
+            r"\b(" + "|".join(_re.escape(w) for w in self.words) + r")\b"
+        )
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.text_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        c = self.text_col
+        count = F.regexp_count(F.lower(F.col(c)), F.lit(self._pattern))
+        n_words = word_count_expr(F.col(c))
+        fraction = F.when(
+            n_words > 0, count.cast("double") / n_words
+        )
+        keep = F.coalesce(
+            fraction <= F.lit(self.max_fraction), count == 0
+        )
+        if self.mode == "filter":
+            return df.where(keep)
+        return df.select(
+            "*",
+            count.alias(f"{c}_badword_count"),
+            fraction.alias(f"{c}_badword_fraction"),
+            keep.alias(f"{c}_badwords_keep"),
+        )
+
+
 class TextCleaner(Transformer):
     """Normalize a text column in place: optionally lowercase, strip
     punctuation (non-alphanumeric-non-space), collapse whitespace runs,
