@@ -4079,7 +4079,7 @@ def q_substring_spans(spark, sf_dir):
     r"""WITH w AS (SELECT doc_id, text,
   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') wd,
   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') wo
-  FROM documents),
+  FROM documents WHERE doc_id % 3 = 0),
 e AS (SELECT doc_id, wd,
   CAST(UNNEST(generate_series(0, len(wd) - 8)) AS INT) pos
   FROM w WHERE text IS NOT NULL AND len(wd) >= 8),
@@ -4113,7 +4113,12 @@ FROM w LEFT JOIN hd ON w.doc_id = hd.doc_id
 LEFT JOIN cl ON w.doc_id = cl.doc_id""",
 )
 def q_substring_clean(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # 1-in-3 corpus slice (the packed_ids/lm slicing precedent): the
+    # member pins the remove_spans CONTRACT — winner exemption, island
+    # merge, cut, verbatim pass-through — which a deterministic slice
+    # exercises fully; the operator's corpus-sized window-hash shuffle
+    # is already paid and pinned by the substring_spans member
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
     op = ff.ExactSubstringDeduplicator("text", "doc_id", k=8, min_docs=2)
     return op.remove_spans(docs, keep="first").select(
         "doc_id", F.col("text").alias("cleaned")

@@ -273,6 +273,44 @@ def check_langid(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_pca(spark, copies: int) -> None:
+    # PCAProjection.fit is one narrow moment-partial pass + a bounded
+    # groupBy (dim^2 + dim + 1 rows to the driver): wall must track the
+    # scan, never the shuffle
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def grown(k: int):
+        big = emb
+        for i in range(1, k):
+            big = big.unionByName(
+                emb.select(
+                    (F.col("vec_id") + i * 100000).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        big = big.repartition(64).persist()
+        big.count()
+        return big
+
+    one, big = grown(1), grown(copies)
+    op = ff.PCAProjection("embedding", dim=64, k=8)
+    op.fit(one)  # warm plans
+    t0 = time.perf_counter()
+    op.fit(one)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    op.fit(big)
+    tN = time.perf_counter() - t0
+    print(f"[pca] 1x:  fit {t1:.1f}s")
+    print(
+        f"[pca] {copies}x: fit {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x vectors; the reduce "
+        f"is a fixed {64 * 64 + 64 + 1}-row collect at every scale)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 def check_maincontent(spark, copies: int) -> None:
     # MainContentExtractor is one narrow projection (block split +
     # higher-order array functions, no shuffle): wall must track the
@@ -792,6 +830,7 @@ CHECKS = {
     "ivfprune": check_ivfprune,
     "langid": check_langid,
     "maincontent": check_maincontent,
+    "pca": check_pca,
     "quality": check_quality,
     "warc": check_warc,
     "semdedup": check_semdedup,
