@@ -279,11 +279,13 @@ def check_pca(spark, copies: int) -> None:
     # scan, never the shuffle
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
+    base = emb.select("vec_id", "embedding")
+
     def grown(k: int):
-        big = emb
+        big = base
         for i in range(1, k):
             big = big.unionByName(
-                emb.select(
+                base.select(
                     (F.col("vec_id") + i * 100000).alias("vec_id"),
                     "embedding",
                 )
