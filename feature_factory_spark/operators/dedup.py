@@ -356,10 +356,17 @@ def compact_index(
             target_records_per_file,
             partition_by=pcols or None,
         )
-    meta = spark.read.parquet(os.path.join(source_path, "meta"))
-    meta.coalesce(1).write.mode("error").parquet(
-        os.path.join(dest_path, "meta")
-    )
+    # parameter-pinning meta rides along verbatim when present (the
+    # dedup tiers); the ANN indexes (IVF corpus+centroids layout) have
+    # no meta dir and compact the same way
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    mp = jvm.org.apache.hadoop.fs.Path(os.path.join(source_path, "meta"))
+    if mp.getFileSystem(conf).exists(mp):
+        meta = spark.read.parquet(os.path.join(source_path, "meta"))
+        meta.coalesce(1).write.mode("error").parquet(
+            os.path.join(dest_path, "meta")
+        )
     _log_index_version(
         spark, dest_path, "compact", sum(written.values())
     )
