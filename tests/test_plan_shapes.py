@@ -243,3 +243,47 @@ def test_perplexity_bucketer_transform_no_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan
+
+
+# --- r9 operators -------------------------------------------------------
+
+def test_remove_spans_never_cartesian(docs):
+    op = ff.ExactSubstringDeduplicator("text", "doc_id", k=4, min_docs=2)
+    for keep in ("first", "none"):
+        plan = _phys(op.remove_spans(docs, keep=keep))
+        assert "CartesianProduct" not in plan, keep
+        assert "BroadcastNestedLoopJoin" not in plan, keep
+
+
+def test_pca_transform_is_narrow(vecs):
+    op = ff.PCAProjection("embedding", dim=16, k=4).fit(vecs)
+    plan = _phys(op.transform(vecs))
+    # the projection is one literal-matrix zip_with: no shuffle, no join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_badwords_is_narrow(docs):
+    plan = _phys(ff.BadWordsFilter("text", ["shared"]).transform(docs))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_unigram_encode_broadcasts_piece_table(docs):
+    op = ff.UnigramVocabBuilder(
+        "text", "doc_id", vocab_size=30, seed_size=60, max_piece_len=4
+    ).fit(docs)
+    plan = _phys(op.encode(docs))
+    assert "BroadcastHashJoin" in plan  # word-grain piece table broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pdf_text_read_media_is_narrow_map(spark, tmp_path):
+    from feature_factory_spark.operators.pdfcodec import make_pdf
+    from feature_factory_spark.sources import read_media
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "x.pdf").write_bytes(make_pdf(1, page_texts=["t"]))
+    plan = _phys(read_media(spark, str(d), media="pdf_text"))
+    assert "Exchange" not in plan  # binaryFile scan -> one Arrow map

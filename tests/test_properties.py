@@ -291,3 +291,54 @@ def test_content_fingerprint_separates_distinct_tuples(spark, a, b):
     fps = [r["fp"] for r in
            df.select(content_fingerprint(cols).alias("fp")).collect()]
     assert (fps[0] == fps[1]) == (a == b)
+
+
+# --- r9: PDF string parsing + unigram segmentation ----------------------
+
+@given(s=st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=60,
+))
+@settings(max_examples=60, deadline=None)
+def test_pdf_literal_string_roundtrip(s):
+    # any latin-range text survives escape -> parse exactly
+    from feature_factory_spark.operators.pdfcodec import (
+        _escape_pdf_string,
+        _parse_literal_string,
+    )
+
+    try:
+        raw = _escape_pdf_string(s)
+    except UnicodeEncodeError:
+        return  # beyond latin-1: the encoder's documented domain
+    data = b"(" + raw + b")"
+    got, end = _parse_literal_string(data, 0)
+    assert got == s
+    assert end == len(data)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10),
+        min_size=1, max_size=12,
+    ),
+    probe=st.text(alphabet="abcde", min_size=1, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_segmenters_always_agree(words, probe):
+    # the forward-DP trainer segmenter and the recursive reference
+    # implement the same canonical tie rule: they must agree on EVERY
+    # input, including unseen chars, under any fitted model
+    from feature_factory_spark.operators.unigram import (
+        reference_segment,
+        train_unigram,
+        viterbi_segment,
+    )
+
+    wc = [(w, i + 1) for i, w in enumerate(sorted(set(words)))]
+    lp = train_unigram(wc, vocab_size=20, seed_size=40, n_iter=1,
+                       max_piece_len=4)
+    a = viterbi_segment(probe, lp, 4)
+    b = reference_segment(probe, lp, 4)
+    assert a == b
+    assert "".join(a) == probe  # segmentation is a partition
