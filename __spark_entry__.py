@@ -94,19 +94,28 @@ the op is a member slice of that family query):
   char-n-gram model's invariant member), text_clean (stopword-removal
   normalization + html_strip, the HtmlTextExtractor HTML->text chain
   over synthesized pages, + fix_encoding, the EncodingFixer mojibake
-  repair chain), sample_family
+  repair chain, + main_content, the r9 jusText-style block-density
+  segmentation with the DuckDB twin generated from the operator's own
+  tag/stopword constants), sample_family
   (hash_sample/hash_split/weighted_sample/url_ops — the web-operator
   domain|path|blocked|kept tuple per doc — + source_mix + code_meta,
   the r8 code-curation member: LicenseDetector SPDX/phrase chain +
   CodeLanguageIdentifier extension/shebang routing, closed-form
-  oracle), pack_family
+  oracle; source_mix carries the r9 tmix slice pinning the alpha=0.5
+  temperature-sampling law over planted unequal groups), pack_family
   (sequence_pack + doc_chunk context-window chunking +
-  substring_spans exact-substring dedup + corpus_shuffle, the r8
+  substring_spans exact-substring dedup + substring_clean, the r9
+  remove_spans rewrite on a 1-in-3 slice with the full winner-exempt
+  pipeline replayed in SQL, + corpus_shuffle, the r8
   seeded-global-shuffle/token-balanced-shard member), scale_family,
-  embed_transform (l2 + random projection + int8 quantize), ts_features (lag/window/
+  embed_transform (l2 + random projection + int8 quantize +
+  pca_project, the r9 distributed-PCA invariant member: numpy fit
+  parity, orthonormality, projection parity, whitening unit variance), ts_features (lag/window/
   expanding), lm_family (unigram_logprob + VocabBuilder's vocab_topk
   build and vocab_oov coverage audit + bpe_vocab, the distributed BPE
-  induction pinned against its pure-Python reference, + perplexity_bucket,
+  induction pinned against its pure-Python reference, + unigram_vocab,
+  the r9 SentencePiece-style hard-EM trainer pinned bit-exact against
+  an independent recursive-reference EM, + perplexity_bucket,
   the r8 CCNet head/middle/tail cutpoint bucketing, + pagerank, the r8
   fixed-iteration link-graph authority signal over a deterministic
   synthetic doc-id graph, oracle = the power iteration unrolled as
@@ -115,7 +124,11 @@ the op is a member slice of that family query):
   audio_decode + video_probe with the REAL stdlib PNG/WAV/MP4 parsers,
   operators/{image,audio,video}codec.py, + pdf_text, the r9 FlateDecode
   + content-stream text-operator extraction with closed-form embedded
-  text, both show operators, and the truncated-download branch).
+  text, both show operators, and the truncated-download branch, +
+  audio_quality, the r9 clipping/silence/crest gate over block-WAV
+  fixtures with the 16-bit quantizer modeled exactly in SQL).
+  quality_filter adds the r9 badwords member (the C4 blocklist gate,
+  full SQL twin).
   ivf_topk / bucketed_topk / kmeans_cluster / tree_discretize /
   embedding_dedup_lsh return eagerly-computed INVARIANT frames
   (recall floors, argmax consistency, disjoint bin ranges, no LSH false

@@ -226,6 +226,14 @@ def main() -> None:
     ).fit(counted)
     mixture = mixer.transform(counted)
     mixture.groupBy("source").count().orderBy("source").show()
+    # 5b. temperature rebalance (r9): the multilingual recipe — rates
+    #     from measured sizes, p ∝ size^alpha, no weight table to
+    #     maintain; here over the detected-language column
+    lang_mix = ff.SourceMixer(
+        "doc_id", "text_lang", alpha=0.5
+    ).fit(scored)
+    print("temperature rates per language:",
+          {k: round(v, 3) for k, v in sorted(lang_mix.rates_.items())[:5]})
 
     # 6. multimodal: decode image payloads (REAL pure-stdlib PNG/BMP/PPM
     #    decoding) and filter on the decoded features — blank/low-entropy
