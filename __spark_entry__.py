@@ -4668,7 +4668,8 @@ UNION ALL SELECT 'seed_counts_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'encode_matches_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'roundtrip_decode', CAST(1 AS BIGINT)
 UNION ALL SELECT 'vocab_file_roundtrip', CAST(1 AS BIGINT)
-UNION ALL SELECT 'vocab_within_cap', CAST(1 AS BIGINT)""",
+UNION ALL SELECT 'vocab_within_cap', CAST(1 AS BIGINT)
+UNION ALL SELECT 'distributed_fit_matches', CAST(1 AS BIGINT)""",
 )
 def q_unigram_vocab(spark, sf_dir):
     """UnigramVocabBuilder (operators/unigram.py, r9): SentencePiece-
@@ -4692,6 +4693,19 @@ def q_unigram_vocab(spark, sf_dir):
         "text", "doc_id", vocab_size=120, seed_size=400, n_iter=2,
         max_piece_len=6, max_words=2000,
     )
+    # the distributed (never-collect-the-word-table) fit runs
+    # OVERLAPPED with the driver-mode checks; integer-count EM makes
+    # the two modes bit-identical on the same table
+    dop = ff.UnigramVocabBuilder(
+        "text", "doc_id", vocab_size=120, seed_size=400, n_iter=2,
+        max_piece_len=6, max_words=2000, fit_mode="distributed",
+    )
+
+    def _dist_fit():
+        dop.fit(fit_docs)
+        return dict(dop.logprobs_)
+
+    dist_res = _Overlap(_dist_fit)
     op.fit(fit_docs)
     try:
         wc = list(op.fit_word_counts_)
@@ -4743,6 +4757,17 @@ def q_unigram_vocab(spark, sf_dir):
         ).load_tokenizer(utmp, spark)
         file_ok = re_op.logprobs_ == op.logprobs_
         assert file_ok, "saved .vocab did not reload identically"
+        try:
+            dist_lp = dist_res.result()
+        finally:
+            dop.release()
+        dist_ok = dist_lp == op.logprobs_
+        assert dist_ok, "distributed unigram fit diverged from driver mode"
+    except BaseException:
+        dist_res.join_quietly()
+        with contextlib.suppress(BaseException):
+            dop.release()
+        raise
     finally:
         op.release()
 
@@ -4753,6 +4778,7 @@ def q_unigram_vocab(spark, sf_dir):
         ("roundtrip_decode", int(rt_ok)),
         ("vocab_file_roundtrip", int(file_ok)),
         ("vocab_within_cap", int(cap_ok)),
+        ("distributed_fit_matches", int(dist_ok)),
     ])
 
 

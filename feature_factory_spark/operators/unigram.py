@@ -25,10 +25,18 @@ deterministic core of that recipe:
 
 Spark fit shape (the BPE dual pattern, bpe.py:383): the corpus-sized
 work — word aggregation and seed-substring counting — runs as
-distributed jobs in every mode; the EM loop then iterates over the
-AGGREGATED, CAPPED word table on the driver, which is how production
-tokenizer trainers run (SentencePiece counts a corpus, trains in
-memory). ``max_words`` bounds the driver table by construction.
+distributed jobs in every mode. ``fit_mode='driver'`` (default) then
+iterates the EM loop over the AGGREGATED, CAPPED word table on the
+driver, which is how production tokenizer trainers run (SentencePiece
+counts a corpus, trains in memory; ``max_words`` bounds the table by
+construction). ``fit_mode='distributed'`` never collects the word
+table: the seed comes from the distributed substring groupBy
+(ordered-limit to seed_size), each EM round segments the persisted
+word table in an Arrow-batched word-grain map under the broadcast
+model and re-counts pieces with one map-side-combined groupBy, and
+only MODEL-sized count tables reach the driver — piece counts are
+integer sums, so the two modes produce BIT-IDENTICAL models on the
+same word table.
 
 Encode/decode are frame joins at the distinct-word grain, identical to
 BPE's: the fitted (word -> pieces) table broadcast-joins exploded
@@ -293,7 +301,10 @@ class UnigramVocabBuilder(Transformer):
         max_words: int = 100_000,
         lowercase: bool = True,
         max_unseen_words: int | None = 100_000,
+        fit_mode: str = "driver",
     ):
+        ensure(fit_mode in ("driver", "distributed"),
+               "fit_mode must be 'driver' or 'distributed'")
         ensure(vocab_size >= 2, "vocab_size must be >= 2")
         ensure(seed_size >= vocab_size,
                "seed_size must be >= vocab_size")
@@ -314,6 +325,7 @@ class UnigramVocabBuilder(Transformer):
         self.max_words = max_words
         self.lowercase = lowercase
         self.max_unseen_words = max_unseen_words
+        self.fit_mode = fit_mode
         self.logprobs_: dict[str, float] | None = None
         self.word_pieces_: DataFrame | None = None
         self.fit_word_counts_: list[tuple[str, int]] | None = None
@@ -375,6 +387,9 @@ class UnigramVocabBuilder(Transformer):
         )
 
     def _fit(self, df: DataFrame) -> None:
+        if self.fit_mode == "distributed":
+            self._fit_distributed(df)
+            return
         wc = [
             (r["word"], r["cnt"]) for r in self.word_counts(df).collect()
         ]
@@ -392,6 +407,133 @@ class UnigramVocabBuilder(Transformer):
             ],
             "word string, pieces array<string>",
         )
+
+    def _fit_distributed(self, df: DataFrame) -> None:
+        """The uncapped-vocabulary fit (the BpeVocabBuilder dual-mode
+        contract): the word table NEVER collects to the driver. Per
+        step, only MODEL-sized frames do —
+
+        - seed: the distributed substring groupBy
+          (:meth:`seed_count_frame`), ordered-limit to ``seed_size``
+          multi-char pieces plus the full alphabet (one more tiny
+          aggregate);
+        - each EM round: one Arrow-batched word-grain map segments the
+          persisted word table under the broadcast model, one
+          map-side-combined explode+groupBy re-counts pieces, and the
+          (<= seed_size + alphabet)-row count table collects;
+        - M-step/prune/normalize are the SAME integer-count Python as
+          driver mode, so the two modes produce BIT-IDENTICAL models on
+          the same word table (piece counts are integer sums — no
+          reduction-order float drift anywhere before the final log).
+        """
+        from pyspark import StorageLevel
+
+        words = self.word_counts(df).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_words = words.count()
+            ensure(n_words > 0, "fit corpus produced an empty word table")
+            seeds = self.seed_count_frame(words)
+            # every corpus char IS a length-1 substring: the seed frame
+            # carries the full alphabet with its exact counts
+            char_rows = seeds.where(F.length("piece") == 1).collect()
+            char_counts = {r["piece"]: int(r["cnt"]) for r in char_rows}
+            chars = sorted(char_counts)
+            multi = [
+                (r["piece"], int(r["cnt"]))
+                for r in seeds.where(F.length("piece") > 1)
+                .orderBy(F.desc("cnt"), F.asc("piece"))
+                .limit(max(0, self.seed_size - len(chars)))
+                .collect()
+            ]
+            counts: dict[str, int] = {
+                c: char_counts.get(c, 1) for c in chars
+            }
+            counts.update(dict(multi))
+            total = sum(counts.values())
+            logprobs = {p: math.log(c / total) for p, c in counts.items()}
+
+            for _ in range(self.n_iter):
+                tally = self._distributed_tally(words, logprobs)
+                counts = {p: c for p, c in tally.items() if len(p) > 1}
+                counts.update({c: max(tally.get(c, 0), 1) for c in chars})
+                total = sum(counts.values())
+                logprobs = {
+                    p: math.log(c / total) for p, c in counts.items()
+                }
+
+            kept_multi = sorted(
+                ((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[: max(0, self.vocab_size - len(chars))]
+            counts = {c: counts[c] for c in chars}
+            counts.update(dict(kept_multi))
+            total = sum(counts.values())
+            self.logprobs_ = {
+                p: math.log(c / total) for p, c in counts.items()
+            }
+            self.fit_word_counts_ = None  # never collected, by design
+            self.release()
+            lp = self.logprobs_
+            self.word_pieces_ = self._segment_frame(words, lp)
+            # materialize the fitted table before the word frame
+            # unpersists (it feeds every later encode/transform)
+            self.word_pieces_ = self.word_pieces_.localCheckpoint(
+                eager=True
+            )
+        finally:
+            words.unpersist()
+
+    def _segment_frame(self, words: DataFrame, lp: dict) -> DataFrame:
+        """(word, pieces) via an Arrow-batched word-grain map under a
+        broadcast model — the distributed Viterbi seam."""
+        k = self.max_piece_len
+        bc = words.sparkSession.sparkContext.broadcast(lp)
+
+        def seg(batches):
+            import pandas as pd
+
+            model = bc.value
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "word": pdf["word"],
+                    "pieces": [
+                        viterbi_segment(w, model, k) for w in pdf["word"]
+                    ],
+                })
+
+        return words.select("word").mapInPandas(
+            seg, "word string, pieces array<string>"
+        )
+
+    def _distributed_tally(
+        self, words: DataFrame, lp: dict
+    ) -> dict[str, int]:
+        """E-step piece counts: segment the word table (word grain),
+        explode, ONE map-side-combined groupBy; the collect is bounded
+        by the active piece set (<= seed_size + alphabet)."""
+        k = self.max_piece_len
+        bc = words.sparkSession.sparkContext.broadcast(lp)
+
+        def seg(batches):
+            import pandas as pd
+
+            model = bc.value
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "cnt": pdf["cnt"],
+                    "pieces": [
+                        viterbi_segment(w, model, k) for w in pdf["word"]
+                    ],
+                })
+
+        rows = (
+            words.mapInPandas(seg, "cnt long, pieces array<string>")
+            .select("cnt", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("n"))
+            .collect()
+        )
+        return {r["piece"]: int(r["n"]) for r in rows}
 
     def vocabulary(self) -> DataFrame:
         """(piece, id, logprob): ids by (logprob desc, piece asc) —

@@ -231,3 +231,27 @@ def test_validation():
         ff.UnigramVocabBuilder("t", "i", vocab_size=100, seed_size=10)
     with pytest.raises(Exception, match="vocab_size"):
         ff.UnigramVocabBuilder("t", "i", vocab_size=1)
+
+
+# --- fit_mode='distributed': the uncapped-vocabulary path ---------------
+
+def test_distributed_fit_is_bit_identical_to_driver(docs, fitted):
+    dist = ff.UnigramVocabBuilder(
+        "text", "doc_id", vocab_size=40, seed_size=120, n_iter=2,
+        max_piece_len=6, fit_mode="distributed",
+    ).fit(docs)
+    # integer-count EM on the same word table: models match EXACTLY
+    assert dist.logprobs_ == fitted.logprobs_
+    # the word table was never collected, by design
+    assert dist.fit_word_counts_ is None
+    a = {r["doc_id"]: r["text_unigram_pieces"]
+         for r in fitted.encode(docs).collect()}
+    b = {r["doc_id"]: r["text_unigram_pieces"]
+         for r in dist.encode(docs).collect()}
+    assert a == b
+
+
+def test_distributed_fit_mode_validation():
+    with pytest.raises(Exception, match="fit_mode"):
+        ff.UnigramVocabBuilder("t", "i", vocab_size=10, seed_size=20,
+                               fit_mode="cluster")
