@@ -10,7 +10,12 @@ from hypothesis import strategies as st
 
 from feature_factory_spark.operators.audiocodec import audio_decoder, wav_decoder
 from feature_factory_spark.operators.imagecodec import image_decoder
-from feature_factory_spark.operators.pdfcodec import pdf_decoder
+from feature_factory_spark.operators.audiocodec import audio_quality_decoder
+from feature_factory_spark.operators.pdfcodec import (
+    pdf_decoder,
+    pdf_full_decoder,
+    pdf_text_decoder,
+)
 from feature_factory_spark.operators.videocodec import mp4_decoder
 
 MAGICS = [
@@ -30,7 +35,8 @@ MAGICS = [
 def test_lenient_seams_never_raise(prefix, body):
     payload = prefix + body
     for seam in (image_decoder, audio_decoder, wav_decoder, mp4_decoder,
-                 pdf_decoder):
+                 pdf_decoder, pdf_text_decoder, pdf_full_decoder,
+                 audio_quality_decoder):
         out = seam(payload)
         assert isinstance(out, dict)
 
@@ -54,9 +60,15 @@ def test_truncations_of_valid_payloads_never_raise(seed, n):
     from feature_factory_spark.operators.pdfcodec import make_pdf
 
     artifacts.append(make_pdf(int(r.randint(1, 9))))
+    artifacts.append(make_pdf(
+        2, page_texts=["alpha (x)", "beta \\ y"],
+        compress=bool(r.randint(2)),
+    ))
     for a in artifacts:
         cut = a[: min(n, len(a))]
-        for seam in (image_decoder, audio_decoder, pdf_decoder):
+        for seam in (image_decoder, audio_decoder, pdf_decoder,
+                     pdf_text_decoder, pdf_full_decoder,
+                     audio_quality_decoder):
             assert isinstance(seam(cut), dict)
 
 
