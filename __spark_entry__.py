@@ -3274,7 +3274,10 @@ UNION ALL SELECT doc_id, 'mean', mean_v FROM d
 UNION ALL SELECT doc_id, 'std', 0.0 FROM d
 UNION ALL SELECT doc_id, 'entropy', 0.0 FROM d
 UNION ALL SELECT doc_id, 'fmt_ok', 1.0 FROM d
-UNION ALL SELECT doc_id, 'progressive', 0.0 FROM d""",
+UNION ALL SELECT doc_id, 'progressive', 0.0 FROM d
+UNION ALL SELECT doc_id, 'i_keep',
+  CAST(w >= 5 AND h >= 4
+       AND GREATEST(w, h) / LEAST(w, h) <= 2.0 AS DOUBLE) FROM d""",
 )
 def q_image_decode(spark, sf_dir):
     from feature_factory_spark.operators.imagecodec import (
@@ -3304,23 +3307,28 @@ def q_image_decode(spark, sf_dir):
             yield pdf
 
     with_img = docs.mapInPandas(synth, "doc_id bigint, img binary")
-    feats = ff.BinaryFeatureExtractor(
-        "img", decoder=image_decoder, feature_schema=image_schema()
+    # r9: the decode runs through ImageQualityFilter (same Arrow seam,
+    # iq_ prefix) so the keep rule — dims/aspect/entropy thresholds
+    # over the closed-form fixture law — is pinned as one more row
+    feats = ff.ImageQualityFilter(
+        "img", min_width=5, min_height=4, max_aspect_ratio=2.0,
+        min_entropy=0.0,
     ).transform(with_img)
     return feats.selectExpr(
         "doc_id",
-        "stack(10, "
-        "'width', cast(img_width AS double), "
-        "'height', cast(img_height AS double), "
-        "'channels', cast(img_channels AS double), "
-        "'bit_depth', cast(img_bit_depth AS double), "
-        "'n_pixels', cast(img_n_pixels AS double), "
-        "'mean', img_mean, "
-        "'std', img_std, "
-        "'entropy', img_entropy, "
-        "'fmt_ok', cast(img_format = (CASE WHEN doc_id % 2 = 0 "
+        "stack(11, "
+        "'width', cast(img_iq_width AS double), "
+        "'height', cast(img_iq_height AS double), "
+        "'channels', cast(img_iq_channels AS double), "
+        "'bit_depth', cast(img_iq_bit_depth AS double), "
+        "'n_pixels', cast(img_iq_n_pixels AS double), "
+        "'mean', img_iq_mean, "
+        "'std', img_iq_std, "
+        "'entropy', img_iq_entropy, "
+        "'fmt_ok', cast(img_iq_format = (CASE WHEN doc_id % 2 = 0 "
         "THEN 'png' ELSE 'jpeg' END) AS double), "
-        "'progressive', cast(img_progressive AS double)"
+        "'progressive', cast(img_iq_progressive AS double), "
+        "'i_keep', cast(img_keep AS double)"
         ") AS (feat, v)",
     )
 
@@ -3432,7 +3440,10 @@ UNION ALL SELECT doc_id, 'v_height', h FROM m
 UNION ALL SELECT doc_id, 'v_n_tracks', 1 + au FROM m
 UNION ALL SELECT doc_id, 'v_has_video', 1.0 FROM m
 UNION ALL SELECT doc_id, 'v_has_audio', au FROM m
-UNION ALL SELECT doc_id, 'v_is_mp4', 1.0 FROM m""",
+UNION ALL SELECT doc_id, 'v_is_mp4', 1.0 FROM m
+UNION ALL SELECT doc_id, 'v_keep',
+  CAST(dur >= 2.0 AND dur <= 8.0 AND w >= 320 AND h >= 180
+       AS DOUBLE) FROM m""",
 )
 def q_video_probe(spark, sf_dir):
     from feature_factory_spark.operators.videocodec import (
@@ -3458,19 +3469,24 @@ def q_video_probe(spark, sf_dir):
             yield pdf
 
     with_mp4 = docs.mapInPandas(synth, "doc_id bigint, mp4 binary")
-    feats = ff.BinaryFeatureExtractor(
-        "mp4", decoder=mp4_decoder, feature_schema=video_schema()
+    # r9: probe via VideoQualityFilter (same Arrow seam, vq_ prefix) so
+    # the container-metadata keep rule is pinned as one more row:
+    # duration in [2, 8] s, min side 320x180 over the fixture law
+    feats = ff.VideoQualityFilter(
+        "mp4", min_duration_s=2.0, max_duration_s=8.0,
+        min_width=320, min_height=180,
     ).transform(with_mp4)
     return feats.selectExpr(
         "doc_id",
-        "stack(7, "
-        "'v_duration', mp4_duration_s, "
-        "'v_width', mp4_width, "
-        "'v_height', mp4_height, "
-        "'v_n_tracks', cast(mp4_n_tracks AS double), "
-        "'v_has_video', cast(mp4_has_video AS double), "
-        "'v_has_audio', cast(mp4_has_audio AS double), "
-        "'v_is_mp4', cast(mp4_format = 'mp4' AS double)"
+        "stack(8, "
+        "'v_duration', mp4_vq_duration_s, "
+        "'v_width', mp4_vq_width, "
+        "'v_height', mp4_vq_height, "
+        "'v_n_tracks', cast(mp4_vq_n_tracks AS double), "
+        "'v_has_video', cast(mp4_vq_has_video AS double), "
+        "'v_has_audio', cast(mp4_vq_has_audio AS double), "
+        "'v_is_mp4', cast(mp4_vq_format = 'mp4' AS double), "
+        "'v_keep', cast(mp4_keep AS double)"
         ") AS (feat, v)",
     )
 

@@ -110,6 +110,7 @@ from .audiocodec import (
     wav_decoder,
 )
 from .videocodec import (
+    VideoQualityFilter,
     mp4_decoder,
     mp4_samples,
     probe_mp4,
@@ -126,6 +127,7 @@ from .pdfcodec import (
     probe_pdf,
 )
 from .imagecodec import (
+    ImageQualityFilter,
     decode_image,
     encode_png,
     image_decoder,
@@ -237,7 +239,8 @@ __all__ = [
     "phash_bits",
     "decode_image", "encode_png", "image_decoder", "image_schema",
     "pillow_decoder", "solid_png",
-    "AudioQualityFilter", "audio_quality", "audio_quality_decoder",
+    "AudioQualityFilter", "ImageQualityFilter", "VideoQualityFilter",
+    "audio_quality", "audio_quality_decoder",
     "audio_quality_schema",
     "audio_schema", "constant_wav", "decode_wav", "decode_wav_samples",
     "encode_wav", "wav_decoder",

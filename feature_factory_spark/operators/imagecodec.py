@@ -532,3 +532,70 @@ def solid_png(width: int, height: int, gray: int, filter_type: int = 0) -> bytes
     return encode_png(
         np.full((height, width), gray, dtype=np.uint8), 0, filter_type
     )
+
+
+class ImageQualityFilter:
+    """Quality gate for an image-bytes column — the image sibling of
+    ``AudioQualityFilter`` (audiocodec.py) and the image-side analogue
+    of the text quality rules: web corpora are full of tracking pixels,
+    spacer GIFs, blank screenshots and absurd-aspect banner strips that
+    pass a format check but carry no training signal.
+
+    Decodes per blob (the BinaryFeatureExtractor Arrow seam), appends
+    the decoded features as ``{c}_iq_*`` plus ``{c}_keep``:
+
+    keep = decodable
+         AND width  >= min_width AND height >= min_height
+         AND max(w,h)/min(w,h) <= max_aspect_ratio
+         AND entropy >= min_entropy       (blank/solid-color floor)
+         AND (formats is None OR format in formats)
+
+    Undecodable blobs get NULL features and keep = false. The keep rule
+    is a pure-JVM expression over the decoded columns; thresholds are
+    corpus policy (LAION-style builds gate on min side 32-64 px and
+    extreme aspect ratios)."""
+
+    def __init__(
+        self,
+        column: str,
+        min_width: int = 32,
+        min_height: int = 32,
+        max_aspect_ratio: float = 5.0,
+        min_entropy: float = 0.01,
+        formats: tuple[str, ...] | None = None,
+    ):
+        from ..validation import ensure
+
+        ensure(min_width >= 1 and min_height >= 1,
+               "min_width/min_height must be >= 1")
+        ensure(max_aspect_ratio >= 1.0, "max_aspect_ratio must be >= 1")
+        ensure(min_entropy >= 0.0, "min_entropy must be >= 0")
+        self.column = column
+        self.min_width = min_width
+        self.min_height = min_height
+        self.max_aspect_ratio = max_aspect_ratio
+        self.min_entropy = min_entropy
+        self.formats = tuple(formats) if formats is not None else None
+
+    def transform(self, df):
+        from pyspark.sql import functions as F
+
+        from .multimodal import BinaryFeatureExtractor
+
+        c = self.column
+        out = BinaryFeatureExtractor(
+            c, decoder=image_decoder, feature_schema=image_schema(),
+            prefix=f"{c}_iq_",
+        ).transform(df)
+        w, h = F.col(f"{c}_iq_width"), F.col(f"{c}_iq_height")
+        keep = (
+            w.isNotNull()
+            & (w >= F.lit(self.min_width))
+            & (h >= F.lit(self.min_height))
+            & (F.greatest(w, h) / F.least(w, h)
+               <= F.lit(self.max_aspect_ratio))
+            & (F.col(f"{c}_iq_entropy") >= F.lit(self.min_entropy))
+        )
+        if self.formats is not None:
+            keep = keep & F.col(f"{c}_iq_format").isin(list(self.formats))
+        return out.withColumn(f"{c}_keep", F.coalesce(keep, F.lit(False)))

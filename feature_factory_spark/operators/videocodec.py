@@ -331,3 +331,71 @@ def synth_mp4(
         pos += len(f)
     moov = build(offsets)
     return ftyp + moov + _box(b"mdat", b"".join(frames))
+
+
+class VideoQualityFilter:
+    """Quality gate for a video-bytes column — the container-probe tier
+    of the media quality matrix (Audio/ImageQualityFilter siblings): a
+    curation pass drops zero-duration stubs, audio-only containers and
+    sub-resolution clips BEFORE paying for any frame decode, using only
+    the ISO-BMFF metadata ``probe_mp4`` reads.
+
+    Appends the probe features as ``{c}_vq_*`` plus ``{c}_keep``:
+
+    keep = probeable
+         AND min_duration_s <= duration_s <= max_duration_s
+         AND width >= min_width AND height >= min_height
+         AND (not require_video OR has_video)
+         AND (not require_audio OR has_audio)
+
+    Undecodable blobs get NULL features and keep = false."""
+
+    def __init__(
+        self,
+        column: str,
+        min_duration_s: float = 1.0,
+        max_duration_s: float = float("inf"),
+        min_width: int = 64,
+        min_height: int = 64,
+        require_video: bool = True,
+        require_audio: bool = False,
+    ):
+        from ..validation import ensure
+
+        ensure(min_duration_s >= 0.0, "min_duration_s must be >= 0")
+        ensure(max_duration_s >= min_duration_s,
+               "max_duration_s must be >= min_duration_s")
+        ensure(min_width >= 0 and min_height >= 0,
+               "min_width/min_height must be >= 0")
+        self.column = column
+        self.min_duration_s = min_duration_s
+        self.max_duration_s = max_duration_s
+        self.min_width = min_width
+        self.min_height = min_height
+        self.require_video = require_video
+        self.require_audio = require_audio
+
+    def transform(self, df):
+        from pyspark.sql import functions as F
+
+        from .multimodal import BinaryFeatureExtractor
+
+        c = self.column
+        out = BinaryFeatureExtractor(
+            c, decoder=mp4_decoder, feature_schema=video_schema(),
+            prefix=f"{c}_vq_",
+        ).transform(df)
+        keep = (
+            F.col(f"{c}_vq_duration_s").isNotNull()
+            & (F.col(f"{c}_vq_duration_s") >= F.lit(self.min_duration_s))
+            & (F.col(f"{c}_vq_duration_s") <= F.lit(self.max_duration_s))
+            & (F.coalesce(F.col(f"{c}_vq_width"), F.lit(0.0))
+               >= F.lit(float(self.min_width)))
+            & (F.coalesce(F.col(f"{c}_vq_height"), F.lit(0.0))
+               >= F.lit(float(self.min_height)))
+        )
+        if self.require_video:
+            keep = keep & F.col(f"{c}_vq_has_video")
+        if self.require_audio:
+            keep = keep & F.col(f"{c}_vq_has_audio")
+        return out.withColumn(f"{c}_keep", F.coalesce(keep, F.lit(False)))
