@@ -112,6 +112,7 @@ def pagerank(
     iterations: int = 5,
     handle_dangling: bool = True,
     checkpoint_dir: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame — the
     domain-authority signal crawl-curation pipelines rank hosts by
@@ -123,9 +124,13 @@ def pagerank(
     1/n; each round a node keeps (1-d)/n plus d times the rank mass its
     in-neighbors spread over their out-degrees, plus its share of the
     dangling-node mass (nodes with no out-edges redistribute
-    uniformly). ``iterations`` is FIXED rather than tolerance-driven so
-    results are deterministic and recomputable in plain SQL (an
-    unrolled-CTE oracle twin).
+    uniformly). ``iterations`` is FIXED by default so results are
+    deterministic and recomputable in plain SQL (an unrolled-CTE
+    oracle twin). Pass ``tol`` to ALSO stop early once the L1 rank
+    delta (sum |rank_t - rank_{t-1}|, one extra join+aggregate per
+    round, only when requested) drops below it — on a fast-mixing
+    100 TB web graph that saves the tail rounds a fixed budget wastes;
+    ``iterations`` then acts as the hard cap.
 
     Scale shape: per iteration ONE join of the rank frame onto the
     out-degree-annotated edge list + one groupBy(dst) aggregate — the
@@ -149,6 +154,7 @@ def pagerank(
 
     ensure(0.0 < damping < 1.0, "damping must be in (0,1)")
     ensure(iterations >= 1, "iterations must be >= 1")
+    ensure(tol is None or tol > 0.0, "tol must be > 0 when given")
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(
@@ -165,6 +171,7 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     links = e.join(outdeg, "src").persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    prev = ranks
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
@@ -206,7 +213,19 @@ def pagerank(
         if checkpoint_dir is not None:
             ranks = ranks.checkpoint(eager=True)
         else:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint(eager=tol is not None)
+        if tol is not None:
+            delta = float(
+                ranks.alias("new")
+                .join(prev.alias("old"), "node")
+                .agg(
+                    F.sum(F.abs(F.col("new.rank") - F.col("old.rank")))
+                ).collect()[0][0]
+                or 0.0
+            )
+            if delta < tol:
+                break
+        prev = ranks
     # Materialize the final frame BEFORE dropping the cached inputs it
     # was built from — otherwise the caller's first action recomputes
     # the edge distinct + out-degree join once per iteration uncached.

@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from ..pipeline import Transformer
+
 _SUPPORTED_BITS = {8, 16, 32}
 
 
@@ -476,7 +478,7 @@ def audio_quality_schema() -> list:
     ]
 
 
-class AudioQualityFilter:
+class AudioQualityFilter(Transformer):
     """Quality gate for an audio-bytes column: decodes per blob (one
     narrow Arrow-batched map — the BinaryFeatureExtractor seam),
     appends the :func:`audio_quality` metrics as ``{c}_aq_*`` columns
@@ -492,7 +494,9 @@ class AudioQualityFilter:
     keep drops them, matching every lenient decoder here). Stateless:
     thresholds are configuration, not fitted state — the keep rule is
     a pure-JVM expression over the decoded metric columns, so 10x
-    audio is 10x task work with no shuffle and no plan change."""
+    audio is 10x task work with no shuffle and no plan change.
+    Stateless Transformer (fit is a no-op), so it composes in a
+    Pipeline alongside the text gates."""
 
     def __init__(
         self,
@@ -523,7 +527,12 @@ class AudioQualityFilter:
         self.clip_threshold = clip_threshold
         self.silence_threshold = silence_threshold
 
-    def transform(self, df):
+    def _check_input(self, df) -> None:
+        from ..validation import validate_columns
+
+        validate_columns(df, [self.column])
+
+    def _transform(self, df):
         from pyspark.sql import functions as F
 
         from .multimodal import BinaryFeatureExtractor

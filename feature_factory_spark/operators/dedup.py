@@ -262,17 +262,25 @@ def _log_index_version(spark, path: str, op: str,
 
 def index_versions(spark, path: str) -> list[dict]:
     """The ``versions`` audit rows of an index, oldest first ([] for a
-    pre-r9 index that has no log)."""
+    pre-r9 index that has no log).
+
+    Only the MISSING-PATH case maps to [] — a storage-permission error
+    or corrupt footer during an audit_index health check must propagate,
+    not read as "no history"."""
     import os
 
+    from pyspark.errors import AnalysisException
+
+    vpath = os.path.join(path, "versions")
     try:
-        rows = (
-            spark.read.parquet(os.path.join(path, "versions"))
-            .orderBy("version")
-            .collect()
-        )
-    except Exception:  # noqa: BLE001 — legacy index without a log
-        return []
+        rows = spark.read.parquet(vpath).orderBy("version").collect()
+    except AnalysisException as e:
+        # PATH_NOT_FOUND / legacy index without a log; anything else
+        # (corrupt footer, schema failure) is a real error
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return []
+        raise
     return [r.asDict() for r in rows]
 
 
@@ -346,16 +354,29 @@ def compact_index(
         f"no index datasets found at {source_path}",
     )
     written: dict[str, int] = {}
-    for name in _index_datasets(spark, source_path):
-        src = os.path.join(source_path, name)
-        pcols = _partition_cols(spark, src)
-        written[name] = compact_to(
-            spark,
-            src,
-            os.path.join(dest_path, name),
-            target_records_per_file,
-            partition_by=pcols or None,
-        )
+    # pin partition values as strings for the rewrite: with type
+    # inference on, a STRING partition column with numeric-looking
+    # values ('unit=09') reads back as int 9 and rewrites as 'unit=9',
+    # changing both value and directory layout. Disabled, every value
+    # round-trips byte-identically (int dirs render the same digits);
+    # probes re-reading the compacted index still infer their types
+    # from the unchanged dir names.
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        for name in _index_datasets(spark, source_path):
+            src = os.path.join(source_path, name)
+            pcols = _partition_cols(spark, src)
+            written[name] = compact_to(
+                spark,
+                src,
+                os.path.join(dest_path, name),
+                target_records_per_file,
+                partition_by=pcols or None,
+            )
+    finally:
+        spark.conf.set(_INFER, prev_infer)
     # parameter-pinning meta rides along verbatim when present (the
     # dedup tiers); the ANN indexes (IVF corpus+centroids layout) have
     # no meta dir and compact the same way

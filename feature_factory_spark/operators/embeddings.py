@@ -300,7 +300,9 @@ class PCAProjection(Transformer):
             .collect()
         )
         got = {r["pos"]: r["s"] for r in moments}
-        n = int(got[-1])
+        # an empty input yields ZERO moment rows — default the count to 0
+        # so the friendly ensure below fires instead of a raw KeyError
+        n = int(got.get(-1, 0))
         ensure(n >= 2, "PCA fit needs at least 2 vectors")
         s = np.array([got[i] for i in range(dim)])
         o = np.array(

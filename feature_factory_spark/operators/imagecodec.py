@@ -33,6 +33,7 @@ import zlib
 import numpy as np
 
 from ..exceptions import NotImplementedFeatureError
+from ..pipeline import Transformer
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -534,7 +535,7 @@ def solid_png(width: int, height: int, gray: int, filter_type: int = 0) -> bytes
     )
 
 
-class ImageQualityFilter:
+class ImageQualityFilter(Transformer):
     """Quality gate for an image-bytes column — the image sibling of
     ``AudioQualityFilter`` (audiocodec.py) and the image-side analogue
     of the text quality rules: web corpora are full of tracking pixels,
@@ -547,13 +548,18 @@ class ImageQualityFilter:
     keep = decodable
          AND width  >= min_width AND height >= min_height
          AND max(w,h)/min(w,h) <= max_aspect_ratio
-         AND entropy >= min_entropy       (blank/solid-color floor)
+         AND (entropy IS NULL OR entropy >= min_entropy)
          AND (formats is None OR format in formats)
 
-    Undecodable blobs get NULL features and keep = false. The keep rule
+    Undecodable blobs get NULL features and keep = false. Probe-only
+    formats (GIF/WebP/TIFF/progressive JPEG) report dimensions but no
+    pixel statistics, so entropy is NULL there — the entropy floor
+    applies only when pixel stats exist, otherwise an allowed
+    probe-only format would be dropped unconditionally. The keep rule
     is a pure-JVM expression over the decoded columns; thresholds are
     corpus policy (LAION-style builds gate on min side 32-64 px and
-    extreme aspect ratios)."""
+    extreme aspect ratios). Stateless Transformer (fit is a no-op), so
+    it composes in a Pipeline alongside the text gates."""
 
     def __init__(
         self,
@@ -577,7 +583,12 @@ class ImageQualityFilter:
         self.min_entropy = min_entropy
         self.formats = tuple(formats) if formats is not None else None
 
-    def transform(self, df):
+    def _check_input(self, df) -> None:
+        from ..validation import validate_columns
+
+        validate_columns(df, [self.column])
+
+    def _transform(self, df):
         from pyspark.sql import functions as F
 
         from .multimodal import BinaryFeatureExtractor
@@ -594,7 +605,12 @@ class ImageQualityFilter:
             & (h >= F.lit(self.min_height))
             & (F.greatest(w, h) / F.least(w, h)
                <= F.lit(self.max_aspect_ratio))
-            & (F.col(f"{c}_iq_entropy") >= F.lit(self.min_entropy))
+            # probe-only formats have no pixel stats: NULL entropy means
+            # "unknown", not "blank" — gate only when the stat exists
+            & F.coalesce(
+                F.col(f"{c}_iq_entropy") >= F.lit(self.min_entropy),
+                F.lit(True),
+            )
         )
         if self.formats is not None:
             keep = keep & F.col(f"{c}_iq_format").isin(list(self.formats))

@@ -146,12 +146,13 @@ def _pdf_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             else:
                 e2 = payload.find(b"endstream", data_start)
                 data_end = e2 if e2 != -1 else len(payload)
-            if num not in objs:
-                objs[num] = (head, payload[data_start:data_end])
+            # later definitions win: incremental updates APPEND
+            # superseding objects, and last-update-wins matches xref
+            # resolution (pdfminer/pdftotext behavior)
+            objs[num] = (head, payload[data_start:data_end])
         else:
             end = em if em != -1 else len(payload)
-            if num not in objs:
-                objs[num] = (payload[start:end], None)
+            objs[num] = (payload[start:end], None)
     return objs
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import struct
 
+from ..pipeline import Transformer
+
 # containers whose payload is itself a box sequence
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
@@ -333,7 +335,7 @@ def synth_mp4(
     return ftyp + moov + _box(b"mdat", b"".join(frames))
 
 
-class VideoQualityFilter:
+class VideoQualityFilter(Transformer):
     """Quality gate for a video-bytes column — the container-probe tier
     of the media quality matrix (Audio/ImageQualityFilter siblings): a
     curation pass drops zero-duration stubs, audio-only containers and
@@ -348,7 +350,9 @@ class VideoQualityFilter:
          AND (not require_video OR has_video)
          AND (not require_audio OR has_audio)
 
-    Undecodable blobs get NULL features and keep = false."""
+    Undecodable blobs get NULL features and keep = false. Stateless
+    Transformer (fit is a no-op), so it composes in a Pipeline
+    alongside the text gates."""
 
     def __init__(
         self,
@@ -375,7 +379,12 @@ class VideoQualityFilter:
         self.require_video = require_video
         self.require_audio = require_audio
 
-    def transform(self, df):
+    def _check_input(self, df) -> None:
+        from ..validation import validate_columns
+
+        validate_columns(df, [self.column])
+
+    def _transform(self, df):
         from pyspark.sql import functions as F
 
         from .multimodal import BinaryFeatureExtractor
