@@ -56,6 +56,7 @@ from .web import (
     UrlCanonicalizer,
     UrlDeduplicator,
 )
+from .imagetext import ImageTextPairExtractor, join_image_text_pairs
 from .text import (
     ContaminationChecker,
     EncodingFixer,
@@ -222,6 +223,7 @@ __all__ = [
     "SemanticDeduplicator",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
+    "ImageTextPairExtractor", "join_image_text_pairs",
     "UrlCanonicalizer",
     "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "PCAProjection",
