@@ -3708,6 +3708,171 @@ def q_audio_quality(spark, sf_dir):
     )
 
 
+def _SQL_ITEXT(e: str) -> str:
+    """DuckDB twin of imagetext.inline_text_expr — the identical regex
+    chain (script/style/comment removal, cut-tag remnants, tag strip,
+    six entities with &amp; last, whitespace collapse), RE2-portable
+    by construction."""
+    x = e
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script[^>]*>",
+        r"(?is)<style\b[^>]*>.*?</style[^>]*>",
+        r"(?s)<!--.*?-->",
+        r"<[^>]*$",
+        r"^[^<>]*>",
+        r"<[^>]*>",
+    ):
+        x = f"regexp_replace({x}, '{pat}', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+    ):
+        x = f"replace({x}, '{ent}', '{rep}')"
+    return rf"trim(regexp_replace({x}, '[ \t\r\n\f]+', ' ', 'g'))"
+
+
+def _SQL_ATTR(tag: str, name: str) -> str:
+    """DuckDB twin of imagetext.html_attr_expr (double-quoted,
+    single-quoted, bare; NULL when absent/empty)."""
+    dq = rf"nullif(regexp_extract({tag}, '(?is)\b{name}\s*=\s*\"([^\"]*)\"', 1), '')"
+    sq = rf"nullif(regexp_extract({tag}, '(?is)\b{name}\s*=\s*''([^'']*)''', 1), '')"
+    bare = rf"regexp_extract({tag}, '(?is)\b{name}\s*=\s*([^\s\"''>]+)', 1)"
+    return f"nullif(coalesce({dq}, {sq}, {bare}), '')"
+
+
+@_reg(
+    "image_text_pairs",
+    # ImageTextPairExtractor (r10, operators/imagetext.py): the
+    # LAION-style pair-harvest layer. Pages are built in-plan from
+    # documents ids: img A (always, root-relative src, double-quoted
+    # alt with an entity), img B (even ids, inside <figure> with a
+    # single-quoted title and a markup-bearing <figcaption>, relative
+    # ../ src the resolver must dot-normalize), img D (ids % 3,
+    # scheme-relative src with BARE attributes), plus a src-less ghost
+    # (ids % 4) that require_src drops WITHOUT perturbing positions.
+    # The oracle re-runs the ENTIRE harvest in SQL — the same tag scan
+    # regex, the same split-by-tag segmentation (tag i between
+    # segments i and i+1), the same three attribute forms, the same
+    # figcaption probe and inline-text chain — and states URL
+    # resolution closed-form per planted shape.
+    f"""WITH page AS (
+  SELECT doc_id,
+    '<p>Intro ' || CAST(doc_id % 7 AS VARCHAR) || ' &amp; prose.</p>'
+    || '<img src="/images/a-' || CAST(doc_id % 50 AS VARCHAR)
+    || '.png" alt="Alt &amp; text ' || CAST(doc_id % 7 AS VARCHAR) || '">'
+    || CASE WHEN doc_id % 2 = 0 THEN
+         '<figure><img src=''../assets/b-' || CAST(doc_id % 9 AS VARCHAR)
+         || '.jpg'' title=''T' || CAST(doc_id % 5 AS VARCHAR)
+         || '''><figcaption>Caption <b>' || CAST(doc_id % 11 AS VARCHAR)
+         || '</b> words</figcaption></figure>'
+       ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN
+         '<span>mid</span><img src=//static.example.net/d-'
+         || CAST(doc_id % 4 AS VARCHAR) || '.gif alt=bare'
+         || CAST(doc_id % 4 AS VARCHAR) || '>'
+       ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN '<img alt="ghost">' ELSE '' END
+    || '<p>Outro &quot;end&quot;.</p>' AS html
+  FROM documents),
+tags AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(html, '(?is)<img\\b[^>]*>')) AS tag,
+    generate_subscripts(regexp_extract_all(html, '(?is)<img\\b[^>]*>'), 1)
+      - 1 AS pos
+  FROM page),
+segs AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(html, '(?is)<img\\b[^>]*>')) AS seg,
+    generate_subscripts(regexp_split_to_array(html, '(?is)<img\\b[^>]*>'), 1)
+      - 1 AS sidx
+  FROM page),
+cand AS (
+  SELECT t.doc_id, t.pos,
+    {_SQL_ATTR('t.tag', 'src')} AS src,
+    {_SQL_ATTR('t.tag', 'alt')} AS alt_raw,
+    {_SQL_ATTR('t.tag', 'title')} AS title_raw,
+    regexp_extract(substr(a.seg, 1, 2000),
+      '(?is)<figcaption[^>]*>(.*?)</figcaption', 1) AS cap_raw,
+    b.seg AS seg_b, a.seg AS seg_a
+  FROM tags t
+  JOIN segs b ON b.doc_id = t.doc_id AND b.sidx = t.pos
+  JOIN segs a ON a.doc_id = t.doc_id AND a.sidx = t.pos + 1),
+vals AS (
+  SELECT doc_id, pos, src,
+    CASE WHEN src LIKE '//%' THEN 'https:' || src
+         WHEN src LIKE '/%' THEN 'https://img.example.org' || src
+         WHEN src LIKE '../%' THEN
+           'https://img.example.org/gallery/' || substr(src, 4)
+    END AS url,
+    nullif({_SQL_ITEXT("coalesce(alt_raw, '')")}, '') AS alt,
+    nullif({_SQL_ITEXT("coalesce(title_raw, '')")}, '') AS title,
+    nullif({_SQL_ITEXT('cap_raw')}, '') AS cap,
+    nullif(trim({_SQL_ITEXT('seg_b')} || ' ' || {_SQL_ITEXT('seg_a')}),
+           '') AS ctx
+  FROM cand)
+SELECT doc_id, CAST(pos AS BIGINT) AS k,
+  src || '|' || coalesce(url, '-') || '|' || coalesce(alt, '-')
+  || '|' || coalesce(title, '-') || '|' || coalesce(cap, '-')
+  || '|' || coalesce(coalesce(alt, cap, title), '-')
+  || '|' || coalesce(ctx, '-') AS val
+FROM vals WHERE src IS NOT NULL""",
+)
+def q_image_text_pairs(spark, sf_dir):
+    """ImageTextPairExtractor (operators/imagetext.py) over pages
+    synthesized in-plan — pure-JVM end to end (no mapInPandas): the
+    harvest regexes, the split-segmentation context windows, the
+    figcaption probe, the three attribute forms, require_src pruning,
+    and resolve_url_expr + canonical_url_expr against a per-doc page
+    URL (root-relative, ../-relative needing dot-segment removal, and
+    scheme-relative srcs all planted)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    s = lambda m: (F.col("doc_id") % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://img.example.org/gallery/page-"), s(20),
+        F.lit("/index.html"),
+    )
+    html = F.concat(
+        F.lit("<p>Intro "), s(7), F.lit(" &amp; prose.</p>"),
+        F.lit('<img src="/images/a-'), s(50),
+        F.lit('.png" alt="Alt &amp; text '), s(7), F.lit('">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<figure><img src='../assets/b-"), s(9),
+                F.lit(".jpg' title='T"), s(5),
+                F.lit("'><figcaption>Caption <b>"), s(11),
+                F.lit("</b> words</figcaption></figure>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<span>mid</span><img src=//static.example.net/d-"),
+                s(4), F.lit(".gif alt=bare"), s(4), F.lit(">"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit('<img alt="ghost">'))
+        .otherwise(F.lit("")),
+        F.lit("<p>Outro &quot;end&quot;.</p>"),
+    )
+    pages = docs.select("doc_id", url.alias("url"), html.alias("html"))
+    out = ff.ImageTextPairExtractor("html", url_col="url").transform(pages)
+    return out.select(
+        "doc_id",
+        F.col("img_pos").cast("long").alias("k"),
+        F.concat_ws(
+            "|",
+            F.col("img_src"),
+            F.coalesce(F.col("img_url"), F.lit("-")),
+            F.coalesce(F.col("img_alt"), F.lit("-")),
+            F.coalesce(F.col("img_title"), F.lit("-")),
+            F.coalesce(F.col("img_caption"), F.lit("-")),
+            F.coalesce(F.col("pair_text"), F.lit("-")),
+            F.coalesce(F.col("img_context"), F.lit("-")),
+        ).alias("val"),
+    )
+
+
 @_reg(
     "json_extract",
     """SELECT event_id,
@@ -5946,6 +6111,9 @@ _merge("multimodal_family", [
     ("audio_quality",
      ["doc_id", "cast(NULL AS bigint) AS k", "v", "feat AS s"],
      "doc_id, CAST(NULL AS BIGINT) AS k, v, feat AS s"),
+    ("image_text_pairs",
+     ["doc_id", "k", "cast(NULL AS double) AS v", "val AS s"],
+     "doc_id, k, CAST(NULL AS DOUBLE) AS v, val AS s"),
 ])
 
 _merge("pack_family", [

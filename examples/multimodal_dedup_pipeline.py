@@ -125,6 +125,38 @@ def main() -> None:
     print("audio passing the quality gate:",
           gated.where("wav_keep").count(), "/", n)
 
+    # 3c. image-text pair curation (r10): harvest (img src, alt/
+    #     caption) candidates from page HTML, resolve against the page
+    #     URL, join the crawled bytes by canonical URL, gate quality —
+    #     the LAION-style step that turns a crawl into training pairs
+    pages = spark.createDataFrame(
+        [
+            (i,
+             f'<p>About item {i}.</p>'
+             f'<figure><img src="../img/{i % 5}.png" '
+             f'alt="A photo of item {i % 5}">'
+             f'<figcaption>Item {i % 5} in the wild</figcaption></figure>',
+             f"https://shop.example.org/cat/{i}/page.html")
+            for i in range(10)
+        ],
+        "page_id bigint, html string, url string",
+    )
+    cand = ff.ImageTextPairExtractor("html", url_col="url").transform(pages)
+    crawled_imgs = spark.createDataFrame(
+        [(f"https://shop.example.org/cat/img/{k}.png",
+          pattern_png(planted("img", k * 3)))
+         for k in range(4)],  # image 4 of 5 was never fetched
+        "url string, img binary",
+    )
+    trainable = ff.join_image_text_pairs(
+        cand, crawled_imgs, "url", "img",
+        quality=ff.ImageQualityFilter("img", min_width=8, min_height=8,
+                                      min_entropy=0.0),
+    )
+    got = trainable.select("img_url", "pair_text").collect()
+    print("image-text pairs:", len(got), "e.g.",
+          (got[0]["pair_text"], got[0]["img_url"]) if got else None)
+
     # 4. ship the survivors: seeded shuffle + token-balanced shards +
     #    the loader-side manifest
     survivors = ops["image"].transform(hashed).select(
