@@ -1494,8 +1494,13 @@ def q_incremental_dedup(spark, sf_dir):
     # verify); the oracle states the closed-form pair set. Cross-group
     # chance pairs would need md5 patterns within hamming 2
     # (P ~ 1e-9 over the corpus; absent for these fixed fixtures —
-    # any appearance would fail the hash gate loudly).
-    """WITH d AS (SELECT doc_id FROM documents)
+    # any appearance would fail the hash gate loudly). r10: the same
+    # deterministic 1-in-4 GROUP slice audio/video_dedup carry (whole
+    # groups, pair structure intact) — the family's lite reading was
+    # dominated by re-synthesizing/re-decoding the full PNG grid
+    # inside the lazy plan (r9 verdict 'what's wrong' #2), which
+    # measures fixture generation, not the operator.
+    """WITH d AS (SELECT doc_id FROM documents WHERE (doc_id // 4) % 4 = 0)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
   CAST(b.doc_id % 4 - a.doc_id % 4 AS INTEGER) AS hamming
 FROM d a JOIN d b
@@ -1503,7 +1508,9 @@ FROM d a JOIN d b
  AND a.doc_id % 4 <= 2 AND b.doc_id % 4 <= 2""",
 )
 def q_image_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.floor(F.col("doc_id") / 4) % 4 == 0
+    )
 
     def synth(batches):
         # fixture generation INSIDE the distributed plan (narrow map),

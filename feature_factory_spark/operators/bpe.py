@@ -587,6 +587,65 @@ class BpeVocabBuilder(Transformer):
             for left, right in self.merges_:
                 f.write(f"{left} {right}\n")
 
+    def export_tokenizer_json(self, path: str) -> None:
+        """Write the single-file HuggingFace ``tokenizer.json``
+        interchange — the de-facto exchange format downstream trainers
+        load (``tokenizers.Tokenizer.from_file``). Sections map 1:1
+        onto fitted state: ``model.vocab`` == :meth:`vocabulary`,
+        ``model.merges`` == ``merges_`` (order preserved, ``left
+        right`` lines), ``end_of_word_suffix`` == the ``</w>`` mark;
+        the normalizer/pre_tokenizer sections record this builder's
+        corpus treatment (optional Lowercase; plain whitespace split;
+        byte mode additionally the GPT-2 byte->unicode alphabet, which
+        is exactly HF's ByteLevel table). Stdlib json, driver-side —
+        the file is model-sized, never corpus-sized. ``path`` is the
+        FILE path (conventionally ``.../tokenizer.json``)."""
+        import json
+        import os
+
+        vocab = {r["token"]: r["id"] for r in self.vocabulary().collect()}
+        pre: dict | list = {"type": "WhitespaceSplit"}
+        decoder: dict = {"type": "BPEDecoder", "suffix": END_MARK}
+        if self.byte_level:
+            pre = {
+                "type": "Sequence",
+                "pretokenizers": [
+                    {"type": "WhitespaceSplit"},
+                    {"type": "ByteLevel", "add_prefix_space": False,
+                     "use_regex": False, "trim_offsets": True},
+                ],
+            }
+            decoder = {"type": "ByteLevel", "add_prefix_space": False,
+                       "use_regex": False, "trim_offsets": True}
+        doc = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": [],
+            "normalizer": (
+                {"type": "Lowercase"} if self.lowercase else None
+            ),
+            "pre_tokenizer": pre,
+            "post_processor": None,
+            "decoder": decoder,
+            "model": {
+                "type": "BPE",
+                "dropout": None,
+                "unk_token": None,
+                "continuing_subword_prefix": None,
+                "end_of_word_suffix": END_MARK,
+                "fuse_unk": False,
+                "byte_fallback": False,
+                "vocab": vocab,
+                "merges": [f"{l} {r}" for l, r in self.merges_],
+            },
+        }
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(doc, f, ensure_ascii=False, indent=2)
+
     def encode(self, df: DataFrame) -> DataFrame:
         """Append ``{text_col}_bpe_tokens``: the document's full subword
         token sequence (array<string>, in document order) under the

@@ -783,6 +783,54 @@ class UnigramVocabBuilder(Transformer):
                 sort_keys=True,
             )
 
+    def export_tokenizer_json(self, path: str) -> None:
+        """Write the single-file HuggingFace ``tokenizer.json``
+        interchange for the unigram model — ``model.vocab`` is the
+        ``[[piece, logprob], ...]`` list in :meth:`vocabulary` id
+        order (index == id, the HF Unigram layout), ``unk_id`` null
+        (this trainer segments unknown single chars with a fixed
+        penalty rather than an unk piece); the pre_tokenizer records
+        the SentencePiece word treatment (Metaspace with the ``▁``
+        mark this trainer prefixes). Stdlib json, driver-side,
+        model-sized. ``path`` is the FILE path."""
+        import os
+
+        lp = self._require_fit()
+        ordered = sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+        doc = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": [],
+            "normalizer": (
+                {"type": "Lowercase"} if self.lowercase else None
+            ),
+            "pre_tokenizer": {
+                "type": "Metaspace",
+                "replacement": WORD_MARK,
+                "prepend_scheme": "always",
+                "split": True,
+            },
+            "post_processor": None,
+            "decoder": {
+                "type": "Metaspace",
+                "replacement": WORD_MARK,
+                "prepend_scheme": "always",
+                "split": True,
+            },
+            "model": {
+                "type": "Unigram",
+                "unk_id": None,
+                "vocab": [[p, v] for p, v in ordered],
+                "byte_fallback": False,
+            },
+        }
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(doc, f, ensure_ascii=False, indent=2)
+
     def load_tokenizer(self, path: str, spark) -> "UnigramVocabBuilder":
         """Restore log-probs from a :meth:`save_tokenizer` dir; the
         fitted word-piece table rebuilds lazily from the model (every
