@@ -345,6 +345,19 @@ class IVFCosineTopK(CosineTopK):
         the data — instead of re-assigning the full corpus per search.
         Fits centroids first if ``fit_index`` was not called.
 
+        ``mode='append'`` is the recrawl path: new vectors are assigned
+        to the EXISTING centroids loaded from the index (a narrow
+        projection against the centroid literal — no refit, no shuffle)
+        and appended into the cluster partition dirs, so a probe after N
+        appends is still one pruned scan of the union corpus. The
+        centroid table is left untouched (re-fitting it would silently
+        re-shuffle the meaning of every already-written partition), the
+        ``versions`` log gains an ``append`` row (the
+        :func:`~.dedup.compact_index` scheduling signal), and the
+        append must match the index's stored vector layout
+        (quantized vs raw) — a mixed-layout corpus dir would break the
+        read path's layout detection.
+
         ``quantize=True`` stores int8 codes + a per-vector scale
         (:class:`~.embeddings.EmbeddingQuantizer`) instead of the raw
         doubles — ~4-8x less index IO; ``search_index`` detects the
@@ -353,22 +366,65 @@ class IVFCosineTopK(CosineTopK):
         scale/2 per element)."""
         import os
 
-        if not self.centroids_:
-            self.fit_index(corpus_df)
+        from .dedup import _log_index_version
+
         spark = corpus_df.sparkSession
+        if mode == "append":
+            self._load_centroids(spark, path)
+            stored_q = "c_q8" in spark.read.parquet(
+                os.path.join(path, "corpus")
+            ).columns
+            ensure(
+                quantize == stored_q,
+                f"index at '{path}' stores "
+                f"{'quantized' if stored_q else 'raw'} vectors but this "
+                f"append has quantize={quantize}; a mixed-layout corpus "
+                "dir would break dequantization on read — pass "
+                f"quantize={stored_q}",
+            )
+        elif not self.centroids_:
+            self.fit_index(corpus_df)
         assigned = self._assign(corpus_df)
         if quantize:
             assigned = _quantize_vec_col(assigned, "c_vec")
         assigned.write.mode(mode).partitionBy("cluster").parquet(
             os.path.join(path, "corpus")
         )
-        centroids = spark.createDataFrame(
-            [(i, list(v)) for i, v in enumerate(self.centroids_)],
-            "cluster int, centroid array<double>",
+        if mode != "append":
+            centroids = spark.createDataFrame(
+                [(i, list(v)) for i, v in enumerate(self.centroids_)],
+                "cluster int, centroid array<double>",
+            )
+            centroids.coalesce(1).write.mode(mode).parquet(
+                os.path.join(path, "centroids")
+            )
+        _log_index_version(
+            spark, path, "append" if mode == "append" else "write"
         )
-        centroids.coalesce(1).write.mode(mode).parquet(
-            os.path.join(path, "centroids")
+
+    def _load_centroids(self, spark, path: str) -> None:
+        """Pin this instance's centroids to the index's stored table —
+        the append/probe contract: the partition layout on disk was
+        produced by THOSE centroids, so any in-memory fit is discarded
+        in their favor."""
+        import os
+
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (
+                spark.read.parquet(os.path.join(path, "centroids"))
+                .orderBy("cluster")
+                .collect()
+            )
+        except AnalysisException:
+            rows = []  # missing path — same remedy as an empty table
+        ensure(
+            bool(rows),
+            f"no centroids found at {path} — write the index with "
+            "mode='error'/'overwrite' before appending to it",
         )
+        self.centroids_ = [list(r["centroid"]) for r in rows]
 
     def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
         """Probe an index written by ``write_index``. Loads centroids
@@ -377,13 +433,7 @@ class IVFCosineTopK(CosineTopK):
         limits the scan to the clusters the queries actually probe."""
         import os
 
-        rows = (
-            spark.read.parquet(os.path.join(path, "centroids"))
-            .orderBy("cluster")
-            .collect()
-        )
-        ensure(bool(rows), f"no centroids found at {path}")
-        self.centroids_ = [list(r["centroid"]) for r in rows]
+        self._load_centroids(spark, path)
         # deliberately NOT marking fitted: no query frame was pinned, so
         # a later transform() must still raise FitNotCalledError instead
         # of crashing on query_df=None inside the plan builder
@@ -525,9 +575,34 @@ class BucketedCosineTopK(CosineTopK):
         the 'bucketed-by-chunk pruned scan' the class docstring
         promises, without recomputing corpus signatures per search.
         ``quantize=True`` stores int8 codes + a per-vector scale (same
-        tradeoff as :meth:`IVFCosineTopK.write_index`)."""
+        tradeoff as :meth:`IVFCosineTopK.write_index`).
+
+        ``mode='append'`` is the recrawl path: the stored LSH
+        parameters are validated against this instance first (hashing
+        a new batch with a different seed/plane count would scatter it
+        into buckets the probe never reads), the new batch's signature
+        chunks are appended into the (ci, cv) partition dirs, and the
+        ``versions`` log gains an ``append`` row. Because signatures
+        are a pure deterministic function of (vector, parameters),
+        append + probe is EXACTLY equal to a full rebuild over the
+        union corpus — no approximation drift, unlike IVF where the
+        centroids are frozen at first write."""
         import os
 
+        from .dedup import _log_index_version
+
+        spark = corpus_df.sparkSession
+        if mode == "append":
+            self._check_stored_params(spark, path)
+            stored_q = "c_q8" in spark.read.parquet(
+                os.path.join(path, "corpus")
+            ).columns
+            ensure(
+                quantize == stored_q,
+                f"index at '{path}' stores "
+                f"{'quantized' if stored_q else 'raw'} vectors but this "
+                f"append has quantize={quantize}; pass quantize={stored_q}",
+            )
         width = self.n_planes // self.n_chunks
         ensure(
             width <= 10,
@@ -540,20 +615,28 @@ class BucketedCosineTopK(CosineTopK):
         ).write.mode(
             mode
         ).partitionBy("ci", "cv").parquet(os.path.join(path, "corpus"))
-        meta = corpus_df.sparkSession.createDataFrame(
-            [(self.dim, self.n_planes, self.n_chunks, self.seed)],
-            "dim int, n_planes int, n_chunks int, seed int",
+        if mode != "append":
+            meta = spark.createDataFrame(
+                [(self.dim, self.n_planes, self.n_chunks, self.seed)],
+                "dim int, n_planes int, n_chunks int, seed int",
+            )
+            meta.coalesce(1).write.mode(mode).parquet(
+                os.path.join(path, "meta")
+            )
+        _log_index_version(
+            spark, path, "append" if mode == "append" else "write"
         )
-        meta.coalesce(1).write.mode(mode).parquet(os.path.join(path, "meta"))
 
-    def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
-        """Probe an index written by ``write_index``. Validates the
-        stored LSH parameters match this instance (a mismatched seed or
-        plane count would silently hash queries into the wrong buckets),
-        then probes the chunk-partitioned corpus."""
+    def _check_stored_params(self, spark, path: str) -> None:
+        """Fail-loud LSH parameter pinning shared by append and probe."""
         import os
 
-        rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+        except AnalysisException:
+            rows = []  # missing path — same remedy as an empty table
         ensure(
             bool(rows),
             f"no LSH meta found at '{path}' — the index is empty or "
@@ -568,6 +651,15 @@ class BucketedCosineTopK(CosineTopK):
             f"(dim, n_planes, n_chunks, seed)={stored}, this instance "
             f"has {mine} — queries would hash into the wrong buckets",
         )
+
+    def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
+        """Probe an index written by ``write_index``. Validates the
+        stored LSH parameters match this instance (a mismatched seed or
+        plane count would silently hash queries into the wrong buckets),
+        then probes the chunk-partitioned corpus."""
+        import os
+
+        self._check_stored_params(spark, path)
         c = _dequantize_if_needed(
             spark.read.parquet(os.path.join(path, "corpus"))
         )
