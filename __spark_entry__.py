@@ -59,7 +59,7 @@ the op is a member slice of that family query):
   #27-29 creators             feature_create:{math,relative,cyclical}
   #30 DatetimeFeatures        datetime_family:datetime_features
   #31 DatetimeSubtraction     datetime_family:datetime_subtraction
-  #32 DropFeatures            drop_features
+  #32 DropFeatures            select_stats:drop_features (folded r10)
   #33-41 selectors            select_stats:{drop_constant,drop_duplicate,
                               drop_correlated,smart_correlated,psi_drift,
                               information_value,single_feature_performance,
@@ -89,7 +89,10 @@ the op is a member slice of that family query):
   recrawl members: write_index on the id-lower half, partition-pruned
   dedupe_against on the upper half, survivors == greedy full-corpus
   recompute — the simhash near-dup tier and the exact content-hash
-  tier),
+  tier, + cross_modal_dedup, the r10 page-grain survivorship member:
+  three planted per-modality pair frames unioned and resolved by
+  distributed connected components, oracle = recursive-CTE transitive
+  closure),
   lang_id (stopword heuristic, hash-pinned, + the 30-language
   char-n-gram model's invariant member), text_clean (stopword-removal
   normalization + html_strip, the HtmlTextExtractor HTML->text chain
@@ -1479,6 +1482,64 @@ def q_incremental_dedup(spark, sf_dir):
     path = os.path.join(tmp, "idx")
     op.write_index(old, path)
     return op.dedupe_against(new, path).select("doc_id")
+
+
+@_reg(
+    "cross_modal_dedup",
+    # Cross-modal survivorship (r10, operators/crossmodal.py): three
+    # per-modality pair frames planted deterministically from doc_id
+    # arithmetic — text links (x, x+1) at x%10=0, image links (x, x+1)
+    # at x%20=1 (extending every other text cluster into a 3-chain),
+    # audio bridges (x, x+48) at x%40=2 (merging a 3-chain with a
+    # distant text pair into one 5-node multi-signal cluster). The
+    # Spark side unions the frames and runs distributed connected
+    # components (functions/graph.py min-label propagation); the
+    # oracle recomputes the transitive closure with a recursive CTE
+    # and keeps each cluster's minimum id.
+    """WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 = 0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 20 = 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 48 WHERE a.doc_id % 40 = 2
+), und AS (
+  SELECT s, d FROM edges UNION SELECT d, s FROM edges
+), reach(node, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.node
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""",
+)
+def q_cross_modal_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+
+    def planted(offset, mod, rem):
+        # pair (x, x+offset) for x % mod == rem, both endpoints present
+        # in the corpus — a real self-join, so the pair frame has the
+        # same shape candidate_pairs() produces
+        a = ids.select(F.col("doc_id").alias("a_id")).where(
+            F.col("a_id") % mod == rem
+        )
+        b = ids.select(F.col("doc_id").alias("b_id"))
+        return a.join(b, F.col("b_id") == F.col("a_id") + offset)
+
+    op = ff.CrossModalDeduplicator(
+        "doc_id",
+        {
+            "text": planted(1, 10, 0),
+            "image": planted(1, 20, 1),
+            "audio": planted(48, 40, 2),
+        },
+    )
+    return op.transform(docs).select("doc_id")
 
 
 @_reg(
@@ -5920,6 +5981,19 @@ _merge("select_stats", [
     ("mrmr_relevance",
      ["feature", "'relevance' AS stat", "relevance AS value", "candidate AS flag"],
      "feature, 'relevance' AS stat, relevance AS value, candidate AS flag"),
+    # r10: folded from its standalone registry row (registry headroom —
+    # r9 verdict item 7). DropFeatures is a projection, so the member
+    # melts the SURVIVING columns to the family grain: a wrongly-dropped
+    # column fails the selectExpr loudly, a wrongly-kept one changes no
+    # value but the operator's own unit tests pin the schema.
+    ("drop_features",
+     ["concat(cast(l_orderkey AS string), ':', cast(l_linenumber AS string)) AS feature",
+      "'kept_qty_price' AS stat",
+      "cast(l_quantity + l_extendedprice AS double) AS value",
+      "cast(NULL AS boolean) AS flag"],
+     "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS feature, "
+     "'kept_qty_price' AS stat, CAST(l_quantity + l_extendedprice AS DOUBLE) AS value, "
+     "CAST(NULL AS BOOLEAN) AS flag"),
 ])
 
 _merge("scale_family", [
@@ -5986,7 +6060,7 @@ _merge("dedup_pairs_baseline", [
 _merge("dedup_ids", [
     (op, ["doc_id"], "doc_id")
     for op in ("exact_dedup", "streaming_dedup", "incremental_dedup",
-               "incremental_exact")
+               "incremental_exact", "cross_modal_dedup")
 ])
 
 _merge("sample_family", [

@@ -150,6 +150,7 @@ from .audiohash import (
     audio_fingerprint_bits,
     pattern_wav,
 )
+from .crossmodal import CrossModalDeduplicator
 from .code import (
     CodeLanguageIdentifier,
     LicenseDetector,
@@ -231,7 +232,7 @@ __all__ = [
     "BinaryFeatureExtractor", "FrameSampler",
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",
-    "CodeLanguageIdentifier", "LicenseDetector",
+    "CodeLanguageIdentifier", "CrossModalDeduplicator", "LicenseDetector",
     "content_fingerprint", "corpus_diff",
     "ExpectationValidator", "ValidationFailedError",
     "VideoDeduplicator", "VideoHasher", "pattern_mp4",
