@@ -798,12 +798,25 @@ class BpeVocabBuilder(Transformer):
             F.col(self.id_col).alias("__ff_id"),
             F.posexplode(F.col(ids_col)).alias("__ff_p", "__ff_tid"),
         ).join(F.broadcast(vocab), "__ff_tid", "left")
+        # the unknown-id sentinel decodes to U+FFFD in BOTH modes. In
+        # byte mode it is emitted IN SYMBOL SPACE as the symbols of
+        # U+FFFD's own UTF-8 bytes (EF BF BD), so the ordinary inversion
+        # below produces the replacement char with no out-of-band
+        # placeholder — every real byte (including control bytes like
+        # 0x01, the r9 advisor's collision) round-trips losslessly, and
+        # a genuine U+FFFD in the source text decodes to itself, exactly
+        # as a real tokenizer's byte decoder behaves.
+        unk = (
+            "".join(_B2U[b] for b in "�".encode("utf-8"))
+            if self.byte_level
+            else "�"
+        )
         assembled = toks.groupBy("__ff_id").agg(
             F.concat_ws(
                 "",
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("__ff_p", "__ff_tok"))),
-                    lambda s: F.coalesce(s["__ff_tok"], F.lit("�")),
+                    lambda s: F.coalesce(s["__ff_tok"], F.lit(unk)),
                 ),
             ).alias("__ff_cat")
         )
@@ -811,23 +824,13 @@ class BpeVocabBuilder(Transformer):
         if self.byte_level:
             # inverse byte table: each symbol char -> its byte as a
             # latin-1 char, then one encode/decode pair re-reads the
-            # byte string as UTF-8 text. The U+FFFD unknown-id sentinel
-            # is not latin-1-encodable (encode would silently turn it
-            # into '?'), so shield it through the inversion behind a
-            # \x01 placeholder — \x01 is latin-1-safe, survives the
-            # UTF-8 re-read, and is never a GPT-2 byte symbol. (A
-            # document whose raw bytes contain 0x01 would collide with
-            # the placeholder; control bytes below 0x09 do not survive
-            # text extraction upstream, so the trade is documented, not
-            # hit.)
+            # byte string as UTF-8 text
             sym_str = "".join(_B2U_LIST)
             byte_str = "".join(chr(b) for b in range(256))
-            txt = F.translate(txt, "�", "\x01")
             txt = F.decode(
                 F.encode(F.translate(txt, sym_str, byte_str), "ISO-8859-1"),
                 "UTF-8",
             )
-            txt = F.translate(txt, "\x01", "�")
         decoded = assembled.select("__ff_id", F.rtrim(txt).alias("__ff_txt"))
         return df.join(
             decoded, on=df[self.id_col] == decoded["__ff_id"], how="left"

@@ -493,6 +493,36 @@ def test_decode_ids_roundtrip_byte_level_full_unicode(spark):
     assert got == {1: "héllo wörld émoji \U0001F40D bytes", 2: "plain ascii"}
 
 
+def test_decode_ids_byte_level_control_bytes_lossless(spark):
+    # r10 (r9 advisor): raw control bytes (0x01, 0x02) and a genuine
+    # U+FFFD in the source must round-trip losslessly in byte mode —
+    # the old \x01 placeholder shield collided with a real 0x01 byte
+    rows = [(1, "ctl\x01byte and \x02tail"), (2, "real � char")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fit = spark.createDataFrame([(9, "unrelated corpus")],
+                                "doc_id bigint, text string")
+    bpe = ff.BpeVocabBuilder("text", "doc_id", num_merges=4,
+                             byte_level=True).fit(fit)
+    dec = bpe.decode_ids(bpe.encode_ids(df))
+    got = {r["doc_id"]: r["text_bpe_ids_text"] for r in dec.collect()}
+    assert got == dict(rows)
+
+
+def test_decode_ids_unknown_id_byte_level(spark):
+    # the unknown-id sentinel still decodes to U+FFFD in byte mode
+    # (emitted in symbol space as U+FFFD's own UTF-8 bytes)
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    bpe = ff.BpeVocabBuilder("text", "doc_id", num_merges=4,
+                             byte_level=True).fit(df)
+    from pyspark.sql import functions as F
+
+    withids = bpe.encode_ids(df).withColumn(
+        "mangled", F.concat(F.col("text_bpe_ids"), F.array(F.lit(-1)))
+    )
+    dec = bpe.decode_ids(withids, ids_col="mangled", output_col="back")
+    assert dec.collect()[0]["back"].endswith("�")
+
+
 def test_decode_ids_unknown_id_and_custom_cols(spark):
     df = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
     bpe = ff.BpeVocabBuilder("text", "doc_id", num_merges=4).fit(df)
