@@ -351,6 +351,10 @@ class BpeVocabBuilder(Transformer):
         self.byte_level = byte_level
         self.merges_: list[list[str]] = []
         self.word_tokens_: DataFrame | None = None  # (word, n_tokens)
+        # explicit token->id map adopted from an imported tokenizer.json
+        # (None for fitted instances: vocabulary() derives the standard
+        # alphabet+merge-order layout instead)
+        self.vocab_json_: dict[str, int] | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -381,6 +385,10 @@ class BpeVocabBuilder(Transformer):
         return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(self.max_words)
 
     def _fit(self, df: DataFrame) -> None:
+        # refitting an instance that previously imported a tokenizer
+        # must shed the imported id map (vocabulary() derives the
+        # standard alphabet+merge layout from the new fit again)
+        self.vocab_json_ = None
         # the corpus-sized work — explode + groupBy word counts — is
         # distributed in EVERY mode; what the modes choose is where the
         # merge loop iterates over the AGGREGATED word table:
@@ -526,6 +534,17 @@ class BpeVocabBuilder(Transformer):
         table = _require_frame_state(
             self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
         )
+        if self.vocab_json_ is not None:
+            # imported model: the file's explicit token->id map IS the
+            # vocabulary — deriving ids from merge order could renumber
+            # a foreign layout and silently shift every encoded id
+            return table.sparkSession.createDataFrame(
+                sorted(
+                    ((t, int(i)) for t, i in self.vocab_json_.items()),
+                    key=lambda kv: kv[1],
+                ),
+                "token string, id int",
+            )
         if self.byte_level:
             # byte mode: ALWAYS the full 256-symbol byte alphabet (the
             # GPT-2 layout), independent of which bytes the fit corpus
@@ -645,6 +664,80 @@ class BpeVocabBuilder(Transformer):
             os.makedirs(parent, exist_ok=True)
         with open(path, "w", encoding="utf-8") as f:
             json.dump(doc, f, ensure_ascii=False, indent=2)
+
+    def load_tokenizer_json(self, path: str, spark) -> "BpeVocabBuilder":
+        """Load a HuggingFace ``tokenizer.json`` BPE model and make
+        this instance encode/decode with it at corpus scale — the
+        inverse of :meth:`export_tokenizer_json`, so a tokenizer
+        trained elsewhere (or exported by this class) can be APPLIED by
+        the distributed encode path without refitting.
+
+        The file's settings are adopted onto this instance:
+        ``model.merges`` -> ``merges_``, ``model.vocab`` -> the
+        explicit id map :meth:`vocabulary` returns (foreign id layouts
+        are preserved verbatim, never renumbered), Lowercase
+        normalizer -> ``lowercase``, ByteLevel pre_tokenizer/decoder ->
+        ``byte_level``. The fitted word table starts EMPTY — every
+        corpus word routes through the exact merge-chain path at the
+        distinct-word grain, identical results to a pre-tokenized
+        table, so ``max_unseen_words`` is cleared.
+
+        Fail-loud on models this engine cannot reproduce bit-exactly:
+        non-BPE model types, a ``continuing_subword_prefix``, an
+        ``end_of_word_suffix`` other than ``</w>``, or normalizers
+        beyond Lowercase — silently approximating a tokenizer would
+        corrupt every downstream shard."""
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        model = doc.get("model") or {}
+        ensure(
+            model.get("type") == "BPE",
+            f"tokenizer.json at '{path}' has model.type="
+            f"{model.get('type')!r}; this loader reads BPE models "
+            "(use UnigramVocabBuilder.load_tokenizer_json for Unigram)",
+        )
+        ensure(
+            not model.get("continuing_subword_prefix"),
+            "continuing_subword_prefix models (WordPiece-style '##') "
+            "are not reproducible by this end-of-word-suffix engine",
+        )
+        suffix = model.get("end_of_word_suffix")
+        ensure(
+            suffix in (None, "", END_MARK),
+            f"end_of_word_suffix {suffix!r} differs from this engine's "
+            f"'{END_MARK}' mark; encoding would not be bit-exact",
+        )
+        norm = doc.get("normalizer")
+        ensure(
+            norm is None or norm == {"type": "Lowercase"},
+            f"unsupported normalizer {norm!r}: this engine reproduces "
+            "None or Lowercase only",
+        )
+        merges = []
+        for m in model.get("merges") or []:
+            pair = m.split(" ") if isinstance(m, str) else list(m)
+            ensure(
+                len(pair) == 2,
+                f"malformed merge entry {m!r} in '{path}'",
+            )
+            merges.append(pair)
+        ensure(bool(merges), f"tokenizer.json at '{path}' has no merges")
+        vocab = model.get("vocab") or {}
+        ensure(bool(vocab), f"tokenizer.json at '{path}' has no vocab")
+        pre = json.dumps(doc.get("pre_tokenizer"))
+        dec = json.dumps(doc.get("decoder"))
+        self.byte_level = "ByteLevel" in pre or "ByteLevel" in dec
+        self.lowercase = norm == {"type": "Lowercase"}
+        self.merges_ = [list(m) for m in merges]
+        self.vocab_json_ = {str(t): int(i) for t, i in vocab.items()}
+        self.max_unseen_words = None
+        self.word_tokens_ = spark.createDataFrame(
+            [], "word string, n_tokens int, syms array<string>"
+        )
+        self._fitted = True
+        return self
 
     def encode(self, df: DataFrame) -> DataFrame:
         """Append ``{text_col}_bpe_tokens``: the document's full subword

@@ -329,6 +329,10 @@ class UnigramVocabBuilder(Transformer):
         self.logprobs_: dict[str, float] | None = None
         self.word_pieces_: DataFrame | None = None
         self.fit_word_counts_: list[tuple[str, int]] | None = None
+        # piece order adopted from an imported tokenizer.json (HF
+        # Unigram: index == id). None for fitted instances, whose ids
+        # derive from the (logprob desc, piece asc) sort.
+        self.vocab_order_: list[str] | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -387,6 +391,10 @@ class UnigramVocabBuilder(Transformer):
         )
 
     def _fit(self, df: DataFrame) -> None:
+        # refitting an instance that previously imported a tokenizer
+        # must shed the imported id layout (ids derive from the new
+        # model's logprob sort again)
+        self.vocab_order_ = None
         if self.fit_mode == "distributed":
             self._fit_distributed(df)
             return
@@ -541,12 +549,18 @@ class UnigramVocabBuilder(Transformer):
         from .text import _require_frame_state
 
         lp = self._require_fit()
-        rows = [
-            (p, i, v)
-            for i, (p, v) in enumerate(
-                sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
-            )
-        ]
+        if self.vocab_order_ is not None:
+            # imported model: the file's piece order IS the id layout
+            # (HF Unigram: index == id); re-sorting could renumber a
+            # foreign vocabulary and shift every encoded id
+            rows = [(p, i, lp[p]) for i, p in enumerate(self.vocab_order_)]
+        else:
+            rows = [
+                (p, i, v)
+                for i, (p, v) in enumerate(
+                    sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+                )
+            ]
         frame = _require_frame_state(
             self.word_pieces_, "UnigramVocabBuilder", "word_pieces_"
         )
@@ -847,7 +861,70 @@ class UnigramVocabBuilder(Transformer):
                 piece, val = line.rstrip("\n").split("\t")
                 lp[piece] = float(val)
         self.logprobs_ = lp
+        self.vocab_order_ = None  # .vocab ids re-derive from the sort
         self.word_pieces_ = spark.createDataFrame(
             [], "word string, pieces array<string>"
         )
+        self._fitted = True
+        return self
+
+    def load_tokenizer_json(self, path: str, spark) -> "UnigramVocabBuilder":
+        """Load a HuggingFace ``tokenizer.json`` Unigram model and make
+        this instance encode/decode with it at corpus scale — the
+        inverse of :meth:`export_tokenizer_json`, so a tokenizer
+        trained elsewhere (or exported by this class) can be APPLIED by
+        the distributed encode path without refitting.
+
+        ``model.vocab`` ([[piece, logprob], ...]) supplies both the
+        log-probs and the id layout (HF Unigram: index == id —
+        preserved verbatim, never re-sorted); a Lowercase normalizer
+        sets ``lowercase``. The word-piece table starts EMPTY, so every
+        corpus word re-segments under the loaded model (identical
+        results — segmentation is a pure function of the log-probs),
+        and ``max_unseen_words`` is cleared.
+
+        Fail-loud on models this engine cannot reproduce: non-Unigram
+        types, a pre_tokenizer other than Metaspace with this engine's
+        word mark, normalizers beyond Lowercase. A non-null ``unk_id``
+        is accepted — the unk piece keeps its id slot — but characters
+        no piece covers segment with this trainer's fixed single-char
+        penalty rather than collapsing to the unk piece (segmentation
+        of covered text is unaffected)."""
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        model = doc.get("model") or {}
+        ensure(
+            model.get("type") == "Unigram",
+            f"tokenizer.json at '{path}' has model.type="
+            f"{model.get('type')!r}; this loader reads Unigram models "
+            "(use BpeVocabBuilder.load_tokenizer_json for BPE)",
+        )
+        vocab = model.get("vocab") or []
+        ensure(bool(vocab), f"tokenizer.json at '{path}' has no vocab")
+        norm = doc.get("normalizer")
+        ensure(
+            norm is None or norm == {"type": "Lowercase"},
+            f"unsupported normalizer {norm!r}: this engine reproduces "
+            "None or Lowercase only",
+        )
+        pre = doc.get("pre_tokenizer") or {}
+        ensure(
+            pre.get("type") == "Metaspace"
+            and pre.get("replacement") == WORD_MARK,
+            f"unsupported pre_tokenizer {pre!r}: this engine reproduces "
+            f"Metaspace with replacement '{WORD_MARK}' only",
+        )
+        pieces = [str(p) for p, _ in vocab]
+        ensure(
+            len(set(pieces)) == len(pieces),
+            f"tokenizer.json at '{path}' has duplicate vocab pieces",
+        )
+        self.lowercase = norm == {"type": "Lowercase"}
+        self.logprobs_ = {str(p): float(v) for p, v in vocab}
+        self.vocab_order_ = pieces
+        self.max_unseen_words = None
+        self.word_pieces_ = spark.createDataFrame(
+            [], "word string, pieces array<string>"
+        )
+        self._fitted = True
         return self

@@ -108,6 +108,126 @@ def test_unigram_tokenizer_json_roundtrip(spark, corpus_df, tmp_path):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+@pytest.mark.parametrize("byte_level", [False, True])
+def test_bpe_load_tokenizer_json_encode_parity(spark, corpus_df,
+                                               tmp_path, byte_level):
+    # export -> load into a FRESH instance -> identical encode/decode
+    op = BpeVocabBuilder("text", "doc_id", num_merges=12,
+                         byte_level=byte_level)
+    op.fit(corpus_df)
+    path = str(tmp_path / "tokenizer.json")
+    op.export_tokenizer_json(path)
+
+    fresh = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        path, spark
+    )
+    assert fresh.byte_level == byte_level
+    assert fresh.lowercase == op.lowercase
+    assert fresh.merges_ == op.merges_
+    want = {r["doc_id"]: list(r["text_bpe_ids"])
+            for r in op.encode_ids(corpus_df).collect()}
+    got = {r["doc_id"]: list(r["text_bpe_ids"])
+           for r in fresh.encode_ids(corpus_df).collect()}
+    assert got == want
+    # decode round-trips through the imported vocab too
+    dec = fresh.decode_ids(fresh.encode_ids(corpus_df))
+    texts = {r["doc_id"]: r["text_bpe_ids_text"] for r in dec.collect()}
+    assert texts[2] == "wider wide widest new newer"
+
+
+def test_bpe_load_tokenizer_json_foreign_ids(spark, corpus_df, tmp_path):
+    # a foreign id layout (NOT the alphabet+merge order) is preserved
+    # verbatim: ids come from the file, never re-derived
+    op = BpeVocabBuilder("text", "doc_id", num_merges=6).fit(corpus_df)
+    path = str(tmp_path / "t.json")
+    op.export_tokenizer_json(path)
+    doc = json.load(open(path, encoding="utf-8"))
+    remap = {t: 1000 + i for i, t in enumerate(sorted(doc["model"]["vocab"]))}
+    doc["model"]["vocab"] = remap
+    json.dump(doc, open(path, "w", encoding="utf-8"))
+
+    fresh = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        path, spark
+    )
+    toks = {r["doc_id"]: list(r["text_bpe_tokens"])
+            for r in op.encode(corpus_df).collect()}
+    got = {r["doc_id"]: list(r["text_bpe_ids"])
+           for r in fresh.encode_ids(corpus_df).collect()}
+    for doc_id, _ in CORPUS:
+        assert got[doc_id] == [remap[t] for t in toks[doc_id]]
+
+
+def test_bpe_load_tokenizer_json_rejects_foreign_semantics(spark, tmp_path):
+    import feature_factory_spark as ff
+
+    base = {
+        "normalizer": None, "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "model": {"type": "BPE", "vocab": {"a": 0}, "merges": ["a b"],
+                  "end_of_word_suffix": "</w>",
+                  "continuing_subword_prefix": None},
+    }
+    def write(mut):
+        doc = json.loads(json.dumps(base))
+        for k, v in mut.items():
+            d, key = doc, k.split(".")
+            for part in key[:-1]:
+                d = d[part]
+            d[key[-1]] = v
+        p = str(tmp_path / "bad.json")
+        json.dump(doc, open(p, "w"))
+        return p
+
+    loader = BpeVocabBuilder("text", "doc_id")
+    with pytest.raises(ff.InvalidParameterError, match="model.type"):
+        loader.load_tokenizer_json(write({"model.type": "WordPiece"}), spark)
+    with pytest.raises(ff.InvalidParameterError, match="subword_prefix"):
+        loader.load_tokenizer_json(
+            write({"model.continuing_subword_prefix": "##"}), spark)
+    with pytest.raises(ff.InvalidParameterError, match="end_of_word_suffix"):
+        loader.load_tokenizer_json(
+            write({"model.end_of_word_suffix": "@@"}), spark)
+    with pytest.raises(ff.InvalidParameterError, match="normalizer"):
+        loader.load_tokenizer_json(
+            write({"normalizer": {"type": "NFC"}}), spark)
+
+
+def test_unigram_load_tokenizer_json_encode_parity(spark, corpus_df,
+                                                   tmp_path):
+    op = UnigramVocabBuilder("text", "doc_id", vocab_size=24,
+                             seed_size=200, n_iter=2).fit(corpus_df)
+    path = str(tmp_path / "tokenizer.json")
+    op.export_tokenizer_json(path)
+
+    fresh = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+        path, spark
+    )
+    want = {r["doc_id"]: list(r["text_unigram_ids"])
+            for r in op.encode_ids(corpus_df).collect()}
+    got = {r["doc_id"]: list(r["text_unigram_ids"])
+           for r in fresh.encode_ids(corpus_df).collect()}
+    assert got == want
+
+
+def test_unigram_load_tokenizer_json_foreign_order(spark, corpus_df,
+                                                   tmp_path):
+    # reversed vocab order -> reversed ids, preserved verbatim
+    op = UnigramVocabBuilder("text", "doc_id", vocab_size=24,
+                             seed_size=200, n_iter=2).fit(corpus_df)
+    path = str(tmp_path / "t.json")
+    op.export_tokenizer_json(path)
+    doc = json.load(open(path, encoding="utf-8"))
+    doc["model"]["vocab"] = list(reversed(doc["model"]["vocab"]))
+    json.dump(doc, open(path, "w", encoding="utf-8"))
+
+    fresh = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+        path, spark
+    )
+    n = len(doc["model"]["vocab"])
+    orig = {r["piece"]: r["id"] for r in op.vocabulary().collect()}
+    got = {r["piece"]: r["id"] for r in fresh.vocabulary().collect()}
+    assert got == {p: n - 1 - i for p, i in orig.items()}
+
+
 def test_export_requires_fit(spark, tmp_path):
     with pytest.raises(Exception):
         BpeVocabBuilder("text", "doc_id").export_tokenizer_json(
