@@ -2550,6 +2550,34 @@ FROM (
              THEN 1 ELSE 0 END AS n
    FROM g JOIN r ON g.src = r.src)
   SELECT doc_id, src, n FROM m WHERE n > 0
+)
+UNION ALL
+-- size_col slice (r10): the mixture measured in CHARACTER mass
+-- (SUM(n_chars) per source, the token-budget recipe), weights 2:1
+-- over src0/src1, budget-free -> the scarcest source IN CHAR MASS is
+-- kept whole; sampling stays per-row. Identical operand order as the
+-- operator: props = w/3.0, ntot = least(mass_s / prop_s), rate =
+-- r6((prop * ntot) / mass).
+SELECT doc_id, 'szmix|' || source || ':' ||
+  CAST(unnest(generate_series(0, n - 1)) AS VARCHAR) AS val
+FROM (
+  WITH mass AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) ms
+    FROM documents WHERE source IN ('src0', 'src1') GROUP BY source),
+  n AS (SELECT least(
+    (SELECT ms FROM mass WHERE source = 'src0') / (2.0 / 3.0),
+    (SELECT ms FROM mass WHERE source = 'src1') / (1.0 / 3.0)) AS ntot),
+  r AS (SELECT source,
+    floor((((CASE source WHEN 'src0' THEN 2.0 ELSE 1.0 END) / 3.0)
+           * (SELECT ntot FROM n)) / ms * 1000000 + 0.5) / 1000000 AS rate
+    FROM mass),
+  m AS (SELECT d.doc_id, d.source,
+    CAST(floor(r.rate) AS INT)
+      + CASE WHEN (('0x' || substr(md5('ff' || CAST(d.doc_id AS VARCHAR)),
+                    1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)
+                  < r.rate - floor(r.rate)
+             THEN 1 ELSE 0 END AS n
+   FROM documents d JOIN r ON d.source = r.source)
+  SELECT doc_id, source, n FROM m WHERE n > 0
 )""",
 )
 def q_source_mix(spark, sf_dir):
@@ -2586,7 +2614,19 @@ def q_source_mix(spark, sf_dir):
             F.col("mix_copy").cast("string"),
         ).alias("val"),
     )
-    return part1.unionByName(part2)
+    # r10 size_col slice: the same mixture law measured in CHARACTER
+    # mass (SUM(n_chars) per source) — the token-budget recipe
+    szmix = ff.SourceMixer(
+        "doc_id", "source", {"src0": 2.0, "src1": 1.0}, size_col="n_chars"
+    ).fit(docs)
+    part3 = szmix.transform(docs).select(
+        "doc_id",
+        F.concat(
+            F.lit("szmix|"), F.col("source"), F.lit(":"),
+            F.col("mix_copy").cast("string"),
+        ).alias("val"),
+    )
+    return part1.unionByName(part2).unionByName(part3)
 
 
 @_reg(

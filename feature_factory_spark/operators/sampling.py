@@ -154,7 +154,16 @@ class SourceMixer(Transformer):
     hash-sampling operator here); a row's fate is stable under corpus
     growth, repartitioning, and engine moves.
 
-    Scale shape: fit is ONE groupBy(source).count() aggregate
+    ``size_col`` switches the unit the mixture is measured in: per-
+    source availability becomes ``SUM(size_col)`` (token or character
+    counts — the unit pretraining mixtures are actually specified in)
+    instead of ``COUNT(*)``, and ``budget_rows`` is then a budget in
+    the same units. Sampling stays per-ROW (rate_s = target_size_s /
+    size_s), so each source's expected contribution hits its size
+    target while rows remain atomic — the standard
+    sample-documents-to-a-token-budget recipe.
+
+    Scale shape: fit is ONE groupBy(source).count()/sum() aggregate
     (|sources| rows to the driver); transform is a stateless projection
     — per-row copy count from the rate CASE chain, then one
     ``explode(sequence)``. No shuffle, no UDF; predicate-pushdown-
@@ -170,6 +179,7 @@ class SourceMixer(Transformer):
         salt: str = "ff",
         copy_col: str = "mix_copy",
         alpha: float | None = None,
+        size_col: str | None = None,
     ):
         ensure(
             (weights is not None) ^ (alpha is not None),
@@ -198,6 +208,7 @@ class SourceMixer(Transformer):
         self.allow_oversample = allow_oversample
         self.salt = salt
         self.copy_col = copy_col
+        self.size_col = size_col
         self.rates_: dict[str, float] = {}
         self.counts_: dict[str, int] = {}
 
@@ -205,7 +216,10 @@ class SourceMixer(Transformer):
         return True
 
     def _check_input(self, df: DataFrame) -> None:
-        validate_columns(df, [self.id_col, self.source_col])
+        cols = [self.id_col, self.source_col]
+        if self.size_col is not None:
+            cols.append(self.size_col)
+        validate_columns(df, cols)
 
     def _fit(self, df: DataFrame) -> None:
         scoped = (
@@ -213,12 +227,26 @@ class SourceMixer(Transformer):
             if self.weights is None
             else df.where(F.col(self.source_col).isin(list(self.weights)))
         )
+        agg = (
+            F.count("*")
+            if self.size_col is None
+            # NULL sizes contribute nothing (sum skips them); a source
+            # whose every size is NULL aggregates to NULL and fails the
+            # positivity check below rather than mixing silently
+            else F.sum(F.col(self.size_col).cast("double"))
+        )
         rows = (
             scoped.where(F.col(self.source_col).isNotNull())
             .groupBy(self.source_col)
-            .count()
+            .agg(agg.alias("count"))
             .collect()
         )
+        for r in rows:
+            ensure(
+                r["count"] is not None and r["count"] > 0,
+                f"source '{r[self.source_col]}' has no positive "
+                f"{self.size_col or 'row'} mass to mix",
+            )
         counts = {r[self.source_col]: int(r["count"]) for r in rows}
         if self.weights is None:
             # temperature mode: targets derive from what IS there, so

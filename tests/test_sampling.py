@@ -231,6 +231,61 @@ class TestSourceMixer:
                 budget_rows=600,
             ).fit(corpus)
 
+    def test_size_col_token_budget_mixing(self, spark):
+        # r10: mixture measured in TOKEN units. a: 10 docs x 100 tokens
+        # = 1000; b: 40 docs x 50 tokens = 2000. Equal weights -> the
+        # scarcest source in token mass (a) is kept whole: N = 2000
+        # tokens, target 1000 each -> rate_a = 1.0, rate_b = 0.5.
+        rows = ([(i, "a", 100) for i in range(10)]
+                + [(100 + i, "b", 50) for i in range(40)])
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+        op = ff.SourceMixer(
+            "doc_id", "source", {"a": 1.0, "b": 1.0}, size_col="n_tok"
+        ).fit(df)
+        assert op.counts_ == {"a": 1000, "b": 2000}
+        assert op.rates_ == {"a": 1.0, "b": 0.5}
+        # a token BUDGET oversamples in token units: 6000 tokens total,
+        # 3000 per source -> a rate 3.0 (whole copies), b rate 1.5
+        op2 = ff.SourceMixer(
+            "doc_id", "source", {"a": 1.0, "b": 1.0}, size_col="n_tok",
+            budget_rows=6000, allow_oversample=True,
+        ).fit(df)
+        assert op2.rates_ == {"a": 3.0, "b": 1.5}
+        got = {r["source"]: r["count"] for r in op2.transform(df)
+               .groupBy("source").count().collect()}
+        assert got["a"] == 30  # exact whole-copy replication
+        assert 40 <= got["b"] <= 80  # binomial around 60 rows
+
+    def test_size_col_temperature_mode(self, spark):
+        # alpha over token mass, not doc counts
+        rows = ([(i, "a", 100) for i in range(10)]
+                + [(100 + i, "b", 50) for i in range(40)])
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+        import math
+
+        op = ff.SourceMixer(
+            "doc_id", "source", alpha=0.5, size_col="n_tok"
+        ).fit(df)
+        raw = {"a": 1000 ** 0.5, "b": 2000 ** 0.5}
+        wsum = raw["a"] + raw["b"]
+        props = {s: raw[s] / wsum for s in raw}
+        ntot = min(1000 / props["a"], 2000 / props["b"])
+        for s, mass in (("a", 1000), ("b", 2000)):
+            expect = math.floor(props[s] * ntot / mass * 1e6 + 0.5) / 1e6
+            assert op.rates_[s] == expect, s
+
+    def test_size_col_null_mass_fails_loud(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "b", 10)],
+            "doc_id bigint, source string, n_tok int",
+        )
+        from feature_factory_spark.exceptions import InvalidParameterError
+
+        with pytest.raises(InvalidParameterError, match="positive"):
+            ff.SourceMixer(
+                "doc_id", "source", {"a": 1.0, "b": 1.0}, size_col="n_tok"
+            ).fit(df)
+
     def test_unweighted_sources_dropped_missing_weighted_fail(self, corpus):
         from feature_factory_spark.exceptions import InvalidParameterError
 
