@@ -5752,6 +5752,38 @@ def q_expectations(spark, sf_dir):
 
 
 @_reg(
+    "corpus_report",
+    # corpus_report (r10, operators/profiling.py): per-source data
+    # card over documents, n_chars metrics, exact quantiles for the
+    # twin. Every value is arithmetic over exact integer aggregates
+    # (sums < 2^53), so no rounding is needed: mean = exact_sum/count
+    # is ONE division in both engines; quantile_cont == Spark
+    # percentile (linear interpolation); share = n/total likewise.
+    """WITH g AS (SELECT source,
+  CAST(count(*) AS DOUBLE) n,
+  CAST(sum(n_chars) AS DOUBLE) s,
+  avg(n_chars) a,
+  CAST(min(n_chars) AS DOUBLE) mn,
+  CAST(max(n_chars) AS DOUBLE) mx,
+  quantile_cont(n_chars, 0.5) p
+FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n) AS DOUBLE) tot FROM g)
+SELECT source, 'n_docs' AS metric, n AS value FROM g
+UNION ALL SELECT source, 'share', n / (SELECT tot FROM t) FROM g
+UNION ALL SELECT source, 'n_chars_sum', s FROM g
+UNION ALL SELECT source, 'n_chars_mean', a FROM g
+UNION ALL SELECT source, 'n_chars_min', mn FROM g
+UNION ALL SELECT source, 'n_chars_max', mx FROM g
+UNION ALL SELECT source, 'n_chars_p50', p FROM g""",
+)
+def q_corpus_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ff.corpus_report(
+        docs, ["source"], ["n_chars"], quantiles="exact"
+    )
+
+
+@_reg(
     "frequent_items",
     # exact heavy hitters, melted (column, value, cnt), top-3 per column
     """WITH pairs AS (
@@ -6123,6 +6155,11 @@ _merge("column_profile", [
      ["chk AS column", "metric", "v AS value_num",
       "cast(NULL AS string) AS value_str"],
      'chk AS "column", metric, v AS value_num, '
+     "CAST(NULL AS VARCHAR) AS value_str"),
+    ("corpus_report",
+     ["concat('report|', source) AS column", "metric",
+      "value AS value_num", "cast(NULL AS string) AS value_str"],
+     "'report|' || source AS \"column\", metric, value AS value_num, "
      "CAST(NULL AS VARCHAR) AS value_str"),
 ])
 

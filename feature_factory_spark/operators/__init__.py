@@ -181,7 +181,7 @@ from .sampling import (
     WeightedSampler,
 )
 from .joins import AsOfJoiner, GroupedTopK, IntervalJoiner
-from .profiling import ColumnProfiler, FrequentItems
+from .profiling import ColumnProfiler, FrequentItems, corpus_report
 
 __all__ = [
     "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
@@ -254,5 +254,5 @@ __all__ = [
     "SequencePacker",
     "SourceMixer", "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
-    "ColumnProfiler", "FrequentItems",
+    "ColumnProfiler", "FrequentItems", "corpus_report",
 ]

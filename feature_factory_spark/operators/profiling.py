@@ -190,3 +190,81 @@ class FrequentItems(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return self.frequent(df)
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: list[str],
+    metric_cols: list[str] | None = None,
+    quantiles: str = "approx",
+) -> DataFrame:
+    """Per-slice data card: ``(group..., metric, value)`` — the
+    composition summary a corpus release ships (per source x lang: how
+    many documents, how much text, how it is distributed). The
+    reporting twin of :class:`ColumnProfiler` (per-COLUMN stats);
+    this is per-GROUP.
+
+    Metrics per group: ``n_docs``; for each ``metric_col``:
+    ``{c}_sum / {c}_mean / {c}_min / {c}_max / {c}_p50``, plus
+    ``share`` — the group's fraction of total rows (sums to 1.0 over
+    the report, the number a mixture table quotes).
+
+    Scale shape: ONE groupBy(group_cols) aggregate with map-side
+    partials (sum/count/min/max), melted to long form on the
+    group-count-sized result; the share divisor is a window SUM over
+    the aggregated (group-count-sized) frame, not a second corpus
+    scan. ``quantiles='approx'`` uses ``percentile_approx`` (mergeable
+    sketch — the 100 TB path); ``'exact'`` uses ``percentile``
+    (Spark's interpolated exact quantile, matching DuckDB
+    ``quantile_cont`` — the oracle-comparison path); ``'none'`` skips
+    the p50 rows."""
+    ensure(bool(group_cols), "group_cols must name at least one column")
+    ensure(
+        quantiles in ("approx", "exact", "none"),
+        "quantiles: 'approx', 'exact' or 'none'",
+    )
+    metric_cols = list(metric_cols or [])
+    validate_columns(df, list(group_cols) + metric_cols)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    per_metric: list[tuple[str, str]] = []
+    for c in metric_cols:
+        aggs += [
+            F.sum(F.col(c).cast("double")).alias(f"__{c}_sum"),
+            F.avg(F.col(c).cast("double")).alias(f"__{c}_mean"),
+            F.min(F.col(c).cast("double")).alias(f"__{c}_min"),
+            F.max(F.col(c).cast("double")).alias(f"__{c}_max"),
+        ]
+        per_metric += [(c, m) for m in ("sum", "mean", "min", "max")]
+        if quantiles == "approx":
+            aggs.append(
+                F.percentile_approx(F.col(c).cast("double"), 0.5)
+                .alias(f"__{c}_p50")
+            )
+            per_metric.append((c, "p50"))
+        elif quantiles == "exact":
+            aggs.append(
+                F.percentile(F.col(c).cast("double"), 0.5)
+                .alias(f"__{c}_p50")
+            )
+            per_metric.append((c, "p50"))
+    agg = df.groupBy(*group_cols).agg(*aggs)
+
+    from pyspark.sql import Window
+
+    total = F.sum("__n").over(Window.partitionBy())
+    agg = agg.withColumn("__share", F.col("__n") / total)
+
+    pairs = [
+        F.struct(F.lit("n_docs").alias("metric"),
+                 F.col("__n").cast("double").alias("value")),
+        F.struct(F.lit("share").alias("metric"),
+                 F.col("__share").alias("value")),
+    ] + [
+        F.struct(F.lit(f"{c}_{m}").alias("metric"),
+                 F.col(f"__{c}_{m}").alias("value"))
+        for c, m in per_metric
+    ]
+    return agg.select(
+        *group_cols, F.explode(F.array(*pairs)).alias("kv")
+    ).select(*group_cols, "kv.metric", "kv.value")

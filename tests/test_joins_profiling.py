@@ -295,3 +295,45 @@ class TestFrequentItems:
         out = ff.FrequentItems(["a", "b"], min_count=2).frequent(df)
         m = {(r["column"], r["value"]): r["cnt"] for r in out.collect()}
         assert m == {("a", "1"): 2, ("b", "y"): 2}
+
+
+class TestCorpusReport:
+    def test_per_group_data_card(self, spark):
+        rows = ([(i, "web", "en", 100 + i) for i in range(8)]
+                + [(100 + i, "books", "en", 1000) for i in range(2)])
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, source string, lang string, n_chars int"
+        )
+        rep = ff.corpus_report(df, ["source"], ["n_chars"],
+                               quantiles="exact")
+        got = {(r["source"], r["metric"]): r["value"]
+               for r in rep.collect()}
+        assert got[("web", "n_docs")] == 8.0
+        assert got[("books", "n_docs")] == 2.0
+        assert got[("web", "share")] == 0.8
+        assert got[("web", "n_chars_sum")] == sum(100 + i for i in range(8))
+        assert got[("books", "n_chars_mean")] == 1000.0
+        assert got[("web", "n_chars_min")] == 100.0
+        assert got[("web", "n_chars_max")] == 107.0
+        assert got[("web", "n_chars_p50")] == 103.5  # interpolated
+        # shares sum to 1 across the report
+        assert sum(v for (s, m), v in got.items() if m == "share") == 1.0
+
+    def test_multi_group_and_quantile_modes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "web", "en", 10), (2, "web", "fr", 20), (3, "web", "fr", 30)],
+            "doc_id bigint, source string, lang string, n_chars int",
+        )
+        rep = ff.corpus_report(df, ["source", "lang"], ["n_chars"])
+        rows = rep.collect()
+        assert {"source", "lang", "metric", "value"} <= set(rep.columns)
+        assert {( r["source"], r["lang"]) for r in rows} == {("web", "en"), ("web", "fr")}
+        none = ff.corpus_report(df, ["lang"], ["n_chars"], quantiles="none")
+        assert not [r for r in none.collect() if r["metric"].endswith("_p50")]
+        import pytest as _p
+
+        from feature_factory_spark.exceptions import InvalidParameterError
+        with _p.raises(InvalidParameterError):
+            ff.corpus_report(df, [], ["n_chars"])
+        with _p.raises(InvalidParameterError):
+            ff.corpus_report(df, ["lang"], ["n_chars"], quantiles="median")
