@@ -20,6 +20,7 @@ from .logging_config import configure_logging
 from .operators import *  # noqa: F401,F403
 from .operators import __all__ as _op_all
 from .pipeline import Pipeline, Transformer, make_pipeline
+from . import presets
 
 __version__ = "0.1.0"
 
@@ -32,5 +33,6 @@ __all__ = [
     "FitNotCalledError", "NotImplementedFeatureError", "UnsupportedFormatError",
     "Transformer", "Pipeline", "make_pipeline", "configure_logging",
     "as_ml_stage", "MLEstimatorAdapter", "MLTransformerAdapter",
+    "presets",
     *_op_all,
 ]

@@ -1,0 +1,137 @@
+"""Preset curation pipelines — the published cleaning stacks as
+one-call recipes.
+
+The reference ships individual transformers and a Pipeline combinator
+(src/pipeline.rs); real corpus work runs the same few stacks over and
+over. Each preset returns an UNFITTED :class:`~.pipeline.Pipeline`
+composing this package's gates with the literature's defaults — call
+``.fit(df)`` (which also transforms) exactly like a hand-built
+pipeline, or ``save_state``/``load_state`` it for scheduled runs.
+
+Presets only sequence existing operators; every step keeps its own
+scale shape (stateless narrow filters push toward the scan, dedup
+stays LSH-blocked), so the composed plan is the one you would have
+written by hand.
+"""
+
+from __future__ import annotations
+
+from .operators import (
+    BadWordsFilter,
+    C4Filter,
+    DomainBlocklistFilter,
+    EncodingFixer,
+    ExactDeduplicator,
+    GopherQualityFilter,
+    HtmlTextExtractor,
+    LineDeduplicator,
+    MainContentExtractor,
+    MinHashDeduplicator,
+    PIIRedactor,
+    UrlCanonicalizer,
+    UrlDeduplicator,
+)
+from .pipeline import Pipeline, make_pipeline
+
+
+def c4_pipeline(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    badwords: list[str] | None = None,
+    redact_pii: bool = False,
+) -> Pipeline:
+    """The C4 cleaning recipe (Raffel et al. 2020, §2.2): fix
+    encodings, apply the C4 line/sentence heuristics, optionally gate
+    on a blocklist and redact PII, deduplicate repeated lines across
+    documents, then drop exact-duplicate documents.
+
+    C4's own order is preserved: line rules before dedup, so a page
+    reduced to boilerplate by the rules dedups against its twins."""
+    steps: list[tuple] = [
+        ("encoding_fix", EncodingFixer([text_col])),
+        ("c4_rules", C4Filter(text_col, mode="filter")),
+    ]
+    if badwords:
+        steps.append(
+            ("badwords", BadWordsFilter(text_col, badwords, mode="filter"))
+        )
+    if redact_pii:
+        steps.append(("pii", PIIRedactor([text_col])))
+    steps += [
+        # C4 drops a line when it repeats anywhere else in the corpus
+        ("line_dedup", LineDeduplicator(id_col, text_col, min_docs=2)),
+        ("exact_dedup", ExactDeduplicator([text_col], id_col, normalize=True)),
+    ]
+    return make_pipeline(*steps)
+
+
+def gopher_pipeline(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.8,
+) -> Pipeline:
+    """The Gopher/MassiveText recipe (Rae et al. 2021, §A.1.1):
+    quality heuristics (word counts, word lengths, punctuation and
+    stopword gates) followed by exact then near (MinHash) document
+    deduplication at the paper's 0.8 Jaccard neighborhood."""
+    return make_pipeline(
+        ("encoding_fix", EncodingFixer([text_col])),
+        ("gopher_quality", GopherQualityFilter(text_col)),
+        ("exact_dedup", ExactDeduplicator([text_col], id_col, normalize=True)),
+        ("near_dedup",
+         MinHashDeduplicator(text_col, id_col, threshold=minhash_threshold)),
+    )
+
+
+def dedup_cascade(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.7,
+    line_level: bool = True,
+) -> Pipeline:
+    """The standard dedup ladder, cheapest tier first so each tier
+    shrinks the next one's input: exact content hash -> banded MinHash
+    near-dup -> (optionally) cross-document line dedup. Span-level
+    exact-substring removal (Lee et al. 2021) stays a separate
+    explicit step (:class:`~.operators.dedup.ExactSubstringDeduplicator`
+    ``remove_spans``) because it rewrites text rather than dropping
+    rows."""
+    steps: list[tuple] = [
+        ("exact_dedup", ExactDeduplicator([text_col], id_col, normalize=True)),
+        ("near_dedup",
+         MinHashDeduplicator(text_col, id_col, threshold=minhash_threshold)),
+    ]
+    if line_level:
+        steps.append(
+            ("line_dedup", LineDeduplicator(id_col, text_col, min_docs=2))
+        )
+    return make_pipeline(*steps)
+
+
+def web_extraction_pipeline(
+    html_col: str = "page",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: list[str] | None = None,
+) -> Pipeline:
+    """Crawl-to-text front end: canonicalize URLs, drop URL duplicates
+    (one page per canonical URL), optionally gate on a domain
+    blocklist, then extract main-content text (jusText-style block
+    density over the raw-HTML strip). Output keeps the original
+    columns plus ``{html_col}_html_text`` and
+    ``{html_col}_main_text`` — feed the latter into
+    :func:`c4_pipeline` / :func:`gopher_pipeline`."""
+    steps: list[tuple] = [
+        ("canonical_url", UrlCanonicalizer([url_col])),
+        ("url_dedup", UrlDeduplicator(url_col, id_col)),
+    ]
+    if blocked_domains:
+        steps.append(
+            ("domain_blocklist",
+             DomainBlocklistFilter(url_col, blocked_domains, mode="filter"))
+        )
+    steps += [
+        ("html_text", HtmlTextExtractor([html_col])),
+        ("main_content", MainContentExtractor([html_col])),
+    ]
+    return make_pipeline(*steps)
