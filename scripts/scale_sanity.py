@@ -824,6 +824,69 @@ def check_corpusshuffle(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_crossmodal(spark, copies: int) -> None:
+    """CrossModalDeduplicator: union of per-modality pair frames +
+    min-label connected components — wall must stay ~linear in |pairs|
+    (each CC iteration is one join + one aggregate; near-dup graphs
+    have tiny diameters, so iterations don't grow with the corpus)."""
+    base = 20_000
+
+    def run(n: int) -> float:
+        pages = spark.range(n).selectExpr("id AS page_id").persist()
+        pages.count()
+        # text chains (x, x+1) at x%4==0; image (x, x+1) at x%8==1;
+        # audio bridges (x, x+6) at x%16==2 — bounded 5-6 node clusters
+        # spanning all three signals (diameter <= 4 like a real near-dup
+        # graph; CC iterations must NOT grow with the corpus), |pairs|
+        # ~ 0.44n
+        def planted(offset, mod, rem):
+            a = pages.selectExpr("page_id AS a_id").where(
+                F.col("a_id") % mod == rem)
+            b = pages.selectExpr("page_id AS b_id")
+            return a.join(b, F.col("b_id") == F.col("a_id") + offset)
+
+        op = ff.CrossModalDeduplicator("page_id", {
+            "text": planted(1, 4, 0),
+            "image": planted(1, 8, 1),
+            "audio": planted(6, 16, 2),
+        })
+        t0 = time.perf_counter()
+        kept = op.transform(pages).count()
+        dt = time.perf_counter() - t0
+        pages.unpersist()
+        print(f"[crossmodal] {n} pages -> {kept} survivors, {dt:.1f}s")
+        return dt
+
+    t1 = run(base)
+    tN = run(base * copies)
+    print(
+        f"[crossmodal] time ratio {tN / t1:.1f}x for {copies}x pages+pairs"
+    )
+
+
+def check_corpusreport(spark, copies: int) -> None:
+    """corpus_report: ONE groupBy aggregate melted on the group-count-
+    sized result — wall must track the scan, the melt/share window must
+    never become data-sized."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+
+    t0 = time.perf_counter()
+    c1 = ff.corpus_report(one, ["source", "lang"], ["n_chars"]).count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cN = ff.corpus_report(big, ["source", "lang"], ["n_chars"]).count()
+    tN = time.perf_counter() - t0
+    print(f"[corpusreport] 1x:  {c1} report rows, {t1:.1f}s")
+    print(
+        f"[corpusreport] {copies}x: {cN} report rows, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
@@ -844,6 +907,8 @@ CHECKS = {
     "embincr": check_embincr,
     "corpusshuffle": check_corpusshuffle,
     "pagerank": check_pagerank,
+    "crossmodal": check_crossmodal,
+    "corpusreport": check_corpusreport,
 }
 
 
