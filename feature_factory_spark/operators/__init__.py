@@ -97,6 +97,7 @@ from .similarity import (
     IVFCosineTopK,
     KMeansClusterer,
     SemanticDeduplicator,
+    recall_at_k,
 )
 from .audiocodec import (
     AudioQualityFilter,
@@ -221,7 +222,7 @@ __all__ = [
     "ExactSubstringDeduplicator",
     "audit_index", "compact_index", "index_versions",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",
-    "SemanticDeduplicator",
+    "SemanticDeduplicator", "recall_at_k",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
     "ImageTextPairExtractor", "join_image_text_pairs",

@@ -875,3 +875,33 @@ class SemanticDeduplicator(Transformer):
         return _drop_by_policy(
             df, self.id_col, self.candidate_pairs(df), self.policy
         )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k audit for the ANN tiers: given the EXACT top-k frame
+    (:class:`CosineTopK` output) and an approximate one
+    (:class:`IVFCosineTopK` / :class:`BucketedCosineTopK`, same
+    (query_id, neighbor_id, ...) shape), return per-query
+    ``(query_id, n_exact, n_hit, recall)`` — the number a tuned index
+    trades against probe cost. One left join on
+    (query_id, neighbor_id) + one groupBy(query_id) — both frames are
+    k x |queries| sized, never corpus-sized, so the audit is free at
+    any corpus scale.
+
+    Macro recall = ``result.agg(avg('recall'))``. Ranking order is
+    deliberately ignored (set recall, the standard ANN metric)."""
+    for frame, name in ((exact, "exact"), (approx, "approx")):
+        validate_columns(frame, ["query_id", "neighbor_id"])
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn(
+        "__ff_hit", F.lit(1)
+    )
+    joined = e.join(a, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__ff_hit"), F.lit(0))).alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("__ff_hit"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("recall"),
+    )

@@ -163,3 +163,34 @@ def test_compact_appended_ann_index(spark, tmp_path):
 
     after = _rows(_ivf().search_index(spark, dest, queries))
     assert after == before
+
+
+# -- recall audit ---------------------------------------------------------
+
+
+def test_recall_at_k_audit(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 20), (2, 21)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+           for r in ff.recall_at_k(exact, approx).collect()}
+    assert got[1] == (3, 2, 2 / 3)
+    assert got[2] == (2, 2, 1.0)
+
+
+def test_recall_at_k_on_real_indexes(spark, tmp_path):
+    corpus = vecs(spark, 0, 150)
+    queries = vecs(spark, 0, 5)
+    exact = ff.CosineTopK("embedding", "vec_id", k=8).search(corpus, queries)
+    approx = _ivf().fit_index(corpus)
+    got = ff.recall_at_k(
+        exact, approx.search(corpus, queries)
+    ).agg(F.avg("recall")).collect()[0][0]
+    assert 0.0 < got <= 1.0
+    full = ff.recall_at_k(exact, exact).agg(F.min("recall")).collect()[0][0]
+    assert full == 1.0

@@ -287,3 +287,37 @@ def test_pdf_text_read_media_is_narrow_map(spark, tmp_path):
     (d / "x.pdf").write_bytes(make_pdf(1, page_texts=["t"]))
     plan = _phys(read_media(spark, str(d), media="pdf_text"))
     assert "Exchange" not in plan  # binaryFile scan -> one Arrow map
+
+
+def test_cross_modal_never_cartesian(spark):
+    # r10: the merged-pair-frame CC + survivor anti-join must stay
+    # keyed joins — never a cartesian/nested-loop over the page frame
+    pages = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "page_id bigint, q double"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 3)], "a_id bigint, b_id bigint"
+    )
+    op = ff.CrossModalDeduplicator("page_id", {"text": pairs})
+    plan = _phys(op.transform(pages))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    prio = ff.CrossModalDeduplicator(
+        "page_id", {"text": pairs}, policy="priority", priority_col="q"
+    )
+    plan2 = _phys(prio.transform(pages))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_corpus_report_single_scan_aggregate(spark):
+    # r10: one groupBy aggregate; the share window runs over the
+    # AGGREGATED frame (a second full-input scan would show up as two
+    # scan nodes over the same relation)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 10) for i in range(50)],
+        "doc_id bigint, source string, n_chars int",
+    )
+    plan = _phys(ff.corpus_report(df, ["source"], ["n_chars"]))
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "CartesianProduct" not in plan
