@@ -5752,6 +5752,25 @@ def q_expectations(spark, sf_dir):
 
 
 @_reg(
+    "stratified_sample",
+    # StratifiedSampler (r10, operators/sampling.py): exact-k per
+    # stratum by seeded-md5 rank — the twin recomputes the identical
+    # 60-bit hash fraction and row_number, doc_id tiebreak.
+    """SELECT doc_id, lang AS val FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ('0x' || substr(md5('ff' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT::DOUBLE / 1152921504606846976.0, doc_id
+  ) rn FROM documents
+) WHERE rn <= 20""",
+)
+def q_stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.StratifiedSampler("doc_id", "lang", k=20)
+    return op.transform(docs).select("doc_id", F.col("lang").alias("val"))
+
+
+@_reg(
     "corpus_report",
     # corpus_report (r10, operators/profiling.py): per-source data
     # card over documents, n_chars metrics, exact quantiles for the
@@ -6142,6 +6161,7 @@ _merge("sample_family", [
     ("weighted_sample", ["doc_id", "cast(NULL AS string) AS val"],
      "doc_id, CAST(NULL AS VARCHAR) AS val"),
     ("url_ops", ["doc_id", "val"], "doc_id, val"),
+    ("stratified_sample", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
     ("corpus_diff", ["doc_id", "val"], "doc_id, val"),

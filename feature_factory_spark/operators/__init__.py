@@ -179,6 +179,7 @@ from .sampling import (
     HashSplitter,
     SequencePacker,
     SourceMixer,
+    StratifiedSampler,
     WeightedSampler,
 )
 from .joins import AsOfJoiner, GroupedTopK, IntervalJoiner
@@ -253,7 +254,7 @@ __all__ = [
     "extract_pdf_text", "pdf_text_decoder", "pdf_text_schema",
     "CorpusShuffler", "DocumentChunker", "HashSampler", "HashSplitter",
     "SequencePacker",
-    "SourceMixer", "WeightedSampler",
+    "SourceMixer", "StratifiedSampler", "WeightedSampler",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems", "corpus_report",
 ]

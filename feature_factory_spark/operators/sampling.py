@@ -60,6 +60,57 @@ class HashSampler(Transformer):
         )
 
 
+class StratifiedSampler(Transformer):
+    """EXACT-k-per-stratum sampling: keep the ``k`` lowest-md5-rank rows
+    in every group — "exactly 10,000 documents per language", the
+    exact-count twin of :class:`WeightedSampler`'s rate sampling
+    (binomial counts) and the evaluation-set builder's default.
+
+    Ranking by a seeded md5 of the id keeps the draw uniform,
+    engine-portable and repartition-stable; groups smaller than ``k``
+    are kept whole. Unlike rate sampling, exact-k is NOT nested under
+    corpus growth — a new low-hash row displaces the current rank-k row
+    (inherent to exact counts; use HashSampler/WeightedSampler when
+    growth-stability matters more than the exact count).
+
+    Scale shape: the salted two-phase top-k (GroupedTopK skew_safe) —
+    a pre-pass takes k per (input-partition, group), so one pathological
+    stratum never funnels through a single reducer; two bounded
+    shuffles total."""
+
+    def __init__(
+        self,
+        id_col: str,
+        group_col: str,
+        k: int,
+        salt: str = "ff",
+        skew_safe: bool = True,
+    ):
+        ensure(k >= 1, "k must be >= 1")
+        self.id_col = id_col
+        self.group_col = group_col
+        self.k = k
+        self.salt = salt
+        self.skew_safe = skew_safe
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.id_col, self.group_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .joins import GroupedTopK
+
+        rank = hash_fraction_expr(F.col(self.id_col), self.salt)
+        picked = GroupedTopK(
+            [self.group_col],
+            "__ff_rank",
+            self.k,
+            ascending=True,
+            tiebreak_cols=[self.id_col],
+            skew_safe=self.skew_safe,
+        ).transform(df.withColumn("__ff_rank", rank))
+        return picked.drop("__ff_rank")
+
+
 class WeightedSampler(Transformer):
     """Deterministic per-group sampling rates — the data-MIXING
     primitive: up/down-weight sources when assembling a training corpus

@@ -345,3 +345,41 @@ class TestSourceMixer:
         b = sorted((r["doc_id"], r["mix_copy"])
                    for r in restored.transform(corpus).collect())
         assert a == b
+
+
+class TestStratifiedSampler:
+    def test_exact_k_per_group(self, spark):
+        rows = ([(i, "en") for i in range(100)]
+                + [(200 + i, "fr") for i in range(30)]
+                + [(400 + i, "de") for i in range(5)])
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+        out = ff.StratifiedSampler("doc_id", "lang", k=10).transform(df)
+        got = {r["lang"]: r["count"]
+               for r in out.groupBy("lang").count().collect()}
+        # exact counts; the 5-row group is kept whole
+        assert got == {"en": 10, "fr": 10, "de": 5}
+
+    def test_deterministic_and_repartition_stable(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(90)],
+            "doc_id bigint, lang string",
+        )
+        op = ff.StratifiedSampler("doc_id", "lang", k=7)
+        a = sorted(r["doc_id"] for r in op.transform(df).collect())
+        b = sorted(r["doc_id"]
+                   for r in op.transform(df.repartition(13)).collect())
+        c = sorted(r["doc_id"]
+                   for r in ff.StratifiedSampler("doc_id", "lang", k=7,
+                                                 skew_safe=False)
+                   .transform(df).collect())
+        assert a == b == c and len(a) == 21
+
+    def test_salt_changes_draw(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(100)], "doc_id bigint, lang string"
+        )
+        a = {r["doc_id"] for r in ff.StratifiedSampler(
+            "doc_id", "lang", k=10).transform(df).collect()}
+        b = {r["doc_id"] for r in ff.StratifiedSampler(
+            "doc_id", "lang", k=10, salt="other").transform(df).collect()}
+        assert a != b and len(a) == len(b) == 10
