@@ -185,3 +185,76 @@ def test_regex_metacharacters_escaped(spark):
     out = ff.BadWordsFilter("text", ["a.b"]).transform(df)
     got = {r["doc_id"]: r["text_badword_count"] for r in out.collect()}
     assert got == {1: 1, 2: 0}  # '.' is literal, not any-char
+
+
+def test_fit_more_matches_full_refit(spark):
+    # r10: moment-merge incremental fit == from-scratch fit on the
+    # union (up to FP reduction order), old corpus never re-scanned
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float((i * 13 + j * 5) % 11) - 5.0 for j in range(8)])
+             for i in range(lo, hi)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    a, b = batch(0, 200), batch(200, 300)
+    inc = ff.PCAProjection("embedding", dim=8, k=4,
+                           keep_moments=True).fit(a)
+    inc.fit_more(b)
+    full = ff.PCAProjection("embedding", dim=8, k=4).fit(a.unionByName(b))
+    assert np.allclose(inc.mean_, full.mean_)
+    assert np.allclose(inc.eigenvalues_, full.eigenvalues_)
+    assert np.allclose(inc.components_, full.components_)
+    pa = [r["embedding"] for r in inc.transform(b.limit(5)).collect()]
+    pb = [r["embedding"] for r in full.transform(b.limit(5)).collect()]
+    assert all(np.allclose(x, y) for x, y in zip(pa, pb))
+    # a second merge keeps extending the same moments
+    c = batch(300, 350)
+    inc.fit_more(c)
+    full2 = ff.PCAProjection("embedding", dim=8, k=4).fit(
+        a.unionByName(b).unionByName(c)
+    )
+    assert np.allclose(inc.components_, full2.components_)
+
+
+def test_fit_more_requires_keep_moments(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    op = ff.PCAProjection("embedding", dim=2, k=1).fit(df)
+    with pytest.raises(ff.InvalidParameterError, match="keep_moments"):
+        op.fit_more(df)
+    kept = ff.PCAProjection("embedding", dim=2, k=1,
+                            keep_moments=True).fit(df)
+    with pytest.raises(ff.InvalidParameterError, match="empty batch"):
+        kept.fit_more(df.where(F.col("vec_id") < 0))
+
+
+def test_fit_more_state_roundtrip(spark, tmp_path):
+    # the stored moments survive save_state/load_state, so a later
+    # scheduled run can extend a restored model
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5), float(j)] ) for i in range(lo, hi)
+             for j in [0]],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    a = spark.createDataFrame(
+        [(i, [float((i * 7) % 5), float(i % 3)]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, [float((i * 11) % 7), float(i % 4)]) for i in range(50, 80)],
+        "vec_id bigint, embedding array<double>",
+    )
+    op = ff.PCAProjection("embedding", dim=2, k=2, keep_moments=True).fit(a)
+    path = str(tmp_path / "pca_state")
+    op.save_state(path)
+    restored = ff.PCAProjection(
+        "embedding", dim=2, k=2, keep_moments=True
+    ).load_state(path, spark)
+    restored.fit_more(b)
+    full = ff.PCAProjection("embedding", dim=2, k=2).fit(a.unionByName(b))
+    assert np.allclose(restored.components_, full.components_)
