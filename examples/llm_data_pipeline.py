@@ -290,6 +290,38 @@ def main() -> None:
     recrawl = docs.where(F.col("doc_id") % 2 == 0)
     diff = corpus_diff(docs, recrawl, "doc_id", ["text"])
     diff.groupBy("status").count().orderBy("status").show()
+
+    # 9. (r10) cross-modal survivorship: the text near-dup pairs and
+    #    the image perceptual pairs describe the SAME pages — union
+    #    them and keep one survivor per transitive multi-signal cluster
+    #    instead of deduping each modality in isolation
+    text_pairs = near.candidate_pairs(kept).select("a_id", "b_id")
+    img_pairs = ff.ImageDeduplicator(
+        "doc_id", hash_col="img_dhash", hamming_threshold=2
+    ).candidate_pairs(hashed).select("a_id", "b_id")
+    xmodal = ff.CrossModalDeduplicator(
+        "doc_id", {"text": text_pairs, "image": img_pairs}
+    )
+    page_survivors = xmodal.transform(docs)
+    print(f"cross-modal survivors: {page_survivors.count()} / {docs.count()}")
+
+    # 10. (r10) one-call preset stacks + the shipping data card: the
+    #     hand-built chain above, as the packaged recipes
+    gq = ff.presets.gopher_pipeline("text", "doc_id").fit(docs)
+    print(f"gopher preset survivors: {gq.count()}")
+    card = ff.corpus_report(docs, ["source", "lang"], ["n_chars"])
+    card.orderBy("source", "lang", "metric").show(12, truncate=False)
+
+    # 11. (r10) tokenizer interchange both ways: export the fitted BPE
+    #     as HuggingFace tokenizer.json, then APPLY it from the file in
+    #     a fresh process/engine without refitting
+    tj = os.path.join(tok_dir, "tokenizer.json")
+    bpe.export_tokenizer_json(tj)
+    applied = ff.BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        tj, spark
+    )
+    re_ids = applied.encode_ids(cleaned.limit(50))
+    print(f"tokenizer.json round-trip encoded: {re_ids.count()} docs")
     spark.stop()
 
 
