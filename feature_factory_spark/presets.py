@@ -31,7 +31,7 @@ from .operators import (
     UrlCanonicalizer,
     UrlDeduplicator,
 )
-from .pipeline import Pipeline, make_pipeline
+from .pipeline import Pipeline, Transformer, make_pipeline
 
 
 def c4_pipeline(
@@ -105,6 +105,72 @@ def dedup_cascade(
         steps.append(
             ("line_dedup", LineDeduplicator(id_col, text_col, min_docs=2))
         )
+    return make_pipeline(*steps)
+
+
+class LanguageGate(Transformer):
+    """Keep rows a pre-fitted :class:`~.operators.text
+    .NgramLanguageIdentifier` labels ``keep_lang`` — the filter form of
+    the identifier for monolingual corpus builds. Stateless from the
+    Pipeline's view (the wrapped model is fitted at construction); the
+    intermediate ``{text_col}_lang`` column is dropped after the
+    gate."""
+
+    def __init__(self, ident, keep_lang: str):
+        self.ident = ident
+        self.keep_lang = keep_lang
+
+    def is_stateful(self) -> bool:
+        return False
+
+    def _transform(self, df):
+        from pyspark.sql import functions as F
+
+        out_col = f"{self.ident.text_col}_lang"
+        out = self.ident.transform(df)
+        return out.where(F.col(out_col) == self.keep_lang).drop(out_col)
+
+
+def fineweb_pipeline(
+    spark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_margin: float = 0.0,
+    minhash_threshold: float = 0.75,
+    include_c4: bool = False,
+    redact_pii: bool = True,
+) -> Pipeline:
+    """A FineWeb-style monolingual stack (Penedo et al. 2024 ordering):
+    language filter first (keep documents the bundled 30-language
+    n-gram model calls ``lang``; ``min_margin`` demotes unreliable
+    calls to 'und', which the gate drops), then the Gopher quality
+    heuristics, optionally the C4 line rules, MinHash near-dedup at
+    the paper's ~0.75 neighborhood, and PII redaction last (redacting
+    before dedup would perturb the shingles).
+
+    Needs ``spark`` to pre-fit the bundled language model
+    (``fit_default``), so the returned Pipeline fits directly on
+    UNLABELED corpora; reconstruct the preset (same deterministic
+    model) rather than relying on save_state for the gate."""
+    from .operators.text import NgramLanguageIdentifier
+
+    ident = NgramLanguageIdentifier(
+        text_col, id_col, min_margin=min_margin
+    ).fit_default(spark)
+    steps: list[tuple] = [
+        ("encoding_fix", EncodingFixer([text_col])),
+        ("lang_gate", LanguageGate(ident, lang)),
+        ("gopher_quality", GopherQualityFilter(text_col)),
+    ]
+    if include_c4:
+        steps.append(("c4_rules", C4Filter(text_col, mode="filter")))
+    steps.append(
+        ("near_dedup",
+         MinHashDeduplicator(text_col, id_col, threshold=minhash_threshold))
+    )
+    if redact_pii:
+        steps.append(("pii", PIIRedactor([text_col])))
     return make_pipeline(*steps)
 
 

@@ -96,3 +96,19 @@ def test_presets_save_load_state(spark, docs, tmp_path):
     out2 = fresh.transform(docs)
     assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in out1.select("doc_id").collect())
+
+
+def test_fineweb_pipeline_end_to_end(spark):
+    # english + french docs with quality-passing shape; the lang gate
+    # keeps only the english ones before quality/dedup/PII
+    en = ("the quick brown fox jumps over the lazy dog and then walks "
+          "through the quiet village while people watch from windows ") * 3
+    fr = ("le renard brun rapide saute par dessus le chien paresseux et "
+          "traverse ensuite le village tranquille sous le regard des gens ") * 3
+    rows = ([(i, en + f"unique tail {i}") for i in range(4)]
+            + [(100 + i, fr + f"queue unique {i}") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pipe = ff.presets.fineweb_pipeline(spark, "text", "doc_id", lang="en")
+    out = pipe.fit(df)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept and all(i < 100 for i in kept)
