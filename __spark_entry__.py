@@ -2946,6 +2946,80 @@ def q_html_strip(spark, sf_dir):
     removal, block-break folding, single-pass entity decoding — plus
     the tag/link/length boilerplate metrics, all SQL-recomputed
     end-to-end by the DuckDB twin (same RE2-compatible patterns)."""
+    return _q_html_strip_impl(spark, sf_dir)
+
+
+@_reg(
+    "meta_robots",
+    # MetaRobotsFilter (r10, operators/web.py): page-level crawl
+    # opt-outs over synthesized pages — doc_id%5 plants noindex /
+    # index / NONE (case+quote variants, attribute order reversed) /
+    # nofollow / no-tag shapes; val = robots-content ':' blocked. The
+    # twin recomputes the identical RE2-compatible extraction and the
+    # comma-token directive match.
+    r"""WITH h AS (SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+    WHEN 1 THEN '<meta content="index, follow" name=robots>'
+    WHEN 2 THEN '<META NAME=''robots'' CONTENT=''NONE''>'
+    WHEN 3 THEN '<meta name="robots" content="nofollow">'
+    ELSE '' END AS meta, text FROM documents),
+p AS (SELECT doc_id,
+  '<html><head>' || meta || '</head><body><p>' || text
+  || '</p></body></html>' AS page FROM h),
+r AS (SELECT doc_id,
+  regexp_extract(page,
+    '(?is)<meta\b[^>]*\bname\s*=\s*[''"]?robots[''"]?[^>]*>') AS tag
+ FROM p),
+c AS (SELECT doc_id,
+  CASE WHEN tag <> '' THEN lower(regexp_extract(tag,
+    '(?is)\bcontent\s*=\s*[''"]([^''"]*)[''"]', 1)) END AS robots
+ FROM r)
+SELECT doc_id,
+  coalesce(robots, '@') || ':' || CAST(
+    len(list_filter(
+      list_transform(string_split(coalesce(robots, ''), ','),
+                     x -> trim(x)),
+      x -> x IN ('noindex', 'none'))) > 0 AS VARCHAR) AS val
+FROM c""",
+)
+def q_meta_robots(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    meta = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit('<meta content="index, follow" name=robots>'))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("<META NAME='robots' CONTENT='NONE'>"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit('<meta name="robots" content="nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), meta, F.lit("</head><body><p>"),
+            F.col("text"), F.lit("</p></body></html>"),
+        ).alias("page"),
+    )
+    out = ff.MetaRobotsFilter("page").transform(pages)
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("page_robots"), F.lit("@")),
+            F.lit(":"),
+            F.col("page_robots_blocked").cast("string"),
+        ).alias("val"),
+    )
+
+
+def _q_html_strip_impl(spark, sf_dir):
+    """HtmlTextExtractor (operators/web.py): HTML -> text extraction
+    over deterministically synthesized pages — script/style/comment
+    removal, block-break folding, single-pass entity decoding — plus
+    the tag/link/length boilerplate metrics, all SQL-recomputed
+    end-to-end by the DuckDB twin (same RE2-compatible patterns)."""
     docs = _t(spark, sf_dir, "documents")
     page = F.concat(
         F.lit(_HTML_PRE),
@@ -6203,6 +6277,7 @@ _merge("quality_filter", [
 _merge("text_clean", [
     ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
+    ("meta_robots", ["doc_id", "val"], "doc_id, val"),
     ("main_content", ["doc_id", "val"], "doc_id, val"),
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
     ("c4_clean", ["doc_id", "val"], "doc_id, val"),

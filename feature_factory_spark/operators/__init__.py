@@ -53,6 +53,7 @@ from .unigram import UnigramVocabBuilder
 from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
     HtmlTextExtractor, MainContentExtractor, MarkdownTextExtractor,
+    MetaRobotsFilter,
     UrlCanonicalizer,
     UrlDeduplicator,
 )
@@ -226,6 +227,7 @@ __all__ = [
     "SemanticDeduplicator", "recall_at_k",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
+    "MetaRobotsFilter",
     "ImageTextPairExtractor", "join_image_text_pairs",
     "UrlCanonicalizer",
     "UrlDeduplicator",

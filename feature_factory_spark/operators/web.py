@@ -798,3 +798,72 @@ class MarkdownTextExtractor(Transformer):
                 )
             )
         return out
+
+
+# <meta name="robots" ...> with the name/content attributes in either
+# order; directive matching is on the content value, comma-separated,
+# case-insensitive, whitespace-tolerant (the Google/Bing documented
+# grammar). (?s) lets a tag span newlines.
+META_ROBOTS_RE = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*['\"]?robots['\"]?[^>]*>"
+)
+_CONTENT_ATTR_RE = r"(?is)\bcontent\s*=\s*['\"]([^'\"]*)['\"]"
+
+
+class MetaRobotsFilter(Transformer):
+    """Respect page-level crawl opt-outs: drop (or flag) pages whose
+    HTML carries a ``<meta name="robots">`` directive in ``blocked``
+    (default ``noindex`` / ``none`` — the two directives that mean "do
+    not use this page's content"). Training-corpus builds that honor
+    publisher opt-outs run this right after extraction, before any
+    content work is spent on excluded pages.
+
+    Appends ``{html_col}_robots`` (the raw lowercased content value of
+    the first robots meta tag, NULL when absent) and, in
+    ``mode='flag'``, ``{html_col}_robots_blocked``; ``mode='filter'``
+    drops blocked pages. Matching is token-grain on the comma-split
+    directive list (``noindex, follow`` blocks; ``nofollow`` alone
+    does not — link policy is not content policy).
+
+    Stateless pure-JVM regexp chain — one narrow projection, exactly
+    SQL-expressible like the rest of the web surface. X-Robots-Tag
+    HTTP headers live in the WARC envelope, not the HTML; filter those
+    at ingestion from ``read_warc``'s header columns."""
+
+    def __init__(
+        self,
+        html_col: str,
+        blocked: tuple[str, ...] = ("noindex", "none"),
+        mode: str = "flag",
+    ):
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        ensure(bool(blocked), "at least one blocked directive is required")
+        self.html_col = html_col
+        self.blocked = tuple(d.lower() for d in blocked)
+        self.mode = mode
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.html_col])
+
+    def robots_expr(self) -> Column:
+        """Lowercased content value of the first robots meta tag
+        (NULL when the page has none)."""
+        tag = F.regexp_extract(F.col(self.html_col), META_ROBOTS_RE, 0)
+        content = F.regexp_extract(tag, _CONTENT_ATTR_RE, 1)
+        return F.when(tag != "", F.lower(content))
+
+    def blocked_expr(self, robots: Column) -> Column:
+        toks = F.transform(
+            F.split(F.coalesce(robots, F.lit("")), ","), F.trim
+        )
+        return F.arrays_overlap(
+            toks, F.array(*[F.lit(d) for d in self.blocked])
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        rcol = f"{self.html_col}_robots"
+        out = df.withColumn(rcol, self.robots_expr())
+        blocked = self.blocked_expr(F.col(rcol))
+        if self.mode == "filter":
+            return out.where(~blocked)
+        return out.withColumn(f"{rcol}_blocked", blocked)

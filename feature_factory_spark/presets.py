@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from .operators import (
     BadWordsFilter,
+    MetaRobotsFilter,
     C4Filter,
     DomainBlocklistFilter,
     EncodingFixer,
@@ -179,6 +180,7 @@ def web_extraction_pipeline(
     url_col: str = "url",
     id_col: str = "doc_id",
     blocked_domains: list[str] | None = None,
+    respect_robots: bool = True,
 ) -> Pipeline:
     """Crawl-to-text front end: canonicalize URLs, drop URL duplicates
     (one page per canonical URL), optionally gate on a domain
@@ -195,6 +197,11 @@ def web_extraction_pipeline(
         steps.append(
             ("domain_blocklist",
              DomainBlocklistFilter(url_col, blocked_domains, mode="filter"))
+        )
+    if respect_robots:
+        # honor page-level opt-outs BEFORE spending extraction work
+        steps.append(
+            ("robots", MetaRobotsFilter(html_col, mode="filter"))
         )
     steps += [
         ("html_text", HtmlTextExtractor([html_col])),

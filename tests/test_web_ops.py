@@ -346,3 +346,51 @@ def test_markdown_extractor_rules(spark):
     plan = (ff.MarkdownTextExtractor(["text"]).transform(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestMetaRobotsFilter:
+    def pages(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, '<html><head><meta name="robots" '
+                    'content="noindex, follow"></head><body>x</body></html>'),
+                (2, "<html><head><META NAME='robots' CONTENT='NONE'>"
+                    "</head><body>x</body></html>"),
+                (3, '<html><head><meta content="nofollow" name=robots>'
+                    '</head><body>x</body></html>'),
+                (4, '<html><head><meta name="robots" content="index, '
+                    'follow"></head><body>x</body></html>'),
+                (5, "<html><body>no meta at all</body></html>"),
+                (6, None),
+            ],
+            "doc_id bigint, page string",
+        )
+
+    def test_flag_mode(self, spark):
+        out = ff.MetaRobotsFilter("page").transform(self.pages(spark))
+        got = {r["doc_id"]: (r["page_robots"], r["page_robots_blocked"])
+               for r in out.collect()}
+        assert got[1] == ("noindex, follow", True)
+        assert got[2] == ("none", True)
+        assert got[3] == ("nofollow", False)  # link policy != content
+        assert got[4] == ("index, follow", False)
+        assert got[5] == (None, False)
+        assert got[6] == (None, False)
+
+    def test_filter_mode_and_custom_directives(self, spark):
+        kept = ff.MetaRobotsFilter("page", mode="filter").transform(
+            self.pages(spark)
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5, 6]
+        strict = ff.MetaRobotsFilter(
+            "page", blocked=("noindex", "none", "nofollow"), mode="filter"
+        ).transform(self.pages(spark))
+        assert sorted(r["doc_id"] for r in strict.collect()) == [4, 5, 6]
+
+    def test_composes_in_pipeline(self, spark):
+        pipe = ff.make_pipeline(
+            ("robots", ff.MetaRobotsFilter("page", mode="filter")),
+            ("extract", ff.HtmlTextExtractor(["page"])),
+        )
+        out = pipe.fit(self.pages(spark).where(F.col("page").isNotNull()))
+        assert out.count() == 3
