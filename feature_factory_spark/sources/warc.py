@@ -45,6 +45,7 @@ WARC_FIELDS = [
     ("content_type", "string"),
     ("http_status", "int"),
     ("http_content_type", "string"),
+    ("http_x_robots", "string"),
     ("payload", "binary"),
     ("payload_length", "bigint"),
 ]
@@ -90,22 +91,33 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, body) of an HTTP-response payload; a
-    non-HTTP payload comes back unsplit with NULL status/type."""
+def split_http_payload(
+    payload: bytes,
+) -> tuple[int | None, str | None, str | None, bytes]:
+    """(status, content-type, x-robots-tag, body) of an HTTP-response
+    payload; a non-HTTP payload comes back unsplit with NULL metadata.
+    The X-Robots-Tag header is the HTTP-level twin of the
+    ``<meta name=robots>`` page directive (operators.web
+    .MetaRobotsFilter) — surfacing it at ingestion lets a curation
+    pass honor header-level opt-outs before any payload work."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, None, None, payload
     head, sep, body = payload.partition(_CRLF2)
     if not sep:
-        return None, None, payload
+        return None, None, None, payload
     first, _, rest = head.partition(b"\r\n")
     parts = first.split(None, 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
-        return None, None, payload
-    ctype = _parse_headers(rest).get("content-type")
-    return status, ctype, body
+        return None, None, None, payload
+    headers = _parse_headers(rest)
+    return (
+        status,
+        headers.get("content-type"),
+        headers.get("x-robots-tag"),
+        body,
+    )
 
 
 _MALFORMED = object()
@@ -167,9 +179,9 @@ def parse_warc(data: bytes, parse_http: bool = True) -> Iterator[dict]:
         del buf[:consumed]
         headers, payload = rec
         warc_type = headers.get("warc-type")
-        status, http_ctype, body = (None, None, payload)
+        status, http_ctype, x_robots, body = (None, None, None, payload)
         if parse_http and warc_type == "response":
-            status, http_ctype, body = split_http_payload(payload)
+            status, http_ctype, x_robots, body = split_http_payload(payload)
         yield {
             "record_id": headers.get("warc-record-id"),
             "warc_type": warc_type,
@@ -178,6 +190,7 @@ def parse_warc(data: bytes, parse_http: bool = True) -> Iterator[dict]:
             "content_type": headers.get("content-type"),
             "http_status": status,
             "http_content_type": http_ctype,
+            "http_x_robots": x_robots,
             "payload": body,
             "payload_length": len(body),
         }
@@ -225,11 +238,13 @@ def make_http_response(
     body: bytes,
     status: int = 200,
     content_type: str = "text/html",
+    x_robots: str | None = None,
 ) -> bytes:
     """An HTTP response payload for `make_warc` response records."""
+    extra = f"X-Robots-Tag: {x_robots}\r\n" if x_robots else ""
     return (
         f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n".encode("latin-1")
+        f"{extra}Content-Length: {len(body)}\r\n\r\n".encode("latin-1")
         + body
     )
 

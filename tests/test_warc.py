@@ -275,3 +275,40 @@ def test_edges_from_wat_feed_pagerank(spark, tmp_path):
          for x in pagerank(edges, "src_host", "dst_host",
                            iterations=25).collect()}
     assert abs(r["a.org"] - 0.3877) < 2e-3
+
+
+def test_x_robots_tag_surfaced(spark, tmp_path):
+    from feature_factory_spark.sources.warc import (
+        make_http_response, make_warc, parse_warc,
+    )
+
+    data = make_warc([
+        {"payload": make_http_response(b"<html>a</html>",
+                                       x_robots="noindex, nofollow")},
+        {"payload": make_http_response(b"<html>b</html>")},
+    ])
+    recs = [r for r in parse_warc(data) if r["warc_type"] == "response"]
+    assert recs[0]["http_x_robots"] == "noindex, nofollow"
+    assert recs[1]["http_x_robots"] is None
+
+    # the distributed read carries the column too, filterable at scan
+    import gzip as _gz
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(_gz.compress(data))
+    from feature_factory_spark.sources import read_warc
+
+    df = read_warc(spark, str(tmp_path))
+    assert "http_x_robots" in df.columns
+    kept = df.where(
+        (F.col("warc_type") == "response")
+        & ~F.coalesce(
+            F.arrays_overlap(
+                F.transform(
+                    F.split(F.lower(F.col("http_x_robots")), ","), F.trim
+                ),
+                F.array(F.lit("noindex"), F.lit("none")),
+            ),
+            F.lit(False),
+        )
+    )
+    assert kept.count() == 1
