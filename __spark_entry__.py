@@ -2950,6 +2950,48 @@ def q_html_strip(spark, sf_dir):
 
 
 @_reg(
+    "self_line_dedup",
+    # WithinDocDeduplicator (r10, operators/dedup.py): repeated-line
+    # removal INSIDE each doc (keep-first), planted by repeating the
+    # doc's own text around a unique tail line. The twin replays the
+    # identical keep-first lambda with DuckDB list functions.
+    r"""WITH d AS (SELECT doc_id,
+  concat_ws(chr(10), text, text,
+            'tail ' || CAST(doc_id AS VARCHAR), text) AS t
+ FROM documents),
+k AS (SELECT doc_id, t,
+  list_filter(string_split(t, chr(10)), (x, i) ->
+    len(trim(x)) < 1
+    OR list_position(string_split(t, chr(10))[1:i-1], x) = 0) AS kept
+ FROM d)
+SELECT doc_id, array_to_string(kept, chr(10)) || '|' ||
+  CAST(len(string_split(t, chr(10))) - len(kept) AS VARCHAR) AS val
+FROM k""",
+)
+def q_self_line_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rep = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            "text",
+            "text",
+            F.concat(F.lit("tail "), F.col("doc_id").cast("string")),
+            "text",
+        ).alias("text"),
+    )
+    out = ff.WithinDocDeduplicator("text").transform(rep)
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("|"),
+            F.col("text_removed_segments").cast("string"),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "meta_robots",
     # MetaRobotsFilter (r10, operators/web.py): page-level crawl
     # opt-outs over synthesized pages — doc_id%5 plants noindex /
@@ -6278,6 +6320,7 @@ _merge("text_clean", [
     ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
     ("meta_robots", ["doc_id", "val"], "doc_id, val"),
+    ("self_line_dedup", ["doc_id", "val"], "doc_id, val"),
     ("main_content", ["doc_id", "val"], "doc_id, val"),
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),
     ("c4_clean", ["doc_id", "val"], "doc_id, val"),

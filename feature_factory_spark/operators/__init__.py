@@ -84,6 +84,7 @@ from .dedup import (
     EmbeddingDeduplicator,
     ExactSubstringDeduplicator,
     LineDeduplicator,
+    WithinDocDeduplicator,
     ExactDeduplicator,
     MinHashDeduplicator,
     NGramJaccardDeduplicator,
@@ -221,6 +222,7 @@ __all__ = [
     "VocabBuilder", "BpeVocabBuilder", "UnigramVocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",
     "NGramJaccardDeduplicator", "EmbeddingDeduplicator", "LineDeduplicator",
+    "WithinDocDeduplicator",
     "ExactSubstringDeduplicator",
     "audit_index", "compact_index", "index_versions",
     "CosineTopK", "BucketedCosineTopK", "IVFCosineTopK", "KMeansClusterer",

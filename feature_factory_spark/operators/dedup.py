@@ -1381,6 +1381,71 @@ class EmbeddingDeduplicator(Transformer):
         return _drop_by_policy(df, self.id_col, self.candidate_pairs(df), self.policy)
 
 
+class WithinDocDeduplicator(Transformer):
+    """WITHIN-document repeated-line removal (the Dolma/Gopher
+    "duplicated paragraphs inside one page" pass): each document's
+    repeated segments are cut, keeping the FIRST occurrence, without
+    looking at any other document — templated pages repeat their own
+    nav blocks and list stubs long before they repeat another page's.
+    The cross-corpus complement is :class:`LineDeduplicator`.
+
+    Segments shorter than ``min_chars`` after trimming (blank
+    separators, list bullets) are kept unconditionally — structure is
+    not repetition. Output: ``text_col`` rewritten in place plus
+    ``{text_col}_removed_segments``.
+
+    Scale shape: a PURE narrow projection — split once in a
+    pre-projection (so the higher-order filter references a column,
+    not a re-inlined split), then one ``filter`` lambda whose
+    prior-occurrence check is ``array_position(slice(...))``. Per-doc
+    cost is O(L^2) in the document's OWN line count (bounded by the
+    longest document, corpus-size-free); no shuffle, no UDF, no state
+    — composes before the corpus-level passes and pushes down like any
+    projection."""
+
+    def __init__(
+        self,
+        text_col: str,
+        sep: str = "\n",
+        min_chars: int = 1,
+    ):
+        ensure(len(sep) > 0, "sep must be non-empty")
+        ensure(min_chars >= 0, "min_chars must be >= 0")
+        self.text_col = text_col
+        self.sep = sep
+        self.min_chars = min_chars
+
+    def is_stateful(self) -> bool:
+        return False
+
+    def _check_input(self, df: DataFrame) -> None:
+        from ..validation import validate_string_columns
+
+        validate_string_columns(df, [self.text_col])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        c = self.text_col
+        lines = F.split(F.col(c), F.lit(self.sep), -1)
+        pre = df.withColumn("__ff_wd_lines", lines)
+        arr = F.col("__ff_wd_lines")
+        kept = F.filter(
+            arr,
+            lambda x, i: (F.length(F.trim(x)) < F.lit(self.min_chars))
+            | (F.array_position(F.slice(arr, 1, i), x) == 0),
+        )
+        out_removed = F.size(arr) - F.size(kept)
+        return pre.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.array_join(kept, self.sep),
+            ),
+        ).withColumn(
+            f"{c}_removed_segments",
+            F.when(F.col(c).isNotNull(), out_removed),
+        ).drop("__ff_wd_lines")
+
+
 class LineDeduplicator(Transformer):
     """Cross-corpus segment-level deduplication (the CCNet / Gopher
     "remove duplicated lines and paragraphs" pass): a text column is
