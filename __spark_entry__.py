@@ -2986,7 +2986,7 @@ def q_self_line_dedup(spark, sf_dir):
         F.concat(
             F.col("text"),
             F.lit("|"),
-            F.col("text_removed_segments").cast("string"),
+            F.col("text_self_removed").cast("string"),
         ).alias("val"),
     )
 

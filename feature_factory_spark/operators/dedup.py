@@ -1392,7 +1392,9 @@ class WithinDocDeduplicator(Transformer):
     Segments shorter than ``min_chars`` after trimming (blank
     separators, list bullets) are kept unconditionally — structure is
     not repetition. Output: ``text_col`` rewritten in place plus
-    ``{text_col}_removed_segments``.
+    ``{text_col}_self_removed`` (its own name, so it composes with
+    :class:`LineDeduplicator`'s ``_removed_segments`` counter in one
+    pipeline without clobbering).
 
     Scale shape: a PURE narrow projection — split once in a
     pre-projection (so the higher-order filter references a column,
@@ -1441,7 +1443,7 @@ class WithinDocDeduplicator(Transformer):
                 F.array_join(kept, self.sep),
             ),
         ).withColumn(
-            f"{c}_removed_segments",
+            f"{c}_self_removed",
             F.when(F.col(c).isNotNull(), out_removed),
         ).drop("__ff_wd_lines")
 

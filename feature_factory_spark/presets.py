@@ -19,6 +19,7 @@ from __future__ import annotations
 from .operators import (
     BadWordsFilter,
     MetaRobotsFilter,
+    WithinDocDeduplicator,
     C4Filter,
     DomainBlocklistFilter,
     EncodingFixer,
@@ -59,7 +60,9 @@ def c4_pipeline(
     if redact_pii:
         steps.append(("pii", PIIRedactor([text_col])))
     steps += [
-        # C4 drops a line when it repeats anywhere else in the corpus
+        # repeated lines INSIDE a page first (cheap narrow projection),
+        # then C4's cross-corpus rule: a line repeated anywhere else
+        ("self_dedup", WithinDocDeduplicator(text_col)),
         ("line_dedup", LineDeduplicator(id_col, text_col, min_docs=2)),
         ("exact_dedup", ExactDeduplicator([text_col], id_col, normalize=True)),
     ]

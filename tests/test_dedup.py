@@ -10,7 +10,7 @@ class TestWithinDocDeduplicator:
             [(1, "a\nb\na\n\nb\nc d e"), (2, "x\ny"), (3, None)],
             "doc_id bigint, text string",
         )
-        out = {r["doc_id"]: (r["text"], r["text_removed_segments"])
+        out = {r["doc_id"]: (r["text"], r["text_self_removed"])
                for r in ff.WithinDocDeduplicator("text")
                .transform(df).collect()}
         # dup 'a' and dup 'b' cut, first kept, blank line kept
@@ -27,7 +27,7 @@ class TestWithinDocDeduplicator:
         r = out.collect()[0]
         # the short '- x' bullets survive; the long line dedups
         assert r["text"] == "- x\n- x\nlong enough line"
-        assert r["text_removed_segments"] == 1
+        assert r["text_self_removed"] == 1
 
     def test_cross_doc_lines_untouched(self, spark):
         # the SAME line in two docs survives in both — within-doc only
