@@ -54,6 +54,7 @@ from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
     HtmlTextExtractor, MainContentExtractor, MarkdownTextExtractor,
     MetaRobotsFilter,
+    RobotsTxtFilter,
     UrlCanonicalizer,
     UrlDeduplicator,
 )
@@ -229,7 +230,7 @@ __all__ = [
     "SemanticDeduplicator", "recall_at_k",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
-    "MetaRobotsFilter",
+    "MetaRobotsFilter", "RobotsTxtFilter",
     "ImageTextPairExtractor", "join_image_text_pairs",
     "UrlCanonicalizer",
     "UrlDeduplicator",

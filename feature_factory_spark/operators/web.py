@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import InvalidParameterError
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_string_columns
 from .joins import GroupedTopK
@@ -867,3 +868,223 @@ class MetaRobotsFilter(Transformer):
         if self.mode == "filter":
             return out.where(~blocked)
         return out.withColumn(f"{rcol}_blocked", blocked)
+
+
+def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
+    """Parse a robots.txt body into the rule list applying to
+    ``agent``: ``array<struct<allow boolean, prefix string>>`` under
+    the RFC 9309 grammar subset — ``User-agent`` groups (consecutive
+    UA lines share one group; a group applies when any of its agents
+    is ``*`` or equals ``agent`` case-insensitively), ``Disallow`` /
+    ``Allow`` rules from applying groups, ``#`` comments stripped,
+    unknown fields (Sitemap, Crawl-delay) ignored without ending the
+    group. An empty Disallow value means "no restriction" and is
+    skipped. Percent-decoding is not applied (documented).
+
+    One ``aggregate`` fold over the split lines — pure JVM, no UDF;
+    robots bodies are KB-sized so the per-row fold is trivial."""
+    lines = F.split(F.coalesce(txt, F.lit("")), "\r?\n")
+    # strip comments + whitespace once, lowercase a copy for field tests
+    cleaned = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, "#.*$", ""))
+    )
+    agent_lc = agent.lower()
+    zero = F.struct(
+        F.lit(False).alias("applies"),
+        F.lit(False).alias("last_ua"),
+        F.array().cast(
+            "array<struct<allow boolean, prefix string>>"
+        ).alias("rules"),
+    )
+
+    def step(acc, ln):
+        low = F.lower(ln)
+        # value = everything after the FIRST colon (paths may contain
+        # ':'); regexp_extract returns '' when there is no colon
+        val = F.trim(F.regexp_extract(ln, "^[^:]*:(.*)$", 1))
+        is_ua = low.startswith("user-agent:")
+        ua_val = F.lower(val)
+        ua_match = (ua_val == F.lit("*")) | (ua_val == F.lit(agent_lc))
+        # consecutive UA lines OR into the group; a UA after rules
+        # starts a fresh group
+        applies_ua = F.when(
+            acc["last_ua"], acc["applies"] | ua_match
+        ).otherwise(ua_match)
+        is_dis = low.startswith("disallow:")
+        is_allow = low.startswith("allow:")
+        add = (
+            acc["applies"]
+            & (is_dis | is_allow)
+            & (F.length(val) > 0)
+        )
+        rules = F.when(
+            add,
+            F.concat(
+                acc["rules"],
+                F.array(
+                    F.struct(
+                        is_allow.alias("allow"), val.alias("prefix")
+                    )
+                ),
+            ),
+        ).otherwise(acc["rules"])
+        return F.struct(
+            F.when(is_ua, applies_ua)
+            .otherwise(acc["applies"])
+            .alias("applies"),
+            is_ua.alias("last_ua"),
+            rules.alias("rules"),
+        )
+
+    return F.aggregate(cleaned, zero, step)["rules"]
+
+
+def robots_blocked_expr(path: Column, rules: Column) -> Column:
+    """RFC 9309 decision for a URL path against ``robots_rules_expr``
+    output: the LONGEST matching rule wins; ties prefer Allow; no
+    matching rule (or no rules at all) allows. ``*`` matches any run,
+    a trailing ``$`` anchors the end (the de-facto wildcard grammar);
+    regex metacharacters in prefixes are neutralized before the
+    pattern is built. Pure JVM fold — no UDF."""
+    p = F.coalesce(path, F.lit("/"))
+
+    def pattern(prefix: Column) -> Column:
+        esc = F.regexp_replace(
+            prefix, r"([\\.\[\]\{\}\(\)\+\?\^\$\|])", r"\\$1"
+        )
+        starred = F.regexp_replace(esc, r"\*", ".*")
+        # a literal '$' was escaped above; a TRAILING one was meant as
+        # the end anchor — restore it
+        return F.concat(
+            F.lit("^"),
+            # Java replacement strings treat $ as a group ref — escape
+            F.regexp_replace(starred, r"\\\$$", "\\$"),
+        )
+
+    zero = F.struct(
+        F.lit(-1).alias("best_len"), F.lit(False).alias("blocked")
+    )
+
+    def step(acc, r):
+        hit = F.regexp_like(p, pattern(r["prefix"]))
+        plen = F.length(r["prefix"])
+        better = hit & (
+            (plen > acc["best_len"])
+            # tie prefers Allow (RFC 9309 §2.3.2)
+            | ((plen == acc["best_len"]) & r["allow"] & acc["blocked"])
+        )
+        return F.struct(
+            F.when(better, plen).otherwise(acc["best_len"]).alias(
+                "best_len"
+            ),
+            F.when(better, ~r["allow"])
+            .otherwise(acc["blocked"])
+            .alias("blocked"),
+        )
+
+    return F.aggregate(
+        F.coalesce(
+            rules,
+            F.array().cast("array<struct<allow boolean, prefix string>>"),
+        ),
+        zero,
+        step,
+    )["blocked"]
+
+
+class RobotsTxtFilter(Transformer):
+    """Site-level crawl opt-outs: drop (or flag) URLs a domain's
+    robots.txt disallows for ``agent`` — the third leg of the opt-out
+    triad (page-level :class:`MetaRobotsFilter`, header-level
+    ``http_x_robots`` from ``read_warc``).
+
+    ``robots_df`` holds one row per domain: ``(domain_col,
+    robots_col)`` with the raw robots.txt body (crawls fetch these
+    once per host). fit() parses every body ONCE into the rule-list
+    frame (:func:`robots_rules_expr`) and holds it as DataFrame state;
+    transform extracts each URL's host and path, joins the rule frame
+    on the domain key (domain-count-sized — AQE broadcasts it), and
+    applies the RFC 9309 longest-match decision
+    (:func:`robots_blocked_expr`). URLs from domains with no
+    robots.txt row are allowed.
+
+    Appends ``{url_col}_robots_blocked``; ``mode='filter'`` drops
+    blocked rows."""
+
+    def __init__(
+        self,
+        url_col: str,
+        domain_col: str = "domain",
+        robots_col: str = "robots_txt",
+        agent: str = "*",
+        mode: str = "flag",
+    ):
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        self.url_col = url_col
+        self.domain_col = domain_col
+        self.robots_col = robots_col
+        self.agent = agent
+        self.mode = mode
+        self.rules_df_: DataFrame | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.url_col])
+
+    def fit_robots(self, robots_df: DataFrame) -> "RobotsTxtFilter":
+        """Parse the (domain, robots.txt) frame into held rule state."""
+        from pyspark import StorageLevel
+
+        validate_columns(robots_df, [self.domain_col, self.robots_col])
+        if self.rules_df_ is not None:
+            self.rules_df_.unpersist()
+        self.rules_df_ = (
+            robots_df.select(
+                F.lower(F.col(self.domain_col)).alias("__ff_rb_domain"),
+                robots_rules_expr(
+                    F.col(self.robots_col), self.agent
+                ).alias("__ff_rb_rules"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._own_frame("rules_df_")
+        self._fitted = True
+        return self
+
+    def _frame_state_attrs(self) -> list[str]:
+        return ["rules_df_"]
+
+    def _fit(self, df: DataFrame) -> None:
+        raise InvalidParameterError(
+            "RobotsTxtFilter is fitted from the (domain, robots.txt) "
+            "frame, not the URL frame: call fit_robots(robots_df)"
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .text import _require_frame_state
+
+        rules = _require_frame_state(
+            self.rules_df_, "RobotsTxtFilter", "rules_df_"
+        )
+        host = F.lower(F.try_parse_url(F.col(self.url_col), F.lit("HOST")))
+        path = F.coalesce(
+            F.try_parse_url(F.col(self.url_col), F.lit("PATH")),
+            F.lit("/"),
+        )
+        joined = df.withColumn("__ff_rb_host", host).join(
+            rules, on=F.col("__ff_rb_host") == F.col("__ff_rb_domain"),
+            how="left",
+        )
+        blocked = F.coalesce(
+            robots_blocked_expr(path, F.col("__ff_rb_rules")),
+            F.lit(False),
+        )
+        out_col = f"{self.url_col}_robots_blocked"
+        out = joined.withColumn(out_col, blocked).drop(
+            "__ff_rb_host", "__ff_rb_domain", "__ff_rb_rules"
+        )
+        if self.mode == "filter":
+            return out.where(~F.col(out_col)).drop(out_col)
+        return out

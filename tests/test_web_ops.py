@@ -394,3 +394,70 @@ class TestMetaRobotsFilter:
         )
         out = pipe.fit(self.pages(spark).where(F.col("page").isNotNull()))
         assert out.count() == 3
+
+
+class TestRobotsTxtFilter:
+    @pytest.fixture(scope="class")
+    def robots(self, spark):
+        return spark.createDataFrame([
+            ("a.com", "User-agent: *\nDisallow: /private/\n"
+                      "Allow: /private/ok\n\nUser-agent: evilbot\n"
+                      "Disallow: /\n# comment\nSitemap: ignored"),
+            ("b.com", "User-agent: gptbot\nUser-agent: *\n"
+                      "Disallow: /*.pdf$\n"),
+            ("c.com", "User-agent: otherbot\nDisallow: /\n"),
+            ("d.com", "User-agent: *\nDisallow:\n"),  # empty = allow all
+        ], "domain string, robots_txt string")
+
+    @pytest.fixture(scope="class")
+    def urls(self, spark):
+        return spark.createDataFrame([
+            (1, "http://a.com/private/x"),
+            (2, "http://a.com/private/ok/y"),
+            (3, "http://a.com/public"),
+            (4, "http://b.com/doc.pdf"),
+            (5, "http://b.com/doc.pdfx"),
+            (6, "http://c.com/anything"),
+            (7, "http://nowhere.com/x"),
+            (8, "http://d.com/x"),
+        ], "doc_id bigint, url string")
+
+    def test_rfc9309_decisions(self, spark, robots, urls):
+        from feature_factory_spark.operators.web import RobotsTxtFilter
+
+        op = RobotsTxtFilter("url").fit_robots(robots)
+        got = {r["doc_id"]: r["url_robots_blocked"]
+               for r in op.transform(urls).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: True,
+                       5: False, 6: False, 7: False, 8: False}
+
+    def test_specific_agent_group(self, spark, robots, urls):
+        from feature_factory_spark.operators.web import RobotsTxtFilter
+
+        op = RobotsTxtFilter("url", agent="evilbot").fit_robots(robots)
+        got = {r["doc_id"]: r["url_robots_blocked"]
+               for r in op.transform(urls).collect()}
+        # evilbot's group Disallow: / blocks everything on a.com; the
+        # '*' groups still apply to it too (union of applying groups)
+        assert got[1] and got[3]
+        assert got[4] and not got[5]
+
+    def test_filter_mode_and_fit_guard(self, spark, robots, urls):
+        from feature_factory_spark.operators.web import RobotsTxtFilter
+
+        op = RobotsTxtFilter("url", mode="filter").fit_robots(robots)
+        kept = sorted(r["doc_id"] for r in op.transform(urls).collect())
+        assert kept == [2, 3, 5, 6, 7, 8]
+        with pytest.raises(ff.InvalidParameterError, match="fit_robots"):
+            RobotsTxtFilter("url").fit(urls)
+
+    def test_state_roundtrip(self, spark, robots, urls, tmp_path):
+        from feature_factory_spark.operators.web import RobotsTxtFilter
+
+        op = RobotsTxtFilter("url").fit_robots(robots)
+        path = str(tmp_path / "robots_state")
+        op.save_state(path)
+        restored = RobotsTxtFilter("url").load_state(path, spark)
+        a = sorted(map(tuple, op.transform(urls).collect()))
+        b = sorted(map(tuple, restored.transform(urls).collect()))
+        assert a == b
