@@ -312,6 +312,29 @@ def main() -> None:
     card = ff.corpus_report(docs, ["source", "lang"], ["n_chars"])
     card.orderBy("source", "lang", "metric").show(12, truncate=False)
 
+    # 10b. (r10) the crawl opt-out triad: robots.txt rules per domain,
+    #      the X-Robots-Tag header (a read_warc column), and the
+    #      page-level meta directive — honored BEFORE content work
+    robots = spark.createDataFrame(
+        [("example.org", "User-agent: *\nDisallow: /private/")],
+        "domain string, robots_txt string",
+    )
+    from feature_factory_spark.operators.web import RobotsTxtFilter
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://example.org/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("private/"))
+            .otherwise(F.lit("page/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    allowed = RobotsTxtFilter("url", mode="filter").fit_robots(
+        robots
+    ).transform(urls)
+    print(f"robots.txt allowed: {allowed.count()} / {urls.count()}")
+
     # 11. (r10) tokenizer interchange both ways: export the fitted BPE
     #     as HuggingFace tokenizer.json, then APPLY it from the file in
     #     a fresh process/engine without refitting
