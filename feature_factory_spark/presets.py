@@ -19,6 +19,7 @@ from __future__ import annotations
 from .operators import (
     BadWordsFilter,
     MetaRobotsFilter,
+    RobotsTxtFilter,
     WithinDocDeduplicator,
     C4Filter,
     DomainBlocklistFilter,
@@ -184,6 +185,7 @@ def web_extraction_pipeline(
     id_col: str = "doc_id",
     blocked_domains: list[str] | None = None,
     respect_robots: bool = True,
+    robots_df=None,
 ) -> Pipeline:
     """Crawl-to-text front end: canonicalize URLs, drop URL duplicates
     (one page per canonical URL), optionally gate on a domain
@@ -201,10 +203,17 @@ def web_extraction_pipeline(
             ("domain_blocklist",
              DomainBlocklistFilter(url_col, blocked_domains, mode="filter"))
         )
+    if robots_df is not None:
+        # site-level opt-outs first: robots.txt rules per domain,
+        # parsed once at preset construction into held frame state
+        steps.append(
+            ("robots_txt",
+             RobotsTxtFilter(url_col, mode="filter").fit_robots(robots_df))
+        )
     if respect_robots:
         # honor page-level opt-outs BEFORE spending extraction work
         steps.append(
-            ("robots", MetaRobotsFilter(html_col, mode="filter"))
+            ("robots_meta", MetaRobotsFilter(html_col, mode="filter"))
         )
     steps += [
         ("html_text", HtmlTextExtractor([html_col])),

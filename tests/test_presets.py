@@ -112,3 +112,23 @@ def test_fineweb_pipeline_end_to_end(spark):
     out = pipe.fit(df)
     kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert kept and all(i < 100 for i in kept)
+
+
+def test_web_extraction_with_robots_df(spark):
+    robots = spark.createDataFrame(
+        [("a.example.com", "User-agent: *\nDisallow: /private/")],
+        "domain string, robots_txt string",
+    )
+    body = ("<html><body><p>real content "
+            + "in the body of the page with more of the words " * 5
+            + "</p></body></html>")
+    pages = spark.createDataFrame(
+        [(1, "http://a.example.com/ok/1", body),
+         (2, "http://a.example.com/private/2", body)],
+        "doc_id bigint, url string, page string",
+    )
+    pipe = ff.presets.web_extraction_pipeline(
+        "page", "url", "doc_id", robots_df=robots
+    )
+    out = pipe.fit(pages)
+    assert [r["doc_id"] for r in out.collect()] == [1]
