@@ -1057,10 +1057,14 @@ class RobotsTxtFilter(Transformer):
         return ["rules_df_"]
 
     def _fit(self, df: DataFrame) -> None:
-        raise InvalidParameterError(
-            "RobotsTxtFilter is fitted from the (domain, robots.txt) "
-            "frame, not the URL frame: call fit_robots(robots_df)"
-        )
+        # Pipeline.fit calls fit(step_input) on every step; an instance
+        # already fitted from its robots frame treats that as a no-op
+        # (the URL frame is NOT the fit input here)
+        if self.rules_df_ is None:
+            raise InvalidParameterError(
+                "RobotsTxtFilter is fitted from the (domain, robots.txt) "
+                "frame, not the URL frame: call fit_robots(robots_df)"
+            )
 
     def _transform(self, df: DataFrame) -> DataFrame:
         from .text import _require_frame_state
