@@ -157,6 +157,19 @@ def main() -> None:
     print("image-text pairs:", len(got), "e.g.",
           (got[0]["pair_text"], got[0]["img_url"]) if got else None)
 
+    # 3b. (r10) cross-modal survivorship: the per-modality pair frames
+    #     describe the SAME pages — union them and keep one survivor
+    #     per transitive multi-signal cluster instead of deduping each
+    #     modality in isolation
+    xmodal = ff.CrossModalDeduplicator(
+        "doc_id",
+        {name: op.candidate_pairs(hashed).select("a_id", "b_id")
+         for name, op in ops.items()},
+    )
+    page_survivors = xmodal.transform(hashed)
+    print(f"cross-modal survivors: {page_survivors.count()} "
+          f"/ {hashed.count()}")
+
     # 4. ship the survivors: seeded shuffle + token-balanced shards +
     #    the loader-side manifest
     survivors = ops["image"].transform(hashed).select(
