@@ -5868,6 +5868,116 @@ def q_expectations(spark, sf_dir):
 
 
 @_reg(
+    "robots_gate",
+    # RobotsTxtFilter (r10, operators/web.py): the aggregate-fold
+    # robots.txt parser + RFC 9309 longest-match decision, recomputed
+    # relationally — the UA-group tracking becomes a gaps-and-islands
+    # window chain (group = last UA-start line at or before each line),
+    # rules join applying groups, the decision is row_number over
+    # (match length DESC, allow DESC). Three planted domains exercise
+    # allow-overrides-disallow, wildcard+$ anchors, multi-UA groups,
+    # comments/Sitemap lines, and a non-'*' group that must not apply.
+    r"""WITH robots(domain, txt) AS (VALUES
+  ('a.com', 'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
+            || 'Allow: /private/ok' || chr(10) || '# note' || chr(10)
+            || 'Sitemap: http://a.com/s.xml'),
+  ('b.com', 'User-agent: gptbot' || chr(10) || 'User-agent: *' || chr(10)
+            || 'Disallow: /*.pdf$'),
+  ('c.com', 'User-agent: otherbot' || chr(10) || 'Disallow: /')),
+rawlines AS (
+  SELECT domain,
+         generate_subscripts(string_split(txt, chr(10)), 1) AS i,
+         unnest(string_split(txt, chr(10))) AS raw
+  FROM robots),
+fields AS (
+  SELECT domain, i, ln,
+    lower(ln) LIKE 'user-agent:%' AS is_ua,
+    lower(ln) LIKE 'disallow:%' AS is_dis,
+    lower(ln) LIKE 'allow:%' AS is_allow,
+    CASE WHEN position(':' IN ln) > 0
+         THEN trim(substr(ln, position(':' IN ln) + 1)) END AS val
+  FROM (SELECT domain, i,
+          trim(regexp_replace(raw, '#.*$', '')) AS ln FROM rawlines)),
+starts AS (
+  SELECT *, is_ua AND NOT coalesce(
+    lag(is_ua) OVER (PARTITION BY domain ORDER BY i), FALSE) AS ua_start
+  FROM fields),
+grouped AS (
+  SELECT *, max(CASE WHEN ua_start THEN i END)
+    OVER (PARTITION BY domain ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp
+  FROM starts),
+applying AS (
+  SELECT DISTINCT domain, grp FROM grouped
+  WHERE is_ua AND lower(val) = '*'),
+rules AS (
+  SELECT g.domain, g.is_allow AS allow, g.val AS prefix
+  FROM grouped g JOIN applying a USING (domain, grp)
+  WHERE (g.is_dis OR g.is_allow) AND length(g.val) > 0),
+urls AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
+         ELSE 'c.com' END AS domain,
+    CASE doc_id % 4 WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok/y'
+         WHEN 2 THEN '/doc.pdf'
+         ELSE '/page/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents),
+hits AS (
+  SELECT u.doc_id, r.allow, length(r.prefix) AS plen
+  FROM urls u JOIN rules r USING (domain)
+  WHERE regexp_matches(u.path,
+    '^' || replace(replace(
+        CASE WHEN r.prefix LIKE '%$'
+             THEN left(r.prefix, length(r.prefix) - 1)
+             ELSE r.prefix END, '.', '\.'), '*', '.*')
+    || CASE WHEN r.prefix LIKE '%$' THEN '$' ELSE '' END)),
+best AS (
+  SELECT doc_id, allow,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY plen DESC, allow DESC) AS rn
+  FROM hits)
+SELECT u.doc_id, CAST(coalesce(NOT b.allow, FALSE) AS VARCHAR) AS val
+FROM urls u LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
+  USING (doc_id)""",
+)
+def q_robots_gate(spark, sf_dir):
+    """RobotsTxtFilter (operators/web.py): parse planted robots.txt
+    bodies once into rule-frame state, join URLs by domain, apply the
+    RFC 9309 longest-match decision."""
+    from feature_factory_spark.operators.web import RobotsTxtFilter
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/\n"
+                      "Allow: /private/ok\n# note\n"
+                      "Sitemap: http://a.com/s.xml"),
+            ("b.com", "User-agent: gptbot\nUser-agent: *\n"
+                      "Disallow: /*.pdf$"),
+            ("c.com", "User-agent: otherbot\nDisallow: /"),
+        ],
+        "domain string, robots_txt string",
+    )
+    domain = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b.com"))
+        .otherwise(F.lit("c.com"))
+    )
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/private/x"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/private/ok/y"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/doc.pdf"))
+        .otherwise(F.concat(F.lit("/page/"), F.col("doc_id").cast("string")))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("http://"), domain, path).alias("url")
+    )
+    op = RobotsTxtFilter("url").fit_robots(robots)
+    return op.transform(urls).select(
+        "doc_id", F.col("url_robots_blocked").cast("string").alias("val")
+    )
+
+
+@_reg(
     "stratified_sample",
     # StratifiedSampler (r10, operators/sampling.py): exact-k per
     # stratum by seeded-md5 rank — the twin recomputes the identical
@@ -6277,6 +6387,7 @@ _merge("sample_family", [
     ("weighted_sample", ["doc_id", "cast(NULL AS string) AS val"],
      "doc_id, CAST(NULL AS VARCHAR) AS val"),
     ("url_ops", ["doc_id", "val"], "doc_id, val"),
+    ("robots_gate", ["doc_id", "val"], "doc_id, val"),
     ("stratified_sample", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
