@@ -37,8 +37,9 @@ Observed on local[32] at sf0.1 (see BASELINE.md §'Scale sanity' for the
 per-round recorded numbers).
 
 Usage: python scripts/scale_sanity.py [copies] [check ...]
-       (ALL checks in CHECKS run by default: minhash asof contamination
-        substring ivfprune langid quality warc semdedup bigram)
+       (ALL checks in CHECKS run by default — see the CHECKS dict;
+        r10 adds crossmodal (union-pair connected components) and
+        corpusreport (one-aggregate data card))
 """
 
 import os
