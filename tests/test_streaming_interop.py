@@ -734,3 +734,60 @@ def test_r8_hashers_and_code_ops_stream(spark, tmp_path):
     assert got == want
     assert got[0][3] == "MIT" and got[1][4] == "python"
     assert {v[5] for v in got.values()} == {"head", "middle", "tail"}
+
+
+def test_r10_stateless_gates_on_stream(spark, tmp_path):
+    """The r10 narrow gates (within-doc self-dedup, meta-robots, the
+    robots.txt rule join with PRE-FITTED frame state) are pure
+    projections/joins, so the identical expressions run on a stream —
+    the batch==stream contract the streaming module promises."""
+    import pyspark.sql.types as T
+
+    from feature_factory_spark.operators.web import RobotsTxtFilter
+    from feature_factory_spark.streaming import (
+        apply_pipeline_to_stream, read_stream,
+    )
+
+    rows = [
+        (1, "a\nb\na", "http://a.com/private/x",
+         '<html><head><meta name="robots" content="noindex"></head>'
+         "<body>x</body></html>"),
+        (2, "x\ny", "http://a.com/ok", "<html><body>y</body></html>"),
+    ]
+    schema = ("doc_id bigint, text string, url string, page string")
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "gate_src")
+    batch.write.parquet(src)
+    stream = read_stream(spark, src, batch.schema)
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/")],
+        "domain string, robots_txt string",
+    )
+    pipe = ff.make_pipeline(
+        ("self_dedup", ff.WithinDocDeduplicator("text")),
+        ("meta_robots", ff.MetaRobotsFilter("page")),
+        ("robots_txt",
+         RobotsTxtFilter("url").fit_robots(robots)),
+    )
+    out = apply_pipeline_to_stream(pipe, stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("gates_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql(
+        "SELECT * FROM gates_out").collect()}
+    # identical to the batch pipeline's output
+    want = {r["doc_id"]: r for r in pipe.transform(batch).collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k]["text"] == want[k]["text"]
+        assert (got[k]["page_robots_blocked"]
+                == want[k]["page_robots_blocked"])
+        assert (got[k]["url_robots_blocked"]
+                == want[k]["url_robots_blocked"])
+    assert got[1]["text"] == "a\nb"
+    assert got[1]["page_robots_blocked"] and got[1]["url_robots_blocked"]
+    assert not got[2]["page_robots_blocked"]
