@@ -197,6 +197,7 @@ def corpus_report(
     group_cols: list[str],
     metric_cols: list[str] | None = None,
     quantiles: str = "approx",
+    percentiles: list[float] | None = None,
 ) -> DataFrame:
     """Per-slice data card: ``(group..., metric, value)`` — the
     composition summary a corpus release ships (per source x lang: how
@@ -205,26 +206,36 @@ def corpus_report(
     this is per-GROUP.
 
     Metrics per group: ``n_docs``; for each ``metric_col``:
-    ``{c}_sum / {c}_mean / {c}_min / {c}_max / {c}_p50``, plus
-    ``share`` — the group's fraction of total rows (sums to 1.0 over
-    the report, the number a mixture table quotes).
+    ``{c}_sum / {c}_mean / {c}_min / {c}_max`` and one
+    ``{c}_p{NN}`` row per entry of ``percentiles`` (default
+    ``[0.5]`` -> ``p50``; pass e.g. ``[0.1, 0.5, 0.9]`` for the tail
+    shape a length-distribution card shows), plus ``share`` — the
+    group's fraction of total rows (sums to 1.0 over the report, the
+    number a mixture table quotes).
 
     Scale shape: ONE groupBy(group_cols) aggregate with map-side
     partials (sum/count/min/max), melted to long form on the
     group-count-sized result; the share divisor is a window SUM over
     the aggregated (group-count-sized) frame, not a second corpus
     scan. ``quantiles='approx'`` uses ``percentile_approx`` (mergeable
-    sketch — the 100 TB path); ``'exact'`` uses ``percentile``
+    sketch — the 100 TB path; ALL requested percentiles come from one
+    sketch per column); ``'exact'`` uses ``percentile``
     (Spark's interpolated exact quantile, matching DuckDB
     ``quantile_cont`` — the oracle-comparison path); ``'none'`` skips
-    the p50 rows."""
+    the percentile rows."""
     ensure(bool(group_cols), "group_cols must name at least one column")
     ensure(
         quantiles in ("approx", "exact", "none"),
         "quantiles: 'approx', 'exact' or 'none'",
     )
+    percentiles = [0.5] if percentiles is None else list(percentiles)
+    for q in percentiles:
+        ensure(0.0 < q < 1.0, "percentiles must be in (0, 1)")
     metric_cols = list(metric_cols or [])
     validate_columns(df, list(group_cols) + metric_cols)
+
+    def pname(q: float) -> str:
+        return f"p{q * 100:g}".replace(".", "_")
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     per_metric: list[tuple[str, str]] = []
@@ -236,18 +247,23 @@ def corpus_report(
             F.max(F.col(c).cast("double")).alias(f"__{c}_max"),
         ]
         per_metric += [(c, m) for m in ("sum", "mean", "min", "max")]
-        if quantiles == "approx":
-            aggs.append(
-                F.percentile_approx(F.col(c).cast("double"), 0.5)
-                .alias(f"__{c}_p50")
+        if quantiles != "none" and percentiles:
+            fn = (
+                F.percentile_approx
+                if quantiles == "approx"
+                else F.percentile
             )
-            per_metric.append((c, "p50"))
-        elif quantiles == "exact":
-            aggs.append(
-                F.percentile(F.col(c).cast("double"), 0.5)
-                .alias(f"__{c}_p50")
+            # one aggregate expression computes EVERY percentile
+            # (array form), unpacked into named columns
+            arr = fn(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(q) for q in percentiles]),
             )
-            per_metric.append((c, "p50"))
+            for j, q in enumerate(percentiles):
+                aggs.append(
+                    F.element_at(arr, j + 1).alias(f"__{c}_{pname(q)}")
+                )
+                per_metric.append((c, pname(q)))
     agg = df.groupBy(*group_cols).agg(*aggs)
 
     from pyspark.sql import Window

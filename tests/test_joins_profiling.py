@@ -337,3 +337,22 @@ class TestCorpusReport:
             ff.corpus_report(df, [], ["n_chars"])
         with _p.raises(InvalidParameterError):
             ff.corpus_report(df, ["lang"], ["n_chars"], quantiles="median")
+
+    def test_percentile_list(self, spark):
+        df = spark.createDataFrame(
+            [(i, "s", i) for i in range(1, 101)],
+            "doc_id bigint, source string, n int",
+        )
+        rep = ff.corpus_report(
+            df, ["source"], ["n"], quantiles="exact",
+            percentiles=[0.1, 0.5, 0.9],
+        )
+        got = {r["metric"]: r["value"] for r in rep.collect()}
+        assert abs(got["n_p10"] - 10.9) < 1e-9  # interpolated over 1..100
+        assert got["n_p50"] == 50.5
+        assert abs(got["n_p90"] - 90.1) < 1e-9
+        import pytest as _p
+
+        from feature_factory_spark.exceptions import InvalidParameterError
+        with _p.raises(InvalidParameterError):
+            ff.corpus_report(df, ["source"], ["n"], percentiles=[1.5])
