@@ -5997,6 +5997,49 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @_reg(
+    "corpus_overlap",
+    # corpus_overlap (r10, operators/diff.py): corpus-grain trigram
+    # overlap between two overlapping document slices — the release-
+    # audit complement of per-doc contamination. Counts are exact
+    # distinct-set sizes; fractions are one double division, identical
+    # in both engines. Same trigram construction + shingle clamp as
+    # the contamination oracle.
+    """WITH wa AS (SELECT string_split(lower(text), ' ') w
+  FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+ga AS (SELECT DISTINCT
+  unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS gram
+ FROM wa),
+wb AS (SELECT string_split(lower(text), ' ') w
+  FROM documents WHERE doc_id >= 200 AND text IS NOT NULL),
+gb AS (SELECT DISTINCT
+  unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS gram
+ FROM wb),
+na AS (SELECT CAST(count(*) AS DOUBLE) c FROM ga),
+nb AS (SELECT CAST(count(*) AS DOUBLE) c FROM gb),
+ns AS (SELECT CAST(count(*) AS DOUBLE) c FROM
+       (SELECT gram FROM ga INTERSECT SELECT gram FROM gb))
+SELECT 'distinct_grams_a' AS metric, (SELECT c FROM na) AS value
+UNION ALL SELECT 'distinct_grams_b', (SELECT c FROM nb)
+UNION ALL SELECT 'shared_grams', (SELECT c FROM ns)
+UNION ALL SELECT 'overlap_a_in_b',
+  CASE WHEN (SELECT c FROM na) > 0
+       THEN (SELECT c FROM ns) / (SELECT c FROM na) ELSE 0.0 END
+UNION ALL SELECT 'overlap_b_in_a',
+  CASE WHEN (SELECT c FROM nb) > 0
+       THEN (SELECT c FROM ns) / (SELECT c FROM nb) ELSE 0.0 END""",
+)
+def q_corpus_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ff.corpus_overlap(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 200),
+        "text", n=3,
+    )
+
+
+@_reg(
     "corpus_report",
     # corpus_report (r10, operators/profiling.py): per-source data
     # card over documents, n_chars metrics, exact quantiles for the
@@ -6407,6 +6450,11 @@ _merge("column_profile", [
      ["concat('report|', source) AS column", "metric",
       "value AS value_num", "cast(NULL AS string) AS value_str"],
      "'report|' || source AS \"column\", metric, value AS value_num, "
+     "CAST(NULL AS VARCHAR) AS value_str"),
+    ("corpus_overlap",
+     ["'overlap|a_b' AS column", "metric", "value AS value_num",
+      "cast(NULL AS string) AS value_str"],
+     "'overlap|a_b' AS \"column\", metric, value AS value_num, "
      "CAST(NULL AS VARCHAR) AS value_str"),
 ])
 

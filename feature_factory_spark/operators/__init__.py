@@ -159,7 +159,7 @@ from .code import (
     CodeLanguageIdentifier,
     LicenseDetector,
 )
-from .diff import content_fingerprint, corpus_diff
+from .diff import content_fingerprint, corpus_diff, corpus_overlap
 from .expectations import ExpectationValidator, ValidationFailedError
 from .videohash import (
     VideoDeduplicator,
@@ -240,7 +240,7 @@ __all__ = [
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",
     "CodeLanguageIdentifier", "CrossModalDeduplicator", "LicenseDetector",
-    "content_fingerprint", "corpus_diff",
+    "content_fingerprint", "corpus_diff", "corpus_overlap",
     "ExpectationValidator", "ValidationFailedError",
     "VideoDeduplicator", "VideoHasher", "pattern_mp4",
     "video_fingerprint_bits",

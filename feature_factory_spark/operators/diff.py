@@ -82,3 +82,75 @@ def corpus_diff(
     return joined.select(
         F.col("__ff_id").alias(id_col), status.alias("status")
     )
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-grain n-gram overlap report between two corpora — the
+    release-note complement of :class:`~.text.ContaminationChecker`
+    (which flags individual documents): "what fraction of corpus A's
+    distinct n-grams also appear in corpus B" is the number a
+    train/eval split audit, a recrawl-vs-snapshot comparison, or a
+    vendor-data acquisition quotes.
+
+    Returns ONE lazy frame of ``(metric, value)`` rows:
+    ``distinct_grams_a / distinct_grams_b / shared_grams /
+    overlap_a_in_b / overlap_b_in_a`` (fractions of each side's
+    distinct grams found on the other). Grams follow the package
+    shingle clamp (a <n-word document contributes its whole text as
+    one gram).
+
+    Scale shape: each side is one explode + DISTINCT (shuffle on the
+    gram key — corpus-scale but the standard dedup exchange);
+    ``shared`` is one equi-join of the two distinct sets; the three
+    counts land in single-row frames combined with 1x1 cross joins.
+    Exact by construction so the report is oracle-comparable; at the
+    100 TB grain run it on :class:`~.sampling.HashSampler` slices of
+    both sides (hash sampling preserves overlap fractions in
+    expectation)."""
+    from ..functions.text import ngrams_expr, words_expr
+
+    ensure(n >= 1, "n must be >= 1")
+
+    def grams(df: DataFrame) -> DataFrame:
+        validate_columns(df, [text_col])
+        text = F.col(text_col)
+        if lowercase:
+            text = F.lower(text)
+        return (
+            df.select(F.explode(ngrams_expr(words_expr(text), n)).alias("gram"))
+            .where(F.col("gram").isNotNull())
+            .distinct()
+        )
+
+    ga, gb = grams(df_a), grams(df_b)
+    a_cnt = ga.agg(F.count(F.lit(1)).alias("na"))
+    b_cnt = gb.agg(F.count(F.lit(1)).alias("nb"))
+    s_cnt = ga.join(gb, "gram").agg(F.count(F.lit(1)).alias("ns"))
+    row = a_cnt.crossJoin(b_cnt).crossJoin(s_cnt)
+    pairs = [
+        ("distinct_grams_a", F.col("na").cast("double")),
+        ("distinct_grams_b", F.col("nb").cast("double")),
+        ("shared_grams", F.col("ns").cast("double")),
+        ("overlap_a_in_b",
+         F.when(F.col("na") > 0,
+                F.col("ns").cast("double") / F.col("na").cast("double"))
+         .otherwise(F.lit(0.0))),
+        ("overlap_b_in_a",
+         F.when(F.col("nb") > 0,
+                F.col("ns").cast("double") / F.col("nb").cast("double"))
+         .otherwise(F.lit(0.0))),
+    ]
+    return row.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(name).alias("metric"), v.alias("value"))
+                for name, v in pairs
+            ])
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")

@@ -356,3 +356,52 @@ class TestCorpusReport:
         from feature_factory_spark.exceptions import InvalidParameterError
         with _p.raises(InvalidParameterError):
             ff.corpus_report(df, ["source"], ["n"], percentiles=[1.5])
+
+
+class TestCorpusOverlap:
+    def test_exact_counts_and_fractions(self, spark):
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three")],
+            "doc_id bigint, text string",
+        )
+        b = spark.createDataFrame(
+            [(1, "alpha beta gamma epsilon"), (2, "unrelated words here")],
+            "doc_id bigint, text string",
+        )
+        got = {r["metric"]: r["value"]
+               for r in ff.corpus_overlap(a, b, "text", n=3).collect()}
+        # a trigrams: {alpha beta gamma, beta gamma delta, one two three}
+        # b trigrams: {alpha beta gamma, beta gamma epsilon,
+        #              unrelated words here}; shared = 1
+        assert got["distinct_grams_a"] == 3.0
+        assert got["distinct_grams_b"] == 3.0
+        assert got["shared_grams"] == 1.0
+        assert got["overlap_a_in_b"] == 1 / 3
+        assert got["overlap_b_in_a"] == 1 / 3
+
+    def test_identical_and_disjoint(self, spark):
+        a = spark.createDataFrame(
+            [(1, "x y z w"), (2, None)], "doc_id bigint, text string"
+        )
+        same = {r["metric"]: r["value"]
+                for r in ff.corpus_overlap(a, a).collect()}
+        assert same["overlap_a_in_b"] == 1.0
+        disj = spark.createDataFrame(
+            [(1, "p q r s")], "doc_id bigint, text string"
+        )
+        none = {r["metric"]: r["value"]
+                for r in ff.corpus_overlap(a, disj).collect()}
+        assert none["shared_grams"] == 0.0
+        assert none["overlap_a_in_b"] == 0.0
+
+    def test_short_doc_clamp(self, spark):
+        # a <n-word doc contributes its whole text as one gram — the
+        # package shingle clamp
+        a = spark.createDataFrame([(1, "hi there")],
+                                  "doc_id bigint, text string")
+        b = spark.createDataFrame([(1, "hi there")],
+                                  "doc_id bigint, text string")
+        got = {r["metric"]: r["value"]
+               for r in ff.corpus_overlap(a, b, n=5).collect()}
+        assert got["distinct_grams_a"] == 1.0
+        assert got["overlap_a_in_b"] == 1.0
