@@ -402,6 +402,40 @@ class IVFCosineTopK(CosineTopK):
             spark, path, "append" if mode == "append" else "write"
         )
 
+    def rebuild_index(
+        self,
+        spark,
+        src_path: str,
+        dest_path: str,
+        quantize: bool | None = None,
+    ) -> None:
+        """Full centroid refresh for an append-accumulated index — the
+        remedy when :func:`recall_at_k` shows drift after many
+        ``mode='append'`` recrawls (appends assign against FROZEN
+        centroids, so a corpus whose distribution moved away from the
+        original fit degrades probe recall). Reads the stored corpus
+        (dequantizing if needed), refits centroids with this
+        instance's ``n_centroids``/``iterations`` Lloyd recipe, and
+        writes a NEW index at ``dest_path`` — side-write like
+        :func:`~.dedup.compact_index`, never in place; validate, then
+        repoint the recrawl loop. ``quantize=None`` preserves the
+        source layout."""
+        import os
+
+        src = _dequantize_if_needed(
+            spark.read.parquet(os.path.join(src_path, "corpus"))
+        )
+        if quantize is None:
+            quantize = "c_q8" in spark.read.parquet(
+                os.path.join(src_path, "corpus")
+            ).columns
+        corpus = src.select(
+            F.col("neighbor_id").alias(self.id_col),
+            F.col("c_vec").alias(self.vec_col),
+        )
+        self.centroids_ = []  # force a fresh Lloyd fit in write_index
+        self.write_index(corpus, dest_path, quantize=bool(quantize))
+
     def _load_centroids(self, spark, path: str) -> None:
         """Pin this instance's centroids to the index's stored table —
         the append/probe contract: the partition layout on disk was

@@ -194,3 +194,56 @@ def test_recall_at_k_on_real_indexes(spark, tmp_path):
     assert 0.0 < got <= 1.0
     full = ff.recall_at_k(exact, exact).agg(F.min("recall")).collect()[0][0]
     assert full == 1.0
+
+
+def test_ivf_rebuild_after_drifted_appends(spark, tmp_path):
+    """Appends assign against frozen centroids; rebuild_index refits
+    on the stored corpus and must not lose rows, reset the versions
+    log, and keep (or improve) recall on the drifted region."""
+    path = str(tmp_path / "ivf_drift")
+    # original fit sees only a tight region; the appended batch lives
+    # far away (a different sign pattern), so frozen-centroid probes
+    # resolve it poorly
+    old = vecs(spark, 0, 120)
+    far = spark.createDataFrame(
+        [(1000 + i,
+          [100.0 + float((i * 7 + j * 3) % 5) for j in range(16)])
+         for i in range(80)],
+        "vec_id bigint, embedding array<double>",
+    )
+    op = _ivf().fit_index(old)
+    op.write_index(old, path)
+    _ivf().write_index(far, path, mode="append")
+
+    queries = far.limit(5)
+    exact = ff.CosineTopK("embedding", "vec_id", k=5).search(
+        old.unionByName(far), queries
+    )
+    before = ff.recall_at_k(
+        exact, _ivf().search_index(spark, path, queries)
+    ).agg(F.avg("recall")).collect()[0][0]
+
+    dest = str(tmp_path / "ivf_rebuilt")
+    _ivf().rebuild_index(spark, path, dest)
+    after_idx = ff.audit_index(spark, dest)
+    assert (after_idx["datasets"]["corpus"]["n_rows"]
+            == ff.audit_index(spark, path)["datasets"]["corpus"]["n_rows"])
+    assert [v["op"] for v in after_idx["versions"]] == ["write"]
+    after = ff.recall_at_k(
+        exact, _ivf().search_index(spark, dest, queries)
+    ).agg(F.avg("recall")).collect()[0][0]
+    assert after >= before
+
+
+def test_ivf_rebuild_preserves_quantized_layout(spark, tmp_path):
+    path = str(tmp_path / "ivf_q_src")
+    op = _ivf().fit_index(vecs(spark, 0, 80))
+    op.write_index(vecs(spark, 0, 80), path, quantize=True)
+    dest = str(tmp_path / "ivf_q_dst")
+    _ivf().rebuild_index(spark, path, dest)
+    import os
+
+    assert "c_q8" in spark.read.parquet(
+        os.path.join(dest, "corpus")
+    ).columns
+    assert _ivf().search_index(spark, dest, vecs(spark, 0, 3)).count() > 0
