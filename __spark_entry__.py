@@ -2993,30 +2993,61 @@ def q_self_line_dedup(spark, sf_dir):
 
 @_reg(
     "meta_robots",
-    # MetaRobotsFilter (r10, operators/web.py): page-level crawl
-    # opt-outs over synthesized pages — doc_id%5 plants noindex /
-    # index / NONE (case+quote variants, attribute order reversed) /
-    # nofollow / no-tag shapes; val = robots-content ':' blocked. The
-    # twin recomputes the identical RE2-compatible extraction and the
-    # comma-token directive match.
+    # MetaRobotsFilter (r10, hardened r11, operators/web.py):
+    # page-level crawl opt-outs over synthesized pages — doc_id%8
+    # plants noindex / index / NONE (case+quote variants, attribute
+    # order reversed) / nofollow / UNQUOTED name+content (HTML5) /
+    # two robots tags whose directives must union (index then
+    # noindex => blocked) / a name merely PREFIXED with 'robots'
+    # (must not match) / no-tag shapes; val = robots-content ':'
+    # blocked. The twin recomputes the identical RE2-compatible
+    # scan: all <meta> tags, exact name match over the three
+    # attribute-value syntaxes, content union, comma-token directive
+    # match.
     r"""WITH h AS (SELECT doc_id,
-  CASE doc_id % 5
+  CASE doc_id % 8
     WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
     WHEN 1 THEN '<meta content="index, follow" name=robots>'
     WHEN 2 THEN '<META NAME=''robots'' CONTENT=''NONE''>'
     WHEN 3 THEN '<meta name="robots" content="nofollow">'
+    WHEN 4 THEN '<meta name=robots content=noindex>'
+    WHEN 5 THEN '<meta name="robots" content="index">'
+             || '<meta name=robots content=noindex>'
+    WHEN 6 THEN '<meta name="robotsx" content="noindex">'
+             || '<meta name=viewport content=width=1>'
     ELSE '' END AS meta, text FROM documents),
 p AS (SELECT doc_id,
   '<html><head>' || meta || '</head><body><p>' || text
   || '</p></body></html>' AS page FROM h),
-r AS (SELECT doc_id,
-  regexp_extract(page,
-    '(?is)<meta\b[^>]*\bname\s*=\s*[''"]?robots[''"]?[^>]*>') AS tag
- FROM p),
-c AS (SELECT doc_id,
-  CASE WHEN tag <> '' THEN lower(regexp_extract(tag,
-    '(?is)\bcontent\s*=\s*[''"]([^''"]*)[''"]', 1)) END AS robots
- FROM r)
+t AS (SELECT doc_id,
+  regexp_extract_all(page, '(?is)<meta\b[^>]*>') AS tags FROM p),
+rt AS (SELECT doc_id, list_filter(tags, x -> lower(trim(
+    CASE WHEN regexp_extract(x,
+      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      1) <> '' THEN regexp_extract(x,
+      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 1)
+    WHEN regexp_extract(x,
+      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      2) <> '' THEN regexp_extract(x,
+      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 2)
+    ELSE regexp_extract(x,
+      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 3)
+    END)) = 'robots') AS tags FROM t),
+c AS (SELECT doc_id, CASE WHEN len(tags) > 0 THEN
+  array_to_string(list_transform(tags, x -> lower(
+    CASE WHEN regexp_extract(x,
+      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      1) <> '' THEN regexp_extract(x,
+      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      1)
+    WHEN regexp_extract(x,
+      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      2) <> '' THEN regexp_extract(x,
+      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      2)
+    ELSE regexp_extract(x,
+      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      3) END)), ',') END AS robots FROM rt)
 SELECT doc_id,
   coalesce(robots, '@') || ':' || CAST(
     len(list_filter(
@@ -3028,14 +3059,22 @@ FROM c""",
 def q_meta_robots(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     meta = (
-        F.when(F.col("doc_id") % 5 == 0,
+        F.when(F.col("doc_id") % 8 == 0,
                F.lit('<meta name="robots" content="noindex, follow">'))
-        .when(F.col("doc_id") % 5 == 1,
+        .when(F.col("doc_id") % 8 == 1,
               F.lit('<meta content="index, follow" name=robots>'))
-        .when(F.col("doc_id") % 5 == 2,
+        .when(F.col("doc_id") % 8 == 2,
               F.lit("<META NAME='robots' CONTENT='NONE'>"))
-        .when(F.col("doc_id") % 5 == 3,
+        .when(F.col("doc_id") % 8 == 3,
               F.lit('<meta name="robots" content="nofollow">'))
+        .when(F.col("doc_id") % 8 == 4,
+              F.lit('<meta name=robots content=noindex>'))
+        .when(F.col("doc_id") % 8 == 5,
+              F.lit('<meta name="robots" content="index">'
+                    '<meta name=robots content=noindex>'))
+        .when(F.col("doc_id") % 8 == 6,
+              F.lit('<meta name="robotsx" content="noindex">'
+                    '<meta name=viewport content=width=1>'))
         .otherwise(F.lit(""))
     )
     pages = docs.select(

@@ -801,14 +801,33 @@ class MarkdownTextExtractor(Transformer):
         return out
 
 
-# <meta name="robots" ...> with the name/content attributes in either
-# order; directive matching is on the content value, comma-separated,
-# case-insensitive, whitespace-tolerant (the Google/Bing documented
-# grammar). (?s) lets a tag span newlines.
-META_ROBOTS_RE = (
-    r"(?is)<meta\b[^>]*\bname\s*=\s*['\"]?robots['\"]?[^>]*>"
+# All <meta ...> tags are scanned; the name/content attributes may
+# appear in either order and may be double-quoted, single-quoted, or
+# unquoted (all three are valid HTML5 attribute syntaxes). Directive
+# matching is on the content value, comma-separated, case-insensitive,
+# whitespace-tolerant (the Google/Bing documented grammar). (?s) lets
+# a tag span newlines. The name value is matched EXACTLY ('robots',
+# not a 'robots*' prefix), and directives are unioned across every
+# robots meta tag on the page — a page carrying 'index' then
+# 'noindex' is blocked, matching how search engines apply the most
+# restrictive directive. RE2-compatible (no lookarounds/backrefs) so
+# the oracle twin replays the identical patterns.
+META_TAG_RE = r"(?is)<meta\b[^>]*>"
+_NAME_ATTR_RE = (
+    r"(?is)\bname\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+))"
 )
-_CONTENT_ATTR_RE = r"(?is)\bcontent\s*=\s*['\"]([^'\"]*)['\"]"
+_CONTENT_ATTR_RE = (
+    r"(?is)\bcontent\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+))"
+)
+
+
+def _attr_expr(tag: Column, pattern: str) -> Column:
+    """First non-empty alternation group (double-quoted,
+    single-quoted, unquoted) of an attribute pattern."""
+    g1 = F.regexp_extract(tag, pattern, 1)
+    g2 = F.regexp_extract(tag, pattern, 2)
+    g3 = F.regexp_extract(tag, pattern, 3)
+    return F.when(g1 != "", g1).when(g2 != "", g2).otherwise(g3)
 
 
 class MetaRobotsFilter(Transformer):
@@ -819,8 +838,10 @@ class MetaRobotsFilter(Transformer):
     publisher opt-outs run this right after extraction, before any
     content work is spent on excluded pages.
 
-    Appends ``{html_col}_robots`` (the raw lowercased content value of
-    the first robots meta tag, NULL when absent) and, in
+    Appends ``{html_col}_robots`` (the lowercased content values of
+    ALL robots meta tags on the page, comma-joined — directives are
+    unioned so an ``index`` tag followed by a ``noindex`` tag still
+    blocks; NULL when the page has none) and, in
     ``mode='flag'``, ``{html_col}_robots_blocked``; ``mode='filter'``
     drops blocked pages. Matching is token-grain on the comma-split
     directive list (``noindex, follow`` blocks; ``nofollow`` alone
@@ -847,11 +868,29 @@ class MetaRobotsFilter(Transformer):
         validate_string_columns(df, [self.html_col])
 
     def robots_expr(self) -> Column:
-        """Lowercased content value of the first robots meta tag
-        (NULL when the page has none)."""
-        tag = F.regexp_extract(F.col(self.html_col), META_ROBOTS_RE, 0)
-        content = F.regexp_extract(tag, _CONTENT_ATTR_RE, 1)
-        return F.when(tag != "", F.lower(content))
+        """Comma-joined lowercased content values of every robots meta
+        tag on the page (NULL when the page has none). Scans all
+        ``<meta>`` tags, keeps those whose name attribute is EXACTLY
+        ``robots`` (quoted or unquoted, case-insensitive — a name
+        merely prefixed with 'robots' does not match), and unions
+        their content values so later tags cannot be shadowed by an
+        earlier permissive one."""
+        tags = F.regexp_extract_all(
+            F.coalesce(F.col(self.html_col), F.lit("")),
+            F.lit(META_TAG_RE), F.lit(0),
+        )
+        robots_tags = F.filter(
+            tags,
+            lambda t: F.lower(F.trim(_attr_expr(t, _NAME_ATTR_RE)))
+            == F.lit("robots"),
+        )
+        contents = F.transform(
+            robots_tags,
+            lambda t: F.lower(_attr_expr(t, _CONTENT_ATTR_RE)),
+        )
+        return F.when(
+            F.size(robots_tags) > 0, F.array_join(contents, ",")
+        )
 
     def blocked_expr(self, robots: Column) -> Column:
         toks = F.transform(

@@ -395,6 +395,33 @@ class TestMetaRobotsFilter:
         out = pipe.fit(self.pages(spark).where(F.col("page").isNotNull()))
         assert out.count() == 3
 
+    def test_unquoted_multiple_and_prefix_names(self, spark):
+        # r11 ADVICE hardening: HTML5 unquoted attribute values must
+        # block, directives union across ALL robots tags (a permissive
+        # first tag cannot shadow a later noindex), and a name merely
+        # prefixed with 'robots' is NOT a robots tag.
+        df = spark.createDataFrame(
+            [
+                (1, "<html><head><meta name=robots content=noindex>"
+                    "</head><body>x</body></html>"),
+                (2, '<html><head><meta name="robots" content="index">'
+                    "<meta name=robots content=noindex>"
+                    "</head><body>x</body></html>"),
+                (3, '<html><head><meta name="robotsx" content="noindex">'
+                    "<meta name=viewport content=width=1>"
+                    "</head><body>x</body></html>"),
+                (4, "<html><head><meta name = robots content = none >"
+                    "</head><body>x</body></html>"),
+            ],
+            "doc_id bigint, page string",
+        )
+        got = {r["doc_id"]: (r["page_robots"], r["page_robots_blocked"])
+               for r in ff.MetaRobotsFilter("page").transform(df).collect()}
+        assert got[1] == ("noindex", True)
+        assert got[2] == ("index,noindex", True)
+        assert got[3] == (None, False)
+        assert got[4] == ("none", True)
+
 
 class TestRobotsTxtFilter:
     @pytest.fixture(scope="class")
