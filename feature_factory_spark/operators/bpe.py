@@ -270,6 +270,37 @@ def reference_tokenize(
     return syms
 
 
+def _validate_pre_tokenizer(pre, path: str) -> bool:
+    """Accept exactly the pre_tokenizer shapes this engine reproduces
+    and return whether the model is byte-level. Valid shapes: plain
+    ``WhitespaceSplit`` (char-level engine), or ``Sequence`` of
+    ``[WhitespaceSplit, ByteLevel(add_prefix_space=False)]`` (the
+    byte-level engine's own export). Everything else — a bare
+    ``ByteLevel`` (GPT-2's regex split with 'Ġ'-prefixed spaces), a
+    ``Whitespace``/``Metaspace``/``Split`` pre_tokenizer, a Sequence
+    in another order, ``add_prefix_space=True`` — segments words
+    differently from this engine's whitespace split, so loading it
+    would silently produce wrong token ids; reject loudly instead."""
+    if pre == {"type": "WhitespaceSplit"}:
+        return False
+    if isinstance(pre, dict) and pre.get("type") == "Sequence":
+        subs = pre.get("pretokenizers") or []
+        if (
+            len(subs) == 2
+            and subs[0].get("type") == "WhitespaceSplit"
+            and subs[1].get("type") == "ByteLevel"
+            and not subs[1].get("add_prefix_space", False)
+        ):
+            return True
+    raise InvalidParameterError(
+        f"tokenizer.json at '{path}' has pre_tokenizer {pre!r}; this "
+        "engine reproduces only WhitespaceSplit or "
+        "Sequence[WhitespaceSplit, ByteLevel(add_prefix_space=False)] "
+        "— other shapes (e.g. GPT-2's bare ByteLevel with 'Ġ'-prefix "
+        "spaces) would silently encode to wrong ids"
+    )
+
+
 class BpeVocabBuilder(Transformer):
     """Learn ``num_merges`` BPE merges over a text corpus and count
     true subword tokens per document (see module docstring).
@@ -684,9 +715,16 @@ class BpeVocabBuilder(Transformer):
 
         Fail-loud on models this engine cannot reproduce bit-exactly:
         non-BPE model types, a ``continuing_subword_prefix``, an
-        ``end_of_word_suffix`` other than ``</w>``, or normalizers
-        beyond Lowercase — silently approximating a tokenizer would
-        corrupt every downstream shard."""
+        ``end_of_word_suffix`` other than ``</w>`` — INCLUDING the
+        suffix-less GPT-2/RoBERTa ByteLevel layout (spaces encoded as
+        a 'Ġ' prefix), which is the most common published BPE shape
+        but segments differently from this end-of-word-suffix engine —
+        pre_tokenizers beyond the two shapes the engine reproduces
+        (plain ``WhitespaceSplit``, or ``Sequence[WhitespaceSplit,
+        ByteLevel]`` with ``add_prefix_space=False``), or normalizers
+        beyond Lowercase. Silently approximating a tokenizer would
+        corrupt every downstream shard, so every one of these rejects
+        loudly instead of producing wrong ids."""
         import json
 
         with open(path, encoding="utf-8") as f:
@@ -705,9 +743,12 @@ class BpeVocabBuilder(Transformer):
         )
         suffix = model.get("end_of_word_suffix")
         ensure(
-            suffix in (None, "", END_MARK),
+            suffix == END_MARK,
             f"end_of_word_suffix {suffix!r} differs from this engine's "
-            f"'{END_MARK}' mark; encoding would not be bit-exact",
+            f"'{END_MARK}' mark; this engine appends '{END_MARK}' to "
+            "every word, so a suffix-less model (e.g. GPT-2/RoBERTa "
+            "ByteLevel, which marks spaces with a 'Ġ' prefix instead) "
+            "would silently encode every word to wrong ids",
         )
         norm = doc.get("normalizer")
         ensure(
@@ -715,6 +756,8 @@ class BpeVocabBuilder(Transformer):
             f"unsupported normalizer {norm!r}: this engine reproduces "
             "None or Lowercase only",
         )
+        pre = doc.get("pre_tokenizer")
+        byte_level = _validate_pre_tokenizer(pre, path)
         merges = []
         for m in model.get("merges") or []:
             pair = m.split(" ") if isinstance(m, str) else list(m)
@@ -726,9 +769,7 @@ class BpeVocabBuilder(Transformer):
         ensure(bool(merges), f"tokenizer.json at '{path}' has no merges")
         vocab = model.get("vocab") or {}
         ensure(bool(vocab), f"tokenizer.json at '{path}' has no vocab")
-        pre = json.dumps(doc.get("pre_tokenizer"))
-        dec = json.dumps(doc.get("decoder"))
-        self.byte_level = "ByteLevel" in pre or "ByteLevel" in dec
+        self.byte_level = byte_level
         self.lowercase = norm == {"type": "Lowercase"}
         self.merges_ = [list(m) for m in merges]
         self.vocab_json_ = {str(t): int(i) for t, i in vocab.items()}

@@ -239,6 +239,8 @@ def _log_index_version(spark, path: str, op: str,
     the signal that schedules :func:`compact_index`."""
     import os
 
+    from pyspark.errors import AnalysisException
+
     vpath = os.path.join(path, "versions")
     prev = 0
     reset = op in ("write", "compact")
@@ -250,7 +252,17 @@ def _log_index_version(spark, path: str, op: str,
                 .collect()[0][0]
                 or 0
             )
-        except Exception:  # noqa: BLE001 — first append on a legacy index
+        except AnalysisException as e:
+            # Only the MISSING-PATH case (first append on a legacy
+            # index without a log) restarts at 0; a transient storage
+            # error or corrupt footer must propagate — silently
+            # resetting the counter would corrupt the audit trail
+            # compact_index/audit_index read (r10 verdict #1, the
+            # index_versions fix applied to the write side).
+            msg = str(e)
+            if not ("PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg):
+                raise
             prev = 0
     spark.createDataFrame(
         [(int(prev) + 1, op, n_rows)],

@@ -923,13 +923,19 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     any corpus scale.
 
     Macro recall = ``result.agg(avg('recall'))``. Ranking order is
-    deliberately ignored (set recall, the standard ANN metric)."""
+    deliberately ignored (set recall, the standard ANN metric). Both
+    sides are deduplicated on (query_id, neighbor_id) first — the
+    tiers emit unique pairs, but an arbitrary caller frame with
+    duplicates would otherwise fan the join out and inflate both
+    n_exact and n_hit."""
     for frame, name in ((exact, "exact"), (approx, "approx")):
         validate_columns(frame, ["query_id", "neighbor_id"])
-    e = exact.select("query_id", "neighbor_id")
-    a = approx.select("query_id", "neighbor_id").withColumn(
-        "__ff_hit", F.lit(1)
+    e = exact.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
     )
+    a = approx.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    ).withColumn("__ff_hit", F.lit(1))
     joined = e.join(a, ["query_id", "neighbor_id"], "left")
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),

@@ -908,11 +908,23 @@ class UnigramVocabBuilder(Transformer):
             "None or Lowercase only",
         )
         pre = doc.get("pre_tokenizer") or {}
+        # prepend_scheme (modern key) / add_prefix_space (legacy key)
+        # control whether the FIRST word of a document also gets the
+        # word mark; this engine always prepends it, so a 'never' or
+        # 'first' scheme would silently segment the first word of
+        # every document differently from the source tokenizer.
+        scheme = pre.get("prepend_scheme", "always")
+        legacy_prefix = pre.get("add_prefix_space", True)
         ensure(
             pre.get("type") == "Metaspace"
-            and pre.get("replacement") == WORD_MARK,
+            and pre.get("replacement") == WORD_MARK
+            and scheme == "always"
+            and legacy_prefix is True,
             f"unsupported pre_tokenizer {pre!r}: this engine reproduces "
-            f"Metaspace with replacement '{WORD_MARK}' only",
+            f"Metaspace with replacement '{WORD_MARK}' and "
+            "prepend_scheme 'always' (add_prefix_space true) only — "
+            "'never'/'first' schemes segment the first word of each "
+            "document differently, a silent id mismatch",
         )
         pieces = [str(p) for p, _ in vocab]
         ensure(

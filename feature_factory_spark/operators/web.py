@@ -1073,17 +1073,30 @@ class RobotsTxtFilter(Transformer):
         validate_string_columns(df, [self.url_col])
 
     def fit_robots(self, robots_df: DataFrame) -> "RobotsTxtFilter":
-        """Parse the (domain, robots.txt) frame into held rule state."""
+        """Parse the (domain, robots.txt) frame into held rule state.
+
+        Domains are deduplicated first (one body per lowercased
+        domain, deterministic ``max`` of the bodies) — a real crawl
+        easily carries redundant robots fetches for the same domain,
+        and without the dedup the transform-side join would fan out
+        and DUPLICATE every URL row of that domain in the output, a
+        cardinality change beyond filtering (r11 ADVICE)."""
         from pyspark import StorageLevel
 
         validate_columns(robots_df, [self.domain_col, self.robots_col])
         if self.rules_df_ is not None:
             self.rules_df_.unpersist()
+        one_body = (
+            robots_df.groupBy(
+                F.lower(F.col(self.domain_col)).alias("__ff_rb_domain")
+            )
+            .agg(F.max(self.robots_col).alias("__ff_rb_body"))
+        )
         self.rules_df_ = (
-            robots_df.select(
-                F.lower(F.col(self.domain_col)).alias("__ff_rb_domain"),
+            one_body.select(
+                "__ff_rb_domain",
                 robots_rules_expr(
-                    F.col(self.robots_col), self.agent
+                    F.col("__ff_rb_body"), self.agent
                 ).alias("__ff_rb_rules"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)

@@ -127,3 +127,30 @@ def test_legacy_index_without_versions_log(spark, tmp_path):
     assert ff.index_versions(spark, path) == []
     audit = ff.audit_index(spark, path)
     assert audit["versions"] == []
+    # an APPEND on the legacy index restarts the counter at 1 (the
+    # one legitimate reset case) and keeps counting from there
+    op.write_index(batch(spark, 10, 20), path, mode="append")
+    assert [(v["version"], v["op"]) for v in
+            ff.index_versions(spark, path)] == [(1, "append")]
+
+
+def test_corrupt_versions_log_fails_loud_on_append(spark, tmp_path):
+    # r10 verdict #1: a transient storage error / corrupt footer while
+    # reading the current max version must PROPAGATE, not silently
+    # restart the audit counter at 1 (which would corrupt the trail
+    # compact_index/audit_index read). Only missing-path resets.
+    import glob
+    import os
+
+    path = str(tmp_path / "corrupt")
+    op = ff.ExactDeduplicator(["text"], "doc_id", index_buckets=2)
+    op.write_index(batch(spark, 0, 10), path)
+    for pq in glob.glob(os.path.join(path, "versions", "*.parquet")):
+        with open(pq, "wb") as f:
+            f.write(b"not a parquet footer")
+    with pytest.raises(Exception) as ei:
+        op.write_index(batch(spark, 10, 20), path, mode="append")
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+    # index_versions stays loud on the same corruption
+    with pytest.raises(Exception):
+        ff.index_versions(spark, path)

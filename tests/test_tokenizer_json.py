@@ -189,6 +189,83 @@ def test_bpe_load_tokenizer_json_rejects_foreign_semantics(spark, tmp_path):
     with pytest.raises(ff.InvalidParameterError, match="normalizer"):
         loader.load_tokenizer_json(
             write({"normalizer": {"type": "NFC"}}), spark)
+    # GPT-2/RoBERTa layout: suffix-less ByteLevel ('Ġ' prefix spaces)
+    # — the most common published BPE shape; this engine appends </w>
+    # to every word so accepting it would silently mis-encode (r11
+    # ADVICE, high).
+    with pytest.raises(ff.InvalidParameterError,
+                       match="end_of_word_suffix"):
+        loader.load_tokenizer_json(write({
+            "model.end_of_word_suffix": None,
+            "pre_tokenizer": {"type": "ByteLevel",
+                              "add_prefix_space": False},
+        }), spark)
+    with pytest.raises(ff.InvalidParameterError,
+                       match="end_of_word_suffix"):
+        loader.load_tokenizer_json(
+            write({"model.end_of_word_suffix": ""}), spark)
+    # right suffix but a pre_tokenizer the engine cannot reproduce
+    with pytest.raises(ff.InvalidParameterError, match="pre_tokenizer"):
+        loader.load_tokenizer_json(write({
+            "pre_tokenizer": {"type": "ByteLevel",
+                              "add_prefix_space": False},
+        }), spark)
+    with pytest.raises(ff.InvalidParameterError, match="pre_tokenizer"):
+        loader.load_tokenizer_json(write({
+            "pre_tokenizer": {"type": "Whitespace"},
+        }), spark)
+    with pytest.raises(ff.InvalidParameterError, match="pre_tokenizer"):
+        loader.load_tokenizer_json(write({
+            "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+                {"type": "WhitespaceSplit"},
+                {"type": "ByteLevel", "add_prefix_space": True},
+            ]},
+        }), spark)
+    # the engine's own two shapes still load
+    char_side = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        write({}), spark)
+    assert char_side.byte_level is False
+    byte_side = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        write({"pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "WhitespaceSplit"},
+            {"type": "ByteLevel", "add_prefix_space": False},
+        ]}}), spark)
+    assert byte_side.byte_level is True
+
+
+def test_unigram_load_tokenizer_json_rejects_prepend_scheme(
+        spark, corpus_df, tmp_path):
+    # r11 ADVICE (low): prepend_scheme 'never'/'first' (or legacy
+    # add_prefix_space false) segments the first word of each document
+    # differently from this always-prepending engine — must reject.
+    import feature_factory_spark as ff
+
+    op = UnigramVocabBuilder("text", "doc_id", vocab_size=24,
+                             seed_size=200, n_iter=2).fit(corpus_df)
+    path = str(tmp_path / "t.json")
+    op.export_tokenizer_json(path)
+    doc = json.load(open(path, encoding="utf-8"))
+
+    def write(**pre_mut):
+        bad = json.loads(json.dumps(doc))
+        bad["pre_tokenizer"].update(pre_mut)
+        p = str(tmp_path / "bad.json")
+        json.dump(bad, open(p, "w", encoding="utf-8"))
+        return p
+
+    for mut in ({"prepend_scheme": "never"},
+                {"prepend_scheme": "first"},
+                {"add_prefix_space": False}):
+        with pytest.raises(ff.InvalidParameterError,
+                           match="pre_tokenizer"):
+            UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+                write(**mut), spark)
+    # the export's own shape still loads
+    fresh = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+        path, spark)
+    want = [r["piece"] for r in
+            op.vocabulary().orderBy("id").collect()]
+    assert fresh.vocab_order_ == want
 
 
 def test_unigram_load_tokenizer_json_encode_parity(spark, corpus_df,

@@ -488,3 +488,25 @@ class TestRobotsTxtFilter:
         a = sorted(map(tuple, op.transform(urls).collect()))
         b = sorted(map(tuple, restored.transform(urls).collect()))
         assert a == b
+
+    def test_duplicate_domains_do_not_fan_out(self, spark, robots, urls):
+        # r11 ADVICE: redundant robots fetches for one domain (easy in
+        # a real crawl, including case variants) must not fan the
+        # transform join out and duplicate that domain's URL rows —
+        # fit_robots keeps one deterministic body per lowercased domain
+        from feature_factory_spark.operators.web import RobotsTxtFilter
+
+        dup = robots.unionByName(robots).unionByName(
+            spark.createDataFrame(
+                [("A.COM", "User-agent: *\nDisallow: /private/\n"
+                           "Allow: /private/ok\n")],
+                "domain string, robots_txt string",
+            )
+        )
+        op = RobotsTxtFilter("url").fit_robots(dup)
+        out = op.transform(urls)
+        assert out.count() == urls.count()
+        assert out.select("doc_id").distinct().count() == urls.count()
+        got = {r["doc_id"]: r["url_robots_blocked"]
+               for r in out.collect()}
+        assert got[1] is True and got[2] is False
