@@ -4137,6 +4137,47 @@ def q_image_text_pairs(spark, sf_dir):
 
 
 @_reg(
+    "image_text_score",
+    # ImageTextPairScorer (r11, operators/imagetext.py): the LAION
+    # CLIP-score gate over user-supplied embedding columns — pair
+    # cosine + threshold 0.28. Fixture plants three pair shapes per
+    # vec_id%3: identical embeddings (cosine 1 -> keep), negated
+    # (cosine -1 -> drop), reversed (data-dependent cosine, keep set
+    # closed-form in SQL). The twin recomputes the identical cosine
+    # fold + gate.
+    f"""WITH p AS (SELECT vec_id, embedding AS img,
+  CASE vec_id % 3
+    WHEN 0 THEN embedding
+    WHEN 1 THEN list_transform(embedding, x -> -x)
+    ELSE list_reverse(embedding) END AS txt
+  FROM embeddings),
+s AS (SELECT vec_id, {SQL_COS.format(a='img', b='txt')} AS cos FROM p)
+SELECT vec_id AS doc_id, {R6('cos')} AS v,
+  CAST(coalesce(cos >= 0.28, FALSE) AS VARCHAR) AS s
+FROM s""",
+)
+def q_image_text_score(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("img_emb"),
+        F.when(F.col("vec_id") % 3 == 0, F.col("embedding"))
+        .when(
+            F.col("vec_id") % 3 == 1,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.reverse("embedding"))
+        .alias("txt_emb"),
+    )
+    out = ff.ImageTextPairScorer("img_emb", "txt_emb").transform(pairs)
+    return out.select(
+        F.col("vec_id").alias("doc_id"),
+        r6(F.col("pair_cosine")).alias("v"),
+        F.col("pair_cosine_keep").cast("string").alias("s"),
+    )
+
+
+@_reg(
     "json_extract",
     """SELECT event_id,
 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -6608,6 +6649,9 @@ _merge("multimodal_family", [
     ("image_text_pairs",
      ["doc_id", "k", "cast(NULL AS double) AS v", "val AS s"],
      "doc_id, k, CAST(NULL AS DOUBLE) AS v, val AS s"),
+    ("image_text_score",
+     ["doc_id", "cast(NULL AS bigint) AS k", "v", "s"],
+     "doc_id, CAST(NULL AS BIGINT) AS k, v, s"),
 ])
 
 _merge("pack_family", [

@@ -157,6 +157,31 @@ def main() -> None:
     print("image-text pairs:", len(got), "e.g.",
           (got[0]["pair_text"], got[0]["img_url"]) if got else None)
 
+    # 3d. (r11) pair-grain similarity gate — the decisive LAION filter
+    #     (CLIP-score >= 0.28) over user-supplied embedding columns;
+    #     here the encoder is faked deterministically (image k and its
+    #     true caption agree, off-by-one captions don't), in
+    #     production the columns come from a CLIP-style dual encoder
+    def fake_emb(seed_col, flip):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.cos(seed_col * i * flip).cast("double"),
+        )
+
+    k = F.regexp_extract("img_url", r"/img/(\d+)\.png", 1).cast("int")
+    scored = ff.ImageTextPairScorer(
+        "img_emb", "txt_emb", threshold=0.9, mode="filter"
+    ).transform(
+        trainable
+        .withColumn("img_emb", fake_emb(k, 1.0))
+        .withColumn(
+            "txt_emb",
+            fake_emb(k + (F.col("page_id") % 3 == 0).cast("int"), 1.0),
+        )
+    )
+    print("pairs surviving the similarity gate:",
+          scored.count(), "/", len(got))
+
     # 3b. (r10) cross-modal survivorship: the per-modality pair frames
     #     describe the SAME pages — union them and keep one survivor
     #     per transitive multi-signal cluster instead of deduping each

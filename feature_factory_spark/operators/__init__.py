@@ -58,7 +58,11 @@ from .web import (
     UrlCanonicalizer,
     UrlDeduplicator,
 )
-from .imagetext import ImageTextPairExtractor, join_image_text_pairs
+from .imagetext import (
+    ImageTextPairExtractor,
+    ImageTextPairScorer,
+    join_image_text_pairs,
+)
 from .text import (
     ContaminationChecker,
     EncodingFixer,
@@ -231,7 +235,8 @@ __all__ = [
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
     "MetaRobotsFilter", "RobotsTxtFilter",
-    "ImageTextPairExtractor", "join_image_text_pairs",
+    "ImageTextPairExtractor", "ImageTextPairScorer",
+    "join_image_text_pairs",
     "UrlCanonicalizer",
     "UrlDeduplicator",
     "EmbeddingQuantizer", "L2Normalizer", "PCAProjection",

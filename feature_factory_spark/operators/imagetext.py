@@ -278,6 +278,66 @@ class ImageTextPairExtractor(Transformer):
         return out
 
 
+class ImageTextPairScorer(Transformer):
+    """Pair-grain similarity gate — the decisive LAION filter
+    (Schuhmann et al. 2021: keep pairs with CLIP image-text cosine
+    >= 0.28) expressed over user-supplied embedding columns, closing
+    the harvest -> join -> quality -> SIMILARITY -> dedup curation
+    loop. The embeddings come from any encoder the user ran upstream
+    (the model inference itself is out of scope for a SQL engine —
+    this package's convention for external-model columns); given
+    them, the gate is one pure-JVM cosine expression + threshold.
+
+    Appends ``{out_col}`` (the pair cosine, NULL for degenerate /
+    NULL / length-mismatched vectors — see
+    :func:`~.functions.expressions.cosine_expr`) and, in
+    ``mode='flag'``, ``{out_col}_keep``; ``mode='filter'`` drops
+    below-threshold pairs. NULL cosines never pass the gate — an
+    unscorable pair is not a trainable pair.
+
+    Scale shape: ONE narrow projection, no shuffle/UDF/collect; the
+    fold-based cosine keeps results bit-comparable with the DuckDB
+    oracle twin."""
+
+    def __init__(
+        self,
+        image_emb_col: str,
+        text_emb_col: str,
+        threshold: float = 0.28,
+        mode: str = "flag",
+        out_col: str = "pair_cosine",
+    ):
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        ensure(-1.0 <= threshold <= 1.0,
+               "threshold must be a cosine in [-1, 1]")
+        self.image_emb_col = image_emb_col
+        self.text_emb_col = text_emb_col
+        self.threshold = float(threshold)
+        self.mode = mode
+        self.out_col = out_col
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.image_emb_col, self.text_emb_col])
+
+    def cosine(self) -> Column:
+        from ..functions.expressions import cosine_expr
+
+        return cosine_expr(
+            F.col(self.image_emb_col), F.col(self.text_emb_col)
+        )
+
+    def keep_expr(self) -> Column:
+        return F.coalesce(
+            F.col(self.out_col) >= F.lit(self.threshold), F.lit(False)
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn(self.out_col, self.cosine())
+        if self.mode == "filter":
+            return out.where(self.keep_expr())
+        return out.withColumn(f"{self.out_col}_keep", self.keep_expr())
+
+
 def join_image_text_pairs(
     pairs: DataFrame,
     images: DataFrame,

@@ -173,3 +173,74 @@ def test_pair_extractor_in_pipeline(spark):
     ])
     out = pipe.fit(pages)
     assert out.count() == 3
+
+
+class TestImageTextPairScorer:
+    def frame(self, spark):
+        # unit vectors at known angles: cos(0)=1, cos(90deg)=0,
+        # opposite=-1, plus degenerate shapes (zero-norm, NULL,
+        # length mismatch) that must score NULL and never pass
+        return spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], [1.0, 0.0]),       # cos 1.0 -> keep
+                (2, [1.0, 0.0], [0.0, 1.0]),       # cos 0.0 -> drop
+                (3, [1.0, 0.0], [-1.0, 0.0]),      # cos -1 -> drop
+                (4, [1.0, 0.0], [0.9, 0.4359]),    # cos ~0.9 -> keep
+                (5, [0.0, 0.0], [1.0, 0.0]),       # zero-norm -> NULL
+                (6, None, [1.0, 0.0]),             # NULL -> NULL
+                (7, [1.0, 0.0], [1.0, 0.0, 0.0]),  # len mismatch
+            ],
+            "pair_id bigint, img array<double>, txt array<double>",
+        )
+
+    def test_flag_mode_scores_and_gates(self, spark):
+        out = ff.ImageTextPairScorer("img", "txt", threshold=0.28) \
+            .transform(self.frame(spark))
+        got = {r["pair_id"]: (r["pair_cosine"], r["pair_cosine_keep"])
+               for r in out.collect()}
+        assert got[1][0] == pytest.approx(1.0) and got[1][1] is True
+        assert got[2][0] == pytest.approx(0.0) and got[2][1] is False
+        assert got[3][0] == pytest.approx(-1.0) and got[3][1] is False
+        assert got[4][0] == pytest.approx(0.9, abs=1e-3)
+        assert got[4][1] is True
+        # degenerate pairs: NULL cosine, never kept
+        for pid in (5, 6, 7):
+            assert got[pid][0] is None and got[pid][1] is False
+
+    def test_filter_mode_and_threshold(self, spark):
+        kept = ff.ImageTextPairScorer(
+            "img", "txt", threshold=0.95, mode="filter"
+        ).transform(self.frame(spark))
+        assert sorted(r["pair_id"] for r in kept.collect()) == [1]
+        with pytest.raises(FeatureFactoryError):
+            ff.ImageTextPairScorer("img", "txt", threshold=1.5)
+        with pytest.raises(FeatureFactoryError):
+            ff.ImageTextPairScorer("img", "txt", mode="bogus")
+
+    def test_narrow_plan(self, spark):
+        out = ff.ImageTextPairScorer("img", "txt").transform(
+            self.frame(spark)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_composes_after_join(self, spark):
+        # harvest -> join -> similarity gate, the full curation loop
+        pages = spark.createDataFrame(
+            [(1, '<img src="https://x.org/a.png" alt="a cat">')],
+            "doc_id int, html string",
+        )
+        cand = ImageTextPairExtractor("html").transform(pages)
+        crawled = spark.createDataFrame(
+            [("https://x.org/a.png", solid_png(16, 16, 80))],
+            "url string, img binary",
+        )
+        joined = join_image_text_pairs(cand, crawled, "url", "img")
+        gated = ff.ImageTextPairScorer(
+            "img_emb", "txt_emb", mode="filter"
+        ).transform(
+            joined.withColumn("img_emb", F.array(F.lit(1.0), F.lit(0.0)))
+            .withColumn("txt_emb", F.array(F.lit(1.0), F.lit(0.1)))
+        )
+        assert gated.count() == 1
+        assert gated.columns[-1] == "pair_cosine"
