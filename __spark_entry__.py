@@ -5572,6 +5572,47 @@ def q_pca_project(spark, sf_dir):
     )
 
 
+@_reg(
+    "tfidf_vector",
+    # HashedTfIdfVectorizer (r11, operators/embeddings.py): hashed
+    # TF-IDF document vectors from raw text — feature-hashing via the
+    # portable md5 dimension (the samplers' idiom), smooth IDF
+    # (ln((1+N)/(1+df))+1), L2 normalize. The twin recomputes the
+    # ENTIRE pipeline relationally: tokenize (trim+lower+\s+ split),
+    # hash to 32 dims, per-doc tf, corpus df, weight, norm — melted to
+    # the family's (vec_id, pos, val) with only non-zero entries.
+    f"""WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tok
+  FROM d WHERE t <> ''),
+dm AS (SELECT doc_id,
+  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS dim FROM tok),
+tf AS (SELECT doc_id, dim, count(*)::DOUBLE AS tf
+  FROM dm GROUP BY doc_id, dim),
+dfreq AS (SELECT dim, count(DISTINCT doc_id)::DOUBLE AS dfr
+  FROM dm GROUP BY dim),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+w AS (SELECT t.doc_id, t.dim,
+  t.tf * (ln((1 + nn.n_docs) / (1 + f.dfr)) + 1) AS wt
+  FROM tf t JOIN dfreq f USING (dim), nn),
+nr AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id)
+SELECT w.doc_id AS vec_id, CAST(w.dim AS INTEGER) AS pos,
+  {R6('w.wt / nr.nrm')} AS val
+FROM w JOIN nr USING (doc_id)""",
+)
+def q_tfidf_vector(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.HashedTfIdfVectorizer("text", n_features=32).fit(docs)
+    out = op.transform(docs)
+    ex = out.select(
+        "doc_id", F.posexplode("text_tfidf").alias("pos0", "v")
+    )
+    return ex.where(F.col("v") != 0.0).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("pos0").cast("int").alias("pos"),
+        r6(F.col("v")).alias("val"),
+    )
+
+
 @_reg("random_projection", _sql_random_projection())
 def q_random_projection(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -6453,7 +6494,7 @@ _merge("scale_family", [
 _merge("embed_transform", [
     (op, ["vec_id", "pos", "val"], "vec_id, pos, val")
     for op in ("l2_normalize", "random_projection", "quantize",
-               "pca_project")
+               "pca_project", "tfidf_vector")
 ])
 
 _merge("ts_features", [

@@ -173,6 +173,7 @@ from .videohash import (
 )
 from .embeddings import (
     EmbeddingQuantizer,
+    HashedTfIdfVectorizer,
     L2Normalizer,
     PCAProjection,
     RandomProjection,
@@ -239,8 +240,8 @@ __all__ = [
     "join_image_text_pairs",
     "UrlCanonicalizer",
     "UrlDeduplicator",
-    "EmbeddingQuantizer", "L2Normalizer", "PCAProjection",
-    "RandomProjection",
+    "EmbeddingQuantizer", "HashedTfIdfVectorizer", "L2Normalizer",
+    "PCAProjection", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",

@@ -448,3 +448,144 @@ class PCAProjection(Transformer):
         return F.zip_with(
             back_lit, mean_lit, lambda row, m: dot_expr(proj_col, row) + m
         )
+
+
+def hashed_dim_expr(token: Column, n_features: int) -> Column:
+    """Feature-hashing dimension of one token: the first 15 hex chars
+    of md5(token) read as an integer, mod ``n_features`` — the same
+    portable md5 idiom the samplers use, so any engine (and the DuckDB
+    oracle twin) recomputes the identical dimension with no shared
+    hash library. 60 bits keeps the modulo bias negligible for any
+    practical ``n_features``."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
+        % F.lit(n_features)
+    )
+
+
+class HashedTfIdfVectorizer(Transformer):
+    """Self-contained document embeddings: hashed TF-IDF vectors from
+    raw text — no external model, no vocabulary file. Every embedding
+    consumer in this package (SemanticDeduplicator, the CosineTopK ANN
+    tiers, PCAProjection, EmbeddingQuantizer, KMeansClusterer) takes an
+    ``array<double>`` column it previously required the user to supply;
+    this operator produces one from the text itself, so semantic dedup
+    and similarity search run on any corpus out of the box.
+
+    The scheme is the standard feature-hashing ("hashing trick",
+    Weinberger et al. 2009) + smooth IDF (the scikit-learn
+    ``TfidfVectorizer`` convention, public):
+
+    - token -> dimension via :func:`hashed_dim_expr` (md5-based,
+      engine-portable, no fitted vocabulary — unseen tokens at
+      transform time need no handling by construction)
+    - tf[j]   = count of the document's tokens hashing to j
+    - idf[j]  = ln((1 + N) / (1 + df[j])) + 1, df[j] = number of
+      fitted documents with at least one token in dimension j
+    - vec[j]  = tf[j] * idf[j], then (default) L2-normalized so every
+      downstream cosine is a plain dot product.
+
+    Fit is ONE distinct-(doc, dim) aggregate whose result is at most
+    ``n_features`` rows — the IDF table is model-sized at any corpus
+    scale and lives driver-side as plain scalars (JSON-persistable
+    via save_state, like the scalers). Transform is a narrow pure-JVM
+    projection: tokenize, hash, per-dimension counted fold against the
+    broadcast idf literal — no shuffle, no UDF, no explode. Per-row
+    cost is O(n_features x tokens) comparisons inside whole-stage
+    codegen; the hashed-dims array is materialized as a real column
+    first so Catalyst does not re-inline the tokenize+hash chain into
+    every one of the ``n_features`` lambda evaluation sites.
+
+    Fitted state: ``idf_`` (length ``n_features``), ``n_docs_``.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        out_col: str | None = None,
+        n_features: int = 256,
+        lowercase: bool = True,
+        l2_normalize: bool = True,
+    ):
+        ensure(n_features > 0, "n_features must be positive")
+        self.text_col = text_col
+        self.out_col = out_col or f"{text_col}_tfidf"
+        self.n_features = int(n_features)
+        self.lowercase = lowercase
+        self.l2_normalize = l2_normalize
+        self.idf_: list[float] | None = None
+        self.n_docs_: int | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        from ..validation import validate_string_columns
+
+        validate_string_columns(df, [self.text_col])
+
+    def _dims(self) -> Column:
+        from ..functions.text import words_expr
+
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        return F.transform(
+            words_expr(text),
+            lambda t: hashed_dim_expr(t, self.n_features),
+        )
+
+    def _fit(self, df: DataFrame) -> None:
+        import math
+
+        n_docs = df.count()
+        rows = (
+            df.select(
+                F.explode(F.array_distinct(self._dims())).alias("dim")
+            )
+            .groupBy("dim")
+            .count()
+            .collect()
+        )
+        dfreq = {int(r["dim"]): int(r["count"]) for r in rows}
+        self.n_docs_ = int(n_docs)
+        self.idf_ = [
+            math.log((1.0 + n_docs) / (1.0 + dfreq.get(j, 0))) + 1.0
+            for j in range(self.n_features)
+        ]
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        ensure(
+            self.idf_ is not None,
+            "HashedTfIdfVectorizer is unfitted: call fit() first",
+        )
+        tmp = "__ff_tfidf_dims"
+        with_dims = df.withColumn(tmp, self._dims())
+        dims = F.col(tmp)
+        idf_lit = F.lit([float(x) for x in self.idf_])
+        # tf fold per dimension against the MATERIALIZED dims column
+        # (a column reference — see the class docstring on inlining)
+        raw = F.zip_with(
+            idf_lit,
+            F.sequence(F.lit(0), F.lit(self.n_features - 1)),
+            lambda w, j: w
+            * F.size(F.filter(dims, lambda d: d == j.cast("bigint")))
+            .cast("double"),
+        )
+        vec = raw
+        if self.l2_normalize:
+            with_dims = with_dims.withColumn("__ff_tfidf_raw", raw)
+            rawc = F.col("__ff_tfidf_raw")
+            nrm = norm_expr(rawc)
+            vec = F.zip_with(
+                rawc,
+                F.array_repeat(nrm, F.lit(self.n_features)),
+                lambda x, m: F.when(m == 0.0, F.lit(0.0)).otherwise(
+                    x / m
+                ),
+            )
+        # NULL text -> NULL vector (not a vector of NULL elements)
+        vec = F.when(F.col(self.text_col).isNotNull(), vec)
+        return with_dims.withColumn(self.out_col, vec).drop(
+            tmp, "__ff_tfidf_raw"
+        )
