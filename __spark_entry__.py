@@ -6193,6 +6193,92 @@ def q_corpus_report(spark, sf_dir):
 
 
 @_reg(
+    "curation_ledger",
+    # curation_ledger + curation_funnel (r11, presets.py): the
+    # keep/drop audit of a gate-pipeline run — per-document first-
+    # killer attribution plus the per-stage funnel. Fixture plants a
+    # badword on doc_id%7 and collapses doc_id%5 onto one shared body,
+    # then runs badwords-filter -> exact-dedup; the twin recomputes
+    # BOTH stage outputs relationally (the badwords \b-regex gate, the
+    # min-id-per-normalized-hash dedup survivor rule) and derives the
+    # identical attribution and funnel counts.
+    r"""WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'dup shared body'
+       WHEN doc_id % 7 = 0 THEN text || ' zzzbad'
+       ELSE text END AS text FROM documents),
+s1 AS (SELECT * FROM d
+  WHERE NOT regexp_matches(lower(text), '\b(zzzbad)\b')),
+s2 AS (SELECT min(doc_id) AS doc_id FROM s1
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+led AS (SELECT d.doc_id,
+  s2.doc_id IS NOT NULL AS kept,
+  CASE WHEN s1.doc_id IS NULL THEN 'badwords'
+       WHEN s2.doc_id IS NULL THEN 'exact_dedup' END AS stage
+  FROM d LEFT JOIN s1 ON d.doc_id = s1.doc_id
+         LEFT JOIN s2 ON d.doc_id = s2.doc_id),
+n AS (SELECT (SELECT count(*) FROM d) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2)
+SELECT 'doc' AS "column", CAST(doc_id AS VARCHAR) AS metric,
+  CAST(NULL AS DOUBLE) AS value_num,
+  coalesce(stage, '-') || ':' || CAST(kept AS VARCHAR) AS value_str
+FROM led
+UNION ALL SELECT 'funnel|badwords', m,
+  CASE m WHEN 'n_in' THEN n0::DOUBLE
+         WHEN 'n_dropped' THEN (n0 - n1)::DOUBLE
+         ELSE n1::DOUBLE END, CAST(NULL AS VARCHAR)
+FROM n, (SELECT unnest(['n_in', 'n_dropped', 'n_out']) AS m)
+UNION ALL SELECT 'funnel|exact_dedup', m,
+  CASE m WHEN 'n_in' THEN n1::DOUBLE
+         WHEN 'n_dropped' THEN (n1 - n2)::DOUBLE
+         ELSE n2::DOUBLE END, CAST(NULL AS VARCHAR)
+FROM n, (SELECT unnest(['n_in', 'n_dropped', 'n_out']) AS m)""",
+)
+def q_curation_ledger(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fix = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("dup shared body"))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" zzzbad")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pipe = ff.make_pipeline(
+        ("badwords",
+         ff.BadWordsFilter("text", ["zzzbad"], mode="filter")),
+        ("exact_dedup",
+         ff.ExactDeduplicator(["text"], "doc_id", normalize=True)),
+    )
+    out, ledger = ff.curation_ledger(fix, pipe, "doc_id")
+    funnel = ff.curation_funnel(
+        ledger, stages=[n for n, _ in pipe.steps]
+    )
+    perdoc = ledger.select(
+        F.lit("doc").alias("column"),
+        F.col("doc_id").cast("string").alias("metric"),
+        F.lit(None).cast("double").alias("value_num"),
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("stage"), F.lit("-")),
+            F.col("kept").cast("string"),
+        ).alias("value_str"),
+    )
+    fun = funnel.selectExpr(
+        "concat('funnel|', stage) AS column",
+        "stack(3, 'n_in', cast(n_in AS double), "
+        "'n_dropped', cast(n_dropped AS double), "
+        "'n_out', cast(n_out AS double)) AS (metric, value_num)",
+    ).selectExpr(
+        "column", "metric", "value_num",
+        "cast(NULL AS string) AS value_str",
+    )
+    return perdoc.unionByName(fun)
+
+
+@_reg(
     "frequent_items",
     # exact heavy hitters, melted (column, value, cnt), top-3 per column
     """WITH pairs AS (
@@ -6577,6 +6663,9 @@ _merge("column_profile", [
       "cast(NULL AS string) AS value_str"],
      "'overlap|a_b' AS \"column\", metric, value AS value_num, "
      "CAST(NULL AS VARCHAR) AS value_str"),
+    ("curation_ledger",
+     ["column", "metric", "value_num", "value_str"],
+     '"column", metric, value_num, value_str'),
 ])
 
 _merge("quality_filter", [

@@ -21,6 +21,7 @@ from .operators import *  # noqa: F401,F403
 from .operators import __all__ as _op_all
 from .pipeline import Pipeline, Transformer, make_pipeline
 from . import presets
+from .presets import curation_funnel, curation_ledger
 
 __version__ = "0.1.0"
 
@@ -33,6 +34,6 @@ __all__ = [
     "FitNotCalledError", "NotImplementedFeatureError", "UnsupportedFormatError",
     "Transformer", "Pipeline", "make_pipeline", "configure_logging",
     "as_ml_stage", "MLEstimatorAdapter", "MLTransformerAdapter",
-    "presets",
+    "presets", "curation_ledger", "curation_funnel",
     *_op_all,
 ]

@@ -220,3 +220,117 @@ def web_extraction_pipeline(
         ("main_content", MainContentExtractor([html_col])),
     ]
     return make_pipeline(*steps)
+
+
+def curation_ledger(df, pipeline, id_col, cache_stages=True):
+    """Unified keep/drop audit of a curation run — the artifact a
+    100 TB build is judged by: for EVERY input document, which stage
+    killed it (or that it survived). Runs ``pipeline`` step by step
+    (fit-then-transform fold, identical semantics to
+    :meth:`Pipeline.fit`) and attributes each disappearing ``id_col``
+    to the first stage whose output no longer contains it — so it
+    works uniformly across flag-gates run in filter mode AND the
+    anti-join deduplicators, which have no flag column to melt.
+
+    Returns ``(out, ledger)``: ``out`` is the fully transformed frame
+    (exactly what ``pipeline.fit(df)`` returns) and ``ledger`` has one
+    row per input document — ``(id_col, kept boolean, stage string,
+    stage_index int)`` with ``stage`` NULL for survivors. Feed it to
+    :func:`curation_funnel` for the per-stage counts, or join it back
+    to the corpus for spot-checks ("show me documents the quality
+    gate killed").
+
+    Scale shape: one id-grain left-anti join per stage — the audit's
+    own cost, proportional to the id column only, never the payload.
+    ``cache_stages`` persists each stage boundary (MEMORY_AND_DISK,
+    the ``cache_intermediate`` discipline) so stage N+1's transform
+    and stage N's anti-join don't recompute the upstream chain twice;
+    materialize/write the returned frames, then release with
+    ``ledger.sparkSession.catalog.clearCache()`` or by unpersisting.
+    Documents must be uniquely keyed by ``id_col``; stages that ADD
+    rows (exploders) are out of scope — this is a gate auditor."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from .exceptions import FeatureFactoryError
+
+    cur = df
+    dropped_frames = []
+    for i, (name, op) in enumerate(pipeline.steps):
+        if cache_stages:
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        prev_ids = cur.select(id_col)
+        try:
+            op.fit(cur)
+            nxt = op.transform(cur)
+        except FeatureFactoryError as e:
+            Pipeline._reraise_with_step(e, name)
+        dropped_frames.append(
+            prev_ids.join(nxt.select(id_col), id_col, "left_anti").select(
+                F.col(id_col),
+                F.lit(False).alias("kept"),
+                F.lit(name).alias("stage"),
+                F.lit(i).cast("int").alias("stage_index"),
+            )
+        )
+        cur = nxt
+    survivors = cur.select(
+        F.col(id_col),
+        F.lit(True).alias("kept"),
+        F.lit(None).cast("string").alias("stage"),
+        F.lit(None).cast("int").alias("stage_index"),
+    )
+    ledger = survivors
+    for frame in dropped_frames:
+        ledger = ledger.unionByName(frame)
+    pipeline._fitted = True
+    return cur, ledger
+
+
+def curation_funnel(ledger, stages=None):
+    """Per-stage survival funnel from a :func:`curation_ledger` frame:
+    ``(stage_index, stage, n_in, n_dropped, n_out)``, one row per
+    stage in pipeline order. ``stages`` (the pipeline's step names, in
+    order) zero-fills stages that dropped nothing — without it only
+    stages with at least one kill appear.
+
+    ONE count aggregate over the ledger plus stage-count-sized frames
+    after it; the running-total window orders a frame with one row per
+    STAGE, never per document, so the global window is free at any
+    corpus scale (the corpus_report share-window precedent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    drops = (
+        ledger.where(~F.col("kept"))
+        .groupBy("stage_index", "stage")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    if stages is not None:
+        spark = ledger.sparkSession
+        all_stages = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(stages)],
+            "stage_index int, stage string",
+        )
+        drops = (
+            all_stages.join(drops, ["stage_index", "stage"], "left")
+            .withColumn(
+                "n_dropped",
+                F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")),
+            )
+        )
+    total = ledger.agg(F.count(F.lit(1)).alias("__n_total"))
+    w = (
+        Window.orderBy("stage_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        drops.crossJoin(total)
+        .withColumn(
+            "n_in",
+            F.col("__n_total")
+            - F.coalesce(F.sum("n_dropped").over(w), F.lit(0)),
+        )
+        .withColumn("n_out", F.col("n_in") - F.col("n_dropped"))
+        .select("stage_index", "stage", "n_in", "n_dropped", "n_out")
+    )
