@@ -5988,23 +5988,51 @@ def q_expectations(spark, sf_dir):
     ).select("chk", "m.metric", "m.v")
 
 
+def _sql_pct(e: str) -> str:
+    """RFC 3986 §6.2.2 percent normalization as a DuckDB expression —
+    the twin of web.pct_normalize_expr (uppercase %XX, decode
+    unreserved octets only, invalid triads verbatim)."""
+    seg = (
+        "CASE WHEN NOT regexp_matches(p[1:2], '^[0-9A-Fa-f]{2}$') "
+        "THEN '%' || p "
+        "WHEN regexp_matches(chr(('0x' || p[1:2])::INT), "
+        "'^[A-Za-z0-9._~-]$') "
+        "THEN chr(('0x' || p[1:2])::INT) || p[3:] "
+        "ELSE '%' || upper(p[1:2]) || p[3:] END"
+    )
+    return (
+        f"(string_split({e}, '%')[1] || coalesce(array_to_string("
+        f"list_transform(string_split({e}, '%')[2:], p -> {seg}), "
+        "''), ''))"
+    )
+
+
 @_reg(
     "robots_gate",
-    # RobotsTxtFilter (r10, operators/web.py): the aggregate-fold
-    # robots.txt parser + RFC 9309 longest-match decision, recomputed
-    # relationally — the UA-group tracking becomes a gaps-and-islands
-    # window chain (group = last UA-start line at or before each line),
-    # rules join applying groups, the decision is row_number over
-    # (match length DESC, allow DESC). Three planted domains exercise
-    # allow-overrides-disallow, wildcard+$ anchors, multi-UA groups,
-    # comments/Sitemap lines, and a non-'*' group that must not apply.
-    r"""WITH robots(domain, txt) AS (VALUES
+    # RobotsTxtFilter (r10, percent-normalization r11,
+    # operators/web.py): the aggregate-fold robots.txt parser +
+    # RFC 9309 longest-match decision, recomputed relationally — the
+    # UA-group tracking becomes a gaps-and-islands window chain
+    # (group = last UA-start line at or before each line), rules join
+    # applying groups, the decision is row_number over (match length
+    # DESC, allow DESC); rule prefixes and probe paths both pass
+    # through the RFC 3986 §6.2.2 normalization twin. Four planted
+    # domains exercise allow-overrides-disallow, wildcard+$ anchors,
+    # multi-UA groups, comments/Sitemap lines, a non-'*' group that
+    # must not apply, and (d.com) percent-encoded rules: %7e/%7E
+    # decode to '~' on both sides, %2f case-normalizes to %2F without
+    # conflating with '/', %c3%a9 uppercases without decoding.
+    rf"""WITH robots(domain, txt) AS (VALUES
   ('a.com', 'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
             || 'Allow: /private/ok' || chr(10) || '# note' || chr(10)
             || 'Sitemap: http://a.com/s.xml'),
   ('b.com', 'User-agent: gptbot' || chr(10) || 'User-agent: *' || chr(10)
             || 'Disallow: /*.pdf$'),
-  ('c.com', 'User-agent: otherbot' || chr(10) || 'Disallow: /')),
+  ('c.com', 'User-agent: otherbot' || chr(10) || 'Disallow: /'),
+  ('d.com', 'User-agent: *' || chr(10) || 'Disallow: /%7euser/'
+            || chr(10) || 'Allow: /%7Euser/pub' || chr(10)
+            || 'Disallow: /a%2Fb' || chr(10)
+            || 'Disallow: /caf%c3%a9/')),
 rawlines AS (
   SELECT domain,
          generate_subscripts(string_split(txt, chr(10)), 1) AS i,
@@ -6031,17 +6059,24 @@ applying AS (
   SELECT DISTINCT domain, grp FROM grouped
   WHERE is_ua AND lower(val) = '*'),
 rules AS (
-  SELECT g.domain, g.is_allow AS allow, g.val AS prefix
+  SELECT g.domain, g.is_allow AS allow,
+    {_sql_pct('g.val')} AS prefix
   FROM grouped g JOIN applying a USING (domain, grp)
   WHERE (g.is_dis OR g.is_allow) AND length(g.val) > 0),
-urls AS (
+urls0 AS (
   SELECT doc_id,
-    CASE doc_id % 3 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
-         ELSE 'c.com' END AS domain,
-    CASE doc_id % 4 WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok/y'
+    CASE doc_id % 4 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
+         WHEN 2 THEN 'c.com' ELSE 'd.com' END AS domain,
+    CASE doc_id % 7 WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok/y'
          WHEN 2 THEN '/doc.pdf'
+         WHEN 3 THEN '/~user/secret'
+         WHEN 4 THEN '/%7Euser/pub/x'
+         WHEN 5 THEN '/a%2fb'
+         WHEN 6 THEN '/caf%c3%a9/x'
          ELSE '/page/' || CAST(doc_id AS VARCHAR) END AS path
   FROM documents),
+urls AS (
+  SELECT doc_id, domain, {_sql_pct('path')} AS path FROM urls0),
 hits AS (
   SELECT u.doc_id, r.allow, length(r.prefix) AS plen
   FROM urls u JOIN rules r USING (domain)
@@ -6075,18 +6110,26 @@ def q_robots_gate(spark, sf_dir):
             ("b.com", "User-agent: gptbot\nUser-agent: *\n"
                       "Disallow: /*.pdf$"),
             ("c.com", "User-agent: otherbot\nDisallow: /"),
+            ("d.com", "User-agent: *\nDisallow: /%7euser/\n"
+                      "Allow: /%7Euser/pub\nDisallow: /a%2Fb\n"
+                      "Disallow: /caf%c3%a9/"),
         ],
         "domain string, robots_txt string",
     )
     domain = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("a.com"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("b.com"))
-        .otherwise(F.lit("c.com"))
+        F.when(F.col("doc_id") % 4 == 0, F.lit("a.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("b.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("c.com"))
+        .otherwise(F.lit("d.com"))
     )
     path = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("/private/x"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("/private/ok/y"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("/doc.pdf"))
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/private/x"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("/private/ok/y"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("/doc.pdf"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("/~user/secret"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("/%7Euser/pub/x"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("/a%2fb"))
+        .when(F.col("doc_id") % 7 == 6, F.lit("/caf%c3%a9/x"))
         .otherwise(F.concat(F.lit("/page/"), F.col("doc_id").cast("string")))
     )
     urls = docs.select(

@@ -909,6 +909,47 @@ class MetaRobotsFilter(Transformer):
         return out.withColumn(f"{rcol}_blocked", blocked)
 
 
+def pct_normalize_expr(s: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure JVM: every
+    valid ``%XX`` triad is uppercased, and triads encoding UNRESERVED
+    characters (ALPHA / DIGIT / ``-._~``) are decoded. Reserved octets
+    (``%2F`` etc.) keep their encoded form — decoding those would
+    change URL structure (RFC 3986 §2.2), and decoding ``%2A``/``%24``
+    would conjure robots wildcard metacharacters out of literals. A
+    ``%`` not followed by two hex digits passes through verbatim.
+
+    Applying the SAME normalization to robots rule prefixes and probed
+    paths makes ``/%7euser/`` match ``/~user/x`` and ``/a%2fb`` match
+    ``Disallow: /a%2Fb`` — the equivalence RFC 9309 §2.2.2 expects —
+    without conflating ``/a%2Fb`` with ``/a/b``. One split + one fold
+    over the percent segments; no UDF, replayed identically by the
+    DuckDB oracle twin and the pure-Python property reference."""
+    parts = F.split(s, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(
+        parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+    )
+
+    def seg(p: Column) -> Column:
+        hex2 = F.substring(p, 1, 2)
+        valid = hex2.rlike("^[0-9A-Fa-f]{2}$")
+        ch = F.char(F.conv(hex2, 16, 10).cast("bigint"))
+        unreserved = ch.rlike("^[A-Za-z0-9._~-]$")
+        rest = F.substring(p, 3, 2147483647)
+        return (
+            F.when(~valid, F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), F.upper(hex2), rest))
+        )
+
+    return F.concat(
+        head,
+        F.aggregate(
+            tail, F.lit(""), lambda acc, x: F.concat(acc, seg(x))
+        ),
+    )
+
+
 def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
     """Parse a robots.txt body into the rule list applying to
     ``agent``: ``array<struct<allow boolean, prefix string>>`` under
@@ -918,7 +959,12 @@ def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
     ``Allow`` rules from applying groups, ``#`` comments stripped,
     unknown fields (Sitemap, Crawl-delay) ignored without ending the
     group. An empty Disallow value means "no restriction" and is
-    skipped. Percent-decoding is not applied (documented).
+    skipped. Rule prefixes are percent-normalized
+    (:func:`pct_normalize_expr`, RFC 3986 §6.2.2: uppercase ``%XX``,
+    decode unreserved octets only) so they compare consistently with
+    the normalized probe paths in :func:`robots_blocked_expr`;
+    reserved octets like ``%2F`` stay encoded, so ``/a%2Fb`` never
+    conflates with ``/a/b``.
 
     One ``aggregate`` fold over the split lines — pure JVM, no UDF;
     robots bodies are KB-sized so the per-row fold is trivial."""
@@ -975,7 +1021,14 @@ def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
             rules.alias("rules"),
         )
 
-    return F.aggregate(cleaned, zero, step)["rules"]
+    folded = F.aggregate(cleaned, zero, step)["rules"]
+    return F.transform(
+        folded,
+        lambda r: F.struct(
+            r["allow"].alias("allow"),
+            pct_normalize_expr(r["prefix"]).alias("prefix"),
+        ),
+    )
 
 
 def robots_blocked_expr(path: Column, rules: Column) -> Column:
@@ -984,8 +1037,13 @@ def robots_blocked_expr(path: Column, rules: Column) -> Column:
     matching rule (or no rules at all) allows. ``*`` matches any run,
     a trailing ``$`` anchors the end (the de-facto wildcard grammar);
     regex metacharacters in prefixes are neutralized before the
-    pattern is built. Pure JVM fold — no UDF."""
-    p = F.coalesce(path, F.lit("/"))
+    pattern is built. The probed path is percent-normalized
+    (:func:`pct_normalize_expr`) to the same RFC 3986 §6.2.2 form the
+    rule prefixes carry, so encoded/decoded spellings of unreserved
+    characters and hex-case variants match; longest-match lengths
+    compare in the normalized space on both sides. Pure JVM fold — no
+    UDF."""
+    p = pct_normalize_expr(F.coalesce(path, F.lit("/")))
 
     def pattern(prefix: Column) -> Column:
         esc = F.regexp_replace(

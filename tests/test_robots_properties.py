@@ -10,6 +10,25 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
+def ref_pct_norm(s: str) -> str:
+    """Independent RFC 3986 §6.2.2 normalization: uppercase %XX,
+    decode unreserved-only (mirrors pct_normalize_expr by spec, not by
+    construction)."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        h = p[:2]
+        if re.fullmatch("[0-9A-Fa-f]{2}", h or ""):
+            c = chr(int(h, 16))
+            if re.fullmatch("[A-Za-z0-9._~-]", c):
+                out.append(c + p[2:])
+            else:
+                out.append("%" + h.upper() + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
+
+
 def ref_rules(txt: str, agent: str = "*"):
     """Independent reference: same RFC 9309 subset, written as a plain
     line loop (not a port of the fold)."""
@@ -30,11 +49,12 @@ def ref_rules(txt: str, agent: str = "*"):
             if low.startswith(field):
                 val = ln.split(":", 1)[1].strip()
                 if applies and val:
-                    rules.append((allow, val))
+                    rules.append((allow, ref_pct_norm(val)))
     return rules
 
 
 def ref_blocked(path: str, rules) -> bool:
+    path = ref_pct_norm(path or "/")
     best_len, blocked = -1, False
     for allow, prefix in rules:
         pat = "^" + re.escape(prefix).replace(r"\*", ".*")
@@ -56,7 +76,9 @@ LINE = st.one_of(
         lambda allow, p: f"{'Allow' if allow else 'Disallow'}: {p}",
         st.booleans(),
         st.sampled_from(
-            ["/", "/a", "/a/b", "/private/", "/*.pdf$", "/x*y", "", "/a$"]
+            ["/", "/a", "/a/b", "/private/", "/*.pdf$", "/x*y", "", "/a$",
+             "/%7euser/", "/%7Euser/pub", "/a%2Fb", "/caf%c3%a9/",
+             "/%zz", "/100%"]
         ),
     ),
     st.sampled_from(
@@ -67,7 +89,8 @@ LINE = st.one_of(
 
 PATH = st.sampled_from(
     ["/", "/a", "/a/b/c", "/private/x", "/doc.pdf", "/doc.pdfx",
-     "/xzzy", "/x123y", "/a$"]
+     "/xzzy", "/x123y", "/a$", "/~user/x", "/%7Euser/pub/y", "/a%2fb",
+     "/caf%C3%A9/x", "/%zz", "/100%"]
 )
 
 

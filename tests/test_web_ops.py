@@ -489,6 +489,51 @@ class TestRobotsTxtFilter:
         b = sorted(map(tuple, restored.transform(urls).collect()))
         assert a == b
 
+    def test_percent_normalization(self, spark):
+        # r11: RFC 3986 §6.2.2 normalization on both rule prefixes and
+        # probed paths — encoded/decoded unreserved spellings and hex
+        # case variants match; %2F never conflates with '/'
+        from feature_factory_spark.operators.web import RobotsTxtFilter
+
+        robots = spark.createDataFrame(
+            [("e.com", "User-agent: *\nDisallow: /%7euser/\n"
+                       "Allow: /%7Euser/pub\nDisallow: /a%2Fb\n"
+                       "Disallow: /caf%c3%a9/")],
+            "domain string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "http://e.com/~user/secret"),    # decoded ~ blocked
+                (2, "http://e.com/%7euser/secret"),  # lower-hex blocked
+                (3, "http://e.com/%7Euser/pub/x"),   # Allow wins
+                (4, "http://e.com/a%2fb"),           # hex case match
+                (5, "http://e.com/a/b"),             # NOT the %2F rule
+                (6, "http://e.com/caf%c3%a9/x"),     # non-ASCII upper
+            ],
+            "doc_id bigint, url string",
+        )
+        op = RobotsTxtFilter("url").fit_robots(robots)
+        got = {r["doc_id"]: r["url_robots_blocked"]
+               for r in op.transform(urls).collect()}
+        assert got == {1: True, 2: True, 3: False, 4: True,
+                       5: False, 6: True}
+
+    def test_pct_normalize_expr_cases(self, spark):
+        from feature_factory_spark.operators.web import pct_normalize_expr
+
+        cases = ["/%7euser/", "/a%2fb", "/caf%c3%a9/x", "/%zz",
+                 "/100%", "/plain", "", "/%%41"]
+        df = spark.createDataFrame([(c,) for c in cases], "s string")
+        got = {r["s"]: r["n"] for r in df.select(
+            "s", pct_normalize_expr(F.col("s")).alias("n")
+        ).collect()}
+        assert got == {
+            "/%7euser/": "/~user/", "/a%2fb": "/a%2Fb",
+            "/caf%c3%a9/x": "/caf%C3%A9/x", "/%zz": "/%zz",
+            "/100%": "/100%", "/plain": "/plain", "": "",
+            "/%%41": "/%A",
+        }
+
     def test_duplicate_domains_do_not_fan_out(self, spark, robots, urls):
         # r11 ADVICE: redundant robots fetches for one domain (easy in
         # a real crawl, including case variants) must not fan the
