@@ -818,3 +818,144 @@ class CorpusShuffler(Transformer):
         finally:
             reader.close()
         return [json.loads(line) for line in lines if line.strip()]
+
+
+class DSIRWeighter(Transformer):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR) — score every raw document by how target-like it is, using
+    hashed n-gram bag models, so a web-scale corpus can be resampled
+    toward a high-quality target distribution (the published method
+    behind many pretraining data mixes).
+
+    The model is the paper's: unigrams + bigrams hash into
+    ``n_buckets`` (the feature-hashing trick — no vocabulary state),
+    the target corpus fits bucket distribution p and the raw corpus
+    fits q (both Laplace-smoothed), and each document scores the
+    log-likelihood ratio ``sum_f count_f * (ln p_f - ln q_f)``.
+    Selection then happens downstream: threshold the score, feed it to
+    a rank gate, or — the paper's resampling — add the deterministic
+    seeded Gumbel key this transformer can append and take the global
+    top-k (``score + gumbel`` is exactly Gumbel-top-k sampling with
+    probabilities proportional to the importance weights; the Gumbel
+    uses the package's md5 uniform, so the draw is reproducible across
+    engines and partitionings like every sampler here).
+
+    Usage: construct, ``fit_target(target_df)`` once with the
+    high-quality exemplar corpus, then ``fit(raw_df)`` (a plain
+    Pipeline step — the raw distribution comes from the pipeline
+    input) and ``transform``. Appends ``{text_col}_dsir`` and, when
+    ``id_col`` is given, ``{text_col}_dsir_key`` (score + Gumbel).
+
+    Scale shape: each fit is ONE explode + groupBy whose result is at
+    most ``n_buckets`` rows (model-sized at any corpus scale, plain
+    scalars, JSON-persistable); transform is a narrow pure-JVM fold
+    against the broadcast log-ratio literal with the hashed-dims array
+    materialized as a real column first (the HashedTfIdfVectorizer
+    inlining discipline). No shuffle, no UDF, no collect beyond the
+    bucket tables."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str | None = None,
+        n_buckets: int = 10_000,
+        lowercase: bool = True,
+        seed: str = "dsir",
+        out_col: str | None = None,
+    ):
+        ensure(n_buckets > 0, "n_buckets must be positive")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = int(n_buckets)
+        self.lowercase = lowercase
+        self.seed = seed
+        self.out_col = out_col or f"{text_col}_dsir"
+        self.log_p_: list[float] | None = None
+        self.log_q_: list[float] | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        from ..validation import validate_string_columns
+
+        validate_string_columns(df, [self.text_col])
+
+    def _dims(self) -> Column:
+        from ..functions.text import words_expr
+        from .embeddings import hashed_dim_expr
+
+        text = F.col(self.text_col)
+        if self.lowercase:
+            text = F.lower(text)
+        toks = words_expr(text)
+        n = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        grams = F.concat(toks, bigrams)
+        return F.transform(
+            grams, lambda g: hashed_dim_expr(g, self.n_buckets)
+        )
+
+    def _bucket_logprobs(self, df: DataFrame) -> list[float]:
+        rows = (
+            df.select(F.explode(self._dims()).alias("dim"))
+            .groupBy("dim")
+            .count()
+            .collect()
+        )
+        counts = {int(r["dim"]): int(r["count"]) for r in rows}
+        total = sum(counts.values())
+        denom = math.log(total + self.n_buckets)
+        return [
+            math.log(counts.get(j, 0) + 1) - denom
+            for j in range(self.n_buckets)
+        ]
+
+    def fit_target(self, target_df: DataFrame) -> "DSIRWeighter":
+        """Fit the TARGET bucket distribution p from the high-quality
+        exemplar corpus (one explode + groupBy, n_buckets rows)."""
+        self._check_input(target_df)
+        self.log_p_ = self._bucket_logprobs(target_df)
+        return self
+
+    def _fit(self, df: DataFrame) -> None:
+        from ..exceptions import InvalidParameterError
+
+        if self.log_p_ is None:
+            raise InvalidParameterError(
+                "DSIRWeighter needs the target distribution first: "
+                "call fit_target(target_df) before fit(raw_df)"
+            )
+        self.log_q_ = self._bucket_logprobs(df)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from ..validation import ensure as _ensure
+
+        _ensure(
+            self.log_p_ is not None and self.log_q_ is not None,
+            "DSIRWeighter is unfitted: fit_target(target) then fit(raw)",
+        )
+        ratio = [
+            float(p - q) for p, q in zip(self.log_p_, self.log_q_)
+        ]
+        lit = F.lit(ratio)
+        tmp = "__ff_dsir_dims"
+        out = df.withColumn(tmp, self._dims())
+        dims = F.col(tmp)
+        score = F.aggregate(
+            dims,
+            F.lit(0.0),
+            lambda acc, d: acc + F.element_at(lit, d.cast("int") + 1),
+        )
+        out = out.withColumn(self.out_col, score).drop(tmp)
+        if self.id_col is not None:
+            u = hash_fraction_expr(F.col(self.id_col), self.seed)
+            gumbel = -F.log(-F.log(u))
+            out = out.withColumn(
+                f"{self.out_col}_key", F.col(self.out_col) + gumbel
+            )
+        return out
