@@ -4376,6 +4376,70 @@ def q_weighted_sample(spark, sf_dir):
 
 
 @_reg(
+    "dsir_weight",
+    # DSIRWeighter (r11, operators/sampling.py): Xie et al. 2023
+    # importance resampling — hashed uni+bigram bucket models, target
+    # (source='src0') vs raw log-likelihood-ratio score, plus the
+    # deterministic seeded-Gumbel resampling key. The twin recomputes
+    # the ENTIRE model relationally: tokenize, gram, md5 bucket,
+    # Laplace-smoothed p/q tables, per-doc ratio sum, md5-uniform
+    # Gumbel. Scores pin as micro-rounded integers (double->string
+    # formatting differs across engines; integer strings don't).
+    r"""WITH d AS (SELECT doc_id, source,
+  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> x <> '') w FROM documents),
+g AS (SELECT doc_id, source,
+  unnest(w || list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                             i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM d),
+dm AS (SELECT doc_id, source,
+  ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000 AS dim FROM g),
+p AS (SELECT dim, count(*) c FROM dm WHERE source = 'src0'
+  GROUP BY dim),
+pt AS (SELECT sum(c) t FROM p),
+q AS (SELECT dim, count(*) c FROM dm GROUP BY dim),
+qt AS (SELECT sum(c) t FROM q),
+r AS (SELECT u.dim,
+  (ln(coalesce(p.c, 0) + 1) - ln(pt.t + 10000))
+  - (ln(coalesce(q.c, 0) + 1) - ln(qt.t + 10000)) AS lr
+  FROM (SELECT DISTINCT dim FROM dm) u
+  LEFT JOIN p USING (dim) LEFT JOIN q USING (dim), pt, qt),
+sc AS (SELECT dm.doc_id, sum(r.lr) AS score
+  FROM dm JOIN r USING (dim) GROUP BY dm.doc_id),
+k AS (SELECT doc_id,
+  -ln(-ln(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT::DOUBLE / 1152921504606846976.0)) AS gum
+  FROM documents)
+SELECT d0.doc_id,
+  CAST(CAST(floor(coalesce(sc.score, 0) * 1000000 + 0.5) AS BIGINT)
+       AS VARCHAR)
+  || '|' ||
+  CAST(CAST(floor((coalesce(sc.score, 0) + k.gum) * 1000000 + 0.5)
+            AS BIGINT) AS VARCHAR) AS val
+FROM documents d0 LEFT JOIN sc ON d0.doc_id = sc.doc_id
+JOIN k ON d0.doc_id = k.doc_id""",
+)
+def q_dsir_weight(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.DSIRWeighter("text", id_col="doc_id", seed="dsir")
+    op.fit_target(docs.where(F.col("source") == "src0"))
+    op.fit(docs)
+    out = op.transform(docs)
+
+    def micro(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint") \
+            .cast("string")
+
+    return out.select(
+        "doc_id",
+        F.concat(
+            micro(F.col("text_dsir")), F.lit("|"),
+            micro(F.col("text_dsir_key")),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "contamination",
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 g AS (SELECT doc_id,
@@ -6704,6 +6768,7 @@ _merge("sample_family", [
     ("url_ops", ["doc_id", "val"], "doc_id, val"),
     ("robots_gate", ["doc_id", "val"], "doc_id, val"),
     ("stratified_sample", ["doc_id", "val"], "doc_id, val"),
+    ("dsir_weight", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
     ("corpus_diff", ["doc_id", "val"], "doc_id, val"),

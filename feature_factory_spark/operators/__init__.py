@@ -182,6 +182,7 @@ from .timeseries import ExpandingWindowFeatures, LagFeatures, WindowFeatures
 from .scaling import MinMaxScaler, RobustScaler, StandardScaler
 from .sampling import (
     CorpusShuffler,
+    DSIRWeighter,
     DocumentChunker,
     HashSampler,
     HashSplitter,
@@ -266,6 +267,7 @@ __all__ = [
     "CorpusShuffler", "DocumentChunker", "HashSampler", "HashSplitter",
     "SequencePacker",
     "SourceMixer", "StratifiedSampler", "WeightedSampler",
+    "DSIRWeighter",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems", "corpus_report",
 ]

@@ -1,0 +1,103 @@
+"""DSIRWeighter (r11): importance resampling scores (Xie et al. 2023)
+— hashed uni+bigram bucket models, target-vs-raw log-likelihood ratio,
+deterministic Gumbel-top-k key. The full model is oracle-pinned
+(sample_family:dsir_weight recomputes it relationally at 10k buckets);
+these tests cover the operator contract and the selection loop."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.exceptions import FeatureFactoryError
+
+
+@pytest.fixture(scope="module")
+def target(spark):
+    rows = [(i, "careful encyclopedic prose about science and history "
+                "with citations and measured claims")
+            for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        (1, "encyclopedic prose about science with citations"),
+        (2, "click here buy now free casino bonus deals win"),
+        (3, "measured claims about history and science prose"),
+        (4, "free free casino casino win win now now"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def fitted(target, raw):
+    op = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=512)
+    return op.fit_target(target).fit(raw)
+
+
+def test_target_like_docs_outscore_spam(spark, fitted, raw):
+    got = {r["doc_id"]: r["text_dsir"]
+           for r in fitted.transform(raw).collect()}
+    assert got[1] > got[2] and got[3] > got[4]
+    assert got[1] > 0 and got[4] < 0
+    assert got[5] == 0.0  # empty doc: no grams, zero score
+
+
+def test_gumbel_key_is_deterministic_and_additive(spark, fitted, raw):
+    a = {r["doc_id"]: r["text_dsir_key"]
+         for r in fitted.transform(raw).collect()}
+    b = {r["doc_id"]: r["text_dsir_key"]
+         for r in fitted.transform(raw).collect()}
+    assert a == b  # md5-seeded, not RNG
+    scores = {r["doc_id"]: r["text_dsir"]
+              for r in fitted.transform(raw).collect()}
+    # key = score + gumbel; gumbel differs per doc
+    gumbels = {k: a[k] - scores[k] for k in a}
+    assert len(set(round(g, 9) for g in gumbels.values())) == len(gumbels)
+
+
+def test_fit_order_and_unfitted_guards(spark, target, raw):
+    with pytest.raises(FeatureFactoryError, match="fit_target"):
+        ff.DSIRWeighter("text").fit(raw)
+    with pytest.raises(FeatureFactoryError):
+        ff.DSIRWeighter("text").fit_target(target).transform(raw)
+
+
+def test_state_roundtrip(spark, fitted, raw, tmp_path):
+    path = str(tmp_path / "dsir_state")
+    fitted.save_state(path)
+    restored = ff.DSIRWeighter("text", id_col="doc_id",
+                               n_buckets=512).load_state(path, spark)
+    a = sorted(map(tuple, fitted.transform(raw).collect()))
+    b = sorted(map(tuple, restored.transform(raw).collect()))
+    assert a == b
+
+
+def test_narrow_plan(spark, fitted, raw):
+    plan = (fitted.transform(raw)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_selection_loop_with_grouped_topk(spark, fitted, raw):
+    # the paper's resampling: take the k largest (score + gumbel) keys
+    scored = fitted.transform(raw).withColumn("g", F.lit(1))
+    top = ff.GroupedTopK(["g"], "text_dsir_key", k=2).transform(scored)
+    picked = sorted(r["doc_id"] for r in top.collect())
+    # the two target-like docs dominate the spam at this score gap
+    assert picked == [1, 3]
+
+
+def test_pipeline_step(spark, target, raw):
+    # fit_target at construction, then the preset/pipeline fold calls
+    # fit(raw) like any stateful step
+    pipe = ff.make_pipeline(
+        ("dsir", ff.DSIRWeighter("text", n_buckets=512)
+         .fit_target(target)),
+    )
+    out = pipe.fit(raw)
+    assert "text_dsir" in out.columns
