@@ -39,7 +39,9 @@ per-round recorded numbers).
 Usage: python scripts/scale_sanity.py [copies] [check ...]
        (ALL checks in CHECKS run by default — see the CHECKS dict;
         r10 adds crossmodal (union-pair connected components) and
-        corpusreport (one-aggregate data card))
+        corpusreport (one-aggregate data card); r11 adds tfidf
+        (hashed TF-IDF fit/transform), dsir (importance-resampling
+        fit+score), and pairscore (pair cosine gate))
 """
 
 import os
@@ -888,6 +890,98 @@ def check_corpusreport(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_tfidf(spark, copies: int) -> None:
+    """HashedTfIdfVectorizer (r11): fit is one distinct-(doc,dim)
+    aggregate collapsing to <= n_features rows; transform is a narrow
+    fold. Both must track the corpus scan ~linearly — the idf state is
+    model-sized at any corpus scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = grow_docs(docs, copies)
+
+    def run(frame):
+        op = ff.HashedTfIdfVectorizer("text", n_features=256)
+        t0 = time.perf_counter()
+        op.fit(frame)
+        t_fit = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = op.transform(frame).select(
+            F.sum(F.element_at("text_tfidf", 1))
+        ).collect()[0][0]
+        t_tr = time.perf_counter() - t0
+        return t_fit, t_tr, n
+
+    f1, tr1, _ = run(docs)
+    fN, trN, _ = run(big)
+    print(f"[tfidf] 1x:  fit {f1:.1f}s transform {tr1:.1f}s")
+    print(
+        f"[tfidf] {copies}x: fit {fN:.1f}s transform {trN:.1f}s "
+        f"(fit ratio {fN / f1:.1f}x, transform ratio {trN / tr1:.1f}x "
+        f"for {copies}x corpus)"
+    )
+    big.unpersist()
+
+
+def check_dsir(spark, copies: int) -> None:
+    """DSIRWeighter (r11): target fit fixed, raw fit + score at 10x the
+    corpus — one explode+groupBy to n_buckets rows and a narrow fold,
+    both ~linear in the scan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.where(F.col("source") == "src0")
+    big = grow_docs(docs, copies)
+
+    def run(frame):
+        op = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=4096)
+        op.fit_target(target)
+        t0 = time.perf_counter()
+        op.fit(frame)
+        out = op.transform(frame).agg(F.sum("text_dsir")).collect()
+        return time.perf_counter() - t0, out[0][0]
+
+    t1, _ = run(docs)
+    tN, _ = run(big)
+    print(f"[dsir] 1x:  {t1:.1f}s (raw fit + score)")
+    print(
+        f"[dsir] {copies}x: {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
+    )
+    big.unpersist()
+
+
+def check_pairscore(spark, copies: int) -> None:
+    """ImageTextPairScorer (r11): one cosine fold per pair row — a
+    stateless narrow projection that must be embarrassingly linear."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.select(
+        "vec_id", F.col("embedding").alias("a"),
+        F.reverse("embedding").alias("b"),
+    )
+    big = base
+    for i in range(1, copies):
+        big = big.unionByName(
+            base.select((F.col("vec_id") + i * 100000).alias("vec_id"),
+                        "a", "b")
+        )
+    big = big.repartition(64).persist()
+    big.count()
+    op = ff.ImageTextPairScorer("a", "b")
+
+    def run(frame):
+        t0 = time.perf_counter()
+        frame_out = op.transform(frame).agg(
+            F.sum("pair_cosine")
+        ).collect()
+        return time.perf_counter() - t0, frame_out[0][0]
+
+    t1, _ = run(base)
+    tN, _ = run(big)
+    print(f"[pairscore] 1x:  {t1:.1f}s")
+    print(
+        f"[pairscore] {copies}x: {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x pairs)"
+    )
+    big.unpersist()
+
+
 CHECKS = {
     "minhash": check_minhash,
     "asof": check_asof,
@@ -910,6 +1004,9 @@ CHECKS = {
     "pagerank": check_pagerank,
     "crossmodal": check_crossmodal,
     "corpusreport": check_corpusreport,
+    "tfidf": check_tfidf,
+    "dsir": check_dsir,
+    "pairscore": check_pairscore,
 }
 
 
