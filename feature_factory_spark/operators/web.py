@@ -1031,6 +1031,50 @@ def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
     )
 
 
+def robots_crawl_delay_expr(txt: Column, agent: str = "*") -> Column:
+    """``Crawl-delay`` (seconds, double) for the groups applying to
+    ``agent`` — the non-RFC extension Bing/Yandex honor; NULL when no
+    applying group sets one. Multiple applying groups take the MINIMUM
+    (the conservative reading). Same group-tracking fold as
+    :func:`robots_rules_expr`; malformed values are ignored
+    (``try_cast``)."""
+    lines = F.split(F.coalesce(txt, F.lit("")), "\r?\n")
+    cleaned = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, "#.*$", ""))
+    )
+    agent_lc = agent.lower()
+    zero = F.struct(
+        F.lit(False).alias("applies"),
+        F.lit(False).alias("last_ua"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+
+    def step(acc, ln):
+        low = F.lower(ln)
+        val = F.trim(F.regexp_extract(ln, "^[^:]*:(.*)$", 1))
+        is_ua = low.startswith("user-agent:")
+        ua_val = F.lower(val)
+        ua_match = (ua_val == F.lit("*")) | (ua_val == F.lit(agent_lc))
+        applies_ua = F.when(
+            acc["last_ua"], acc["applies"] | ua_match
+        ).otherwise(ua_match)
+        is_delay = low.startswith("crawl-delay:")
+        secs = val.try_cast("double")
+        take = acc["applies"] & is_delay & secs.isNotNull() & (secs >= 0)
+        delay = F.when(
+            take, F.least(F.coalesce(acc["delay"], secs), secs)
+        ).otherwise(acc["delay"])
+        return F.struct(
+            F.when(is_ua, applies_ua)
+            .otherwise(acc["applies"])
+            .alias("applies"),
+            is_ua.alias("last_ua"),
+            delay.alias("delay"),
+        )
+
+    return F.aggregate(cleaned, zero, step)["delay"]
+
+
 def robots_blocked_expr(path: Column, rules: Column) -> Column:
     """RFC 9309 decision for a URL path against ``robots_rules_expr``
     output: the LONGEST matching rule wins; ties prefer Allow; no
@@ -1115,6 +1159,7 @@ class RobotsTxtFilter(Transformer):
         robots_col: str = "robots_txt",
         agent: str = "*",
         mode: str = "flag",
+        with_crawl_delay: bool = False,
     ):
         ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
         self.url_col = url_col
@@ -1122,6 +1167,11 @@ class RobotsTxtFilter(Transformer):
         self.robots_col = robots_col
         self.agent = agent
         self.mode = mode
+        # with_crawl_delay additionally appends {url_col}_crawl_delay
+        # (seconds from the applying groups' Crawl-delay, NULL when
+        # unset — the Bing/Yandex extension a POLITE recrawl scheduler
+        # reads; it never affects the blocked decision)
+        self.with_crawl_delay = with_crawl_delay
         self.rules_df_: DataFrame | None = None
 
     def is_stateful(self) -> bool:
@@ -1156,6 +1206,9 @@ class RobotsTxtFilter(Transformer):
                 robots_rules_expr(
                     F.col("__ff_rb_body"), self.agent
                 ).alias("__ff_rb_rules"),
+                robots_crawl_delay_expr(
+                    F.col("__ff_rb_body"), self.agent
+                ).alias("__ff_rb_delay"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1196,9 +1249,21 @@ class RobotsTxtFilter(Transformer):
             F.lit(False),
         )
         out_col = f"{self.url_col}_robots_blocked"
-        out = joined.withColumn(out_col, blocked).drop(
-            "__ff_rb_host", "__ff_rb_domain", "__ff_rb_rules"
-        )
+        out = joined.withColumn(out_col, blocked)
+        if self.with_crawl_delay:
+            ensure(
+                "__ff_rb_delay" in joined.columns,
+                "this rules state predates crawl-delay support: refit "
+                "with fit_robots (save_state files from r10 and earlier "
+                "carry no delay column)",
+            )
+            out = out.withColumn(
+                f"{self.url_col}_crawl_delay", F.col("__ff_rb_delay")
+            )
+        drop = ["__ff_rb_host", "__ff_rb_domain", "__ff_rb_rules"]
+        if "__ff_rb_delay" in out.columns:
+            drop.append("__ff_rb_delay")
+        out = out.drop(*drop)
         if self.mode == "filter":
             return out.where(~F.col(out_col)).drop(out_col)
         return out

@@ -489,6 +489,50 @@ class TestRobotsTxtFilter:
         b = sorted(map(tuple, restored.transform(urls).collect()))
         assert a == b
 
+    def test_crawl_delay_surface(self, spark, urls):
+        # r11: Crawl-delay (the Bing/Yandex extension) surfaced per URL
+        # when with_crawl_delay=True — min across applying groups,
+        # NULL when unset/malformed, never affects blocking
+        from feature_factory_spark.operators.web import (
+            RobotsTxtFilter, robots_crawl_delay_expr,
+        )
+
+        robots = spark.createDataFrame(
+            [
+                ("a.com", "User-agent: *\nCrawl-delay: 2.5\n"
+                          "Disallow: /private/\nAllow: /private/ok"),
+                ("b.com", "User-agent: gptbot\nCrawl-delay: 1\n\n"
+                          "User-agent: *\nCrawl-delay: 7"),
+                ("c.com", "User-agent: otherbot\nCrawl-delay: 3"),
+                ("d.com", "User-agent: *\nCrawl-delay: nonsense"),
+            ],
+            "domain string, robots_txt string",
+        )
+        op = RobotsTxtFilter("url", with_crawl_delay=True) \
+            .fit_robots(robots)
+        got = {r["doc_id"]: (r["url_robots_blocked"],
+                             r["url_crawl_delay"])
+               for r in op.transform(urls).collect()}
+        assert got[1] == (True, 2.5)    # a.com, blocking unaffected
+        assert got[4][1] == 7.0         # b.com '*' group for agent '*'
+        assert got[6][1] is None        # c.com group does not apply
+        assert got[7][1] is None        # unknown domain
+        # gptbot sees BOTH applying groups on b.com -> min(1, 7)
+        g = RobotsTxtFilter("url", agent="gptbot",
+                            with_crawl_delay=True).fit_robots(robots)
+        ggot = {r["doc_id"]: r["url_crawl_delay"]
+                for r in g.transform(urls).collect()}
+        assert ggot[4] == 1.0
+        # malformed value -> NULL via try_cast
+        d = spark.createDataFrame(
+            [("x", "User-agent: *\nCrawl-delay: nonsense")],
+            "domain string, robots_txt string",
+        ).select(robots_crawl_delay_expr(F.col("robots_txt")).alias("d"))
+        assert d.collect()[0]["d"] is None
+        # default (with_crawl_delay=False) keeps the old contract
+        plain = RobotsTxtFilter("url").fit_robots(robots)
+        assert "url_crawl_delay" not in plain.transform(urls).columns
+
     def test_percent_normalization(self, spark):
         # r11: RFC 3986 §6.2.2 normalization on both rule prefixes and
         # probed paths — encoded/decoded unreserved spellings and hex
