@@ -345,6 +345,38 @@ def main() -> None:
     )
     re_ids = applied.encode_ids(cleaned.limit(50))
     print(f"tokenizer.json round-trip encoded: {re_ids.count()} docs")
+
+    # 12. (r11) self-contained embeddings: hashed TF-IDF vectors from
+    #     the raw text — semantic dedup and ANN with NO external model
+    vec = ff.HashedTfIdfVectorizer("text", n_features=128).fit(docs)
+    embedded = vec.transform(docs)
+    text_sem = ff.SemanticDeduplicator(
+        "text_tfidf", "doc_id", threshold=0.9, k=4, dim=128
+    ).fit(embedded)
+    print(f"tfidf semantic dedup survivors: "
+          f"{text_sem.transform(embedded).count()} / {docs.count()}")
+
+    # 13. (r11) DSIR importance resampling: score every raw document
+    #     by target-likeness (hashed n-gram models), then resample via
+    #     the deterministic Gumbel key — the published data-selection
+    #     recipe, here with src0 standing in for the quality target
+    dsir = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=2048)
+    dsir.fit_target(docs.where(F.col("source") == "src0"))
+    dsir.fit(docs)
+    picked = ff.GroupedTopK(
+        ["const"], "text_dsir_key", k=100
+    ).transform(dsir.transform(docs).withColumn("const", F.lit(1)))
+    print(f"DSIR-resampled selection: {picked.count()} docs")
+
+    # 14. (r11) the shipping audit: run the cleaning stack through the
+    #     keep/drop ledger — every input doc attributed to the stage
+    #     that killed it, melted to the per-stage funnel
+    pipe = ff.presets.gopher_pipeline("text", "doc_id")
+    final, ledger = ff.curation_ledger(docs, pipe, "doc_id")
+    funnel = ff.curation_funnel(
+        ledger, stages=[n for n, _ in pipe.steps]
+    )
+    funnel.orderBy("stage_index").show(truncate=False)
     spark.stop()
 
 
