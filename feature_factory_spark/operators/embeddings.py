@@ -513,7 +513,10 @@ class HashedTfIdfVectorizer(Transformer):
         self.n_features = int(n_features)
         self.lowercase = lowercase
         self.l2_normalize = l2_normalize
-        self.idf_: list[float] | None = None
+        # raw df COUNTS are the fitted state (idf derives): counts
+        # merge additively, so fit_more extends the corpus without
+        # re-scanning it
+        self.doc_freq_: list[int] | None = None
         self.n_docs_: int | None = None
 
     def is_stateful(self) -> bool:
@@ -535,9 +538,20 @@ class HashedTfIdfVectorizer(Transformer):
             lambda t: hashed_dim_expr(t, self.n_features),
         )
 
-    def _fit(self, df: DataFrame) -> None:
+    @property
+    def idf_(self) -> list[float] | None:
+        """Smooth idf derived from the fitted document frequencies:
+        ln((1+N)/(1+df)) + 1."""
         import math
 
+        if self.doc_freq_ is None or self.n_docs_ is None:
+            return None
+        return [
+            math.log((1.0 + self.n_docs_) / (1.0 + c)) + 1.0
+            for c in self.doc_freq_
+        ]
+
+    def _df_counts(self, df: DataFrame) -> tuple[int, list[int]]:
         n_docs = df.count()
         rows = (
             df.select(
@@ -548,11 +562,29 @@ class HashedTfIdfVectorizer(Transformer):
             .collect()
         )
         dfreq = {int(r["dim"]): int(r["count"]) for r in rows}
-        self.n_docs_ = int(n_docs)
-        self.idf_ = [
-            math.log((1.0 + n_docs) / (1.0 + dfreq.get(j, 0))) + 1.0
-            for j in range(self.n_features)
+        return int(n_docs), [
+            dfreq.get(j, 0) for j in range(self.n_features)
         ]
+
+    def _fit(self, df: DataFrame) -> None:
+        self.n_docs_, self.doc_freq_ = self._df_counts(df)
+
+    def fit_more(self, batch: DataFrame) -> "HashedTfIdfVectorizer":
+        """Merge a recrawl batch into the fitted idf state — document
+        frequencies and N add, so the refit scans only the batch (the
+        PCAProjection.fit_more incremental discipline). Identical to
+        refitting on the union by integer-count construction."""
+        ensure(
+            self.doc_freq_ is not None,
+            "fit_more extends a fitted instance: call fit() first",
+        )
+        self._check_input(batch)
+        n_add, df_add = self._df_counts(batch)
+        self.n_docs_ += n_add
+        self.doc_freq_ = [
+            a + b for a, b in zip(self.doc_freq_, df_add)
+        ]
+        return self
 
     def _transform(self, df: DataFrame) -> DataFrame:
         ensure(

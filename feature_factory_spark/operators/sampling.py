@@ -870,8 +870,11 @@ class DSIRWeighter(Transformer):
         self.lowercase = lowercase
         self.seed = seed
         self.out_col = out_col or f"{text_col}_dsir"
-        self.log_p_: list[float] | None = None
-        self.log_q_: list[float] | None = None
+        # raw bucket COUNTS are the fitted state (log-probs derive):
+        # counts merge additively, so a recrawl extends the raw
+        # distribution via fit_more without re-scanning the old corpus
+        self.target_counts_: list[int] | None = None
+        self.raw_counts_: list[int] | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -900,7 +903,7 @@ class DSIRWeighter(Transformer):
             grams, lambda g: hashed_dim_expr(g, self.n_buckets)
         )
 
-    def _bucket_logprobs(self, df: DataFrame) -> list[float]:
+    def _bucket_counts(self, df: DataFrame) -> list[int]:
         rows = (
             df.select(F.explode(self._dims()).alias("dim"))
             .groupBy("dim")
@@ -908,39 +911,62 @@ class DSIRWeighter(Transformer):
             .collect()
         )
         counts = {int(r["dim"]): int(r["count"]) for r in rows}
-        total = sum(counts.values())
-        denom = math.log(total + self.n_buckets)
-        return [
-            math.log(counts.get(j, 0) + 1) - denom
-            for j in range(self.n_buckets)
-        ]
+        return [counts.get(j, 0) for j in range(self.n_buckets)]
+
+    def _logprobs(self, counts: list[int]) -> list[float]:
+        denom = math.log(sum(counts) + self.n_buckets)
+        return [math.log(c + 1) - denom for c in counts]
 
     def fit_target(self, target_df: DataFrame) -> "DSIRWeighter":
         """Fit the TARGET bucket distribution p from the high-quality
         exemplar corpus (one explode + groupBy, n_buckets rows)."""
         self._check_input(target_df)
-        self.log_p_ = self._bucket_logprobs(target_df)
+        self.target_counts_ = self._bucket_counts(target_df)
         return self
 
     def _fit(self, df: DataFrame) -> None:
         from ..exceptions import InvalidParameterError
 
-        if self.log_p_ is None:
+        if self.target_counts_ is None:
             raise InvalidParameterError(
                 "DSIRWeighter needs the target distribution first: "
                 "call fit_target(target_df) before fit(raw_df)"
             )
-        self.log_q_ = self._bucket_logprobs(df)
+        self.raw_counts_ = self._bucket_counts(df)
+
+    def fit_more(self, batch: DataFrame) -> "DSIRWeighter":
+        """Extend the RAW distribution with a recrawl batch — bucket
+        counts merge additively, so the refit scans only the batch,
+        never the accumulated corpus (the PCAProjection.fit_more
+        incremental discipline). Identical to refitting on the union
+        by integer-count construction."""
+        from ..validation import ensure as _ensure
+
+        _ensure(
+            self.raw_counts_ is not None,
+            "fit_more extends a fitted raw distribution: call "
+            "fit(raw_df) first",
+        )
+        add = self._bucket_counts(batch)
+        self.raw_counts_ = [
+            a + b for a, b in zip(self.raw_counts_, add)
+        ]
+        return self
 
     def _transform(self, df: DataFrame) -> DataFrame:
         from ..validation import ensure as _ensure
 
         _ensure(
-            self.log_p_ is not None and self.log_q_ is not None,
+            self.target_counts_ is not None
+            and self.raw_counts_ is not None,
             "DSIRWeighter is unfitted: fit_target(target) then fit(raw)",
         )
         ratio = [
-            float(p - q) for p, q in zip(self.log_p_, self.log_q_)
+            float(p - q)
+            for p, q in zip(
+                self._logprobs(self.target_counts_),
+                self._logprobs(self.raw_counts_),
+            )
         ]
         lit = F.lit(ratio)
         tmp = "__ff_dsir_dims"

@@ -101,3 +101,20 @@ def test_pipeline_step(spark, target, raw):
     )
     out = pipe.fit(raw)
     assert "text_dsir" in out.columns
+
+
+def test_fit_more_equals_union_refit(spark, target, raw):
+    old = raw.where("doc_id <= 2")
+    batch = raw.where("doc_id > 2")
+    inc = ff.DSIRWeighter("text", n_buckets=512).fit_target(target)
+    inc.fit(old)
+    inc.fit_more(batch)
+    full = ff.DSIRWeighter("text", n_buckets=512).fit_target(target)
+    full.fit(old.unionByName(batch))
+    assert inc.raw_counts_ == full.raw_counts_
+    a = sorted(map(tuple, inc.transform(raw).collect()))
+    b = sorted(map(tuple, full.transform(raw).collect()))
+    assert a == b
+    with pytest.raises(FeatureFactoryError, match="fit_more"):
+        ff.DSIRWeighter("text", n_buckets=512).fit_target(target) \
+            .fit_more(batch)

@@ -152,3 +152,21 @@ def test_topk_on_raw_text(spark, corpus):
     row = top.collect()[0]
     assert row["neighbor_id"] == 4
     assert row["cosine"] == pytest.approx(1.0)
+
+
+def test_fit_more_equals_union_refit(spark, corpus):
+    # PCAProjection.fit_more discipline: merging a recrawl batch into
+    # the fitted df counts must equal refitting on the union exactly
+    # (integer-count construction)
+    old = corpus.where("doc_id <= 3 AND text IS NOT NULL")
+    batch = corpus.where("doc_id > 3 AND text IS NOT NULL")
+    inc = ff.HashedTfIdfVectorizer("text", n_features=64).fit(old)
+    inc.fit_more(batch)
+    full = ff.HashedTfIdfVectorizer("text", n_features=64).fit(
+        old.unionByName(batch)
+    )
+    assert inc.n_docs_ == full.n_docs_
+    assert inc.doc_freq_ == full.doc_freq_
+    assert inc.idf_ == full.idf_
+    with pytest.raises(FeatureFactoryError, match="fit_more"):
+        ff.HashedTfIdfVectorizer("text").fit_more(batch)
