@@ -6408,6 +6408,65 @@ def q_curation_ledger(spark, sf_dir):
 
 
 @_reg(
+    "tokenizer_report",
+    # tokenizer_report (r11, operators/profiling.py): the tokenizer
+    # audit card — per-lang fertility (tokens/word), compression
+    # (chars/token), sequence length, OOV rate. Fixture synthesizes a
+    # deterministic ids column (md5-bucket id per word, every 13th
+    # bucket planted as -1 OOV) so the whole card is SQL-recomputable
+    # with no tokenizer fit in the window.
+    rf"""WITH d AS (SELECT doc_id, lang, text,
+  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> x <> '') w FROM documents),
+i AS (SELECT lang, text,
+  list_transform(w, x ->
+    CASE WHEN (('0x' || substr(md5(x), 1, 15))::BIGINT % 50) % 13 = 0
+         THEN -1
+         ELSE ('0x' || substr(md5(x), 1, 15))::BIGINT % 50 END) ids
+  FROM d),
+a AS (SELECT lang,
+  count(*)::DOUBLE n_docs,
+  sum(len(ids))::DOUBLE n_tokens,
+  sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x <> '')))::DOUBLE n_words,
+  sum(length(text))::DOUBLE n_chars,
+  sum(len(list_filter(ids, x -> x = -1)))::DOUBLE n_oov
+  FROM i GROUP BY lang)
+SELECT 'tok|' || lang AS "column", metric,
+  {R6('value')} AS value_num, CAST(NULL AS VARCHAR) AS value_str
+FROM (
+  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM a
+  UNION ALL SELECT lang, 'n_tokens', n_tokens FROM a
+  UNION ALL SELECT lang, 'n_words', n_words FROM a
+  UNION ALL SELECT lang, 'n_chars', n_chars FROM a
+  UNION ALL SELECT lang, 'tokens_per_doc', n_tokens / n_docs FROM a
+  UNION ALL SELECT lang, 'fertility', n_tokens / n_words FROM a
+  UNION ALL SELECT lang, 'chars_per_token', n_chars / n_tokens FROM a
+  UNION ALL SELECT lang, 'oov_rate', n_oov / n_tokens FROM a
+) t""",
+)
+def q_tokenizer_report(spark, sf_dir):
+    from feature_factory_spark.operators.embeddings import hashed_dim_expr
+    from feature_factory_spark.functions.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.transform(
+        words_expr(F.lower(F.col("text"))),
+        lambda w: F.when(
+            hashed_dim_expr(w, 50) % 13 == 0, F.lit(-1).cast("bigint")
+        ).otherwise(hashed_dim_expr(w, 50)),
+    )
+    tokenized = docs.select("lang", "text", ids.alias("ids"))
+    rep = ff.tokenizer_report(tokenized, "ids", "text", ["lang"])
+    return rep.select(
+        F.concat(F.lit("tok|"), F.col("lang")).alias("column"),
+        "metric",
+        r6(F.col("value")).alias("value_num"),
+        F.lit(None).cast("string").alias("value_str"),
+    )
+
+
+@_reg(
     "frequent_items",
     # exact heavy hitters, melted (column, value, cnt), top-3 per column
     """WITH pairs AS (
@@ -6794,6 +6853,9 @@ _merge("column_profile", [
      "'overlap|a_b' AS \"column\", metric, value AS value_num, "
      "CAST(NULL AS VARCHAR) AS value_str"),
     ("curation_ledger",
+     ["column", "metric", "value_num", "value_str"],
+     '"column", metric, value_num, value_str'),
+    ("tokenizer_report",
      ["column", "metric", "value_num", "value_str"],
      '"column", metric, value_num, value_str'),
 ])

@@ -192,7 +192,12 @@ from .sampling import (
     WeightedSampler,
 )
 from .joins import AsOfJoiner, GroupedTopK, IntervalJoiner
-from .profiling import ColumnProfiler, FrequentItems, corpus_report
+from .profiling import (
+    ColumnProfiler,
+    FrequentItems,
+    corpus_report,
+    tokenizer_report,
+)
 
 __all__ = [
     "MeanMedianImputer", "ArbitraryNumberImputer", "EndTailImputer",
@@ -270,4 +275,5 @@ __all__ = [
     "DSIRWeighter",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems", "corpus_report",
+    "tokenizer_report",
 ]

@@ -284,3 +284,96 @@ def corpus_report(
     return agg.select(
         *group_cols, F.explode(F.array(*pairs)).alias("kv")
     ).select(*group_cols, "kv.metric", "kv.value")
+
+
+def tokenizer_report(
+    df: DataFrame,
+    tokens_col: str,
+    text_col: str,
+    group_cols: list[str] | None = None,
+    oov_id: int | None = -1,
+) -> DataFrame:
+    """Tokenizer audit card: ``(group..., metric, value)`` over a
+    tokenized corpus (the ``encode_ids``/``encode`` output of the BPE /
+    Unigram builders, or any array token column) — the numbers a
+    tokenizer evaluation quotes before a model trains on the shards:
+
+    - ``n_docs``, ``n_tokens``, ``n_words``, ``n_chars``
+    - ``tokens_per_doc``   mean sequence length (budget planning)
+    - ``fertility``        tokens per whitespace word — the standard
+      cross-lingual tokenizer-quality metric (Rust et al. 2021): a
+      fertility far above ~1.3 on a language slice means the vocab
+      under-serves that language
+    - ``chars_per_token``  compression rate (bytes-ish per token)
+    - ``oov_rate``         fraction of tokens equal to ``oov_id``
+      (the builders emit -1 for unknown ids; pass ``oov_id=None``
+      for token-string columns where OOV does not apply)
+
+    Group by language / source (``group_cols``) to see which slices
+    the vocabulary under-serves. Scale shape: ONE
+    groupBy(group_cols) aggregate with map-side partials, melted on
+    the group-count-sized result — the corpus_report discipline, zero
+    extra scans."""
+    validate_columns(df, [tokens_col, text_col] + list(group_cols or []))
+    g = list(group_cols or [])
+    toks = F.col(tokens_col)
+    n_tok = F.coalesce(F.size(toks).cast("bigint"), F.lit(0))
+    n_words = F.coalesce(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+"),
+                lambda w: w != "",
+            )
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    n_chars = F.coalesce(
+        F.length(F.col(text_col)).cast("bigint"), F.lit(0)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(n_tok).cast("double").alias("n_tokens"),
+        F.sum(n_words).cast("double").alias("n_words"),
+        F.sum(n_chars).cast("double").alias("n_chars"),
+    ]
+    if oov_id is not None:
+        n_oov = F.coalesce(
+            F.size(
+                F.filter(toks, lambda t: t == F.lit(oov_id))
+            ).cast("bigint"),
+            F.lit(0),
+        )
+        aggs.append(F.sum(n_oov).cast("double").alias("n_oov"))
+    agg = df.groupBy(*g).agg(*aggs)
+    metrics = [
+        ("n_docs", F.col("n_docs")),
+        ("n_tokens", F.col("n_tokens")),
+        ("n_words", F.col("n_words")),
+        ("n_chars", F.col("n_chars")),
+        ("tokens_per_doc", F.try_divide(F.col("n_tokens"),
+                                        F.col("n_docs"))),
+        ("fertility", F.try_divide(F.col("n_tokens"),
+                                   F.col("n_words"))),
+        ("chars_per_token", F.try_divide(F.col("n_chars"),
+                                         F.col("n_tokens"))),
+    ]
+    if oov_id is not None:
+        metrics.append(
+            ("oov_rate", F.try_divide(F.col("n_oov"),
+                                      F.col("n_tokens")))
+        )
+    stacked = agg.select(
+        *g,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(name).alias("metric"),
+                         expr.cast("double").alias("value"))
+                for name, expr in metrics
+            ])
+        ).alias("__m"),
+    )
+    return stacked.select(
+        *g, F.col("__m.metric").alias("metric"),
+        F.col("__m.value").alias("value"),
+    )
