@@ -791,3 +791,49 @@ def test_r10_stateless_gates_on_stream(spark, tmp_path):
     assert got[1]["text"] == "a\nb"
     assert got[1]["page_robots_blocked"] and got[1]["url_robots_blocked"]
     assert not got[2]["page_robots_blocked"]
+
+
+def test_r11_scorers_stream_equals_batch(spark, tmp_path):
+    # r11 scoring ops are stream-safe by construction (stateless
+    # transforms over broadcast scalar state): hashed TF-IDF vectors,
+    # DSIR scores, and the pair-cosine gate must produce identical
+    # rows on a stream and on the batch
+    from feature_factory_spark.streaming import (
+        apply_pipeline_to_stream, read_stream,
+    )
+
+    rows = [
+        (1, "clean prose about science", [1.0, 0.0], [1.0, 0.0]),
+        (2, "buy now free casino", [1.0, 0.0], [0.0, 1.0]),
+        (3, "science prose again", [0.6, 0.8], [0.6, 0.8]),
+    ]
+    schema = ("doc_id bigint, text string, "
+              "img array<double>, txt array<double>")
+    batch = spark.createDataFrame(rows, schema)
+    target = spark.createDataFrame(
+        [(10, "science prose citations measured careful")],
+        "doc_id bigint, text string",
+    )
+    vec = ff.HashedTfIdfVectorizer("text", n_features=32).fit(batch)
+    dsir = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=64)
+    dsir.fit_target(target).fit(batch)
+    pipe = ff.make_pipeline(
+        ("tfidf", vec),
+        ("dsir", dsir),
+        ("pair_gate", ff.ImageTextPairScorer("img", "txt")),
+    )
+    src = str(tmp_path / "r11_src")
+    batch.write.parquet(src)
+    stream = read_stream(spark, src, batch.schema)
+    out = apply_pipeline_to_stream(pipe, stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("r11_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM r11_out").collect())
+    )
+    want = sorted(map(tuple, pipe.transform(batch).collect()))
+    assert got == want
