@@ -1,1 +1,1 @@
-from .inspect import explain_str, plan_report
+from .inspect import explain_str, plan_audit, plan_report
