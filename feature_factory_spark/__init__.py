@@ -20,7 +20,8 @@ from .logging_config import configure_logging
 from .operators import *  # noqa: F401,F403
 from .operators import __all__ as _op_all
 from .pipeline import Pipeline, Transformer, make_pipeline
-from . import presets
+from . import plans, presets
+from .plans import plan_audit
 from .presets import curation_funnel, curation_ledger
 
 __version__ = "0.1.0"
@@ -35,5 +36,6 @@ __all__ = [
     "Transformer", "Pipeline", "make_pipeline", "configure_logging",
     "as_ml_stage", "MLEstimatorAdapter", "MLTransformerAdapter",
     "presets", "curation_ledger", "curation_funnel",
+    "plans", "plan_audit",
     *_op_all,
 ]
