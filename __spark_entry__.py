@@ -6408,6 +6408,71 @@ def q_curation_ledger(spark, sf_dir):
 
 
 @_reg(
+    "dedup_report",
+    # dedup_report (r11, operators/profiling.py): the duplicate-
+    # cluster data card over a candidate-pair frame — planted pairs
+    # (x, x+1) at x%10=0 and (x, x+2) at x%20=0 form 2-chains and
+    # 3-chains; the twin recomputes the transitive closure with a
+    # recursive CTE (the cross_modal precedent) and derives the
+    # identical totals, histogram, and dup share.
+    f"""WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 = 0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 2 WHERE a.doc_id % 20 = 0
+), und AS (
+  SELECT s, d FROM edges UNION SELECT d, s FROM edges
+), reach(node, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.node
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+), sizes AS (
+  SELECT component, count(*)::DOUBLE AS sz FROM comp GROUP BY component
+), tot AS (
+  SELECT count(*)::DOUBLE n_clusters, sum(sz) n_clustered,
+    sum(sz - 1) n_excess, max(sz) mx, avg(sz) mean FROM sizes
+), np AS (SELECT count(*)::DOUBLE n_pairs FROM edges),
+nt AS (SELECT count(*)::DOUBLE n FROM documents)
+SELECT 'dedup|pairs' AS "column", metric,
+  {R6('value')} AS value_num, CAST(NULL AS VARCHAR) AS value_str
+FROM (
+  SELECT 'n_pairs' AS metric, n_pairs AS value FROM np
+  UNION ALL SELECT 'n_clusters', n_clusters FROM tot
+  UNION ALL SELECT 'n_clustered_docs', n_clustered FROM tot
+  UNION ALL SELECT 'n_excess_docs', n_excess FROM tot
+  UNION ALL SELECT 'max_cluster_size', mx FROM tot
+  UNION ALL SELECT 'mean_cluster_size', mean FROM tot
+  UNION ALL SELECT 'cluster_size_' || CAST(sz AS BIGINT),
+    count(*)::DOUBLE FROM sizes GROUP BY sz
+  UNION ALL SELECT 'dup_share',
+    (SELECT n_excess FROM tot) / n FROM nt
+) t""",
+)
+def q_dedup_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+
+    def planted(offset, mod, rem):
+        a = ids.select(F.col("doc_id").alias("a_id")).where(
+            F.col("a_id") % mod == rem
+        )
+        b = ids.select(F.col("doc_id").alias("b_id"))
+        return a.join(b, F.col("b_id") == F.col("a_id") + offset)
+
+    pairs = planted(1, 10, 0).unionByName(planted(2, 20, 0))
+    rep = ff.dedup_report(pairs, n_total=docs.count())
+    return rep.select(
+        F.lit("dedup|pairs").alias("column"),
+        "metric",
+        r6(F.col("value")).alias("value_num"),
+        F.lit(None).cast("string").alias("value_str"),
+    )
+
+
+@_reg(
     "tokenizer_report",
     # tokenizer_report (r11, operators/profiling.py): the tokenizer
     # audit card — per-lang fertility (tokens/word), compression
@@ -6856,6 +6921,9 @@ _merge("column_profile", [
      ["column", "metric", "value_num", "value_str"],
      '"column", metric, value_num, value_str'),
     ("tokenizer_report",
+     ["column", "metric", "value_num", "value_str"],
+     '"column", metric, value_num, value_str'),
+    ("dedup_report",
      ["column", "metric", "value_num", "value_str"],
      '"column", metric, value_num, value_str'),
 ])

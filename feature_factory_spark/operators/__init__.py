@@ -196,6 +196,7 @@ from .profiling import (
     ColumnProfiler,
     FrequentItems,
     corpus_report,
+    dedup_report,
     tokenizer_report,
 )
 
@@ -275,5 +276,5 @@ __all__ = [
     "DSIRWeighter",
     "AsOfJoiner", "GroupedTopK", "IntervalJoiner",
     "ColumnProfiler", "FrequentItems", "corpus_report",
-    "tokenizer_report",
+    "dedup_report", "tokenizer_report",
 ]

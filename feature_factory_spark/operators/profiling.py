@@ -377,3 +377,82 @@ def tokenizer_report(
         *g, F.col("__m.metric").alias("metric"),
         F.col("__m.value").alias("value"),
     )
+
+
+def dedup_report(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    n_total: int | None = None,
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Duplicate-cluster data card from a ``candidate_pairs`` frame —
+    the audit a dedup run ships next to its survivors: how much of the
+    corpus is duplicated, and in what cluster shapes. Works on any of
+    the near-dup operators' pair output (MinHash/SimHash/NGram/
+    Embedding/image/audio/video/CrossModal), so the SAME card covers
+    every tier.
+
+    Rows ``(metric, value)``:
+
+    - ``n_pairs``             candidate pairs in
+    - ``n_clusters``          transitive duplicate families
+    - ``n_clustered_docs``    documents in any family
+    - ``n_excess_docs``       documents a keep-one dedup would drop
+      (``sum(size - 1)`` — the corpus-shrink number)
+    - ``max_cluster_size`` / ``mean_cluster_size``
+    - ``cluster_size_{s}``    one row per observed family size s
+      (count of families of that size — the histogram that separates
+      "many twins" from "one 10k-copy boilerplate family")
+    - ``dup_share``           ``n_excess_docs / n_total`` when
+      ``n_total`` is given (the headline percentage)
+
+    Scale shape: the transitive closure is the package's distributed
+    connected components (one join + one aggregate per iteration over
+    the edge-sized frame); everything after is two groupBys on the
+    cluster-count-sized result. The card is edge-sized work, never
+    corpus-sized."""
+    from ..functions.graph import connected_components
+
+    comp = connected_components(
+        pairs, a_col=a_col, b_col=b_col, max_iterations=max_iterations
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("double").alias("size")
+    )
+    hist = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    totals = sizes.agg(
+        F.count(F.lit(1)).cast("double").alias("n_clusters"),
+        F.sum("size").alias("n_clustered_docs"),
+        F.sum(F.col("size") - 1).alias("n_excess_docs"),
+        F.max("size").alias("max_cluster_size"),
+        F.avg("size").alias("mean_cluster_size"),
+    )
+    n_pairs = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_pairs")
+    )
+    melted = totals.crossJoin(n_pairs).selectExpr(
+        "stack(6, 'n_pairs', n_pairs, 'n_clusters', n_clusters, "
+        "'n_clustered_docs', n_clustered_docs, "
+        "'n_excess_docs', n_excess_docs, "
+        "'max_cluster_size', max_cluster_size, "
+        "'mean_cluster_size', mean_cluster_size) AS (metric, value)"
+    )
+    hist_rows = hist.select(
+        F.concat(
+            F.lit("cluster_size_"), F.col("size").cast("bigint")
+        ).alias("metric"),
+        F.col("n").alias("value"),
+    )
+    out = melted.unionByName(hist_rows)
+    if n_total is not None:
+        share = totals.select(
+            F.lit("dup_share").alias("metric"),
+            (F.col("n_excess_docs") / F.lit(float(n_total))).alias(
+                "value"
+            ),
+        )
+        out = out.unionByName(share)
+    return out

@@ -65,3 +65,38 @@ def test_single_aggregate_plan(spark, tokenized):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     # one groupBy -> one exchange; the melt adds no shuffle
     assert plan.count("Exchange") <= 2
+
+
+class TestDedupReport:
+    def test_hand_counted_card(self, spark):
+        # clusters: {1,2,3} (chain), {10,11} -> sizes 3 and 2
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a_id bigint, b_id bigint"
+        )
+        got = {r["metric"]: r["value"]
+               for r in ff.dedup_report(pairs, n_total=100).collect()}
+        assert got["n_pairs"] == 3.0
+        assert got["n_clusters"] == 2.0
+        assert got["n_clustered_docs"] == 5.0
+        assert got["n_excess_docs"] == 3.0
+        assert got["max_cluster_size"] == 3.0
+        assert got["mean_cluster_size"] == 2.5
+        assert got["cluster_size_2"] == 1.0
+        assert got["cluster_size_3"] == 1.0
+        assert got["dup_share"] == pytest.approx(0.03)
+
+    def test_works_on_real_minhash_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "shared near duplicate body of text here") for i in
+             range(4)] + [(9, "a totally different document")],
+            "doc_id bigint, text string",
+        )
+        pairs = ff.MinHashDeduplicator(
+            "text", "doc_id", threshold=0.5
+        ).candidate_pairs(docs)
+        got = {r["metric"]: r["value"]
+               for r in ff.dedup_report(pairs).collect()}
+        assert got["n_clusters"] == 1.0
+        assert got["n_clustered_docs"] == 4.0
+        assert got["n_excess_docs"] == 3.0
+        assert "dup_share" not in got  # n_total not given
