@@ -5699,6 +5699,84 @@ def q_tfidf_vector(spark, sf_dir):
     )
 
 
+@_reg(
+    "pq_codes",
+    # ProductQuantizer (r11, operators/embeddings.py): the per-subspace
+    # Lloyd fit is not SQL-recomputable, so the oracle pins eagerly
+    # asserted invariants (the pca_project precedent): (0) the JVM
+    # argmin codes equal numpy nearest-centroid assignment on a
+    # 50-vector sample against the same codebooks; (1) decoded
+    # subvectors are literal codebook rows; (2) reconstruction MSE
+    # beats the zero-vector baseline; (3) the capped-md5-sample fit is
+    # deterministic (refit == fit, no RNG).
+    """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(0 AS INTEGER) AS pos,
+  CAST(1 AS DOUBLE) AS val
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS DOUBLE)
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(2 AS INTEGER), CAST(1 AS DOUBLE)
+UNION ALL SELECT CAST(NULL AS BIGINT), CAST(3 AS INTEGER), CAST(1 AS DOUBLE)""",
+)
+def q_pq_codes(spark, sf_dir):
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    op = ff.ProductQuantizer("embedding", dim=64, m=8, k=16,
+                             iterations=4)
+    op.fit(emb)
+    books = [np.asarray(b) for b in op.codebooks_]
+
+    sample = emb.where(F.col("vec_id") < 50)
+    got = {r["vec_id"]: (list(r["embedding_pq"]), list(r["embedding"]))
+           for r in op.transform(sample).collect()}
+    codes_ok = True
+    for vid, (codes, v) in got.items():
+        x = np.asarray(v, dtype=np.float64)
+        for s, b in enumerate(books):
+            sub = x[s * 8:(s + 1) * 8]
+            if codes[s] != int(((b - sub) ** 2).sum(axis=1).argmin()):
+                codes_ok = False
+    assert codes_ok, "JVM PQ codes diverged from numpy assignment"
+
+    dec = op.transform(sample).withColumn(
+        "rec", op.decode_expr(F.col("embedding_pq"))
+    ).select("embedding_pq", "rec").collect()
+    dec_ok = all(
+        list(r["rec"][s * 8:(s + 1) * 8])
+        == [float(x) for x in books[s][r["embedding_pq"][s]]]
+        for r in dec for s in range(8)
+    )
+    assert dec_ok, "decode_expr returned non-codebook subvectors"
+
+    err = op.transform(emb).withColumn(
+        "rec", op.decode_expr(F.col("embedding_pq"))
+    ).select(
+        F.avg(F.aggregate(
+            F.zip_with("embedding", "rec",
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda s, v: s + v,
+        )).alias("mse"),
+        F.avg(F.aggregate(
+            F.transform("embedding",
+                        lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda s, v: s + v,
+        )).alias("power"),
+    ).collect()[0]
+    mse_ok = err["mse"] < 0.9 * err["power"]
+    assert mse_ok, "PQ reconstruction no better than the zero baseline"
+
+    refit = ff.ProductQuantizer("embedding", dim=64, m=8, k=16,
+                                iterations=4).fit(emb)
+    det_ok = refit.codebooks_ == op.codebooks_
+    assert det_ok, "PQ fit is not deterministic"
+
+    return spark.createDataFrame(
+        [(None, i, float(ok)) for i, ok in enumerate(
+            [codes_ok, dec_ok, mse_ok, det_ok]
+        )],
+        "vec_id bigint, pos int, val double",
+    )
+
+
 @_reg("random_projection", _sql_random_projection())
 def q_random_projection(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -6833,7 +6911,7 @@ _merge("scale_family", [
 _merge("embed_transform", [
     (op, ["vec_id", "pos", "val"], "vec_id, pos, val")
     for op in ("l2_normalize", "random_projection", "quantize",
-               "pca_project", "tfidf_vector")
+               "pca_project", "tfidf_vector", "pq_codes")
 ])
 
 _merge("ts_features", [

@@ -174,6 +174,7 @@ from .videohash import (
 from .embeddings import (
     EmbeddingQuantizer,
     HashedTfIdfVectorizer,
+    ProductQuantizer,
     L2Normalizer,
     PCAProjection,
     RandomProjection,
@@ -248,7 +249,7 @@ __all__ = [
     "UrlCanonicalizer",
     "UrlDeduplicator",
     "EmbeddingQuantizer", "HashedTfIdfVectorizer", "L2Normalizer",
-    "PCAProjection", "RandomProjection",
+    "PCAProjection", "ProductQuantizer", "RandomProjection",
     "BinaryFeatureExtractor", "FrameSampler",
     "AudioDeduplicator", "AudioHasher", "audio_fingerprint_bits",
     "pattern_wav",

@@ -621,3 +621,188 @@ class HashedTfIdfVectorizer(Transformer):
         return with_dims.withColumn(self.out_col, vec).drop(
             tmp, "__ff_tfidf_raw"
         )
+
+
+class ProductQuantizer(Transformer):
+    """Product quantization for embedding columns (Jégou, Douze &
+    Schmid 2011, "Product Quantization for Nearest Neighbor Search"):
+    split each ``dim``-vector into ``m`` subvectors, learn a ``k``-
+    centroid codebook per subspace, and encode every vector as ``m``
+    small codes — the memory lever BEYOND the scalar int8 quantizer
+    (dim=64 doubles = 512 B -> m=8 tinyint codes = 8 B, a 64x
+    reduction; the standard trade for billion-vector ANN indexes).
+
+    Appends ``{prefix}_pq`` (array<tinyint>, length ``m``);
+    ``decode_expr(codes)`` reconstructs the approximation (each
+    subspace's centroid, concatenated), which feeds the existing
+    cosine machinery — the asymmetric-distance trick at its simplest.
+
+    Fit: deterministic capped-collect (the QualityScorer discipline) —
+    up to ``max_fit_rows`` vectors chosen by seeded-md5 rank (a
+    codebook trains on a bounded REPRESENTATIVE sample by standard
+    practice; at 100 TB the fit is one scan + a driver-side Lloyd over
+    <= max_fit_rows x dim floats), then per-subspace k-means with
+    md5-ordered first-k init — bit-reproducible across runs, engines,
+    and partitionings, no RNG. Fitted state: ``codebooks_``
+    (m x k x dim/m floats, plain JSON-persistable scalars).
+
+    Transform: pure-JVM nested fold — per subspace, argmin over the k
+    centroids of the squared L2 to the subvector slice, against ONE
+    nested-array codebook literal (the RandomProjection literal
+    discipline). O(dim x k) per row inside the executor, no shuffle,
+    no UDF, no collect."""
+
+    def __init__(
+        self,
+        vec_col: str,
+        dim: int,
+        m: int = 8,
+        k: int = 16,
+        iterations: int = 8,
+        max_fit_rows: int = 20_000,
+        salt: str = "ffpq",
+        prefix: str | None = None,
+    ):
+        ensure(dim >= 1, "dim must be >= 1")
+        ensure(m >= 1 and dim % m == 0, "m must divide dim")
+        ensure(2 <= k <= 127, "k must be in [2, 127] (tinyint codes)")
+        ensure(iterations >= 1, "iterations must be >= 1")
+        ensure(max_fit_rows >= k, "max_fit_rows must be >= k")
+        self.vec_col = vec_col
+        self.dim = dim
+        self.m = m
+        self.k = k
+        self.iterations = iterations
+        self.max_fit_rows = max_fit_rows
+        self.salt = salt
+        self.prefix = prefix if prefix is not None else vec_col
+        self.codebooks_: list[list[list[float]]] | None = None
+
+    def is_stateful(self) -> bool:
+        return True
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_columns(df, [self.vec_col])
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+    def _fit(self, df: DataFrame) -> None:
+        import numpy as np
+
+        # deterministic bounded sample: md5-rank the vectors by their
+        # content hash (no id column required), keep the first
+        # max_fit_rows — reproducible on any partitioning
+        ranked = df.select(
+            F.col(self.vec_col).alias("__ff_pq_v"),
+            F.md5(
+                F.concat(
+                    F.lit(self.salt),
+                    F.col(self.vec_col).cast("string"),
+                )
+            ).alias("__ff_pq_r"),
+        ).orderBy("__ff_pq_r").limit(self.max_fit_rows)
+        rows = [r["__ff_pq_v"] for r in ranked.collect()]
+        ensure(
+            len(rows) >= self.k,
+            f"ProductQuantizer needs >= k={self.k} vectors to fit "
+            f"(got {len(rows)})",
+        )
+        x = np.asarray(rows, dtype=np.float64)
+        ensure(
+            x.shape[1] == self.dim,
+            f"vectors have dim {x.shape[1]}, expected {self.dim}",
+        )
+        books: list[list[list[float]]] = []
+        for s in range(self.m):
+            sub = x[:, s * self.dsub:(s + 1) * self.dsub]
+            # init: first k DISTINCT subvectors in the (already
+            # md5-ranked) sample order — deterministic, no RNG
+            seen: list[np.ndarray] = []
+            for row in sub:
+                if not any(np.array_equal(row, c) for c in seen):
+                    seen.append(row)
+                if len(seen) == self.k:
+                    break
+            ensure(
+                len(seen) == self.k,
+                f"subspace {s} has fewer than k={self.k} distinct "
+                "subvectors; lower k",
+            )
+            cents = np.asarray(seen, dtype=np.float64)
+            for _ in range(self.iterations):
+                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                assign = d.argmin(axis=1)
+                for c in range(self.k):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = sub[mask].mean(axis=0)
+            books.append([[float(v) for v in c] for c in cents])
+        self.codebooks_ = books
+
+    def _codebook_lit(self) -> Column:
+        return F.lit(self.codebooks_)
+
+    def codes_expr(self, vec: Column) -> Column:
+        """array<tinyint> of per-subspace nearest-centroid indices."""
+        book = self._codebook_lit()
+        dsub = self.dsub
+
+        def code_for(i: Column) -> Column:
+            sub = F.slice(vec, i * dsub + 1, dsub)
+            cents = F.element_at(book, i + 1)
+            zero = F.struct(
+                F.lit(float("inf")).alias("bd"),
+                F.lit(0).alias("bc"),
+                F.lit(0).alias("idx"),
+            )
+
+            def step(acc, c):
+                d = F.aggregate(
+                    F.zip_with(
+                        sub, c,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda s0, v: s0 + v,
+                )
+                better = d < acc["bd"]
+                return F.struct(
+                    F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+                    F.when(better, acc["idx"])
+                    .otherwise(acc["bc"]).alias("bc"),
+                    (acc["idx"] + 1).alias("idx"),
+                )
+
+            return F.aggregate(cents, zero, step)["bc"].cast("tinyint")
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(self.m - 1)), code_for
+        )
+
+    def decode_expr(self, codes: Column) -> Column:
+        """Reconstruct the approximation: concat of each subspace's
+        chosen centroid (array<double>, length ``dim``)."""
+        book = self._codebook_lit()
+        return F.flatten(
+            F.zip_with(
+                codes,
+                F.sequence(F.lit(0), F.lit(self.m - 1)),
+                lambda c, i: F.element_at(
+                    F.element_at(book, i + 1), c.cast("int") + 1
+                ),
+            )
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        ensure(
+            self.codebooks_ is not None,
+            "ProductQuantizer is unfitted: call fit() first",
+        )
+        return df.withColumn(
+            f"{self.prefix}_pq", self.codes_expr(F.col(self.vec_col))
+        )

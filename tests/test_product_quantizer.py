@@ -1,0 +1,131 @@
+"""ProductQuantizer (r11): PQ codes for embedding columns — the
+memory lever beyond scalar int8 (dim/m tinyints per vector). Pinned
+against a pure-numpy PQ reference and through the ANN recall loop."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import feature_factory_spark as ff
+from feature_factory_spark.exceptions import FeatureFactoryError
+
+
+def make_vectors(n=200, dim=16, clusters=4, seed=7):
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(clusters, dim) * 5
+    rows = []
+    for i in range(n):
+        v = cents[i % clusters] + rng.randn(dim) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        make_vectors(), "vec_id bigint, embedding array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(emb):
+    return ff.ProductQuantizer(
+        "embedding", dim=16, m=4, k=8, iterations=6
+    ).fit(emb)
+
+
+def test_codes_shape_and_determinism(spark, emb, fitted):
+    out = fitted.transform(emb)
+    rows = out.select("embedding_pq").collect()
+    assert all(len(r["embedding_pq"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["embedding_pq"])
+    # refit on the same data -> identical codebooks (no RNG anywhere)
+    again = ff.ProductQuantizer(
+        "embedding", dim=16, m=4, k=8, iterations=6
+    ).fit(emb)
+    assert again.codebooks_ == fitted.codebooks_
+
+
+def test_codes_match_numpy_reference(spark, emb, fitted):
+    # the JVM argmin fold must agree with numpy nearest-centroid
+    # assignment against the SAME codebooks
+    got = {r["vec_id"]: list(r["embedding_pq"])
+           for r in fitted.transform(emb).collect()}
+    books = [np.asarray(b) for b in fitted.codebooks_]
+    for vec_id, v in make_vectors():
+        x = np.asarray(v)
+        want = []
+        for s, b in enumerate(books):
+            sub = x[s * 4:(s + 1) * 4]
+            want.append(int(((b - sub) ** 2).sum(axis=1).argmin()))
+        assert got[vec_id] == want, vec_id
+
+
+def test_reconstruction_beats_trivial_baseline(spark, emb, fitted):
+    out = fitted.transform(emb).withColumn(
+        "rec", fitted.decode_expr(F.col("embedding_pq"))
+    )
+    err = out.select(
+        F.avg(
+            F.aggregate(
+                F.zip_with("embedding", "rec",
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, v: s + v,
+            )
+        ).alias("mse"),
+        F.avg(
+            F.aggregate(
+                F.transform("embedding", lambda a: a * a),
+                F.lit(0.0), lambda s, v: s + v,
+            )
+        ).alias("power"),
+    ).collect()[0]
+    # clustered data quantizes well: reconstruction error far below
+    # signal power (the zero-vector baseline)
+    assert err["mse"] < 0.2 * err["power"]
+
+
+def test_ann_neighborhood_through_decoded_vectors(spark, emb, fitted):
+    # the PQ property that matters for ANN: quantization preserves the
+    # CLUSTER structure — every top-5 decoded-cosine neighbor of a
+    # query comes from the query's own generating cluster (vec_id % 4).
+    # (Set recall@k against exact is meaningless here: same-cluster
+    # vectors collapse to identical codes, so within-cluster ranking
+    # is deliberately destroyed — that is what quantization does.)
+    decoded = fitted.transform(emb).withColumn(
+        "dec", fitted.decode_expr(F.col("embedding_pq"))
+    )
+    approx = ff.CosineTopK("dec", "vec_id", k=5).search(
+        decoded.select("vec_id", "dec"),
+        decoded.where(F.col("vec_id") < 4).select(
+            "vec_id", F.col("dec").alias("dec")
+        ),
+    )
+    rows = approx.collect()
+    assert len(rows) == 4 * 5
+    for r in rows:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+
+
+def test_state_roundtrip_and_guards(spark, emb, fitted, tmp_path):
+    path = str(tmp_path / "pq_state")
+    fitted.save_state(path)
+    restored = ff.ProductQuantizer(
+        "embedding", dim=16, m=4, k=8
+    ).load_state(path, spark)
+    assert restored.codebooks_ == fitted.codebooks_
+    a = sorted(map(tuple, fitted.transform(emb).collect()))
+    b = sorted(map(tuple, restored.transform(emb).collect()))
+    assert a == b
+    with pytest.raises(FeatureFactoryError):
+        ff.ProductQuantizer("embedding", dim=16, m=5)  # m !| dim
+    with pytest.raises(FeatureFactoryError):
+        ff.ProductQuantizer("embedding", dim=16).transform(emb)
+
+
+def test_narrow_plan(spark, emb, fitted):
+    out = fitted.transform(emb)
+    assert [f["kind"] for f in ff.plan_audit(out)
+            if f["severity"] == "error"] == []
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
