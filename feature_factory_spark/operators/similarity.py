@@ -333,7 +333,8 @@ class IVFCosineTopK(CosineTopK):
         corpus_df: DataFrame,
         path: str,
         mode: str = "error",
-        quantize: bool = False,
+        quantize: bool | str = False,
+        pq=None,
     ) -> None:
         """Materialize the IVF index at ``path``: the assigned corpus
         written PARTITIONED BY cluster id (``<path>/corpus``) plus the
@@ -363,29 +364,70 @@ class IVFCosineTopK(CosineTopK):
         doubles — ~4-8x less index IO; ``search_index`` detects the
         layout and dequantizes inside the pruned scan, ranking by
         cosine over the reconstructed vectors (approximation bounded by
-        scale/2 per element)."""
+        scale/2 per element).
+
+        ``quantize='pq'`` (r11) stores PRODUCT-quantized codes
+        (:class:`~.embeddings.ProductQuantizer`, m tinyints per
+        vector — 64x less vector IO at dim=64/m=8, the billion-vector
+        index layout) plus the model-sized codebook table at
+        ``<path>/pq``; ``search_index`` reconstructs each candidate
+        from its subspace centroids inside the pruned scan. Pass a
+        (fitted or unfitted) ``pq=`` instance to control m/k; by
+        default an m=8, k=16 quantizer is fitted on the assigned
+        corpus. Appends encode against the STORED codebooks (frozen,
+        like the centroids) so the layout stays consistent."""
         import os
 
         from .dedup import _log_index_version
 
+        ensure(
+            quantize in (False, True, "pq"),
+            "quantize: False (raw), True (int8), or 'pq'",
+        )
         spark = corpus_df.sparkSession
         if mode == "append":
             self._load_centroids(spark, path)
-            stored_q = "c_q8" in spark.read.parquet(
+            cols = spark.read.parquet(
                 os.path.join(path, "corpus")
             ).columns
+            stored_q: bool | str = (
+                "pq" if "c_pq" in cols else "c_q8" in cols
+            )
             ensure(
                 quantize == stored_q,
-                f"index at '{path}' stores "
-                f"{'quantized' if stored_q else 'raw'} vectors but this "
-                f"append has quantize={quantize}; a mixed-layout corpus "
-                "dir would break dequantization on read — pass "
-                f"quantize={stored_q}",
+                f"index at '{path}' stores layout {stored_q!r} but "
+                f"this append has quantize={quantize!r}; a mixed-"
+                "layout corpus dir would break reconstruction on read "
+                f"— pass quantize={stored_q!r}",
             )
         elif not self.centroids_:
             self.fit_index(corpus_df)
         assigned = self._assign(corpus_df)
-        if quantize:
+        if quantize == "pq":
+            if mode == "append":
+                pq = self._load_pq(spark, path)
+            else:
+                if pq is None:
+                    from .embeddings import ProductQuantizer
+
+                    dim = len(self.centroids_[0])
+                    ensure(
+                        dim % 8 == 0,
+                        f"dim {dim} is not divisible by the default "
+                        "m=8 — pass pq=ProductQuantizer(...) with an "
+                        "m that divides it",
+                    )
+                    pq = ProductQuantizer("c_vec", dim=dim, m=8, k=16)
+                if pq.codebooks_ is None:
+                    pq.fit(
+                        assigned.select(
+                            F.col("c_vec").alias(pq.vec_col)
+                        )
+                    )
+            assigned = assigned.withColumn(
+                "c_pq", pq.codes_expr(F.col("c_vec"))
+            ).drop("c_vec")
+        elif quantize:
             assigned = _quantize_vec_col(assigned, "c_vec")
         assigned.write.mode(mode).partitionBy("cluster").parquet(
             os.path.join(path, "corpus")
@@ -398,16 +440,53 @@ class IVFCosineTopK(CosineTopK):
             centroids.coalesce(1).write.mode(mode).parquet(
                 os.path.join(path, "centroids")
             )
+            if quantize == "pq":
+                books = spark.createDataFrame(
+                    [
+                        (s, i, list(c))
+                        for s, book in enumerate(pq.codebooks_)
+                        for i, c in enumerate(book)
+                    ],
+                    "sub int, idx int, centroid array<double>",
+                )
+                books.coalesce(1).write.mode(mode).parquet(
+                    os.path.join(path, "pq")
+                )
         _log_index_version(
             spark, path, "append" if mode == "append" else "write"
         )
+
+    def _load_pq(self, spark, path: str):
+        """Rebuild a ProductQuantizer from the index's stored codebook
+        table (model-sized: m x k rows)."""
+        import os
+
+        from .embeddings import ProductQuantizer
+
+        rows = spark.read.parquet(os.path.join(path, "pq")).collect()
+        ensure(
+            bool(rows),
+            f"no PQ codebooks found at {path}/pq — was the index "
+            "written with quantize='pq'?",
+        )
+        m = max(r["sub"] for r in rows) + 1
+        k = max(r["idx"] for r in rows) + 1
+        dsub = len(rows[0]["centroid"])
+        books: list[list[list[float]]] = [
+            [None] * k for _ in range(m)  # type: ignore[list-item]
+        ]
+        for r in rows:
+            books[r["sub"]][r["idx"]] = [float(x) for x in r["centroid"]]
+        pq = ProductQuantizer("c_vec", dim=m * dsub, m=m, k=k)
+        pq.codebooks_ = books
+        return pq
 
     def rebuild_index(
         self,
         spark,
         src_path: str,
         dest_path: str,
-        quantize: bool | None = None,
+        quantize: bool | str | None = None,
     ) -> None:
         """Full centroid refresh for an append-accumulated index — the
         remedy when :func:`recall_at_k` shows drift after many
@@ -419,22 +498,30 @@ class IVFCosineTopK(CosineTopK):
         writes a NEW index at ``dest_path`` — side-write like
         :func:`~.dedup.compact_index`, never in place; validate, then
         repoint the recrawl loop. ``quantize=None`` preserves the
-        source layout."""
+        source layout (raw / int8 / pq — a pq rebuild also refits the
+        codebooks on the reconstructed corpus)."""
         import os
 
-        src = _dequantize_if_needed(
-            spark.read.parquet(os.path.join(src_path, "corpus"))
-        )
+        stored = spark.read.parquet(os.path.join(src_path, "corpus"))
+        if "c_pq" in stored.columns:
+            src = stored.withColumn(
+                "c_vec",
+                self._load_pq(spark, src_path).decode_expr(
+                    F.col("c_pq")
+                ),
+            ).drop("c_pq")
+            stored_layout: bool | str = "pq"
+        else:
+            src = _dequantize_if_needed(stored)
+            stored_layout = "c_q8" in stored.columns
         if quantize is None:
-            quantize = "c_q8" in spark.read.parquet(
-                os.path.join(src_path, "corpus")
-            ).columns
+            quantize = stored_layout
         corpus = src.select(
             F.col("neighbor_id").alias(self.id_col),
             F.col("c_vec").alias(self.vec_col),
         )
         self.centroids_ = []  # force a fresh Lloyd fit in write_index
-        self.write_index(corpus, dest_path, quantize=bool(quantize))
+        self.write_index(corpus, dest_path, quantize=quantize)
 
     def _load_centroids(self, spark, path: str) -> None:
         """Pin this instance's centroids to the index's stored table —
@@ -471,9 +558,14 @@ class IVFCosineTopK(CosineTopK):
         # deliberately NOT marking fitted: no query frame was pinned, so
         # a later transform() must still raise FitNotCalledError instead
         # of crashing on query_df=None inside the plan builder
-        c = _dequantize_if_needed(
-            spark.read.parquet(os.path.join(path, "corpus"))
-        )
+        corpus = spark.read.parquet(os.path.join(path, "corpus"))
+        if "c_pq" in corpus.columns:
+            pq = self._load_pq(spark, path)
+            c = corpus.withColumn(
+                "c_vec", pq.decode_expr(F.col("c_pq"))
+            ).drop("c_pq")
+        else:
+            c = _dequantize_if_needed(corpus)
         self._guard_query_side(query_df)
         return self._search_assigned(c, query_df)
 
