@@ -3011,6 +3011,64 @@ def q_self_line_dedup(spark, sf_dir):
     )
 
 
+def q_x_robots(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hdr = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("noindex, nofollow"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("index, follow"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("googlebot: noindex"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("NONE"))
+        .when(F.col("doc_id") % 6 == 4,
+              F.lit("unavailable_after: 25 Jun 2010"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = docs.select("doc_id", hdr.alias("http_x_robots"))
+    generic = ff.XRobotsTagFilter("http_x_robots").transform(rows)
+    named = ff.XRobotsTagFilter(
+        "http_x_robots", agent="googlebot"
+    ).transform(rows)
+    g = generic.select(
+        "doc_id", F.col("http_x_robots_blocked").alias("b1")
+    )
+    n = named.select(
+        "doc_id", F.col("http_x_robots_blocked").alias("b2")
+    )
+    return g.join(n, "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.col("b1").cast("string"), F.lit(":"),
+            F.col("b2").cast("string"),
+        ).alias("val"),
+    )
+
+
+_X_ROBOTS_SQL = r"""WITH h AS (SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'noindex, nofollow'
+    WHEN 1 THEN 'index, follow'
+    WHEN 2 THEN 'googlebot: noindex'
+    WHEN 3 THEN 'NONE'
+    WHEN 4 THEN 'unavailable_after: 25 Jun 2010'
+    ELSE NULL END AS hdr FROM documents),
+t AS (SELECT doc_id,
+  list_transform(string_split(lower(coalesce(hdr, '')), ','),
+                 x -> trim(x)) AS toks FROM h),
+f AS (SELECT doc_id,
+  len(list_filter(toks, x ->
+    position(':' IN x) = 0
+    AND x IN ('noindex', 'none'))) > 0 AS b1,
+  len(list_filter(toks, x ->
+    (position(':' IN x) = 0 AND x IN ('noindex', 'none'))
+    OR (position(':' IN x) > 0
+        AND trim(substr(x, 1, position(':' IN x) - 1)) = 'googlebot'
+        AND trim(substr(x, position(':' IN x) + 1))
+            IN ('noindex', 'none')))) > 0 AS b2
+  FROM t)
+SELECT doc_id,
+  CAST(b1 AS VARCHAR) || ':' || CAST(b2 AS VARCHAR) AS val FROM f"""
+_REGISTRY["x_robots"] = (q_x_robots, _X_ROBOTS_SQL)
+
+
 @_reg(
     "meta_robots",
     # MetaRobotsFilter (r10, hardened r11, operators/web.py):
@@ -7027,6 +7085,7 @@ _merge("text_clean", [
     ("text_clean", ["doc_id", "cleaned AS val"], "doc_id, cleaned AS val"),
     ("html_strip", ["doc_id", "val"], "doc_id, val"),
     ("meta_robots", ["doc_id", "val"], "doc_id, val"),
+    ("x_robots", ["doc_id", "val"], "doc_id, val"),
     ("self_line_dedup", ["doc_id", "val"], "doc_id, val"),
     ("main_content", ["doc_id", "val"], "doc_id, val"),
     ("fix_encoding", ["doc_id", "val"], "doc_id, val"),

@@ -54,6 +54,7 @@ from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
     HtmlTextExtractor, MainContentExtractor, MarkdownTextExtractor,
     MetaRobotsFilter,
+    XRobotsTagFilter,
     RobotsTxtFilter,
     UrlCanonicalizer,
     UrlDeduplicator,
@@ -243,7 +244,7 @@ __all__ = [
     "SemanticDeduplicator", "recall_at_k",
     "DomainExtractor", "DomainBlocklistFilter", "DomainCapSampler",
     "HtmlTextExtractor", "MainContentExtractor", "MarkdownTextExtractor",
-    "MetaRobotsFilter", "RobotsTxtFilter",
+    "MetaRobotsFilter", "RobotsTxtFilter", "XRobotsTagFilter",
     "ImageTextPairExtractor", "ImageTextPairScorer",
     "join_image_text_pairs",
     "UrlCanonicalizer",

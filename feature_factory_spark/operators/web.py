@@ -950,6 +950,82 @@ def pct_normalize_expr(s: Column) -> Column:
     )
 
 
+class XRobotsTagFilter(Transformer):
+    """Header-level crawl opt-outs: drop (or flag) pages whose
+    ``X-Robots-Tag`` HTTP header carries a directive in ``blocked``
+    (default ``noindex`` / ``none``) — the third leg of the opt-out
+    triad as a first-class operator (``read_warc`` surfaces the header
+    as the ``http_x_robots`` column; :class:`MetaRobotsFilter` covers
+    the page level, :class:`RobotsTxtFilter` the site level).
+
+    Directive grammar (the Google-documented form): a comma-separated
+    list where each directive may carry an optional ``useragent:``
+    prefix — an unprefixed directive applies to every crawler, a
+    prefixed one only to that agent. With ``agent=None`` (default)
+    only unprefixed directives apply; pass your crawler name to also
+    honor its prefixed directives. Values like ``unavailable_after:
+    25 Jun 2010`` parse as a prefixed token whose prefix is not a
+    directive, so they never false-positive the blocked set.
+
+    Appends ``{header_col}_blocked``; ``mode='filter'`` drops blocked
+    rows (NULL headers are never blocked). Stateless pure-JVM token
+    fold — one narrow projection."""
+
+    def __init__(
+        self,
+        header_col: str,
+        blocked: tuple[str, ...] = ("noindex", "none"),
+        agent: str | None = None,
+        mode: str = "flag",
+    ):
+        ensure(mode in ("flag", "filter"), "mode: 'flag' or 'filter'")
+        ensure(bool(blocked), "at least one blocked directive is required")
+        self.header_col = header_col
+        self.blocked = tuple(d.lower() for d in blocked)
+        self.agent = agent.lower() if agent else None
+        self.mode = mode
+
+    def _check_input(self, df: DataFrame) -> None:
+        validate_string_columns(df, [self.header_col])
+
+    def blocked_expr(self) -> Column:
+        toks = F.transform(
+            F.split(
+                F.lower(F.coalesce(F.col(self.header_col), F.lit(""))),
+                ",",
+            ),
+            F.trim,
+        )
+        blocked_lits = F.array(*[F.lit(d) for d in self.blocked])
+
+        def applies(t: Column) -> Column:
+            # 'prefix: directive' applies only when prefix == agent;
+            # a bare directive applies to everyone
+            has_prefix = t.contains(":")
+            directive = F.trim(
+                F.regexp_extract(t, "^[^:]*:(.*)$", 1)
+            )
+            prefix = F.trim(F.regexp_extract(t, "^([^:]*):", 1))
+            bare_hit = ~has_prefix & F.array_contains(blocked_lits, t)
+            if self.agent is None:
+                return bare_hit
+            prefixed_hit = (
+                has_prefix
+                & (prefix == F.lit(self.agent))
+                & F.array_contains(blocked_lits, directive)
+            )
+            return bare_hit | prefixed_hit
+
+        return F.exists(toks, applies)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out_col = f"{self.header_col}_blocked"
+        out = df.withColumn(out_col, self.blocked_expr())
+        if self.mode == "filter":
+            return out.where(~F.col(out_col)).drop(out_col)
+        return out
+
+
 def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
     """Parse a robots.txt body into the rule list applying to
     ``agent``: ``array<struct<allow boolean, prefix string>>`` under

@@ -599,3 +599,51 @@ class TestRobotsTxtFilter:
         got = {r["doc_id"]: r["url_robots_blocked"]
                for r in out.collect()}
         assert got[1] is True and got[2] is False
+
+
+class TestXRobotsTagFilter:
+    def headers(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "noindex, nofollow"),
+                (2, "index, follow"),
+                (3, "googlebot: noindex"),     # prefixed: other agents
+                (4, "NONE"),
+                (5, "unavailable_after: 25 Jun 2010"),
+                (6, None),
+                (7, "nofollow"),
+            ],
+            "doc_id bigint, http_x_robots string",
+        )
+
+    def test_generic_agent(self, spark):
+        out = ff.XRobotsTagFilter("http_x_robots").transform(
+            self.headers(spark)
+        )
+        got = {r["doc_id"]: r["http_x_robots_blocked"]
+               for r in out.collect()}
+        assert got == {1: True, 2: False, 3: False, 4: True,
+                       5: False, 6: False, 7: False}
+
+    def test_named_agent_honors_prefix(self, spark):
+        out = ff.XRobotsTagFilter(
+            "http_x_robots", agent="googlebot"
+        ).transform(self.headers(spark))
+        got = {r["doc_id"]: r["http_x_robots_blocked"]
+               for r in out.collect()}
+        assert got[3] is True      # its prefixed directive applies
+        assert got[1] is True      # bare directives still apply
+        assert got[5] is False
+
+    def test_filter_mode_and_triad_composition(self, spark):
+        kept = ff.XRobotsTagFilter(
+            "http_x_robots", mode="filter"
+        ).transform(self.headers(spark))
+        assert sorted(r["doc_id"] for r in kept.collect()) \
+            == [2, 3, 5, 6, 7]
+        # narrow plan
+        out = ff.XRobotsTagFilter("http_x_robots").transform(
+            self.headers(spark)
+        )
+        assert [f for f in ff.plan_audit(out)
+                if f["severity"] == "error"] == []
