@@ -20,6 +20,7 @@ from .operators import (
     BadWordsFilter,
     MetaRobotsFilter,
     RobotsTxtFilter,
+    XRobotsTagFilter,
     WithinDocDeduplicator,
     C4Filter,
     DomainBlocklistFilter,
@@ -186,6 +187,7 @@ def web_extraction_pipeline(
     blocked_domains: list[str] | None = None,
     respect_robots: bool = True,
     robots_df=None,
+    x_robots_col: str | None = None,
 ) -> Pipeline:
     """Crawl-to-text front end: canonicalize URLs, drop URL duplicates
     (one page per canonical URL), optionally gate on a domain
@@ -209,6 +211,13 @@ def web_extraction_pipeline(
         steps.append(
             ("robots_txt",
              RobotsTxtFilter(url_col, mode="filter").fit_robots(robots_df))
+        )
+    if x_robots_col is not None:
+        # the header leg of the opt-out triad (read_warc's
+        # http_x_robots column) — cheapest gate, runs first
+        steps.append(
+            ("robots_header",
+             XRobotsTagFilter(x_robots_col, mode="filter"))
         )
     if respect_robots:
         # honor page-level opt-outs BEFORE spending extraction work

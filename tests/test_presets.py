@@ -85,6 +85,26 @@ def test_web_extraction_pipeline(spark):
     assert "real content" in rows[0]["page_main_text"]
 
 
+def test_web_extraction_with_x_robots_header(spark):
+    # r11: the header leg of the opt-out triad wired into the preset
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.example.com/x", "noindex",
+             "<html><body><p>opted out</p></body></html>"),
+            (2, "http://a.example.com/y", "index",
+             "<html><body><p>kept page body</p></body></html>"),
+            (3, "http://a.example.com/z", None,
+             "<html><body><p>no header page</p></body></html>"),
+        ],
+        "doc_id bigint, url string, http_x_robots string, page string",
+    )
+    pipe = ff.presets.web_extraction_pipeline(
+        "page", "url", "doc_id", x_robots_col="http_x_robots"
+    )
+    out = pipe.fit(pages)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+
 def test_presets_save_load_state(spark, docs, tmp_path):
     pipe = ff.presets.gopher_pipeline("text", "doc_id")
     out1 = pipe.fit(docs)
