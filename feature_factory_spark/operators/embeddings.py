@@ -506,13 +506,23 @@ class HashedTfIdfVectorizer(Transformer):
         n_features: int = 256,
         lowercase: bool = True,
         l2_normalize: bool = True,
+        ngrams: tuple[int, ...] = (1,),
     ):
         ensure(n_features > 0, "n_features must be positive")
+        ensure(
+            bool(ngrams) and all(n in (1, 2) for n in ngrams),
+            "ngrams: a non-empty subset of (1, 2) — unigrams and/or "
+            "word bigrams",
+        )
         self.text_col = text_col
         self.out_col = out_col or f"{text_col}_tfidf"
         self.n_features = int(n_features)
         self.lowercase = lowercase
         self.l2_normalize = l2_normalize
+        # ngrams=(1, 2) hashes word bigrams into the same bucket space
+        # (the DSIR feature convention) — word ORDER then matters for
+        # similarity, which plain bag-of-words misses
+        self.ngrams = tuple(ngrams)
         # raw df COUNTS are the fitted state (idf derives): counts
         # merge additively, so fit_more extends the corpus without
         # re-scanning it
@@ -533,8 +543,18 @@ class HashedTfIdfVectorizer(Transformer):
         text = F.col(self.text_col)
         if self.lowercase:
             text = F.lower(text)
+        toks = words_expr(text)
+        grams = toks if 1 in self.ngrams else F.slice(toks, 1, 0)
+        if 2 in self.ngrams:
+            n = F.size(toks)
+            bigrams = F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+            grams = F.concat(grams, bigrams)
         return F.transform(
-            words_expr(text),
+            grams,
             lambda t: hashed_dim_expr(t, self.n_features),
         )
 

@@ -170,3 +170,28 @@ def test_fit_more_equals_union_refit(spark, corpus):
     assert inc.idf_ == full.idf_
     with pytest.raises(FeatureFactoryError, match="fit_more"):
         ff.HashedTfIdfVectorizer("text").fit_more(batch)
+
+
+def test_bigram_features_separate_word_order(spark):
+    # ngrams=(1,2): same bag of words, different order -> different
+    # vectors; plain unigrams cannot tell them apart
+    df = spark.createDataFrame(
+        [(1, "new york city hall"), (2, "city hall new york"),
+         (3, "new york city hall")],
+        "doc_id bigint, text string",
+    )
+    uni = ff.HashedTfIdfVectorizer("text", n_features=64).fit(df)
+    u = {r["doc_id"]: r["text_tfidf"]
+         for r in uni.transform(df).collect()}
+    assert u[1] == u[2] == u[3]
+    bi = ff.HashedTfIdfVectorizer(
+        "text", n_features=64, ngrams=(1, 2)
+    ).fit(df)
+    b = {r["doc_id"]: r["text_tfidf"]
+         for r in bi.transform(df).collect()}
+    assert b[1] == b[3]
+    assert b[1] != b[2]
+    import math
+    assert math.isclose(sum(x * x for x in b[1]), 1.0, rel_tol=1e-9)
+    with pytest.raises(FeatureFactoryError):
+        ff.HashedTfIdfVectorizer("text", ngrams=(3,))
