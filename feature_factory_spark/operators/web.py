@@ -1107,6 +1107,30 @@ def robots_rules_expr(txt: Column, agent: str = "*") -> Column:
     )
 
 
+def robots_sitemaps_expr(txt: Column) -> Column:
+    """``Sitemap:`` URLs from a robots.txt body (array<string>, empty
+    when none) — the crawl-discovery complement of the rule parser.
+    Per RFC 9309 §2.3 sitemap lines are group-INDEPENDENT, so no UA
+    tracking is needed: one filter + transform over the split lines,
+    comments stripped, case-insensitive field name, values kept
+    verbatim (sitemap URLs are absolute by spec)."""
+    lines = F.split(F.coalesce(txt, F.lit("")), "\r?\n")
+    cleaned = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, "#.*$", ""))
+    )
+    hits = F.filter(
+        cleaned,
+        lambda ln: F.lower(ln).startswith("sitemap:"),
+    )
+    return F.filter(
+        F.transform(
+            hits,
+            lambda ln: F.trim(F.regexp_extract(ln, "^[^:]*:(.*)$", 1)),
+        ),
+        lambda v: v != "",
+    )
+
+
 def robots_crawl_delay_expr(txt: Column, agent: str = "*") -> Column:
     """``Crawl-delay`` (seconds, double) for the groups applying to
     ``agent`` — the non-RFC extension Bing/Yandex honor; NULL when no

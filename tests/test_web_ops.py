@@ -489,6 +489,27 @@ class TestRobotsTxtFilter:
         b = sorted(map(tuple, restored.transform(urls).collect()))
         assert a == b
 
+    def test_sitemaps_extraction(self, spark):
+        from feature_factory_spark.operators.web import (
+            robots_sitemaps_expr,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("User-agent: *\nSitemap: http://a.com/s.xml\n"
+                 "Disallow: /x\nSITEMAP: http://a.com/s2.xml # note",),
+                ("User-agent: *\nDisallow: /",),
+                (None,),
+                ("Sitemap:",),  # empty value dropped
+            ],
+            "txt string",
+        )
+        got = [r["s"] for r in df.select(
+            robots_sitemaps_expr(F.col("txt")).alias("s")
+        ).collect()]
+        assert got[0] == ["http://a.com/s.xml", "http://a.com/s2.xml"]
+        assert got[1] == [] and got[2] == [] and got[3] == []
+
     def test_crawl_delay_surface(self, spark, urls):
         # r11: Crawl-delay (the Bing/Yandex extension) surfaced per URL
         # when with_crawl_delay=True — min across applying groups,
