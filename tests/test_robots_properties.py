@@ -124,3 +124,34 @@ def test_robots_fold_matches_reference(spark, lines, paths, agent):
         assert r["blocked"] == ref_blocked(r["path"], rules), (
             txt, r["path"], rules
         )
+
+
+PCT_STR = st.text(
+    alphabet="abAB019%/~._-$*zF", min_size=0, max_size=24
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(paths=st.lists(PCT_STR, min_size=1, max_size=8, unique=True))
+def test_pct_normalize_matches_reference_and_is_idempotent(spark, paths):
+    from feature_factory_spark.operators.web import pct_normalize_expr
+
+    rows = spark.createDataFrame(
+        [(p,) for p in paths], "s string"
+    ).select(
+        "s",
+        pct_normalize_expr(F.col("s")).alias("once"),
+        pct_normalize_expr(
+            pct_normalize_expr(F.col("s"))
+        ).alias("twice"),
+    ).collect()
+    for r in rows:
+        # matches the independent Python reference
+        assert r["once"] == ref_pct_norm(r["s"]), r["s"]
+        # RFC 3986 §6.2.2 normalization is idempotent
+        assert r["twice"] == r["once"], r["s"]
