@@ -3014,12 +3014,16 @@ def q_self_line_dedup(spark, sf_dir):
 def q_x_robots(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hdr = (
-        F.when(F.col("doc_id") % 6 == 0, F.lit("noindex, nofollow"))
-        .when(F.col("doc_id") % 6 == 1, F.lit("index, follow"))
-        .when(F.col("doc_id") % 6 == 2, F.lit("googlebot: noindex"))
-        .when(F.col("doc_id") % 6 == 3, F.lit("NONE"))
-        .when(F.col("doc_id") % 6 == 4,
+        F.when(F.col("doc_id") % 8 == 0, F.lit("noindex, nofollow"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("index, follow"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("googlebot: noindex"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("NONE"))
+        .when(F.col("doc_id") % 8 == 4,
               F.lit("unavailable_after: 25 Jun 2010"))
+        .when(F.col("doc_id") % 8 == 5,
+              F.lit("googlebot: noindex, none"))
+        .when(F.col("doc_id") % 8 == 6,
+              F.lit("otherbot: none, noindex"))
         .otherwise(F.lit(None).cast("string"))
     )
     rows = docs.select("doc_id", hdr.alias("http_x_robots"))
@@ -3043,27 +3047,47 @@ def q_x_robots(spark, sf_dir):
 
 
 _X_ROBOTS_SQL = r"""WITH h AS (SELECT doc_id,
-  CASE doc_id % 6
+  CASE doc_id % 8
     WHEN 0 THEN 'noindex, nofollow'
     WHEN 1 THEN 'index, follow'
     WHEN 2 THEN 'googlebot: noindex'
     WHEN 3 THEN 'NONE'
     WHEN 4 THEN 'unavailable_after: 25 Jun 2010'
+    WHEN 5 THEN 'googlebot: noindex, none'
+    WHEN 6 THEN 'otherbot: none, noindex'
     ELSE NULL END AS hdr FROM documents),
 t AS (SELECT doc_id,
   list_transform(string_split(lower(coalesce(hdr, '')), ','),
                  x -> trim(x)) AS toks FROM h),
+a AS (SELECT doc_id, toks,
+  list_transform(toks, x ->
+    CASE WHEN position(':' IN x) > 0
+      AND trim(substr(x, 1, position(':' IN x) - 1))
+        NOT IN ('unavailable_after', 'max-snippet',
+                'max-image-preview', 'max-video-preview')
+    THEN trim(substr(x, 1, position(':' IN x) - 1)) END) AS opens,
+  list_transform(toks, x ->
+    regexp_extract(
+      CASE WHEN position(':' IN x) > 0
+        AND trim(substr(x, 1, position(':' IN x) - 1))
+          NOT IN ('unavailable_after', 'max-snippet',
+                  'max-image-preview', 'max-video-preview')
+      THEN trim(substr(x, position(':' IN x) + 1))
+      WHEN position(':' IN x) > 0
+      THEN trim(substr(x, 1, position(':' IN x) - 1))
+      ELSE x END, '^[^:]*')) AS dirs FROM t),
+s AS (SELECT doc_id, dirs,
+  list_transform(dirs, (x, i) ->
+    coalesce(opens[list_max(list_filter(
+      list_transform(opens, (y, j) ->
+        CASE WHEN y IS NOT NULL AND j <= i THEN j END),
+      v -> v IS NOT NULL))], '')) AS scopes FROM a),
 f AS (SELECT doc_id,
-  len(list_filter(toks, x ->
-    position(':' IN x) = 0
-    AND x IN ('noindex', 'none'))) > 0 AS b1,
-  len(list_filter(toks, x ->
-    (position(':' IN x) = 0 AND x IN ('noindex', 'none'))
-    OR (position(':' IN x) > 0
-        AND trim(substr(x, 1, position(':' IN x) - 1)) = 'googlebot'
-        AND trim(substr(x, position(':' IN x) + 1))
-            IN ('noindex', 'none')))) > 0 AS b2
-  FROM t)
+  len(list_filter(dirs, (x, i) ->
+    scopes[i] = '' AND trim(x) IN ('noindex', 'none'))) > 0 AS b1,
+  len(list_filter(dirs, (x, i) ->
+    scopes[i] IN ('', 'googlebot')
+    AND trim(x) IN ('noindex', 'none'))) > 0 AS b2 FROM s)
 SELECT doc_id,
   CAST(b1 AS VARCHAR) || ':' || CAST(b2 AS VARCHAR) AS val FROM f"""
 _REGISTRY["x_robots"] = (q_x_robots, _X_ROBOTS_SQL)
@@ -3093,6 +3117,7 @@ _REGISTRY["x_robots"] = (q_x_robots, _X_ROBOTS_SQL)
              || '<meta name=robots content=noindex>'
     WHEN 6 THEN '<meta name="robotsx" content="noindex">'
              || '<meta name=viewport content=width=1>'
+             || '<meta data-name="robots" content="noindex">'
     ELSE '' END AS meta, text FROM documents),
 p AS (SELECT doc_id,
   '<html><head>' || meta || '</head><body><p>' || text
@@ -3101,30 +3126,30 @@ t AS (SELECT doc_id,
   regexp_extract_all(page, '(?is)<meta\b[^>]*>') AS tags FROM p),
 rt AS (SELECT doc_id, list_filter(tags, x -> lower(trim(
     CASE WHEN regexp_extract(x,
-      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])name\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       1) <> '' THEN regexp_extract(x,
-      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 1)
+      '(?is)(?:^|[^\w-])name\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 1)
     WHEN regexp_extract(x,
-      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])name\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       2) <> '' THEN regexp_extract(x,
-      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 2)
+      '(?is)(?:^|[^\w-])name\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 2)
     ELSE regexp_extract(x,
-      '(?is)\bname\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 3)
+      '(?is)(?:^|[^\w-])name\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))', 3)
     END)) = 'robots') AS tags FROM t),
 c AS (SELECT doc_id, CASE WHEN len(tags) > 0 THEN
   array_to_string(list_transform(tags, x -> lower(
     CASE WHEN regexp_extract(x,
-      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])content\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       1) <> '' THEN regexp_extract(x,
-      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])content\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       1)
     WHEN regexp_extract(x,
-      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])content\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       2) <> '' THEN regexp_extract(x,
-      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])content\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       2)
     ELSE regexp_extract(x,
-      '(?is)\bcontent\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
+      '(?is)(?:^|[^\w-])content\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>''"]+))',
       3) END)), ',') END AS robots FROM rt)
 SELECT doc_id,
   coalesce(robots, '@') || ':' || CAST(
@@ -3152,7 +3177,8 @@ def q_meta_robots(spark, sf_dir):
                     '<meta name=robots content=noindex>'))
         .when(F.col("doc_id") % 8 == 6,
               F.lit('<meta name="robotsx" content="noindex">'
-                    '<meta name=viewport content=width=1>'))
+                    '<meta name=viewport content=width=1>'
+                    '<meta data-name="robots" content="noindex">'))
         .otherwise(F.lit(""))
     )
     pages = docs.select(

@@ -487,6 +487,7 @@ class IVFCosineTopK(CosineTopK):
         src_path: str,
         dest_path: str,
         quantize: bool | str | None = None,
+        pq=None,
     ) -> None:
         """Full centroid refresh for an append-accumulated index — the
         remedy when :func:`recall_at_k` shows drift after many
@@ -499,17 +500,27 @@ class IVFCosineTopK(CosineTopK):
         :func:`~.dedup.compact_index`, never in place; validate, then
         repoint the recrawl loop. ``quantize=None`` preserves the
         source layout (raw / int8 / pq — a pq rebuild also refits the
-        codebooks on the reconstructed corpus)."""
+        codebooks on the reconstructed corpus, REUSING the source
+        index's m/k so the rebuild never silently changes the
+        quantization geometry; pass ``pq=`` to override it)."""
         import os
 
         stored = spark.read.parquet(os.path.join(src_path, "corpus"))
         if "c_pq" in stored.columns:
+            src_pq = self._load_pq(spark, src_path)
             src = stored.withColumn(
-                "c_vec",
-                self._load_pq(spark, src_path).decode_expr(
-                    F.col("c_pq")
-                ),
+                "c_vec", src_pq.decode_expr(F.col("c_pq"))
             ).drop("c_pq")
+            if pq is None:
+                # fresh UNFITTED quantizer with the source layout —
+                # write_index refits its codebooks on the rebuilt
+                # corpus but keeps the same m/k (an index written at
+                # m=16/k=64 must not come back as the default m=8/k=16)
+                from .embeddings import ProductQuantizer
+
+                pq = ProductQuantizer(
+                    "c_vec", dim=src_pq.dim, m=src_pq.m, k=src_pq.k
+                )
             stored_layout: bool | str = "pq"
         else:
             src = _dequantize_if_needed(stored)
@@ -521,7 +532,7 @@ class IVFCosineTopK(CosineTopK):
             F.col("c_vec").alias(self.vec_col),
         )
         self.centroids_ = []  # force a fresh Lloyd fit in write_index
-        self.write_index(corpus, dest_path, quantize=quantize)
+        self.write_index(corpus, dest_path, quantize=quantize, pq=pq)
 
     def _load_centroids(self, spark, path: str) -> None:
         """Pin this instance's centroids to the index's stored table —
@@ -538,7 +549,16 @@ class IVFCosineTopK(CosineTopK):
                 .orderBy("cluster")
                 .collect()
             )
-        except AnalysisException:
+        except AnalysisException as e:
+            # Only the MISSING-PATH case means "index not written
+            # yet"; a transient storage error or corrupt footer must
+            # propagate with its real cause instead of being
+            # misdiagnosed as "write the index first" (same narrowing
+            # as dedup._log_index_version).
+            msg = str(e)
+            if not ("PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg):
+                raise
             rows = []  # missing path — same remedy as an empty table
         ensure(
             bool(rows),

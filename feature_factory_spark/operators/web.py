@@ -813,11 +813,19 @@ class MarkdownTextExtractor(Transformer):
 # restrictive directive. RE2-compatible (no lookarounds/backrefs) so
 # the oracle twin replays the identical patterns.
 META_TAG_RE = r"(?is)<meta\b[^>]*>"
+# The attribute name is anchored on a NON-word, non-hyphen leading
+# character ((?:^|[^\w-]) — RE2-safe, no lookbehind) so hyphenated
+# attributes like data-name= / data-content= never match: '\bname'
+# alone would treat '-' as a word boundary and read
+# '<meta data-name="robots" ...>' as a robots tag (a false-positive
+# block contradicting the exact-name contract).
 _NAME_ATTR_RE = (
-    r"(?is)\bname\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+))"
+    r"(?is)(?:^|[^\w-])name\s*=\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+))"
 )
 _CONTENT_ATTR_RE = (
-    r"(?is)\bcontent\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+))"
+    r"(?is)(?:^|[^\w-])content\s*=\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+))"
 )
 
 
@@ -893,8 +901,13 @@ class MetaRobotsFilter(Transformer):
         )
 
     def blocked_expr(self, robots: Column) -> Column:
+        # NOTE: lambda, not bare F.trim — in PySpark 4 trim has an
+        # optional second parameter, so transform() would pass the
+        # element INDEX as the trim character set (stripping digits
+        # instead of whitespace).
         toks = F.transform(
-            F.split(F.coalesce(robots, F.lit("")), ","), F.trim
+            F.split(F.coalesce(robots, F.lit("")), ","),
+            lambda x: F.trim(x),
         )
         return F.arrays_overlap(
             toks, F.array(*[F.lit(d) for d in self.blocked])
@@ -950,6 +963,17 @@ def pct_normalize_expr(s: Column) -> Column:
     )
 
 
+# X-Robots-Tag directives that carry a ':'-separated VALUE — these
+# never open an agent scope ('unavailable_after: 25 Jun 2010' is a
+# directive, not a crawler named 'unavailable_after').
+X_ROBOTS_VALUE_DIRECTIVES = (
+    "unavailable_after",
+    "max-snippet",
+    "max-image-preview",
+    "max-video-preview",
+)
+
+
 class XRobotsTagFilter(Transformer):
     """Header-level crawl opt-outs: drop (or flag) pages whose
     ``X-Robots-Tag`` HTTP header carries a directive in ``blocked``
@@ -959,13 +983,16 @@ class XRobotsTagFilter(Transformer):
     the page level, :class:`RobotsTxtFilter` the site level).
 
     Directive grammar (the Google-documented form): a comma-separated
-    list where each directive may carry an optional ``useragent:``
-    prefix — an unprefixed directive applies to every crawler, a
-    prefixed one only to that agent. With ``agent=None`` (default)
-    only unprefixed directives apply; pass your crawler name to also
-    honor its prefixed directives. Values like ``unavailable_after:
-    25 Jun 2010`` parse as a prefixed token whose prefix is not a
-    directive, so they never false-positive the blocked set.
+    list where a ``useragent:`` prefix SCOPES every directive that
+    follows it until the next prefix — in ``googlebot: noindex,
+    nofollow`` BOTH directives are googlebot-only (the comma tokens
+    inherit the last-seen agent, not just the token carrying the
+    prefix). Directives before any prefix are global. With
+    ``agent=None`` (default) only global directives apply; pass your
+    crawler name to also honor its scoped directives. Value-carrying
+    directives (``unavailable_after: 25 Jun 2010``, ``max-snippet:
+    20``, ...) are recognized by name and never open an agent scope
+    nor false-positive the blocked set.
 
     Appends ``{header_col}_blocked``; ``mode='filter'`` drops blocked
     rows (NULL headers are never blocked). Stateless pure-JVM token
@@ -989,34 +1016,56 @@ class XRobotsTagFilter(Transformer):
         validate_string_columns(df, [self.header_col])
 
     def blocked_expr(self) -> Column:
+        # lambda, not bare F.trim — see blocked_expr note above
         toks = F.transform(
             F.split(
                 F.lower(F.coalesce(F.col(self.header_col), F.lit(""))),
                 ",",
             ),
-            F.trim,
+            lambda x: F.trim(x),
         )
         blocked_lits = F.array(*[F.lit(d) for d in self.blocked])
+        value_lits = F.array(
+            *[F.lit(d) for d in X_ROBOTS_VALUE_DIRECTIVES]
+        )
+        # ONE aggregate fold carrying (scope, hit): a 'prefix:' token
+        # whose prefix is not a value-carrying directive opens an
+        # agent scope that every following comma token inherits until
+        # the next prefix (the Google grammar — the previous
+        # exists()-per-token parse treated 'nofollow' in
+        # 'googlebot: noindex, nofollow' as global, over-blocking
+        # generic crawlers).
+        zero = F.struct(
+            F.lit("").alias("scope"), F.lit(False).alias("hit")
+        )
 
-        def applies(t: Column) -> Column:
-            # 'prefix: directive' applies only when prefix == agent;
-            # a bare directive applies to everyone
-            has_prefix = t.contains(":")
-            directive = F.trim(
-                F.regexp_extract(t, "^[^:]*:(.*)$", 1)
+        def step(acc: Column, t: Column) -> Column:
+            has = t.contains(":")
+            head = F.trim(F.regexp_extract(t, "^([^:]*):", 1))
+            tail = F.trim(F.regexp_extract(t, "^[^:]*:(.*)$", 1))
+            is_agent = has & ~F.array_contains(value_lits, head)
+            scope = F.when(is_agent, head).otherwise(acc["scope"])
+            d0 = (
+                F.when(is_agent, tail).when(has, head).otherwise(t)
             )
-            prefix = F.trim(F.regexp_extract(t, "^([^:]*):", 1))
-            bare_hit = ~has_prefix & F.array_contains(blocked_lits, t)
+            # a scoped value directive ('googlebot: unavailable_after:
+            # ...') matches on its NAME only
+            directive = F.when(
+                d0.contains(":"),
+                F.trim(F.regexp_extract(d0, "^([^:]*):", 1)),
+            ).otherwise(d0)
             if self.agent is None:
-                return bare_hit
-            prefixed_hit = (
-                has_prefix
-                & (prefix == F.lit(self.agent))
-                & F.array_contains(blocked_lits, directive)
+                applies = scope == F.lit("")
+            else:
+                applies = (scope == F.lit("")) | (
+                    scope == F.lit(self.agent)
+                )
+            hit = acc["hit"] | (
+                applies & F.array_contains(blocked_lits, directive)
             )
-            return bare_hit | prefixed_hit
+            return F.struct(scope.alias("scope"), hit.alias("hit"))
 
-        return F.exists(toks, applies)
+        return F.aggregate(toks, zero, step)["hit"]
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out_col = f"{self.header_col}_blocked"

@@ -231,7 +231,9 @@ def web_extraction_pipeline(
     return make_pipeline(*steps)
 
 
-def curation_ledger(df, pipeline, id_col, cache_stages=True):
+def curation_ledger(
+    df, pipeline, id_col, cache_stages=True, enforce_gates=True
+):
     """Unified keep/drop audit of a curation run — the artifact a
     100 TB build is judged by: for EVERY input document, which stage
     killed it (or that it survived). Runs ``pipeline`` step by step
@@ -257,11 +259,16 @@ def curation_ledger(df, pipeline, id_col, cache_stages=True):
     materialize/write the returned frames, then release with
     ``ledger.sparkSession.catalog.clearCache()`` or by unpersisting.
     Documents must be uniquely keyed by ``id_col``; stages that ADD
-    rows (exploders) are out of scope — this is a gate auditor."""
+    rows (exploders) are out of scope — this is a gate auditor, and
+    with ``enforce_gates=True`` (default) it FAILS LOUD on the first
+    stage whose output ids are not a subset of its input ids (an
+    exploder would otherwise silently mis-attribute every downstream
+    kill). The check is one take-1 anti-join per stage against the
+    already-cached boundary — id-grain, bounded, no full count."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    from .exceptions import FeatureFactoryError
+    from .exceptions import FeatureFactoryError, InvalidParameterError
 
     cur = df
     dropped_frames = []
@@ -274,6 +281,20 @@ def curation_ledger(df, pipeline, id_col, cache_stages=True):
             nxt = op.transform(cur)
         except FeatureFactoryError as e:
             Pipeline._reraise_with_step(e, name)
+        if enforce_gates:
+            foreign = nxt.select(id_col).join(
+                prev_ids, id_col, "left_anti"
+            )
+            if not foreign.isEmpty():
+                raise InvalidParameterError(
+                    f"curation_ledger: stage '{name}' (index {i}) "
+                    f"emitted {id_col} values absent from its input — "
+                    "it adds rows (an exploder), so first-killer "
+                    "attribution would be silently wrong. Audit gate "
+                    "stages only, or pass enforce_gates=False if the "
+                    "stage merely REWRITES ids and you accept the "
+                    "attribution caveat."
+                )
         dropped_frames.append(
             prev_ids.join(nxt.select(id_col), id_col, "left_anti").select(
                 F.col(id_col),

@@ -195,3 +195,43 @@ def test_bigram_features_separate_word_order(spark):
     assert math.isclose(sum(x * x for x in b[1]), 1.0, rel_tol=1e-9)
     with pytest.raises(FeatureFactoryError):
         ff.HashedTfIdfVectorizer("text", ngrams=(3,))
+
+
+def test_grouped_path_bit_identical_to_fold(spark, corpus):
+    # r12: the O(tokens) grouped path (explode -> groupBy -> map
+    # lookup) must produce BIT-identical vectors to the fold path —
+    # same tf counts, same idf literal, same normalization expression
+    base = corpus.where("text IS NOT NULL")
+    fold = ff.HashedTfIdfVectorizer(
+        "text", n_features=128, ngrams=(1, 2), transform_path="fold"
+    ).fit(base)
+    grouped = ff.HashedTfIdfVectorizer(
+        "text", n_features=128, ngrams=(1, 2),
+        transform_path="grouped",
+    ).fit(base)
+    a = {r["doc_id"]: r["text_tfidf"]
+         for r in fold.transform(corpus).collect()}
+    b = {r["doc_id"]: r["text_tfidf"]
+         for r in grouped.transform(corpus).collect()}
+    assert a == b
+    # edge rows survive the join path too
+    assert b[5] == [0.0] * 128 and b[6] is None
+    # 'auto' picks grouped above the cutoff, fold at-or-below it
+    assert ff.HashedTfIdfVectorizer("text", n_features=256) \
+        .transform_path == "auto"
+    big = ff.HashedTfIdfVectorizer("text", n_features=256).fit(base)
+    small = ff.HashedTfIdfVectorizer("text", n_features=16).fit(base)
+    assert "__ff_tfidf_rid" not in small.transform(corpus).columns
+    assert big.transform(corpus).columns == corpus.columns + ["text_tfidf"]
+
+
+def test_grouped_path_preserves_row_multiplicity(spark):
+    # fully-duplicate rows must survive the surrogate-id join
+    rows = spark.createDataFrame(
+        [("same text here",)] * 5, "text string"
+    )
+    v = ff.HashedTfIdfVectorizer(
+        "text", n_features=512, transform_path="grouped"
+    ).fit(rows)
+    out = v.transform(rows)
+    assert out.count() == 5

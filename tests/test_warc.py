@@ -304,7 +304,8 @@ def test_x_robots_tag_surfaced(spark, tmp_path):
         & ~F.coalesce(
             F.arrays_overlap(
                 F.transform(
-                    F.split(F.lower(F.col("http_x_robots")), ","), F.trim
+                    F.split(F.lower(F.col("http_x_robots")), ","),
+                    lambda x: F.trim(x),
                 ),
                 F.array(F.lit("noindex"), F.lit("none")),
             ),
