@@ -94,10 +94,26 @@ def byte_symbols(word: str) -> list[str]:
     return [_B2U[b] for b in word.encode("utf-8")]
 
 
-def byte_syms_expr(word: Column) -> Column:
+# The GPT-2 pre-tokenization regex (the public encoder.py pattern, the
+# one HF ByteLevel(use_regex=True) hardcodes): contractions, optionally
+# space-prefixed letter/number/punctuation runs, then whitespace
+# fallbacks. (?U) makes Java's \s match Unicode whitespace like the
+# Python `regex` module the original uses. Matches cover every
+# character of any input (the trailing \s+ alternative), so extracting
+# the matches IS the segmentation.
+GPT2_SPLIT_RE = (
+    r"(?U)'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def byte_syms_expr(word: Column, end_mark: bool = True) -> Column:
     """Byte-level initial symbol sequence: the word's UTF-8 bytes
     mapped through the GPT-2 byte->unicode table, + the end-of-word
-    mark. Pure JVM: hex(encode(...)) -> 2-char groups -> one
+    mark (``end_mark=False`` for imported suffix-less ByteLevel
+    models, which mark word starts with the encoded leading space
+    instead). Pure JVM: hex(encode(...)) -> 2-char groups -> one
     element_at against a 256-entry array LITERAL (the lambda touches
     only its variable and the foldable literal — the HOF-inlining
     rule)."""
@@ -105,16 +121,19 @@ def byte_syms_expr(word: Column) -> Column:
     pairs = F.regexp_extract_all(
         F.hex(F.encode(word, "UTF-8")), F.lit("(..)"), 1
     )
-    return F.concat(
-        F.transform(
-            pairs, lambda h: F.element_at(b2u, F.conv(h, 16, 10).cast("int") + 1)
-        ),
-        F.array(F.lit(END_MARK)),
+    syms = F.transform(
+        pairs, lambda h: F.element_at(b2u, F.conv(h, 16, 10).cast("int") + 1)
     )
+    if not end_mark:
+        return syms
+    return F.concat(syms, F.array(F.lit(END_MARK)))
 
 
-def _initial_syms(word: str, byte_level: bool) -> list[str]:
-    return (byte_symbols(word) if byte_level else list(word)) + [END_MARK]
+def _initial_syms(
+    word: str, byte_level: bool, end_mark: bool = True
+) -> list[str]:
+    syms = byte_symbols(word) if byte_level else list(word)
+    return syms + [END_MARK] if end_mark else syms
 
 
 def adjacent_pairs_expr(syms: Column) -> Column:

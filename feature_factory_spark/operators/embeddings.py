@@ -905,6 +905,85 @@ class ProductQuantizer(Transformer):
             ),
         )
 
+    def adc_lut_expr(self, qvec: Column) -> Column:
+        """Per-query ADC lookup table (Jégou 2011 §IV-A, the
+        asymmetric-distance trick proper): ``lut[s][j] = dot(q_s,
+        centroid_{s,j})`` — an ``array<array<double>>`` of shape
+        m x k computed ONCE per query row (O(k x dim)), after which
+        every candidate scores in O(m) table lookups via
+        :func:`adc_dot_expr` instead of O(dim)
+        reconstruct-and-dot. Pure JVM against the codebook literal."""
+        book = self._codebook_lit()
+        dsub = self.dsub
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(self.m - 1)),
+            lambda s: F.transform(
+                F.element_at(book, s + 1),
+                lambda cent: F.aggregate(
+                    F.zip_with(
+                        F.slice(qvec, s * dsub + 1, dsub),
+                        cent,
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+        )
+
+    def adc_dot_expr(self, codes: Column, lut: Column) -> Column:
+        """``dot(q, decode(codes))`` as ``sum_s lut[s][codes[s]]`` —
+        m lookups + adds per candidate (the per-candidate cost the
+        LUT buys; exact equality with reconstruct-then-dot up to
+        float association)."""
+        return F.aggregate(
+            F.zip_with(
+                codes,
+                F.sequence(F.lit(0), F.lit(self.m - 1)),
+                lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + F.element_at(
+                F.element_at(lut, e["s"] + 1), e["c"].cast("int") + 1
+            ),
+        )
+
+    def recon_norm_sq(self) -> list[list[float]]:
+        """Query-independent reconstruction-norm table:
+        ``norm_sq[s][j] = |centroid_{s,j}|^2`` (m x k floats,
+        driver-side plain scalars). ``|decode(codes)|^2 = sum_s
+        norm_sq[s][codes[s]]`` because the subspaces are disjoint
+        coordinate blocks."""
+        ensure(
+            self.codebooks_ is not None,
+            "ProductQuantizer is unfitted: call fit() first",
+        )
+        return [
+            [float(sum(v * v for v in cent)) for cent in book]
+            for book in self.codebooks_
+        ]
+
+    def adc_norm_expr(self, codes: Column) -> Column:
+        """``|decode(codes)|`` in O(m) lookups against the
+        :func:`recon_norm_sq` literal."""
+        tbl = F.lit(self.recon_norm_sq())
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    codes,
+                    F.sequence(F.lit(0), F.lit(self.m - 1)),
+                    lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + F.element_at(
+                    F.element_at(tbl, e["s"] + 1),
+                    e["c"].cast("int") + 1,
+                ),
+            )
+        )
+
     def decode_expr(self, codes: Column) -> Column:
         """Reconstruct the approximation: concat of each subspace's
         chosen centroid (array<double>, length ``dim``)."""

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import cosine_expr
+from ..functions.expressions import cosine_expr, norm_expr
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns
 from .dedup import _hyperplanes, hyperplane_sig_expr
@@ -567,11 +567,27 @@ class IVFCosineTopK(CosineTopK):
         )
         self.centroids_ = [list(r["centroid"]) for r in rows]
 
-    def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
+    def search_index(
+        self,
+        spark,
+        path: str,
+        query_df: DataFrame,
+        adc: bool = True,
+    ) -> DataFrame:
         """Probe an index written by ``write_index``. Loads centroids
         (k x dim — tiny), then joins the broadcast probe set against the
         cluster-partitioned corpus: Spark's dynamic partition pruning
-        limits the scan to the clusters the queries actually probe."""
+        limits the scan to the clusters the queries actually probe.
+
+        On a PQ-layout index the probe defaults to ASYMMETRIC DISTANCE
+        (Jégou 2011): each query row computes an m x k partial-dot
+        lookup table once, and every candidate scores its cosine in
+        O(m) table lookups against its stored codes — ~dim/m x less
+        arithmetic per candidate than ``adc=False``, which
+        reconstructs each candidate via ``decode_expr`` and runs the
+        full O(dim) dot. Both rank the same reconstructed vectors
+        (identical up to float association), so recall is unchanged —
+        ``adc=False`` exists as the parity/debug path."""
         import os
 
         self._load_centroids(spark, path)
@@ -581,13 +597,55 @@ class IVFCosineTopK(CosineTopK):
         corpus = spark.read.parquet(os.path.join(path, "corpus"))
         if "c_pq" in corpus.columns:
             pq = self._load_pq(spark, path)
+            self._guard_query_side(query_df)
+            if adc:
+                return self._search_assigned_pq(corpus, query_df, pq)
             c = corpus.withColumn(
                 "c_vec", pq.decode_expr(F.col("c_pq"))
             ).drop("c_pq")
         else:
             c = _dequantize_if_needed(corpus)
-        self._guard_query_side(query_df)
+            self._guard_query_side(query_df)
         return self._search_assigned(c, query_df)
+
+    def _search_assigned_pq(
+        self, corpus: DataFrame, query_df: DataFrame, pq
+    ) -> DataFrame:
+        """ADC probe plan: identical join/prune/rank shape to
+        :func:`_search_assigned`, but candidates stay as m tinyint
+        codes — cosine = lut-dot / (|q| x recon-norm), all O(m) per
+        candidate (the per-query O(k x dim) LUT and the query norm are
+        computed in the broadcast projection, once per query row)."""
+        q = query_df.select(
+            F.col(self.id_col).alias("query_id"),
+            pq.adc_lut_expr(F.col(self.vec_col)).alias("q_lut"),
+            norm_expr(F.col(self.vec_col)).alias("q_norm"),
+            F.explode(
+                self._nearest_expr(F.col(self.vec_col), self.n_probe)
+            ).alias("cluster"),
+        )
+        cand = corpus.join(F.broadcast(q), on="cluster").where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        codes = F.col("c_pq")
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            # try_divide mirrors cosine_expr: zero-norm / NULL inputs
+            # yield NULL, excluded from the ranking below
+            F.try_divide(
+                pq.adc_dot_expr(codes, F.col("q_lut")),
+                F.col("q_norm") * pq.adc_norm_expr(codes),
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.where(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= self.k)
+        )
 
     def _search_assigned(self, c: DataFrame, query_df: DataFrame) -> DataFrame:
         q = query_df.select(

@@ -118,3 +118,53 @@ def test_fit_more_equals_union_refit(spark, target, raw):
     with pytest.raises(FeatureFactoryError, match="fit_more"):
         ff.DSIRWeighter("text", n_buckets=512).fit_target(target) \
             .fit_more(batch)
+
+
+def test_select_rate_quantile_threshold(spark, fitted, raw):
+    # r12: the selection step — keep the Gumbel-top-k at rate WITHOUT
+    # a global sort. rate=0.4 of 5 docs -> threshold at the 0.6
+    # quantile; the kept set must be exactly the top-2 by key.
+    kept = fitted.select(raw, rate=0.4)
+    keys = {r["doc_id"]: r["text_dsir_key"]
+            for r in fitted.transform(raw).collect()}
+    want = sorted(keys, key=keys.get, reverse=True)[:2]
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(want)
+    # score/key columns ride along for downstream audits
+    assert {"text_dsir", "text_dsir_key"} <= set(kept.columns)
+
+
+def test_select_n_and_pretransformed_and_guards(spark, fitted, raw):
+    # n= converts to a rate via one count; a pre-transformed frame is
+    # not re-scored (the key column is reused)
+    kept = fitted.select(fitted.transform(raw), n=3)
+    assert kept.count() == 3
+    # rate=1.0 keeps everything
+    assert fitted.select(raw, rate=1.0).count() == raw.count()
+    with pytest.raises(FeatureFactoryError, match="exactly one"):
+        fitted.select(raw)
+    with pytest.raises(FeatureFactoryError, match="exactly one"):
+        fitted.select(raw, rate=0.5, n=2)
+    no_id = ff.DSIRWeighter("text", n_buckets=512)
+    with pytest.raises(FeatureFactoryError, match="id_col"):
+        no_id.select(raw, rate=0.5)
+
+
+def test_select_approx_path(spark, fitted, raw):
+    # the t-digest threshold lands on a real key (no interpolation),
+    # so the kept count may differ by one at tiny scale — but the
+    # kept set is always threshold-consistent: a superset of the
+    # exact keep containing the top keys in order
+    a = set(r["doc_id"]
+            for r in fitted.select(raw, rate=0.4).collect())
+    b = set(r["doc_id"]
+            for r in fitted.select(raw, rate=0.4, approx=True)
+            .collect())
+    assert a <= b and len(b) <= len(a) + 1
+
+
+def test_select_favors_target_like_docs(spark, fitted, raw):
+    # Gumbel-top-k at rate 0.4: with this score gap the two
+    # target-like docs (1, 3) win over the spam
+    kept = sorted(r["doc_id"]
+                  for r in fitted.select(raw, rate=0.4).collect())
+    assert kept == [1, 3]

@@ -187,3 +187,68 @@ class TestIVFPQIndex:
         assert os.path.isdir(os.path.join(dest, "pq"))
         res3 = op.search_index(spark, dest, queries)
         assert res3.count() == 4 * 5
+
+
+def test_adc_search_matches_decode_path(spark, tmp_path):
+    # r12: asymmetric-distance probing (per-query m x k LUT, O(m)
+    # lookups per candidate) must return the SAME neighbors and
+    # cosines as decode-reconstruct (they rank the same reconstructed
+    # vectors; the float association is identical here)
+    rows = make_vectors(n=400, dim=16)
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    ivf = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=5, n_centroids=4, n_probe=2,
+        iterations=3,
+    )
+    path = str(tmp_path / "idx")
+    ivf.write_index(
+        corpus, path, quantize="pq",
+        pq=ff.ProductQuantizer("c_vec", dim=16, m=4, k=8),
+    )
+    queries = corpus.where(F.col("vec_id") < 10)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"],
+         round(r["cosine"], 9))
+        for r in ivf.search_index(spark, path, queries, adc=False)
+        .collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"],
+         round(r["cosine"], 9))
+        for r in ivf.search_index(spark, path, queries).collect()
+    )
+    assert a == b
+
+
+def test_adc_lut_and_norm_exprs_match_numpy(spark, emb, fitted):
+    # lut[s][j] == dot(q_s, centroid_{s,j}); |decode(codes)| from the
+    # norm table == numpy norm of the reconstruction
+    import numpy as np
+
+    out = fitted.transform(emb).withColumn(
+        "lut", fitted.adc_lut_expr(F.col("embedding"))
+    ).withColumn(
+        "dot", fitted.adc_dot_expr(
+            F.col("embedding_pq"),
+            fitted.adc_lut_expr(F.col("embedding")),
+        )
+    ).withColumn(
+        "rnorm", fitted.adc_norm_expr(F.col("embedding_pq"))
+    )
+    books = [np.asarray(b) for b in fitted.codebooks_]
+    for r in out.limit(20).collect():
+        q = np.asarray(r["embedding"])
+        codes = list(r["embedding_pq"])
+        recon = np.concatenate(
+            [books[s][c] for s, c in enumerate(codes)]
+        )
+        assert abs(r["dot"] - float(q @ recon)) < 1e-9
+        assert abs(r["rnorm"] - float(np.linalg.norm(recon))) < 1e-9
+        for s in range(fitted.m):
+            sub = q[s * fitted.dsub:(s + 1) * fitted.dsub]
+            for j in range(fitted.k):
+                assert abs(
+                    r["lut"][s][j] - float(sub @ books[s][j])
+                ) < 1e-9
