@@ -5156,7 +5156,9 @@ UNION ALL SELECT 'token_seqs_match_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'packer_rows_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'byte_merges_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'byte_ids_match', CAST(1 AS BIGINT)
-UNION ALL SELECT 'byte_files_roundtrip', CAST(1 AS BIGINT)""",
+UNION ALL SELECT 'byte_files_roundtrip', CAST(1 AS BIGINT)
+UNION ALL SELECT 'bytelevel_apply_ids_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'bytelevel_apply_roundtrip', CAST(1 AS BIGINT)""",
 )
 def q_bpe_vocab(spark, sf_dir):
     """BpeVocabBuilder (operators/bpe.py): default (driver-mode) 16-merge
@@ -5280,10 +5282,102 @@ def q_bpe_vocab(spark, sf_dir):
 
     byte_res = _Overlap(_byte_pins)
 
+    # r12: suffix-less ByteLevel APPLY-mode (the published GPT-2/
+    # RoBERTa/Llama layout — 'Ġ'-prefix spaces, no end suffix): build
+    # a mini GPT-2-layout tokenizer.json, load it, and pin the
+    # distributed encode against the pure-Python GPT-2 reference
+    # (regex pieces -> byte symbols -> merges in rank order), plus the
+    # EXACT decode round-trip the whitespace engine cannot offer
+    # (bytelevel segmentation covers every character, whitespace runs
+    # included). ASCII fixture so Python re's classes agree with the
+    # engine's \p{L} pattern; the non-ASCII row is round-trip-checked
+    # only.
+    def _apply_pins():
+        import json as _json
+        import re as _re
 
-    # a main-path failure must JOIN the byte thread before the
-    # family harness starts releasing fitted frames
-    with byte_res.guard():
+        from feature_factory_spark.operators.bpe import _B2U
+
+        bl_merges = [["Ġ", "t"], ["h", "e"], ["Ġt", "he"],
+                     ["l", "l"], ["e", "ll"], ["h", "ell"],
+                     ["o", "w"], ["Ġ", "w"]]
+        vocab = {t: i for i, t in
+                 enumerate(sorted(set(_B2U.values())))}
+        for l, r in bl_merges:
+            vocab.setdefault(l + r, len(vocab))
+        doc = {
+            "version": "1.0", "added_tokens": [], "normalizer": None,
+            "pre_tokenizer": {"type": "ByteLevel",
+                              "add_prefix_space": False,
+                              "trim_offsets": True, "use_regex": True},
+            "post_processor": None,
+            "decoder": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "dropout": None,
+                      "unk_token": None,
+                      "continuing_subword_prefix": None,
+                      "end_of_word_suffix": None, "fuse_unk": False,
+                      "byte_fallback": False, "vocab": vocab,
+                      "merges": [f"{l} {r}" for l, r in bl_merges]},
+        }
+        atmp = tempfile.mkdtemp(prefix="ff_blapply_")
+        _TEMP_STATE_DIRS.append(atmp)
+        apath = os.path.join(atmp, "tokenizer.json")
+        _json.dump(doc, open(apath, "w"))
+        aop = ff.BpeVocabBuilder("text", "doc_id") \
+            .load_tokenizer_json(apath, spark)
+        texts = ["hello the world", "  the theft, hellow!",
+                 "he'll tell 42 things.", "the", "",
+                 "tab\tand\nnewline  runs",
+                 "unicode: schöner 日本語 🙂"]
+        adf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        pat = _re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+        def ref_ids(text):
+            ids = []
+            for piece in pat.findall(text):
+                syms = [_B2U[b] for b in piece.encode("utf-8")]
+                for l, r in bl_merges:
+                    acc = []
+                    for x in syms:
+                        if acc and acc[-1] == l and x == r:
+                            acc[-1] = l + r
+                        else:
+                            acc.append(x)
+                    syms = acc
+                ids += [vocab.get(sy, -1) for sy in syms]
+            return ids
+
+        try:
+            enc = aop.encode_ids(adf)
+            got = {r["doc_id"]: list(r["text_bpe_ids"])
+                   for r in enc.collect()}
+            apply_ok = all(
+                got[i] == ref_ids(t)
+                for i, t in enumerate(texts) if t.isascii()
+            )
+            assert apply_ok, "bytelevel apply ids diverged from the " \
+                "GPT-2 reference"
+            dec = aop.decode_ids(enc)
+            rt = {r["doc_id"]: r["text_bpe_ids_text"]
+                  for r in dec.collect()}
+            rt_ok = all(rt[i] == t for i, t in enumerate(texts))
+            assert rt_ok, "bytelevel apply decode did not round-trip"
+        finally:
+            aop.release()
+        return apply_ok, rt_ok
+
+    apply_res = _Overlap(_apply_pins)
+
+
+    # a main-path failure must JOIN the byte + apply threads before
+    # the family harness starts releasing fitted frames
+    with apply_res.guard():
+      with byte_res.guard():
         with dist_res.guard(dist.release):
             op = ff.BpeVocabBuilder(
                 "text", "doc_id", num_merges=16, max_words=2000
@@ -5348,6 +5442,12 @@ def q_bpe_vocab(spark, sf_dir):
         byte_ok, byte_ids_ok, files_ok = byte_res.result()
     except BaseException:
         byte_res.join_quietly()
+        apply_res.join_quietly()
+        raise
+    try:
+        apply_ok, apply_rt_ok = apply_res.result()
+    except BaseException:
+        apply_res.join_quietly()
         raise
 
     return _inv_df(spark, [
@@ -5360,6 +5460,8 @@ def q_bpe_vocab(spark, sf_dir):
         ("byte_merges_match", int(byte_ok)),
         ("byte_ids_match", int(byte_ids_ok)),
         ("byte_files_roundtrip", int(files_ok)),
+        ("bytelevel_apply_ids_match", int(apply_ok)),
+        ("bytelevel_apply_roundtrip", int(apply_rt_ok)),
     ])
 
 

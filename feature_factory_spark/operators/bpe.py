@@ -289,19 +289,50 @@ def reference_tokenize(
     return syms
 
 
-def _validate_pre_tokenizer(pre, path: str) -> bool:
-    """Accept exactly the pre_tokenizer shapes this engine reproduces
-    and return whether the model is byte-level. Valid shapes: plain
-    ``WhitespaceSplit`` (char-level engine), or ``Sequence`` of
-    ``[WhitespaceSplit, ByteLevel(add_prefix_space=False)]`` (the
-    byte-level engine's own export). Everything else — a bare
-    ``ByteLevel`` (GPT-2's regex split with 'Ġ'-prefixed spaces), a
-    ``Whitespace``/``Metaspace``/``Split`` pre_tokenizer, a Sequence
-    in another order, ``add_prefix_space=True`` — segments words
-    differently from this engine's whitespace split, so loading it
-    would silently produce wrong token ids; reject loudly instead."""
+def _parse_pre_tokenizer(pre, path: str) -> dict:
+    """Parse a tokenizer.json pre_tokenizer into the segmentation this
+    engine will reproduce, or fail loud. Accepted shapes:
+
+    1. ``WhitespaceSplit`` — this engine's char-level training layout
+       (END_MARK suffix).
+    2. ``Sequence[WhitespaceSplit, ByteLevel(add_prefix_space=False)]``
+       — this engine's byte-level training layout (END_MARK suffix).
+    3. bare ``ByteLevel(use_regex=True)`` — the published
+       GPT-2/RoBERTa layout (r12): GPT-2 regex segmentation, pieces
+       keep their leading space ('Ġ' symbol), NO end suffix;
+       ``add_prefix_space`` honored either way.
+    4. ``Sequence[Split(Regex, behavior='Isolated', invert=False),
+       ByteLevel(use_regex=False)]`` — the Llama-3/tiktoken-style
+       layout: the file's own regex segments, byte alphabet as in 3.
+       (Those patterns match every character, so extracting matches is
+       the segmentation; a pattern with gaps would drop text — the
+       published tiktoken-family patterns have none.)
+
+    Everything else (``Whitespace``, ``Metaspace``/SentencePiece,
+    digit splitters, other Sequence shapes) segments differently from
+    what this engine reproduces, so loading would silently produce
+    wrong token ids; reject loudly instead. Returns ``{'kind',
+    'byte_level', 'add_prefix_space', 'pattern'}``."""
     if pre == {"type": "WhitespaceSplit"}:
-        return False
+        return {
+            "kind": "whitespace", "byte_level": False,
+            "add_prefix_space": False, "pattern": None,
+        }
+    if isinstance(pre, dict) and pre.get("type") == "ByteLevel":
+        if pre.get("use_regex", True):
+            return {
+                "kind": "bytelevel", "byte_level": True,
+                "add_prefix_space": bool(
+                    pre.get("add_prefix_space", False)
+                ),
+                "pattern": None,  # GPT2_SPLIT_RE
+            }
+        raise InvalidParameterError(
+            f"tokenizer.json at '{path}' has a bare "
+            "ByteLevel(use_regex=False) pre_tokenizer — no "
+            "segmentation at all (whole-text BPE) is not reproduced "
+            "by this engine"
+        )
     if isinstance(pre, dict) and pre.get("type") == "Sequence":
         subs = pre.get("pretokenizers") or []
         if (
@@ -310,13 +341,35 @@ def _validate_pre_tokenizer(pre, path: str) -> bool:
             and subs[1].get("type") == "ByteLevel"
             and not subs[1].get("add_prefix_space", False)
         ):
-            return True
+            return {
+                "kind": "whitespace", "byte_level": True,
+                "add_prefix_space": False, "pattern": None,
+            }
+        if (
+            len(subs) == 2
+            and subs[0].get("type") == "Split"
+            and subs[1].get("type") == "ByteLevel"
+            and not subs[1].get("use_regex", True)
+            and not subs[1].get("add_prefix_space", False)
+        ):
+            split = subs[0]
+            pattern = (split.get("pattern") or {}).get("Regex")
+            if (
+                pattern
+                and split.get("behavior") == "Isolated"
+                and not split.get("invert", False)
+            ):
+                return {
+                    "kind": "bytelevel", "byte_level": True,
+                    "add_prefix_space": False, "pattern": pattern,
+                }
     raise InvalidParameterError(
         f"tokenizer.json at '{path}' has pre_tokenizer {pre!r}; this "
-        "engine reproduces only WhitespaceSplit or "
-        "Sequence[WhitespaceSplit, ByteLevel(add_prefix_space=False)] "
-        "— other shapes (e.g. GPT-2's bare ByteLevel with 'Ġ'-prefix "
-        "spaces) would silently encode to wrong ids"
+        "engine reproduces WhitespaceSplit, "
+        "Sequence[WhitespaceSplit, ByteLevel(add_prefix_space=False)], "
+        "bare ByteLevel(use_regex=True) (GPT-2/RoBERTa), or "
+        "Sequence[Split(Regex, Isolated), ByteLevel] (Llama-3-style) "
+        "— other shapes would silently encode to wrong ids"
     )
 
 
@@ -405,6 +458,23 @@ class BpeVocabBuilder(Transformer):
         # (None for fitted instances: vocabulary() derives the standard
         # alphabet+merge-order layout instead)
         self.vocab_json_: dict[str, int] | None = None
+        # --- imported-model mode switches (set ONLY by
+        # load_tokenizer_json; every fit resets them) -----------------
+        # 'whitespace': words_expr split, END_MARK suffix (this
+        # engine's own training layout). 'bytelevel': regex
+        # segmentation with pieces KEEPING their leading space (the
+        # suffix-less GPT-2/RoBERTa/Llama published layout — the space
+        # byte encodes as the 'Ġ' symbol, which is how those models
+        # mark word starts instead of an end-of-word suffix).
+        self._segmentation: str = "whitespace"
+        self._end_suffix: bool = True
+        self._add_prefix_space: bool = False
+        self._split_pattern: str | None = None
+        self._ignore_merges: bool = False
+        # verbatim source document of an imported tokenizer.json —
+        # export_tokenizer_json round-trips it untouched (re-deriving
+        # a foreign layout could silently drop fields)
+        self._loaded_doc: dict | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -420,6 +490,22 @@ class BpeVocabBuilder(Transformer):
         text = F.col(self.text_col)
         if self.lowercase:
             text = F.lower(text)
+        if self._segmentation == "bytelevel":
+            # imported suffix-less layout: regex pieces (GPT-2 pattern
+            # or the file's own Split pattern), each KEEPING its
+            # leading space — the segmentation covers every character
+            # (whitespace runs are pieces too), so encode->decode
+            # round-trips the text exactly, unlike the whitespace
+            # engine's single-space normalization
+            if self._add_prefix_space:
+                text = F.when(
+                    (text == "") | text.rlike(r"^\s"), text
+                ).otherwise(F.concat(F.lit(" "), text))
+            pat = self._split_pattern or GPT2_SPLIT_RE
+            return F.coalesce(
+                F.regexp_extract_all(text, F.lit(pat), 0),
+                F.array().cast("array<string>"),
+            )
         return F.coalesce(words_expr(text), F.array().cast("array<string>"))
 
     def word_counts(self, df: DataFrame) -> DataFrame:
@@ -437,8 +523,16 @@ class BpeVocabBuilder(Transformer):
     def _fit(self, df: DataFrame) -> None:
         # refitting an instance that previously imported a tokenizer
         # must shed the imported id map (vocabulary() derives the
-        # standard alphabet+merge layout from the new fit again)
+        # standard alphabet+merge layout from the new fit again) AND
+        # the imported mode switches — a fit always trains this
+        # engine's whitespace + END_MARK layout
         self.vocab_json_ = None
+        self._segmentation = "whitespace"
+        self._end_suffix = True
+        self._add_prefix_space = False
+        self._split_pattern = None
+        self._ignore_merges = False
+        self._loaded_doc = None
         # the corpus-sized work — explode + groupBy word counts — is
         # distributed in EVERY mode; what the modes choose is where the
         # merge loop iterates over the AGGREGATED word table:
@@ -540,7 +634,9 @@ class BpeVocabBuilder(Transformer):
 
     def _syms_expr(self, word: Column) -> Column:
         """Initial symbol sequence per the configured alphabet."""
-        return byte_syms_expr(word) if self.byte_level else chars_expr(word)
+        if self.byte_level:
+            return byte_syms_expr(word, end_mark=self._end_suffix)
+        return chars_expr(word)
 
     def _guard_unseen(self, unseen: DataFrame) -> None:
         """Fail-loud cap on the distinct-unseen-word merge-chain job
@@ -562,12 +658,41 @@ class BpeVocabBuilder(Transformer):
     def tokenize_words(self, words: DataFrame, word_col: str = "word") -> DataFrame:
         """(word, n_tokens, syms) for an arbitrary word frame via the
         exact merge chain (used for unseen words; corpus words should
-        join the fitted table instead)."""
+        join the fitted table instead). Imported models with
+        ``ignore_merges`` (the Llama-3 flag) short-circuit pieces whose
+        whole symbol string is a vocabulary token — one broadcast join
+        against the model-sized vocab, the HF-documented semantics
+        (some vocab entries are not reachable through the merge
+        chain)."""
         base = words.select(
             F.col(word_col).alias("word"),
             self._syms_expr(F.col(word_col)).alias("syms"),
         )
-        return self._apply_merges(base, "syms").select(
+        if self._ignore_merges and self.vocab_json_ is not None:
+            base = base.withColumn(
+                "__ff_whole", F.concat_ws("", F.col("syms"))
+            )
+        out = self._apply_merges(base, "syms")
+        if self._ignore_merges and self.vocab_json_ is not None:
+            vocab_df = words.sparkSession.createDataFrame(
+                [(t,) for t in self.vocab_json_], "__ff_vtok string"
+            )
+            out = (
+                out.join(
+                    F.broadcast(vocab_df),
+                    out["__ff_whole"] == vocab_df["__ff_vtok"],
+                    "left",
+                )
+                .withColumn(
+                    "syms",
+                    F.when(
+                        F.col("__ff_vtok").isNotNull(),
+                        F.array(F.col("__ff_whole")),
+                    ).otherwise(F.col("syms")),
+                )
+                .drop("__ff_whole", "__ff_vtok")
+            )
+        return out.select(
             "word", F.size("syms").alias("n_tokens"), "syms"
         )
 
@@ -668,10 +793,23 @@ class BpeVocabBuilder(Transformer):
         byte mode additionally the GPT-2 byte->unicode alphabet, which
         is exactly HF's ByteLevel table). Stdlib json, driver-side —
         the file is model-sized, never corpus-sized. ``path`` is the
-        FILE path (conventionally ``.../tokenizer.json``)."""
+        FILE path (conventionally ``.../tokenizer.json``).
+
+        An instance that IMPORTED a tokenizer.json re-exports its
+        source document verbatim (re-deriving a foreign layout from
+        this engine's sections could silently drop fields)."""
         import json
         import os
 
+        if self._loaded_doc is not None:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(
+                    self._loaded_doc, f, ensure_ascii=False, indent=2
+                )
+            return
         vocab = {r["token"]: r["id"] for r in self.vocabulary().collect()}
         pre: dict | list = {"type": "WhitespaceSplit"}
         decoder: dict = {"type": "BPEDecoder", "suffix": END_MARK}
@@ -732,18 +870,34 @@ class BpeVocabBuilder(Transformer):
         distinct-word grain, identical results to a pre-tokenized
         table, so ``max_unseen_words`` is cleared.
 
-        Fail-loud on models this engine cannot reproduce bit-exactly:
-        non-BPE model types, a ``continuing_subword_prefix``, an
-        ``end_of_word_suffix`` other than ``</w>`` — INCLUDING the
-        suffix-less GPT-2/RoBERTa ByteLevel layout (spaces encoded as
-        a 'Ġ' prefix), which is the most common published BPE shape
-        but segments differently from this end-of-word-suffix engine —
-        pre_tokenizers beyond the two shapes the engine reproduces
-        (plain ``WhitespaceSplit``, or ``Sequence[WhitespaceSplit,
-        ByteLevel]`` with ``add_prefix_space=False``), or normalizers
-        beyond Lowercase. Silently approximating a tokenizer would
-        corrupt every downstream shard, so every one of these rejects
-        loudly instead of producing wrong ids."""
+        SUPPORTED LAYOUTS (r12 — the suffix-less gate is gone):
+
+        - this engine's own exports: ``end_of_word_suffix='</w>'``
+          with ``WhitespaceSplit`` (char) or
+          ``Sequence[WhitespaceSplit, ByteLevel]`` (byte) — the
+          training layout.
+        - the published suffix-less ByteLevel family (GPT-2, RoBERTa,
+          and Llama-3-style Split+ByteLevel): no end suffix, 'Ġ'-
+          encoded leading spaces mark word starts, segmentation by the
+          GPT-2 regex (or the file's own Split pattern), optional
+          ``add_prefix_space``, and the Llama-3 ``ignore_merges``
+          vocab short-circuit — so "tokenize the curated corpus with
+          the actual model tokenizer" runs end-to-end into
+          SequencePacker shards.
+
+        Still fail-loud on models this engine cannot reproduce
+        bit-exactly: non-BPE model types, a
+        ``continuing_subword_prefix``, any OTHER end_of_word_suffix,
+        pre_tokenizer shapes beyond the four documented on
+        :func:`_parse_pre_tokenizer`, normalizers beyond Lowercase, or
+        a suffix mark combined with a ByteLevel-regex segmentation
+        (no published model mixes them). ``added_tokens`` are loaded
+        into the vocab map but NOT matched inside raw text (this
+        engine never splits specials out of corpus text — encode the
+        corpus, then let the packer insert control ids). Silently
+        approximating a tokenizer would corrupt every downstream
+        shard, so every unsupported shape rejects loudly instead of
+        producing wrong ids."""
         import json
 
         with open(path, encoding="utf-8") as f:
@@ -762,12 +916,11 @@ class BpeVocabBuilder(Transformer):
         )
         suffix = model.get("end_of_word_suffix")
         ensure(
-            suffix == END_MARK,
-            f"end_of_word_suffix {suffix!r} differs from this engine's "
-            f"'{END_MARK}' mark; this engine appends '{END_MARK}' to "
-            "every word, so a suffix-less model (e.g. GPT-2/RoBERTa "
-            "ByteLevel, which marks spaces with a 'Ġ' prefix instead) "
-            "would silently encode every word to wrong ids",
+            suffix == END_MARK or not suffix,
+            f"end_of_word_suffix {suffix!r}: this engine reproduces "
+            f"its own '{END_MARK}' mark or the suffix-less ByteLevel "
+            "layout; any other suffix would silently encode every "
+            "word to wrong ids",
         )
         norm = doc.get("normalizer")
         ensure(
@@ -776,7 +929,24 @@ class BpeVocabBuilder(Transformer):
             "None or Lowercase only",
         )
         pre = doc.get("pre_tokenizer")
-        byte_level = _validate_pre_tokenizer(pre, path)
+        seg = _parse_pre_tokenizer(pre, path)
+        if suffix == END_MARK:
+            ensure(
+                seg["kind"] == "whitespace",
+                f"tokenizer.json at '{path}' combines "
+                f"end_of_word_suffix '{END_MARK}' with a ByteLevel-"
+                "regex segmentation — no published layout does, and "
+                "the combination is not reproduced",
+            )
+        else:
+            ensure(
+                seg["kind"] == "bytelevel",
+                f"tokenizer.json at '{path}' has no end_of_word_suffix "
+                "but a whitespace segmentation — a suffix-less "
+                "whitespace BPE cannot mark word boundaries, so the "
+                "file is inconsistent",
+            )
+        byte_level = seg["byte_level"]
         merges = []
         for m in model.get("merges") or []:
             pair = m.split(" ") if isinstance(m, str) else list(m)
@@ -792,6 +962,18 @@ class BpeVocabBuilder(Transformer):
         self.lowercase = norm == {"type": "Lowercase"}
         self.merges_ = [list(m) for m in merges]
         self.vocab_json_ = {str(t): int(i) for t, i in vocab.items()}
+        # added_tokens join the id map (the packer's control-id seam);
+        # they are never matched inside raw corpus text — see docstring
+        for at in doc.get("added_tokens") or []:
+            tok, tid = at.get("content"), at.get("id")
+            if tok is not None and tid is not None:
+                self.vocab_json_.setdefault(str(tok), int(tid))
+        self._segmentation = seg["kind"]
+        self._end_suffix = suffix == END_MARK
+        self._add_prefix_space = seg["add_prefix_space"]
+        self._split_pattern = seg["pattern"]
+        self._ignore_merges = bool(model.get("ignore_merges"))
+        self._loaded_doc = doc
         self.max_unseen_words = None
         self.word_tokens_ = spark.createDataFrame(
             [], "word string, n_tokens int, syms array<string>"
@@ -973,7 +1155,14 @@ class BpeVocabBuilder(Transformer):
                 ),
             ).alias("__ff_cat")
         )
-        txt = F.regexp_replace(F.col("__ff_cat"), END_MARK, " ")
+        if self._end_suffix:
+            txt = F.regexp_replace(F.col("__ff_cat"), END_MARK, " ")
+        else:
+            # suffix-less imported layout: word boundaries live IN the
+            # tokens (the encoded leading-space byte), so the decode is
+            # the plain concatenation — exact round-trip, no
+            # normalization
+            txt = F.col("__ff_cat")
         if self.byte_level:
             # inverse byte table: each symbol char -> its byte as a
             # latin-1 char, then one encode/decode pair re-reads the
@@ -984,7 +1173,9 @@ class BpeVocabBuilder(Transformer):
                 F.encode(F.translate(txt, sym_str, byte_str), "ISO-8859-1"),
                 "UTF-8",
             )
-        decoded = assembled.select("__ff_id", F.rtrim(txt).alias("__ff_txt"))
+        if self._end_suffix:
+            txt = F.rtrim(txt)
+        decoded = assembled.select("__ff_id", txt.alias("__ff_txt"))
         return df.join(
             decoded, on=df[self.id_col] == decoded["__ff_id"], how="left"
         ).select(

@@ -190,25 +190,35 @@ def test_bpe_load_tokenizer_json_rejects_foreign_semantics(spark, tmp_path):
         loader.load_tokenizer_json(
             write({"normalizer": {"type": "NFC"}}), spark)
     # GPT-2/RoBERTa layout: suffix-less ByteLevel ('Ġ' prefix spaces)
-    # — the most common published BPE shape; this engine appends </w>
-    # to every word so accepting it would silently mis-encode (r11
-    # ADVICE, high).
-    with pytest.raises(ff.InvalidParameterError,
-                       match="end_of_word_suffix"):
-        loader.load_tokenizer_json(write({
+    # now LOADS as the r12 apply-mode (see TestByteLevelApplyMode)
+    gpt2 = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        write({
             "model.end_of_word_suffix": None,
             "pre_tokenizer": {"type": "ByteLevel",
                               "add_prefix_space": False},
         }), spark)
+    assert gpt2._segmentation == "bytelevel"
+    assert gpt2._end_suffix is False and gpt2.byte_level is True
+    # ...but a suffix-less WHITESPACE model is inconsistent (no way to
+    # mark word boundaries)
     with pytest.raises(ff.InvalidParameterError,
-                       match="end_of_word_suffix"):
+                       match="no end_of_word_suffix"):
         loader.load_tokenizer_json(
             write({"model.end_of_word_suffix": ""}), spark)
-    # right suffix but a pre_tokenizer the engine cannot reproduce
-    with pytest.raises(ff.InvalidParameterError, match="pre_tokenizer"):
+    # and the engine's suffix combined with ByteLevel-regex
+    # segmentation is no published layout
+    with pytest.raises(ff.InvalidParameterError, match="combines"):
         loader.load_tokenizer_json(write({
             "pre_tokenizer": {"type": "ByteLevel",
                               "add_prefix_space": False},
+        }), spark)
+    # bare ByteLevel(use_regex=False) = no segmentation at all
+    with pytest.raises(ff.InvalidParameterError, match="use_regex"):
+        loader.load_tokenizer_json(write({
+            "model.end_of_word_suffix": None,
+            "pre_tokenizer": {"type": "ByteLevel",
+                              "add_prefix_space": False,
+                              "use_regex": False},
         }), spark)
     with pytest.raises(ff.InvalidParameterError, match="pre_tokenizer"):
         loader.load_tokenizer_json(write({
@@ -365,3 +375,250 @@ def test_unigram_export_loads_in_hf_tokenizers(spark, corpus_df,
             for r in op.encode_ids(corpus_df).collect()}
     for r in corpus_df.collect():
         assert tok.encode(r["text"]).ids == want[r["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# r12: suffix-less ByteLevel apply-mode (GPT-2 / RoBERTa / Llama-3-style)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from feature_factory_spark.operators.bpe import _B2U
+
+_BL_MERGES = [["Ġ", "t"], ["h", "e"], ["Ġt", "he"], ["l", "l"],
+              ["e", "ll"], ["h", "ell"], ["o", "w"], ["Ġ", "w"]]
+# ASCII twin of the GPT-2 split regex (Python re lacks \p{L}; on
+# ASCII-only fixtures the segmentations agree)
+_BL_PAT = _re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+_BL_TEXTS = [
+    "hello the world",
+    "  the theft, hellow!",
+    "he'll tell 42 things.",
+    "",
+    "the",
+    "tab\tand\nnewline  runs",
+]
+
+
+def _bl_vocab():
+    vocab = {t: i for i, t in enumerate(sorted(set(_B2U.values())))}
+    for l, r in _BL_MERGES:
+        vocab.setdefault(l + r, len(vocab))
+    return vocab
+
+
+def _bl_doc(pre=None, ignore_merges=False, add_prefix_space=False):
+    vocab = _bl_vocab()
+    vocab["<|endoftext|>"] = len(vocab)
+    return {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [{"id": vocab["<|endoftext|>"],
+                          "content": "<|endoftext|>", "special": True}],
+        "normalizer": None,
+        "pre_tokenizer": pre or {
+            "type": "ByteLevel", "add_prefix_space": add_prefix_space,
+            "trim_offsets": True, "use_regex": True,
+        },
+        "post_processor": None,
+        "decoder": {"type": "ByteLevel", "add_prefix_space": True,
+                    "trim_offsets": True, "use_regex": True},
+        "model": {
+            "type": "BPE", "dropout": None, "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None, "fuse_unk": False,
+            "byte_fallback": False, "ignore_merges": ignore_merges,
+            "vocab": vocab,
+            "merges": [f"{l} {r}" for l, r in _BL_MERGES],
+        },
+    }
+
+
+def _bl_ref_ids(text, vocab, add_prefix_space=False,
+                ignore_merges=False):
+    """Pure-Python GPT-2 BPE reference (the public encoder.py
+    algorithm): regex pieces -> byte symbols -> merges in rank
+    order -> vocab ids."""
+    if add_prefix_space and text and not text[0].isspace():
+        text = " " + text
+    ids = []
+    for piece in _BL_PAT.findall(text):
+        syms = [_B2U[b] for b in piece.encode("utf-8")]
+        whole = "".join(syms)
+        if ignore_merges and whole in vocab:
+            ids.append(vocab[whole])
+            continue
+        for l, r in _BL_MERGES:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            syms = acc
+        ids += [vocab.get(s, -1) for s in syms]
+    return ids
+
+
+class TestByteLevelApplyMode:
+    @pytest.fixture(scope="class")
+    def texts_df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_BL_TEXTS)],
+            "doc_id bigint, text string",
+        )
+
+    def _load(self, spark, tmp_path, **kw):
+        doc = _bl_doc(**kw)
+        p = str(tmp_path / "bl_tokenizer.json")
+        json.dump(doc, open(p, "w"))
+        op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+            p, spark
+        )
+        return op, doc, p
+
+    def test_gpt2_layout_ids_match_reference(self, spark, texts_df,
+                                             tmp_path):
+        op, doc, _ = self._load(spark, tmp_path)
+        vocab = doc["model"]["vocab"]
+        got = {r["doc_id"]: list(r["text_bpe_ids"])
+               for r in op.encode_ids(texts_df).collect()}
+        for i, t in enumerate(_BL_TEXTS):
+            assert got[i] == _bl_ref_ids(t, vocab), repr(t)
+
+    def test_decode_round_trips_exactly(self, spark, texts_df,
+                                        tmp_path):
+        # the bytelevel segmentation covers every character (runs of
+        # whitespace are pieces), so decode(encode(x)) == x EXACTLY —
+        # stronger than the whitespace engine's single-space
+        # normalization
+        op, _, _ = self._load(spark, tmp_path)
+        out = op.decode_ids(op.encode_ids(texts_df))
+        got = {r["doc_id"]: r["text_bpe_ids_text"]
+               for r in out.collect()}
+        for i, t in enumerate(_BL_TEXTS):
+            assert got[i] == t, repr(t)
+
+    def test_add_prefix_space(self, spark, texts_df, tmp_path):
+        op, doc, _ = self._load(spark, tmp_path, add_prefix_space=True)
+        vocab = doc["model"]["vocab"]
+        got = {r["doc_id"]: list(r["text_bpe_ids"])
+               for r in op.encode_ids(texts_df).collect()}
+        for i, t in enumerate(_BL_TEXTS):
+            assert got[i] == _bl_ref_ids(
+                t, vocab, add_prefix_space=True
+            ), repr(t)
+
+    def test_llama3_style_split_pattern(self, spark, texts_df,
+                                        tmp_path):
+        # Sequence[Split(Regex, Isolated), ByteLevel(use_regex=False)]
+        # with the GPT-2 pattern as the file's own regex — same
+        # segmentation, exercised through the Split branch
+        pre = {
+            "type": "Sequence",
+            "pretokenizers": [
+                {"type": "Split",
+                 "pattern": {"Regex":
+                             "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+"
+                             "| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+                             "|\\s+(?!\\S)|\\s+"},
+                 "behavior": "Isolated", "invert": False},
+                {"type": "ByteLevel", "add_prefix_space": False,
+                 "trim_offsets": True, "use_regex": False},
+            ],
+        }
+        op, doc, _ = self._load(spark, tmp_path, pre=pre)
+        assert op._split_pattern is not None
+        vocab = doc["model"]["vocab"]
+        got = {r["doc_id"]: list(r["text_bpe_ids"])
+               for r in op.encode_ids(texts_df).collect()}
+        for i, t in enumerate(_BL_TEXTS):
+            assert got[i] == _bl_ref_ids(t, vocab), repr(t)
+
+    def test_ignore_merges_short_circuits_vocab_words(self, spark,
+                                                      tmp_path):
+        # Llama-3's flag: a piece whose whole byte string is a vocab
+        # token is that single token, merges skipped. 'Ġthe' IS in
+        # the vocab via merges here, but plant a vocab-only token that
+        # merges cannot produce to prove the short-circuit.
+        doc = _bl_doc(ignore_merges=True)
+        doc["model"]["vocab"]["Ġzq"] = len(doc["model"]["vocab"])
+        p = str(tmp_path / "im.json")
+        json.dump(doc, open(p, "w"))
+        op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+            p, spark
+        )
+        df = op.encode_ids(spark.createDataFrame(
+            [(0, "the zq")], "doc_id bigint, text string"
+        ))
+        ids = list(df.collect()[0]["text_bpe_ids"])
+        vocab = doc["model"]["vocab"]
+        assert ids == _bl_ref_ids("the zq", vocab, ignore_merges=True)
+        assert vocab["Ġzq"] in ids  # the unreachable token was used
+
+    def test_export_passthrough_and_state_roundtrip(self, spark,
+                                                    texts_df,
+                                                    tmp_path):
+        op, doc, _ = self._load(spark, tmp_path)
+        # export re-emits the source document verbatim
+        out_path = str(tmp_path / "re_export.json")
+        op.export_tokenizer_json(out_path)
+        assert json.load(open(out_path)) == doc
+        # save_state/load_state keeps the imported mode switches
+        sp = str(tmp_path / "state")
+        op.save_state(sp)
+        back = BpeVocabBuilder("text", "doc_id").load_state(sp, spark)
+        assert back._segmentation == "bytelevel"
+        assert back._end_suffix is False
+        assert back._ignore_merges is False
+        a = {r["doc_id"]: list(r["text_bpe_ids"])
+             for r in op.encode_ids(texts_df).collect()}
+        b = {r["doc_id"]: list(r["text_bpe_ids"])
+             for r in back.encode_ids(texts_df).collect()}
+        assert a == b
+
+    def test_refit_resets_imported_mode(self, spark, texts_df,
+                                        tmp_path):
+        op, _, _ = self._load(spark, tmp_path)
+        op.num_merges = 4
+        op.fit(texts_df)
+        assert op._segmentation == "whitespace"
+        assert op._end_suffix is True and op._loaded_doc is None
+
+    def test_added_token_decodes(self, spark, tmp_path):
+        # added_tokens join the id map so packer-inserted control ids
+        # decode; they are never matched inside raw text
+        op, doc, _ = self._load(spark, tmp_path)
+        eot = doc["model"]["vocab"]["<|endoftext|>"]
+        df = spark.createDataFrame(
+            [(0, [eot])], "doc_id bigint, ids array<int>"
+        )
+        out = op.decode_ids(df, ids_col="ids")
+        assert out.collect()[0]["ids_text"] == "<|endoftext|>"
+
+
+@pytest.mark.skipif(
+    not _have_tokenizers(),
+    reason="HuggingFace 'tokenizers' wheel not installed (offline "
+    "container) — the pure-Python GPT-2 reference above covers the "
+    "algorithm; this pins the apply-mode against the REAL library "
+    "when available",
+)
+def test_bytelevel_apply_matches_hf_tokenizers(spark, tmp_path):
+    from tokenizers import Tokenizer
+
+    doc = _bl_doc()
+    p = str(tmp_path / "hf_bl.json")
+    json.dump(doc, open(p, "w"))
+    tok = Tokenizer.from_file(p)
+    op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p, spark)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BL_TEXTS)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: list(r["text_bpe_ids"])
+           for r in op.encode_ids(df).collect()}
+    for i, t in enumerate(_BL_TEXTS):
+        assert got[i] == tok.encode(t).ids, repr(t)
