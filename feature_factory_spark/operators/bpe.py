@@ -289,6 +289,63 @@ def reference_tokenize(
     return syms
 
 
+WORD_MARK_SP = "▁"  # '▁', the SentencePiece space mark
+
+
+def _parse_metaspace_layout(norm, pre) -> dict | None:
+    """Detect the SentencePiece-BPE interchange layouts (Llama-1/2,
+    Mistral, and Metaspace-pretokenizer files). Returns None when the
+    file is not metaspace-shaped (the caller falls through to
+    :func:`_parse_pre_tokenizer`); a descriptor dict when it is.
+
+    Layout A (Llama-2/Mistral): ``normalizer = Sequence[Prepend '▁',
+    Replace ' '->'▁']`` with NO pre_tokenizer — BPE runs over the
+    whole normalized text as one sequence. Layout B: ``pre_tokenizer =
+    Metaspace(replacement='▁')`` (optionally with a Lowercase
+    normalizer) — pieces split at every mark. The loader validates the
+    merge table so piece-grain tokenization is PROVABLY equal to the
+    file's whole-text semantics (see load_tokenizer_json)."""
+    if (
+        pre is None
+        and isinstance(norm, dict)
+        and norm.get("type") == "Sequence"
+    ):
+        subs = norm.get("normalizers") or []
+        if (
+            len(subs) == 2
+            and subs[0].get("type") == "Prepend"
+            and subs[0].get("prepend") == WORD_MARK_SP
+            and subs[1].get("type") == "Replace"
+            and (subs[1].get("pattern") or {}).get("String") == " "
+            and subs[1].get("content") == WORD_MARK_SP
+        ):
+            return {
+                "split_every_mark": False,
+                "prepend": True,
+                "lowercase": False,
+            }
+    if isinstance(pre, dict) and pre.get("type") == "Metaspace":
+        if norm not in (None, {"type": "Lowercase"}):
+            return None  # fall through to the loud rejection path
+        if pre.get("replacement", WORD_MARK_SP) != WORD_MARK_SP:
+            return None
+        if pre.get("split") is False:
+            return None
+        scheme = pre.get("prepend_scheme")
+        if scheme is None:
+            # legacy field
+            scheme = (
+                "always" if pre.get("add_prefix_space", True)
+                else "never"
+            )
+        return {
+            "split_every_mark": True,
+            "prepend": scheme in ("always", "first"),
+            "lowercase": norm == {"type": "Lowercase"},
+        }
+    return None
+
+
 def _parse_pre_tokenizer(pre, path: str) -> dict:
     """Parse a tokenizer.json pre_tokenizer into the segmentation this
     engine will reproduce, or fail loud. Accepted shapes:
@@ -471,6 +528,7 @@ class BpeVocabBuilder(Transformer):
         self._add_prefix_space: bool = False
         self._split_pattern: str | None = None
         self._ignore_merges: bool = False
+        self._byte_fallback: bool = False
         # verbatim source document of an imported tokenizer.json —
         # export_tokenizer_json round-trips it untouched (re-deriving
         # a foreign layout could silently drop fields)
@@ -506,6 +564,25 @@ class BpeVocabBuilder(Transformer):
                 F.regexp_extract_all(text, F.lit(pat), 0),
                 F.array().cast("array<string>"),
             )
+        if self._segmentation == "metaspace":
+            # SentencePiece-BPE layout: every space -> the '▁' mark
+            # (optionally prepended), pieces split at mark boundaries.
+            # Layout A (whole-text BPE) factorizes over mark-RUN pieces
+            # because the loader verified no merge crosses a
+            # non-mark->mark boundary; layout B splits at EVERY mark.
+            marked = F.regexp_replace(text, " ", WORD_MARK_SP)
+            if self._add_prefix_space:
+                marked = F.concat(F.lit(WORD_MARK_SP), marked)
+            runs = "" if self._split_pattern == "__split_every_mark__" \
+                else "+"
+            pat = (
+                f"{WORD_MARK_SP}{runs}[^{WORD_MARK_SP}]*"
+                f"|[^{WORD_MARK_SP}]+"
+            )
+            return F.coalesce(
+                F.regexp_extract_all(marked, F.lit(pat), 0),
+                F.array().cast("array<string>"),
+            )
         return F.coalesce(words_expr(text), F.array().cast("array<string>"))
 
     def word_counts(self, df: DataFrame) -> DataFrame:
@@ -532,6 +609,7 @@ class BpeVocabBuilder(Transformer):
         self._add_prefix_space = False
         self._split_pattern = None
         self._ignore_merges = False
+        self._byte_fallback = False
         self._loaded_doc = None
         # the corpus-sized work — explode + groupBy word counts — is
         # distributed in EVERY mode; what the modes choose is where the
@@ -636,6 +714,13 @@ class BpeVocabBuilder(Transformer):
         """Initial symbol sequence per the configured alphabet."""
         if self.byte_level:
             return byte_syms_expr(word, end_mark=self._end_suffix)
+        if not self._end_suffix:
+            # imported suffix-less char alphabet (metaspace layouts:
+            # the '▁' mark carries the word boundary). split('', '')
+            # yields [''] — one EMPTY element — so strip it: an empty
+            # piece must tokenize to zero symbols (the rank path's
+            # list('') == [] behavior).
+            return F.array_remove(F.split(word, ""), "")
         return chars_expr(word)
 
     def _guard_unseen(self, unseen: DataFrame) -> None:
@@ -655,6 +740,88 @@ class BpeVocabBuilder(Transformer):
                 "the unique tokens, or raise max_unseen_words"
             )
 
+    # above this many merges the pure-JVM chain (ONE aggregate fold
+    # per merge, `chunk` folds per projection) stops being a plan and
+    # becomes a plan generator: a real published table (GPT-2 50k,
+    # Llama-2 61k) would stack tens of thousands of projections. The
+    # rank-dict path below takes over — same output (pinned), Arrow
+    # batches at the distinct-word grain.
+    _CHAIN_MERGE_CUTOFF = 512
+
+    def _tokenize_words_ranked(
+        self, words: DataFrame, word_col: str
+    ) -> DataFrame:
+        """Merge application for REAL published tables: the classic
+        min-rank iterative algorithm (the public GPT-2 encoder.py
+        loop) per DISTINCT word inside an Arrow-batched
+        ``mapInPandas`` — the model (rank dict + vocab set) rides the
+        task closure once per executor, each word costs
+        O(len^2 / merge) dict lookups instead of 50k+ plan nodes.
+        Output is IDENTICAL to the fold chain (in-order exhaustive
+        application == min-rank iteration for BPE-trained tables — a
+        merge's operands are products of earlier ranks only; pinned in
+        tests on both paths)."""
+        byte_level = self.byte_level
+        end_suffix = self._end_suffix
+        merges = [tuple(m) for m in self.merges_]
+        ranks = {m: i for i, m in enumerate(merges)}
+        ignore_merges = self._ignore_merges
+        vocab_set = (
+            frozenset(self.vocab_json_)
+            if (ignore_merges and self.vocab_json_ is not None)
+            else frozenset()
+        )
+        b2u = dict(_B2U)
+        end = END_MARK
+
+        def bpe_word(w: str) -> list[str]:
+            if byte_level:
+                syms = [b2u[b] for b in w.encode("utf-8")]
+            else:
+                syms = list(w)
+            if end_suffix:
+                syms.append(end)
+            if ignore_merges and "".join(syms) in vocab_set:
+                return ["".join(syms)]
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                left, right = merges[best]
+                merged = left + right
+                acc: list[str] = []
+                for x in syms:
+                    if acc and acc[-1] == left and x == right:
+                        acc[-1] = merged
+                    else:
+                        acc.append(x)
+                syms = acc
+            return syms
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                out = [
+                    bpe_word(w) if w is not None else []
+                    for w in pdf[word_col]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "word": pdf[word_col],
+                        "n_tokens": [len(s) for s in out],
+                        "syms": out,
+                    }
+                )
+
+        return words.select(F.col(word_col)).mapInPandas(
+            batches, "word string, n_tokens int, syms array<string>"
+        )
+
     def tokenize_words(self, words: DataFrame, word_col: str = "word") -> DataFrame:
         """(word, n_tokens, syms) for an arbitrary word frame via the
         exact merge chain (used for unseen words; corpus words should
@@ -663,7 +830,12 @@ class BpeVocabBuilder(Transformer):
         whole symbol string is a vocabulary token — one broadcast join
         against the model-sized vocab, the HF-documented semantics
         (some vocab entries are not reachable through the merge
-        chain)."""
+        chain). Tables beyond ``_CHAIN_MERGE_CUTOFF`` merges (real
+        published tokenizers) route through the rank-dict Arrow path
+        instead — identical output, see
+        :func:`_tokenize_words_ranked`."""
+        if len(self.merges_) > self._CHAIN_MERGE_CUTOFF:
+            return self._tokenize_words_ranked(words, word_col)
         base = words.select(
             F.col(word_col).alias("word"),
             self._syms_expr(F.col(word_col)).alias("syms"),
@@ -918,34 +1090,80 @@ class BpeVocabBuilder(Transformer):
         ensure(
             suffix == END_MARK or not suffix,
             f"end_of_word_suffix {suffix!r}: this engine reproduces "
-            f"its own '{END_MARK}' mark or the suffix-less ByteLevel "
-            "layout; any other suffix would silently encode every "
-            "word to wrong ids",
+            f"its own '{END_MARK}' mark or the suffix-less ByteLevel/"
+            "Metaspace layouts; any other suffix would silently "
+            "encode every word to wrong ids",
         )
         norm = doc.get("normalizer")
-        ensure(
-            norm is None or norm == {"type": "Lowercase"},
-            f"unsupported normalizer {norm!r}: this engine reproduces "
-            "None or Lowercase only",
-        )
         pre = doc.get("pre_tokenizer")
-        seg = _parse_pre_tokenizer(pre, path)
-        if suffix == END_MARK:
+        meta = _parse_metaspace_layout(norm, pre)
+        if meta is not None:
             ensure(
-                seg["kind"] == "whitespace",
-                f"tokenizer.json at '{path}' combines "
-                f"end_of_word_suffix '{END_MARK}' with a ByteLevel-"
-                "regex segmentation — no published layout does, and "
-                "the combination is not reproduced",
+                not suffix,
+                f"tokenizer.json at '{path}' combines a Metaspace "
+                "layout with an end_of_word_suffix — no published "
+                "layout does",
             )
+            # PROOF OBLIGATION for piece-grain == whole-text BPE
+            # (layout A runs BPE over the entire normalized text): a
+            # merge could cross a piece boundary only if its token put
+            # '▁' after a non-'▁' char. SentencePiece trains with
+            # split_by_whitespace, so published tables satisfy this —
+            # but it is the file's property, so VERIFY it, not assume.
+            for m in model.get("merges") or []:
+                pair = m.split(" ") if isinstance(m, str) else list(m)
+                tok = "".join(pair)
+                ensure(
+                    WORD_MARK_SP not in tok.lstrip(WORD_MARK_SP),
+                    f"merge {m!r} places '{WORD_MARK_SP}' after a "
+                    "non-mark character: its merges cross word "
+                    "boundaries, which piece-grain tokenization "
+                    "cannot reproduce",
+                )
+                if meta["split_every_mark"]:
+                    # layout B splits at EVERY mark, so even all-mark
+                    # run tokens ('▁▁') would cross boundaries
+                    ensure(
+                        tok.count(WORD_MARK_SP) <= 1,
+                        f"merge {m!r} builds a multi-mark token; a "
+                        "Metaspace PRE-TOKENIZER splits at every "
+                        f"'{WORD_MARK_SP}', so such merges are "
+                        "unreachable in the source runtime and "
+                        "indicate a layout mismatch",
+                    )
+            seg = {
+                "kind": "metaspace", "byte_level": False,
+                "add_prefix_space": bool(meta["prepend"]),
+                "pattern": None,
+            }
+            if meta["split_every_mark"]:
+                seg["pattern"] = "__split_every_mark__"
+            norm_is_lower = meta["lowercase"]
         else:
             ensure(
-                seg["kind"] == "bytelevel",
-                f"tokenizer.json at '{path}' has no end_of_word_suffix "
-                "but a whitespace segmentation — a suffix-less "
-                "whitespace BPE cannot mark word boundaries, so the "
-                "file is inconsistent",
+                norm is None or norm == {"type": "Lowercase"},
+                f"unsupported normalizer {norm!r}: this engine "
+                "reproduces None, Lowercase, or the SentencePiece "
+                "Prepend+Replace metaspace sequence only",
             )
+            norm_is_lower = norm == {"type": "Lowercase"}
+            seg = _parse_pre_tokenizer(pre, path)
+            if suffix == END_MARK:
+                ensure(
+                    seg["kind"] == "whitespace",
+                    f"tokenizer.json at '{path}' combines "
+                    f"end_of_word_suffix '{END_MARK}' with a ByteLevel-"
+                    "regex segmentation — no published layout does, and "
+                    "the combination is not reproduced",
+                )
+            else:
+                ensure(
+                    seg["kind"] == "bytelevel",
+                    f"tokenizer.json at '{path}' has no "
+                    "end_of_word_suffix but a whitespace segmentation "
+                    "— a suffix-less whitespace BPE cannot mark word "
+                    "boundaries, so the file is inconsistent",
+                )
         byte_level = seg["byte_level"]
         merges = []
         for m in model.get("merges") or []:
@@ -959,7 +1177,7 @@ class BpeVocabBuilder(Transformer):
         vocab = model.get("vocab") or {}
         ensure(bool(vocab), f"tokenizer.json at '{path}' has no vocab")
         self.byte_level = byte_level
-        self.lowercase = norm == {"type": "Lowercase"}
+        self.lowercase = norm_is_lower
         self.merges_ = [list(m) for m in merges]
         self.vocab_json_ = {str(t): int(i) for t, i in vocab.items()}
         # added_tokens join the id map (the packer's control-id seam);
@@ -973,6 +1191,7 @@ class BpeVocabBuilder(Transformer):
         self._add_prefix_space = seg["add_prefix_space"]
         self._split_pattern = seg["pattern"]
         self._ignore_merges = bool(model.get("ignore_merges"))
+        self._byte_fallback = bool(model.get("byte_fallback"))
         self._loaded_doc = doc
         self.max_unseen_words = None
         self.word_tokens_ = spark.createDataFrame(
@@ -1018,18 +1237,47 @@ class BpeVocabBuilder(Transformer):
         vocab = self.vocabulary().select(
             F.col("token").alias("__ff_tok"), F.col("id").alias("__ff_tid")
         )
-        return (
-            frame.select(
-                "word", F.posexplode("syms").alias("__ff_p", "__ff_tok")
+        exploded = frame.select(
+            "word", F.posexplode("syms").alias("__ff_p", "__ff_tok")
+        ).join(F.broadcast(vocab), "__ff_tok", "left")
+        if self._byte_fallback and self.vocab_json_ is not None:
+            # SentencePiece byte_fallback (Llama-family): a symbol
+            # outside the vocabulary expands to its UTF-8 bytes'
+            # '<0xXX>' token ids (one 256-entry id literal; bytes
+            # whose token is absent keep the -1 unk sentinel)
+            byte_ids = [
+                int(self.vocab_json_.get("<0x%02X>" % b, -1))
+                for b in range(256)
+            ]
+            blit = F.lit(byte_ids)
+            fallback = F.transform(
+                F.regexp_extract_all(
+                    F.hex(F.encode(F.col("__ff_tok"), "UTF-8")),
+                    F.lit("(..)"), 1,
+                ),
+                lambda h: F.element_at(
+                    blit, F.conv(h, 16, 10).cast("int") + 1
+                ),
             )
-            .join(F.broadcast(vocab), "__ff_tok", "left")
+            ids = F.when(
+                F.col("__ff_tid").isNotNull(),
+                F.array(F.col("__ff_tid")),
+            ).otherwise(fallback)
+        else:
+            ids = F.array(F.coalesce(F.col("__ff_tid"), F.lit(-1)))
+        return (
+            exploded.withColumn("__ff_ids", ids)
             .groupBy("word")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__ff_p", "__ff_tid"))
-                    ),
-                    lambda s: F.coalesce(s["__ff_tid"], F.lit(-1)),
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__ff_p", "__ff_ids")
+                            )
+                        ),
+                        lambda s: s["__ff_ids"],
+                    )
                 ).alias("__ff_seq")
             )
         )
@@ -1146,6 +1394,62 @@ class BpeVocabBuilder(Transformer):
             if self.byte_level
             else "�"
         )
+        if self._segmentation == "metaspace":
+            # SentencePiece decode (the Llama-2 decoder sequence:
+            # Replace '▁'->' ', ByteFallback fuse, Strip one leading
+            # space): every token is mapped to its BYTES as latin-1
+            # chars — '<0xXX>' fallback tokens to the single byte,
+            # ordinary tokens (with marks already replaced) through
+            # one encode/decode — so fallback bytes that form
+            # multi-byte UTF-8 sequences across tokens fuse correctly
+            # in the final latin-1 -> UTF-8 re-read.
+            latin = F.lit([chr(b) for b in range(256)])
+
+            def tok_bytes(s: Column) -> Column:
+                t = F.coalesce(s["__ff_tok"], F.lit("�"))
+                is_byte = t.rlike("^<0x[0-9A-Fa-f]{2}>$")
+                b = F.conv(F.substring(t, 4, 2), 16, 10).cast("int")
+                plain = F.decode(
+                    F.encode(
+                        F.regexp_replace(t, WORD_MARK_SP, " "),
+                        "UTF-8",
+                    ),
+                    "ISO-8859-1",
+                )
+                return F.when(
+                    is_byte, F.element_at(latin, b + 1)
+                ).otherwise(plain)
+
+            assembled = toks.groupBy("__ff_id").agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__ff_p", "__ff_tok")
+                            )
+                        ),
+                        tok_bytes,
+                    ),
+                ).alias("__ff_cat")
+            )
+            txt = F.decode(
+                F.encode(F.col("__ff_cat"), "ISO-8859-1"), "UTF-8"
+            )
+            if self._add_prefix_space:
+                txt = F.regexp_replace(txt, "^ ", "")
+            decoded = assembled.select(
+                "__ff_id", txt.alias("__ff_txt")
+            )
+            return df.join(
+                decoded, on=df[self.id_col] == decoded["__ff_id"],
+                how="left",
+            ).select(
+                *[F.col(c) for c in df.columns],
+                F.when(F.col(ids_col).isNull(), F.lit(None))
+                .otherwise(F.coalesce("__ff_txt", F.lit("")))
+                .alias(output_col),
+            )
         assembled = toks.groupBy("__ff_id").agg(
             F.concat_ws(
                 "",

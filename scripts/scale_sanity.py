@@ -921,6 +921,59 @@ def check_tfidf(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_adc(spark, copies: int) -> None:
+    """IVF-PQ probe (r12): ADC lookup-table scoring vs
+    decode-reconstruct on the SAME pruned scan — the per-candidate
+    arithmetic drop (~dim/m x) should show directly in the probe wall
+    at a fixed query set while the corpus grows 10x."""
+    import numpy as np
+    import tempfile
+
+    dim, m = 64, 8
+    rng = np.random.RandomState(11)
+    cents = rng.randn(16, dim) * 4
+
+    def corpus(n):
+        rows = [
+            (i, [float(x) for x in cents[i % 16] + rng.randn(dim) * 0.3])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).repartition(64)
+
+    base_n = 20_000
+    queries = corpus(64)
+
+    def run(n):
+        ivf = ff.IVFCosineTopK(
+            "embedding", "vec_id", k=10, n_centroids=16, n_probe=4,
+            iterations=2,
+        )
+        path = tempfile.mkdtemp(prefix="ff_adc_") + "/idx"
+        ivf.write_index(corpus(n), path, quantize="pq")
+        out = {}
+        for mode, adc in (("decode", False), ("adc", True)):
+            t0 = time.perf_counter()
+            ivf.search_index(spark, path, queries, adc=adc) \
+                .write.format("noop").mode("overwrite").save()
+            out[mode] = time.perf_counter() - t0
+        return out
+
+    r1 = run(base_n)
+    rN = run(base_n * copies)
+    print(
+        f"[adc] 1x ({base_n}): decode {r1['decode']:.1f}s "
+        f"adc {r1['adc']:.1f}s"
+    )
+    print(
+        f"[adc] {copies}x: decode {rN['decode']:.1f}s adc "
+        f"{rN['adc']:.1f}s (adc ratio {rN['adc'] / r1['adc']:.1f}x; "
+        f"adc vs decode at {copies}x: "
+        f"{rN['decode'] / rN['adc']:.1f}x faster)"
+    )
+
+
 def check_dsir(spark, copies: int) -> None:
     """DSIRWeighter (r11): target fit fixed, raw fit + score at 10x the
     corpus — one explode+groupBy to n_buckets rows and a narrow fold,
@@ -1005,6 +1058,7 @@ CHECKS = {
     "crossmodal": check_crossmodal,
     "corpusreport": check_corpusreport,
     "tfidf": check_tfidf,
+    "adc": check_adc,
     "dsir": check_dsir,
     "pairscore": check_pairscore,
 }

@@ -622,3 +622,226 @@ def test_bytelevel_apply_matches_hf_tokenizers(spark, tmp_path):
            for r in op.encode_ids(df).collect()}
     for i, t in enumerate(_BL_TEXTS):
         assert got[i] == tok.encode(t).ids, repr(t)
+
+
+# ---------------------------------------------------------------------------
+# r12: Metaspace / SentencePiece-BPE apply-mode (Llama-2 / Mistral layout)
+# ---------------------------------------------------------------------------
+
+_SP = "▁"
+_SP_MERGES = [[_SP, "t"], ["h", "e"], [_SP + "t", "he"], ["l", "l"],
+              ["e", "ll"], ["h", "ell"], [_SP, "w"], ["o", "r"],
+              [_SP + "w", "or"], ["l", "d"], [_SP + "wor", "ld"],
+              [_SP, _SP], [_SP + _SP, _SP]]
+_SP_TEXTS = ["hello the world", "the  world  !", "héllo wörld",
+             "", "a", "mixed 日本 text"]
+
+
+def _sp_vocab():
+    vocab = {"<unk>": 0}
+    for b in range(256):
+        vocab["<0x%02X>" % b] = len(vocab)
+    for p in list("abcdefghilmnoprstuwxy.,!?'0123456789") + [_SP]:
+        vocab.setdefault(p, len(vocab))
+    for l, r in _SP_MERGES:
+        vocab.setdefault(l + r, len(vocab))
+    return vocab
+
+
+def _sp_doc(pre=None, normalizer="llama", byte_fallback=True,
+            merges=None):
+    vocab = _sp_vocab()
+    norm = None
+    if normalizer == "llama":
+        norm = {"type": "Sequence", "normalizers": [
+            {"type": "Prepend", "prepend": _SP},
+            {"type": "Replace", "pattern": {"String": " "},
+             "content": _SP}]}
+    return {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [], "normalizer": norm,
+        "pre_tokenizer": pre, "post_processor": None,
+        "decoder": None,
+        "model": {"type": "BPE", "dropout": None, "unk_token": "<unk>",
+                  "continuing_subword_prefix": None,
+                  "end_of_word_suffix": None, "fuse_unk": True,
+                  "byte_fallback": byte_fallback,
+                  "ignore_merges": False, "vocab": vocab,
+                  "merges": [f"{l} {r}"
+                             for l, r in (merges or _SP_MERGES)]},
+    }
+
+
+def _sp_ref_ids(text, vocab, merges=None, split_every=False):
+    """Pure-Python SentencePiece-BPE reference: prepend + mark spaces,
+    split into mark pieces, merges in rank order, byte fallback."""
+    import re as _re2
+
+    norm = _SP + text.replace(" ", _SP)
+    runs = "" if split_every else "+"
+    pcs = _re2.findall(f"{_SP}{runs}[^{_SP}]*|[^{_SP}]+", norm)
+    ids = []
+    for piece in pcs:
+        syms = list(piece)
+        for l, r in (merges or _SP_MERGES):
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            syms = acc
+        for s in syms:
+            if s in vocab:
+                ids.append(vocab[s])
+            else:
+                ids += [vocab["<0x%02X>" % b]
+                        for b in s.encode("utf-8")]
+    return ids
+
+
+class TestMetaspaceApplyMode:
+    def _load(self, spark, tmp_path, doc, name="sp.json"):
+        p = str(tmp_path / name)
+        json.dump(doc, open(p, "w"))
+        return BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+            p, spark
+        ), p
+
+    @pytest.fixture(scope="class")
+    def texts_df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_SP_TEXTS)],
+            "doc_id bigint, text string",
+        )
+
+    def test_llama2_layout_ids_and_byte_fallback(self, spark, texts_df,
+                                                 tmp_path):
+        doc = _sp_doc()
+        op, _ = self._load(spark, tmp_path, doc)
+        assert op._segmentation == "metaspace"
+        assert op._byte_fallback and op._add_prefix_space
+        assert op._end_suffix is False and op.byte_level is False
+        vocab = doc["model"]["vocab"]
+        got = {r["doc_id"]: list(r["text_bpe_ids"])
+               for r in op.encode_ids(texts_df).collect()}
+        for i, t in enumerate(_SP_TEXTS):
+            assert got[i] == _sp_ref_ids(t, vocab), repr(t)
+        # é/日本 reached ONLY through <0xXX> fallback ids, never -1
+        assert all(v >= 0 for v in got[2]) and all(
+            v >= 0 for v in got[5]
+        )
+
+    def test_decode_round_trip(self, spark, texts_df, tmp_path):
+        # Replace mark->space, byte-fallback fuse (multi-byte UTF-8
+        # split across <0xXX> tokens reassembles), strip the prepended
+        # space: decode(encode(x)) == x
+        op, _ = self._load(spark, tmp_path, _sp_doc())
+        out = op.decode_ids(op.encode_ids(texts_df))
+        got = {r["doc_id"]: r["text_bpe_ids_text"]
+               for r in out.collect()}
+        for i, t in enumerate(_SP_TEXTS):
+            assert got[i] == t, (repr(t), repr(got[i]))
+
+    def test_metaspace_pretokenizer_layout(self, spark, tmp_path):
+        # layout B: Metaspace PRE_TOKENIZER splits at every mark, so
+        # multi-mark merges are rejected and '  ' becomes two pieces
+        ok_merges = [m for m in _SP_MERGES
+                     if (m[0] + m[1]).count(_SP) <= 1]
+        doc = _sp_doc(pre={"type": "Metaspace", "replacement": _SP,
+                           "prepend_scheme": "always"},
+                      normalizer=None, merges=ok_merges)
+        op, _ = self._load(spark, tmp_path, doc)
+        assert op._split_pattern == "__split_every_mark__"
+        df = spark.createDataFrame(
+            [(0, "the  world")], "doc_id bigint, text string"
+        )
+        got = list(op.encode_ids(df).collect()[0]["text_bpe_ids"])
+        assert got == _sp_ref_ids("the  world", doc["model"]["vocab"],
+                                  merges=ok_merges, split_every=True)
+        # multi-mark merges in a split-every-mark file: inconsistent
+        import feature_factory_spark as ff
+        bad = _sp_doc(pre={"type": "Metaspace", "replacement": _SP},
+                      normalizer=None)
+        with pytest.raises(ff.InvalidParameterError,
+                           match="multi-mark"):
+            self._load(spark, tmp_path, bad, name="bad.json")
+
+    def test_boundary_crossing_merges_rejected(self, spark, tmp_path):
+        import feature_factory_spark as ff
+
+        doc = _sp_doc(merges=_SP_MERGES + [["e", _SP + "t"]])
+        with pytest.raises(ff.InvalidParameterError,
+                           match="cross word boundaries"):
+            self._load(spark, tmp_path, doc, name="cross.json")
+
+    def test_rank_path_matches_chain_path(self, spark, tmp_path):
+        # the rank-dict Arrow path (real published tables route there
+        # above _CHAIN_MERGE_CUTOFF merges) is bit-identical to the
+        # pure-JVM fold chain
+        op, _ = self._load(spark, tmp_path, _sp_doc())
+        words = spark.createDataFrame(
+            [(w,) for w in
+             [_SP + "hello", _SP + "the", _SP + _SP, _SP + "wörld",
+              "x", _SP, ""]],
+            "word string",
+        )
+        chain = sorted(map(tuple, op.tokenize_words(words).collect()))
+        op._CHAIN_MERGE_CUTOFF = 0
+        ranked = sorted(map(tuple, op.tokenize_words(words).collect()))
+        assert chain == ranked
+
+    def test_large_table_routes_to_rank_path(self, spark, tmp_path):
+        # pad the merge table past the cutoff with inert merges: the
+        # plan must stay flat (one mapInPandas, not 10k projections)
+        # and the ids must not change
+        filler = [["9", str(d)] for d in range(10)] * 60
+        doc = _sp_doc(merges=_SP_MERGES + filler)
+        op, _ = self._load(spark, tmp_path, doc)
+        assert len(op.merges_) > op._CHAIN_MERGE_CUTOFF
+        df = spark.createDataFrame(
+            [(0, "hello the world")], "doc_id bigint, text string"
+        )
+        got = list(op.encode_ids(df).collect()[0]["text_bpe_ids"])
+        want = _sp_ref_ids("hello the world", doc["model"]["vocab"])
+        assert got == want
+        plan = (op.encode_ids(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "mapInPandas" in plan or "MapInPandas" in plan
+
+    def test_state_roundtrip_keeps_metaspace_mode(self, spark,
+                                                  texts_df, tmp_path):
+        op, _ = self._load(spark, tmp_path, _sp_doc())
+        sp = str(tmp_path / "spstate")
+        op.save_state(sp)
+        back = BpeVocabBuilder("text", "doc_id").load_state(sp, spark)
+        assert back._segmentation == "metaspace"
+        assert back._byte_fallback is True
+        a = {r["doc_id"]: list(r["text_bpe_ids"])
+             for r in op.encode_ids(texts_df).collect()}
+        b = {r["doc_id"]: list(r["text_bpe_ids"])
+             for r in back.encode_ids(texts_df).collect()}
+        assert a == b
+
+
+@pytest.mark.skipif(
+    not _have_tokenizers(),
+    reason="HuggingFace 'tokenizers' wheel not installed (offline "
+    "container)",
+)
+def test_metaspace_apply_matches_hf_tokenizers(spark, tmp_path):
+    from tokenizers import Tokenizer
+
+    doc = _sp_doc()
+    p = str(tmp_path / "hf_sp.json")
+    json.dump(doc, open(p, "w"))
+    tok = Tokenizer.from_file(p)
+    op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p, spark)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_SP_TEXTS)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: list(r["text_bpe_ids"])
+           for r in op.encode_ids(df).collect()}
+    for i, t in enumerate(_SP_TEXTS):
+        assert got[i] == tok.encode(t).ids, repr(t)
