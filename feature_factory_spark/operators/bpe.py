@@ -1402,22 +1402,22 @@ class BpeVocabBuilder(Transformer):
             # ordinary tokens (with marks already replaced) through
             # one encode/decode — so fallback bytes that form
             # multi-byte UTF-8 sequences across tokens fuse correctly
-            # in the final latin-1 -> UTF-8 re-read.
-            latin = F.lit([chr(b) for b in range(256)])
+            # in the final hex -> unhex -> UTF-8 re-read. (Hex-digit
+            # accumulation, never raw byte chars in literals or
+            # intermediates — a NUL would be lost crossing Py4J and
+            # Spark strings are not byte-safe carriers.)
 
             def tok_bytes(s: Column) -> Column:
                 t = F.coalesce(s["__ff_tok"], F.lit("�"))
                 is_byte = t.rlike("^<0x[0-9A-Fa-f]{2}>$")
-                b = F.conv(F.substring(t, 4, 2), 16, 10).cast("int")
-                plain = F.decode(
+                plain = F.hex(
                     F.encode(
                         F.regexp_replace(t, WORD_MARK_SP, " "),
                         "UTF-8",
-                    ),
-                    "ISO-8859-1",
+                    )
                 )
                 return F.when(
-                    is_byte, F.element_at(latin, b + 1)
+                    is_byte, F.upper(F.substring(t, 4, 2))
                 ).otherwise(plain)
 
             assembled = toks.groupBy("__ff_id").agg(
@@ -1433,9 +1433,7 @@ class BpeVocabBuilder(Transformer):
                     ),
                 ).alias("__ff_cat")
             )
-            txt = F.decode(
-                F.encode(F.col("__ff_cat"), "ISO-8859-1"), "UTF-8"
-            )
+            txt = F.decode(F.unhex(F.col("__ff_cat")), "UTF-8")
             if self._add_prefix_space:
                 txt = F.regexp_replace(txt, "^ ", "")
             decoded = assembled.select(
@@ -1468,13 +1466,32 @@ class BpeVocabBuilder(Transformer):
             # normalization
             txt = F.col("__ff_cat")
         if self.byte_level:
-            # inverse byte table: each symbol char -> its byte as a
-            # latin-1 char, then one encode/decode pair re-reads the
-            # byte string as UTF-8 text
-            sym_str = "".join(_B2U_LIST)
-            byte_str = "".join(chr(b) for b in range(256))
+            # inverse byte table WITHOUT raw control chars in any
+            # literal (r12 property-test catch: a NUL inside a
+            # translate/array literal is lost crossing Py4J, so byte
+            # 0x00 silently DELETED from decodes): map each symbol
+            # char to its byte's TWO HEX DIGITS through a 256-entry
+            # map literal, then one unhex + UTF-8 re-read. Chars
+            # outside the symbol alphabet (the END_MARK-derived
+            # space) contribute their own UTF-8 bytes.
+            hex_map = F.create_map(*[
+                lit
+                for b in range(256)
+                for lit in (F.lit(_B2U_LIST[b]), F.lit("%02X" % b))
+            ])
             txt = F.decode(
-                F.encode(F.translate(txt, sym_str, byte_str), "ISO-8859-1"),
+                F.unhex(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_remove(F.split(txt, ""), ""),
+                            lambda c: F.coalesce(
+                                F.element_at(hex_map, c),
+                                F.hex(F.encode(c, "UTF-8")),
+                            ),
+                        ),
+                    )
+                ),
                 "UTF-8",
             )
         if self._end_suffix:
