@@ -147,3 +147,50 @@ def test_rank_path_equals_chain_path_random_words(
     finally:
         bytelevel_op._CHAIN_MERGE_CUTOFF = cutoff
     assert chain == ranked
+
+
+def _have_regex():
+    try:
+        import regex  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have_regex(), reason="'regex' module absent")
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(st.characters(blacklist_categories=("Cs",)), max_size=48),
+    min_size=1, max_size=16,
+))
+def test_java_gpt2_segmentation_matches_regex_module(spark, texts):
+    # the engine's (?U) Java pattern must segment EXACTLY like the
+    # original GPT-2 encoder.py pattern under the Python `regex`
+    # module's full-Unicode semantics (\p{L}/\p{N}/Unicode \s) — the
+    # property that makes the apply-mode's piece grain faithful on
+    # any text, not just ASCII
+    import regex
+
+    from pyspark.sql import functions as F
+
+    from feature_factory_spark.operators.bpe import GPT2_SPLIT_RE
+
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"""
+        r"""| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i bigint, t string"
+    )
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(
+                "t", F.lit(GPT2_SPLIT_RE), 0
+            ).alias("p"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pat.findall(t), repr(t)
