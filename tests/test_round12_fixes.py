@@ -202,3 +202,50 @@ def test_load_centroids_missing_path_still_friendly(spark, tmp_path):
     ann = ff.IVFCosineTopK("embedding", "vec_id")
     with pytest.raises(FeatureFactoryError, match="write the index"):
         ann._load_centroids(spark, str(tmp_path / "nope"))
+
+
+# --- plan_audit over the r12 plans --------------------------------------
+
+def test_r12_plans_pass_plan_audit(spark):
+    # grouped TF-IDF transform, DSIR select, and the ADC probe must
+    # carry none of the 100 TB smells (cartesian, single-partition
+    # exchange, row-at-a-time Python)
+    docs = spark.createDataFrame(
+        [(i, "some words here repeated words %d" % i, i % 3)
+         for i in range(60)],
+        "doc_id bigint, text string, grp int",
+    )
+    tfidf = ff.HashedTfIdfVectorizer(
+        "text", n_features=256, transform_path="grouped"
+    ).fit(docs)
+    errs = [f for f in ff.plan_audit(tfidf.transform(docs))
+            if f["severity"] == "error"]
+    assert errs == []
+
+    dsir = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=128)
+    dsir.fit_target(docs.where("grp = 0")).fit(docs)
+    errs = [f for f in ff.plan_audit(dsir.select(docs, rate=0.5))
+            if f["severity"] == "error"]
+    assert errs == []
+
+
+def test_adc_probe_plan_clean(spark, tmp_path):
+    rows = _clustered(n=150, dim=8)
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    ivf = ff.IVFCosineTopK(
+        "embedding", "vec_id", k=3, n_centroids=4, n_probe=2,
+        iterations=2,
+    )
+    path = str(tmp_path / "idx")
+    ivf.write_index(
+        corpus, path, quantize="pq",
+        pq=ff.ProductQuantizer("c_vec", dim=8, m=2, k=4),
+    )
+    out = ivf.search_index(
+        spark, path, corpus.where("vec_id < 5")
+    )
+    errs = [f for f in ff.plan_audit(out)
+            if f["severity"] == "error"]
+    assert errs == []
