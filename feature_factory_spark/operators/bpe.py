@@ -559,7 +559,16 @@ class BpeVocabBuilder(Transformer):
                 text = F.when(
                     (text == "") | text.rlike(r"^\s"), text
                 ).otherwise(F.concat(F.lit(" "), text))
-            pat = self._split_pattern or GPT2_SPLIT_RE
+            # a custom Split pattern (Llama-3-style) gets the (?U)
+            # prefix the built-in pattern already carries: the source
+            # runtimes are Unicode-semantics regex engines, and
+            # without it Java's \s is ASCII-only — divergent pieces
+            # on exotic whitespace
+            pat = (
+                "(?U)" + self._split_pattern
+                if self._split_pattern
+                else GPT2_SPLIT_RE
+            )
             return F.coalesce(
                 F.regexp_extract_all(text, F.lit(pat), 0),
                 F.array().cast("array<string>"),

@@ -194,3 +194,76 @@ def test_java_gpt2_segmentation_matches_regex_module(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == pat.findall(t), repr(t)
+
+
+# the REAL Llama-3 / tiktoken-style split pattern (public: shipped in
+# the model's tokenizer.json pre_tokenizer Split entry)
+_LLAMA3_PAT = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+"
+    r"|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+@pytest.mark.skipif(not _have_regex(), reason="'regex' module absent")
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(st.characters(blacklist_categories=("Cs",)), max_size=48),
+    min_size=1, max_size=16,
+))
+def test_llama3_split_pattern_runs_and_matches(spark, texts):
+    # the published Llama-3 Split regex must run under Java with the
+    # loader's (?U) prefix and segment exactly like the Unicode
+    # `regex` engine the source runtime uses
+    import regex
+
+    from pyspark.sql import functions as F
+
+    pat = regex.compile(_LLAMA3_PAT)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i bigint, t string"
+    )
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(
+                "t", F.lit("(?U)" + _LLAMA3_PAT), 0
+            ).alias("p"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pat.findall(t), repr(t)
+
+
+def test_llama3_layout_with_real_pattern_loads(spark, tmp_path):
+    # a Llama-3-shaped file carrying the REAL split pattern loads and
+    # encodes (ignore_merges on, added specials in the id map)
+    doc = {
+        "normalizer": None,
+        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "Split", "pattern": {"Regex": _LLAMA3_PAT},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "trim_offsets": True, "use_regex": False}]},
+        "added_tokens": [{"id": 999, "content": "<|eot|>",
+                          "special": True}],
+        "model": {"type": "BPE", "continuing_subword_prefix": None,
+                  "end_of_word_suffix": None, "ignore_merges": True,
+                  "vocab": _byte_vocab(_BL_MERGES),
+                  "merges": [f"{l} {r}" for l, r in _BL_MERGES]},
+    }
+    p = str(tmp_path / "l3.json")
+    json.dump(doc, open(p, "w"))
+    op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p, spark)
+    assert op._ignore_merges and op._split_pattern == _LLAMA3_PAT
+    assert op.vocab_json_["<|eot|>"] == 999
+    df = spark.createDataFrame(
+        [(0, "the and in 12345 hello")], "doc_id bigint, text string"
+    )
+    ids = list(op.encode_ids(df).collect()[0]["text_bpe_ids"])
+    assert len(ids) > 0 and all(isinstance(v, int) for v in ids)
+    # round-trip stays exact through the real pattern
+    rt = op.decode_ids(op.encode_ids(df)).collect()[0]
+    assert rt["text_bpe_ids_text"] == "the and in 12345 hello"
