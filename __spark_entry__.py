@@ -4577,6 +4577,61 @@ def q_dsir_select(spark, sf_dir):
 
 
 @_reg(
+    "dsir_select_by",
+    # DSIRWeighter.select(by=['source']) (r12): STRATIFIED Gumbel-top-k
+    # — one quantile threshold per source, so every stratum keeps its
+    # own top 40% (the multilingual-mix balance). The twin recomputes
+    # the model + keys (the dsir CTEs) and takes quantile_cont(key,
+    # 0.6) PER SOURCE.
+    r"""WITH d AS (SELECT doc_id, source,
+  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> x <> '') w FROM documents),
+g AS (SELECT doc_id, source,
+  unnest(w || list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                             i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM d),
+dm AS (SELECT doc_id, source,
+  ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000 AS dim FROM g),
+p AS (SELECT dim, count(*) c FROM dm WHERE source = 'src0'
+  GROUP BY dim),
+pt AS (SELECT sum(c) t FROM p),
+q AS (SELECT dim, count(*) c FROM dm GROUP BY dim),
+qt AS (SELECT sum(c) t FROM q),
+r AS (SELECT u.dim,
+  (ln(coalesce(p.c, 0) + 1) - ln(pt.t + 10000))
+  - (ln(coalesce(q.c, 0) + 1) - ln(qt.t + 10000)) AS lr
+  FROM (SELECT DISTINCT dim FROM dm) u
+  LEFT JOIN p USING (dim) LEFT JOIN q USING (dim), pt, qt),
+sc AS (SELECT dm.doc_id, sum(r.lr) AS score
+  FROM dm JOIN r USING (dim) GROUP BY dm.doc_id),
+kk AS (SELECT d0.doc_id, d0.source,
+  coalesce(sc.score, 0)
+  - ln(-ln(('0x' || substr(md5('dsir' || CAST(d0.doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT::DOUBLE / 1152921504606846976.0)) AS key
+  FROM documents d0 LEFT JOIN sc ON d0.doc_id = sc.doc_id),
+th AS (SELECT source, quantile_cont(key, 0.6) t FROM kk GROUP BY source)
+SELECT kk.doc_id,
+  kk.source || ':' ||
+  CAST(CAST(floor(kk.key * 1000000 + 0.5) AS BIGINT) AS VARCHAR) AS val
+FROM kk JOIN th USING (source) WHERE kk.key >= th.t""",
+)
+def q_dsir_select_by(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ff.DSIRWeighter("text", id_col="doc_id", seed="dsir")
+    op.fit_target(docs.where(F.col("source") == "src0"))
+    op.fit(docs)
+    kept = op.select(docs, rate=0.4, by=["source"])
+    return kept.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit(":"),
+            F.floor(F.col("text_dsir_key") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint").cast("string"),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "contamination",
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 g AS (SELECT doc_id,
@@ -7209,6 +7264,7 @@ _merge("sample_family", [
     ("stratified_sample", ["doc_id", "val"], "doc_id, val"),
     ("dsir_weight", ["doc_id", "val"], "doc_id, val"),
     ("dsir_select", ["doc_id", "val"], "doc_id, val"),
+    ("dsir_select_by", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
     ("corpus_diff", ["doc_id", "val"], "doc_id, val"),

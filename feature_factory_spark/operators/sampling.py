@@ -992,6 +992,7 @@ class DSIRWeighter(Transformer):
         rate: float | None = None,
         n: int | None = None,
         approx: bool = False,
+        by: list[str] | None = None,
     ) -> DataFrame:
         """The published method's SELECTION step (r11 verdict 'what's
         missing' #2): keep the Gumbel-top-k documents at a target
@@ -1009,6 +1010,13 @@ class DSIRWeighter(Transformer):
         a sort-based aggregate). The kept COUNT is then approximate at
         the sketch's accuracy, which is the standard trade.
 
+        ``by=`` (r12) stratifies the threshold: ONE groupBy quantile
+        per ``by`` group (language, source, ...) joined back broadcast,
+        so every stratum keeps its own top ``rate`` — the balanced
+        variant a multilingual mix needs (a global threshold would let
+        a target-similar language crowd out the rest). Group count is
+        assumed model-sized (the broadcast-join contract).
+
         Returns the transformed frame (score + key columns appended)
         filtered to the kept documents. Requires ``id_col`` (the
         Gumbel key is seeded per document id)."""
@@ -1024,6 +1032,12 @@ class DSIRWeighter(Transformer):
             (rate is None) != (n is None),
             "select(): pass exactly one of rate= or n=",
         )
+        _ensure(
+            by is None or n is None,
+            "select(by=...) takes rate=, not n= (an absolute count "
+            "is ambiguous across strata — compute per-group rates "
+            "upstream if you need counts)",
+        )
         if n is not None:
             _ensure(n >= 1, "n must be >= 1")
             total = df.count()
@@ -1034,6 +1048,26 @@ class DSIRWeighter(Transformer):
         out = self.transform(df) if key_col not in df.columns else df
         if rate >= 1.0:
             return out
+        if by:
+            import os as _os
+
+            # honor the one-switch scale env like column_quantiles
+            if _os.environ.get("FF_APPROX_QUANTILES") == "1":
+                approx = True
+            key = F.col(key_col).cast("double")
+            q = F.lit(1.0 - rate)
+            agg = (
+                F.percentile_approx(key, q)
+                if approx
+                else F.percentile(key, q)
+            )
+            thresholds = out.groupBy(*by).agg(
+                agg.alias("__ff_dsir_thr")
+            )
+            joined = out.join(F.broadcast(thresholds), list(by), "left")
+            return joined.where(
+                F.col(key_col) >= F.col("__ff_dsir_thr")
+            ).drop("__ff_dsir_thr")
         thresh = column_quantiles(
             out, [key_col], [1.0 - rate], approx=approx
         )[key_col][0]

@@ -168,3 +168,38 @@ def test_select_favors_target_like_docs(spark, fitted, raw):
     kept = sorted(r["doc_id"]
                   for r in fitted.select(raw, rate=0.4).collect())
     assert kept == [1, 3]
+
+
+def test_select_stratified_by_group(spark, target):
+    # by= keeps each stratum's own top rate: a target-similar group
+    # must not crowd out the other stratum (which a global threshold
+    # would allow)
+    rows = [
+        (1, "encyclopedic prose about science with citations", "good"),
+        (2, "measured claims about history and science prose", "good"),
+        (3, "careful encyclopedic science history citations", "good"),
+        (4, "science prose with measured encyclopedic claims", "good"),
+        (5, "click here buy now free casino bonus deals win", "spam"),
+        (6, "free free casino casino win win now now deals", "spam"),
+        (7, "buy now win free bonus casino click here deals", "spam"),
+        (8, "casino deals bonus free win buy click now here", "spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, grp string")
+    op = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=512)
+    op.fit_target(target).fit(df)
+    kept = op.select(df, rate=0.5, by=["grp"])
+    got = {r["grp"]: sorted(r2["doc_id"] for r2 in kept.collect()
+                            if r2["grp"] == r["grp"])
+           for r in kept.select("grp").distinct().collect()}
+    # each stratum keeps exactly its top half by key
+    keys = {r["doc_id"]: r["text_dsir_key"]
+            for r in op.transform(df).collect()}
+    for grp, ids in (("good", [1, 2, 3, 4]), ("spam", [5, 6, 7, 8])):
+        want = sorted(sorted(ids, key=keys.get, reverse=True)[:2])
+        assert got[grp] == want, grp
+    # global threshold at the same rate keeps mostly target-like docs
+    global_kept = sorted(r["doc_id"]
+                         for r in op.select(df, rate=0.5).collect())
+    assert set(global_kept) != set(got["good"] + got["spam"])
+    with pytest.raises(FeatureFactoryError, match="rate"):
+        op.select(df, n=3, by=["grp"])
