@@ -4354,6 +4354,79 @@ def q_corpus_shuffle(spark, sf_dir):
 
 
 @_reg(
+    "pack_materialize",
+    # SequencePacker.materialize (r12): the FINAL shard rows — one row
+    # per pack with the concatenated training sequence + document
+    # boundaries. The twin recomputes everything relationally: hashed
+    # word ids, the greedy running-sum pack law, ordered per-pack
+    # flatten, and the boundary lens — fingerprinted per pack.
+    r"""WITH w AS (SELECT doc_id, source,
+  list_transform(
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> ''),
+    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 997) AS ids
+  FROM documents),
+c AS (SELECT doc_id, source, ids, len(ids) AS n FROM w),
+p AS (SELECT doc_id, source, ids, n,
+  CAST(floor(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+    AS BIGINT) AS pack_id
+  FROM c),
+g AS (SELECT source, pack_id,
+  flatten(list(ids ORDER BY doc_id)) AS input_ids,
+  list(doc_id ORDER BY doc_id) AS dids,
+  list(n ORDER BY doc_id) AS lens
+  FROM p GROUP BY source, pack_id)
+SELECT pack_id AS k,
+  source || ':' || md5(array_to_string(input_ids, ',')) || ':' ||
+  CAST(len(dids) AS VARCHAR) || ':' ||
+  CAST(coalesce(list_sum(lens), 0) AS VARCHAR) || ':' ||
+  array_to_string(lens, '-') AS val
+FROM g""",
+)
+def q_pack_materialize(spark, sf_dir):
+    from feature_factory_spark.operators.embeddings import hashed_dim_expr
+    from feature_factory_spark.functions.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.transform(
+        F.coalesce(
+            words_expr(F.lower(F.col("text"))),
+            F.array().cast("array<string>"),
+        ),
+        lambda t: hashed_dim_expr(t, 997),
+    )
+    frame = docs.select(
+        "doc_id", "source", ids.alias("ids"),
+    ).withColumn("n_tokens", F.size("ids").cast("bigint"))
+    packer = ff.SequencePacker(
+        "n_tokens", budget=256, order_col="doc_id",
+        partition_cols=["source"],
+    )
+    m = packer.materialize(frame, "ids")
+    return m.select(
+        F.col("pack_id").alias("k"),
+        F.concat(
+            F.col("source"), F.lit(":"),
+            F.md5(F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("input_ids"), lambda x: x.cast("string")
+                ),
+            )), F.lit(":"),
+            F.col("n_docs").cast("string"), F.lit(":"),
+            F.col("n_tokens").cast("string"), F.lit(":"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.col("doc_lens"), lambda x: x.cast("string")
+                ),
+            ),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "shard_manifest",
     # CorpusShuffler.shard_manifest (r8): per-shard audit stats over
     # the same seeded-shuffle law as corpus_shuffle, plus an
@@ -4459,6 +4532,53 @@ def q_weighted_sample(spark, sf_dir):
     return t.transform(docs).select("doc_id")
 
 
+# the three dsir members verify the SAME deterministic model (target =
+# src0, raw = full corpus, seed 'dsir'); fit it once per process+sf and
+# share the model-sized count lists — refitting per member tripled the
+# family's two corpus-explode aggregates for zero verification value
+_DSIR_MEMO: dict = {}
+_DSIR_LOCK = __import__("threading").Lock()
+
+
+def _dsir_fitted(spark, sf_dir):
+    op = ff.DSIRWeighter("text", id_col="doc_id", seed="dsir")
+    key = ("counts", spark.sparkContext.applicationId, sf_dir)
+    memo = _DSIR_MEMO.get(key)
+    if memo is None:
+        docs = _t(spark, sf_dir, "documents")
+        op.fit_target(docs.where(F.col("source") == "src0"))
+        op.fit(docs)
+        _DSIR_MEMO[key] = (
+            list(op.target_counts_), list(op.raw_counts_)
+        )
+    else:
+        op.target_counts_ = list(memo[0])
+        op.raw_counts_ = list(memo[1])
+        op._fitted = True
+    return op
+
+
+def _dsir_scored(spark, sf_dir):
+    """(op, scored_frame): the corpus scored ONCE and lazily
+    localCheckpoint'ed — the three members' agg/filter/union branches
+    would otherwise each re-evaluate the O(tokens)-per-row scoring
+    fold inside the single merged family plan (measured ~5 extra
+    full-corpus fold passes)."""
+    key = ("scored", spark.sparkContext.applicationId, sf_dir)
+    # family members build in CONCURRENT threads — without the lock
+    # each dsir member races the memo and scores its own copy
+    with _DSIR_LOCK:
+        memo = _DSIR_MEMO.get(key)
+        if memo is None:
+            op = _dsir_fitted(spark, sf_dir)
+            fr = op.transform(
+                _t(spark, sf_dir, "documents")
+            ).localCheckpoint(eager=False)
+            memo = (op, fr)
+            _DSIR_MEMO[key] = memo
+    return memo
+
+
 @_reg(
     "dsir_weight",
     # DSIRWeighter (r11, operators/sampling.py): Xie et al. 2023
@@ -4504,11 +4624,7 @@ FROM documents d0 LEFT JOIN sc ON d0.doc_id = sc.doc_id
 JOIN k ON d0.doc_id = k.doc_id""",
 )
 def q_dsir_weight(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    op = ff.DSIRWeighter("text", id_col="doc_id", seed="dsir")
-    op.fit_target(docs.where(F.col("source") == "src0"))
-    op.fit(docs)
-    out = op.transform(docs)
+    _, out = _dsir_scored(spark, sf_dir)
 
     def micro(c):
         return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint") \
@@ -4564,11 +4680,8 @@ SELECT kk.doc_id,
 FROM kk, th WHERE kk.key >= th.t""",
 )
 def q_dsir_select(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    op = ff.DSIRWeighter("text", id_col="doc_id", seed="dsir")
-    op.fit_target(docs.where(F.col("source") == "src0"))
-    op.fit(docs)
-    kept = op.select(docs, rate=0.25)
+    op, scored = _dsir_scored(spark, sf_dir)
+    kept = op.select(scored, rate=0.25)
     return kept.select(
         "doc_id",
         F.floor(F.col("text_dsir_key") * F.lit(1e6) + F.lit(0.5))
@@ -4616,11 +4729,8 @@ SELECT kk.doc_id,
 FROM kk JOIN th USING (source) WHERE kk.key >= th.t""",
 )
 def q_dsir_select_by(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    op = ff.DSIRWeighter("text", id_col="doc_id", seed="dsir")
-    op.fit_target(docs.where(F.col("source") == "src0"))
-    op.fit(docs)
-    kept = op.select(docs, rate=0.4, by=["source"])
+    op, scored = _dsir_scored(spark, sf_dir)
+    kept = op.select(scored, rate=0.4, by=["source"])
     return kept.select(
         "doc_id",
         F.concat(
@@ -7433,6 +7543,9 @@ _merge("pack_family", [
     ("substring_clean",
      ["doc_id", "cast(NULL AS bigint) AS k", "cleaned AS val"],
      "doc_id, CAST(NULL AS BIGINT) AS k, cleaned AS val"),
+    ("pack_materialize",
+     ["cast(NULL AS bigint) AS doc_id", "k", "val"],
+     "CAST(NULL AS BIGINT) AS doc_id, k, val"),
     ("packed_ids",
      ["cast(NULL AS bigint) AS doc_id", "cast(n AS bigint) AS k",
       "invariant AS val"],

@@ -536,6 +536,57 @@ class SequencePacker(Transformer):
             F.floor(prior / F.lit(self.budget)).cast("bigint").alias(self.output_col),
         )
 
+    def materialize(self, df: DataFrame, ids_col: str) -> DataFrame:
+        """The final shard rows (r12): ONE row per pack with the
+        concatenated training sequence — what the data loader actually
+        reads — plus the document boundaries a document-causal
+        attention mask / loss masking needs:
+
+        - ``input_ids``   flatten of the member docs' ``ids_col``
+          arrays in ``order_col`` order
+        - ``doc_ids``     the member ``order_col`` values, same order
+          (provenance: shard row -> source documents)
+        - ``doc_lens``    per-document token counts, same order
+          (boundary offsets = exclusive prefix sums)
+        - ``n_docs`` / ``n_tokens``
+
+        Runs ``transform`` first if the frame has no pack column yet.
+        One groupBy at the PACK grain — each output row is ~``budget``
+        tokens regardless of corpus size, so the shuffle moves exactly
+        the training bytes and the per-group state is bounded by the
+        pack budget (plus the one oversized document the greedy law
+        allows)."""
+        validate_columns(df, [ids_col])
+        out = df if self.output_col in df.columns else self.transform(df)
+        keys = [*self.partition_cols, self.output_col]
+        grouped = out.groupBy(*keys).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(self.order_col).alias("o"),
+                        F.col(ids_col).alias("ids"),
+                    )
+                )
+            ).alias("__ff_members")
+        )
+        members = F.col("__ff_members")
+        return grouped.select(
+            *keys,
+            F.flatten(
+                F.transform(members, lambda s: s["ids"])
+            ).alias("input_ids"),
+            F.transform(members, lambda s: s["o"]).alias("doc_ids"),
+            F.transform(
+                members, lambda s: F.size(s["ids"])
+            ).alias("doc_lens"),
+            F.size(members).alias("n_docs"),
+            F.aggregate(
+                F.transform(members, lambda s: F.size(s["ids"])),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).cast("bigint").alias("n_tokens"),
+        )
+
 
 class CorpusShuffler(Transformer):
     """Deterministic seeded GLOBAL shuffle + token-balanced shard
