@@ -383,3 +383,56 @@ class TestStratifiedSampler:
         b = {r["doc_id"] for r in ff.StratifiedSampler(
             "doc_id", "lang", k=10, salt="other").transform(df).collect()}
         assert a != b and len(a) == len(b) == 10
+
+
+class TestSequencePackerMaterialize:
+    def frame(self, spark):
+        rows = [
+            # (id, src, ids array)
+            (1, "a", [1, 2, 3]),
+            (2, "a", [4, 5]),
+            (3, "a", [6, 7, 8, 9]),
+            (4, "a", [10]),
+            (5, "b", [11, 12, 13, 14, 15, 16]),
+            (6, "b", []),
+        ]
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "id bigint, src string, ids array<int>"
+        ).withColumn("n", F.size("ids").cast("bigint"))
+
+    def test_materialize_sequences_and_boundaries(self, spark):
+        # budget 5, per source, ordered by id: src a packs are
+        # {1,2} (3+2=5 tokens), {3,4} (4+1); src b packs {5,6}
+        packer = ff.SequencePacker(
+            "n", budget=5, order_col="id", partition_cols=["src"]
+        )
+        out = {
+            (r["src"], r["pack_id"]):
+                (list(r["input_ids"]), list(r["doc_ids"]),
+                 list(r["doc_lens"]), r["n_docs"], r["n_tokens"])
+            for r in packer.materialize(self.frame(spark), "ids")
+            .collect()
+        }
+        assert out[("a", 0)] == ([1, 2, 3, 4, 5], [1, 2], [3, 2], 2, 5)
+        assert out[("a", 1)] == ([6, 7, 8, 9, 10], [3, 4], [4, 1], 2, 5)
+        # empty doc rides along with zero length (boundary preserved)
+        assert out[("b", 1)] == ([], [6], [0], 1, 0)
+        assert out[("b", 0)][4] == 6
+        # accepts a pre-packed frame without re-running the window
+        pre = packer.transform(self.frame(spark))
+        again = {
+            (r["src"], r["pack_id"]): list(r["input_ids"])
+            for r in packer.materialize(pre, "ids").collect()
+        }
+        assert again[("a", 0)] == [1, 2, 3, 4, 5]
+
+    def test_materialize_plan_clean(self, spark):
+        packer = ff.SequencePacker(
+            "n", budget=5, order_col="id", partition_cols=["src"]
+        )
+        out = packer.materialize(self.frame(spark), "ids")
+        errs = [f for f in ff.plan_audit(out)
+                if f["severity"] == "error"]
+        assert errs == []
