@@ -157,11 +157,35 @@ def _have_regex():
         return False
 
 
+# Segmentation parity is checked over VERSION-STABLE codepoints: the
+# JVM (Java 17 = Unicode 13) and the Python `regex` module ship
+# different Unicode tables, so a codepoint assigned in a newer version
+# (hypothesis found U+18D80, a letter to `regex` but unassigned to the
+# JVM) flips \p{L} membership between engines — a table-version
+# artifact, not a pattern divergence. The alphabet below exercises
+# every class the pattern distinguishes (letters across scripts incl.
+# astral CJK-ext-B, digits incl. non-ASCII, marks, punctuation,
+# symbols/emoji, ASCII + Unicode whitespace, controls) using blocks
+# stable since well before Unicode 13.
+_STABLE_ALPHABET = st.sampled_from(
+    list(
+        "abXZ09.,!?':;()[]#@%&*+=/\\\"-_ \t\n\r"
+        "éßüñÆøçЖщДλΩθאבابت中文日本語한글ไทย"
+        "١٢٣০৯①½"
+        "   　"   # unicode whitespace
+        "่́"               # combining marks
+        "€£¥©®™°±×÷§¶"
+        "🙂🚀✨"
+    )
+    + ["\U00020000", "\U0002A700", "\x00", "\x1b", "​"]
+)
+
+
 @pytest.mark.skipif(not _have_regex(), reason="'regex' module absent")
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(
-    st.text(st.characters(blacklist_categories=("Cs",)), max_size=48),
+    st.text(_STABLE_ALPHABET, max_size=48),
     min_size=1, max_size=16,
 ))
 def test_java_gpt2_segmentation_matches_regex_module(spark, texts):
@@ -209,7 +233,7 @@ _LLAMA3_PAT = (
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(
-    st.text(st.characters(blacklist_categories=("Cs",)), max_size=48),
+    st.text(_STABLE_ALPHABET, max_size=48),
     min_size=1, max_size=16,
 ))
 def test_llama3_split_pattern_runs_and_matches(spark, texts):
