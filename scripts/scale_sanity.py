@@ -921,6 +921,64 @@ def check_tfidf(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_tokapply(spark, copies: int) -> None:
+    """Published-tokenizer application (r12): a large merge table
+    (past _CHAIN_MERGE_CUTOFF, the real-tokenizer regime) applied via
+    the rank-dict Arrow path. The corpus-sized plan is the
+    distinct-piece groupBy + broadcast join; the per-word loop runs
+    once per DISTINCT piece, so wall must track the corpus scan."""
+    import json
+    import tempfile
+
+    from feature_factory_spark.operators.bpe import _B2U
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = grow_docs(docs, copies)
+    # synthetic GPT-2-layout table: base merges + inert filler past
+    # the cutoff so the rank path engages (the loop cost depends on
+    # word length, not table size — dict lookups)
+    merges = [["Ġ", "t"], ["h", "e"], ["Ġt", "he"], ["i", "n"],
+              ["a", "n"], ["an", "d"], ["e", "r"], ["o", "n"]]
+    merges += [[chr(0x100 + i % 60), str(i % 10)] for i in range(800)]
+    vocab = {t: i for i, t in enumerate(sorted(set(_B2U.values())))}
+    for l, r in merges:
+        vocab.setdefault(l + r, len(vocab))
+    doc = {
+        "normalizer": None,
+        "pre_tokenizer": {"type": "ByteLevel",
+                          "add_prefix_space": False, "use_regex": True},
+        "model": {"type": "BPE", "continuing_subword_prefix": None,
+                  "end_of_word_suffix": None, "vocab": vocab,
+                  "merges": [f"{l} {r}" for l, r in merges]},
+    }
+    path = tempfile.mktemp(suffix=".json")
+    json.dump(doc, open(path, "w"))
+
+    def run(frame):
+        op = ff.BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+            path, spark
+        )
+        assert len(op.merges_) > op._CHAIN_MERGE_CUTOFF
+        t0 = time.perf_counter()
+        n = (
+            op.encode_ids(frame)
+            .select(F.sum(F.size("text_bpe_ids")))
+            .collect()[0][0]
+        )
+        dt = time.perf_counter() - t0
+        op.release()
+        return n, dt
+
+    n1, t1 = run(docs)
+    nN, tN = run(big)
+    print(f"[tokapply] 1x:  {n1} tokens, {t1:.1f}s")
+    print(
+        f"[tokapply] {copies}x: {nN} tokens, {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x corpus)"
+    )
+    big.unpersist()
+
+
 def check_adc(spark, copies: int) -> None:
     """IVF-PQ probe (r12): ADC lookup-table scoring vs
     decode-reconstruct on the SAME pruned scan — the per-candidate
@@ -1059,6 +1117,7 @@ CHECKS = {
     "corpusreport": check_corpusreport,
     "tfidf": check_tfidf,
     "adc": check_adc,
+    "tokapply": check_tokapply,
     "dsir": check_dsir,
     "pairscore": check_pairscore,
 }
