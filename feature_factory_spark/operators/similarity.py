@@ -59,6 +59,49 @@ def _dequantize_if_needed(frame: DataFrame) -> DataFrame:
     ).drop("c_q8", "c_q8_scale")
 
 
+def _load_pq_model(spark, path: str):
+    """Rebuild a ProductQuantizer from an index's stored codebook
+    table at ``<path>/pq`` (model-sized: m x k rows) — shared by the
+    IVF and LSH index layouts."""
+    import os
+
+    from .embeddings import ProductQuantizer
+
+    rows = spark.read.parquet(os.path.join(path, "pq")).collect()
+    ensure(
+        bool(rows),
+        f"no PQ codebooks found at {path}/pq — was the index "
+        "written with quantize='pq'?",
+    )
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["idx"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books: list[list[list[float]]] = [
+        [None] * k for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in rows:
+        books[r["sub"]][r["idx"]] = [float(x) for x in r["centroid"]]
+    pq = ProductQuantizer("c_vec", dim=m * dsub, m=m, k=k)
+    pq.codebooks_ = books
+    return pq
+
+
+def _write_pq_books(spark, path: str, pq, mode: str) -> None:
+    """Persist a fitted ProductQuantizer's codebooks as the index's
+    ``<path>/pq`` table (the inverse of :func:`_load_pq_model`)."""
+    import os
+
+    books = spark.createDataFrame(
+        [
+            (s, i, list(c))
+            for s, book in enumerate(pq.codebooks_)
+            for i, c in enumerate(book)
+        ],
+        "sub int, idx int, centroid array<double>",
+    )
+    books.coalesce(1).write.mode(mode).parquet(os.path.join(path, "pq"))
+
+
 def nearest_centroids_expr(
     vec: Column, centroids: list[list[float]], n: int = 1
 ) -> Column:
@@ -441,17 +484,7 @@ class IVFCosineTopK(CosineTopK):
                 os.path.join(path, "centroids")
             )
             if quantize == "pq":
-                books = spark.createDataFrame(
-                    [
-                        (s, i, list(c))
-                        for s, book in enumerate(pq.codebooks_)
-                        for i, c in enumerate(book)
-                    ],
-                    "sub int, idx int, centroid array<double>",
-                )
-                books.coalesce(1).write.mode(mode).parquet(
-                    os.path.join(path, "pq")
-                )
+                _write_pq_books(spark, path, pq, mode)
         _log_index_version(
             spark, path, "append" if mode == "append" else "write"
         )
@@ -459,27 +492,7 @@ class IVFCosineTopK(CosineTopK):
     def _load_pq(self, spark, path: str):
         """Rebuild a ProductQuantizer from the index's stored codebook
         table (model-sized: m x k rows)."""
-        import os
-
-        from .embeddings import ProductQuantizer
-
-        rows = spark.read.parquet(os.path.join(path, "pq")).collect()
-        ensure(
-            bool(rows),
-            f"no PQ codebooks found at {path}/pq — was the index "
-            "written with quantize='pq'?",
-        )
-        m = max(r["sub"] for r in rows) + 1
-        k = max(r["idx"] for r in rows) + 1
-        dsub = len(rows[0]["centroid"])
-        books: list[list[list[float]]] = [
-            [None] * k for _ in range(m)  # type: ignore[list-item]
-        ]
-        for r in rows:
-            books[r["sub"]][r["idx"]] = [float(x) for x in r["centroid"]]
-        pq = ProductQuantizer("c_vec", dim=m * dsub, m=m, k=k)
-        pq.codebooks_ = books
-        return pq
+        return _load_pq_model(spark, path)
 
     def rebuild_index(
         self,
@@ -735,6 +748,7 @@ class BucketedCosineTopK(CosineTopK):
         id_alias: str,
         vec_alias: str,
         quantize: bool = False,
+        pq=None,
     ) -> DataFrame:
         # materialize the signature in its own projection so the chunk
         # extractors reference ONE sig computation instead of inlining
@@ -746,7 +760,11 @@ class BucketedCosineTopK(CosineTopK):
             F.col(self.vec_col).alias(vec_alias),
             self._sig_expr(F.col(self.vec_col)).alias("__sig"),
         )
-        if quantize:
+        if pq is not None:
+            base = base.withColumn(
+                "c_pq", pq.codes_expr(F.col(vec_alias))
+            ).drop(vec_alias)
+        elif quantize:
             base = _quantize_vec_col(base, vec_alias)
         payload = [c for c in base.columns if c != "__sig"]
         return (
@@ -770,7 +788,8 @@ class BucketedCosineTopK(CosineTopK):
         corpus_df: DataFrame,
         path: str,
         mode: str = "error",
-        quantize: bool = False,
+        quantize: bool | str = False,
+        pq=None,
     ) -> None:
         """Materialize the LSH index at ``path``: the chunked corpus
         signature frame written PARTITIONED BY (ci, cv) plus the LSH
@@ -778,8 +797,12 @@ class BucketedCosineTopK(CosineTopK):
         partitions the queries hash into (dynamic partition pruning) —
         the 'bucketed-by-chunk pruned scan' the class docstring
         promises, without recomputing corpus signatures per search.
-        ``quantize=True`` stores int8 codes + a per-vector scale (same
-        tradeoff as :meth:`IVFCosineTopK.write_index`).
+        ``quantize=True`` stores int8 codes + a per-vector scale,
+        ``quantize='pq'`` (r12) stores product-quantized codes + the
+        model-sized codebook table at ``<path>/pq`` — the same layouts
+        and tradeoffs as :meth:`IVFCosineTopK.write_index` (pass a
+        ``pq=`` instance to control m/k; appends encode against the
+        STORED codebooks; a PQ probe scores by asymmetric distance).
 
         ``mode='append'`` is the recrawl path: the stored LSH
         parameters are validated against this instance first (hashing
@@ -790,22 +813,30 @@ class BucketedCosineTopK(CosineTopK):
         are a pure deterministic function of (vector, parameters),
         append + probe is EXACTLY equal to a full rebuild over the
         union corpus — no approximation drift, unlike IVF where the
-        centroids are frozen at first write."""
+        centroids are frozen at first write (the PQ codebooks are the
+        one frozen piece of a PQ-layout LSH index)."""
         import os
 
         from .dedup import _log_index_version
 
+        ensure(
+            quantize in (False, True, "pq"),
+            "quantize: False (raw), True (int8), or 'pq'",
+        )
         spark = corpus_df.sparkSession
         if mode == "append":
             self._check_stored_params(spark, path)
-            stored_q = "c_q8" in spark.read.parquet(
+            cols = spark.read.parquet(
                 os.path.join(path, "corpus")
             ).columns
+            stored_q: bool | str = (
+                "pq" if "c_pq" in cols else "c_q8" in cols
+            )
             ensure(
                 quantize == stored_q,
-                f"index at '{path}' stores "
-                f"{'quantized' if stored_q else 'raw'} vectors but this "
-                f"append has quantize={quantize}; pass quantize={stored_q}",
+                f"index at '{path}' stores layout {stored_q!r} but "
+                f"this append has quantize={quantize!r}; pass "
+                f"quantize={stored_q!r}",
             )
         width = self.n_planes // self.n_chunks
         ensure(
@@ -814,8 +845,33 @@ class BucketedCosineTopK(CosineTopK):
             f"{self.n_chunks} x 2^{width} partition values; lower "
             "n_planes (or raise n_chunks) before writing an index",
         )
+        if quantize == "pq":
+            if mode == "append":
+                pq = _load_pq_model(spark, path)
+            else:
+                if pq is None:
+                    from .embeddings import ProductQuantizer
+
+                    ensure(
+                        self.dim % 8 == 0,
+                        f"dim {self.dim} is not divisible by the "
+                        "default m=8 — pass pq=ProductQuantizer(...) "
+                        "with an m that divides it",
+                    )
+                    pq = ProductQuantizer(
+                        "c_vec", dim=self.dim, m=8, k=16
+                    )
+                if pq.codebooks_ is None:
+                    pq.fit(
+                        corpus_df.select(
+                            F.col(self.vec_col).alias(pq.vec_col)
+                        )
+                    )
+        else:
+            pq = None
         self._chunked(
-            corpus_df, "neighbor_id", "c_vec", quantize=quantize
+            corpus_df, "neighbor_id", "c_vec",
+            quantize=quantize is True, pq=pq,
         ).write.mode(
             mode
         ).partitionBy("ci", "cv").parquet(os.path.join(path, "corpus"))
@@ -827,6 +883,8 @@ class BucketedCosineTopK(CosineTopK):
             meta.coalesce(1).write.mode(mode).parquet(
                 os.path.join(path, "meta")
             )
+            if pq is not None:
+                _write_pq_books(spark, path, pq, mode)
         _log_index_version(
             spark, path, "append" if mode == "append" else "write"
         )
@@ -856,19 +914,75 @@ class BucketedCosineTopK(CosineTopK):
             f"has {mine} — queries would hash into the wrong buckets",
         )
 
-    def search_index(self, spark, path: str, query_df: DataFrame) -> DataFrame:
+    def search_index(
+        self,
+        spark,
+        path: str,
+        query_df: DataFrame,
+        adc: bool = True,
+    ) -> DataFrame:
         """Probe an index written by ``write_index``. Validates the
         stored LSH parameters match this instance (a mismatched seed or
         plane count would silently hash queries into the wrong buckets),
-        then probes the chunk-partitioned corpus."""
+        then probes the chunk-partitioned corpus. A PQ-layout index
+        defaults to asymmetric-distance scoring (``adc=False`` keeps
+        the decode-reconstruct parity path) — the same contract as
+        :meth:`IVFCosineTopK.search_index`."""
         import os
 
         self._check_stored_params(spark, path)
-        c = _dequantize_if_needed(
-            spark.read.parquet(os.path.join(path, "corpus"))
-        )
+        corpus = spark.read.parquet(os.path.join(path, "corpus"))
         self._guard_query_side(query_df)
+        if "c_pq" in corpus.columns:
+            pq = _load_pq_model(spark, path)
+            if adc:
+                return self._search_chunked_pq(corpus, query_df, pq)
+            c = corpus.withColumn(
+                "c_vec", pq.decode_expr(F.col("c_pq"))
+            ).drop("c_pq")
+        else:
+            c = _dequantize_if_needed(corpus)
         return self._search_chunked(c, query_df)
+
+    def _search_chunked_pq(
+        self, corpus: DataFrame, query_df: DataFrame, pq
+    ) -> DataFrame:
+        """ADC probe over the chunk-partitioned PQ corpus: identical
+        join/dedup/rank shape to :func:`_search_chunked`, candidates
+        stay as m tinyint codes (per-query LUT + query norm computed
+        once in the broadcast projection)."""
+        base = query_df.select(
+            F.col(self.id_col).alias("query_id"),
+            pq.adc_lut_expr(F.col(self.vec_col)).alias("q_lut"),
+            norm_expr(F.col(self.vec_col)).alias("q_norm"),
+            self._sig_expr(F.col(self.vec_col)).alias("__sig"),
+        )
+        q = base.select(
+            "query_id", "q_lut", "q_norm",
+            F.explode(self._chunks_from_sig(F.col("__sig"))).alias("ch"),
+        ).select("query_id", "q_lut", "q_norm", "ch.ci", "ch.cv")
+        cand = (
+            corpus.join(F.broadcast(q), on=["ci", "cv"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        codes = F.col("c_pq")
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.try_divide(
+                pq.adc_dot_expr(codes, F.col("q_lut")),
+                F.col("q_norm") * pq.adc_norm_expr(codes),
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.where(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= self.k)
+        )
 
     def _search_chunked(self, c: DataFrame, query_df: DataFrame) -> DataFrame:
         q = self._chunked(query_df, "query_id", "q_vec")

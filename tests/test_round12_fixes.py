@@ -249,3 +249,69 @@ def test_adc_probe_plan_clean(spark, tmp_path):
     errs = [f for f in ff.plan_audit(out)
             if f["severity"] == "error"]
     assert errs == []
+
+
+# --- LSH index PQ layout (r12: parity with the IVF layout) ----------------
+
+def test_lsh_pq_index_lifecycle(spark, tmp_path):
+    dim = 16
+    rows = _clustered(n=300, dim=dim, seed=9)
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    lsh = ff.BucketedCosineTopK("embedding", "vec_id", k=5, dim=dim)
+    raw_path = str(tmp_path / "raw")
+    pq_path = str(tmp_path / "pq")
+    lsh.write_index(corpus, raw_path)
+    lsh.write_index(
+        corpus, pq_path, quantize="pq",
+        pq=ff.ProductQuantizer("c_vec", dim=dim, m=4, k=16),
+    )
+    queries = corpus.where(F.col("vec_id") < 8)
+
+    def ids(df):
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                      for r in df.collect())
+
+    # ADC and decode paths agree exactly on the PQ index
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"],
+         round(r["cosine"], 9))
+        for r in lsh.search_index(spark, pq_path, queries).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"],
+         round(r["cosine"], 9))
+        for r in lsh.search_index(spark, pq_path, queries, adc=False)
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    # candidate sets come from the SAME signature buckets, so the PQ
+    # probe recalls the same NEIGHBORHOOD as the raw index (ranking
+    # reorders within quantization error — near-identical in-cluster
+    # cosines collapse to equal codes); every returned neighbor must
+    # share the query's planted cluster (vec_id % 4)
+    raw = ids(lsh.search_index(spark, raw_path, queries))
+    assert len(raw) > 0
+    for q, r, n, _ in a:
+        assert n % 4 == q % 4, (q, n)
+
+    # append encodes against the FROZEN codebooks
+    extra = spark.createDataFrame(
+        [(1000 + i, v) for i, v in
+         [(j, r[1]) for j, r in enumerate(_clustered(n=40, dim=dim,
+                                                     seed=10))]],
+        "vec_id bigint, embedding array<double>",
+    )
+    from feature_factory_spark.operators.similarity import _load_pq_model
+    books_before = _load_pq_model(spark, pq_path).codebooks_
+    lsh.write_index(extra, pq_path, mode="append", quantize="pq")
+    assert _load_pq_model(spark, pq_path).codebooks_ == books_before
+    got = lsh.search_index(spark, pq_path, queries)
+    assert got.count() > 0
+
+    # layout mismatch fails loud
+    with pytest.raises(FeatureFactoryError, match="layout"):
+        lsh.write_index(extra, pq_path, mode="append", quantize=False)
+    with pytest.raises(FeatureFactoryError, match="layout"):
+        lsh.write_index(extra, raw_path, mode="append", quantize="pq")
