@@ -519,6 +519,14 @@ class SequencePacker(Transformer):
         validate_columns(df, [self.order_col] + self.partition_cols)
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        return self._transform_counts(
+            df, F.col(self.token_count_col).cast("bigint")
+        )
+
+    def _transform_counts(self, df: DataFrame, count: Column) -> DataFrame:
+        """The greedy running-sum pack law over an arbitrary per-doc
+        token-cost expression — ``materialize`` passes cost+separators
+        so inserted control ids are counted in the budget."""
         if not self.partition_cols:
             from .timeseries import warn_global_window
 
@@ -528,15 +536,19 @@ class SequencePacker(Transformer):
             .orderBy(self.order_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        prior = F.coalesce(
-            F.sum(F.col(self.token_count_col).cast("bigint")).over(w), F.lit(0)
-        )
+        prior = F.coalesce(F.sum(count).over(w), F.lit(0))
         return df.select(
             "*",
             F.floor(prior / F.lit(self.budget)).cast("bigint").alias(self.output_col),
         )
 
-    def materialize(self, df: DataFrame, ids_col: str) -> DataFrame:
+    def materialize(
+        self,
+        df: DataFrame,
+        ids_col: str,
+        sep_id: int | None = None,
+        bos_id: int | None = None,
+    ) -> DataFrame:
         """The final shard rows (r12): ONE row per pack with the
         concatenated training sequence — what the data loader actually
         reads — plus the document boundaries a document-causal
@@ -550,6 +562,20 @@ class SequencePacker(Transformer):
           (boundary offsets = exclusive prefix sums)
         - ``n_docs`` / ``n_tokens``
 
+        ``sep_id`` / ``bos_id`` (r13): the dominant published training
+        formats put a control token BETWEEN documents inside
+        ``input_ids`` — GPT-family appends EOS after each document
+        (``sep_id``), Llama-family prepends BOS (``bos_id``); both may
+        be combined. Each document's emitted sequence becomes
+        ``[bos_id] + ids + [sep_id]``, ``doc_lens`` counts the EMITTED
+        per-document lengths (so boundary offsets stay exclusive
+        prefix sums of ``input_ids``), ``n_tokens`` counts everything,
+        and — when this call computes the packing itself — the pack
+        law charges each document its separator overhead, so packs
+        still land on ~``budget`` emitted tokens. A frame that already
+        carries the pack column is grouped as-is (the caller fixed the
+        packing law first).
+
         Runs ``transform`` first if the frame has no pack column yet.
         One groupBy at the PACK grain — each output row is ~``budget``
         tokens regardless of corpus size, so the shuffle moves exactly
@@ -557,7 +583,18 @@ class SequencePacker(Transformer):
         pack budget (plus the one oversized document the greedy law
         allows)."""
         validate_columns(df, [ids_col])
-        out = df if self.output_col in df.columns else self.transform(df)
+        extra = (sep_id is not None) + (bos_id is not None)
+        if self.output_col in df.columns:
+            out = df
+        elif extra:
+            self._check_input(df)
+            out = self._transform_counts(
+                df,
+                F.col(self.token_count_col).cast("bigint") + F.lit(extra),
+            )
+        else:
+            out = self.transform(df)
+        elem = df.schema[ids_col].dataType.elementType.simpleString()
         keys = [*self.partition_cols, self.output_col]
         grouped = out.groupBy(*keys).agg(
             F.array_sort(
@@ -570,18 +607,28 @@ class SequencePacker(Transformer):
             ).alias("__ff_members")
         )
         members = F.col("__ff_members")
+
+        def emitted(s):
+            parts = []
+            if bos_id is not None:
+                parts.append(F.array(F.lit(bos_id).cast(elem)))
+            parts.append(s["ids"])
+            if sep_id is not None:
+                parts.append(F.array(F.lit(sep_id).cast(elem)))
+            return F.concat(*parts) if len(parts) > 1 else s["ids"]
+
         return grouped.select(
             *keys,
             F.flatten(
-                F.transform(members, lambda s: s["ids"])
+                F.transform(members, emitted)
             ).alias("input_ids"),
             F.transform(members, lambda s: s["o"]).alias("doc_ids"),
             F.transform(
-                members, lambda s: F.size(s["ids"])
+                members, lambda s: F.size(s["ids"]) + F.lit(extra)
             ).alias("doc_lens"),
             F.size(members).alias("n_docs"),
             F.aggregate(
-                F.transform(members, lambda s: F.size(s["ids"])),
+                F.transform(members, lambda s: F.size(s["ids"]) + F.lit(extra)),
                 F.lit(0),
                 lambda a, x: a + x,
             ).cast("bigint").alias("n_tokens"),
