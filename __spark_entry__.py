@@ -4427,6 +4427,82 @@ def q_pack_materialize(spark, sf_dir):
 
 
 @_reg(
+    "pack_materialize_sep",
+    # materialize(sep_id=0, bos_id=9) (r13): the published training
+    # format — BOS before and EOS after every document INSIDE
+    # input_ids, the separator charged to the pack budget law. The
+    # twin recomputes the emitted sequences ([9] || ids || [0]), the
+    # adjusted greedy running-sum (cost = len+2), and the emitted
+    # doc_lens entirely in SQL.
+    r"""WITH w AS (SELECT doc_id, source,
+  list_transform(
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> ''),
+    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 997) AS ids
+  FROM documents),
+c AS (SELECT doc_id, source,
+  [CAST(9 AS BIGINT)] || ids || [CAST(0 AS BIGINT)] AS ids,
+  len(ids) + 2 AS n FROM w),
+p AS (SELECT doc_id, source, ids, n,
+  CAST(floor(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+    AS BIGINT) AS pack_id
+  FROM c),
+g AS (SELECT source, pack_id,
+  flatten(list(ids ORDER BY doc_id)) AS input_ids,
+  list(doc_id ORDER BY doc_id) AS dids,
+  list(n ORDER BY doc_id) AS lens
+  FROM p GROUP BY source, pack_id)
+SELECT pack_id AS k,
+  source || ':' || md5(array_to_string(input_ids, ',')) || ':' ||
+  CAST(len(dids) AS VARCHAR) || ':' ||
+  CAST(coalesce(list_sum(lens), 0) AS VARCHAR) || ':' ||
+  array_to_string(lens, '-') AS val
+FROM g""",
+)
+def q_pack_materialize_sep(spark, sf_dir):
+    from feature_factory_spark.operators.embeddings import hashed_dim_expr
+    from feature_factory_spark.functions.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.transform(
+        F.coalesce(
+            words_expr(F.lower(F.col("text"))),
+            F.array().cast("array<string>"),
+        ),
+        lambda t: hashed_dim_expr(t, 997),
+    )
+    frame = docs.select(
+        "doc_id", "source", ids.alias("ids"),
+    ).withColumn("n_tokens", F.size("ids").cast("bigint"))
+    packer = ff.SequencePacker(
+        "n_tokens", budget=256, order_col="doc_id",
+        partition_cols=["source"],
+    )
+    m = packer.materialize(frame, "ids", sep_id=0, bos_id=9)
+    return m.select(
+        F.col("pack_id").alias("k"),
+        F.concat(
+            F.col("source"), F.lit(":"),
+            F.md5(F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("input_ids"), lambda x: x.cast("string")
+                ),
+            )), F.lit(":"),
+            F.col("n_docs").cast("string"), F.lit(":"),
+            F.col("n_tokens").cast("string"), F.lit(":"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.col("doc_lens"), lambda x: x.cast("string")
+                ),
+            ),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "shard_manifest",
     # CorpusShuffler.shard_manifest (r8): per-shard audit stats over
     # the same seeded-shuffle law as corpus_shuffle, plus an
@@ -7544,6 +7620,9 @@ _merge("pack_family", [
      ["doc_id", "cast(NULL AS bigint) AS k", "cleaned AS val"],
      "doc_id, CAST(NULL AS BIGINT) AS k, cleaned AS val"),
     ("pack_materialize",
+     ["cast(NULL AS bigint) AS doc_id", "k", "val"],
+     "CAST(NULL AS BIGINT) AS doc_id, k, val"),
+    ("pack_materialize_sep",
      ["cast(NULL AS bigint) AS doc_id", "k", "val"],
      "CAST(NULL AS BIGINT) AS doc_id, k, val"),
     ("packed_ids",
