@@ -897,7 +897,16 @@ class BucketedCosineTopK(CosineTopK):
 
         try:
             rows = spark.read.parquet(os.path.join(path, "meta")).collect()
-        except AnalysisException:
+        except AnalysisException as e:
+            # Only the MISSING-PATH case means "index not written
+            # yet"; a corrupt meta footer or transient storage error
+            # must propagate with its real cause — the "re-run
+            # write_index" remedy below would be WRONG advice for it
+            # (same narrowing as _load_centroids above).
+            msg = str(e)
+            if not ("PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg):
+                raise
             rows = []  # missing path — same remedy as an empty table
         ensure(
             bool(rows),
