@@ -5211,6 +5211,96 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+ARPA_FIXTURE = """\\data\\
+ngram 1=8
+ngram 2=7
+
+\\1-grams:
+-2.2\t<unk>\t-0.4
+-0.9\t<s>\t-0.3
+-1.1\t</s>
+-0.7\ttable\t-0.2
+-0.8\tquery\t-0.25
+-0.9\tvalue\t-0.15
+-1.0\tscan\t-0.1
+-1.05\tfast\t-0.12
+
+\\2-grams:
+-0.5\t<s> table
+-0.35\ttable table
+-0.42\tquery value
+-0.6\tvalue fast
+-0.3\tscan scan
+-0.55\tfast </s>
+-0.48\ttable query
+
+\\end\\
+"""
+
+
+@_reg(
+    "arpa_score",
+    # ArpaLogProbScorer (r13): the PUBLISHED KenLM/ARPA back-off model
+    # import. The twin embeds the identical hand-built bigram model as
+    # VALUES literals and recomputes the full Katz chain relationally:
+    # <unk> mapping, <s>/</s> markers, bigram hit OR back-off(prev) +
+    # unigram — every scored position, averaged per doc.
+    f"""WITH uni AS (SELECT g, CAST(lp AS DOUBLE) lp, CAST(bo AS DOUBLE) bo
+  FROM (VALUES
+  ('<unk>', -2.2, -0.4), ('<s>', -0.9, -0.3), ('</s>', -1.1, 0.0),
+  ('table', -0.7, -0.2), ('query', -0.8, -0.25), ('value', -0.9, -0.15),
+  ('scan', -1.0, -0.1), ('fast', -1.05, -0.12)) v(g, lp, bo)),
+bi AS (SELECT g, CAST(lp AS DOUBLE) lp FROM (VALUES
+  ('<s> table', -0.5), ('table table', -0.35), ('query value', -0.42),
+  ('value fast', -0.6), ('scan scan', -0.3), ('fast </s>', -0.55),
+  ('table query', -0.48)) v(g, lp)),
+d AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              x -> x <> '') w FROM documents),
+raw AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) i
+        FROM d),
+mapped AS (SELECT r.doc_id, r.i,
+  CASE WHEN u.g IS NOT NULL THEN r.tok ELSE '<unk>' END tok
+  FROM raw r LEFT JOIN uni u ON u.g = r.tok),
+toks AS (
+  SELECT doc_id, 0 AS i, '<s>' AS tok FROM d WHERE len(w) > 0
+  UNION ALL SELECT doc_id, i, tok FROM mapped
+  UNION ALL SELECT doc_id, len(w) + 1, '</s>' FROM d WHERE len(w) > 0),
+seq AS (SELECT doc_id, i, tok,
+  lag(tok) OVER (PARTITION BY doc_id ORDER BY i) prev FROM toks),
+scored AS (SELECT s.doc_id,
+  CASE WHEN b.lp IS NOT NULL THEN b.lp
+       ELSE coalesce(up.bo, 0.0) + uc.lp END lp
+  FROM seq s
+  LEFT JOIN bi b ON b.g = s.prev || ' ' || s.tok
+  LEFT JOIN uni uc ON uc.g = s.tok
+  LEFT JOIN uni up ON up.g = s.prev
+  WHERE s.i >= 1),
+agg AS (SELECT doc_id, avg(lp) s FROM scored GROUP BY doc_id)
+SELECT d2.doc_id, {R6('a.s')} AS arpa_lp
+FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""",
+)
+def q_arpa_score(spark, sf_dir):
+    # published-model perplexity gate, state round-tripped inside the
+    # verified query (ARPA text -> frame-held model -> parquet ->
+    # restored scorer), oracle-hash-pinned against the SQL Katz chain
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="ff_arpa_")
+    path = os.path.join(tmp, "fixture.arpa")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(ARPA_FIXTURE)
+    op = ff.ArpaLogProbScorer("text", "doc_id").load_arpa(path, spark)
+    op = _state_roundtrip(
+        op, lambda: ff.ArpaLogProbScorer("text", "doc_id"), spark
+    )
+    out = op.transform(docs)
+    return out.select(
+        "doc_id", r6(F.col("text_arpa_logprob")).alias("arpa_lp")
+    )
+
+
 @_reg(
     "perplexity_bucket",
     # CCNet-style head/middle/tail bucketing (r8, PerplexityBucketer,
@@ -7538,6 +7628,9 @@ _merge("lm_family", [
     ("bigram_logprob",
      ["doc_id AS k", "cast(NULL AS string) AS tok", "bigram_logprob AS val"],
      "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, bigram_logprob AS val"),
+    ("arpa_score",
+     ["doc_id AS k", "cast(NULL AS string) AS tok", "arpa_lp AS val"],
+     "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, arpa_lp AS val"),
     ("vocab_topk",
      ["cast(rank AS bigint) AS k", "token AS tok", "cast(count AS double) AS val"],
      "CAST(rank AS BIGINT) AS k, token AS tok, CAST(count AS DOUBLE) AS val"),

@@ -48,6 +48,7 @@ from .numerical import (
     YeoJohnsonTransformer,
 )
 from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
+from .arpa import ArpaLogProbScorer, parse_arpa
 from .bpe import BpeVocabBuilder
 from .unigram import UnigramVocabBuilder
 from .web import (
@@ -232,7 +233,7 @@ __all__ = [
     "GopherQualityFilter", "PIIRedactor",
     "BadWordsFilter",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
-    "BigramLogProbScorer",
+    "BigramLogProbScorer", "ArpaLogProbScorer", "parse_arpa",
     "QualityScorer",
     "VocabBuilder", "BpeVocabBuilder", "UnigramVocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",

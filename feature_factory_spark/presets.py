@@ -180,6 +180,57 @@ def fineweb_pipeline(
     return make_pipeline(*steps)
 
 
+def ccnet_pipeline(
+    spark,
+    arpa_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str | None = None,
+    min_margin: float = 0.0,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    group_col: str | None = None,
+    exact: bool = True,
+) -> Pipeline:
+    """The CCNet stack (Wenzek et al. 2020) runnable VERBATIM against
+    a published model (r13): fix encodings, optionally gate on
+    language (the bundled n-gram identifier), score every document
+    under the PUBLISHED KenLM/ARPA model at ``arpa_path`` — exact
+    Katz back-off, not the corpus-fitted approximation — and bucket
+    head/middle/tail by per-group score quantiles (the paper samples
+    training data bucket-aware; downstream keeps 'head', or mixes).
+
+    ``group_col`` (e.g. a language column) reproduces the paper's
+    per-language cutpoints; ``exact=False`` switches the bucketer to
+    the constant-memory ``approx_percentile`` sketch for 100 TB runs.
+    The scorer loads the model at preset construction (driver-parsed
+    once, frame-held after), so the returned Pipeline fits directly
+    on unlabeled corpora."""
+    from .operators.arpa import ArpaLogProbScorer
+    from .operators.text import (
+        NgramLanguageIdentifier,
+        PerplexityBucketer,
+    )
+
+    steps: list[tuple] = [("encoding_fix", EncodingFixer([text_col]))]
+    if lang is not None:
+        ident = NgramLanguageIdentifier(
+            text_col, id_col, min_margin=min_margin
+        ).fit_default(spark)
+        steps.append(("lang_gate", LanguageGate(ident, lang)))
+    steps.append(
+        ("arpa_score",
+         ArpaLogProbScorer(text_col, id_col).load_arpa(arpa_path, spark))
+    )
+    steps.append(
+        ("ppl_bucket",
+         PerplexityBucketer(
+             f"{text_col}_arpa_logprob", labels=labels,
+             group_col=group_col, exact=exact,
+         ))
+    )
+    return make_pipeline(*steps)
+
+
 def web_extraction_pipeline(
     html_col: str = "page",
     url_col: str = "url",
