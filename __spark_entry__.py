@@ -4818,6 +4818,83 @@ def q_dsir_select_by(spark, sf_dir):
 
 
 @_reg(
+    "dsir_select_n",
+    # DSIRWeighter.select(by=, n=) (r13): ~n kept PER STRATUM via
+    # per-group rates from one count aggregate + the grouped
+    # distinct-q percentile grid. The strata are doc_id % 3 (derived,
+    # deliberately UNEQUAL sizes so the two groups get DISTINCT
+    # quantiles). The twin recomputes the model + keys (the dsir
+    # CTEs) and the per-group threshold by the same interpolated
+    # order-statistic law: pos = (1 - n/c)(c - 1),
+    # thr = x_floor + frac * (x_ceil - x_floor); groups at or under n
+    # keep everything.
+    r"""WITH d AS (SELECT doc_id, source,
+  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> x <> '') w FROM documents),
+g AS (SELECT doc_id, source,
+  unnest(w || list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                             i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM d),
+dm AS (SELECT doc_id, source,
+  ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000 AS dim FROM g),
+p AS (SELECT dim, count(*) c FROM dm WHERE source = 'src0'
+  GROUP BY dim),
+pt AS (SELECT sum(c) t FROM p),
+q AS (SELECT dim, count(*) c FROM dm GROUP BY dim),
+qt AS (SELECT sum(c) t FROM q),
+r AS (SELECT u.dim,
+  (ln(coalesce(p.c, 0) + 1) - ln(pt.t + 10000))
+  - (ln(coalesce(q.c, 0) + 1) - ln(qt.t + 10000)) AS lr
+  FROM (SELECT DISTINCT dim FROM dm) u
+  LEFT JOIN p USING (dim) LEFT JOIN q USING (dim), pt, qt),
+sc AS (SELECT dm.doc_id, sum(r.lr) AS score
+  FROM dm JOIN r USING (dim) GROUP BY dm.doc_id),
+kk AS (SELECT d0.doc_id,
+  CASE WHEN d0.doc_id % 3 = 0 THEN 'a' ELSE 'b' END AS grp,
+  coalesce(sc.score, 0)
+  - ln(-ln(('0x' || substr(md5('dsir' || CAST(d0.doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT::DOUBLE / 1152921504606846976.0)) AS key
+  FROM documents d0 LEFT JOIN sc ON d0.doc_id = sc.doc_id),
+pp AS (SELECT grp, c,
+  (1.0 - least(1.0, 120.0 / CAST(c AS DOUBLE))) * (c - 1) AS pos
+  FROM (SELECT grp, count(*) c FROM kk GROUP BY grp)),
+rk AS (SELECT grp, key,
+  row_number() OVER (PARTITION BY grp ORDER BY key) - 1 AS r FROM kk),
+th AS (SELECT pp.grp,
+  lo.key + (pp.pos - floor(pp.pos)) * (coalesce(hi.key, lo.key) - lo.key)
+    AS t
+  FROM pp
+  JOIN rk lo ON lo.grp = pp.grp
+    AND lo.r = CAST(floor(pp.pos) AS BIGINT)
+  LEFT JOIN rk hi ON hi.grp = pp.grp
+    AND hi.r = CAST(floor(pp.pos) AS BIGINT) + 1
+  WHERE pp.c > 120)
+SELECT kk.doc_id,
+  kk.grp || ':' ||
+  CAST(CAST(floor(kk.key * 1000000 + 0.5) AS BIGINT) AS VARCHAR) AS val
+FROM kk LEFT JOIN th USING (grp)
+WHERE th.t IS NULL OR kk.key >= th.t""",
+)
+def q_dsir_select_n(spark, sf_dir):
+    op, scored = _dsir_scored(spark, sf_dir)
+    grouped = scored.withColumn(
+        "grp",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    kept = op.select(grouped, n=120, by=["grp"])
+    return kept.select(
+        "doc_id",
+        F.concat(
+            F.col("grp"), F.lit(":"),
+            F.floor(F.col("text_dsir_key") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint").cast("string"),
+        ).alias("val"),
+    )
+
+
+@_reg(
     "contamination",
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 g AS (SELECT doc_id,
@@ -7541,6 +7618,7 @@ _merge("sample_family", [
     ("dsir_weight", ["doc_id", "val"], "doc_id, val"),
     ("dsir_select", ["doc_id", "val"], "doc_id, val"),
     ("dsir_select_by", ["doc_id", "val"], "doc_id, val"),
+    ("dsir_select_n", ["doc_id", "val"], "doc_id, val"),
     ("source_mix", ["doc_id", "val"], "doc_id, val"),
     ("code_meta", ["doc_id", "val"], "doc_id, val"),
     ("corpus_diff", ["doc_id", "val"], "doc_id, val"),

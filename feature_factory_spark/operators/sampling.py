@@ -1115,6 +1115,19 @@ class DSIRWeighter(Transformer):
         a target-similar language crowd out the rest). Group count is
         assumed model-sized (the broadcast-join contract).
 
+        ``by=`` + ``n=`` (r13) keeps ~``n`` documents PER STRATUM (the
+        "exactly k docs per language" ask): one count aggregate turns
+        ``n`` into a per-group rate, then ONE grouped quantile
+        aggregate evaluates every group at the full distinct-q grid
+        (``percentile(key, array)``) and each group selects its own
+        threshold via a model-sized index join — still no global sort,
+        no per-group window (a ``row_number PARTITION BY lang`` would
+        funnel each language through one task). Groups smaller than
+        ``n`` keep everything. Per-group aggregation state is
+        O(#distinct group sizes) doubles — model-sized. The kept count
+        per stratum is exact except at interpolation knife-edges
+        (the continuous-quantile law shared with the ``rate=`` path).
+
         Returns the transformed frame (score + key columns appended)
         filtered to the kept documents. Requires ``id_col`` (the
         Gumbel key is seeded per document id)."""
@@ -1130,19 +1143,17 @@ class DSIRWeighter(Transformer):
             (rate is None) != (n is None),
             "select(): pass exactly one of rate= or n=",
         )
-        _ensure(
-            by is None or n is None,
-            "select(by=...) takes rate=, not n= (an absolute count "
-            "is ambiguous across strata — compute per-group rates "
-            "upstream if you need counts)",
-        )
         if n is not None:
             _ensure(n >= 1, "n must be >= 1")
+        key_col = f"{self.out_col}_key"
+        if by and n is not None:
+            out = self.transform(df) if key_col not in df.columns else df
+            return self._select_by_n(out, n, approx, list(by), key_col)
+        if n is not None:
             total = df.count()
             _ensure(total > 0, "select() on an empty frame")
             rate = min(1.0, n / total)
         _ensure(0.0 < rate <= 1.0, "rate must be in (0, 1]")
-        key_col = f"{self.out_col}_key"
         out = self.transform(df) if key_col not in df.columns else df
         if rate >= 1.0:
             return out
@@ -1170,3 +1181,65 @@ class DSIRWeighter(Transformer):
             out, [key_col], [1.0 - rate], approx=approx
         )[key_col][0]
         return out.where(F.col(key_col) >= F.lit(float(thresh)))
+
+    def _select_by_n(
+        self,
+        out: DataFrame,
+        n: int,
+        approx: bool,
+        by: list[str],
+        key_col: str,
+    ) -> DataFrame:
+        """Per-stratum top-``n`` (see :meth:`select`): count aggregate
+        -> per-group q = 1 - n/count -> ONE grouped quantile at the
+        distinct-q grid -> model-sized index join -> broadcast
+        threshold filter."""
+        import os as _os
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        if _os.environ.get("FF_APPROX_QUANTILES") == "1":
+            approx = True
+        cnt_rows = out.groupBy(*by).agg(
+            F.count("*").alias("__ff_c")
+        ).collect()
+        qmap: dict[tuple, float] = {}
+        for r in cnt_rows:
+            c = r["__ff_c"]
+            gkey = tuple(r[col] for col in by)
+            qmap[gkey] = 0.0 if n >= c else 1.0 - n / c
+        qs = sorted({q for q in qmap.values() if q > 0.0})
+        if not qs:
+            return out  # every stratum is at or under n: keep all
+        key = F.col(key_col).cast("double")
+        agg = (
+            F.percentile_approx(key, F.lit(qs))
+            if approx
+            else F.percentile(key, F.lit(qs))
+        )
+        thr_arr = out.groupBy(*by).agg(agg.alias("__ff_thr_arr"))
+        schema = StructType(
+            [out.schema[c] for c in by]
+            + [StructField("__ff_qi", IntegerType())]
+        )
+        idx_df = out.sparkSession.createDataFrame(
+            [
+                (*g, qs.index(q) + 1)
+                for g, q in qmap.items()
+                if q > 0.0
+            ],
+            schema,
+        )
+        thresholds = thr_arr.join(idx_df, by, "left").select(
+            *by,
+            F.element_at(
+                F.col("__ff_thr_arr"), F.col("__ff_qi")
+            ).alias("__ff_dsir_thr"),
+        )
+        joined = out.join(F.broadcast(thresholds), by, "left")
+        # NULL threshold = a stratum smaller than n (no index row):
+        # keep all of it
+        return joined.where(
+            F.col("__ff_dsir_thr").isNull()
+            | (F.col(key_col) >= F.col("__ff_dsir_thr"))
+        ).drop("__ff_dsir_thr")

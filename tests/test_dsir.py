@@ -201,5 +201,45 @@ def test_select_stratified_by_group(spark, target):
     global_kept = sorted(r["doc_id"]
                          for r in op.select(df, rate=0.5).collect())
     assert set(global_kept) != set(got["good"] + got["spam"])
-    with pytest.raises(FeatureFactoryError, match="rate"):
-        op.select(df, n=3, by=["grp"])
+
+
+def test_select_stratified_n_per_group(spark, target):
+    # r13 (VERDICT r12 item 5): by= + n= keeps ~n documents PER
+    # STRATUM with per-group rates from one count aggregate — the
+    # "exactly k docs per language" ask. Strata of UNEQUAL size get
+    # DISTINCT per-group quantiles; a stratum smaller than n keeps
+    # everything.
+    rows = [
+        (1, "encyclopedic prose about science with citations", "big"),
+        (2, "measured claims about history and science prose", "big"),
+        (3, "careful encyclopedic science history citations", "big"),
+        (4, "science prose with measured encyclopedic claims", "big"),
+        (5, "click here buy now free casino bonus deals win", "big"),
+        (6, "free free casino casino win win now now deals", "big"),
+        (7, "buy now win free bonus casino click here deals", "mid"),
+        (8, "casino deals bonus free win buy click now here", "mid"),
+        (9, "measured encyclopedic science citations prose", "mid"),
+        (10, "history science measured claims with citations", "tiny"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, grp string"
+    )
+    op = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=512)
+    op.fit_target(target).fit(df)
+    kept = op.select(df, n=2, by=["grp"])
+    keys = {r["doc_id"]: r["text_dsir_key"]
+            for r in op.transform(df).collect()}
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r["grp"], []).append(r["doc_id"])
+    # big (6 docs) and mid (3 docs) keep exactly their top 2 by key;
+    # tiny (1 doc < n) keeps everything
+    for grp, ids in (("big", [1, 2, 3, 4, 5, 6]), ("mid", [7, 8, 9])):
+        want = sorted(sorted(ids, key=keys.get, reverse=True)[:2])
+        assert sorted(got[grp]) == want, grp
+    assert got["tiny"] == [10]
+    # n >= every stratum: keep-all short-circuit
+    assert op.select(df, n=50, by=["grp"]).count() == 10
+    # key/score columns ride along, threshold helper column dropped
+    assert "__ff_dsir_thr" not in kept.columns
+    assert {"text_dsir", "text_dsir_key"} <= set(kept.columns)
