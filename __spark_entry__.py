@@ -4353,6 +4353,40 @@ def q_corpus_shuffle(spark, sf_dir):
     )
 
 
+_PACK_IDS_MEMO: dict = {}
+_PACK_IDS_LOCK = __import__("threading").Lock()
+
+
+def _pack_ids_frame(spark, sf_dir):
+    """The hashed-word-ids fixture frame shared by the two
+    pack-materialize members, computed ONCE per session (lazy
+    localCheckpoint — the _dsir_scored pattern): the O(tokens) md5
+    fold is fixture synthesis, and without the memo each member pays
+    it again inside the merged family plan."""
+    from feature_factory_spark.operators.embeddings import hashed_dim_expr
+    from feature_factory_spark.functions.text import words_expr
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PACK_IDS_LOCK:
+        fr = _PACK_IDS_MEMO.get(key)
+        if fr is None:
+            docs = _t(spark, sf_dir, "documents")
+            ids = F.transform(
+                F.coalesce(
+                    words_expr(F.lower(F.col("text"))),
+                    F.array().cast("array<string>"),
+                ),
+                lambda t: hashed_dim_expr(t, 997),
+            )
+            fr = docs.select(
+                "doc_id", "source", ids.alias("ids"),
+            ).withColumn(
+                "n_tokens", F.size("ids").cast("bigint")
+            ).localCheckpoint(eager=False)
+            _PACK_IDS_MEMO[key] = fr
+    return fr
+
+
 @_reg(
     "pack_materialize",
     # SequencePacker.materialize (r12): the FINAL shard rows — one row
@@ -4385,20 +4419,7 @@ SELECT pack_id AS k,
 FROM g""",
 )
 def q_pack_materialize(spark, sf_dir):
-    from feature_factory_spark.operators.embeddings import hashed_dim_expr
-    from feature_factory_spark.functions.text import words_expr
-
-    docs = _t(spark, sf_dir, "documents")
-    ids = F.transform(
-        F.coalesce(
-            words_expr(F.lower(F.col("text"))),
-            F.array().cast("array<string>"),
-        ),
-        lambda t: hashed_dim_expr(t, 997),
-    )
-    frame = docs.select(
-        "doc_id", "source", ids.alias("ids"),
-    ).withColumn("n_tokens", F.size("ids").cast("bigint"))
+    frame = _pack_ids_frame(spark, sf_dir)
     packer = ff.SequencePacker(
         "n_tokens", budget=256, order_col="doc_id",
         partition_cols=["source"],
@@ -4461,20 +4482,7 @@ SELECT pack_id AS k,
 FROM g""",
 )
 def q_pack_materialize_sep(spark, sf_dir):
-    from feature_factory_spark.operators.embeddings import hashed_dim_expr
-    from feature_factory_spark.functions.text import words_expr
-
-    docs = _t(spark, sf_dir, "documents")
-    ids = F.transform(
-        F.coalesce(
-            words_expr(F.lower(F.col("text"))),
-            F.array().cast("array<string>"),
-        ),
-        lambda t: hashed_dim_expr(t, 997),
-    )
-    frame = docs.select(
-        "doc_id", "source", ids.alias("ids"),
-    ).withColumn("n_tokens", F.size("ids").cast("bigint"))
+    frame = _pack_ids_frame(spark, sf_dir)
     packer = ff.SequencePacker(
         "n_tokens", budget=256, order_col="doc_id",
         partition_cols=["source"],
