@@ -186,6 +186,25 @@ def main() -> None:
     ).transform(counted)
     packed.groupBy("pack_id").count().orderBy("pack_id").show(5)
 
+    # 3b'. (r12/r13) the FINAL training-shard rows: one row per pack
+    #      with the concatenated input_ids, doc_ids/doc_lens
+    #      boundaries for document-causal masking, and an EOS
+    #      separator between documents COUNTED in the pack budget —
+    #      the published packed-sequence format a data loader reads
+    sample = final.select("doc_id", "source", "text").limit(50)
+    with_seq = bpe.encode_ids(sample).withColumn(
+        "n_tokens", F.size("text_bpe_ids").cast("bigint")
+    )
+    eos_id = bpe.vocabulary().count()  # first free id as the control id
+    shards = ff.SequencePacker(
+        "n_tokens", budget=512, order_col="doc_id",
+        partition_cols=["source"],
+    ).materialize(with_seq, "text_bpe_ids", sep_id=int(eos_id))
+    shards.select(
+        "pack_id", "n_docs", "n_tokens", F.slice("input_ids", 1, 8),
+        "doc_lens",
+    ).show(3, False)
+
     # 3c. the second tokenizer family (r9): a SentencePiece-style
     #     unigram-LM model over the same corpus — Viterbi segmentation,
     #     U+2581 word markers, spm .vocab text export
@@ -363,10 +382,14 @@ def main() -> None:
     dsir = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=2048)
     dsir.fit_target(docs.where(F.col("source") == "src0"))
     dsir.fit(docs)
-    picked = ff.GroupedTopK(
-        ["const"], "text_dsir_key", k=100
-    ).transform(dsir.transform(docs).withColumn("const", F.lit(1)))
-    print(f"DSIR-resampled selection: {picked.count()} docs")
+    # (r12) the published SELECTION step: Gumbel-top-k at a rate as a
+    # quantile threshold — one aggregate + a narrow filter, no sort
+    kept = dsir.select(docs, rate=0.25)
+    print(f"DSIR select(rate=0.25): {kept.count()} docs kept")
+    # (r13) stratified absolute counts: ~n docs PER SOURCE via
+    # per-group rates from one count aggregate — 'k docs per language'
+    per_src = dsir.select(docs, n=5, by=["source"])
+    per_src.groupBy("source").count().orderBy("source").show(5)
 
     # 14. (r11) the shipping audit: run the cleaning stack through the
     #     keep/drop ledger — every input doc attributed to the stage
