@@ -333,6 +333,32 @@ class UnigramVocabBuilder(Transformer):
         # Unigram: index == id). None for fitted instances, whose ids
         # derive from the (logprob desc, piece asc) sort.
         self.vocab_order_: list[str] | None = None
+        # --- imported-model surfaces (set ONLY by load_tokenizer_json;
+        # every fit resets them) --------------------------------------
+        # added_tokens content -> id (T5's <extra_id_*> sentinels live
+        # here, outside model.vocab)
+        self.added_ids_: dict[str, int] = {}
+        # added-token contents isolated from corpus text before
+        # normalization (HF AddedToken semantics, the BPE r13 law)
+        self._special_tokens: list[str] = []
+        # unknown-piece semantics of the source file: byte_fallback
+        # expands to <0xXX> ids, else unk_id (fuse_unk collapses runs)
+        self._byte_fallback: bool = False
+        self._unk_id: int | None = None
+        self._fuse_unk: bool = False
+        # Metaspace prepend: scheme 'always'/'first' vs 'never' —
+        # identical at document grain; 'first' differs only for the
+        # non-first segments special isolation produces
+        self._prepend: bool = True
+        self._prepend_scheme: str = "always"
+        # imported normalizer ATOM chain (Sequence files: Precompiled
+        # charsmap, Replace, Lowercase, Strip, NF*) — non-empty chain
+        # routes text through the exact Python normalizer (the
+        # UnicodeNormalizer slow-path exception); empty chain keeps
+        # the pure-JVM path
+        self._norm_chain: list[dict] = []
+        # verbatim source document — export re-emits it untouched
+        self._loaded_doc: dict | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -345,18 +371,109 @@ class UnigramVocabBuilder(Transformer):
         validate_string_columns(df, [self.text_col])
 
     def _word_expr(self) -> Column:
-        """Whitespace words, each prefixed with :data:`WORD_MARK` (the
-        SentencePiece convention): the model is trained on and segments
-        marked words, so piece sequences are decodable."""
+        """Document text -> array of pieces to segment.
+
+        Fitted instances: whitespace words, each prefixed with
+        :data:`WORD_MARK` (the SentencePiece convention the trainer
+        fits on). IMPORTED models (``vocab_order_`` set) reproduce the
+        file's Metaspace law exactly instead: only ' ' becomes the
+        mark (runs of spaces yield bare-mark pieces, tabs/newlines
+        stay inside pieces), the mark is prepended per
+        ``prepend_scheme``, and pieces split at EVERY mark — the
+        published pre-tokenizer semantics, pure JVM. Files carrying a
+        normalizer CHAIN (Precompiled charsmap, Replace, NF*...) or
+        isolated added_tokens route through one Arrow-batched Python
+        words UDF applying the exact chain (the UnicodeNormalizer
+        slow-path exception: the JVM cannot evaluate a charsmap)."""
+        if self._norm_chain or self._special_tokens:
+            return self._python_words_udf()(F.col(self.text_col))
         text = F.col(self.text_col)
         if self.lowercase:
             text = F.lower(text)
+        if self.vocab_order_ is not None:
+            marked = F.regexp_replace(text, " ", WORD_MARK)
+            if self._prepend:
+                marked = F.concat(F.lit(WORD_MARK), marked)
+            pat = f"{WORD_MARK}[^{WORD_MARK}]*|[^{WORD_MARK}]+"
+            pieces = F.coalesce(
+                F.regexp_extract_all(marked, F.lit(pat), 0),
+                F.array().cast("array<string>"),
+            )
+            # the source runtimes emit NO pieces for empty input
+            return F.when(
+                F.col(self.text_col).isNull()
+                | (F.col(self.text_col) == ""),
+                F.array().cast("array<string>"),
+            ).otherwise(pieces)
         words = F.coalesce(
             words_expr(text), F.array().cast("array<string>")
         )
         return F.transform(
             words, lambda w: F.concat(F.lit(WORD_MARK), w)
         )
+
+    def _python_words_udf(self):
+        """Exact-chain words UDF for imported files with a normalizer
+        chain and/or isolated specials: special split (leftmost-
+        longest) -> per-segment normalizer chain -> per-segment
+        Metaspace law. Arrow-batched; the model-sized chain rides the
+        closure."""
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.charsmap import chain_fn
+
+        chain = [dict(a) for a in self._norm_chain]
+        specials = list(self._special_tokens)
+        lowercase = self.lowercase
+        scheme = self._prepend_scheme
+        prepend = self._prepend
+        mark = WORD_MARK
+        fn = chain_fn(chain) if chain else None
+        spat = (
+            _re.compile("|".join(_re.escape(t) for t in specials))
+            if specials
+            else None
+        )
+        meta_re = _re.compile(f"{mark}[^{mark}]*|[^{mark}]+")
+
+        @pandas_udf("array<string>")
+        def words(col):
+            def one(s):
+                if s is None or s == "":
+                    return []
+                if spat is None:
+                    segs = [(False, s)]
+                else:
+                    segs, pos = [], 0
+                    for m in spat.finditer(s):
+                        if m.start() > pos:
+                            segs.append((False, s[pos:m.start()]))
+                        segs.append((True, m.group(0)))
+                        pos = m.end()
+                    if pos < len(s):
+                        segs.append((False, s[pos:]))
+                out = []
+                for i, (is_sp, seg) in enumerate(segs):
+                    if is_sp:
+                        out.append(seg)
+                        continue
+                    if fn is not None:
+                        seg = fn(seg)
+                    if lowercase:
+                        seg = seg.lower()
+                    if not seg:
+                        continue
+                    marked = seg.replace(" ", mark)
+                    if prepend and (scheme == "always" or i == 0):
+                        marked = mark + marked
+                    out.extend(meta_re.findall(marked))
+                return out
+
+            return col.map(one)
+
+        return words
 
     def word_counts(self, df: DataFrame) -> DataFrame:
         """(word, cnt) aggregated corpus word frequencies, min_count
@@ -393,8 +510,17 @@ class UnigramVocabBuilder(Transformer):
     def _fit(self, df: DataFrame) -> None:
         # refitting an instance that previously imported a tokenizer
         # must shed the imported id layout (ids derive from the new
-        # model's logprob sort again)
+        # model's logprob sort again) AND the imported mode switches
         self.vocab_order_ = None
+        self.added_ids_ = {}
+        self._special_tokens = []
+        self._byte_fallback = False
+        self._unk_id = None
+        self._fuse_unk = False
+        self._prepend = True
+        self._prepend_scheme = "always"
+        self._norm_chain = []
+        self._loaded_doc = None
         if self.fit_mode == "distributed":
             self._fit_distributed(df)
             return
@@ -543,9 +669,30 @@ class UnigramVocabBuilder(Transformer):
         )
         return {r["piece"]: int(r["n"]) for r in rows}
 
+    def _id_map(self) -> dict[str, int]:
+        """piece -> id under the active layout: an imported file's
+        verbatim order (+ its added_tokens) or the fitted
+        (logprob desc, piece asc) sort."""
+        lp = self._require_fit()
+        if self.vocab_order_ is not None:
+            m = {p: i for i, p in enumerate(self.vocab_order_)}
+        else:
+            m = {
+                p: i
+                for i, (p, _) in enumerate(
+                    sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+                )
+            }
+        for p, i in self.added_ids_.items():
+            m.setdefault(p, i)
+        return m
+
     def vocabulary(self) -> DataFrame:
         """(piece, id, logprob): ids by (logprob desc, piece asc) —
-        id 0 is the most probable piece, the save_tokenizer layout."""
+        id 0 is the most probable piece, the save_tokenizer layout.
+        Imported models keep their file's index==id order verbatim;
+        added_tokens join with a NULL logprob (they carry no LM
+        mass)."""
         from .text import _require_frame_state
 
         lp = self._require_fit()
@@ -554,6 +701,14 @@ class UnigramVocabBuilder(Transformer):
             # (HF Unigram: index == id); re-sorting could renumber a
             # foreign vocabulary and shift every encoded id
             rows = [(p, i, lp[p]) for i, p in enumerate(self.vocab_order_)]
+            seen = set(self.vocab_order_)
+            rows += [
+                (p, i, None)
+                for p, i in sorted(
+                    self.added_ids_.items(), key=lambda kv: kv[1]
+                )
+                if p not in seen
+            ]
         else:
             rows = [
                 (p, i, v)
@@ -612,40 +767,106 @@ class UnigramVocabBuilder(Transformer):
             got = [r["word"] for r in unseen.collect()]
         if not got:
             return fitted
+        special = set(self._special_tokens)
         extra = fitted.sparkSession.createDataFrame(
             [
-                (w, viterbi_segment(w, lp, self.max_piece_len))
+                # isolated added tokens are ONE piece — their own
+                # content, so the id join lands on the added id
+                (w, [w] if w in special
+                 else viterbi_segment(w, lp, self.max_piece_len))
                 for w in sorted(got)
             ],
             "word string, pieces array<string>",
         )
         return fitted.unionByName(extra)
 
+    def _ids_seq_table(self, table: DataFrame) -> DataFrame:
+        """(word, pieces:int array): piece strings -> vocabulary ids
+        via ONE broadcast join at the (word, piece) grain — honors an
+        imported file's id layout verbatim (``vocab_order_`` + its
+        added_tokens; the r13 fix: the former driver-dict path
+        silently renumbered foreign layouts by the fitted sort) and
+        reproduces the published unknown-piece semantics:
+        ``byte_fallback`` expands an uncovered piece to its UTF-8
+        bytes' ``<0xXX>`` ids (the Gemma/Llama convention, same
+        expression as the BPE path), else ``unk_id`` when the file
+        declares one (``fuse_unk`` collapsing consecutive unknowns to
+        ONE id, the SentencePiece default), else the -1 sentinel."""
+        vocab = self.vocabulary().select(
+            F.col("piece").alias("__ff_tok"),
+            F.col("id").alias("__ff_tid"),
+        )
+        exploded = table.select(
+            "word", F.posexplode("pieces").alias("__ff_p", "__ff_tok")
+        ).join(F.broadcast(vocab), "__ff_tok", "left")
+        if self._byte_fallback:
+            id_map = self._id_map()
+            miss = -1 if self._unk_id is None else int(self._unk_id)
+            byte_ids = [
+                int(id_map.get("<0x%02X>" % b, miss))
+                for b in range(256)
+            ]
+            blit = F.lit(byte_ids)
+            fallback = F.transform(
+                F.regexp_extract_all(
+                    F.hex(F.encode(F.col("__ff_tok"), "UTF-8")),
+                    F.lit("(..)"), 1,
+                ),
+                lambda h: F.element_at(
+                    blit, F.conv(h, 16, 10).cast("int") + 1
+                ),
+            )
+            ids = F.when(
+                F.col("__ff_tid").isNotNull(),
+                F.array(F.col("__ff_tid")),
+            ).otherwise(fallback)
+        else:
+            miss = -1 if self._unk_id is None else int(self._unk_id)
+            ids = F.array(
+                F.coalesce(F.col("__ff_tid"), F.lit(int(miss)))
+            )
+        out = (
+            exploded.withColumn("__ff_ids", ids)
+            .groupBy("word")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__ff_p", "__ff_ids")
+                            )
+                        ),
+                        lambda s: s["__ff_ids"],
+                    )
+                ).alias("pieces")
+            )
+        )
+        if (
+            self._fuse_unk
+            and self._unk_id is not None
+            and not self._byte_fallback
+        ):
+            unk = int(self._unk_id)
+            out = out.select(
+                "word",
+                F.aggregate(
+                    F.col("pieces"),
+                    F.array().cast("array<int>"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(unk))
+                        & (x == F.lit(unk)),
+                        acc,
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("pieces"),
+            )
+        return out
+
     def _encode(self, df: DataFrame, as_ids: bool) -> DataFrame:
         self._check_input(df)
         table = self._piece_table(df)
         if as_ids:
-            ids = {
-                p: i
-                for i, (p, _) in enumerate(
-                    sorted(
-                        self._require_fit().items(),
-                        key=lambda pv: (-pv[1], pv[0]),
-                    )
-                )
-            }
-            id_map = F.create_map(
-                *[F.lit(x) for kv in ids.items() for x in kv]
-            )
-            table = table.select(
-                "word",
-                F.transform(
-                    "pieces",
-                    lambda p: F.coalesce(
-                        F.element_at(id_map, p), F.lit(-1)
-                    ),
-                ).alias("pieces"),
-            )
+            table = self._ids_seq_table(table)
             elem = "int"
         else:
             elem = "string"
@@ -716,26 +937,58 @@ class UnigramVocabBuilder(Transformer):
         _vc(df, [self.id_col, ids_col])
         ensure(output_col not in df.columns,
                f"output column '{output_col}' already exists")
-        lp = self._require_fit()
-        pieces = [
-            p for p, _ in sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
-        ]
-        arr = F.array(*[F.lit(p) for p in pieces])
-        decoded = F.array_join(
-            F.transform(
-                F.col(ids_col),
-                lambda i: F.when(
-                    (i >= 0) & (i < F.lit(len(pieces))),
-                    F.element_at(arr, i + 1),
-                ).otherwise(F.lit("�")),
-            ),
-            "",
+        self._require_fit()
+        # id -> piece via one broadcast frame join (honors imported
+        # layouts + added tokens; the former literal-array path both
+        # renumbered foreign layouts and planned one expression node
+        # per vocab entry — a 32k-piece real model is a frame, not a
+        # literal). Byte-fallback pieces (<0xXX>) fuse through the
+        # hex-accumulate inversion (the BPE metaspace decode law), so
+        # multi-byte UTF-8 split across byte tokens reassembles.
+        vocab = self.vocabulary().select(
+            F.col("id").alias("__ff_tid"),
+            F.col("piece").alias("__ff_tok"),
         )
-        decoded = F.ltrim(F.replace(decoded, F.lit(WORD_MARK), F.lit(" ")))
-        return df.select(
-            "*",
+        toks = df.select(
+            F.col(self.id_col).alias("__ff_id"),
+            F.posexplode(F.col(ids_col)).alias("__ff_p", "__ff_tid"),
+        ).join(F.broadcast(vocab), "__ff_tid", "left")
+
+        def tok_bytes(s: Column) -> Column:
+            t = F.coalesce(s["__ff_tok"], F.lit("�"))
+            is_byte = t.rlike("^<0x[0-9A-Fa-f]{2}>$")
+            plain = F.hex(
+                F.encode(
+                    F.regexp_replace(t, WORD_MARK, " "), "UTF-8"
+                )
+            )
+            return F.when(
+                is_byte, F.upper(F.substring(t, 4, 2))
+            ).otherwise(plain)
+
+        assembled = toks.groupBy("__ff_id").agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ff_p", "__ff_tok"))
+                    ),
+                    tok_bytes,
+                ),
+            ).alias("__ff_cat")
+        )
+        decoded_txt = F.ltrim(
+            F.decode(F.unhex(F.col("__ff_cat")), "UTF-8")
+        )
+        decoded = assembled.select(
+            "__ff_id", decoded_txt.alias("__ff_txt")
+        )
+        return df.join(
+            decoded, on=df[self.id_col] == decoded["__ff_id"], how="left"
+        ).select(
+            *[F.col(c) for c in df.columns],
             F.when(F.col(ids_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(decoded)
+            .otherwise(F.coalesce("__ff_txt", F.lit("")))
             .alias(output_col),
         )
 
@@ -806,9 +1059,23 @@ class UnigramVocabBuilder(Transformer):
         penalty rather than an unk piece); the pre_tokenizer records
         the SentencePiece word treatment (Metaspace with the ``▁``
         mark this trainer prefixes). Stdlib json, driver-side,
-        model-sized. ``path`` is the FILE path."""
+        model-sized. ``path`` is the FILE path.
+
+        An instance that IMPORTED a tokenizer.json re-exports its
+        source document verbatim (re-deriving a foreign layout from
+        this engine's sections could silently drop fields — the
+        BpeVocabBuilder contract)."""
         import os
 
+        if self._loaded_doc is not None:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(
+                    self._loaded_doc, f, ensure_ascii=False, indent=2
+                )
+            return
         lp = self._require_fit()
         ordered = sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
         doc = {
@@ -868,7 +1135,9 @@ class UnigramVocabBuilder(Transformer):
         self._fitted = True
         return self
 
-    def load_tokenizer_json(self, path: str, spark) -> "UnigramVocabBuilder":
+    def load_tokenizer_json(
+        self, path: str, spark, split_specials: bool = True
+    ) -> "UnigramVocabBuilder":
         """Load a HuggingFace ``tokenizer.json`` Unigram model and make
         this instance encode/decode with it at corpus scale — the
         inverse of :meth:`export_tokenizer_json`, so a tokenizer
@@ -877,19 +1146,40 @@ class UnigramVocabBuilder(Transformer):
 
         ``model.vocab`` ([[piece, logprob], ...]) supplies both the
         log-probs and the id layout (HF Unigram: index == id —
-        preserved verbatim, never re-sorted); a Lowercase normalizer
-        sets ``lowercase``. The word-piece table starts EMPTY, so every
-        corpus word re-segments under the loaded model (identical
-        results — segmentation is a pure function of the log-probs),
-        and ``max_unseen_words`` is cleared.
+        preserved verbatim, never re-sorted). The word-piece table
+        starts EMPTY, so every corpus word re-segments under the
+        loaded model (identical results — segmentation is a pure
+        function of the log-probs), and ``max_unseen_words`` is
+        cleared.
 
-        Fail-loud on models this engine cannot reproduce: non-Unigram
-        types, a pre_tokenizer other than Metaspace with this engine's
-        word mark, normalizers beyond Lowercase. A non-null ``unk_id``
-        is accepted — the unk piece keeps its id slot — but characters
-        no piece covers segment with this trainer's fixed single-char
-        penalty rather than collapsing to the unk piece (segmentation
-        of covered text is unaffected)."""
+        r13 — the published-file matrix (T5/XLNet-style layouts):
+
+        - **Metaspace**, any ``prepend_scheme`` (always/first/never)
+          and the legacy ``add_prefix_space`` key; imported models
+          segment by the FILE's law exactly — only ' ' becomes the
+          mark, pieces split at every mark (runs of spaces produce
+          bare-mark pieces).
+        - **normalizer chains**: None, solo Lowercase (pure-JVM), or
+          a Sequence of Precompiled (the SentencePiece charsmap,
+          parsed by :mod:`..functions.charsmap` from the public
+          darts-clone format), Replace (String/Regex), Lowercase,
+          Strip, and NFC/NFD/NFKC/NFKD — applied EXACTLY in one
+          Arrow-batched Python pass (the documented slow-path
+          exception; grapheme approximation caveat in the charsmap
+          module docstring). Anything else rejects loudly.
+        - **unknown-piece semantics**: ``model.unk_id`` maps uncovered
+          pieces to the unk id (consecutive unknowns FUSE to one id,
+          the SentencePiece default — override with an explicit
+          ``fuse_unk`` key); ``byte_fallback`` expands them to
+          ``<0xXX>`` ids instead. Without either, the -1 sentinel.
+        - **added_tokens** (T5's ``<extra_id_*>`` sentinels) join the
+          id map, and — HF AddedToken semantics, default on — their
+          contents are isolated from corpus text before normalization
+          so a literal sentinel encodes to its own id
+          (``split_specials=False`` restores plain behavior; lstrip/
+          rstrip/single_word matching flags reject loudly)."""
+        from ..functions.charsmap import parse_norm_chain
+
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
         model = doc.get("model") or {}
@@ -901,39 +1191,83 @@ class UnigramVocabBuilder(Transformer):
         )
         vocab = model.get("vocab") or []
         ensure(bool(vocab), f"tokenizer.json at '{path}' has no vocab")
-        norm = doc.get("normalizer")
-        ensure(
-            norm is None or norm == {"type": "Lowercase"},
-            f"unsupported normalizer {norm!r}: this engine reproduces "
-            "None or Lowercase only",
+        lowercase, chain = parse_norm_chain(
+            doc.get("normalizer"), path
         )
         pre = doc.get("pre_tokenizer") or {}
-        # prepend_scheme (modern key) / add_prefix_space (legacy key)
-        # control whether the FIRST word of a document also gets the
-        # word mark; this engine always prepends it, so a 'never' or
-        # 'first' scheme would silently segment the first word of
-        # every document differently from the source tokenizer.
-        scheme = pre.get("prepend_scheme", "always")
-        legacy_prefix = pre.get("add_prefix_space", True)
+        scheme = pre.get("prepend_scheme")
+        if scheme is None:
+            # legacy key
+            scheme = (
+                "always" if pre.get("add_prefix_space", True)
+                else "never"
+            )
         ensure(
             pre.get("type") == "Metaspace"
             and pre.get("replacement") == WORD_MARK
-            and scheme == "always"
-            and legacy_prefix is True,
-            f"unsupported pre_tokenizer {pre!r}: this engine reproduces "
-            f"Metaspace with replacement '{WORD_MARK}' and "
-            "prepend_scheme 'always' (add_prefix_space true) only — "
-            "'never'/'first' schemes segment the first word of each "
-            "document differently, a silent id mismatch",
+            and scheme in ("always", "first", "never")
+            and pre.get("split", True) is not False,
+            f"unsupported pre_tokenizer {pre!r}: this engine "
+            f"reproduces Metaspace with replacement '{WORD_MARK}' "
+            "and split=true only — other shapes segment differently, "
+            "a silent id mismatch",
         )
         pieces = [str(p) for p, _ in vocab]
         ensure(
             len(set(pieces)) == len(pieces),
             f"tokenizer.json at '{path}' has duplicate vocab pieces",
         )
-        self.lowercase = norm == {"type": "Lowercase"}
+        unk_id = model.get("unk_id")
+        if unk_id is not None:
+            unk_id = int(unk_id)
+            ensure(
+                0 <= unk_id < len(pieces),
+                f"unk_id {unk_id} is outside the vocab of '{path}'",
+            )
+        added: dict[str, int] = {}
+        specials: list[str] = []
+        piece_set = set(pieces)
+        for at in doc.get("added_tokens") or []:
+            tok, tid = at.get("content"), at.get("id")
+            if tok is None or tid is None:
+                continue
+            tok = str(tok)
+            if tok not in piece_set:
+                added[tok] = int(tid)
+            if split_specials and tok:
+                flags = [
+                    f for f in ("lstrip", "rstrip", "single_word")
+                    if at.get(f)
+                ]
+                ensure(
+                    not flags,
+                    f"added token {tok!r} in '{path}' sets "
+                    f"{'/'.join(flags)}: this engine matches specials "
+                    "as plain literals only (load with "
+                    "split_specials=False to skip isolation)",
+                )
+                specials.append(tok)
+        self.lowercase = lowercase
         self.logprobs_ = {str(p): float(v) for p, v in vocab}
         self.vocab_order_ = pieces
+        self.added_ids_ = added
+        self._special_tokens = sorted(
+            set(specials), key=lambda t: (-len(t), t)
+        )
+        self._byte_fallback = bool(model.get("byte_fallback"))
+        self._unk_id = unk_id
+        self._fuse_unk = bool(model.get("fuse_unk", unk_id is not None))
+        self._prepend = scheme in ("always", "first")
+        self._prepend_scheme = scheme
+        self._norm_chain = chain
+        self._loaded_doc = doc
+        # the segmenter only proposes candidates up to max_piece_len:
+        # a published file's longest piece must stay reachable or its
+        # ids silently never appear (the trainer default is 8; real
+        # models carry much longer pieces)
+        self.max_piece_len = max(
+            self.max_piece_len, max(len(p) for p in pieces)
+        )
         self.max_unseen_words = None
         self.word_pieces_ = spark.createDataFrame(
             [], "word string, pieces array<string>"

@@ -243,11 +243,12 @@ def test_bpe_load_tokenizer_json_rejects_foreign_semantics(spark, tmp_path):
     assert byte_side.byte_level is True
 
 
-def test_unigram_load_tokenizer_json_rejects_prepend_scheme(
+def test_unigram_load_tokenizer_json_prepend_schemes(
         spark, corpus_df, tmp_path):
-    # r11 ADVICE (low): prepend_scheme 'never'/'first' (or legacy
-    # add_prefix_space false) segments the first word of each document
-    # differently from this always-prepending engine — must reject.
+    # r13 (VERDICT r12 item 6): prepend_scheme 'never'/'first' (and
+    # legacy add_prefix_space false) now LOAD — imported models
+    # reproduce the file's Metaspace law exactly, so 'first' equals
+    # 'always' at document grain and 'never' drops the leading mark.
     import feature_factory_spark as ff
 
     op = UnigramVocabBuilder("text", "doc_id", vocab_size=24,
@@ -257,25 +258,35 @@ def test_unigram_load_tokenizer_json_rejects_prepend_scheme(
     doc = json.load(open(path, encoding="utf-8"))
 
     def write(**pre_mut):
-        bad = json.loads(json.dumps(doc))
-        bad["pre_tokenizer"].update(pre_mut)
-        p = str(tmp_path / "bad.json")
-        json.dump(bad, open(p, "w", encoding="utf-8"))
+        mut = json.loads(json.dumps(doc))
+        mut["pre_tokenizer"].update(pre_mut)
+        p = str(tmp_path / "mut.json")
+        json.dump(mut, open(p, "w", encoding="utf-8"))
         return p
 
-    for mut in ({"prepend_scheme": "never"},
-                {"prepend_scheme": "first"},
-                {"add_prefix_space": False}):
-        with pytest.raises(ff.InvalidParameterError,
-                           match="pre_tokenizer"):
-            UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
-                write(**mut), spark)
-    # the export's own shape still loads
-    fresh = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+    base = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
         path, spark)
+    want_ids = {r["doc_id"]: list(r["text_unigram_ids"])
+                for r in base.encode_ids(corpus_df).collect()}
+    first = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+        write(prepend_scheme="first"), spark)
+    got = {r["doc_id"]: list(r["text_unigram_ids"])
+           for r in first.encode_ids(corpus_df).collect()}
+    assert got == want_ids  # 'first' == 'always' with no specials
+    never = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+        write(prepend_scheme="never"), spark)
+    assert never._prepend is False
+    one = spark.createDataFrame([(0, "low")], "doc_id bigint, text string")
+    pieces = list(never.encode(one).collect()[0]["text_unigram_pieces"])
+    assert pieces and not pieces[0].startswith("▁")
+    # a non-Metaspace pre_tokenizer still rejects loudly
+    with pytest.raises(ff.InvalidParameterError, match="pre_tokenizer"):
+        UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+            write(type="Whitespace"), spark)
+    # the export's own shape still loads with the verbatim id layout
     want = [r["piece"] for r in
             op.vocabulary().orderBy("id").collect()]
-    assert fresh.vocab_order_ == want
+    assert base.vocab_order_ == want
 
 
 def test_unigram_load_tokenizer_json_encode_parity(spark, corpus_df,
