@@ -5574,6 +5574,7 @@ UNION ALL SELECT 'byte_merges_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'byte_ids_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'byte_files_roundtrip', CAST(1 AS BIGINT)
 UNION ALL SELECT 'bytelevel_apply_ids_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'special_isolation_ids_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'bytelevel_apply_roundtrip', CAST(1 AS BIGINT)""",
 )
 def q_bpe_vocab(spark, sf_dir):
@@ -5721,8 +5722,13 @@ def q_bpe_vocab(spark, sf_dir):
                  enumerate(sorted(set(_B2U.values())))}
         for l, r in bl_merges:
             vocab.setdefault(l + r, len(vocab))
+        eot = len(vocab)
+        vocab["<|endoftext|>"] = eot
         doc = {
-            "version": "1.0", "added_tokens": [], "normalizer": None,
+            "version": "1.0",
+            "added_tokens": [{"id": eot, "content": "<|endoftext|>",
+                              "special": True}],
+            "normalizer": None,
             "pre_tokenizer": {"type": "ByteLevel",
                               "add_prefix_space": False,
                               "trim_offsets": True, "use_regex": True},
@@ -5744,7 +5750,11 @@ def q_bpe_vocab(spark, sf_dir):
         texts = ["hello the world", "  the theft, hellow!",
                  "he'll tell 42 things.", "the", "",
                  "tab\tand\nnewline  runs",
-                 "unicode: schöner 日本語 🙂"]
+                 "unicode: schöner 日本語 🙂",
+                 # r13 AddedToken isolation: literal specials in raw
+                 # text map to the control id and round-trip as text
+                 "the<|endoftext|>hello", "<|endoftext|>",
+                 "a <|endoftext|> b"]
         adf = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)],
             "doc_id bigint, text string",
@@ -5752,8 +5762,9 @@ def q_bpe_vocab(spark, sf_dir):
         pat = _re.compile(
             r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
             r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+        spat = _re.compile(_re.escape("<|endoftext|>"))
 
-        def ref_ids(text):
+        def ref_seg_ids(text):
             ids = []
             for piece in pat.findall(text):
                 syms = [_B2U[b] for b in piece.encode("utf-8")]
@@ -5768,6 +5779,18 @@ def q_bpe_vocab(spark, sf_dir):
                 ids += [vocab.get(sy, -1) for sy in syms]
             return ids
 
+        def ref_ids(text):
+            # HF AddedToken semantics: specials split out first
+            ids, pos = [], 0
+            for m in spat.finditer(text):
+                if m.start() > pos:
+                    ids += ref_seg_ids(text[pos:m.start()])
+                ids.append(eot)
+                pos = m.end()
+            if pos < len(text):
+                ids += ref_seg_ids(text[pos:])
+            return ids
+
         try:
             enc = aop.encode_ids(adf)
             got = {r["doc_id"]: list(r["text_bpe_ids"])
@@ -5778,6 +5801,12 @@ def q_bpe_vocab(spark, sf_dir):
             )
             assert apply_ok, "bytelevel apply ids diverged from the " \
                 "GPT-2 reference"
+            # r13: every literal special maps to exactly its control id
+            special_ok = all(
+                got[i].count(eot) == t.count("<|endoftext|>")
+                for i, t in enumerate(texts)
+            )
+            assert special_ok, "special isolation id counts diverged"
             dec = aop.decode_ids(enc)
             rt = {r["doc_id"]: r["text_bpe_ids_text"]
                   for r in dec.collect()}
@@ -5785,7 +5814,7 @@ def q_bpe_vocab(spark, sf_dir):
             assert rt_ok, "bytelevel apply decode did not round-trip"
         finally:
             aop.release()
-        return apply_ok, rt_ok
+        return apply_ok, special_ok, rt_ok
 
     apply_res = _Overlap(_apply_pins)
 
@@ -5861,7 +5890,7 @@ def q_bpe_vocab(spark, sf_dir):
         apply_res.join_quietly()
         raise
     try:
-        apply_ok, apply_rt_ok = apply_res.result()
+        apply_ok, special_ok, apply_rt_ok = apply_res.result()
     except BaseException:
         apply_res.join_quietly()
         raise
@@ -5877,6 +5906,7 @@ def q_bpe_vocab(spark, sf_dir):
         ("byte_ids_match", int(byte_ids_ok)),
         ("byte_files_roundtrip", int(files_ok)),
         ("bytelevel_apply_ids_match", int(apply_ok)),
+        ("special_isolation_ids_match", int(special_ok)),
         ("bytelevel_apply_roundtrip", int(apply_rt_ok)),
     ])
 
@@ -5895,6 +5925,7 @@ UNION ALL SELECT 'encode_matches_reference', CAST(1 AS BIGINT)
 UNION ALL SELECT 'roundtrip_decode', CAST(1 AS BIGINT)
 UNION ALL SELECT 'vocab_file_roundtrip', CAST(1 AS BIGINT)
 UNION ALL SELECT 'vocab_within_cap', CAST(1 AS BIGINT)
+UNION ALL SELECT 't5_layout_apply_match', CAST(1 AS BIGINT)
 UNION ALL SELECT 'distributed_fit_matches', CAST(1 AS BIGINT)""",
 )
 def q_unigram_vocab(spark, sf_dir):
@@ -5983,6 +6014,64 @@ def q_unigram_vocab(spark, sf_dir):
         ).load_tokenizer(utmp, spark)
         file_ok = re_op.logprobs_ == op.logprobs_
         assert file_ok, "saved .vocab did not reload identically"
+
+        # r13: published-layout APPLY pin — a T5-shaped file
+        # (Precompiled charsmap + Replace " {2,}" chain, Metaspace
+        # prepend_scheme='first', unk_id with fuse, an <extra_id_0>
+        # sentinel) loads and encodes to HAND-COMPUTED ids: charsmap
+        # fold, space collapse, per-segment Metaspace law, unk fusing,
+        # and the sentinel's own id all land exactly.
+        import base64 as _b64
+        import json as _json2
+
+        from feature_factory_spark.functions.charsmap import (
+            build_charsmap_blob,
+        )
+
+        sp = WORD_MARK
+        t5_vocab = [["<pad>", -1.0], ["</s>", -1.1], ["<unk>", -1.2],
+                    [sp, -2.0], [sp + "the", -1.3], [sp + "low", -1.4],
+                    ["l", -3.0], ["o", -3.1], ["w", -3.2],
+                    ["t", -3.3], ["h", -3.4], ["e", -3.5]]
+        blob = build_charsmap_blob({"\xa0": " ", "A": "a"})
+        t5_doc = {
+            "version": "1.0", "truncation": None, "padding": None,
+            "added_tokens": [{"id": 100, "content": "<extra_id_0>",
+                              "special": True}],
+            "normalizer": {"type": "Sequence", "normalizers": [
+                {"type": "Precompiled", "precompiled_charsmap":
+                    _b64.b64encode(blob).decode()},
+                {"type": "Replace", "pattern": {"Regex": " {2,}"},
+                 "content": " "},
+            ]},
+            "pre_tokenizer": {"type": "Metaspace", "replacement": sp,
+                              "prepend_scheme": "first", "split": True},
+            "post_processor": None, "decoder": None,
+            "model": {"type": "Unigram", "unk_id": 2,
+                      "vocab": t5_vocab, "byte_fallback": False},
+        }
+        t5_path = os.path.join(utmp, "t5_layout.json")
+        _json2.dump(t5_doc, open(t5_path, "w"))
+        t5 = ff.UnigramVocabBuilder("text", "doc_id") \
+            .load_tokenizer_json(t5_path, spark)
+        t5_texts = ["the low", "the\xa0low", "A  the",
+                    "the <extra_id_0> low", "qq the"]
+        t5_want = [[4, 5], [4, 5], [3, 2, 4], [4, 3, 100, 5],
+                   [3, 2, 4]]
+        try:
+            t5_df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(t5_texts)],
+                "doc_id bigint, text string",
+            )
+            t5_got = {r["doc_id"]: list(r["text_unigram_ids"])
+                      for r in t5.encode_ids(t5_df).collect()}
+            t5_ok = all(
+                t5_got[i] == w for i, w in enumerate(t5_want)
+            )
+            assert t5_ok, f"T5-layout apply diverged: {t5_got}"
+        finally:
+            t5.release()
+
         try:
             dist_lp = dist_res.result()
         finally:
@@ -6004,6 +6093,7 @@ def q_unigram_vocab(spark, sf_dir):
         ("roundtrip_decode", int(rt_ok)),
         ("vocab_file_roundtrip", int(file_ok)),
         ("vocab_within_cap", int(cap_ok)),
+        ("t5_layout_apply_match", int(t5_ok)),
         ("distributed_fit_matches", int(dist_ok)),
     ])
 
