@@ -71,6 +71,11 @@ class PrecompiledCharsmap:
         n = trie_size // 4
         self._trie = struct.unpack(f"<{n}I", blob[4:4 + trie_size])
         self._normalized = blob[4 + trie_size:]
+        # chunk -> replacement (or None) memo: corpus text repeats a
+        # bounded charset, so the trie walk runs once per DISTINCT
+        # chunk instead of once per occurrence (capped so adversarial
+        # grapheme diversity cannot grow it unbounded)
+        self._memo: dict[str, str | None] = {}
 
     # darts-clone u32 unit accessors (public format)
     @staticmethod
@@ -109,14 +114,21 @@ class PrecompiledCharsmap:
     def transform(self, chunk: str) -> str | None:
         """Replacement for ``chunk``, or None when unmapped — the
         FIRST trie hit indexes the NUL-terminated normalized blob."""
+        memo = self._memo
+        if chunk in memo:
+            return memo[chunk]
         results = self._common_prefix_search(chunk.encode("utf-8"))
         if not results:
-            return None
-        index = results[0]
-        end = self._normalized.find(b"\x00", index)
-        if end < 0:
-            end = len(self._normalized)
-        return self._normalized[index:end].decode("utf-8", "replace")
+            out = None
+        else:
+            index = results[0]
+            end = self._normalized.find(b"\x00", index)
+            if end < 0:
+                end = len(self._normalized)
+            out = self._normalized[index:end].decode("utf-8", "replace")
+        if len(memo) < 1 << 16:
+            memo[chunk] = out
+        return out
 
     def normalize(self, s: str) -> str:
         out: list[str] = []

@@ -522,6 +522,132 @@ def check_bigram(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_arpa(spark, copies: int) -> None:
+    """ArpaLogProbScorer.transform at 10x docs (r13): the model is a
+    fixed frame (one unk-membership join, order-n key joins, one
+    doc-partitioned lag window, one doc aggregate), so wall must track
+    the corpus scan — never the model."""
+    import itertools
+    import os as _os
+    import tempfile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    words = ["table", "query", "value", "scan", "fast", "row", "join",
+             "hash", "batch", "merge", "line", "sort", "group", "data"]
+    l1 = ["-2.5\t<unk>\t-0.4", "-1.5\t<s>\t-0.3", "-1.6\t</s>"]
+    l1 += [f"-{1.0 + 0.01 * i:.2f}\t{w}\t-0.2"
+           for i, w in enumerate(words)]
+    l2 = [f"-{0.5 + 0.001 * i:.3f}\t{a} {b}\t-0.1"
+          for i, (a, b) in enumerate(itertools.product(words, words))]
+    l3 = [f"-{0.3 + 0.001 * i:.3f}\t{a} {b} {a}"
+          for i, (a, b) in
+          enumerate(itertools.product(words[:8], words[:8]))]
+    arpa = (
+        "\\data\\\n"
+        f"ngram 1={len(l1)}\nngram 2={len(l2)}\nngram 3={len(l3)}\n\n"
+        "\\1-grams:\n" + "\n".join(l1) + "\n\n"
+        "\\2-grams:\n" + "\n".join(l2) + "\n\n"
+        "\\3-grams:\n" + "\n".join(l3) + "\n\n\\end\\\n"
+    )
+    p = _os.path.join(
+        tempfile.mkdtemp(prefix="ff_arpa_scale_"), "m.arpa"
+    )
+    open(p, "w").write(arpa)
+    op = ff.ArpaLogProbScorer("text", "doc_id").load_arpa(p, spark)
+    op.transform(one).select(F.sum("text_arpa_logprob")).collect()
+    t0 = time.perf_counter()
+    op.transform(one).select(F.sum("text_arpa_logprob")).collect()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    op.transform(big).select(F.sum("text_arpa_logprob")).collect()
+    tN = time.perf_counter() - t0
+    n_grams = len(l1) + len(l2) + len(l3)
+    print(f"[arpa] 1x:  {t1:.1f}s  (order-3 model, {n_grams} n-grams)")
+    print(
+        f"[arpa] {copies}x: {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x docs)"
+    )
+    op.release()
+    one.unpersist()
+    big.unpersist()
+
+
+def check_uniapply(spark, copies: int) -> None:
+    """Unigram published-tokenizer apply at 10x docs (r13): a
+    T5-shaped file (Precompiled charsmap + Replace chain, unk_id,
+    sentinel) — the normalizer chain is the documented Arrow-batched
+    Python seam and the segmentation runs at the DISTINCT-word grain,
+    so wall must grow ~linearly with the corpus (the chain pass) while
+    the per-word Viterbi cost stays ~fixed."""
+    import base64
+    import json as _json
+    import os as _os
+    import string
+    import tempfile
+
+    from feature_factory_spark.functions.charsmap import (
+        build_charsmap_blob,
+    )
+    from feature_factory_spark.operators.unigram import WORD_MARK as SP
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    pieces = [["<pad>", -1.0], ["</s>", -1.1], ["<unk>", -1.2],
+              [SP, -2.0]]
+    for i, c in enumerate(string.ascii_lowercase + string.digits):
+        pieces.append([c, -3.0 - 0.01 * i])
+    for i, w in enumerate(["table", "query", "value", "scan", "fast",
+                           "row", "join", "hash", "batch", "merge"]):
+        pieces.append([SP + w, -1.5 - 0.01 * i])
+    blob = build_charsmap_blob({"\xa0": " "})
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [{"id": 500, "content": "<extra_id_0>",
+                          "special": True}],
+        "normalizer": {"type": "Sequence", "normalizers": [
+            {"type": "Precompiled", "precompiled_charsmap":
+                base64.b64encode(blob).decode()},
+            {"type": "Replace", "pattern": {"Regex": " {2,}"},
+             "content": " "},
+        ]},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": SP,
+                          "prepend_scheme": "first", "split": True},
+        "post_processor": None, "decoder": None,
+        "model": {"type": "Unigram", "unk_id": 2, "vocab": pieces,
+                  "byte_fallback": False},
+    }
+    p = _os.path.join(
+        tempfile.mkdtemp(prefix="ff_uniapply_"), "t5ish.json"
+    )
+    _json.dump(doc, open(p, "w"))
+    op = ff.UnigramVocabBuilder("text", "doc_id") \
+        .load_tokenizer_json(p, spark)
+    op.encode_ids(one).select(
+        F.sum(F.size("text_unigram_ids"))
+    ).collect()  # warm
+    t0 = time.perf_counter()
+    n1 = op.encode_ids(one).select(
+        F.sum(F.size("text_unigram_ids"))
+    ).collect()[0][0]
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nN = op.encode_ids(big).select(
+        F.sum(F.size("text_unigram_ids"))
+    ).collect()[0][0]
+    tN = time.perf_counter() - t0
+    print(f"[uniapply] 1x:  {n1} ids / {t1:.1f}s")
+    print(
+        f"[uniapply] {copies}x: {nN} ids / {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x docs)"
+    )
+    op.release()
+    one.unpersist()
+    big.unpersist()
+
+
 def _synth_images(spark, n: int):
     """n deterministic gradient-pattern PNGs in planted near-dup groups
     of 4 (the image_dedup entry fixture), synthesized in-plan."""
@@ -1106,6 +1232,8 @@ CHECKS = {
     "warc": check_warc,
     "semdedup": check_semdedup,
     "bigram": check_bigram,
+    "arpa": check_arpa,
+    "uniapply": check_uniapply,
     "imagedup": check_imagedup,
     "audiodup": check_audiodup,
     "videodup": check_videodup,
