@@ -6099,6 +6099,135 @@ def q_unigram_vocab(spark, sf_dir):
 
 
 @_reg(
+    "wordpiece_apply",
+    # WordPieceTokenizer (r13): the BERT-family apply-mode — greedy
+    # longest-match per distinct word behind BertNormalizer/
+    # BertPreTokenizer. Iterative greedy matching is not
+    # one-statement SQL; the oracle pins invariants asserted eagerly
+    # against the pure-Python twin (bert_normalize/bert_pre_tokenize/
+    # wordpiece_word — the module's own reference functions driven on
+    # a 40-doc sample) plus the [CLS]/[SEP] template and the decode
+    # cleanup round-trip.
+    """SELECT 'wp_ids_match_reference' AS invariant, CAST(1 AS BIGINT) AS n
+UNION ALL SELECT 'wp_counts_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'wp_template_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'wp_decode_roundtrip', CAST(1 AS BIGINT)
+UNION ALL SELECT 'wp_corpus_total_positive', CAST(1 AS BIGINT)""",
+)
+def q_wordpiece_apply(spark, sf_dir):
+    import json as _json
+    import os as _os
+
+    from feature_factory_spark.operators.wordpiece import (
+        bert_normalize,
+        bert_pre_tokenize,
+        wordpiece_word,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic BERT-shaped vocab over the synthetic corpus's
+    # vocabulary: whole words + their suffix pieces + the char
+    # alphabet, so real subword splits occur without drowning in UNK
+    words = ["the", "table", "query", "value", "scan", "fast", "row",
+             "join", "hash", "batch", "merge", "line", "sort",
+             "group", "data", "column", "filter", "stream", "window",
+             "vector", "small", "big", "slow", "key", "agg", "part",
+             "order", "spark", "customer"]
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    for w in ["tab", "col", "cust", "val"]:
+        vocab.setdefault(w, len(vocab))
+    for w in ["##le", "##umn", "##omer", "##ue", "##a", "##b"]:
+        vocab.setdefault(w, len(vocab))
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789":
+        vocab.setdefault(c, len(vocab))
+        vocab.setdefault("##" + c, len(vocab))
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [
+            {"id": vocab[t], "content": t, "special": True}
+            for t in ("[PAD]", "[UNK]", "[CLS]", "[SEP]")
+        ],
+        "normalizer": {"type": "BertNormalizer", "clean_text": True,
+                       "handle_chinese_chars": True,
+                       "strip_accents": None, "lowercase": True},
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "post_processor": {"type": "BertProcessing",
+                           "sep": ["[SEP]", vocab["[SEP]"]],
+                           "cls": ["[CLS]", vocab["[CLS]"]]},
+        "decoder": {"type": "WordPiece", "prefix": "##",
+                    "cleanup": True},
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##",
+                  "max_input_chars_per_word": 100, "vocab": vocab},
+    }
+    tmp = tempfile.mkdtemp(prefix="ff_wp_")
+    _TEMP_STATE_DIRS.append(tmp)
+    path = _os.path.join(tmp, "wp.json")
+    _json.dump(doc, open(path, "w"))
+    op = ff.WordPieceTokenizer("text", "doc_id") \
+        .load_tokenizer_json(path, spark)
+
+    def ref_ids(text):
+        ids = []
+        for w in bert_pre_tokenize(bert_normalize(text or "")):
+            for piece in wordpiece_word(w, set(vocab), "[UNK]"):
+                ids.append(vocab.get(piece, -1))
+        return ids
+
+    sample = docs.where(F.col("doc_id") < 40)
+    rows = op.transform(op.encode_ids(sample)).select(
+        "doc_id", "text", "text_wordpiece_ids",
+        "text_wordpiece_token_count",
+    ).collect()
+    ids_ok = all(
+        list(r["text_wordpiece_ids"]) == ref_ids(r["text"])
+        for r in rows
+    )
+    assert ids_ok, "WordPiece ids diverged from the pure-Python twin"
+    counts_ok = all(
+        r["text_wordpiece_token_count"] == len(ref_ids(r["text"]))
+        for r in rows
+    )
+    assert counts_ok, "WordPiece counts diverged from the twin"
+    wrapped = op.encode_ids(
+        sample, add_special_tokens=True
+    ).select("doc_id", "text_wordpiece_ids").collect()
+    wmap = {r["doc_id"]: list(r["text_wordpiece_ids"])
+            for r in wrapped}
+    tmpl_ok = all(
+        wmap[r["doc_id"]]
+        == [vocab["[CLS]"], *list(r["text_wordpiece_ids"]),
+            vocab["[SEP]"]]
+        for r in rows
+    )
+    assert tmpl_ok, "[CLS]/[SEP] template diverged"
+    dec = op.decode_ids(op.encode_ids(sample)).select(
+        "doc_id", "text", "text_wordpiece_ids_text"
+    ).collect()
+    # the corpus is lowercase single-spaced words, so WordPiece decode
+    # (lossy in general) round-trips exactly here
+    dec_ok = all(
+        r["text_wordpiece_ids_text"] == (r["text"] or "")
+        for r in dec
+    )
+    assert dec_ok, "WordPiece decode did not round-trip the corpus"
+    # the corpus-wide scale path: one distributed count aggregate
+    total = op.transform(docs).agg(
+        F.sum("text_wordpiece_token_count")
+    ).collect()[0][0]
+    total_ok = (total or 0) > 0
+    return _inv_df(spark, [
+        ("wp_ids_match_reference", int(ids_ok)),
+        ("wp_counts_match", int(counts_ok)),
+        ("wp_template_match", int(tmpl_ok)),
+        ("wp_decode_roundtrip", int(dec_ok)),
+        ("wp_corpus_total_positive", int(total_ok)),
+    ])
+
+
+@_reg(
     "vocab_oov",
     # per-document OOV fraction under the same top-100 vocabulary (the
     # coverage audit VocabBuilder.transform runs); token-less documents
@@ -7817,6 +7946,9 @@ _merge("lm_family", [
      ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
      "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
     ("unigram_vocab",
+     ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
+     "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
+    ("wordpiece_apply",
      ["cast(NULL AS bigint) AS k", "invariant AS tok", "cast(n AS double) AS val"],
      "CAST(NULL AS BIGINT) AS k, invariant AS tok, CAST(n AS DOUBLE) AS val"),
     ("perplexity_bucket",

@@ -1,5 +1,10 @@
-"""SentencePiece ``Precompiled`` normalizer: the serialized charsmap
-every converted T5/XLNet/ALBERT ``tokenizer.json`` carries.
+"""Shared ``tokenizer.json`` section parsers: the SentencePiece
+``Precompiled`` charsmap normalizer, normalizer-chain parsing/
+composition (:func:`parse_norm_chain` / :func:`chain_fn`), and the
+``post_processor`` special-token template (:func:`parse_post_processor`).
+
+The centerpiece is the ``Precompiled`` charsmap every converted
+T5/XLNet/ALBERT ``tokenizer.json`` carries.
 
 The blob is the PUBLIC interchange format both HF ``tokenizers``
 (normalizers/precompiled.rs via the ``spm_precompiled`` crate) and
@@ -279,6 +284,87 @@ def parse_norm_chain(norm, path: str) -> tuple[bool, list[dict]]:
                 "one would encode every document to wrong ids"
             )
     return False, chain
+
+
+def parse_post_processor(post) -> tuple[list[str], list[str], dict[str, int]] | None:
+    """Parse a tokenizer.json ``post_processor`` into the
+    single-sequence special-token template ``(prefix_tokens,
+    suffix_tokens, token->id hints)`` — what HF's default
+    ``encode(add_special_tokens=True)`` wraps every sequence with:
+
+    - ``TemplateProcessing``: the ``single`` template's SpecialToken
+      items before/after the ``Sequence A`` slot (pair templates are
+      two-sequence surface, irrelevant at document grain).
+    - ``RobertaProcessing`` / ``BertProcessing``: cls prefix + sep
+      suffix (their fixed template).
+    - ``ByteLevel`` (GPT-2/RoBERTa trim_offsets) and None: no specials.
+    - A ``Sequence`` of processors: the union of its members' specials
+      (published files chain ByteLevel + Roberta).
+
+    Returns None when the shape is not recognized — the engine's
+    DEFAULT encode semantics (``add_special_tokens=False``) never
+    consults the template, so unknown processors only matter (and then
+    fail loudly) if the caller opts in."""
+    if post is None:
+        return [], [], {}
+    if not isinstance(post, dict):
+        return None
+    t = post.get("type")
+    if t == "ByteLevel":
+        return [], [], {}
+    if t in ("RobertaProcessing", "BertProcessing"):
+        cls_, sep = post.get("cls"), post.get("sep")
+        if not (isinstance(cls_, (list, tuple)) and len(cls_) == 2
+                and isinstance(sep, (list, tuple)) and len(sep) == 2):
+            return None
+        return (
+            [str(cls_[0])],
+            [str(sep[0])],
+            {str(cls_[0]): int(cls_[1]), str(sep[0]): int(sep[1])},
+        )
+    if t == "Sequence":
+        pre: list[str] = []
+        suf: list[str] = []
+        hints: dict[str, int] = {}
+        for sub in post.get("processors") or []:
+            parsed = parse_post_processor(sub)
+            if parsed is None:
+                return None
+            p, s, h = parsed
+            pre += p
+            suf += s
+            hints.update(h)
+        return pre, suf, hints
+    if t != "TemplateProcessing":
+        return None
+    single = post.get("single") or []
+    pre, suf = [], []
+    seen_seq = False
+    for item in single:
+        if not isinstance(item, dict):
+            return None
+        if "Sequence" in item:
+            if (item["Sequence"] or {}).get("id") not in (None, "A"):
+                return None
+            if seen_seq:
+                return None
+            seen_seq = True
+        elif "SpecialToken" in item:
+            tok = (item["SpecialToken"] or {}).get("id")
+            if tok is None:
+                return None
+            (suf if seen_seq else pre).append(str(tok))
+        else:
+            return None
+    if not seen_seq:
+        return None
+    hints = {}
+    for tok, spec in (post.get("special_tokens") or {}).items():
+        ids = (spec or {}).get("ids") or []
+        toks = (spec or {}).get("tokens") or []
+        if len(ids) == 1 and len(toks) == 1:
+            hints[str(toks[0])] = int(ids[0])
+    return pre, suf, hints
 
 
 def build_charsmap_blob(mapping: dict[str, str]) -> bytes:

@@ -51,6 +51,7 @@ from .outliers import ArbitraryOutlierCapper, OutlierTrimmer, Winsorizer
 from .arpa import ArpaLogProbScorer, parse_arpa
 from .bpe import BpeVocabBuilder
 from .unigram import UnigramVocabBuilder
+from .wordpiece import WordPieceTokenizer
 from .web import (
     DomainBlocklistFilter, DomainCapSampler, DomainExtractor,
     HtmlTextExtractor, MainContentExtractor, MarkdownTextExtractor,
@@ -234,6 +235,7 @@ __all__ = [
     "BadWordsFilter",
     "TfIdfScorer", "ContaminationChecker", "UnigramLogProbScorer",
     "BigramLogProbScorer", "ArpaLogProbScorer", "parse_arpa",
+    "WordPieceTokenizer",
     "QualityScorer",
     "VocabBuilder", "BpeVocabBuilder", "UnigramVocabBuilder",
     "ExactDeduplicator", "MinHashDeduplicator", "SimHashDeduplicator",

@@ -546,6 +546,12 @@ class BpeVocabBuilder(Transformer):
         # export_tokenizer_json round-trips it untouched (re-deriving
         # a foreign layout could silently drop fields)
         self._loaded_doc: dict | None = None
+        # post_processor single-sequence template (prefix_tokens,
+        # suffix_tokens, id hints) — what HF's default encode wraps a
+        # sequence with; consulted ONLY by encode(add_special_tokens=
+        # True). None = the file's processor shape is unrecognized
+        # (fail-loud on opt-in, ignored otherwise).
+        self._tmpl: tuple | list | None = ([], [], {})
 
     def is_stateful(self) -> bool:
         return True
@@ -683,6 +689,7 @@ class BpeVocabBuilder(Transformer):
         self._ignore_merges = False
         self._byte_fallback = False
         self._loaded_doc = None
+        self._tmpl = ([], [], {})
         # the corpus-sized work — explode + groupBy word counts — is
         # distributed in EVERY mode; what the modes choose is where the
         # merge loop iterates over the AGGREGATED word table:
@@ -1345,6 +1352,9 @@ class BpeVocabBuilder(Transformer):
         self._ignore_merges = bool(model.get("ignore_merges"))
         self._byte_fallback = bool(model.get("byte_fallback"))
         self._loaded_doc = doc
+        from ..functions.charsmap import parse_post_processor
+
+        self._tmpl = parse_post_processor(doc.get("post_processor"))
         self.max_unseen_words = None
         self.word_tokens_ = spark.createDataFrame(
             [], "word string, n_tokens int, syms array<string>"
@@ -1352,7 +1362,9 @@ class BpeVocabBuilder(Transformer):
         self._fitted = True
         return self
 
-    def encode(self, df: DataFrame) -> DataFrame:
+    def encode(
+        self, df: DataFrame, add_special_tokens: bool = False
+    ) -> DataFrame:
         """Append ``{text_col}_bpe_tokens``: the document's full subword
         token sequence (array<string>, in document order) under the
         learned merges — ``transform`` counts, ``encode`` materializes.
@@ -1363,10 +1375,24 @@ class BpeVocabBuilder(Transformer):
         then one groupBy(doc) that sorts the (pos, syms) structs and
         flattens. Same join shape as transform plus the ordered
         re-assembly shuffle — at scale prefer transform (counts) unless
-        the sequences themselves are the product."""
-        return self._encode(df, as_ids=False)
+        the sequences themselves are the product.
 
-    def encode_ids(self, df: DataFrame) -> DataFrame:
+        ``add_special_tokens=True`` (r13) additionally wraps every
+        document with the loaded file's post_processor template — the
+        ``<s>``/``</s>``/``[CLS]``/``[SEP]`` specials HF's default
+        ``encode`` adds (TemplateProcessing single-sequence,
+        Roberta/Bert processing, ByteLevel = none). Default False: the
+        engine's contract is the raw corpus sequence (equivalent to
+        HF ``add_special_tokens=False``), and the packer owns
+        between-document control ids. Fails loudly when the file's
+        processor shape is unrecognized."""
+        return self._encode(
+            df, as_ids=False, add_special_tokens=add_special_tokens
+        )
+
+    def encode_ids(
+        self, df: DataFrame, add_special_tokens: bool = False
+    ) -> DataFrame:
         """Append ``{text_col}_bpe_ids``: the document's token-ID
         sequence (array<int>) under ``vocabulary()``'s id layout —
         the training-ready form a SequencePacker shard export feeds to
@@ -1378,8 +1404,48 @@ class BpeVocabBuilder(Transformer):
         the corpus-sized part of the plan is identical to ``encode``.
         Symbols outside the vocabulary (characters absent from the
         fitted word table) map to ``-1`` — the conventional unk
-        sentinel, NULL-free so downstream packing math stays simple."""
-        return self._encode(df, as_ids=True)
+        sentinel, NULL-free so downstream packing math stays simple.
+
+        ``add_special_tokens=True`` wraps every document with the
+        loaded post_processor template's control ids (see
+        :meth:`encode`)."""
+        return self._encode(
+            df, as_ids=True, add_special_tokens=add_special_tokens
+        )
+
+    def _template_seqs(
+        self, as_ids: bool
+    ) -> tuple[list, list]:
+        """The post_processor template's (prefix, suffix) as token
+        strings or ids — fail-loud when the file's processor shape was
+        not recognized or a template special has no id anywhere."""
+        ensure(
+            self._tmpl is not None,
+            "this tokenizer.json's post_processor shape is not "
+            "reproduced by this engine — encode with "
+            "add_special_tokens=False (the raw-sequence contract) and "
+            "insert control ids via SequencePacker.materialize, or "
+            "strip the processor from the file",
+        )
+        pre, suf, hints = (
+            list(self._tmpl[0]), list(self._tmpl[1]), dict(self._tmpl[2])
+        )
+        if not as_ids:
+            return pre, suf
+        idmap = dict(self.vocab_json_ or {})
+
+        def rid(tok: str) -> int:
+            if tok in idmap:
+                return int(idmap[tok])
+            if tok in hints:
+                return int(hints[tok])
+            raise InvalidParameterError(
+                f"post_processor special {tok!r} has no id in the "
+                "vocabulary, added_tokens, or the template's own "
+                "special_tokens map — the file is inconsistent"
+            )
+
+        return [rid(t) for t in pre], [rid(t) for t in suf]
 
     def _word_seq_table(self, frame: DataFrame, as_ids: bool) -> DataFrame:
         """(word, __ff_seq): per-word token sequence — symbol strings,
@@ -1434,7 +1500,12 @@ class BpeVocabBuilder(Transformer):
             )
         )
 
-    def _encode(self, df: DataFrame, as_ids: bool) -> DataFrame:
+    def _encode(
+        self,
+        df: DataFrame,
+        as_ids: bool,
+        add_special_tokens: bool = False,
+    ) -> DataFrame:
         from .text import _require_frame_state
 
         self._check_input(df)
@@ -1491,11 +1562,23 @@ class BpeVocabBuilder(Transformer):
             ).alias("__ff_tokens")
         )
         out_col = f"{self.text_col}_bpe_{'ids' if as_ids else 'tokens'}"
+        tokens = F.col("__ff_tokens")
+        if add_special_tokens:
+            pre, suf = self._template_seqs(as_ids)
+            elem_t = "int" if as_ids else "string"
+            parts = []
+            if pre:
+                parts.append(F.lit(pre).cast(f"array<{elem_t}>"))
+            parts.append(tokens)
+            if suf:
+                parts.append(F.lit(suf).cast(f"array<{elem_t}>"))
+            if len(parts) > 1:
+                tokens = F.concat(*parts)
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(
             *[F.col(c) for c in df.columns],
-            F.col("__ff_tokens").alias(out_col),
+            tokens.alias(out_col),
         )
 
     def decode_ids(

@@ -359,6 +359,9 @@ class UnigramVocabBuilder(Transformer):
         self._norm_chain: list[dict] = []
         # verbatim source document — export re-emits it untouched
         self._loaded_doc: dict | None = None
+        # post_processor single-sequence template (see BpeVocabBuilder
+        # — consulted only by encode(add_special_tokens=True))
+        self._tmpl: tuple | list | None = ([], [], {})
 
     def is_stateful(self) -> bool:
         return True
@@ -521,6 +524,7 @@ class UnigramVocabBuilder(Transformer):
         self._prepend_scheme = "always"
         self._norm_chain = []
         self._loaded_doc = None
+        self._tmpl = ([], [], {})
         if self.fit_mode == "distributed":
             self._fit_distributed(df)
             return
@@ -862,7 +866,44 @@ class UnigramVocabBuilder(Transformer):
             )
         return out
 
-    def _encode(self, df: DataFrame, as_ids: bool) -> DataFrame:
+    def _template_seqs(self, as_ids: bool) -> tuple[list, list]:
+        """post_processor template (prefix, suffix) — tokens or ids;
+        fail-loud on unrecognized processor shapes or id-less
+        specials (the BpeVocabBuilder contract)."""
+        ensure(
+            self._tmpl is not None,
+            "this tokenizer.json's post_processor shape is not "
+            "reproduced by this engine — encode with "
+            "add_special_tokens=False (the raw-sequence contract) and "
+            "insert control ids via SequencePacker.materialize, or "
+            "strip the processor from the file",
+        )
+        pre, suf, hints = (
+            list(self._tmpl[0]), list(self._tmpl[1]), dict(self._tmpl[2])
+        )
+        if not as_ids:
+            return pre, suf
+        idmap = self._id_map()
+
+        def rid(tok: str) -> int:
+            if tok in idmap:
+                return int(idmap[tok])
+            if tok in hints:
+                return int(hints[tok])
+            raise InvalidParameterError(
+                f"post_processor special {tok!r} has no id in the "
+                "vocabulary, added_tokens, or the template's own "
+                "special_tokens map — the file is inconsistent"
+            )
+
+        return [rid(t) for t in pre], [rid(t) for t in suf]
+
+    def _encode(
+        self,
+        df: DataFrame,
+        as_ids: bool,
+        add_special_tokens: bool = False,
+    ) -> DataFrame:
         self._check_input(df)
         table = self._piece_table(df)
         if as_ids:
@@ -902,22 +943,48 @@ class UnigramVocabBuilder(Transformer):
         )
         ensure(out_col not in df.columns,
                f"output column '{out_col}' already exists")
+        tokens = F.col("__ff_tokens")
+        if add_special_tokens:
+            pre, suf = self._template_seqs(as_ids)
+            elem_t = "int" if as_ids else "string"
+            parts = []
+            if pre:
+                parts.append(F.lit(pre).cast(f"array<{elem_t}>"))
+            parts.append(tokens)
+            if suf:
+                parts.append(F.lit(suf).cast(f"array<{elem_t}>"))
+            if len(parts) > 1:
+                tokens = F.concat(*parts)
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(
             *[F.col(c) for c in df.columns],
-            F.col("__ff_tokens").alias(out_col),
+            tokens.alias(out_col),
         )
 
-    def encode(self, df: DataFrame) -> DataFrame:
+    def encode(
+        self, df: DataFrame, add_special_tokens: bool = False
+    ) -> DataFrame:
         """Append ``{text_col}_unigram_pieces``: per-document Viterbi
-        piece sequences, word-by-word in document order."""
-        return self._encode(df, as_ids=False)
+        piece sequences, word-by-word in document order.
+        ``add_special_tokens=True`` wraps each document with the
+        loaded post_processor template (T5's terminal ``</s>``,
+        Llama-style BOS...) — see BpeVocabBuilder.encode."""
+        return self._encode(
+            df, as_ids=False, add_special_tokens=add_special_tokens
+        )
 
-    def encode_ids(self, df: DataFrame) -> DataFrame:
+    def encode_ids(
+        self, df: DataFrame, add_special_tokens: bool = False
+    ) -> DataFrame:
         """Append ``{text_col}_unigram_ids``: the id sequences under
-        the (logprob desc, piece asc) vocabulary layout."""
-        return self._encode(df, as_ids=True)
+        the (logprob desc, piece asc) vocabulary layout (imported
+        files keep their own index==id layout verbatim).
+        ``add_special_tokens=True`` wraps each document with the
+        loaded post_processor template's control ids."""
+        return self._encode(
+            df, as_ids=True, add_special_tokens=add_special_tokens
+        )
 
     def decode_ids(
         self,
@@ -1261,6 +1328,9 @@ class UnigramVocabBuilder(Transformer):
         self._prepend_scheme = scheme
         self._norm_chain = chain
         self._loaded_doc = doc
+        from ..functions.charsmap import parse_post_processor
+
+        self._tmpl = parse_post_processor(doc.get("post_processor"))
         # the segmenter only proposes candidates up to max_piece_len:
         # a published file's longest piece must stay reachable or its
         # ids silently never appear (the trainer default is 8; real

@@ -223,6 +223,70 @@ def test_special_isolation_matches_hf_tokenizers(spark, tmp_path):
         assert got[i] == tok.encode(t).ids, repr(t)
 
 
+def test_bpe_roberta_post_processor_template(spark, tmp_path):
+    # RobertaProcessing: cls prefix + sep suffix on opt-in; the
+    # default raw-sequence contract is untouched
+    doc = _bl_doc()
+    v = doc["model"]["vocab"]
+    cls_id, sep_id = len(v) + 20, len(v) + 21
+    v["<s>"] = cls_id
+    v["</s>"] = sep_id
+    doc["post_processor"] = {
+        "type": "RobertaProcessing", "sep": ["</s>", sep_id],
+        "cls": ["<s>", cls_id], "trim_offsets": True,
+        "add_prefix_space": False,
+    }
+    p = str(tmp_path / "rob.json")
+    json.dump(doc, open(p, "w"))
+    op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p, spark)
+    df = spark.createDataFrame(
+        [(0, "hello the world"), (1, "")], "doc_id bigint, text string"
+    )
+    plain = {r["doc_id"]: list(r["text_bpe_ids"])
+             for r in op.encode_ids(df).collect()}
+    wrapped = {r["doc_id"]: list(r["text_bpe_ids"])
+               for r in op.encode_ids(
+                   df, add_special_tokens=True).collect()}
+    for i in (0, 1):
+        assert wrapped[i] == [cls_id] + plain[i] + [sep_id], i
+    # a Sequence[ByteLevel, Roberta] processor parses the same way
+    doc["post_processor"] = {"type": "Sequence", "processors": [
+        {"type": "ByteLevel", "trim_offsets": True},
+        {"type": "RobertaProcessing", "sep": ["</s>", sep_id],
+         "cls": ["<s>", cls_id]},
+    ]}
+    p2 = str(tmp_path / "rob2.json")
+    json.dump(doc, open(p2, "w"))
+    op2 = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        p2, spark
+    )
+    w2 = list(op2.encode_ids(df.where("doc_id = 0"),
+                             add_special_tokens=True)
+              .collect()[0]["text_bpe_ids"])
+    assert w2 == wrapped[0]
+
+
+def test_bpe_template_default_and_fitted_noop(spark, tmp_path):
+    # GPT-2's ByteLevel post_processor = no specials: opt-in is a
+    # no-op rather than an error; a FITTED instance likewise
+    doc = _bl_doc()
+    doc["post_processor"] = {"type": "ByteLevel", "trim_offsets": True}
+    p = str(tmp_path / "gpt2pp.json")
+    json.dump(doc, open(p, "w"))
+    op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p, spark)
+    df = spark.createDataFrame(
+        [(0, "hello the world")], "doc_id bigint, text string"
+    )
+    a = list(op.encode_ids(df).collect()[0]["text_bpe_ids"])
+    b = list(op.encode_ids(df, add_special_tokens=True)
+             .collect()[0]["text_bpe_ids"])
+    assert a == b
+    fit = BpeVocabBuilder("text", "doc_id", num_merges=2).fit(df)
+    c = list(fit.encode_ids(df, add_special_tokens=True)
+             .collect()[0]["text_bpe_ids"])
+    assert c == list(fit.encode_ids(df).collect()[0]["text_bpe_ids"])
+
+
 # --- rank-dict apply: piece-length cap -----------------------------------
 
 def _doubling_doc(max_pow=10):

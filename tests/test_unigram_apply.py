@@ -393,6 +393,72 @@ class TestPublishedLayouts:
         assert a == b
 
 
+# --- post_processor templates (add_special_tokens, r13) ------------------
+
+class TestPostProcessorTemplates:
+    def test_t5_template_processing(self, spark, tmp_path):
+        # the real T5 shape: single = [A, </s>], pair ignored
+        doc = _t5_doc()
+        doc["post_processor"] = {
+            "type": "TemplateProcessing",
+            "single": [{"Sequence": {"id": "A", "type_id": 0}},
+                       {"SpecialToken": {"id": "</s>", "type_id": 0}}],
+            "pair": [{"Sequence": {"id": "A", "type_id": 0}},
+                     {"SpecialToken": {"id": "</s>", "type_id": 0}},
+                     {"Sequence": {"id": "B", "type_id": 0}},
+                     {"SpecialToken": {"id": "</s>", "type_id": 0}}],
+            "special_tokens": {"</s>": {"id": "</s>", "ids": [1],
+                                        "tokens": ["</s>"]}},
+        }
+        op, _ = _load(spark, tmp_path, doc, name="tmpl.json")
+        df = spark.createDataFrame(
+            [(0, "the low"), (1, "")], "doc_id bigint, text string"
+        )
+        plain = {r["doc_id"]: list(r["text_unigram_ids"])
+                 for r in op.encode_ids(df).collect()}
+        wrapped = {r["doc_id"]: list(r["text_unigram_ids"])
+                   for r in op.encode_ids(
+                       df, add_special_tokens=True).collect()}
+        for i in (0, 1):
+            assert wrapped[i] == plain[i] + [1], i
+        # token-string surface gets the token, not the id
+        toks = op.encode(df, add_special_tokens=True).collect()[0]
+        assert list(toks["text_unigram_pieces"])[-1] == "</s>"
+
+    def test_llama_style_bos_prefix(self, spark, tmp_path):
+        doc = _t5_doc()
+        doc["added_tokens"] = [{"id": 300, "content": "<s>",
+                                "special": True}]
+        doc["post_processor"] = {
+            "type": "TemplateProcessing",
+            "single": [{"SpecialToken": {"id": "<s>", "type_id": 0}},
+                       {"Sequence": {"id": "A", "type_id": 0}}],
+            "pair": [], "special_tokens": {},
+        }
+        op, _ = _load(spark, tmp_path, doc, name="bos.json")
+        df = spark.createDataFrame(
+            [(0, "the low")], "doc_id bigint, text string"
+        )
+        ids = list(op.encode_ids(df, add_special_tokens=True)
+                   .collect()[0]["text_unigram_ids"])
+        # the added-token id wins (300), prefix position
+        assert ids[0] == 300 and 300 not in ids[1:]
+
+    def test_unknown_processor_fails_only_on_opt_in(self, spark,
+                                                    tmp_path):
+        doc = _t5_doc()
+        doc["post_processor"] = {"type": "SomethingExotic"}
+        op, _ = _load(spark, tmp_path, doc, name="weird.json")
+        df = spark.createDataFrame(
+            [(0, "the low")], "doc_id bigint, text string"
+        )
+        # the default raw-sequence contract never consults the template
+        assert op.encode_ids(df).count() == 1
+        with pytest.raises(ff.InvalidParameterError,
+                           match="post_processor"):
+            op.encode_ids(df, add_special_tokens=True).count()
+
+
 @pytest.mark.skipif(
     not _have_tokenizers(),
     reason="HuggingFace 'tokenizers' wheel not installed (offline "
