@@ -113,6 +113,47 @@ def main() -> None:
     assert audit["text_bpe_ids_text"] == audit["text"], "round-trip broke"
     print(f"decode audit ok: doc {audit['doc_id']} round-trips exactly")
 
+    # 5. (r13) the SHARD-ROW export with EOS between documents: one
+    # row per pack, input_ids carries the separator, the budget law
+    # charged it — what the data loader actually reads
+    eot = tok.vocab_json_["<|endoftext|>"]
+    shards = ff.SequencePacker(
+        "n_tokens", budget=2048, order_col="doc_id",
+        partition_cols=["source"],
+    ).materialize(with_ids, "text_bpe_ids", sep_id=eot)
+    row = shards.orderBy("source", "pack_id").limit(1).collect()[0]
+    print(f"shard row: {row['n_docs']} docs / {row['n_tokens']} tokens, "
+          f"eos@{[i for i, v in enumerate(row['input_ids'][:50]) if v == eot][:3]}...")
+
+    # 6. (r13) a literal '<|endoftext|>' in RAW corpus text maps to
+    # the control id (HF AddedToken isolation) and round-trips
+    probe = spark.createDataFrame(
+        [(0, "text with a literal <|endoftext|> inside")],
+        "doc_id bigint, text string",
+    )
+    enc = tok.encode_ids(probe)
+    ids = list(enc.collect()[0]["text_bpe_ids"])
+    assert ids.count(eot) == 1
+    assert tok.decode_ids(enc).collect()[0]["text_bpe_ids_text"] == \
+        "text with a literal <|endoftext|> inside"
+    print("special isolation ok: literal <|endoftext|> -> control id "
+          "-> text")
+
+    # 7. (r13) the BERT-family (WordPiece) apply-mode — same corpus,
+    # third published family: vocab.txt loader, [CLS]/[SEP] template
+    wp_vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+                + list("abcdefghijklmnopqrstuvwxyz0123456789")
+                + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+                + ["the", "table", "query", "value", "scan"])
+    wp_path = os.path.join(work, "vocab.txt")
+    open(wp_path, "w").write("\n".join(wp_vocab) + "\n")
+    wp = ff.WordPieceTokenizer("text", "doc_id").load_vocab_txt(
+        wp_path, spark
+    )
+    wp_out = wp.encode_ids(docs.limit(100), add_special_tokens=True)
+    n = wp_out.select(F.sum(F.size("text_wordpiece_ids"))).collect()[0][0]
+    print(f"wordpiece: 100 docs -> {n} ids (incl [CLS]/[SEP])")
+
     tok.release()
     spark.stop()
 
