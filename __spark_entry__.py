@@ -5361,8 +5361,11 @@ scored AS (SELECT s.doc_id,
   LEFT JOIN uni uc ON uc.g = s.tok
   LEFT JOIN uni up ON up.g = s.prev
   WHERE s.i >= 1),
-agg AS (SELECT doc_id, avg(lp) s FROM scored GROUP BY doc_id)
-SELECT d2.doc_id, {R6('a.s')} AS arpa_lp
+agg AS (SELECT doc_id, sum(lp) s, count(*) n FROM scored
+  GROUP BY doc_id)
+SELECT d2.doc_id,
+  CAST(a.n AS VARCHAR) AS arpa_lp_n,
+  CAST(floor(a.s * 1000000 + 0.5) AS DOUBLE) AS arpa_lp
 FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""",
 )
 def q_arpa_score(spark, sf_dir):
@@ -5381,8 +5384,94 @@ def q_arpa_score(spark, sf_dir):
         op, lambda: ff.ArpaLogProbScorer("text", "doc_id"), spark
     )
     out = op.transform(docs)
+    # integer fingerprint: micro-rounded TOTAL log10 mass + scored
+    # count (mean*n recovers the sum within ~1 ulp). A rounded-MEAN
+    # compare is knife-edged by construction here: counts are often
+    # dyadic, so means sit exactly on 1e-6 midpoints.
+    total = F.col("text_arpa_logprob") * F.col("text_arpa_n_tokens")
     return out.select(
-        "doc_id", r6(F.col("text_arpa_logprob")).alias("arpa_lp")
+        "doc_id",
+        F.col("text_arpa_n_tokens").cast("string").alias("arpa_lp_n"),
+        F.floor(total * F.lit(1e6) + F.lit(0.5))
+        .cast("double").alias("arpa_lp"),
+    )
+
+
+@_reg(
+    "arpa_score_lines",
+    # ArpaLogProbScorer(line_level=True) (r13): the CCNet
+    # doc_log_score law — each newline-split line is its own
+    # <s>...</s> sentence, document score = total logp over total
+    # scored tokens. Lines are synthesized deterministically (newline
+    # before every 'query') in BOTH engines; the twin recomputes the
+    # per-line Katz chain with a (doc, line)-partitioned lag and one
+    # doc-grain avg (== sum/sum over all scored positions).
+    f"""WITH uni AS (SELECT g, CAST(lp AS DOUBLE) lp, CAST(bo AS DOUBLE) bo
+  FROM (VALUES
+  ('<unk>', -2.2, -0.4), ('<s>', -0.9, -0.3), ('</s>', -1.1, 0.0),
+  ('table', -0.7, -0.2), ('query', -0.8, -0.25), ('value', -0.9, -0.15),
+  ('scan', -1.0, -0.1), ('fast', -1.05, -0.12)) v(g, lp, bo)),
+bi AS (SELECT g, CAST(lp AS DOUBLE) lp FROM (VALUES
+  ('<s> table', -0.5), ('table table', -0.35), ('query value', -0.42),
+  ('value fast', -0.6), ('scan scan', -0.3), ('fast </s>', -0.55),
+  ('table query', -0.48)) v(g, lp)),
+t AS (SELECT doc_id,
+  replace(text, ' query', chr(10) || 'query') AS tx FROM documents),
+l AS (SELECT doc_id,
+  unnest(string_split(tx, chr(10))) AS line,
+  generate_subscripts(string_split(tx, chr(10)), 1) AS ln FROM t),
+d AS (SELECT doc_id, ln,
+  list_filter(regexp_split_to_array(trim(lower(line)), '\\s+'),
+              x -> x <> '') w FROM l),
+raw AS (SELECT doc_id, ln, unnest(w) tok, generate_subscripts(w, 1) i
+        FROM d),
+mapped AS (SELECT r.doc_id, r.ln, r.i,
+  CASE WHEN u.g IS NOT NULL THEN r.tok ELSE '<unk>' END tok
+  FROM raw r LEFT JOIN uni u ON u.g = r.tok),
+toks AS (
+  SELECT doc_id, ln, 0 AS i, '<s>' AS tok FROM d WHERE len(w) > 0
+  UNION ALL SELECT doc_id, ln, i, tok FROM mapped
+  UNION ALL SELECT doc_id, ln, len(w) + 1, '</s>' FROM d
+    WHERE len(w) > 0),
+seq AS (SELECT doc_id, ln, i, tok,
+  lag(tok) OVER (PARTITION BY doc_id, ln ORDER BY i) prev FROM toks),
+scored AS (SELECT s.doc_id,
+  CASE WHEN b.lp IS NOT NULL THEN b.lp
+       ELSE coalesce(up.bo, 0.0) + uc.lp END lp
+  FROM seq s
+  LEFT JOIN bi b ON b.g = s.prev || ' ' || s.tok
+  LEFT JOIN uni uc ON uc.g = s.tok
+  LEFT JOIN uni up ON up.g = s.prev
+  WHERE s.i >= 1),
+agg AS (SELECT doc_id, sum(lp) s, count(*) n FROM scored
+  GROUP BY doc_id)
+SELECT d2.doc_id,
+  CAST(a.n AS VARCHAR) AS arpa_line_lp_n,
+  CAST(floor(a.s * 1000000 + 0.5) AS DOUBLE) AS arpa_line_lp
+FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""",
+)
+def q_arpa_score_lines(spark, sf_dir):
+    import os
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" query"),
+                          F.lit("\nquery"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ff_arpa_l_")
+    path = os.path.join(tmp, "fixture.arpa")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(ARPA_FIXTURE)
+    op = ff.ArpaLogProbScorer(
+        "text", "doc_id", line_level=True
+    ).load_arpa(path, spark)
+    out = op.transform(docs)
+    total = F.col("text_arpa_logprob") * F.col("text_arpa_n_tokens")
+    return out.select(
+        "doc_id",
+        F.col("text_arpa_n_tokens").cast("string")
+        .alias("arpa_line_lp_n"),
+        F.floor(total * F.lit(1e6) + F.lit(0.5))
+        .cast("double").alias("arpa_line_lp"),
     )
 
 
@@ -7934,8 +8023,11 @@ _merge("lm_family", [
      ["doc_id AS k", "cast(NULL AS string) AS tok", "bigram_logprob AS val"],
      "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, bigram_logprob AS val"),
     ("arpa_score",
-     ["doc_id AS k", "cast(NULL AS string) AS tok", "arpa_lp AS val"],
-     "doc_id AS k, CAST(NULL AS VARCHAR) AS tok, arpa_lp AS val"),
+     ["doc_id AS k", "arpa_lp_n AS tok", "arpa_lp AS val"],
+     "doc_id AS k, arpa_lp_n AS tok, arpa_lp AS val"),
+    ("arpa_score_lines",
+     ["doc_id AS k", "arpa_line_lp_n AS tok", "arpa_line_lp AS val"],
+     "doc_id AS k, arpa_line_lp_n AS tok, arpa_line_lp AS val"),
     ("vocab_topk",
      ["cast(rank AS bigint) AS k", "token AS tok", "cast(count AS double) AS val"],
      "CAST(rank AS BIGINT) AS k, token AS tok, CAST(count AS DOUBLE) AS val"),

@@ -141,16 +141,23 @@ class ArpaLogProbScorer(Transformer):
     point of gating against an external reference model.
 
     Appends ``{text_col}_arpa_logprob`` (mean log10 probability per
-    scored token — higher is better, the package's scorer convention)
-    and ``{text_col}_arpa_ppl`` (``10**(-logprob)``, the perplexity
-    CCNet thresholds on). Empty documents score NULL.
+    scored token — higher is better, the package's scorer convention),
+    ``{text_col}_arpa_ppl`` (``10**(-logprob)``, the perplexity CCNet
+    thresholds on), and ``{text_col}_arpa_n_tokens`` (the scored-token
+    count — the length CCNet weights by). Empty documents score NULL.
 
     ``sentence_markers=True`` (default, the KenLM scoring convention)
     conditions the first word on ``<s>`` and scores a terminal
     ``</s>``; the markers themselves are never mapped to ``<unk>``.
-    The document is scored as ONE sequence — pre-split into sentences
-    upstream (e.g. one row per line) to reproduce CCNet's per-line
-    scoring exactly.
+
+    ``line_level=True`` (r13) reproduces CCNet's document scoring
+    EXACTLY: the document splits on newlines, each non-empty line is
+    scored as its own ``<s> ... </s>`` sentence, and the document
+    score is total log10 probability over total scored tokens across
+    its lines (``sum/sum``, the cc_net ``doc_log_score`` law — NOT a
+    mean of per-line means). Default False scores the document as one
+    sequence. Same plan either way: the line key just rides the
+    position frame, so the extra cost is one ``split`` + posexplode.
     """
 
     def __init__(
@@ -160,12 +167,14 @@ class ArpaLogProbScorer(Transformer):
         lowercase: bool = True,
         sentence_markers: bool = True,
         oov_logprob: float = -7.0,
+        line_level: bool = False,
     ):
         self.text_col = text_col
         self.id_col = id_col
         self.lowercase = lowercase
         self.sentence_markers = sentence_markers
         self.oov_logprob = oov_logprob
+        self.line_level = line_level
         self.ngram_df_: DataFrame | None = None
         self.order_: int = 0
         self.has_unk_: bool = False
@@ -236,8 +245,7 @@ class ArpaLogProbScorer(Transformer):
 
     # -- scoring ---------------------------------------------------------
 
-    def _tokens_expr(self) -> Column:
-        text = F.col(self.text_col)
+    def _tokens_expr(self, text: Column) -> Column:
         if self.lowercase:
             text = F.lower(text)
         return F.coalesce(words_expr(text), F.array().cast("array<string>"))
@@ -247,10 +255,39 @@ class ArpaLogProbScorer(Transformer):
             self.ngram_df_, "ArpaLogProbScorer", "ngram_df_"
         )
         n_max = self.order_
-        words = df.select(
-            F.col(self.id_col).alias("__ff_id"),
-            F.posexplode(self._tokens_expr()).alias("__ff_p", "__ff_w"),
-        )
+        if self.line_level:
+            # CCNet law: one <s>...</s> sentence PER LINE; the
+            # sequence key is (doc, line) — a string composite so the
+            # whole pipeline below stays unchanged — and the final
+            # aggregate is sum/sum at the DOC grain. Empty lines
+            # contribute no tokens and thus no markers (cc_net skips
+            # them).
+            lines = df.select(
+                F.col(self.id_col).alias("__ff_did"),
+                F.posexplode(
+                    F.split(F.coalesce(F.col(self.text_col), F.lit("")),
+                            "\n")
+                ).alias("__ff_ln", "__ff_line"),
+            )
+            words = lines.select(
+                "__ff_did",
+                F.concat_ws(
+                    "\x1f",
+                    F.col("__ff_did").cast("string"),
+                    F.col("__ff_ln").cast("string"),
+                ).alias("__ff_id"),
+                F.posexplode(
+                    self._tokens_expr(F.col("__ff_line"))
+                ).alias("__ff_p", "__ff_w"),
+            )
+        else:
+            words = df.select(
+                F.col(self.id_col).alias("__ff_did"),
+                F.col(self.id_col).alias("__ff_id"),
+                F.posexplode(
+                    self._tokens_expr(F.col(self.text_col))
+                ).alias("__ff_p", "__ff_w"),
+            )
         # <unk> mapping BEFORE key building: unknown words are <unk>
         # in contexts too (the KenLM convention). Markers are exempt.
         # Models without <unk> skip the membership join entirely (the
@@ -266,9 +303,12 @@ class ArpaLogProbScorer(Transformer):
             ).otherwise(F.lit(UNK))
             mapped = words.join(
                 vocab, words["__ff_w"] == vocab["__ff_vw"], "left"
-            ).select("__ff_id", "__ff_p", mapped_w.alias("__ff_w"))
+            ).select(
+                "__ff_did", "__ff_id", "__ff_p",
+                mapped_w.alias("__ff_w"),
+            )
         else:
-            mapped = words.select("__ff_id", "__ff_p", "__ff_w")
+            mapped = words.select("__ff_did", "__ff_id", "__ff_p", "__ff_w")
         toks_col = F.transform(
             F.array_sort(
                 F.collect_list(F.struct("__ff_p", "__ff_w"))
@@ -282,8 +322,11 @@ class ArpaLogProbScorer(Transformer):
         # empty/NULL-text docs never reach the aggregate (posexplode
         # drops them) and land as NULL through the final left join —
         # the package's scorer convention
-        docs = mapped.groupBy("__ff_id").agg(toks_col.alias("__ff_toks"))
+        docs = mapped.groupBy("__ff_id", "__ff_did").agg(
+            toks_col.alias("__ff_toks")
+        )
         pos = docs.select(
+            "__ff_did",
             "__ff_id",
             F.col("__ff_toks").alias("__ff_t"),
             F.posexplode("__ff_toks").alias("__ff_i", "__ff_tok"),
@@ -302,7 +345,7 @@ class ArpaLogProbScorer(Transformer):
             ).alias(f"__ff_k{n}")
             for n in range(1, n_max + 1)
         ]
-        pos = pos.select("__ff_id", "__ff_i", *keys)
+        pos = pos.select("__ff_did", "__ff_id", "__ff_i", *keys)
         for n in range(1, n_max + 1):
             tbl = model.where(F.col("order") == n).select(
                 F.col("gram").alias(f"__ff_g{n}"),
@@ -339,14 +382,19 @@ class ArpaLogProbScorer(Transformer):
         if self.sentence_markers:
             scored = scored.where(F.col("__ff_i") >= 1)  # never score <s>
         per_doc = scored.select(
-            "__ff_id", score.alias("__ff_lp")
-        ).groupBy("__ff_id").agg(F.avg("__ff_lp").alias("__ff_mean"))
+            "__ff_did", score.alias("__ff_lp")
+        ).groupBy("__ff_did").agg(
+            F.avg("__ff_lp").alias("__ff_mean"),
+            F.count("*").alias("__ff_n"),
+        )
         lp_col = f"{self.text_col}_arpa_logprob"
         ppl_col = f"{self.text_col}_arpa_ppl"
+        n_col = f"{self.text_col}_arpa_n_tokens"
         return df.join(
-            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
+            per_doc, on=df[self.id_col] == per_doc["__ff_did"], how="left"
         ).select(
             *[F.col(c) for c in df.columns],
             F.col("__ff_mean").alias(lp_col),
             F.pow(F.lit(10.0), -F.col("__ff_mean")).alias(ppl_col),
+            F.col("__ff_n").alias(n_col),
         )

@@ -203,6 +203,56 @@ def test_state_roundtrip(spark, texts_df, tmp_path, loaded):
     assert a == b
 
 
+def _ref_score_lines(text, model, order, oov=-7.0):
+    """CCNet doc_log_score twin: per-line <s>..</s>, sum/sum."""
+    total, cnt = 0.0, 0
+    vocab = set(model[1])
+    for line in (text or "").split("\n"):
+        words = [w for w in line.lower().split() if w]
+        if not words:
+            continue
+        if UNK in vocab:
+            words = [w if w in vocab else UNK for w in words]
+        toks = [BOS, *words, EOS]
+        for i in range(1, len(toks)):
+            total += _ref_pos(toks, i, min(order, i + 1), model, oov)
+            cnt += 1
+    return total / cnt if cnt else None
+
+
+def test_line_level_ccnet_law(spark):
+    p, m = _model()
+    op = ArpaLogProbScorer(
+        "text", "doc_id", line_level=True
+    ).load_arpa(p, spark)
+    texts = [
+        (0, "the cat\nsat"),          # two sentences
+        (1, "the cat sat"),           # one line == doc-level
+        (2, "\n\nthe\n"),             # empty lines skipped
+        (3, ""),                      # NULL
+        (4, "cat\nthe dog\ncat sat"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text_arpa_logprob"]
+           for r in op.transform(df).collect()}
+    for doc_id, text in texts:
+        want = _ref_score_lines(text, m, 3)
+        if want is None:
+            assert got[doc_id] is None, text
+        else:
+            assert got[doc_id] == pytest.approx(want, abs=1e-12), text
+    # a single-line doc scores identically to the doc-level mode
+    doc_mode = ArpaLogProbScorer("text", "doc_id").load_arpa(p, spark)
+    one = doc_mode.transform(df.where("doc_id = 1")).collect()[0]
+    assert got[1] == pytest.approx(
+        one["text_arpa_logprob"], abs=1e-12
+    )
+    # per-line markers vs one long sequence genuinely differ
+    assert got[0] != pytest.approx(
+        _ref_score("the cat sat", m, 3), abs=1e-9
+    )
+
+
 def test_ccnet_preset(spark):
     # the published-method preset: encode fix -> ARPA score -> CCNet
     # head/middle/tail bucketing on the published-model score
