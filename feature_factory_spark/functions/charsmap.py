@@ -119,7 +119,9 @@ class PrecompiledCharsmap:
     def transform(self, chunk: str) -> str | None:
         """Replacement for ``chunk``, or None when unmapped — the
         FIRST trie hit indexes the NUL-terminated normalized blob."""
-        memo = self._memo
+        # lazy init: robust to instances unpickled from a closure that
+        # predates the memo attribute (executor-side re-import skew)
+        memo = self.__dict__.setdefault("_memo", {})
         if chunk in memo:
             return memo[chunk]
         results = self._common_prefix_search(chunk.encode("utf-8"))
