@@ -361,11 +361,13 @@ def parse_post_processor(post) -> tuple[list[str], list[str], dict[str, int]] | 
     if not seen_seq:
         return None
     hints = {}
-    for tok, spec in (post.get("special_tokens") or {}).items():
-        ids = (spec or {}).get("ids") or []
-        toks = (spec or {}).get("tokens") or []
-        if len(ids) == 1 and len(toks) == 1:
-            hints[str(toks[0])] = int(ids[0])
+    spec_map = post.get("special_tokens")
+    if isinstance(spec_map, dict):  # the serialized form is a map
+        for tok, spec in spec_map.items():
+            ids = (spec or {}).get("ids") or []
+            toks = (spec or {}).get("tokens") or []
+            if len(ids) == 1 and len(toks) == 1:
+                hints[str(toks[0])] = int(ids[0])
     return pre, suf, hints
 
 

@@ -583,6 +583,13 @@ class SequencePacker(Transformer):
         pack budget (plus the one oversized document the greedy law
         allows)."""
         validate_columns(df, [ids_col])
+        from pyspark.sql.types import ArrayType
+
+        ensure(
+            isinstance(df.schema[ids_col].dataType, ArrayType),
+            f"materialize ids_col '{ids_col}' must be an array column "
+            f"(got {df.schema[ids_col].dataType.simpleString()})",
+        )
         extra = (sep_id is not None) + (bos_id is not None)
         if self.output_col in df.columns:
             out = df

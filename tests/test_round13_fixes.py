@@ -429,6 +429,29 @@ def test_materialize_sep_only_and_default_unchanged(spark):
     assert list(plain[0]["doc_lens"]) == [2, 1, 3]
 
 
+def test_materialize_rejects_non_array_ids_col(spark):
+    df = _pack_frame(spark)
+    p = ff.SequencePacker(
+        "n", budget=5, order_col="doc_id", partition_cols=["src"]
+    )
+    with pytest.raises(ff.FeatureFactoryError, match="array column"):
+        p.materialize(df, "n", sep_id=0)
+
+
+def test_parse_post_processor_tolerates_list_special_tokens():
+    from feature_factory_spark.functions.charsmap import (
+        parse_post_processor,
+    )
+
+    pre, suf, hints = parse_post_processor({
+        "type": "TemplateProcessing",
+        "single": [{"Sequence": {"id": "A"}},
+                   {"SpecialToken": {"id": "</s>"}}],
+        "special_tokens": [["</s>", 1]],  # non-map serialization
+    })
+    assert (pre, suf, hints) == ([], ["</s>"], {})
+
+
 def test_materialize_respects_precomputed_packing(spark):
     # a frame that already carries the pack column is grouped as-is —
     # the caller owns the packing law
