@@ -648,6 +648,51 @@ def check_uniapply(spark, copies: int) -> None:
     big.unpersist()
 
 
+def check_wordpiece(spark, copies: int) -> None:
+    """WordPiece (BERT-family) apply at 10x docs (r13): normalization
+    is the one Arrow seam (corpus-linear), the greedy match runs at
+    the DISTINCT-word grain (fixed under corpus copies), so wall must
+    track the corpus scan."""
+    import os as _os
+    import tempfile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = grow_docs(docs, 1)
+    big = grow_docs(docs, copies)
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+             + list("abcdefghijklmnopqrstuvwxyz0123456789")
+             + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+             + ["the", "table", "query", "value", "scan", "fast",
+                "row", "join", "hash", "batch", "merge", "line",
+                "sort", "group", "data", "##le", "##ue", "##a"])
+    p = _os.path.join(tempfile.mkdtemp(prefix="ff_wp_scale_"),
+                      "vocab.txt")
+    open(p, "w").write("\n".join(vocab) + "\n")
+    op = ff.WordPieceTokenizer("text", "doc_id").load_vocab_txt(
+        p, spark
+    )
+    op.transform(one).select(
+        F.sum("text_wordpiece_token_count")
+    ).collect()  # warm
+    t0 = time.perf_counter()
+    n1 = op.transform(one).select(
+        F.sum("text_wordpiece_token_count")
+    ).collect()[0][0]
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nN = op.transform(big).select(
+        F.sum("text_wordpiece_token_count")
+    ).collect()[0][0]
+    tN = time.perf_counter() - t0
+    print(f"[wordpiece] 1x:  {n1} tokens / {t1:.1f}s")
+    print(
+        f"[wordpiece] {copies}x: {nN} tokens / {tN:.1f}s "
+        f"(time ratio {tN / t1:.1f}x for {copies}x docs)"
+    )
+    one.unpersist()
+    big.unpersist()
+
+
 def _synth_images(spark, n: int):
     """n deterministic gradient-pattern PNGs in planted near-dup groups
     of 4 (the image_dedup entry fixture), synthesized in-plan."""
@@ -1234,6 +1279,7 @@ CHECKS = {
     "bigram": check_bigram,
     "arpa": check_arpa,
     "uniapply": check_uniapply,
+    "wordpiece": check_wordpiece,
     "imagedup": check_imagedup,
     "audiodup": check_audiodup,
     "videodup": check_videodup,
