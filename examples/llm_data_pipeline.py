@@ -375,6 +375,29 @@ def main() -> None:
     print(f"tfidf semantic dedup survivors: "
           f"{text_sem.transform(embedded).count()} / {docs.count()}")
 
+    # 12b. (r13) the published LM quality gate, runnable verbatim:
+    #      a KenLM/ARPA model (here a small deterministic fixture —
+    #      real CCNet models load unchanged) scores every document
+    #      with exact Katz back-off, line-level like cc_net, and the
+    #      CCNet preset buckets head/middle/tail on the score
+    arpa_path = os.path.join(tempfile.mkdtemp(prefix="arpa_"), "m.arpa")
+    arpa_words = ["table", "query", "value", "scan", "fast", "row"]
+    l1 = ["-2.5\t<unk>\t-0.4", "-1.5\t<s>\t-0.3", "-1.6\t</s>"] + [
+        f"-{1.0 + 0.01 * i:.2f}\t{w}\t-0.2"
+        for i, w in enumerate(arpa_words)
+    ]
+    l2 = [f"-0.5\t{a} {b}" for a in arpa_words[:3]
+          for b in arpa_words[:3]]
+    open(arpa_path, "w").write(
+        "\\data\\\nngram 1=%d\nngram 2=%d\n\n\\1-grams:\n%s\n\n"
+        "\\2-grams:\n%s\n\n\\end\\\n"
+        % (len(l1), len(l2), "\n".join(l1), "\n".join(l2))
+    )
+    ccnet = ff.presets.ccnet_pipeline(spark, arpa_path)
+    gated = ccnet.fit(docs.select("doc_id", "text"))
+    gated.groupBy("text_arpa_logprob_bucket").count() \
+        .orderBy("text_arpa_logprob_bucket").show()
+
     # 13. (r11) DSIR importance resampling: score every raw document
     #     by target-likeness (hashed n-gram models), then resample via
     #     the deterministic Gumbel key — the published data-selection

@@ -403,6 +403,7 @@ def build_charsmap_blob(mapping: dict[str, str]) -> bytes:
         node.value = offsets[v]
 
     units: dict[int, int] = {}
+    used_bases: set[int] = set()
 
     def occupied(pos: int) -> bool:
         return pos in units
@@ -412,19 +413,24 @@ def build_charsmap_blob(mapping: dict[str, str]) -> bytes:
         already known), recurse."""
         labels = sorted(node.children)
         # choose a base so that base (value slot, if leaf) and
-        # base^label slots are all free
+        # base^label slots are all free. Bases must also be UNIQUE
+        # across nodes (the double-array invariant): two nodes
+        # sharing a base would alias each other's children — a byte
+        # valid under the sibling would traverse into ITS child with
+        # a matching label and return a spurious hit.
         base = 1
         while True:
             need = [base ^ c for c in labels]
             if node.value is not None:
                 need.append(base)
-            if all(not occupied(p) for p in need) and all(
-                p != slot for p in need
+            if (
+                base not in used_bases
+                and all(not occupied(p) for p in need)
+                and all(p != slot for p in need)
             ):
-                # the value slot must also not collide with future
-                # child slots of THIS node (base^c covers that) — ok
                 break
             base += 1
+        used_bases.add(base)
         # the offset FIELD is relative: the reader computes the node's
         # base as slot ^ offset (darts-clone traversal contract)
         unit = ((base ^ slot) << 10) | unit_label
