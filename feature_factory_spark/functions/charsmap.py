@@ -288,6 +288,49 @@ def parse_norm_chain(norm, path: str) -> tuple[bool, list[dict]]:
     return False, chain
 
 
+def parse_truncation(trunc, path: str) -> dict | None:
+    """Parse a tokenizer.json ``truncation`` section into
+    ``{'max_length', 'direction'}`` (None when the file carries none).
+    HF applies a stored truncation on EVERY encode, so ignoring one
+    would silently diverge — unsupported shapes reject loudly."""
+    from ..validation import ensure
+
+    if trunc is None:
+        return None
+    ensure(
+        isinstance(trunc, dict) and int(trunc.get("max_length", 0)) > 0,
+        f"unsupported truncation section {trunc!r} in '{path}'",
+    )
+    direction = str(trunc.get("direction", "Right"))
+    ensure(
+        direction in ("Right", "Left"),
+        f"truncation direction {direction!r} in '{path}' is not "
+        "reproduced (Right/Left only)",
+    )
+    # strategy LongestFirst/OnlyFirst/OnlySecond coincide for the
+    # single-sequence document grain; stride only affects overflow
+    # tokens, which corpus encode does not emit
+    return {
+        "max_length": int(trunc["max_length"]),
+        "direction": direction,
+    }
+
+
+def truncate_seq_expr(seq, room: int, direction: str, elem: str):
+    """Expression: keep ``room`` elements of ``seq`` from the Right
+    (head) or Left (tail) — the HF truncation law at document grain.
+    Short sequences pass through untouched."""
+    from pyspark.sql import functions as F
+
+    if room <= 0:
+        return F.array().cast(f"array<{elem}>")
+    if direction == "Left":
+        kept = F.slice(seq, F.size(seq) - F.lit(room) + 1, room)
+    else:
+        kept = F.slice(seq, 1, room)
+    return F.when(F.size(seq) <= room, seq).otherwise(kept)
+
+
 def parse_post_processor(post) -> tuple[list[str], list[str], dict[str, int]] | None:
     """Parse a tokenizer.json ``post_processor`` into the
     single-sequence special-token template ``(prefix_tokens,

@@ -552,6 +552,9 @@ class BpeVocabBuilder(Transformer):
         # True). None = the file's processor shape is unrecognized
         # (fail-loud on opt-in, ignored otherwise).
         self._tmpl: tuple | list | None = ([], [], {})
+        # the file's stored truncation (applied on EVERY encode, the
+        # HF law); None = no truncation
+        self._trunc: dict | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -690,6 +693,7 @@ class BpeVocabBuilder(Transformer):
         self._byte_fallback = False
         self._loaded_doc = None
         self._tmpl = ([], [], {})
+        self._trunc = None
         # the corpus-sized work — explode + groupBy word counts — is
         # distributed in EVERY mode; what the modes choose is where the
         # merge loop iterates over the AGGREGATED word table:
@@ -1352,9 +1356,13 @@ class BpeVocabBuilder(Transformer):
         self._ignore_merges = bool(model.get("ignore_merges"))
         self._byte_fallback = bool(model.get("byte_fallback"))
         self._loaded_doc = doc
-        from ..functions.charsmap import parse_post_processor
+        from ..functions.charsmap import (
+            parse_post_processor,
+            parse_truncation,
+        )
 
         self._tmpl = parse_post_processor(doc.get("post_processor"))
+        self._trunc = parse_truncation(doc.get("truncation"), path)
         self.max_unseen_words = None
         self.word_tokens_ = spark.createDataFrame(
             [], "word string, n_tokens int, syms array<string>"
@@ -1563,17 +1571,30 @@ class BpeVocabBuilder(Transformer):
         )
         out_col = f"{self.text_col}_bpe_{'ids' if as_ids else 'tokens'}"
         tokens = F.col("__ff_tokens")
+        pre: list = []
+        suf: list = []
         if add_special_tokens:
             pre, suf = self._template_seqs(as_ids)
-            elem_t = "int" if as_ids else "string"
+        trunc = getattr(self, "_trunc", None)
+        if trunc:
+            # the file's stored truncation applies on every encode
+            # (the HF law); template specials reserve their room
+            from ..functions.charsmap import truncate_seq_expr
+
+            tokens = truncate_seq_expr(
+                tokens,
+                trunc["max_length"] - len(pre) - len(suf),
+                trunc["direction"],
+                elem,
+            )
+        if pre or suf:
             parts = []
             if pre:
-                parts.append(F.lit(pre).cast(f"array<{elem_t}>"))
+                parts.append(F.lit(pre).cast(f"array<{elem}>"))
             parts.append(tokens)
             if suf:
-                parts.append(F.lit(suf).cast(f"array<{elem_t}>"))
-            if len(parts) > 1:
-                tokens = F.concat(*parts)
+                parts.append(F.lit(suf).cast(f"array<{elem}>"))
+            tokens = F.concat(*parts)
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(

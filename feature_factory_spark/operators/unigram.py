@@ -362,6 +362,8 @@ class UnigramVocabBuilder(Transformer):
         # post_processor single-sequence template (see BpeVocabBuilder
         # — consulted only by encode(add_special_tokens=True))
         self._tmpl: tuple | list | None = ([], [], {})
+        # the file's stored truncation (applied on EVERY encode)
+        self._trunc: dict | None = None
 
     def is_stateful(self) -> bool:
         return True
@@ -525,6 +527,7 @@ class UnigramVocabBuilder(Transformer):
         self._norm_chain = []
         self._loaded_doc = None
         self._tmpl = ([], [], {})
+        self._trunc = None
         if self.fit_mode == "distributed":
             self._fit_distributed(df)
             return
@@ -944,17 +947,28 @@ class UnigramVocabBuilder(Transformer):
         ensure(out_col not in df.columns,
                f"output column '{out_col}' already exists")
         tokens = F.col("__ff_tokens")
+        pre: list = []
+        suf: list = []
         if add_special_tokens:
             pre, suf = self._template_seqs(as_ids)
-            elem_t = "int" if as_ids else "string"
+        trunc = getattr(self, "_trunc", None)
+        if trunc:
+            from ..functions.charsmap import truncate_seq_expr
+
+            tokens = truncate_seq_expr(
+                tokens,
+                trunc["max_length"] - len(pre) - len(suf),
+                trunc["direction"],
+                elem,
+            )
+        if pre or suf:
             parts = []
             if pre:
-                parts.append(F.lit(pre).cast(f"array<{elem_t}>"))
+                parts.append(F.lit(pre).cast(f"array<{elem}>"))
             parts.append(tokens)
             if suf:
-                parts.append(F.lit(suf).cast(f"array<{elem_t}>"))
-            if len(parts) > 1:
-                tokens = F.concat(*parts)
+                parts.append(F.lit(suf).cast(f"array<{elem}>"))
+            tokens = F.concat(*parts)
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(
@@ -1328,9 +1342,13 @@ class UnigramVocabBuilder(Transformer):
         self._prepend_scheme = scheme
         self._norm_chain = chain
         self._loaded_doc = doc
-        from ..functions.charsmap import parse_post_processor
+        from ..functions.charsmap import (
+            parse_post_processor,
+            parse_truncation,
+        )
 
         self._tmpl = parse_post_processor(doc.get("post_processor"))
+        self._trunc = parse_truncation(doc.get("truncation"), path)
         # the segmenter only proposes candidates up to max_piece_len:
         # a published file's longest piece must stay reachable or its
         # ids silently never appear (the trainer default is 8; real

@@ -209,6 +209,7 @@ class WordPieceTokenizer(Transformer):
         self._lowercase = True
         self._special_tokens: list[str] = []
         self._tmpl: tuple | list | None = ([], [], {})
+        self._trunc: dict | None = None
         self._loaded_doc: dict | None = None
 
     def is_stateful(self) -> bool:
@@ -324,6 +325,9 @@ class WordPieceTokenizer(Transformer):
             set(specials), key=lambda t: (-len(t), t)
         )
         self._tmpl = parse_post_processor(doc.get("post_processor"))
+        from ..functions.charsmap import parse_truncation
+
+        self._trunc = parse_truncation(doc.get("truncation"), path)
         self._loaded_doc = doc
         self._fitted = True
         return self
@@ -614,16 +618,28 @@ class WordPieceTokenizer(Transformer):
             f"{self.text_col}_wordpiece_{'ids' if as_ids else 'tokens'}"
         )
         tokens = F.col("__ff_tokens")
+        pre: list = []
+        suf: list = []
         if add_special_tokens:
             pre, suf = self._template_seqs(as_ids)
+        trunc = self._trunc
+        if trunc:
+            from ..functions.charsmap import truncate_seq_expr
+
+            tokens = truncate_seq_expr(
+                tokens,
+                trunc["max_length"] - len(pre) - len(suf),
+                trunc["direction"],
+                elem,
+            )
+        if pre or suf:
             parts = []
             if pre:
                 parts.append(F.lit(pre).cast(f"array<{elem}>"))
             parts.append(tokens)
             if suf:
                 parts.append(F.lit(suf).cast(f"array<{elem}>"))
-            if len(parts) > 1:
-                tokens = F.concat(*parts)
+            tokens = F.concat(*parts)
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
         ).select(

@@ -287,6 +287,76 @@ def test_bpe_template_default_and_fitted_noop(spark, tmp_path):
     assert c == list(fit.encode_ids(df).collect()[0]["text_bpe_ids"])
 
 
+def test_stored_truncation_applies_on_encode(spark, tmp_path):
+    # the HF law: a tokenizer.json carrying a truncation section
+    # truncates EVERY encode; direction Right keeps the head, Left
+    # the tail; short docs pass through; template specials reserve
+    # their room inside max_length
+    doc = _bl_doc()
+    doc["truncation"] = {"max_length": 5, "strategy": "LongestFirst",
+                         "direction": "Right", "stride": 0}
+    p = str(tmp_path / "tr.json")
+    json.dump(doc, open(p, "w"))
+    op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p, spark)
+    df = spark.createDataFrame(
+        [(0, "hello the world and more words here"), (1, "the")],
+        "doc_id bigint, text string",
+    )
+    doc0 = _bl_doc()
+    p0 = str(tmp_path / "tr0.json")
+    json.dump(doc0, open(p0, "w"))
+    op0 = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        p0, spark
+    )
+    want = {r["doc_id"]: list(r["text_bpe_ids"])
+            for r in op0.encode_ids(df).collect()}
+    got = {r["doc_id"]: list(r["text_bpe_ids"])
+           for r in op.encode_ids(df).collect()}
+    assert got[0] == want[0][:5]      # head kept
+    assert got[1] == want[1]          # short doc untouched
+    # direction Left keeps the tail
+    doc["truncation"]["direction"] = "Left"
+    p2 = str(tmp_path / "tr2.json")
+    json.dump(doc, open(p2, "w"))
+    op2 = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+        p2, spark
+    )
+    got2 = {r["doc_id"]: list(r["text_bpe_ids"])
+            for r in op2.encode_ids(df).collect()}
+    assert got2[0] == want[0][-5:]
+    # unsupported shape rejects at load
+    doc["truncation"] = {"direction": "Right"}  # no max_length
+    p3 = str(tmp_path / "tr3.json")
+    json.dump(doc, open(p3, "w"))
+    with pytest.raises(ff.InvalidParameterError, match="truncation"):
+        BpeVocabBuilder("text", "doc_id").load_tokenizer_json(p3, spark)
+
+
+def test_truncation_reserves_template_room(spark, tmp_path):
+    from feature_factory_spark.operators.wordpiece import (
+        WordPieceTokenizer,
+    )
+    from test_wordpiece import VOCAB, _doc
+
+    doc = _doc()
+    doc["truncation"] = {"max_length": 4, "direction": "Right"}
+    p = str(tmp_path / "wp_tr.json")
+    json.dump(doc, open(p, "w"))
+    op = WordPieceTokenizer("text", "doc_id").load_tokenizer_json(
+        p, spark
+    )
+    df = spark.createDataFrame(
+        [(0, "the lower lowest hello world")],
+        "doc_id bigint, text string",
+    )
+    ids = list(op.encode_ids(df, add_special_tokens=True)
+               .collect()[0]["text_wordpiece_ids"])
+    # [CLS] + 2 sequence ids + [SEP] == max_length
+    assert len(ids) == 4
+    assert ids[0] == VOCAB["[CLS]"] and ids[-1] == VOCAB["[SEP]"]
+    assert ids[1:3] == [VOCAB["the"], VOCAB["low"]]
+
+
 # --- rank-dict apply: piece-length cap -----------------------------------
 
 def _doubling_doc(max_pow=10):
