@@ -6266,46 +6266,71 @@ def q_wordpiece_apply(spark, sf_dir):
         return ids
 
     sample = docs.where(F.col("doc_id") < 40)
-    rows = op.transform(op.encode_ids(sample)).select(
-        "doc_id", "text", "text_wordpiece_ids",
-        "text_wordpiece_token_count",
-    ).collect()
-    ids_ok = all(
-        list(r["text_wordpiece_ids"]) == ref_ids(r["text"])
-        for r in rows
-    )
-    assert ids_ok, "WordPiece ids diverged from the pure-Python twin"
-    counts_ok = all(
-        r["text_wordpiece_token_count"] == len(ref_ids(r["text"]))
-        for r in rows
-    )
-    assert counts_ok, "WordPiece counts diverged from the twin"
-    wrapped = op.encode_ids(
-        sample, add_special_tokens=True
-    ).select("doc_id", "text_wordpiece_ids").collect()
-    wmap = {r["doc_id"]: list(r["text_wordpiece_ids"])
-            for r in wrapped}
-    tmpl_ok = all(
-        wmap[r["doc_id"]]
-        == [vocab["[CLS]"], *list(r["text_wordpiece_ids"]),
-            vocab["[SEP]"]]
-        for r in rows
-    )
-    assert tmpl_ok, "[CLS]/[SEP] template diverged"
-    dec = op.decode_ids(op.encode_ids(sample)).select(
-        "doc_id", "text", "text_wordpiece_ids_text"
-    ).collect()
-    # the corpus is lowercase single-spaced words, so WordPiece decode
-    # (lossy in general) round-trips exactly here
-    dec_ok = all(
-        r["text_wordpiece_ids_text"] == (r["text"] or "")
-        for r in dec
-    )
-    assert dec_ok, "WordPiece decode did not round-trip the corpus"
-    # the corpus-wide scale path: one distributed count aggregate
-    total = op.transform(docs).agg(
-        F.sum("text_wordpiece_token_count")
-    ).collect()[0][0]
+
+    # the four pin jobs are independent given the loaded model — run
+    # the corpus-wide aggregate (the longest), the template wrap, and
+    # the decode round-trip on overlap threads so the member's wall is
+    # max(job) instead of the sum (the bpe_vocab pattern)
+    def _corpus_total():
+        # the corpus-wide scale path: one distributed count aggregate
+        return op.transform(docs).agg(
+            F.sum("text_wordpiece_token_count")
+        ).collect()[0][0]
+
+    def _wrapped():
+        return op.encode_ids(
+            sample, add_special_tokens=True
+        ).select("doc_id", "text_wordpiece_ids").collect()
+
+    def _decoded():
+        return op.decode_ids(op.encode_ids(sample)).select(
+            "doc_id", "text", "text_wordpiece_ids_text"
+        ).collect()
+
+    total_res = _Overlap(_corpus_total)
+    wrapped_res = _Overlap(_wrapped)
+    dec_res = _Overlap(_decoded)
+    with total_res.guard(), wrapped_res.guard(), dec_res.guard():
+        rows = op.transform(op.encode_ids(sample)).select(
+            "doc_id", "text", "text_wordpiece_ids",
+            "text_wordpiece_token_count",
+        ).collect()
+        ids_ok = all(
+            list(r["text_wordpiece_ids"]) == ref_ids(r["text"])
+            for r in rows
+        )
+        assert ids_ok, "WordPiece ids diverged from the pure-Python twin"
+        counts_ok = all(
+            r["text_wordpiece_token_count"] == len(ref_ids(r["text"]))
+            for r in rows
+        )
+        assert counts_ok, "WordPiece counts diverged from the twin"
+    try:
+        wrapped = wrapped_res.result()
+        wmap = {r["doc_id"]: list(r["text_wordpiece_ids"])
+                for r in wrapped}
+        tmpl_ok = all(
+            wmap[r["doc_id"]]
+            == [vocab["[CLS]"], *list(r["text_wordpiece_ids"]),
+                vocab["[SEP]"]]
+            for r in rows
+        )
+        assert tmpl_ok, "[CLS]/[SEP] template diverged"
+        dec = dec_res.result()
+        # the corpus is lowercase single-spaced words, so WordPiece
+        # decode (lossy in general) round-trips exactly here
+        dec_ok = all(
+            r["text_wordpiece_ids_text"] == (r["text"] or "")
+            for r in dec
+        )
+        assert dec_ok, "WordPiece decode did not round-trip the corpus"
+        total = total_res.result()
+    except BaseException:
+        # a failed pin must not leave sibling threads submitting jobs
+        # while the family harness releases fitted frames
+        dec_res.join_quietly()
+        total_res.join_quietly()
+        raise
     total_ok = (total or 0) > 0
     return _inv_df(spark, [
         ("wp_ids_match_reference", int(ids_ok)),

@@ -452,12 +452,20 @@ class WordPieceTokenizer(Transformer):
         return self._words_udf()(F.col(self.text_col))
 
     def tokenize_words(
-        self, words: DataFrame, word_col: str = "word"
+        self, words: DataFrame, word_col: str = "word",
+        with_ids: bool = False,
     ) -> DataFrame:
         """(word, n_tokens, syms) at the DISTINCT-word grain: the
         greedy longest-match per word in one Arrow map, the vocab set
-        riding the closure (the BPE rank-dict pattern)."""
-        vocab = frozenset(self._require_model())
+        riding the closure (the BPE rank-dict pattern).
+
+        ``with_ids=True`` appends ``ids array<int>`` mapped through the
+        model's explicit id layout IN THE SAME PASS — the id map already
+        rides the closure, so encode_ids needs no piece-grain explode /
+        vocabulary join / re-assembly shuffle afterwards (same -1
+        fallback for a piece missing from the map)."""
+        idmap = self._require_model()
+        vocab = frozenset(idmap)
         unk, prefix = self.unk_token_, self.prefix_
         max_chars = self.max_chars_
         special = frozenset(self._special_tokens)
@@ -473,15 +481,21 @@ class WordPieceTokenizer(Transformer):
                     else []
                     for w in pdf[word_col]
                 ]
-                yield pd.DataFrame({
+                cols = {
                     "word": pdf[word_col],
                     "n_tokens": [len(s) for s in syms],
                     "syms": syms,
-                })
+                }
+                if with_ids:
+                    cols["ids"] = [
+                        [idmap.get(p, -1) for p in s] for s in syms
+                    ]
+                yield pd.DataFrame(cols)
 
-        return words.select(F.col(word_col)).mapInPandas(
-            batches, "word string, n_tokens int, syms array<string>"
-        )
+        schema = "word string, n_tokens int, syms array<string>"
+        if with_ids:
+            schema += ", ids array<int>"
+        return words.select(F.col(word_col)).mapInPandas(batches, schema)
 
     def vocabulary(self, spark=None) -> DataFrame:
         """(token, id): the file's explicit map, verbatim. ``spark``
@@ -512,36 +526,6 @@ class WordPieceTokenizer(Transformer):
                 f"more than max_unseen_words={cap} distinct words in "
                 "the corpus — raise the cap or pre-clean unique tokens"
             )
-
-    def _word_seq_table(self, frame: DataFrame, as_ids: bool) -> DataFrame:
-        if not as_ids:
-            return frame.select("word", F.col("syms").alias("__ff_seq"))
-        vocab = self.vocabulary(frame.sparkSession).select(
-            F.col("token").alias("__ff_tok"),
-            F.col("id").alias("__ff_tid"),
-        )
-        exploded = frame.select(
-            "word", F.posexplode("syms").alias("__ff_p", "__ff_tok")
-        ).join(F.broadcast(vocab), "__ff_tok", "left")
-        return (
-            exploded.withColumn(
-                "__ff_ids",
-                F.array(F.coalesce(F.col("__ff_tid"), F.lit(-1))),
-            )
-            .groupBy("word")
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("__ff_p", "__ff_ids")
-                            )
-                        ),
-                        lambda s: s["__ff_ids"],
-                    )
-                ).alias("__ff_seq")
-            )
-        )
 
     def _template_seqs(self, as_ids: bool) -> tuple[list, list]:
         ensure(
@@ -591,9 +575,13 @@ class WordPieceTokenizer(Transformer):
             F.col("word").isNotNull()
         ).select("word").distinct()
         self._guard_unseen(distinct)
-        seq_table = self._word_seq_table(
-            self.tokenize_words(distinct), as_ids
-        )
+        # ids are mapped inside the tokenize pass (the id map rides the
+        # mapInPandas closure) — no piece-grain explode / vocab join /
+        # collect_list re-assembly, one fewer shuffle per encode
+        seq_col = "ids" if as_ids else "syms"
+        seq_table = self.tokenize_words(
+            distinct, with_ids=as_ids
+        ).select("word", F.col(seq_col).alias("__ff_seq"))
         resolved = doc_words.join(seq_table, "word", "left").select(
             "__ff_id",
             "__ff_pos",
