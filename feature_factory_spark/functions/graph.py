@@ -62,6 +62,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nb_min"), F.col("component"))
                 ).alias("component"),
+                # carry whether this round lowered the label, so the
+                # convergence check below is a filter-count on THIS
+                # frame — not a second labels join (one fewer shuffle
+                # per iteration)
+                (
+                    F.coalesce(F.col("nb_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("__ff_changed"),
             )
         )
         if (it + 1) % 3 == 0:
@@ -72,14 +80,9 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.where(F.col("__ff_changed")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("__ff_changed")
         if changed == 0:
             break
     else:
