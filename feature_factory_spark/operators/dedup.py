@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import cosine_expr
+from ..functions.frames import one_slice_frame
 from ..functions.graph import duplicate_ids
 from ..functions.text import (
     MERSENNE_P31,
@@ -221,10 +222,11 @@ def _write_index_meta(spark, path: str, meta: dict, mode: str) -> None:
         if has_meta:
             _log_index_version(spark, path, "append")
             return
-    spark.createDataFrame(
+    one_slice_frame(
+        spark,
         [tuple(str(v) for v in meta.values())],
         ", ".join(f"{k} string" for k in meta),
-    ).coalesce(1).write.mode(
+    ).write.mode(
         "overwrite" if mode == "append" else mode
     ).parquet(meta_path)
     _log_index_version(spark, path, "write")
@@ -264,12 +266,11 @@ def _log_index_version(spark, path: str, op: str,
                     or "Path does not exist" in msg):
                 raise
             prev = 0
-    spark.createDataFrame(
+    one_slice_frame(
+        spark,
         [(int(prev) + 1, op, n_rows)],
         "version int, op string, n_rows bigint",
-    ).coalesce(1).write.mode("overwrite" if reset else "append").parquet(
-        vpath
-    )
+    ).write.mode("overwrite" if reset else "append").parquet(vpath)
 
 
 def index_versions(spark, path: str) -> list[dict]:

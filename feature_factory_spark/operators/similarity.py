@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import cosine_expr, norm_expr
+from ..functions.frames import one_slice_frame
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns
 from .dedup import _hyperplanes, hyperplane_sig_expr
@@ -91,7 +92,8 @@ def _write_pq_books(spark, path: str, pq, mode: str) -> None:
     ``<path>/pq`` table (the inverse of :func:`_load_pq_model`)."""
     import os
 
-    books = spark.createDataFrame(
+    books = one_slice_frame(
+        spark,
         [
             (s, i, list(c))
             for s, book in enumerate(pq.codebooks_)
@@ -99,7 +101,7 @@ def _write_pq_books(spark, path: str, pq, mode: str) -> None:
         ],
         "sub int, idx int, centroid array<double>",
     )
-    books.coalesce(1).write.mode(mode).parquet(os.path.join(path, "pq"))
+    books.write.mode(mode).parquet(os.path.join(path, "pq"))
 
 
 def nearest_centroids_expr(
@@ -476,11 +478,12 @@ class IVFCosineTopK(CosineTopK):
             os.path.join(path, "corpus")
         )
         if mode != "append":
-            centroids = spark.createDataFrame(
+            centroids = one_slice_frame(
+                spark,
                 [(i, list(v)) for i, v in enumerate(self.centroids_)],
                 "cluster int, centroid array<double>",
             )
-            centroids.coalesce(1).write.mode(mode).parquet(
+            centroids.write.mode(mode).parquet(
                 os.path.join(path, "centroids")
             )
             if quantize == "pq":
@@ -876,13 +879,12 @@ class BucketedCosineTopK(CosineTopK):
             mode
         ).partitionBy("ci", "cv").parquet(os.path.join(path, "corpus"))
         if mode != "append":
-            meta = spark.createDataFrame(
+            meta = one_slice_frame(
+                spark,
                 [(self.dim, self.n_planes, self.n_chunks, self.seed)],
                 "dim int, n_planes int, n_chunks int, seed int",
             )
-            meta.coalesce(1).write.mode(mode).parquet(
-                os.path.join(path, "meta")
-            )
+            meta.write.mode(mode).parquet(os.path.join(path, "meta"))
             if pq is not None:
                 _write_pq_books(spark, path, pq, mode)
         _log_index_version(
