@@ -6712,42 +6712,52 @@ def q_pq_codes(spark, sf_dir):
     books = [np.asarray(b) for b in op.codebooks_]
 
     sample = emb.where(F.col("vec_id") < 50)
-    got = {r["vec_id"]: (list(r["embedding_pq"]), list(r["embedding"]))
-           for r in op.transform(sample).collect()}
-    codes_ok = True
-    for vid, (codes, v) in got.items():
-        x = np.asarray(v, dtype=np.float64)
-        for s, b in enumerate(books):
-            sub = x[s * 8:(s + 1) * 8]
-            if codes[s] != int(((b - sub) ** 2).sum(axis=1).argmin()):
-                codes_ok = False
-    assert codes_ok, "JVM PQ codes diverged from numpy assignment"
 
-    dec = op.transform(sample).withColumn(
-        "rec", op.decode_expr(F.col("embedding_pq"))
-    ).select("embedding_pq", "rec").collect()
-    dec_ok = all(
-        list(r["rec"][s * 8:(s + 1) * 8])
-        == [float(x) for x in books[s][r["embedding_pq"][s]]]
-        for r in dec for s in range(8)
-    )
-    assert dec_ok, "decode_expr returned non-codebook subvectors"
+    # the sample pins and the full-corpus MSE aggregate are independent
+    # given the fitted codebooks, and each job's cost here is dominated
+    # by codegen of the m x k argmin/decode fold expressions, not rows —
+    # run the MSE job on an overlap thread and collect the codes AND
+    # decode pins from ONE sample frame (one codegen pass instead of
+    # two identical ones)
+    def _mse():
+        return op.transform(emb).withColumn(
+            "rec", op.decode_expr(F.col("embedding_pq"))
+        ).select(
+            F.avg(F.aggregate(
+                F.zip_with("embedding", "rec",
+                           lambda a, b: (a.cast("double") - b)
+                           * (a.cast("double") - b)),
+                F.lit(0.0), lambda s, v: s + v,
+            )).alias("mse"),
+            F.avg(F.aggregate(
+                F.transform("embedding",
+                            lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0), lambda s, v: s + v,
+            )).alias("power"),
+        ).collect()[0]
 
-    err = op.transform(emb).withColumn(
-        "rec", op.decode_expr(F.col("embedding_pq"))
-    ).select(
-        F.avg(F.aggregate(
-            F.zip_with("embedding", "rec",
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda s, v: s + v,
-        )).alias("mse"),
-        F.avg(F.aggregate(
-            F.transform("embedding",
-                        lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0), lambda s, v: s + v,
-        )).alias("power"),
-    ).collect()[0]
+    mse_res = _Overlap(_mse)
+    with mse_res.guard():
+        rows = op.transform(sample).withColumn(
+            "rec", op.decode_expr(F.col("embedding_pq"))
+        ).select("embedding", "embedding_pq", "rec").collect()
+        codes_ok = True
+        for r in rows:
+            codes = list(r["embedding_pq"])
+            x = np.asarray(list(r["embedding"]), dtype=np.float64)
+            for s, b in enumerate(books):
+                sub = x[s * 8:(s + 1) * 8]
+                if codes[s] != int(((b - sub) ** 2).sum(axis=1).argmin()):
+                    codes_ok = False
+        assert codes_ok, "JVM PQ codes diverged from numpy assignment"
+
+        dec_ok = all(
+            list(r["rec"][s * 8:(s + 1) * 8])
+            == [float(x) for x in books[s][r["embedding_pq"][s]]]
+            for r in rows for s in range(8)
+        )
+        assert dec_ok, "decode_expr returned non-codebook subvectors"
+    err = mse_res.result()
     mse_ok = err["mse"] < 0.9 * err["power"]
     assert mse_ok, "PQ reconstruction no better than the zero baseline"
     # fit determinism (refit == fit, no RNG) is pinned by
