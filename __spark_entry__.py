@@ -5023,17 +5023,24 @@ def q_packed_ids(spark, sf_dir):
                 "n_tokens", F.size("text_bpe_ids").cast("bigint")
             )
         )
-        rows = packed.select(
-            "doc_id", "source", "text", "text_bpe_ids", "pack_id"
-        ).collect()
         # r8: decode_ids closes the loop in the other direction — the
         # decoded text must equal the reference ids mapped back through
-        # the inverse vocabulary (unk -1 -> U+FFFD, end mark -> space)
-        decoded = {
-            r["doc_id"]: r["text_bpe_ids_text"]
-            for r in op.decode_ids(with_ids).select(
+        # the inverse vocabulary (unk -1 -> U+FFFD, end mark -> space).
+        # The decode job is independent of the pack collect given the
+        # fitted op, so it runs on an overlap thread (guard joins it
+        # before the finally releases the fitted frames on failure)
+        dec_res = _Overlap(
+            lambda: op.decode_ids(with_ids).select(
                 "doc_id", "text_bpe_ids_text"
             ).collect()
+        )
+        with dec_res.guard():
+            rows = packed.select(
+                "doc_id", "source", "text", "text_bpe_ids", "pack_id"
+            ).collect()
+        decoded = {
+            r["doc_id"]: r["text_bpe_ids_text"]
+            for r in dec_res.result()
         }
     finally:
         op.release()

@@ -991,14 +991,11 @@ class BpeVocabBuilder(Transformer):
             "word", F.size("syms").alias("n_tokens"), "syms"
         )
 
-    def vocabulary(self) -> DataFrame:
-        """The learned vocabulary as (token, id): the base alphabet
-        (every character symbol in the fitted word table + the
-        end-of-word mark, id'd in sorted order — deterministic) followed
-        by one token per merge in merge order — the standard BPE id
-        layout, exportable to any tokenizer runtime. One distinct
-        aggregate over the (vocabulary-sized) fitted table; the alphabet
-        is bounded by the character set, so the collect is tiny."""
+    def _vocab_rows(self) -> list[tuple[str, int]]:
+        """The learned vocabulary as local (token, id) rows — the
+        driver-side source for :meth:`vocabulary` and the encode-time
+        id-map literal. The alphabet collect is one tiny job over the
+        (vocabulary-sized) fitted table."""
         from .text import _require_frame_state
 
         table = _require_frame_state(
@@ -1008,12 +1005,9 @@ class BpeVocabBuilder(Transformer):
             # imported model: the file's explicit token->id map IS the
             # vocabulary — deriving ids from merge order could renumber
             # a foreign layout and silently shift every encoded id
-            return table.sparkSession.createDataFrame(
-                sorted(
-                    ((t, int(i)) for t, i in self.vocab_json_.items()),
-                    key=lambda kv: kv[1],
-                ),
-                "token string, id int",
+            return sorted(
+                ((t, int(i)) for t, i in self.vocab_json_.items()),
+                key=lambda kv: kv[1],
             )
         if self.byte_level:
             # byte mode: ALWAYS the full 256-symbol byte alphabet (the
@@ -1047,8 +1041,21 @@ class BpeVocabBuilder(Transformer):
             seen.add(tok)
             rows.append((tok, next_id))
             next_id += 1
+        return rows
+
+    def vocabulary(self) -> DataFrame:
+        """The learned vocabulary as (token, id): the base alphabet
+        (every character symbol in the fitted word table + the
+        end-of-word mark, id'd in sorted order — deterministic) followed
+        by one token per merge in merge order — the standard BPE id
+        layout, exportable to any tokenizer runtime."""
+        from .text import _require_frame_state
+
+        table = _require_frame_state(
+            self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
+        )
         return table.sparkSession.createDataFrame(
-            rows, "token string, id int"
+            self._vocab_rows(), "token string, id int"
         )
 
     def save_tokenizer(self, path: str) -> None:
@@ -1455,11 +1462,86 @@ class BpeVocabBuilder(Transformer):
 
         return [rid(t) for t in pre], [rid(t) for t in suf]
 
-    def _word_seq_table(self, frame: DataFrame, as_ids: bool) -> DataFrame:
+    # a map LITERAL's element_at is a linear scan per lookup (no hash
+    # layout for literal maps), so the in-place id map only wins while
+    # the vocabulary is small — the fold-chain regime. Published 32-50k
+    # token files keep the broadcast-join path, whose hashed lookup is
+    # O(1) per symbol.
+    _ID_MAP_LIT_CUTOFF = 4096
+
+    def _id_map_small(self) -> Column | None:
+        """The vocabulary token->id lookup as ONE map literal — two
+        array literals, not 2N plan nodes (the codebook-literal
+        discipline), so the symbol->id step is a pure-JVM
+        ``try_element_at`` instead of a posexplode + broadcast-
+        vocabulary join + collect_list re-assembly shuffle per encode.
+        Returns None when the vocabulary exceeds the literal-lookup
+        cutoff (see _ID_MAP_LIT_CUTOFF)."""
+        n_vocab = (
+            len(self.vocab_json_)
+            if self.vocab_json_ is not None
+            # fitted layout: bounded by alphabet + one token per merge
+            else len(self.merges_) + 512
+        )
+        if n_vocab > self._ID_MAP_LIT_CUTOFF:
+            return None
+        rows = self._vocab_rows()
+        return F.map_from_arrays(
+            F.lit([t for t, _ in rows]),
+            F.lit([int(i) for _, i in rows]),
+        )
+
+    def _word_seq_table(
+        self, frame: DataFrame, as_ids: bool, _vmap: Column | None = None
+    ) -> DataFrame:
         """(word, __ff_seq): per-word token sequence — symbol strings,
-        or vocabulary ids via one broadcast join at the word grain."""
+        or vocabulary ids mapped in place via the id-map literal (small
+        vocabularies) or one broadcast join at the word grain (large
+        imported ones). ``_vmap`` lets ``_encode`` build the literal
+        once for both the fitted-table and unseen-word passes."""
         if not as_ids:
             return frame.select("word", F.col("syms").alias("__ff_seq"))
+        vmap = self._id_map_small() if _vmap is None else _vmap
+        if vmap is None:
+            return self._word_seq_table_join(frame)
+        if self._byte_fallback and self.vocab_json_ is not None:
+            # SentencePiece byte_fallback (Llama-family): a symbol
+            # outside the vocabulary expands to its UTF-8 bytes'
+            # '<0xXX>' token ids (one 256-entry id literal; bytes
+            # whose token is absent keep the -1 unk sentinel)
+            byte_ids = [
+                int(self.vocab_json_.get("<0x%02X>" % b, -1))
+                for b in range(256)
+            ]
+            blit = F.lit(byte_ids)
+
+            def one(sym: Column) -> Column:
+                hit = F.try_element_at(vmap, sym)
+                fallback = F.transform(
+                    F.regexp_extract_all(
+                        F.hex(F.encode(sym, "UTF-8")), F.lit("(..)"), 1
+                    ),
+                    lambda h: F.element_at(
+                        blit, F.conv(h, 16, 10).cast("int") + 1
+                    ),
+                )
+                return F.when(
+                    hit.isNotNull(), F.array(hit)
+                ).otherwise(fallback)
+
+            seq = F.flatten(F.transform(F.col("syms"), one))
+        else:
+            seq = F.transform(
+                F.col("syms"),
+                lambda s: F.coalesce(
+                    F.try_element_at(vmap, s), F.lit(-1)
+                ),
+            )
+        return frame.select("word", seq.alias("__ff_seq"))
+
+    def _word_seq_table_join(self, frame: DataFrame) -> DataFrame:
+        """Large-vocabulary id mapping: posexplode + broadcast
+        vocabulary join (hashed O(1) lookups) + ordered re-assembly."""
         vocab = self.vocabulary().select(
             F.col("token").alias("__ff_tok"), F.col("id").alias("__ff_tid")
         )
@@ -1526,7 +1608,11 @@ class BpeVocabBuilder(Transformer):
             # merges are scalar state, so old state dirs keep working)
             table = self.tokenize_words(table.select("word"))
         elem = "int" if as_ids else "string"
-        seq_table = self._word_seq_table(table, as_ids)
+        # one id-map literal (one alphabet collect) serves both the
+        # fitted-table and the unseen-word passes; None = large vocab,
+        # the join path
+        vmap = self._id_map_small() if as_ids else None
+        seq_table = self._word_seq_table(table, as_ids, _vmap=vmap)
         doc_words = df.select(
             F.col(self.id_col).alias("__ff_id"),
             F.posexplode(
@@ -1547,7 +1633,7 @@ class BpeVocabBuilder(Transformer):
         )
         self._guard_unseen(unseen)
         unseen_seq = self._word_seq_table(
-            self.tokenize_words(unseen), as_ids
+            self.tokenize_words(unseen), as_ids, _vmap=vmap
         ).select("word", F.col("__ff_seq").alias("__ff_seq_unseen"))
         resolved = joined.join(unseen_seq, "word", "left").select(
             "__ff_id",
