@@ -2222,7 +2222,20 @@ def q_ngram_lang(spark, sf_dir):
     )
 
     with labeled_res.guard(op.release):
-        pred = score(op)
+        # ONE probe transform serves both the accuracy pin and the
+        # margin contract: emit_margin only APPENDS a column (the
+        # text_lang call logic is identical), so pred projects out of
+        # the margin rows — one plan + one collect instead of two
+        # distinct plans each paying fresh codegen
+        op.emit_margin = True
+        margin_rows = op.transform(probe).select(
+            "doc_id", "expected", "text_lang", "text_lang_margin"
+        ).collect()
+        op.emit_margin = False
+        pred = sorted(
+            (r["doc_id"], r["expected"], r["text_lang"])
+            for r in margin_rows
+        )
         hold_rows = [(e, lang) for i, e, lang in pred if i >= 0]
         holdout_docs = len(hold_rows)
         correct = sum(1 for e, lang in hold_rows if e == lang)
@@ -2243,14 +2256,8 @@ def q_ngram_lang(spark, sf_dir):
             roundtrip = int(score(restored) == pred)
             restored.release()
 
-        # reliability margin: flipping emit_margin on the fitted instance
-        # reuses the same profile — margins must be finite and >= 0, and
-        # every non-'und' holdout call must carry a positive margin
-        op.emit_margin = True
-        margin_rows = op.transform(probe).select(
-            "doc_id", "text_lang", "text_lang_margin"
-        ).collect()
-        op.emit_margin = False
+        # reliability margin (collected with the probe transform above):
+        # margins must be finite and >= 0.
         # >= 0 (not > 0) for non-'und' calls: an exact top-two score tie is
         # a legal margin-0 call under the default min_margin=0
         margins_ok = int(all(

@@ -326,7 +326,12 @@ LANGS: list[str] = sorted(TRAIN)
 
 
 def fixture_df(spark, which: str = "train"):
-    """(lang, text) DataFrame of the built-in fixture corpus."""
+    """(lang, text) DataFrame of the built-in fixture corpus, carried
+    in ONE partition: every scan of a default-parallelized local
+    relation costs one Python-worker roundtrip per slice (32 near-empty
+    tasks per action at local[32]), and the fixture is ~120 rows."""
+    from .frames import one_slice_frame
+
     data = TRAIN if which == "train" else HOLDOUT
     rows = [(lang, t) for lang in sorted(data) for t in data[lang]]
-    return spark.createDataFrame(rows, "lang string, text string")
+    return one_slice_frame(spark, rows, "lang string, text string")

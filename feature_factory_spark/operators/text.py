@@ -25,6 +25,7 @@ from ..functions.text import (
     words_expr,
 )
 from ..exceptions import FitNotCalledError
+from ..functions.frames import one_slice_frame
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_string_columns
 
@@ -1395,8 +1396,12 @@ class NgramLanguageIdentifier(Transformer):
         )
         self.release()  # refit: drop frames a previous load persisted
         spark = df.sparkSession
-        self.profile_df_ = spark.createDataFrame(
-            profile_rows, "gram string, lang string, logp double"
+        # model frames ride in ONE slice: they are broadcast-sized
+        # (<= |langs| * top_k rows) and every transform re-scans them,
+        # so default parallelization costs 32 Python-worker tasks per
+        # scan for a few thousand rows
+        self.profile_df_ = one_slice_frame(
+            spark, profile_rows, "gram string, lang string, logp double"
         )
         self.langs_ = langs
         self.fallback_ = {lang: fb[lang_ix[lang]] for lang in langs}
@@ -1419,8 +1424,8 @@ class NgramLanguageIdentifier(Transformer):
         wide: dict[str, list[float]] = {}
         for gram, lang, logp in profile_rows:
             wide.setdefault(gram, list(fb))[lang_ix[lang]] = logp
-        return spark.createDataFrame(
-            sorted(wide.items()), "gram string, lps array<double>"
+        return one_slice_frame(
+            spark, sorted(wide.items()), "gram string, lps array<double>"
         )
 
     def _wide(self) -> DataFrame:
