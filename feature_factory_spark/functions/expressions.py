@@ -19,6 +19,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .frames import local_frame
+
 # Above this many distinct categories, mapping application switches from a
 # literal when()-chain to a broadcast-join mapping table.
 WHEN_CHAIN_MAX_CATEGORIES = 64
@@ -66,8 +68,8 @@ def apply_value_mapping(
     spark = df.sparkSession
     key_field = "__ff_key"
     val_field = "__ff_val"
-    map_df = spark.createDataFrame(
-        [(k, v) for k, v in mapping.items()], [key_field, val_field]
+    map_df = local_frame(
+        spark, [(k, v) for k, v in mapping.items()], [key_field, val_field]
     )
     joined = df.join(
         F.broadcast(map_df), on=df[column] == map_df[key_field], how="left"

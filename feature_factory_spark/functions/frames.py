@@ -23,3 +23,23 @@ def one_slice_frame(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema
     )
+
+
+ROWS_PER_SLICE = 50_000
+
+
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """A local-rows DataFrame in ``ceil(len/ROWS_PER_SLICE)`` slices —
+    use for model/probe frames that query plans re-scan: the default
+    ``createDataFrame`` parallelizes into ``defaultParallelism`` slices
+    and every scan then pays one Python-worker roundtrip per slice
+    (32 near-empty tasks per action at local[32] for a few-thousand-row
+    model frame). Row-count-proportional slicing keeps big fitted
+    tables (e.g. 100k-word tokenizer tables) off a single task while
+    small frames scan in one. ``rows`` must be a sequence (sized)."""
+    n = max(1, -(-len(rows) // ROWS_PER_SLICE))
+    if n == 1:
+        return one_slice_frame(spark, rows, schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )

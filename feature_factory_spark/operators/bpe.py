@@ -50,6 +50,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..exceptions import InvalidParameterError
+from ..functions.frames import local_frame
 from ..functions.text import words_expr
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_string_columns
@@ -728,7 +729,8 @@ class BpeVocabBuilder(Transformer):
             byte_level=self.byte_level,
         )
         self.release()  # refit: drop a previous fit/load's persisted frame
-        self.word_tokens_ = df.sparkSession.createDataFrame(
+        self.word_tokens_ = local_frame(
+            df.sparkSession,
             [(w, n, syms[w]) for w, n in sorted(tok.items())],
             "word string, n_tokens int, syms array<string>",
         )
@@ -969,7 +971,8 @@ class BpeVocabBuilder(Transformer):
             )
         out = self._apply_merges(base, "syms")
         if self._ignore_merges and self.vocab_json_ is not None:
-            vocab_df = words.sparkSession.createDataFrame(
+            vocab_df = local_frame(
+                words.sparkSession,
                 [(t,) for t in self.vocab_json_], "__ff_vtok string"
             )
             out = (
@@ -1054,8 +1057,8 @@ class BpeVocabBuilder(Transformer):
         table = _require_frame_state(
             self.word_tokens_, "BpeVocabBuilder", "word_tokens_"
         )
-        return table.sparkSession.createDataFrame(
-            self._vocab_rows(), "token string, id int"
+        return local_frame(
+            table.sparkSession, self._vocab_rows(), "token string, id int"
         )
 
     def save_tokenizer(self, path: str) -> None:

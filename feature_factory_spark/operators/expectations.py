@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..exceptions import FeatureFactoryError
+from ..functions.frames import local_frame
 from ..validation import ensure, validate_columns
 
 
@@ -127,7 +128,8 @@ class ExpectationValidator:
     def validate(self, df: DataFrame) -> DataFrame:
         """(check, passed, observed, bound) — one row per check."""
         rows = self._evaluate(df)
-        return df.sparkSession.createDataFrame(
+        return local_frame(
+            df.sparkSession,
             rows, "check string, passed boolean, observed double, bound string"
         )
 

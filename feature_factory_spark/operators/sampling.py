@@ -17,6 +17,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_numeric_columns
 
@@ -752,8 +753,8 @@ class CorpusShuffler(Transformer):
             offs.append((r["__ff_b"], rows_before, toks_before))
             rows_before += r["n"]
             toks_before += r["t"]
-        off_df = spark.createDataFrame(
-            offs, "__ff_b string, __ff_ro bigint, __ff_to bigint"
+        off_df = local_frame(
+            spark, offs, "__ff_b string, __ff_ro bigint, __ff_to bigint"
         )
         w = Window.partitionBy("__ff_b").orderBy("__ff_k", self.id_col)
         prior_toks = F.coalesce(
@@ -1229,7 +1230,8 @@ class DSIRWeighter(Transformer):
             [out.schema[c] for c in by]
             + [StructField("__ff_qi", IntegerType())]
         )
-        idx_df = out.sparkSession.createDataFrame(
+        idx_df = local_frame(
+            out.sparkSession,
             [
                 (*g, qs.index(q) + 1)
                 for g, q in qmap.items()

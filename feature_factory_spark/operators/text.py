@@ -25,7 +25,7 @@ from ..functions.text import (
     words_expr,
 )
 from ..exceptions import FitNotCalledError
-from ..functions.frames import one_slice_frame
+from ..functions.frames import local_frame, one_slice_frame
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns, validate_string_columns
 
@@ -1888,7 +1888,8 @@ class PerplexityBucketer(Transformer):
             any(r["__ff_cuts"] is not None for r in rows),
             "fit corpus has no non-NULL scores",
         )
-        self.cuts_df_ = df.sparkSession.createDataFrame(
+        self.cuts_df_ = local_frame(
+            df.sparkSession,
             [(r["__ff_grp"], r["__ff_cuts"]) for r in rows],
             cuts.schema,
         )

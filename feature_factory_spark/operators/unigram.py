@@ -62,6 +62,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..functions.text import words_expr
 from ..pipeline import Transformer
 from ..validation import (
@@ -541,7 +542,8 @@ class UnigramVocabBuilder(Transformer):
             self.max_piece_len,
         )
         self.release()
-        self.word_pieces_ = df.sparkSession.createDataFrame(
+        self.word_pieces_ = local_frame(
+            df.sparkSession,
             [
                 (w, viterbi_segment(w, self.logprobs_, self.max_piece_len))
                 for w, _ in sorted(wc)
@@ -726,8 +728,8 @@ class UnigramVocabBuilder(Transformer):
         frame = _require_frame_state(
             self.word_pieces_, "UnigramVocabBuilder", "word_pieces_"
         )
-        return frame.sparkSession.createDataFrame(
-            rows, "piece string, id int, logprob double"
+        return local_frame(
+            frame.sparkSession, rows, "piece string, id int, logprob double"
         )
 
     def _require_fit(self) -> dict[str, float]:
@@ -775,7 +777,8 @@ class UnigramVocabBuilder(Transformer):
         if not got:
             return fitted
         special = set(self._special_tokens)
-        extra = fitted.sparkSession.createDataFrame(
+        extra = local_frame(
+            fitted.sparkSession,
             [
                 # isolated added tokens are ONE piece — their own
                 # content, so the id join lands on the added id

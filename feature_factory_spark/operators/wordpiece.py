@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..exceptions import InvalidParameterError
+from ..functions.frames import local_frame
 from ..pipeline import Transformer
 from ..validation import (
     ensure,
@@ -511,7 +512,8 @@ class WordPieceTokenizer(Transformer):
                 "vocabulary() needs an active SparkSession — pass one "
                 "explicitly (vocabulary(spark)) from worker threads",
             )
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             sorted(vocab.items(), key=lambda kv: kv[1]),
             "token string, id int",
         )

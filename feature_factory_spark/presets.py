@@ -35,6 +35,7 @@ from .operators import (
     UrlCanonicalizer,
     UrlDeduplicator,
 )
+from .functions.frames import local_frame
 from .pipeline import Pipeline, Transformer, make_pipeline
 
 
@@ -389,7 +390,8 @@ def curation_funnel(ledger, stages=None):
     )
     if stages is not None:
         spark = ledger.sparkSession
-        all_stages = spark.createDataFrame(
+        all_stages = local_frame(
+            spark,
             [(i, s) for i, s in enumerate(stages)],
             "stage_index int, stage string",
         )
