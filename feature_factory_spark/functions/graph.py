@@ -15,10 +15,23 @@ bounds the worst case.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..exceptions import FeatureFactoryError
+
+# Edge-count gate below which connected components runs as union-find
+# on the driver instead of iterative label propagation. Dedup pair
+# graphs are VERIFIED near-duplicate pairs — usually orders of
+# magnitude smaller than the corpus — and each propagation round costs
+# two shuffles plus a convergence action, so a tiny graph pays ~1 s of
+# pure scheduling per round for work a driver loop finishes in
+# microseconds. The gate bounds driver memory by construction
+# (100k edges is a few MB), independent of data scale: bigger graphs
+# keep the distributed path. Env-tunable for other deployments.
+_DRIVER_EDGE_CAP = int(os.environ.get("FF_CC_DRIVER_EDGES", "100000"))
 
 
 def connected_components(
@@ -43,6 +56,11 @@ def connected_components(
         # frame; persist once, release before returning
         .persist()
     )
+    # the count both materializes the persisted edges (the first
+    # iteration paid that job anyway) and gates the small-graph path
+    n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        return _driver_components(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -94,6 +112,51 @@ def connected_components(
         )
     edges.unpersist()
     return labels
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """(node, component) via union-find on collected edges — the
+    small-graph path behind the ``_DRIVER_EDGE_CAP`` gate. Semantics
+    identical to the propagation loop: component is the minimum node
+    reachable. Python and Spark order integers identically, and UTF-8
+    byte order equals code-point order, so string-id minima agree
+    too."""
+    from pyspark.sql.types import StructField, StructType
+
+    from .frames import local_frame
+
+    node_type = edges.schema["src"].dataType
+    rows = edges.collect()
+    edges.unpersist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        s, d = r["src"], r["dst"]
+        for v in (s, d):
+            if v not in parent:
+                parent[v] = v
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    out = sorted((v, comp_min[find(v)]) for v in parent)
+    schema = StructType([
+        StructField("node", node_type),
+        StructField("component", node_type),
+    ])
+    return local_frame(edges.sparkSession, out, schema)
 
 
 def duplicate_ids(

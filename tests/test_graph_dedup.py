@@ -14,6 +14,37 @@ def test_connected_components_basic(spark):
     assert comp == {1: 1, 3: 1, 5: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_driver_and_distributed_components_agree(spark):
+    # the small-graph union-find fallback must match the propagation
+    # loop exactly — force the distributed path by zeroing the gate
+    from feature_factory_spark.functions import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (3, 5), (10, 11), (11, 12), (2, 50), (50, 51), (51, 2)],
+        "a_id bigint, b_id bigint",
+    )
+    fast = {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    cap = graph._DRIVER_EDGE_CAP
+    graph._DRIVER_EDGE_CAP = 0
+    try:
+        slow = {r["node"]: r["component"]
+                for r in connected_components(pairs).collect()}
+    finally:
+        graph._DRIVER_EDGE_CAP = cap
+    assert fast == slow
+    assert fast[3] == 1 and fast[12] == 10 and fast[51] == 2
+
+
+def test_driver_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("b", "aa"), ("aa", "c"), ("z", "y")], "a_id string, b_id string"
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {"aa": "aa", "b": "aa", "c": "aa", "y": "y", "z": "y"}
+
+
 def test_duplicate_ids_keeps_min_per_cluster(spark):
     pairs = spark.createDataFrame([(1, 5), (3, 5)], "a_id bigint, b_id bigint")
     dups = sorted(r["dup_id"] for r in duplicate_ids(pairs).collect())
