@@ -1033,16 +1033,28 @@ class SimHashDeduplicator(HammingIndexMixin, Transformer):
         once per bit (CollapseProject keeps multi-referenced non-cheap
         aliases apart, so a two-select pipeline is safe).
 
-        Bit-identical to the previous per-bit-fold formulation (same
-        sums, same >0 rule, same signed bit-63 weight)."""
-        sig = F.lit(0).cast("bigint")
-        for k in range(self.n_bits):
+        Bit-identical to the unrolled when-chain formulation (same
+        sums, same >0 rule, same signed bit-63 weight; exact bigint
+        addition in the same ascending-k order) — but ONE fold over a
+        weights literal instead of n_bits unrolled terms, so the
+        generated code is a tight loop (codegen size and JIT time drop
+        ~n_bits x, the bit_sums_expr discipline)."""
+        weights = [
             # bit 63 carries weight -2^63 in the signed representation
-            weight = (1 << k) if k < 63 else -(1 << 63)
-            sig = sig + F.when(
-                F.element_at(sums, k + 1) > 0, F.lit(1).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint")) * F.lit(weight).cast("bigint")
-        return sig
+            (1 << k) if k < 63 else -(1 << 63)
+            for k in range(self.n_bits)
+        ]
+        return F.aggregate(
+            F.zip_with(
+                sums,
+                F.lit(weights).cast("array<bigint>"),
+                lambda s, w: F.when(s > 0, w).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
 
     def _sig_frame(self, df: DataFrame) -> DataFrame:
         """(id, sig) signature frame for the input documents."""
