@@ -990,14 +990,23 @@ class DSIRWeighter(Transformer):
 
         validate_string_columns(df, [self.text_col])
 
-    def _dims(self) -> Column:
+    def _toks(self) -> Column:
         from ..functions.text import words_expr
-        from .embeddings import hashed_dim_expr
 
         text = F.col(self.text_col)
         if self.lowercase:
             text = F.lower(text)
-        toks = words_expr(text)
+        return words_expr(text)
+
+    def _dims_from(self, toks: Column) -> Column:
+        """Hashed uni+bigram dims from a MATERIALIZED token-array
+        column. ``toks`` must be a column reference, not the tokenize
+        expression: it is referenced five times below, the whole tree
+        sits inside higher-order functions (interpreted, no codegen
+        common-subexpression elimination), so an inlined tokenizer
+        would re-run trim+lower+split five times per row."""
+        from .embeddings import hashed_dim_expr
+
         n = F.size(toks)
         bigrams = F.zip_with(
             F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
@@ -1009,9 +1018,17 @@ class DSIRWeighter(Transformer):
             grams, lambda g: hashed_dim_expr(g, self.n_buckets)
         )
 
+    def _dims(self) -> Column:
+        # single-expression form (kept for callers that cannot stage a
+        # token column); prefer the materialized two-step in hot paths
+        return self._dims_from(self._toks())
+
     def _bucket_counts(self, df: DataFrame) -> list[int]:
         rows = (
-            df.select(F.explode(self._dims()).alias("dim"))
+            df.select(self._toks().alias("__ff_toks"))
+            .select(
+                F.explode(self._dims_from(F.col("__ff_toks"))).alias("dim")
+            )
             .groupBy("dim")
             .count()
             .collect()
@@ -1075,22 +1092,41 @@ class DSIRWeighter(Transformer):
             )
         ]
         lit = F.lit(ratio)
+        tok_tmp = "__ff_dsir_toks"
         tmp = "__ff_dsir_dims"
-        out = df.withColumn(tmp, self._dims())
-        dims = F.col(tmp)
-        score = F.aggregate(
-            dims,
-            F.lit(0.0),
-            lambda acc, d: acc + F.element_at(lit, d.cast("int") + 1),
+        # two staged columns: the token array (referenced five times by
+        # the dims expression — see _dims_from) and the dims array the
+        # scoring fold consumes. The fold MUST consume a materialized
+        # column: once column pruning drops the dims passthrough,
+        # CollapseProject re-inlines the whole tokenize+hash chain into
+        # the aggregate's argument, and the interpreted higher-order
+        # path evaluates that merged tree an order of magnitude slower
+        # (measured 6.6 s vs 0.4 s at sf0.1). The size() guard below is
+        # the materialization barrier: it second-references the dims
+        # column non-trivially, which keeps the projections apart. It
+        # is a no-op by construction — size(dm) >= -1 holds for every
+        # non-null array, and a null dims array yields null through
+        # either branch (aggregate(null) is null).
+        out = df.withColumn(tok_tmp, self._toks()).withColumn(
+            tmp, self._dims_from(F.col(tok_tmp))
         )
-        out = out.withColumn(self.out_col, score).drop(tmp)
+        score = F.when(
+            F.size(F.col(tmp)) >= F.lit(-1),
+            F.aggregate(
+                F.col(tmp),
+                F.lit(0.0),
+                lambda acc, d: acc + F.element_at(lit, d.cast("int") + 1),
+            ),
+        )
+        out = out.withColumn(self.out_col, score)
+        final = [F.col(c) for c in df.columns] + [F.col(self.out_col)]
         if self.id_col is not None:
             u = hash_fraction_expr(F.col(self.id_col), self.seed)
             gumbel = -F.log(-F.log(u))
-            out = out.withColumn(
-                f"{self.out_col}_key", F.col(self.out_col) + gumbel
+            final.append(
+                (F.col(self.out_col) + gumbel).alias(f"{self.out_col}_key")
             )
-        return out
+        return out.select(*final)
 
     def select(
         self,
