@@ -803,7 +803,7 @@ def q_approx_divergence(spark, sf_dir):
         ok = exact[p - delta] <= a <= exact[p + delta]
         scaled = int(math.floor(exact[p] * 1e6 + 0.5))
         rows.append((int(p * 100), 0, f"{scaled}:{str(ok).lower()}"))
-    return spark.createDataFrame(
+    return _osf(spark, 
         rows, "l_orderkey bigint, l_linenumber int, bin string"
     )
 
@@ -1027,7 +1027,7 @@ SQL_TGT = "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END"
 
 
 def _stats_df(spark, rows, schema):
-    return spark.createDataFrame(rows, schema)
+    return _osf(spark, rows, schema)
 
 
 @_reg(
@@ -1815,14 +1815,29 @@ def q_semantic_dedup(spark, sf_dir):
     return pairs.select("a_id", "b_id", r6(F.col("cosine")).alias("score"))
 
 
+def _osf(spark, rows, schema):
+    """One-slice local frame: every scan of a default-parallelized
+    local relation costs one Python-worker roundtrip per slice — 32
+    near-empty tasks per action for fixture/probe/invariant frames of
+    a few rows. Row order is preserved (parallelize keeps it)."""
+    from feature_factory_spark.functions.frames import one_slice_frame
+
+    return one_slice_frame(spark, rows, schema)
+
+
 def _inv_df(spark, rows: list[tuple[str, int]]) -> DataFrame:
     """Invariant frames are computed EAGERLY (the aggregates run while
     the query function builds, mirroring the fitted-statistics queries)
     and returned as a literal (invariant, n) frame: every invariant
     branch would otherwise re-run the expensive subtree it references
-    (LSH bucket join, IVF search, tree fit) once per output row."""
-    return spark.createDataFrame(
-        [(k, int(v)) for k, v in rows], "invariant string, n bigint"
+    (LSH bucket join, IVF search, tree fit) once per output row.
+    One slice: a default-parallelized local relation costs one Python
+    worker roundtrip per slice on every scan (32 near-empty tasks for
+    a handful of invariant rows)."""
+    from feature_factory_spark.functions.frames import one_slice_frame
+
+    return one_slice_frame(
+        spark, [(k, int(v)) for k, v in rows], "invariant string, n bigint"
     )
 
 
@@ -2197,7 +2212,7 @@ def q_ngram_lang(spark, sf_dir):
         F.col("lang").alias("expected"),
         "text",
     )
-    edge = spark.createDataFrame(
+    edge = _osf(spark, 
         [(-1, "edge", ""), (-2, "edge", "12345 !!!"), (-3, "edge", None)],
         "doc_id bigint, expected string, text string",
     )
@@ -3483,7 +3498,7 @@ def q_quality_model(spark, sf_dir):
             restored.coefficients_ == op.coefficients_
             and restored.intercept_ == op.intercept_
         )
-    return spark.createDataFrame(
+    return _osf(spark, 
         [(-1, bool(auc_ok)), (-2, bool(sep_ok)), (-3, bool(range_ok)),
          (-4, bool(rt_ok))],
         "doc_id bigint, flag boolean",
@@ -5737,7 +5752,7 @@ def q_bpe_vocab(spark, sf_dir):
     ]
 
     def _byte_pins():
-        bdf = spark.createDataFrame(
+        bdf = _osf(spark, 
             [(i, t) for i, t in enumerate(byte_texts)],
             "doc_id bigint, text string",
         )
@@ -5858,7 +5873,7 @@ def q_bpe_vocab(spark, sf_dir):
                  # text map to the control id and round-trip as text
                  "the<|endoftext|>hello", "<|endoftext|>",
                  "a <|endoftext|> b"]
-        adf = spark.createDataFrame(
+        adf = _osf(spark, 
             [(i, t) for i, t in enumerate(texts)],
             "doc_id bigint, text string",
         )
@@ -6076,7 +6091,7 @@ def q_unigram_vocab(spark, sf_dir):
         cap_ok = len(op.logprobs_) <= 120 + len(chars)
         assert cap_ok, "vocabulary exceeded its cap"
 
-        words = spark.createDataFrame(wc, "word string, cnt long")
+        words = _osf(spark, wc, "word string, cnt long")
         got_seed = {
             r["piece"]: r["cnt"]
             for r in op.seed_count_frame(words).collect()
@@ -6162,7 +6177,7 @@ def q_unigram_vocab(spark, sf_dir):
         t5_want = [[4, 5], [4, 5], [3, 2, 4], [4, 3, 100, 5],
                    [3, 2, 4]]
         try:
-            t5_df = spark.createDataFrame(
+            t5_df = _osf(spark, 
                 [(i, t) for i, t in enumerate(t5_texts)],
                 "doc_id bigint, text string",
             )
@@ -6652,7 +6667,7 @@ def q_pca_project(spark, sf_dir):
     evr_ok = evr == sorted(evr, reverse=True) and sum(evr) <= 1.0 + 1e-12
     assert evr_ok, "explained-variance ratios are not descending/normalized"
 
-    return spark.createDataFrame(
+    return _osf(spark, 
         [(None, i, float(ok)) for i, ok in enumerate(
             [fit_ok, ortho_ok, proj_ok, white_ok, evr_ok]
         )],
@@ -6779,7 +6794,7 @@ def q_pq_codes(spark, sf_dir):
     # inside the timed window would double the member's cost for a
     # property the unit suite already guards
 
-    return spark.createDataFrame(
+    return _osf(spark, 
         [(None, i, float(ok)) for i, ok in enumerate(
             [codes_ok, dec_ok, mse_ok]
         )],
@@ -7276,7 +7291,7 @@ def q_robots_gate(spark, sf_dir):
     from feature_factory_spark.operators.web import RobotsTxtFilter
 
     docs = _t(spark, sf_dir, "documents")
-    robots = spark.createDataFrame(
+    robots = _osf(spark, 
         [
             ("a.com", "User-agent: *\nDisallow: /private/\n"
                       "Allow: /private/ok\n# note\n"
