@@ -68,9 +68,14 @@ def apply_value_mapping(
     spark = df.sparkSession
     key_field = "__ff_key"
     val_field = "__ff_val"
-    map_df = local_frame(
-        spark, [(k, v) for k, v in mapping.items()], [key_field, val_field]
-    )
+    rows = [(k, v) for k, v in mapping.items()]
+    # infer the schema LOCALLY first (same inference as
+    # createDataFrame(rows, names) — no job), then build the one-slice
+    # frame with it: an RDD-backed createDataFrame with only column
+    # names would sample the RDD to infer types, i.e. run a job per
+    # mapping
+    inferred = spark.createDataFrame(rows, [key_field, val_field]).schema
+    map_df = local_frame(spark, rows, inferred)
     joined = df.join(
         F.broadcast(map_df), on=df[column] == map_df[key_field], how="left"
     )
