@@ -5958,38 +5958,50 @@ def q_bpe_vocab(spark, sf_dir):
 
             # ONE sample job pins both paths: transform (the join-based
             # count column) layered over encode (the token sequences),
-            # with the raw text in the same collect
+            # with the raw text in the same collect. The packer pin's
+            # count job is independent given the fitted op, so it runs
+            # on an overlap thread alongside the sample collect (guard
+            # joins it before op.release on failure).
             sample = docs.where(F.col("doc_id") < 80)
-            rows = (
-                op.transform(op.encode(sample))
-                .select("doc_id", "text", "text_bpe_tokens",
-                        "text_bpe_token_count")
-                .collect()
-            )
-            texts = {r["doc_id"]: r["text"] for r in rows}
-            got = {r["doc_id"]: r["text_bpe_token_count"] for r in rows}
-            expect = {
-                i: sum(len(reference_tokenize(w, ref)) for w in (t or "").lower().split())
-                for i, t in texts.items()
-            }
-            tokens_ok = got == expect
-            assert tokens_ok, "BPE transform token counts diverged from reference"
 
-            seqs = {r["doc_id"]: r["text_bpe_tokens"] for r in rows}
-            seq_expect = {
-                i: [s for w in (t or "").lower().split()
-                    for s in reference_tokenize(w, ref)]
-                for i, t in texts.items()
-            }
-            seqs_ok = seqs == seq_expect
-            assert seqs_ok, "BPE encode token sequences diverged from reference"
+            def _packer_pin():
+                counted = op.transform(sample)
+                packed = ff.SequencePacker(
+                    "text_bpe_token_count", budget=512,
+                    order_col="doc_id", partition_cols=["source"],
+                ).transform(counted)
+                return packed.count() == sample.count()
 
-            counted = op.transform(sample)
-            packed = ff.SequencePacker(
-                "text_bpe_token_count", budget=512, order_col="doc_id",
-                partition_cols=["source"],
-            ).transform(counted)
-            packer_ok = packed.count() == sample.count()
+            pack_res = _Overlap(_packer_pin)
+            with pack_res.guard():
+                rows = (
+                    op.transform(op.encode(sample))
+                    .select("doc_id", "text", "text_bpe_tokens",
+                            "text_bpe_token_count")
+                    .collect()
+                )
+                texts = {r["doc_id"]: r["text"] for r in rows}
+                got = {r["doc_id"]: r["text_bpe_token_count"] for r in rows}
+                expect = {
+                    i: sum(len(reference_tokenize(w, ref))
+                           for w in (t or "").lower().split())
+                    for i, t in texts.items()
+                }
+                tokens_ok = got == expect
+                assert tokens_ok, \
+                    "BPE transform token counts diverged from reference"
+
+                seqs = {r["doc_id"]: r["text_bpe_tokens"] for r in rows}
+                seq_expect = {
+                    i: [s for w in (t or "").lower().split()
+                        for s in reference_tokenize(w, ref)]
+                    for i, t in texts.items()
+                }
+                seqs_ok = seqs == seq_expect
+                assert seqs_ok, \
+                    "BPE encode token sequences diverged from reference"
+
+            packer_ok = pack_res.result()
             op.release()
 
         try:
@@ -6027,6 +6039,72 @@ def q_bpe_vocab(spark, sf_dir):
         ("special_isolation_ids_match", int(special_ok)),
         ("bytelevel_apply_roundtrip", int(apply_rt_ok)),
     ])
+
+
+def _unigram_t5_pin(spark) -> bool:
+    """r13: published-layout APPLY pin — a T5-shaped file (Precompiled
+    charsmap + Replace " {2,}" chain, Metaspace
+    prepend_scheme='first', unk_id with fuse, an <extra_id_0>
+    sentinel) loads and encodes to HAND-COMPUTED ids: charsmap fold,
+    space collapse, per-segment Metaspace law, unk fusing, and the
+    sentinel's own id all land exactly. Independent of the corpus fit,
+    so q_unigram_vocab runs it on an overlap thread."""
+    import base64 as _b64
+    import json as _json2
+
+    from feature_factory_spark.functions.charsmap import (
+        build_charsmap_blob,
+    )
+    from feature_factory_spark.operators.unigram import WORD_MARK
+
+    sp = WORD_MARK
+    t5_vocab = [["<pad>", -1.0], ["</s>", -1.1], ["<unk>", -1.2],
+                [sp, -2.0], [sp + "the", -1.3], [sp + "low", -1.4],
+                ["l", -3.0], ["o", -3.1], ["w", -3.2],
+                ["t", -3.3], ["h", -3.4], ["e", -3.5]]
+    blob = build_charsmap_blob({"\xa0": " ", "A": "a"})
+    t5_doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [{"id": 100, "content": "<extra_id_0>",
+                          "special": True}],
+        "normalizer": {"type": "Sequence", "normalizers": [
+            {"type": "Precompiled", "precompiled_charsmap":
+                _b64.b64encode(blob).decode()},
+            {"type": "Replace", "pattern": {"Regex": " {2,}"},
+             "content": " "},
+        ]},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": sp,
+                          "prepend_scheme": "first", "split": True},
+        "post_processor": None, "decoder": None,
+        "model": {"type": "Unigram", "unk_id": 2,
+                  "vocab": t5_vocab, "byte_fallback": False},
+    }
+    ttmp = tempfile.mkdtemp(prefix="ff_unigram_t5_")
+    _TEMP_STATE_DIRS.append(ttmp)
+    t5_path = os.path.join(ttmp, "t5_layout.json")
+    _json2.dump(t5_doc, open(t5_path, "w"))
+    t5 = ff.UnigramVocabBuilder("text", "doc_id") \
+        .load_tokenizer_json(t5_path, spark)
+    t5_texts = ["the low", "the\xa0low", "A  the",
+                "the <extra_id_0> low", "qq the"]
+    t5_want = [[4, 5], [4, 5], [3, 2, 4], [4, 3, 100, 5],
+               [3, 2, 4]]
+    try:
+        t5_df = _osf(
+            spark,
+            [(i, t) for i, t in enumerate(t5_texts)],
+            "doc_id bigint, text string",
+        )
+        t5_got = {r["doc_id"]: list(r["text_unigram_ids"])
+                  for r in t5.encode_ids(t5_df).collect()}
+        t5_ok = all(
+            t5_got[i] == w for i, w in enumerate(t5_want)
+        )
+        assert t5_ok, f"T5-layout apply diverged: {t5_got}"
+    finally:
+        t5.release()
+    return t5_ok
+
 
 
 @_reg(
@@ -6081,6 +6159,10 @@ def q_unigram_vocab(spark, sf_dir):
         return dict(dop.logprobs_)
 
     dist_res = _Overlap(_dist_fit)
+    # the T5 published-layout apply pin is fully independent of the
+    # corpus fit (its own file, its own fixture frame): run it on an
+    # overlap thread from the start (the bpe_vocab apply-pin pattern)
+    t5_res = _Overlap(lambda: _unigram_t5_pin(spark))
     op.fit(fit_docs)
     try:
         wc = list(op.fit_word_counts_)
@@ -6091,21 +6173,26 @@ def q_unigram_vocab(spark, sf_dir):
         cap_ok = len(op.logprobs_) <= 120 + len(chars)
         assert cap_ok, "vocabulary exceeded its cap"
 
+        # the seed-count cross-check collect is independent of the
+        # sample encode job below given the fitted op — overlap them
         words = _osf(spark, wc, "word string, cnt long")
-        got_seed = {
-            r["piece"]: r["cnt"]
-            for r in op.seed_count_frame(words).collect()
-        }
-        seed_ok = got_seed == seed_counts(wc, 6)
-        assert seed_ok, "distributed seed counts diverged from Python"
+        seed_res = _Overlap(
+            lambda: {
+                r["piece"]: r["cnt"]
+                for r in op.seed_count_frame(words).collect()
+            }
+        )
 
         sample = docs.where(F.col("doc_id") < 40)
-        rows = (
-            op.decode_ids(op.encode_ids(op.encode(sample)))
-            .select("doc_id", "text", "text_unigram_pieces",
-                    "text_unigram_ids_text")
-            .collect()
-        )
+        with seed_res.guard():
+            rows = (
+                op.decode_ids(op.encode_ids(op.encode(sample)))
+                .select("doc_id", "text", "text_unigram_pieces",
+                        "text_unigram_ids_text")
+                .collect()
+            )
+        seed_ok = seed_res.result() == seed_counts(wc, 6)
+        assert seed_ok, "distributed seed counts diverged from Python"
         enc_ok = all(
             r["text_unigram_pieces"]
             == [
@@ -6133,62 +6220,7 @@ def q_unigram_vocab(spark, sf_dir):
         file_ok = re_op.logprobs_ == op.logprobs_
         assert file_ok, "saved .vocab did not reload identically"
 
-        # r13: published-layout APPLY pin — a T5-shaped file
-        # (Precompiled charsmap + Replace " {2,}" chain, Metaspace
-        # prepend_scheme='first', unk_id with fuse, an <extra_id_0>
-        # sentinel) loads and encodes to HAND-COMPUTED ids: charsmap
-        # fold, space collapse, per-segment Metaspace law, unk fusing,
-        # and the sentinel's own id all land exactly.
-        import base64 as _b64
-        import json as _json2
-
-        from feature_factory_spark.functions.charsmap import (
-            build_charsmap_blob,
-        )
-
-        sp = WORD_MARK
-        t5_vocab = [["<pad>", -1.0], ["</s>", -1.1], ["<unk>", -1.2],
-                    [sp, -2.0], [sp + "the", -1.3], [sp + "low", -1.4],
-                    ["l", -3.0], ["o", -3.1], ["w", -3.2],
-                    ["t", -3.3], ["h", -3.4], ["e", -3.5]]
-        blob = build_charsmap_blob({"\xa0": " ", "A": "a"})
-        t5_doc = {
-            "version": "1.0", "truncation": None, "padding": None,
-            "added_tokens": [{"id": 100, "content": "<extra_id_0>",
-                              "special": True}],
-            "normalizer": {"type": "Sequence", "normalizers": [
-                {"type": "Precompiled", "precompiled_charsmap":
-                    _b64.b64encode(blob).decode()},
-                {"type": "Replace", "pattern": {"Regex": " {2,}"},
-                 "content": " "},
-            ]},
-            "pre_tokenizer": {"type": "Metaspace", "replacement": sp,
-                              "prepend_scheme": "first", "split": True},
-            "post_processor": None, "decoder": None,
-            "model": {"type": "Unigram", "unk_id": 2,
-                      "vocab": t5_vocab, "byte_fallback": False},
-        }
-        t5_path = os.path.join(utmp, "t5_layout.json")
-        _json2.dump(t5_doc, open(t5_path, "w"))
-        t5 = ff.UnigramVocabBuilder("text", "doc_id") \
-            .load_tokenizer_json(t5_path, spark)
-        t5_texts = ["the low", "the\xa0low", "A  the",
-                    "the <extra_id_0> low", "qq the"]
-        t5_want = [[4, 5], [4, 5], [3, 2, 4], [4, 3, 100, 5],
-                   [3, 2, 4]]
-        try:
-            t5_df = _osf(spark, 
-                [(i, t) for i, t in enumerate(t5_texts)],
-                "doc_id bigint, text string",
-            )
-            t5_got = {r["doc_id"]: list(r["text_unigram_ids"])
-                      for r in t5.encode_ids(t5_df).collect()}
-            t5_ok = all(
-                t5_got[i] == w for i, w in enumerate(t5_want)
-            )
-            assert t5_ok, f"T5-layout apply diverged: {t5_got}"
-        finally:
-            t5.release()
+        t5_ok = t5_res.result()
 
         try:
             dist_lp = dist_res.result()
@@ -6198,6 +6230,7 @@ def q_unigram_vocab(spark, sf_dir):
         assert dist_ok, "distributed unigram fit diverged from driver mode"
     except BaseException:
         dist_res.join_quietly()
+        t5_res.join_quietly()
         with contextlib.suppress(BaseException):
             dop.release()
         raise
