@@ -636,15 +636,15 @@ class MainContentExtractor(Transformer):
                 x, r"(?i)(</?(" + _BLOCK_TAGS + r")\b)", sep + "$1"
             )
             blocks = F.split(x, sep)
-            feats = F.transform(
+            feats_expr = F.transform(
                 blocks,
                 lambda b: F.struct(
                     self.block_text_expr(b).alias("t"),
                     F.regexp_count(b, F.lit(r"(?i)<a[ \t\r\n>]")).alias("l"),
                 ),
             )
-            feats = F.transform(
-                feats,
+            feats_expr = F.transform(
+                feats_expr,
                 lambda s: F.struct(
                     s["t"].alias("t"),
                     s["l"].alias("l"),
@@ -658,6 +658,15 @@ class MainContentExtractor(Transformer):
                     ).alias("sw"),
                 ),
             )
+            # STAGE the per-block feature array as a real column: it is
+            # referenced five times below (total/main chars, main text,
+            # two sizes), the whole chain is higher-order (interpreted,
+            # no codegen common-subexpression elimination), and the
+            # multi-reference keeps CollapseProject from re-inlining the
+            # regexp passes at every site (the DSIRWeighter discipline)
+            feats_tmp = f"__ff_mc_feats_{c}"
+            out = out.withColumn(feats_tmp, feats_expr)
+            feats = F.col(feats_tmp)
 
             def good(s):
                 return (
@@ -695,6 +704,7 @@ class MainContentExtractor(Transformer):
                 )
                 .withColumn(f"{c}_n_blocks", F.size(nonempty))
                 .withColumn(f"{c}_n_main_blocks", F.size(main))
+                .drop(feats_tmp)
             )
         return out
 
