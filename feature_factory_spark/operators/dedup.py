@@ -556,13 +556,36 @@ class MinHashDeduplicator(Transformer):
     def _signature_expr(self) -> Column:
         # operates on the pre-materialized 'hs' hash array: hashing the
         # shingles once instead of once per permutation (CollapseProject
-        # keeps the multi-referenced transform in its own projection)
-        return F.array(*[
-            F.array_min(
-                F.transform(F.col("hs"), lambda h: universal_rehash_expr(h, a, b))
-            )
-            for a, b in self._constants
-        ])
+        # keeps the multi-referenced transform in its own projection).
+        # ONE fold over the shingle hashes with the (a, b) permutation
+        # constants as a zipped literal — not num_perm independent
+        # array passes: same (a*h + b) mod p values, and the running
+        # element-wise least equals array_min (order-independent
+        # integer min), so signatures are bit-identical. The guard
+        # reproduces the degenerate cases exactly: a NULL or empty
+        # shingle array signs as [null] * num_perm, as before.
+        n = len(self._constants)
+        ab = F.arrays_zip(
+            F.lit([a for a, _ in self._constants]).cast("array<bigint>"),
+            F.lit([b for _, b in self._constants]).cast("array<bigint>"),
+        )
+        init = F.array_repeat(
+            F.lit(MERSENNE_P31).cast("bigint"), n
+        )
+        folded = F.aggregate(
+            F.col("hs"),
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                ab,
+                lambda m, c: F.least(
+                    m, F.pmod(c["0"] * h + c["1"], F.lit(MERSENNE_P31))
+                ),
+            ),
+        )
+        return F.when(F.size(F.col("hs")) > 0, folded).otherwise(
+            F.array_repeat(F.lit(None).cast("bigint"), n)
+        )
 
     def _banded(self, sh: DataFrame) -> DataFrame:
         """(id, band, bkey) blocking keys from a shingled frame."""
