@@ -398,14 +398,23 @@ def test_pipeline_refit_releases_previous_persist(spark):
 
 
 def test_connected_components_raises_when_unconverged(spark):
+    # the iteration cap is a contract of the DISTRIBUTED propagation
+    # loop; the r13 small-graph union-find fallback always converges,
+    # so force the distributed path by zeroing its gate
     from feature_factory_spark.exceptions import FeatureFactoryError
+    from feature_factory_spark.functions import graph
     from feature_factory_spark.functions.graph import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "a_id bigint, b_id bigint"
     )
-    with pytest.raises(FeatureFactoryError, match="converge"):
-        connected_components(pairs, max_iterations=3)
+    cap = graph._DRIVER_EDGE_CAP
+    graph._DRIVER_EDGE_CAP = 0
+    try:
+        with pytest.raises(FeatureFactoryError, match="converge"):
+            connected_components(pairs, max_iterations=3)
+    finally:
+        graph._DRIVER_EDGE_CAP = cap
 
 
 def test_column_modes_rejects_numeric_columns(spark):
