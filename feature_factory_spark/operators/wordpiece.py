@@ -179,6 +179,36 @@ _CLEANUP = [
 ]
 
 
+def _pre_tokenize_with_specials(s, pat, clean, cjk, strip_acc, lower):
+    """Special isolation + BertNormalizer + BertPreTokenizer for ONE
+    text value — the single definition both the words UDF and the
+    doc-grain Arrow pass run, so the two plans cannot diverge."""
+    if s is None or s == "":
+        return []
+    if pat is None:
+        segs = [(False, s)]
+    else:
+        segs, pos = [], 0
+        for m in pat.finditer(s):
+            if m.start() > pos:
+                segs.append((False, s[pos:m.start()]))
+            segs.append((True, m.group(0)))
+            pos = m.end()
+        if pos < len(s):
+            segs.append((False, s[pos:]))
+    out = []
+    for is_sp, seg in segs:
+        if is_sp:
+            out.append(seg)
+            continue
+        out.extend(
+            bert_pre_tokenize(
+                bert_normalize(seg, clean, cjk, strip_acc, lower)
+            )
+        )
+    return out
+
+
 class WordPieceTokenizer(Transformer):
     """Apply a published WordPiece ``tokenizer.json`` (or a BERT
     ``vocab.txt``) at corpus scale — see module docstring. Load-only:
@@ -417,40 +447,97 @@ class WordPieceTokenizer(Transformer):
 
         @pandas_udf("array<string>")
         def words(col):
-            def one(s):
-                if s is None or s == "":
-                    return []
-                if spat is None:
-                    segs = [(False, s)]
-                else:
-                    segs, pos = [], 0
-                    for m in spat.finditer(s):
-                        if m.start() > pos:
-                            segs.append((False, s[pos:m.start()]))
-                        segs.append((True, m.group(0)))
-                        pos = m.end()
-                    if pos < len(s):
-                        segs.append((False, s[pos:]))
-                out = []
-                for is_sp, seg in segs:
-                    if is_sp:
-                        out.append(seg)
-                        continue
-                    out.extend(
-                        bert_pre_tokenize(
-                            bert_normalize(
-                                seg, clean, cjk, strip_acc, lower
-                            )
-                        )
-                    )
-                return out
-
-            return col.map(one)
+            return col.map(
+                lambda s: _pre_tokenize_with_specials(
+                    s, spat, clean, cjk, strip_acc, lower
+                )
+            )
 
         return words
 
     def _word_expr(self) -> Column:
         return self._words_udf()(F.col(self.text_col))
+
+    def _doc_token_table(self, df: DataFrame, mode: str) -> DataFrame:
+        """``(__ff_id, __ff_tokens | __ff_total)`` at the DOC grain in
+        ONE Arrow pass: special isolation + BertNormalizer +
+        BertPreTokenizer + the greedy match, with a per-task word cache
+        amortizing repeated words and the model riding the closure
+        (guide §4.5 heavyweight-init shape). ZERO corpus shuffles —
+        replaces the explode → distinct → tokenize → join → ordered
+        reassembly plan (3 exchanges of the exploded corpus) whenever
+        no ``max_unseen_words`` guard is requested; the guard needs the
+        global distinct-word frame, so guarded encodes keep the
+        word-table plan. NULL-id rows are dropped here because the
+        caller's join-back on id equality can never match them — the
+        word-table plan leaves those rows NULL the same way."""
+        import re as _re
+
+        idmap = self._require_model()
+        vocab = frozenset(idmap)
+        unk, prefix = self.unk_token_, self.prefix_
+        max_chars = self.max_chars_
+        special = frozenset(self._special_tokens)
+        spat_src = (
+            "|".join(_re.escape(t) for t in self._special_tokens)
+            if self._special_tokens
+            else None
+        )
+        clean, cjk = self._clean_text, self._handle_chinese
+        strip_acc, lower = self._strip_accents, self._lowercase
+        id_col, text_col = self.id_col, self.text_col
+        want = mode
+
+        def batches(it):
+            import re as _re2
+
+            import pandas as pd
+
+            pat = _re2.compile(spat_src) if spat_src else None
+            cache: dict = {}
+
+            def tok(w):
+                s = cache.get(w)
+                if s is None:
+                    s = (
+                        [w]
+                        if w in special
+                        else wordpiece_word(w, vocab, unk, prefix, max_chars)
+                    )
+                    cache[w] = s
+                return s
+
+            for pdf in it:
+                seqs = []
+                for s in pdf[text_col]:
+                    pieces: list[str] = []
+                    for w in _pre_tokenize_with_specials(
+                        s, pat, clean, cjk, strip_acc, lower
+                    ):
+                        pieces.extend(tok(w))
+                    seqs.append(pieces)
+                cols = {"__ff_id": pdf[id_col]}
+                if want == "count":
+                    cols["__ff_total"] = [len(x) for x in seqs]
+                elif want == "ids":
+                    cols["__ff_tokens"] = [
+                        [idmap.get(p, -1) for p in x] for x in seqs
+                    ]
+                else:
+                    cols["__ff_tokens"] = seqs
+                yield pd.DataFrame(cols)
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        if want == "count":
+            schema = f"__ff_id {id_type}, __ff_total bigint"
+        else:
+            elem = "int" if want == "ids" else "string"
+            schema = f"__ff_id {id_type}, __ff_tokens array<{elem}>"
+        return (
+            df.select(F.col(id_col), F.col(text_col))
+            .where(F.col(id_col).isNotNull())
+            .mapInPandas(batches, schema)
+        )
 
     def tokenize_words(
         self, words: DataFrame, word_col: str = "word",
@@ -564,46 +651,52 @@ class WordPieceTokenizer(Transformer):
         self._check_input(df)
         self._require_model()
         elem = "int" if as_ids else "string"
-        doc_words = df.select(
-            F.col(self.id_col).alias("__ff_id"),
-            F.posexplode(
-                F.concat(
-                    self._word_expr(),
-                    F.array(F.lit(None).cast("string")),
-                )
-            ).alias("__ff_pos", "word"),
-        )
-        distinct = doc_words.where(
-            F.col("word").isNotNull()
-        ).select("word").distinct()
-        self._guard_unseen(distinct)
-        # ids are mapped inside the tokenize pass (the id map rides the
-        # mapInPandas closure) — no piece-grain explode / vocab join /
-        # collect_list re-assembly, one fewer shuffle per encode
-        seq_col = "ids" if as_ids else "syms"
-        seq_table = self.tokenize_words(
-            distinct, with_ids=as_ids
-        ).select("word", F.col(seq_col).alias("__ff_seq"))
-        resolved = doc_words.join(seq_table, "word", "left").select(
-            "__ff_id",
-            "__ff_pos",
-            F.when(
-                F.col("word").isNull(),
-                F.array().cast(f"array<{elem}>"),
+        if self.max_unseen_words is None:
+            # doc-grain Arrow pass: zero corpus shuffles (see
+            # _doc_token_table); the guard-free default
+            per_doc = self._doc_token_table(df, "ids" if as_ids else "syms")
+        else:
+            doc_words = df.select(
+                F.col(self.id_col).alias("__ff_id"),
+                F.posexplode(
+                    F.concat(
+                        self._word_expr(),
+                        F.array(F.lit(None).cast("string")),
+                    )
+                ).alias("__ff_pos", "word"),
             )
-            .otherwise(F.col("__ff_seq"))
-            .alias("__ff_seq"),
-        )
-        per_doc = resolved.groupBy("__ff_id").agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__ff_pos", "__ff_seq"))
-                    ),
-                    lambda s: s["__ff_seq"],
+            distinct = doc_words.where(
+                F.col("word").isNotNull()
+            ).select("word").distinct()
+            self._guard_unseen(distinct)
+            # ids are mapped inside the tokenize pass (the id map rides
+            # the mapInPandas closure) — no piece-grain explode / vocab
+            # join / collect_list re-assembly, one fewer shuffle per
+            # encode
+            seq_col = "ids" if as_ids else "syms"
+            seq_table = self.tokenize_words(
+                distinct, with_ids=as_ids
+            ).select("word", F.col(seq_col).alias("__ff_seq"))
+            resolved = doc_words.join(seq_table, "word", "left").select(
+                "__ff_id",
+                "__ff_pos",
+                F.when(
+                    F.col("word").isNull(),
+                    F.array().cast(f"array<{elem}>"),
                 )
-            ).alias("__ff_tokens")
-        )
+                .otherwise(F.col("__ff_seq"))
+                .alias("__ff_seq"),
+            )
+            per_doc = resolved.groupBy("__ff_id").agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__ff_pos", "__ff_seq"))
+                        ),
+                        lambda s: s["__ff_seq"],
+                    )
+                ).alias("__ff_tokens")
+            )
         out_col = (
             f"{self.text_col}_wordpiece_{'ids' if as_ids else 'tokens'}"
         )
@@ -657,31 +750,36 @@ class WordPieceTokenizer(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         self._require_model()
-        doc_words = df.select(
-            F.col(self.id_col).alias("__ff_id"),
-            F.explode(
-                F.concat(
-                    self._word_expr(),
-                    F.array(F.lit(None).cast("string")),
-                )
-            ).alias("word"),
-        )
-        distinct = doc_words.where(
-            F.col("word").isNotNull()
-        ).select("word").distinct()
-        self._guard_unseen(distinct)
-        counts = self.tokenize_words(distinct).select(
-            "word", F.col("n_tokens").alias("__ff_nt")
-        )
-        counted = doc_words.join(counts, "word", "left").select(
-            "__ff_id",
-            F.when(F.col("word").isNull(), F.lit(0))
-            .otherwise(F.col("__ff_nt"))
-            .alias("__ff_nt"),
-        )
-        per_doc = counted.groupBy("__ff_id").agg(
-            F.sum("__ff_nt").cast("bigint").alias("__ff_total")
-        )
+        if self.max_unseen_words is None:
+            # doc-grain Arrow pass (see _doc_token_table): the count
+            # rides the same single stage, zero corpus shuffles
+            per_doc = self._doc_token_table(df, "count")
+        else:
+            doc_words = df.select(
+                F.col(self.id_col).alias("__ff_id"),
+                F.explode(
+                    F.concat(
+                        self._word_expr(),
+                        F.array(F.lit(None).cast("string")),
+                    )
+                ).alias("word"),
+            )
+            distinct = doc_words.where(
+                F.col("word").isNotNull()
+            ).select("word").distinct()
+            self._guard_unseen(distinct)
+            counts = self.tokenize_words(distinct).select(
+                "word", F.col("n_tokens").alias("__ff_nt")
+            )
+            counted = doc_words.join(counts, "word", "left").select(
+                "__ff_id",
+                F.when(F.col("word").isNull(), F.lit(0))
+                .otherwise(F.col("__ff_nt"))
+                .alias("__ff_nt"),
+            )
+            per_doc = counted.groupBy("__ff_id").agg(
+                F.sum("__ff_nt").cast("bigint").alias("__ff_total")
+            )
         out_col = f"{self.text_col}_wordpiece_token_count"
         return df.join(
             per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
@@ -710,7 +808,43 @@ class WordPieceTokenizer(Transformer):
         _vc(df, [self.id_col, ids_col])
         ensure(output_col not in df.columns,
                f"output column '{output_col}' already exists")
-        self._require_model()
+        idmap = self._require_model()
+        max_id = max(idmap.values(), default=-1)
+        if 0 <= max_id < max(65536, 2 * len(idmap)):
+            # published WordPiece layouts are DENSE 0..n id spaces: the
+            # id→token map rides the plan as ONE array literal indexed
+            # in place (try_element_at is O(1) on an array literal) —
+            # no posexplode, no join, no collect_list reassembly, zero
+            # shuffles. Sparse or unbounded id spaces (a malformed /
+            # exotic file) keep the broadcast-join path below.
+            toks_by_id: list[str | None] = [None] * (max_id + 1)
+            for t, i in sorted(idmap.items()):
+                if 0 <= i <= max_id:
+                    toks_by_id[i] = t
+            arr = F.lit(toks_by_id)
+            cat = F.concat_ws(
+                " ",
+                F.transform(
+                    F.col(ids_col),
+                    lambda i: F.coalesce(
+                        F.when(
+                            (i >= 0) & (i <= F.lit(max_id)),
+                            F.try_element_at(arr, i + F.lit(1)),
+                        ),
+                        F.lit("�"),
+                    ),
+                ),
+            )
+            txt = F.replace(cat, F.lit(" " + self.prefix_), F.lit(""))
+            if cleanup:
+                for a, b in _CLEANUP:
+                    txt = F.replace(txt, F.lit(a), F.lit(b))
+            return df.select(
+                *[F.col(c) for c in df.columns],
+                F.when(F.col(ids_col).isNull(), F.lit(None).cast("string"))
+                .otherwise(txt)
+                .alias(output_col),
+            )
         vocab = self.vocabulary(df.sparkSession).select(
             F.col("id").alias("__ff_tid"),
             F.col("token").alias("__ff_tok"),

@@ -315,3 +315,98 @@ def test_wordpiece_matches_hf_tokenizers(spark, tmp_path):
            .collect()}
     for i, t in enumerate(TEXTS):
         assert got[i] == tok.encode(t).ids, repr(t)
+
+
+# --- r13 optimization: doc-grain Arrow pass and array-literal decode ----
+# The guard-free default now encodes/counts in ONE mapInPandas at the
+# doc grain (zero corpus shuffles) and decodes through an id→token
+# array literal; a max_unseen_words guard keeps the word-table plan.
+# These pin the two plans value-identical on the edge inventory.
+
+EDGE_TEXTS = [
+    (0, "hello the world"),
+    (1, "the LOWER, lowest!"),
+    (2, ""),
+    (3, None),
+    (4, "zzzq unknownword [SEP] hello"),
+    (5, "  multiple   spaces\tand\nnewlines "),
+    (6, "好 hello 好"),
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(EDGE_TEXTS, "doc_id bigint, text string")
+
+
+def _by_id(df, col):
+    return {
+        r["doc_id"]: (list(r[col]) if r[col] is not None and
+                      not isinstance(r[col], (str, int)) else r[col])
+        for r in df.collect()
+    }
+
+
+def test_doc_grain_encode_matches_word_table_plan(spark, tmp_path):
+    op_fused, p = _load(spark, tmp_path)
+    op_table = WordPieceTokenizer(
+        "text", "doc_id", max_unseen_words=10**9
+    ).load_tokenizer_json(p, spark)
+    df = _edge_df(spark)
+    for call in (
+        lambda op: op.encode_ids(df),
+        lambda op: op.encode_ids(df, add_special_tokens=True),
+        lambda op: op.encode(df),
+    ):
+        a = call(op_fused)
+        b = call(op_table)
+        col = [c for c in a.columns if c.startswith("text_wordpiece")][0]
+        assert _by_id(a, col) == _by_id(b, col)
+
+
+def test_doc_grain_transform_matches_word_table_plan(spark, tmp_path):
+    op_fused, p = _load(spark, tmp_path)
+    op_table = WordPieceTokenizer(
+        "text", "doc_id", max_unseen_words=10**9
+    ).load_tokenizer_json(p, spark)
+    df = _edge_df(spark)
+    col = "text_wordpiece_token_count"
+    assert _by_id(op_fused.transform(df), col) == _by_id(
+        op_table.transform(df), col
+    )
+
+
+def test_decode_array_literal_matches_join_plan(spark, tmp_path):
+    op, p = _load(spark, tmp_path)
+    # sparse clone: one far id pushes max_id over the density gate, so
+    # the same decode runs the broadcast-join plan — the far token is
+    # never referenced by the probe ids
+    op_sparse, _ = _load(spark, tmp_path)
+    op_sparse.vocab_json_ = dict(op.vocab_json_)
+    op_sparse.vocab_json_["__far_token__"] = 10**7
+    ids = spark.createDataFrame(
+        [
+            (0, [12, 5, -1, None, 9999]),  # unknown / NULL / out-of-range
+            (1, []),
+            (2, None),
+            (3, [VOCAB["##er"], VOCAB["low"]]),  # leading continuation
+            (4, [VOCAB["hello"], VOCAB[","], VOCAB["world"], VOCAB["."]]),
+        ],
+        "doc_id bigint, text_wordpiece_ids array<int>",
+    )
+    col = "text_wordpiece_ids_text"
+    got = _by_id(op.decode_ids(ids), col)
+    want = _by_id(op_sparse.decode_ids(ids), col)
+    assert got == want
+    assert got[0].count("�") == 3
+    assert got[1] == "" and got[2] is None
+
+
+def test_doc_grain_roundtrip_via_both_decode_plans(spark, tmp_path):
+    op, p = _load(spark, tmp_path)
+    df = _edge_df(spark)
+    enc = op.encode_ids(df)
+    dec = op.decode_ids(enc)
+    out = {r["doc_id"]: r["text_wordpiece_ids_text"] for r in dec.collect()}
+    assert out[0] == "hello the world"
+    # NULL text encodes to [] (not NULL), which decodes to ""
+    assert out[3] == ""
