@@ -26,6 +26,22 @@ from .frames import local_frame
 WHEN_CHAIN_MAX_CATEGORIES = 64
 
 
+def string_array_literal(values: list) -> Column | None:
+    """ONE-plan-node ``array<string>`` literal for model-sized tables:
+    ``from_json`` of a JSON string literal constant-folds to a single
+    ``Literal(ArrayData)`` during optimization. ``F.lit(list)`` plans
+    one expression node PER ELEMENT (``array('a','b',...)``) — measured
+    18 s of analysis for a 30k-entry vocabulary vs 1.4 s for this form.
+    Returns ``None`` when a value cannot ride JSON exactly (lone
+    surrogates) — callers fall back to their join path."""
+    import json as _json
+
+    for v in values:
+        if v is not None and any(0xD800 <= ord(ch) <= 0xDFFF for ch in v):
+            return None
+    return F.from_json(F.lit(_json.dumps(values)), "array<string>")
+
+
 def sanitize_category(cat: str) -> str:
     """Non-alphanumeric chars -> '_' in derived column names
     (categorical.rs:63-67)."""

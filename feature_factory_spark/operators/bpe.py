@@ -1691,6 +1691,112 @@ class BpeVocabBuilder(Transformer):
             tokens.alias(out_col),
         )
 
+    def _decode_ids_literal(
+        self,
+        df: DataFrame,
+        ids_col: str,
+        output_col: str,
+        vocab_rows: list[tuple[str, int]],
+        max_id: int,
+    ) -> DataFrame:
+        """Shuffle-free decode for dense id layouts: each id resolves
+        through ONE id→token array literal inside a per-element
+        ``transform`` — value-identical to the join plan (same unknown
+        sentinel, same byte/metaspace inversion expressions), minus the
+        posexplode, the broadcast join and the ordered reassembly.
+        Returns ``None`` (caller keeps the join plan) when token
+        content cannot ride a JSON literal exactly."""
+        from ..functions.expressions import string_array_literal
+
+        toks_by_id: list[str | None] = [None] * (max_id + 1)
+        for t, i in sorted(vocab_rows):
+            if 0 <= i <= max_id:
+                toks_by_id[i] = t
+        arr = string_array_literal(toks_by_id)
+        if arr is None:  # unrepresentable token content: join path
+            return None  # type: ignore[return-value]
+
+        def lookup(i: Column) -> Column:
+            return F.when(
+                (i >= 0) & (i <= F.lit(max_id)),
+                F.try_element_at(arr, i + F.lit(1)),
+            )
+
+        if self._segmentation == "metaspace":
+            # the join path's tok_bytes, per element (see decode_ids)
+            def tok_bytes_elem(i: Column) -> Column:
+                t = F.coalesce(lookup(i), F.lit("�"))
+                is_byte = t.rlike("^<0x[0-9A-Fa-f]{2}>$")
+                plain = F.hex(
+                    F.encode(
+                        F.regexp_replace(t, WORD_MARK_SP, " "),
+                        "UTF-8",
+                    )
+                )
+                return F.when(
+                    is_byte, F.upper(F.substring(t, 4, 2))
+                ).otherwise(plain)
+
+            cat = F.concat_ws(
+                "", F.transform(F.col(ids_col), tok_bytes_elem)
+            )
+            txt = F.decode(F.unhex(cat), "UTF-8")
+            if self._add_prefix_space:
+                txt = F.regexp_replace(txt, "^ ", "")
+            return df.select(
+                *[F.col(c) for c in df.columns],
+                F.when(F.col(ids_col).isNull(), F.lit(None))
+                .otherwise(F.coalesce(txt, F.lit("")))
+                .alias(output_col),
+            )
+        unk = (
+            "".join(_B2U[b] for b in "�".encode("utf-8"))
+            if self.byte_level
+            else "�"
+        )
+        cat = F.concat_ws(
+            "",
+            F.transform(
+                F.col(ids_col),
+                lambda i: F.coalesce(lookup(i), F.lit(unk)),
+            ),
+        )
+        if self._end_suffix:
+            txt = F.regexp_replace(cat, END_MARK, " ")
+        else:
+            txt = cat
+        if self.byte_level:
+            # identical inverse byte table to the join path (hex-digit
+            # accumulation, never raw byte chars — see decode_ids)
+            hex_map = F.create_map(*[
+                lit
+                for b in range(256)
+                for lit in (F.lit(_B2U_LIST[b]), F.lit("%02X" % b))
+            ])
+            txt = F.decode(
+                F.unhex(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_remove(F.split(txt, ""), ""),
+                            lambda c: F.coalesce(
+                                F.element_at(hex_map, c),
+                                F.hex(F.encode(c, "UTF-8")),
+                            ),
+                        ),
+                    )
+                ),
+                "UTF-8",
+            )
+        if self._end_suffix:
+            txt = F.rtrim(txt)
+        return df.select(
+            *[F.col(c) for c in df.columns],
+            F.when(F.col(ids_col).isNull(), F.lit(None))
+            .otherwise(F.coalesce(txt, F.lit("")))
+            .alias(output_col),
+        )
+
     def decode_ids(
         self,
         df: DataFrame,
@@ -1719,6 +1825,21 @@ class BpeVocabBuilder(Transformer):
         _vc(df, [self.id_col, ids_col])
         ensure(output_col not in df.columns,
                f"output column '{output_col}' already exists")
+        vocab_rows = self._vocab_rows()
+        max_id = max((i for _, i in vocab_rows), default=-1)
+        if 0 <= max_id < max(65536, 2 * len(vocab_rows)):
+            # BPE id layouts (fitted AND published) are DENSE 0..n: the
+            # id→token map rides the plan as ONE array literal indexed
+            # per element — no posexplode, no broadcast join, no
+            # collect_list reassembly, zero shuffles. Sparse or
+            # unbounded id spaces (an exotic imported file) keep the
+            # join plan below. The driver-side rows come from the same
+            # _vocab_rows the join path's vocabulary() frame uses.
+            out = self._decode_ids_literal(
+                df, ids_col, output_col, vocab_rows, max_id
+            )
+            if out is not None:
+                return out
         vocab = self.vocabulary().select(
             F.col("id").alias("__ff_tid"), F.col("token").alias("__ff_tok")
         )

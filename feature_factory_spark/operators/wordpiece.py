@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..exceptions import InvalidParameterError
+from ..functions.expressions import string_array_literal
 from ..functions.frames import local_frame
 from ..pipeline import Transformer
 from ..validation import (
@@ -821,7 +822,10 @@ class WordPieceTokenizer(Transformer):
             for t, i in sorted(idmap.items()):
                 if 0 <= i <= max_id:
                     toks_by_id[i] = t
-            arr = F.lit(toks_by_id)
+            arr = string_array_literal(toks_by_id)
+        else:
+            arr = None
+        if arr is not None:
             cat = F.concat_ws(
                 " ",
                 F.transform(

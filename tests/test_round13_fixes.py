@@ -535,3 +535,69 @@ def test_materialize_respects_precomputed_packing(spark):
            for r in p.materialize(df, "ids", sep_id=0).collect()}
     assert list(out[0]["input_ids"]) == [3, 0]
     assert list(out[1]["input_ids"]) == [1, 2, 0, 4, 5, 6, 0]
+
+
+# --- r13 optimization: BPE dense-id array-literal decode ----------------
+# decode_ids for dense id layouts rides ONE from_json array literal
+# (zero shuffles) instead of posexplode + broadcast join + reassembly;
+# sparse layouts keep the join plan. Parity pinned across all four
+# model modes on round-trips and edge ids.
+
+def _force_join_decode(op):
+    import copy
+
+    rows = op._vocab_rows()
+    op2 = copy.copy(op)
+    # one far id pushes max_id over the density gate -> join plan; the
+    # far token is never referenced by any probe id
+    op2._vocab_rows = lambda: rows + [("__far__", 10**7)]
+    return op2
+
+
+@pytest.mark.parametrize("mode", ["fitted-char", "fitted-byte",
+                                  "imported-bytelevel",
+                                  "imported-metaspace"])
+def test_bpe_decode_literal_matches_join_plan(spark, tmp_path, mode):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from feature_factory_spark.operators.bpe import BpeVocabBuilder
+    from test_tokenizer_json import _bl_doc, _sp_doc
+
+    texts = [(0, "hello the world"), (1, "schöner Tag 🙂 даже"),
+             (2, ""), (3, None), (4, "he'll tell 42 things."),
+             (5, "the  the   the")]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    if mode == "fitted-char":
+        op = BpeVocabBuilder("text", "doc_id", num_merges=8)
+        op.fit(df.where(F.col("text").isNotNull()))
+    elif mode == "fitted-byte":
+        op = BpeVocabBuilder("text", "doc_id", num_merges=8,
+                             byte_level=True)
+        op.fit(df.where(F.col("text").isNotNull()))
+    else:
+        doc = _bl_doc() if mode == "imported-bytelevel" else _sp_doc()
+        p = str(tmp_path / "tok.json")
+        _json.dump(doc, open(p, "w"))
+        op = BpeVocabBuilder("text", "doc_id").load_tokenizer_json(
+            p, spark
+        )
+    try:
+        enc = op.encode_ids(df)
+        col = "text_bpe_ids_text"
+        a = {r["doc_id"]: r[col] for r in op.decode_ids(enc).collect()}
+        b = {r["doc_id"]: r[col]
+             for r in _force_join_decode(op).decode_ids(enc).collect()}
+        assert a == b
+        edge = spark.createDataFrame(
+            [(0, [1, -1, None, 999999]), (1, []), (2, None)],
+            "doc_id bigint, text_bpe_ids array<int>",
+        )
+        ae = {r["doc_id"]: r[col] for r in op.decode_ids(edge).collect()}
+        be = {r["doc_id"]: r[col]
+              for r in _force_join_decode(op).decode_ids(edge).collect()}
+        assert ae == be
+        assert ae[1] == "" and ae[2] is None
+    finally:
+        op.release()
