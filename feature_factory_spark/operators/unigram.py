@@ -705,32 +705,38 @@ class UnigramVocabBuilder(Transformer):
         from .text import _require_frame_state
 
         lp = self._require_fit()
-        if self.vocab_order_ is not None:
-            # imported model: the file's piece order IS the id layout
-            # (HF Unigram: index == id); re-sorting could renumber a
-            # foreign vocabulary and shift every encoded id
-            rows = [(p, i, lp[p]) for i, p in enumerate(self.vocab_order_)]
-            seen = set(self.vocab_order_)
-            rows += [
-                (p, i, None)
-                for p, i in sorted(
-                    self.added_ids_.items(), key=lambda kv: kv[1]
-                )
-                if p not in seen
-            ]
-        else:
-            rows = [
-                (p, i, v)
-                for i, (p, v) in enumerate(
-                    sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
-                )
-            ]
+        rows = [(p, i, lp.get(p)) for p, i in self._vocab_id_rows()]
         frame = _require_frame_state(
             self.word_pieces_, "UnigramVocabBuilder", "word_pieces_"
         )
         return local_frame(
             frame.sparkSession, rows, "piece string, id int, logprob double"
         )
+
+    def _vocab_id_rows(self) -> list[tuple[str, int]]:
+        """Driver-side (piece, id) rows — the id layout both
+        :meth:`vocabulary` and the decode literal index by."""
+        lp = self._require_fit()
+        if self.vocab_order_ is not None:
+            # imported model: the file's piece order IS the id layout
+            # (HF Unigram: index == id); re-sorting could renumber a
+            # foreign vocabulary and shift every encoded id
+            rows = [(p, i) for i, p in enumerate(self.vocab_order_)]
+            seen = set(self.vocab_order_)
+            rows += [
+                (p, i)
+                for p, i in sorted(
+                    self.added_ids_.items(), key=lambda kv: kv[1]
+                )
+                if p not in seen
+            ]
+            return rows
+        return [
+            (p, i)
+            for i, (p, _) in enumerate(
+                sorted(lp.items(), key=lambda pv: (-pv[1], pv[0]))
+            )
+        ]
 
     def _require_fit(self) -> dict[str, float]:
         if self.logprobs_ is None:
@@ -1003,6 +1009,59 @@ class UnigramVocabBuilder(Transformer):
             df, as_ids=True, add_special_tokens=add_special_tokens
         )
 
+    def _decode_ids_literal(
+        self,
+        df: DataFrame,
+        ids_col: str,
+        output_col: str,
+        id_rows: list[tuple[str, int]],
+        max_id: int,
+    ) -> DataFrame:
+        """Shuffle-free decode for dense id layouts (the BPE
+        ``_decode_ids_literal`` law): each id resolves through ONE
+        id→piece array literal inside a per-element ``transform``;
+        the byte-fallback hex-accumulate inversion is expression-
+        identical to the join plan. Returns ``None`` (caller keeps the
+        join plan) when piece content cannot ride a JSON literal."""
+        from ..functions.expressions import string_array_literal
+
+        pieces_by_id: list[str | None] = [None] * (max_id + 1)
+        for p, i in sorted(id_rows):
+            if 0 <= i <= max_id:
+                pieces_by_id[i] = p
+        arr = string_array_literal(pieces_by_id)
+        if arr is None:
+            return None  # type: ignore[return-value]
+
+        def tok_bytes_elem(i: Column) -> Column:
+            t = F.coalesce(
+                F.when(
+                    (i >= 0) & (i <= F.lit(max_id)),
+                    F.try_element_at(arr, i + F.lit(1)),
+                ),
+                F.lit("�"),
+            )
+            is_byte = t.rlike("^<0x[0-9A-Fa-f]{2}>$")
+            plain = F.hex(
+                F.encode(
+                    F.regexp_replace(t, WORD_MARK, " "), "UTF-8"
+                )
+            )
+            return F.when(
+                is_byte, F.upper(F.substring(t, 4, 2))
+            ).otherwise(plain)
+
+        cat = F.concat_ws(
+            "", F.transform(F.col(ids_col), tok_bytes_elem)
+        )
+        txt = F.ltrim(F.decode(F.unhex(cat), "UTF-8"))
+        return df.select(
+            *[F.col(c) for c in df.columns],
+            F.when(F.col(ids_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(txt, F.lit("")))
+            .alias(output_col),
+        )
+
     def decode_ids(
         self,
         df: DataFrame,
@@ -1022,13 +1081,26 @@ class UnigramVocabBuilder(Transformer):
         ensure(output_col not in df.columns,
                f"output column '{output_col}' already exists")
         self._require_fit()
+        # dense id layouts (every fitted AND published Unigram table)
+        # decode through ONE from_json array literal indexed per
+        # element — no posexplode, no join, no reassembly (the BPE
+        # _decode_ids_literal law; from_json constant-folds to a single
+        # Literal node, so the old one-node-per-entry objection no
+        # longer applies, and indexing BY ID preserves foreign
+        # layouts verbatim). Sparse id spaces keep the join plan.
+        id_rows = self._vocab_id_rows()
+        max_id = max((i for _, i in id_rows), default=-1)
+        if 0 <= max_id < max(65536, 2 * len(id_rows)):
+            out = self._decode_ids_literal(
+                df, ids_col, output_col, id_rows, max_id
+            )
+            if out is not None:
+                return out
         # id -> piece via one broadcast frame join (honors imported
-        # layouts + added tokens; the former literal-array path both
-        # renumbered foreign layouts and planned one expression node
-        # per vocab entry — a 32k-piece real model is a frame, not a
-        # literal). Byte-fallback pieces (<0xXX>) fuse through the
-        # hex-accumulate inversion (the BPE metaspace decode law), so
-        # multi-byte UTF-8 split across byte tokens reassembles.
+        # layouts + added tokens). Byte-fallback pieces (<0xXX>) fuse
+        # through the hex-accumulate inversion (the BPE metaspace
+        # decode law), so multi-byte UTF-8 split across byte tokens
+        # reassembles.
         vocab = self.vocabulary().select(
             F.col("id").alias("__ff_tid"),
             F.col("piece").alias("__ff_tok"),

@@ -601,3 +601,69 @@ def test_bpe_decode_literal_matches_join_plan(spark, tmp_path, mode):
         assert ae[1] == "" and ae[2] is None
     finally:
         op.release()
+
+
+@pytest.mark.parametrize("mode", ["fitted", "imported"])
+def test_unigram_decode_literal_matches_join_plan(spark, tmp_path, mode):
+    import copy
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from feature_factory_spark.operators.unigram import UnigramVocabBuilder
+
+    texts = [(0, "hello the world"), (1, "schöner Tag 🙂"), (2, ""),
+             (3, None), (4, "the  the   the"), (5, "unknownzzz word")]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    if mode == "fitted":
+        op = UnigramVocabBuilder("text", "doc_id", vocab_size=40)
+        op.fit(df.where(F.col("text").isNotNull()))
+    else:
+        pieces = (
+            [["<unk>", -5.0], ["▁", -2.0], ["▁the", -1.0],
+             ["▁hello", -1.5], ["▁world", -1.6], ["he", -2.5],
+             ["llo", -2.6], ["o", -3.0], ["w", -3.1], ["r", -3.2],
+             ["l", -3.3], ["d", -3.4], ["t", -3.5], ["e", -3.6],
+             ["h", -3.7]]
+            + [["<0x%02X>" % b, -8.0] for b in range(256)]
+        )
+        doc = {"version": "1.0", "truncation": None, "padding": None,
+               "added_tokens": [{"id": 0, "content": "<unk>",
+                                 "special": True}],
+               "normalizer": None,
+               "pre_tokenizer": {"type": "Metaspace",
+                                 "replacement": "▁",
+                                 "prepend_scheme": "first"},
+               "post_processor": None, "decoder": None,
+               "model": {"type": "Unigram", "unk_id": 0,
+                         "vocab": pieces, "byte_fallback": True}}
+        p = str(tmp_path / "uni.json")
+        _json.dump(doc, open(p, "w"))
+        op = UnigramVocabBuilder("text", "doc_id").load_tokenizer_json(
+            p, spark
+        )
+
+    def force_join(o):
+        rows = o._vocab_id_rows()
+        o2 = copy.copy(o)
+        o2._vocab_id_rows = lambda: rows + [("__far__", 10**7)]
+        return o2
+
+    try:
+        enc = op.encode_ids(df)
+        col = "text_unigram_ids_text"
+        a = {r["doc_id"]: r[col] for r in op.decode_ids(enc).collect()}
+        b = {r["doc_id"]: r[col]
+             for r in force_join(op).decode_ids(enc).collect()}
+        assert a == b
+        edge = spark.createDataFrame(
+            [(0, [1, -1, None, 999999]), (1, []), (2, None)],
+            "doc_id bigint, text_unigram_ids array<int>",
+        )
+        ae = {r["doc_id"]: r[col] for r in op.decode_ids(edge).collect()}
+        be = {r["doc_id"]: r[col]
+              for r in force_join(op).decode_ids(edge).collect()}
+        assert ae == be
+        assert ae[1] == "" and ae[2] is None
+    finally:
+        op.release()
