@@ -776,23 +776,41 @@ class UnigramVocabBuilder(Transformer):
         )
         cap = self.max_unseen_words
         if cap is not None:
-            got = [r["word"] for r in unseen.limit(cap + 1).collect()]
-            self._guard_unseen(len(got))
-        else:
-            got = [r["word"] for r in unseen.collect()]
-        if not got:
+            n = unseen.limit(cap + 1).count()
+            self._guard_unseen(n)
+            if n == 0:
+                return fitted
+        elif unseen.isEmpty():
+            # the fitted-corpus common case: zero unseen words — skip
+            # the segmentation branch outright
             return fitted
-        special = set(self._special_tokens)
-        extra = local_frame(
-            fitted.sparkSession,
-            [
+        # unseen words Viterbi-segment in a DISTRIBUTED Arrow pass at
+        # the distinct-word grain, the model riding the closure (the
+        # tokenize_words shape) — the former driver collect + local
+        # loop was uncapped for max_unseen_words=None, i.e. applying a
+        # published model to a fresh corpus pulled EVERY distinct
+        # corpus word to the driver (guide §5: the driver does no data
+        # work). Same viterbi_segment function, bit-identical pieces.
+        special = frozenset(self._special_tokens)
+        max_len = self.max_piece_len
+
+        def seg_batches(it):
+            import pandas as pd
+
+            for pdf in it:
                 # isolated added tokens are ONE piece — their own
                 # content, so the id join lands on the added id
-                (w, [w] if w in special
-                 else viterbi_segment(w, lp, self.max_piece_len))
-                for w in sorted(got)
-            ],
-            "word string, pieces array<string>",
+                yield pd.DataFrame({
+                    "word": pdf["word"],
+                    "pieces": [
+                        [w] if w in special
+                        else viterbi_segment(w, lp, max_len)
+                        for w in pdf["word"]
+                    ],
+                })
+
+        extra = unseen.mapInPandas(
+            seg_batches, "word string, pieces array<string>"
         )
         return fitted.unionByName(extra)
 

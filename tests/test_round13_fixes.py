@@ -667,3 +667,50 @@ def test_unigram_decode_literal_matches_join_plan(spark, tmp_path, mode):
         assert ae[1] == "" and ae[2] is None
     finally:
         op.release()
+
+
+def test_unigram_unseen_words_segment_distributed(spark):
+    """The unseen-word tail of _piece_table segments in a mapInPandas
+    pass (the former path collected EVERY unseen distinct word to the
+    driver when max_unseen_words=None); pieces are pinned identical to
+    driver-side viterbi_segment, and the guard cap still fails loud."""
+    from pyspark.sql import functions as F
+
+    from feature_factory_spark.exceptions import InvalidParameterError
+    from feature_factory_spark.operators.unigram import (
+        UnigramVocabBuilder,
+        viterbi_segment,
+    )
+
+    fit_df = spark.createDataFrame(
+        [(0, "hello world hello"), (1, "the world")],
+        "doc_id bigint, text string",
+    )
+    op = UnigramVocabBuilder("text", "doc_id", vocab_size=30)
+    op.fit(fit_df)
+    try:
+        fresh = spark.createDataFrame(
+            [(0, "hello zzznew worldly the")],
+            "doc_id bigint, text string",
+        )
+        table = {r["word"]: list(r["pieces"])
+                 for r in op._piece_table(fresh).collect()}
+        plan = op._piece_table(fresh)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "MapInPandas" in plan  # distributed, not a driver loop
+        for w in table:
+            if w.startswith("▁zzznew") or w.startswith("▁worldly"):
+                assert table[w] == viterbi_segment(
+                    w, op.logprobs_, op.max_piece_len
+                )
+        capped = UnigramVocabBuilder(
+            "text", "doc_id", vocab_size=30, max_unseen_words=0
+        )
+        capped.fit(fit_df)
+        try:
+            with pytest.raises(InvalidParameterError):
+                capped._piece_table(fresh).collect()
+        finally:
+            capped.release()
+    finally:
+        op.release()
