@@ -4686,8 +4686,37 @@ def _dsir_fitted(spark, sf_dir):
     memo = _DSIR_MEMO.get(key)
     if memo is None:
         docs = _t(spark, sf_dir, "documents")
-        op.fit_target(docs.where(F.col("source") == "src0"))
-        op.fit(docs)
+        # ONE explode+aggregate computes BOTH bucket tables — raw over
+        # all rows, target over the source='src0' rows — instead of the
+        # fit_target(src0-scan) + fit(full-scan) pair: one corpus pass,
+        # one shuffle, bit-identical integer counts (guide §2.1). The
+        # token column is staged so the dims expression's five
+        # references don't re-run the tokenizer (the DSIR _bucket_counts
+        # discipline).
+        rows = (
+            docs.select(F.col("source"), op._toks().alias("__ff_toks"))
+            .select(
+                "source",
+                F.explode(op._dims_from(F.col("__ff_toks"))).alias("dim"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias("raw"),
+                F.count(
+                    F.when(F.col("source") == "src0", F.lit(1))
+                ).alias("tgt"),
+            )
+            .collect()
+        )
+        nb = op.n_buckets
+        raw = [0] * nb
+        tgt = [0] * nb
+        for r in rows:
+            raw[int(r["dim"])] = int(r["raw"])
+            tgt[int(r["dim"])] = int(r["tgt"])
+        op.target_counts_ = tgt
+        op.raw_counts_ = raw
+        op._fitted = True
         _DSIR_MEMO[key] = (
             list(op.target_counts_), list(op.raw_counts_)
         )

@@ -565,9 +565,20 @@ class MinHashDeduplicator(Transformer):
         # reproduces the degenerate cases exactly: a NULL or empty
         # shingle array signs as [null] * num_perm, as before.
         n = len(self._constants)
-        ab = F.arrays_zip(
-            F.lit([a for a, _ in self._constants]).cast("array<bigint>"),
-            F.lit([b for _, b in self._constants]).cast("array<bigint>"),
+        # The zipped (a, b) constants MUST pre-fold to a single Literal:
+        # arrays_zip is not constant-folded, and inside the fold's
+        # lambda it would be re-evaluated once per shingle hash per row
+        # (measured 2x on the signature job). from_json of a literal
+        # JSON string folds to one Literal(ArrayData) node — the
+        # string_array_literal discipline; bigint constants always ride
+        # JSON exactly.
+        import json as _json
+
+        ab = F.from_json(
+            F.lit(_json.dumps(
+                [{"a": a, "b": b} for a, b in self._constants]
+            )),
+            "array<struct<a: bigint, b: bigint>>",
         )
         init = F.array_repeat(
             F.lit(MERSENNE_P31).cast("bigint"), n
@@ -579,7 +590,7 @@ class MinHashDeduplicator(Transformer):
                 acc,
                 ab,
                 lambda m, c: F.least(
-                    m, F.pmod(c["0"] * h + c["1"], F.lit(MERSENNE_P31))
+                    m, F.pmod(c["a"] * h + c["b"], F.lit(MERSENNE_P31))
                 ),
             ),
         )

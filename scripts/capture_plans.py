@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for declared queries into plans/r13/.
+"""Capture .explain("formatted") for declared queries into plans/<dir>
+($FF_PLANS_DIR, default plans/r14).
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 e.g. python scripts/capture_plans.py before lm_family dedup_ids
@@ -16,8 +17,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r13")
+OUT = os.environ.get(
+    "FF_PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "plans", "r14"),
+)
 
 
 def main() -> int:
