@@ -33,6 +33,48 @@ from ..exceptions import FeatureFactoryError
 # keep the distributed path. Env-tunable for other deployments.
 _DRIVER_EDGE_CAP = int(os.environ.get("FF_CC_DRIVER_EDGES", "100000"))
 
+# Same idea for fixed-iteration PageRank: below this many (distinct,
+# null-free) edges the power iteration runs as a driver loop instead of
+# two shuffles per round. Env-tunable; bounds driver memory by
+# construction.
+_PR_DRIVER_EDGE_CAP = int(os.environ.get("FF_PR_DRIVER_EDGES", "100000"))
+
+
+def _pagerank_driver(spark, edge_rows, node_type, damping, iterations):
+    """Driver twin of the fixed-iteration, dangling-free power loop:
+    same init (1/n), same per-round rank = base + damping * contrib
+    with contrib accumulated in deterministic (src, dst) order. Returns
+    the (node, rank) frame in one slice (model-sized by the gate)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..validation import ensure
+
+    edges = sorted({(r["src"], r["dst"]) for r in edge_rows})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    ensure(len(nodes) > 0, "edge frame contains no nodes")
+    n = len(nodes)
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = dict.fromkeys(nodes, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib: dict = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0.0) + rank[s] / outdeg[s]
+        rank = {
+            v: base + damping * contrib.get(v, 0.0) for v in nodes
+        }
+    from .frames import one_slice_frame
+
+    schema = StructType([
+        StructField("node", node_type),
+        StructField("rank", DoubleType()),
+    ])
+    return one_slice_frame(
+        spark, [(v, rank[v]) for v in nodes], schema
+    )
+
 
 def connected_components(
     pairs: DataFrame,
@@ -226,6 +268,34 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    # Small-graph gate (the connected_components driver union-find
+    # precedent): a fixed-iteration, dangling-free run over a bounded
+    # edge list costs 2 shuffles per round of pure scheduling for
+    # arithmetic a driver loop finishes in microseconds. The driver
+    # twin applies the IDENTICAL IEEE ops in the identical association
+    # — rank = (base) + (damping * contrib), contrib accumulated as
+    # running double adds — so for in-degree <= 2 graphs (every
+    # per-node sum has at most two commutable terms) the ranks are
+    # bit-identical to the distributed aggregate; larger in-degrees
+    # can differ from a distributed partial-aggregation order by last
+    # ulps, exactly as two cluster layouts can differ from each other.
+    # Gated to the fixed-budget, no-dangling, no-checkpoint shape so
+    # the early-stop and reliable-checkpoint contracts keep their
+    # distributed semantics; the cap bounds driver memory by
+    # construction (100k edges is a few MB) independent of data scale.
+    if (
+        tol is None
+        and not handle_dangling
+        and checkpoint_dir is None
+    ):
+        capped = e.limit(_PR_DRIVER_EDGE_CAP + 1).collect()
+        if len(capped) <= _PR_DRIVER_EDGE_CAP:
+            return _pagerank_driver(
+                edges.sparkSession, capped, e.schema["src"].dataType,
+                damping, iterations,
+            )
+        # over the gate: fall through to the distributed loop (the
+        # collected prefix is discarded; the distinct frame recomputes)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -269,3 +269,24 @@ def test_pagerank_handle_dangling_false_matches_on_dangling_free_graph(spark):
     leaked = sum(r["rank"] for r in
                  pagerank(d, iterations=5, handle_dangling=False).collect())
     assert leaked < 1.0
+
+
+def test_pagerank_driver_gate_matches_distributed(spark):
+    from feature_factory_spark.functions.graph import pagerank
+
+    # dangling-free graph with in-degree exactly 2: every per-node
+    # contribution sum has two commutable terms, so the gated driver
+    # loop (handle_dangling=False, fixed budget) must be BIT-identical
+    # to the distributed aggregate (handle_dangling=True on a
+    # dangling-free graph adds share=0.0 each round — same arithmetic)
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [
+        (i, (i * 3 + 1) % 10) for i in range(10)
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    dist = {r["node"]: r["rank"]
+            for r in pagerank(e, iterations=4).collect()}
+    drv = {r["node"]: r["rank"]
+           for r in pagerank(e, iterations=4,
+                             handle_dangling=False).collect()}
+    assert dist == drv
+    assert abs(sum(drv.values()) - 1.0) < 1e-9

@@ -321,3 +321,49 @@ def test_corpus_report_single_scan_aggregate(spark):
     plan = _phys(ff.corpus_report(df, ["source"], ["n_chars"]))
     assert plan.count("Scan ExistingRDD") <= 1
     assert "CartesianProduct" not in plan
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dsir_staged_dims_survive_optimizer(spark):
+    # r13 staged the token + hashed-dims arrays as real columns with a
+    # size() guard as a materialization barrier: if a future Catalyst
+    # constant-folds the trivially-true guard or CollapseProject
+    # re-inlines the projection, the interpreted HOF fold re-runs the
+    # tokenizer chain ~5x per row with no correctness signal (measured
+    # 17x slower at sf0.1). Pin: the scoring aggregate must consume the
+    # staged __ff_dsir_dims column, and the tokenizer split() must be
+    # planned exactly once.
+    import feature_factory_spark as ff
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    op = ff.DSIRWeighter("text", id_col="doc_id", n_buckets=64)
+    op.fit_target(docs.where(F.col("doc_id") % 3 == 0))
+    op.fit(docs)
+    plan = _opt(op.transform(docs))
+    assert "aggregate(__ff_dsir_dims" in plan
+    assert plan.count("split(") == 1
+
+
+def test_main_content_staged_feats_survive_optimizer(spark):
+    # same barrier discipline for the jusText-style block scorer: the
+    # per-block feature array is referenced five times (chars/main
+    # text/two counts); re-inlining would re-run the regexp chain per
+    # reference.
+    import feature_factory_spark as ff
+
+    pages = spark.createDataFrame(
+        [(i, f"<html><p>real content words here {i}</p><a href='#'>nav</a></html>")
+         for i in range(10)],
+        "doc_id bigint, page string",
+    )
+    plan = _opt(ff.MainContentExtractor(["page"]).transform(pages))
+    assert "__ff_mc_feats_page" in plan
+    # the staged column is consumed by the downstream filters/aggregates,
+    # not re-inlined: the block regexp split is planned exactly once
+    assert plan.count("filter(__ff_mc_feats_page") >= 2
