@@ -42,6 +42,42 @@ def string_array_literal(values: list) -> Column | None:
     return F.from_json(F.lit(_json.dumps(values)), "array<string>")
 
 
+def double_array_literal(values: list) -> Column:
+    """ONE-plan-node ``array<double>`` literal — the
+    :func:`string_array_literal` discipline for numeric model tables.
+    ``F.lit(list)`` builds one Literal node per element at PLAN-BUILD
+    time (measured ~4 s of driver time for a 10k-entry log-ratio
+    table, before any job runs); ``from_json`` of a JSON string literal
+    is one call and constant-folds to a single ``Literal(ArrayData)``.
+    JSON round-trips IEEE doubles exactly (shortest-repr emit,
+    correctly-rounded parse). Falls back to ``F.lit`` when a value is
+    non-finite or missing (JSON cannot carry NaN/Inf)."""
+    import json as _json
+    import math as _math
+
+    def _depth_ok(vs, d):
+        # returns (depth, all_finite) over a uniformly nested list
+        if all(isinstance(v, list) for v in vs):
+            sub = [_depth_ok(v, d + 1) for v in vs]
+            if not sub:
+                return d + 1, True
+            depths = {s[0] for s in sub}
+            if len(depths) != 1:
+                return None, False
+            return depths.pop(), all(s[1] for s in sub)
+        if any(isinstance(v, list) for v in vs):
+            return None, False
+        return d, all(
+            v is not None and _math.isfinite(v) for v in vs
+        )
+
+    depth, finite = _depth_ok(values, 1)
+    if depth is None or not finite:
+        return F.lit(values)
+    schema = "array<" * depth + "double" + ">" * depth
+    return F.from_json(F.lit(_json.dumps(values)), schema)
+
+
 def sanitize_category(cat: str) -> str:
     """Non-alphanumeric chars -> '_' in derived column names
     (categorical.rs:63-67)."""

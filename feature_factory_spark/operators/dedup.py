@@ -38,7 +38,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import cosine_expr
+from ..functions.expressions import cosine_expr, double_array_literal
 from ..functions.frames import one_slice_frame
 from ..functions.graph import duplicate_ids
 from ..functions.text import (
@@ -1186,7 +1186,7 @@ def hyperplane_sig_expr(vec: Column, planes: list[list[float]]) -> Column:
     in n_planes x dim. The per-plane dot is the same sequential
     zip_with/aggregate fold as before, so signature values are
     unchanged."""
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    planes_lit = double_array_literal([[float(x) for x in p] for p in planes])
     powers = F.lit([1 << i for i in range(len(planes))]).cast("array<bigint>")
     dots = F.transform(
         planes_lit,

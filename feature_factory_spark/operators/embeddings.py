@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.expressions import dot_expr, norm_expr
+from ..functions.expressions import (
+    dot_expr,
+    double_array_literal,
+    norm_expr,
+)
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns
 from .dedup import _hyperplanes
@@ -108,7 +112,9 @@ class RandomProjection(Transformer):
         # one nested-array Literal (out_dim x in_dim values in a single
         # node), not out_dim x in_dim Literal nodes: plan analysis and
         # codegen stay O(1) in the projection size
-        planes_lit = F.lit([[float(x) for x in p] for p in self.planes()])
+        planes_lit = double_array_literal(
+            [[float(x) for x in p] for p in self.planes()]
+        )
         projected = F.transform(planes_lit, lambda p: dot_expr(vec, p))
         if self.out_col == self.vec_col:
             cols = [
@@ -414,8 +420,10 @@ class PCAProjection(Transformer):
         ensure(self.components_ is not None, "PCAProjection is not fitted")
         vec = F.col(self.vec_col)
         comps, offs = self._scaled_model()
-        comps_lit = F.lit([[float(x) for x in row] for row in comps])
-        offs_lit = F.lit([float(x) for x in offs])
+        comps_lit = double_array_literal(
+            [[float(x) for x in row] for row in comps]
+        )
+        offs_lit = double_array_literal([float(x) for x in offs])
         projected = F.zip_with(
             comps_lit, offs_lit, lambda p, o: dot_expr(vec, p) - o
         )
@@ -443,8 +451,10 @@ class PCAProjection(Transformer):
         # dim x k matrix (transposed components), one literal
         back = [[comps[j][i] for j in range(len(comps))]
                 for i in range(self.dim)]
-        back_lit = F.lit([[float(x) for x in row] for row in back])
-        mean_lit = F.lit([float(x) for x in self.mean_])
+        back_lit = double_array_literal(
+            [[float(x) for x in row] for row in back]
+        )
+        mean_lit = double_array_literal([float(x) for x in self.mean_])
         return F.zip_with(
             back_lit, mean_lit, lambda row, m: dot_expr(proj_col, row) + m
         )
@@ -859,7 +869,7 @@ class ProductQuantizer(Transformer):
         self.codebooks_ = books
 
     def _codebook_lit(self) -> Column:
-        return F.lit(self.codebooks_)
+        return double_array_literal(self.codebooks_)
 
     def codes_expr(self, vec: Column) -> Column:
         """array<tinyint> of per-subspace nearest-centroid indices."""

@@ -1091,7 +1091,13 @@ class DSIRWeighter(Transformer):
                 self._logprobs(self.raw_counts_),
             )
         ]
-        lit = F.lit(ratio)
+        from ..functions.expressions import double_array_literal
+
+        # one-node literal: F.lit(list) costs one Literal per bucket at
+        # plan-build time — ~4 s of driver work per transform for the
+        # default 10k buckets (the r13 string_array_literal finding,
+        # numeric twin)
+        lit = double_array_literal(ratio)
         tok_tmp = "__ff_dsir_toks"
         tmp = "__ff_dsir_dims"
         # two staged columns: the token array (referenced five times by

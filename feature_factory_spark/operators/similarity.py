@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import cosine_expr, norm_expr
+from ..functions.expressions import (
+    cosine_expr,
+    double_array_literal,
+    norm_expr,
+)
 from ..functions.frames import one_slice_frame
 from ..pipeline import Transformer
 from ..validation import ensure, validate_columns
@@ -116,7 +120,7 @@ def nearest_centroids_expr(
     F.lit on the nested list yields a single Literal node (k x dim
     values in one object) instead of k x dim Literal nodes: plan
     analysis and codegen stay O(1) in index size."""
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    cents = double_array_literal([[float(x) for x in c] for c in centroids])
     # assignment needs a TOTAL order: a degenerate vector's NULL cosine
     # becomes -1.0 ("far from every centroid") so argmax stays defined
     sims = F.transform(
