@@ -180,6 +180,27 @@ _CLEANUP = [
 ]
 
 
+def _arrow_exact(dt) -> bool:
+    """True when a column of this type round-trips the Arrow boundary
+    exactly (mapInArrow never converts to pandas dtypes, so atomic and
+    nested-atomic types are bit-exact both ways). Gates the
+    pass-through encode: frames carrying anything else (decimals,
+    UDTs, maps) keep the join-back plan."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (
+        T.StringType, T.BooleanType, T.BinaryType, T.ByteType,
+        T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    )):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _arrow_exact(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_arrow_exact(f.dataType) for f in dt.fields)
+    return False
+
+
 def _pre_tokenize_with_specials(s, pat, clean, cjk, strip_acc, lower):
     """Special isolation + BertNormalizer + BertPreTokenizer for ONE
     text value — the single definition both the words UDF and the
@@ -540,6 +561,102 @@ class WordPieceTokenizer(Transformer):
             .mapInPandas(batches, schema)
         )
 
+    def _doc_token_passthrough(
+        self, df: DataFrame, mode: str, out_name: str
+    ) -> DataFrame:
+        """``df``'s columns plus ``out_name`` computed in the SAME
+        Arrow pass — the join-back-free twin of
+        :meth:`_doc_token_table`. The guard-free doc-grain encode used
+        to join its (id, tokens) table back onto the input, an id-grain
+        exchange pair that at corpus scale shuffles the corpus twice
+        for a column computable in place (guide §8: move big rows
+        once). ``mapInArrow`` (not pandas) so carried columns never
+        round-trip pandas dtypes — int64-with-nulls stays int64.
+        NULL-id rows yield a NULL output column, exactly what the
+        join-back's unmatched left rows produced."""
+        import re as _re
+
+        idmap = self._require_model()
+        vocab = frozenset(idmap)
+        unk, prefix = self.unk_token_, self.prefix_
+        max_chars = self.max_chars_
+        special = frozenset(self._special_tokens)
+        spat_src = (
+            "|".join(_re.escape(t) for t in self._special_tokens)
+            if self._special_tokens
+            else None
+        )
+        clean, cjk = self._clean_text, self._handle_chinese
+        strip_acc, lower = self._strip_accents, self._lowercase
+        id_col, text_col = self.id_col, self.text_col
+        want = mode
+        id_idx = df.columns.index(id_col)
+        text_idx = df.columns.index(text_col)
+
+        def batches(it):
+            import re as _re2
+
+            import pyarrow as pa
+
+            pat = _re2.compile(spat_src) if spat_src else None
+            cache: dict = {}
+
+            def tok(w):
+                s = cache.get(w)
+                if s is None:
+                    s = (
+                        [w]
+                        if w in special
+                        else wordpiece_word(w, vocab, unk, prefix, max_chars)
+                    )
+                    cache[w] = s
+                return s
+
+            if want == "count":
+                out_type = pa.int64()
+            elif want == "ids":
+                out_type = pa.list_(pa.int32())
+            else:
+                out_type = pa.list_(pa.string())
+            for batch in it:
+                ids = batch.column(id_idx).to_pylist()
+                texts = batch.column(text_idx).to_pylist()
+                vals = []
+                for rid, s in zip(ids, texts):
+                    if rid is None:
+                        vals.append(None)
+                        continue
+                    pieces: list[str] = []
+                    for w in _pre_tokenize_with_specials(
+                        s, pat, clean, cjk, strip_acc, lower
+                    ):
+                        pieces.extend(tok(w))
+                    if want == "count":
+                        vals.append(len(pieces))
+                    elif want == "ids":
+                        vals.append([idmap.get(p, -1) for p in pieces])
+                    else:
+                        vals.append(pieces)
+                yield batch.append_column(
+                    out_name, pa.array(vals, type=out_type)
+                )
+
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, LongType, StringType, StructField,
+            StructType,
+        )
+
+        if want == "count":
+            out_dt = LongType()
+        elif want == "ids":
+            out_dt = ArrayType(IntegerType())
+        else:
+            out_dt = ArrayType(StringType())
+        schema = StructType(
+            list(df.schema.fields) + [StructField(out_name, out_dt)]
+        )
+        return df.mapInArrow(batches, schema)
+
     def tokenize_words(
         self, words: DataFrame, word_col: str = "word",
         with_ids: bool = False,
@@ -652,10 +769,22 @@ class WordPieceTokenizer(Transformer):
         self._check_input(df)
         self._require_model()
         elem = "int" if as_ids else "string"
+        base = None
         if self.max_unseen_words is None:
             # doc-grain Arrow pass: zero corpus shuffles (see
-            # _doc_token_table); the guard-free default
-            per_doc = self._doc_token_table(df, "ids" if as_ids else "syms")
+            # _doc_token_table); the guard-free default. When every
+            # input column rides Arrow exactly, the tokens column is
+            # computed IN PLACE (no id-grain join-back — two corpus
+            # shuffles at scale); otherwise the (id, tokens) table
+            # joins back as before.
+            if _arrow_exact(df.schema):
+                base = self._doc_token_passthrough(
+                    df, "ids" if as_ids else "syms", "__ff_tokens"
+                )
+            else:
+                per_doc = self._doc_token_table(
+                    df, "ids" if as_ids else "syms"
+                )
         else:
             doc_words = df.select(
                 F.col(self.id_col).alias("__ff_id"),
@@ -724,9 +853,12 @@ class WordPieceTokenizer(Transformer):
             if suf:
                 parts.append(F.lit(suf).cast(f"array<{elem}>"))
             tokens = F.concat(*parts)
-        return df.join(
-            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
-        ).select(
+        if base is None:
+            base = df.join(
+                per_doc, on=df[self.id_col] == per_doc["__ff_id"],
+                how="left",
+            )
+        return base.select(
             *[F.col(c) for c in df.columns],
             tokens.alias(out_col),
         )
@@ -751,10 +883,18 @@ class WordPieceTokenizer(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         self._require_model()
+        base = None
         if self.max_unseen_words is None:
             # doc-grain Arrow pass (see _doc_token_table): the count
-            # rides the same single stage, zero corpus shuffles
-            per_doc = self._doc_token_table(df, "count")
+            # rides the same single stage, zero corpus shuffles — and
+            # in place when the schema rides Arrow exactly (no id-grain
+            # join-back)
+            if _arrow_exact(df.schema):
+                base = self._doc_token_passthrough(
+                    df, "count", "__ff_total"
+                )
+            else:
+                per_doc = self._doc_token_table(df, "count")
         else:
             doc_words = df.select(
                 F.col(self.id_col).alias("__ff_id"),
@@ -782,9 +922,12 @@ class WordPieceTokenizer(Transformer):
                 F.sum("__ff_nt").cast("bigint").alias("__ff_total")
             )
         out_col = f"{self.text_col}_wordpiece_token_count"
-        return df.join(
-            per_doc, on=df[self.id_col] == per_doc["__ff_id"], how="left"
-        ).select(
+        if base is None:
+            base = df.join(
+                per_doc, on=df[self.id_col] == per_doc["__ff_id"],
+                how="left",
+            )
+        return base.select(
             *[F.col(c) for c in df.columns],
             F.col("__ff_total").alias(out_col),
         )

@@ -48,7 +48,41 @@ def main() -> int:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    op = WordPieceTokenizer("text", "doc_id").fit(docs)
+    # the q_wordpiece_apply fixture vocabulary (published-model shape)
+    import json as _json
+    import tempfile
+
+    words = ["the", "table", "query", "value", "scan", "fast", "row",
+             "join", "hash", "batch", "merge", "line", "sort",
+             "group", "data", "column", "filter", "stream", "window",
+             "vector", "small", "big", "slow", "key", "agg", "part",
+             "order", "spark", "customer"]
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for w in words + ["tab", "col", "cust", "val"]:
+        vocab.setdefault(w, len(vocab))
+    for w in ["##le", "##umn", "##omer", "##ue", "##a", "##b"]:
+        vocab.setdefault(w, len(vocab))
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789":
+        vocab.setdefault(c, len(vocab))
+        vocab.setdefault("##" + c, len(vocab))
+    doc = {
+        "version": "1.0",
+        "added_tokens": [{"id": vocab[t], "content": t, "special": True}
+                         for t in ("[PAD]", "[UNK]", "[CLS]", "[SEP]")],
+        "normalizer": {"type": "BertNormalizer", "clean_text": True,
+                       "handle_chinese_chars": True,
+                       "strip_accents": None, "lowercase": True},
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "post_processor": None,
+        "decoder": {"type": "WordPiece", "prefix": "##", "cleanup": True},
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##",
+                  "max_input_chars_per_word": 100, "vocab": vocab},
+    }
+    tmp = tempfile.mkdtemp(prefix="ff_abwp_")
+    path = os.path.join(tmp, "wp.json")
+    _json.dump(doc, open(path, "w"))
+    op = WordPieceTokenizer("text", "doc_id").load_tokenizer_json(path, spark)
 
     joined = op.encode_ids(docs)
     out_col = "text_wordpiece_ids"

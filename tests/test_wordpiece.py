@@ -410,3 +410,51 @@ def test_doc_grain_roundtrip_via_both_decode_plans(spark, tmp_path):
     assert out[0] == "hello the world"
     # NULL text encodes to [] (not NULL), which decodes to ""
     assert out[3] == ""
+
+
+def test_passthrough_encode_matches_joinback_and_gates(spark, tmp_path):
+    # r14: the guard-free encode computes the tokens column IN PLACE
+    # (mapInArrow pass-through) when every input column rides Arrow
+    # exactly; a non-exact column (decimal) must fall back to the
+    # (id, tokens) join-back plan with identical values — including
+    # the NULL-id row, which the join-back leaves NULL
+    from pyspark.sql import functions as F
+
+    op, p = _load(spark, tmp_path)
+    rows = EDGE_TEXTS + [(None, "hello world")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    pt = op.encode_ids(df)
+    assert "MapInArrow" in plan(pt)
+    dec = df.withColumn("dcol", F.lit("1.5").cast("decimal(5,2)"))
+    jb = op.encode_ids(dec)
+    assert "MapInArrow" not in plan(jb)
+
+    def key(r):
+        return (r["doc_id"] is None, r["doc_id"], r["text"])
+
+    a = [(r["doc_id"], r["text"],
+          None if r["text_wordpiece_ids"] is None
+          else list(r["text_wordpiece_ids"]))
+         for r in sorted(pt.collect(), key=key)]
+    b = [(r["doc_id"], r["text"],
+          None if r["text_wordpiece_ids"] is None
+          else list(r["text_wordpiece_ids"]))
+         for r in sorted(jb.collect(), key=key)]
+    assert a == b
+    none_row = [t for t in a if t[0] is None]
+    assert none_row and none_row[0][2] is None
+
+    # transform (count mode) takes the same two paths
+    ct_pt = op.transform(df)
+    assert "MapInArrow" in plan(ct_pt)
+    ct_jb = op.transform(dec)
+    assert "MapInArrow" not in plan(ct_jb)
+    ca = {(r["doc_id"] is None, r["doc_id"]): r["text_wordpiece_token_count"]
+          for r in ct_pt.collect()}
+    cb = {(r["doc_id"] is None, r["doc_id"]): r["text_wordpiece_token_count"]
+          for r in ct_jb.collect()}
+    assert ca == cb
