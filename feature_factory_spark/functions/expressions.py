@@ -25,6 +25,12 @@ from .frames import local_frame
 # literal when()-chain to a broadcast-join mapping table.
 WHEN_CHAIN_MAX_CATEGORIES = 64
 
+# Conservative bound on a from_json literal's JSON payload: Jackson's
+# default max-string limit is 20M chars (2.15+); past this the literal
+# would fail at runtime and from_json resolves to NULL silently, so the
+# builders bail to their F.lit / join fallbacks well before it.
+_JSON_LITERAL_MAX_CHARS = 16_000_000
+
 
 def string_array_literal(values: list) -> Column | None:
     """ONE-plan-node ``array<string>`` literal for model-sized tables:
@@ -33,13 +39,21 @@ def string_array_literal(values: list) -> Column | None:
     one expression node PER ELEMENT (``array('a','b',...)``) — measured
     18 s of analysis for a 30k-entry vocabulary vs 1.4 s for this form.
     Returns ``None`` when a value cannot ride JSON exactly (lone
-    surrogates) — callers fall back to their join path."""
+    surrogates), when the dumped JSON approaches Jackson's max-string
+    limit, or when a Python-side round-trip disagrees — a failed
+    ``from_json`` at runtime resolves to NULL (silent corruption), so
+    any doubt falls back to the callers' join path."""
     import json as _json
 
     for v in values:
         if v is not None and any(0xD800 <= ord(ch) <= 0xDFFF for ch in v):
             return None
-    return F.from_json(F.lit(_json.dumps(values)), "array<string>")
+    dumped = _json.dumps(values)
+    if len(dumped) > _JSON_LITERAL_MAX_CHARS:
+        return None
+    if _json.loads(dumped) != values:
+        return None
+    return F.from_json(F.lit(dumped), "array<string>")
 
 
 def double_array_literal(values: list) -> Column:
@@ -74,8 +88,31 @@ def double_array_literal(values: list) -> Column:
     depth, finite = _depth_ok(values, 1)
     if depth is None or not finite:
         return F.lit(values)
+    dumped = _json.dumps(values)
+    if len(dumped) > _JSON_LITERAL_MAX_CHARS:
+        return F.lit(values)
     schema = "array<" * depth + "double" + ">" * depth
-    return F.from_json(F.lit(_json.dumps(values)), schema)
+    return F.from_json(F.lit(dumped), schema)
+
+
+def int_array_literal(values: list) -> Column:
+    """ONE-plan-node integer array literal (the
+    :func:`double_array_literal` twin for integer model tables —
+    JSON carries int64 exactly). Element type matches what
+    ``F.lit(values)`` would infer (``int`` when every value fits
+    int32, else ``bigint``) so swapping the literal form never
+    changes a downstream schema. ``values`` must be ints (None
+    allowed: JSON null)."""
+    import json as _json
+
+    fits32 = all(
+        v is None or -(2**31) <= v < 2**31 for v in values
+    )
+    elem = "int" if fits32 else "bigint"
+    dumped = _json.dumps(values)
+    if len(dumped) > _JSON_LITERAL_MAX_CHARS:
+        return F.lit(values)
+    return F.from_json(F.lit(dumped), f"array<{elem}>")
 
 
 def sanitize_category(cat: str) -> str:

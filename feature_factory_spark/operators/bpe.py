@@ -118,7 +118,13 @@ def byte_syms_expr(word: Column, end_mark: bool = True) -> Column:
     element_at against a 256-entry array LITERAL (the lambda touches
     only its variable and the foldable literal — the HOF-inlining
     rule)."""
-    b2u = F.lit(_B2U_LIST)
+    from ..functions.expressions import string_array_literal
+
+    # one-node literal: F.lit(256 strings) pays one Literal node each
+    # at plan-build time, per encode call (_B2U chars are BMP
+    # printables, so the JSON form never falls back)
+    _b2u_folded = string_array_literal(_B2U_LIST)
+    b2u = _b2u_folded if _b2u_folded is not None else F.lit(_B2U_LIST)
     pairs = F.regexp_extract_all(
         F.hex(F.encode(word, "UTF-8")), F.lit("(..)"), 1
     )
@@ -1489,9 +1495,22 @@ class BpeVocabBuilder(Transformer):
         if n_vocab > self._ID_MAP_LIT_CUTOFF:
             return None
         rows = self._vocab_rows()
+        from ..functions.expressions import (
+            int_array_literal,
+            string_array_literal,
+        )
+
+        # one-node literals: a 4096-entry vocabulary as F.lit(list)
+        # costs ~3 s of plan-build per encode (one Literal node per
+        # element); the folded pair still constant-folds through
+        # map_from_arrays to a single map literal. Token content that
+        # cannot ride JSON (lone surrogates) keeps the F.lit form.
+        keys = string_array_literal([t for t, _ in rows])
+        if keys is None:
+            keys = F.lit([t for t, _ in rows])
         return F.map_from_arrays(
-            F.lit([t for t, _ in rows]),
-            F.lit([int(i) for _, i in rows]),
+            keys,
+            int_array_literal([int(i) for _, i in rows]),
         )
 
     def _word_seq_table(
@@ -1516,7 +1535,9 @@ class BpeVocabBuilder(Transformer):
                 int(self.vocab_json_.get("<0x%02X>" % b, -1))
                 for b in range(256)
             ]
-            blit = F.lit(byte_ids)
+            from ..functions.expressions import int_array_literal
+
+            blit = int_array_literal(byte_ids)
 
             def one(sym: Column) -> Column:
                 hit = F.try_element_at(vmap, sym)
@@ -1560,7 +1581,9 @@ class BpeVocabBuilder(Transformer):
                 int(self.vocab_json_.get("<0x%02X>" % b, -1))
                 for b in range(256)
             ]
-            blit = F.lit(byte_ids)
+            from ..functions.expressions import int_array_literal
+
+            blit = int_array_literal(byte_ids)
             fallback = F.transform(
                 F.regexp_extract_all(
                     F.hex(F.encode(F.col("__ff_tok"), "UTF-8")),
