@@ -758,11 +758,12 @@ class UnigramVocabBuilder(Transformer):
 
     def _piece_table(self, df: DataFrame) -> DataFrame:
         """(word, pieces) covering every distinct word of ``df``: the
-        fitted table, plus unseen words Viterbi-segmented driver-side
-        under the same model (capped + fail-loud). The collect is
-        bounded by max_unseen_words; at corpus scale the fitted table
-        already covers the head, so the unseen tail is the long-tail
-        typo/ID vocabulary the cap exists to surface."""
+        fitted table, plus unseen words Viterbi-segmented in a
+        distributed Arrow pass under the same model (capped +
+        fail-loud; the capped collect is bounded by max_unseen_words).
+        At corpus scale the fitted table already covers the head, so
+        the unseen tail is the long-tail typo/ID vocabulary the cap
+        exists to surface."""
         from .text import _require_frame_state
 
         lp = self._require_fit()
@@ -774,12 +775,26 @@ class UnigramVocabBuilder(Transformer):
             words.join(fitted.select("word"), "word", "left_anti")
             .distinct()
         )
+        special = frozenset(self._special_tokens)
+        max_len = self.max_piece_len
         cap = self.max_unseen_words
         if cap is not None:
-            n = unseen.limit(cap + 1).count()
-            self._guard_unseen(n)
-            if n == 0:
+            # ONE bounded evaluation of the anti-join (cap bounds the
+            # word list, a few MB of driver memory at the 100k
+            # default): the guard and the segmentation must see the
+            # same word set — the former separate count() job followed
+            # by a distributed re-evaluation computed the anti-join
+            # twice and could diverge on a nondeterministic source.
+            # The collected words feed back into the SAME distributed
+            # Arrow segmentation below (the driver holds words, never
+            # does the Viterbi work).
+            rows = unseen.limit(cap + 1).collect()
+            self._guard_unseen(len(rows))
+            if not rows:
                 return fitted
+            unseen = df.sparkSession.createDataFrame(
+                rows, "word string"
+            )
         elif unseen.isEmpty():
             # the fitted-corpus common case: zero unseen words — skip
             # the segmentation branch outright
@@ -791,8 +806,6 @@ class UnigramVocabBuilder(Transformer):
         # published model to a fresh corpus pulled EVERY distinct
         # corpus word to the driver (guide §5: the driver does no data
         # work). Same viterbi_segment function, bit-identical pieces.
-        special = frozenset(self._special_tokens)
-        max_len = self.max_piece_len
 
         def seg_batches(it):
             import pandas as pd

@@ -172,6 +172,14 @@ def wordpiece_word(
     return pieces
 
 
+# Per-task word-cache bound for the doc-grain encodes: the replaced
+# word-table plan deduplicated words globally, so an unbounded per-task
+# dict could hold every distinct word of a pathological partition
+# (IDs/hashes in text). Past this many entries the cache resets —
+# correctness is unaffected (it is a pure memo).
+_WORD_CACHE_CAP = 1 << 18
+
+
 # HF decoders::wordpiece cleanup — the fixed rule set
 _CLEANUP = [
     (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
@@ -526,6 +534,8 @@ class WordPieceTokenizer(Transformer):
                         if w in special
                         else wordpiece_word(w, vocab, unk, prefix, max_chars)
                     )
+                    if len(cache) >= _WORD_CACHE_CAP:
+                        cache.clear()
                     cache[w] = s
                 return s
 
@@ -609,6 +619,8 @@ class WordPieceTokenizer(Transformer):
                         if w in special
                         else wordpiece_word(w, vocab, unk, prefix, max_chars)
                     )
+                    if len(cache) >= _WORD_CACHE_CAP:
+                        cache.clear()
                     cache[w] = s
                 return s
 
